@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.1-2.6) expressed
+  * over the TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB mindset):
+  *  - dimension joins (region/nation/supplier/part) are `broadcast()`'d
+  *    explicitly — never shuffle a fact table for a KB-sized dim;
+  *  - aggregates are plain `groupBy` → Catalyst gives partial
+  *    (map-side) aggregation automatically;
+  *  - float outputs are rounded at their exact-decimal grid so the
+  *    oracle hash-compare is stable regardless of summation order.
+  */
+object RelationalQueries {
+  import QueryDef.sql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- A1/A9/A3: grouped aggregation (TPC-H Q1 flavor) ----
+    sql(
+      "q_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          countDistinct("l_orderkey").as("n_orders"))
+    },
+
+    // ---- P1/P5/P6: projection + filters (pushed to parquet scan) ----
+    sql(
+      "q_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 5 AND 30
+        |  AND l_shipdate IS NOT NULL""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R"
+          && col("l_quantity").between(5, 30)
+          && col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_extendedprice")
+    },
+
+    // ---- P8: regex filter ----
+    sql(
+      "q_filter_rlike",
+      """SELECT p_partkey, p_name, p_type
+        |FROM part
+        |WHERE regexp_matches(p_type, '^(ECONOMY|SMALL)$') AND p_size >= 10""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").rlike("^(ECONOMY|SMALL)$") && col("p_size") >= 10)
+        .select("p_partkey", "p_name", "p_type")
+    },
+
+    // ---- §2.6 conditional family: when/isin/case ----
+    sql(
+      "q_when_isin",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+        |       ELSE 'low' END AS priority_band,
+        |  CASE WHEN o_orderstatus IS NOT NULL THEN o_orderstatus
+        |       ELSE 'no-data' END AS status_nn
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("high"))
+          .when(col("o_orderpriority") === "3-MEDIUM", lit("medium"))
+          .otherwise(lit("low")).as("priority_band"),
+        when(col("o_orderstatus").isNotNull, col("o_orderstatus"))
+          .otherwise(lit("no-data")).as("status_nn"))
+    },
+
+    // ---- J2: inner equi-join fact ⋈ fact ----
+    sql(
+      "q_join_inner",
+      """SELECT o.o_orderkey, o.o_orderdate, c.c_name, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "c_name", "o_totalprice")
+    },
+
+    // ---- J2 left + A3: left join preserving unmatched, then agg ----
+    sql(
+      "q_join_left_agg",
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  count(o.o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"), c("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0)), 2)
+            .as("total_spend"))
+    },
+
+    // ---- J3/J10: broadcast dimension joins (geo rollup) ----
+    sql(
+      "q_join_dims",
+      """SELECT r.r_name, n.n_name, count(*) AS n_customers,
+        |  round(sum(c.c_acctbal), 2) AS sum_acctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("sum_acctbal"))
+    },
+
+    // ---- J8: full outer join of two summaries (null-preserving merge) ----
+    sql(
+      "q_join_full",
+      """SELECT coalesce(cs.nk, ss.nk) AS nationkey,
+        |  cs.n_cust, ss.n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) cs
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) ss
+        |ON cs.nk = ss.nk""".stripMargin) { (s, d) =>
+      val cs = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ss = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cs.join(ss, Seq("nk"), "full")
+        .select(col("nk").as("nationkey"), col("n_cust"), col("n_supp"))
+    },
+
+    // ---- J9: cross join (combination universe, no repartition hack) ----
+    sql(
+      "q_join_cross",
+      """SELECT r.r_name, n.n_name
+        |FROM region r CROSS JOIN nation n""".stripMargin) { (s, d) =>
+      Tables.region(s, d).crossJoin(broadcast(Tables.nation(s, d)))
+        .select("r_name", "n_name")
+    },
+
+    // ---- §2.6 hash + string family: surrogate keys, concat, extract ----
+    sql(
+      "q_scalar_string",
+      """SELECT c_custkey,
+        |  md5('customer' || '_' || CAST(c_custkey AS VARCHAR)) AS row_key,
+        |  c_name || ' (' || CAST(c_custkey AS VARCHAR) || ')' AS display_name,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  length(c_name) AS name_len
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(concat_ws("_", lit("customer"), col("c_custkey"))).as("row_key"),
+        concat(col("c_name"), lit(" ("), col("c_custkey"), lit(")"))
+          .as("display_name"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        length(col("c_name")).as("name_len"))
+    },
+
+    // ---- §2.6 regexp_extract (ICD code|chapter unpack analog) ----
+    sql(
+      "q_regexp_extract",
+      """SELECT event_id,
+        |  regexp_extract(props, '"k": (\d+)', 1) AS k_str,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("k_val"))
+    },
+
+    // ---- §2.5 set ops: union ----
+    sql(
+      "q_union",
+      """SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |UNION ALL
+        |SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"),
+          lit("customer").as("side"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey"),
+          lit("supplier").as("side"))
+      c.unionByName(su)
+    },
+
+    // ---- A7: distinct ----
+    sql(
+      "q_distinct",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders") {
+      (s, d) =>
+        Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
+          .distinct()
+    })
+}
