@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ontology ancestor expansion — the reference's one domain-specific
+  * operator (reference: ProcessETLUtils.scala:233-340; SURVEY.md §2.7).
+  *
+  * Term-table contract (reference ontology JSON-lines; FIXTURES.md):
+  * {{{
+  *   id: string, name: string, parents: array<string>,
+  *   ancestors: array<struct<id: string, name: string, parents: array<string>>>,
+  *   is_leaf: boolean
+  * }}}
+  * The ancestor closure is PRECOMPUTED in the term rows, so expansion
+  * is non-recursive: explode + union + re-group — all shuffle-light,
+  * and the term table is dimension-sized → always broadcast.
+  */
+object Ontology {
+
+  /** Expand each data row's ontology code to itself (tagged, leaf) plus
+    * every ancestor (untagged), one output row per term
+    * (reference: ProcessETLUtils.scala:251-297).
+    *
+    * Output columns: groupKeys ++ payload ++
+    *   (term_id, term_name, is_tagged, is_leaf).
+    */
+  def expandTerms(
+      data: DataFrame,
+      terms: DataFrame,
+      codeCol: String,
+      groupKeys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val joined = data.join(
+      broadcast(terms),
+      data(codeCol) === terms("id"),
+      "left_outer")
+
+    val keep = (groupKeys ++ payload).map(col)
+    val tagged = joined
+      .filter(terms("id").isNotNull)
+      .select(keep ++ Seq(
+        terms("id").as("term_id"),
+        terms("name").as("term_name"),
+        lit(true).as("is_tagged"),
+        coalesce(terms("is_leaf"), lit(false)).as("is_leaf")): _*)
+
+    val ancestors = joined
+      .filter(terms("id").isNotNull)
+      .select(keep :+ explode(terms("ancestors")).as("anc"): _*)
+      .select(keep ++ Seq(
+        col("anc.id").as("term_id"),
+        col("anc.name").as("term_name"),
+        lit(false).as("is_tagged"),
+        lit(false).as("is_leaf")): _*)
+
+    tagged.unionByName(ancestors)
+  }
+
+  /** Pick the "main category" ancestor per data row: the ancestor whose
+    * `parents` contain the ontology root, formatted "Name (ID)"
+    * (reference: ProcessETLUtils.scala:240-248,406-425).
+    * `rootPredicate` generalizes the HPO/MONDO root-membership and the
+    * ICD chapter-regex variants (applied to the exploded ancestor).
+    */
+  def mainCategory(
+      data: DataFrame,
+      terms: DataFrame,
+      codeCol: String,
+      keyCols: Seq[String],
+      rootPredicate: Column => Column): DataFrame = {
+    val joined = data.join(
+      broadcast(terms),
+      data(codeCol) === terms("id"),
+      "left_outer")
+    joined
+      .select((keyCols.map(col) :+ explode(terms("ancestors")).as("anc")): _*)
+      .filter(rootPredicate(col("anc")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(concat(col("anc.name"), lit(" ("), col("anc.id"), lit(")")))
+        .as("main_category"))
+  }
+
+  /** Merge per-(group, term) payload-value lists:
+    * `collect_list(array(c))` → `array_distinct(sort_array(flatten(...)))`
+    * (reference: ProcessETLUtils.scala:299-318 age_at_event merge).
+    */
+  def mergeValueLists(
+      expanded: DataFrame,
+      groupKeys: Seq[String],
+      valueCol: String,
+      as: String): DataFrame =
+    expanded
+      .groupBy((groupKeys :+ "term_id").map(col): _*)
+      .agg(
+        first(col("term_name")).as("term_name"),
+        max(col("is_tagged")).as("is_tagged"),
+        max(col("is_leaf")).as("is_leaf"),
+        array_distinct(sort_array(flatten(collect_list(array(col(valueCol))))))
+          .as(as))
+
+  /** Full pipeline to one row per group: expand → merge → nest
+    * (reference: ProcessETLUtils.scala:320-333). */
+  def expandAndNest(
+      data: DataFrame,
+      terms: DataFrame,
+      codeCol: String,
+      groupKeys: Seq[String],
+      valueCol: String,
+      as: String): DataFrame = {
+    val merged = mergeValueLists(
+      expandTerms(data, terms, codeCol, groupKeys, Seq(valueCol)),
+      groupKeys, valueCol, "values")
+    Nest.nestChildren(
+      merged, groupKeys,
+      Seq(col("term_id"), col("term_name"), col("is_tagged"),
+        col("is_leaf"), col("values")),
+      as)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Summary lattices: per-group countDistinct matrices over a complete
+  * key universe (reference: indexes/Summary.scala:12-130).
+  *
+  * The reference builds the complete (group × category) universe with a
+  * `crossJoin` guarded by `repartition(1)` on both sides (a Spark-3.1
+  * planner workaround, Summary.scala:9,23-25) and merges per-entity
+  * summaries with chained full-outer joins (Summary.scala:115-121).
+  * Here: the universe sides are tiny dimension `distinct()`s, so we
+  * `broadcast` them (no repartition hack, no shuffle), and the merge is
+  * a left join of partial aggregates — equivalent semantics
+  * (the full-join keys included every non-key column, making it a
+  * de-dup union; SURVEY.md §2.3 J8), one exchange instead of six.
+  */
+object Summary {
+
+  /** countDistinct of `distinctCols` per (groupKeys × category), with
+    * zero-filled rows for categories absent in a group.
+    */
+  def lattice(
+      facts: DataFrame,
+      groupKeys: Seq[String],
+      categoryCol: String,
+      distinctCounts: Map[String, Column]): DataFrame = {
+    val groups = facts.select(groupKeys.map(col): _*).distinct()
+    val cats = facts.select(col(categoryCol)).distinct()
+    val universe = groups.crossJoin(broadcast(cats))
+    val aggs = distinctCounts.toSeq.sortBy(_._1).map { case (as, c) =>
+      countDistinct(c).as(as)
+    }
+    val partial = facts
+      .groupBy((groupKeys :+ categoryCol).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val joined = universe.join(partial, groupKeys :+ categoryCol, "left")
+    distinctCounts.keys.foldLeft(joined) { (df, as) =>
+      df.withColumn(as, coalesce(col(as), lit(0L)))
+    }
+  }
+
+  /** Existence flag per group: `count > 0` as boolean (reference:
+    * Summary.scala:141-145 `countDistinct("*")` + toBoolean — rewritten
+    * per SURVEY §2.4 A4 as a cheaper count-gt-0).
+    */
+  def existenceFlag(
+      facts: DataFrame,
+      groupKeys: Seq[String],
+      as: String): DataFrame =
+    facts
+      .groupBy(groupKeys.map(col): _*)
+      .agg((count(lit(1)) > 0).as(as))
+}
