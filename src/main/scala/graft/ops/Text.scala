@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is built from native `functions._` + higher-order array
+  * functions (transform/aggregate/filter) — no UDFs, so the whole
+  * pipeline stays inside whole-stage codegen and scales linearly with
+  * no serialization cliffs. All ops are per-row (embarrassingly
+  * parallel): at 100 TB they run map-side with zero shuffle.
+  */
+object Text {
+
+  /** Canonical normalization shared by dedup/fingerprint ops:
+    * lowercase, strip non-alphanumerics (keeping spaces), collapse
+    * whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokenization. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text)).cast(LongType)
+
+  /** BPE-ish regex tokenization: word pieces, numbers, or single
+    * non-space symbols (GPT-2-style pretokenizer shape, public
+    * pattern family). */
+  def regexTokens(text: Column): Column =
+    filter(
+      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => t =!= "" && t =!= " ")
+
+  /** Word n-gram shingles as space-joined strings. Empty when the doc
+    * has fewer than n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(normalize(text))
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, n))))
+  }
+
+  /** Character n-grams of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = normalize(text)
+    when(length(t) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
+  // ---- language ID ----
+
+  /** Tiny public stopword seeds per language (heuristic n-gram/stopword
+    * language ID — the standard trick: score = |words ∩ stopwords_L|,
+    * argmax over L). Extend freely; kept small and deterministic. */
+  val StopwordSeeds: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se",
+      "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "que",
+      "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit",
+      "für", "ein"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "中"))
+
+  /** Per-language stopword-hit score: |tokens ∩ seeds(lang)|. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val seeds = array(StopwordSeeds(lang).map(lit): _*)
+    size(array_intersect(array_distinct(words(normalize(text))), seeds))
+      .cast(LongType)
+  }
+
+  /** Predicted language: argmax of stopword hits, "und" (undetermined)
+    * when every score is 0. Deterministic tie-break: lexicographically
+    * smallest language code among the max-scoring ones. */
+  def langId(text: Column): Column = {
+    val scored = StopwordSeeds.keys.toSeq.sorted.map { l =>
+      struct((-stopwordHits(text, l)).as("neg"), lit(l).as("lang"),
+        stopwordHits(text, l).as("hits"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("hits") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  // ---- quality scoring ----
+
+  /** Heuristic quality features (public Gopher/C4-style rule family):
+    * length, token stats, punctuation & stopword ratios. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    val nTok = size(w).cast(DoubleType)
+    val allStops = array(
+      StopwordSeeds.values.flatten.toSeq.distinct.map(lit): _*)
+    Seq(
+      "n_chars_obs" -> length(text).cast(LongType),
+      "n_tokens" -> size(w).cast(LongType),
+      "mean_word_len" ->
+        (aggregate(w, lit(0L), (acc, x) => acc + length(x))
+          .cast(DoubleType) / nTok),
+      "punct_ratio" ->
+        (length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType) /
+          greatest(length(text), lit(1)).cast(DoubleType)),
+      "stopword_ratio" ->
+        (size(array_intersect(array_distinct(w), allStops))
+          .cast(DoubleType) /
+          greatest(size(array_distinct(w)), lit(1)).cast(DoubleType)))
+  }
+
+  /** Composite quality score in [0,1]: fraction of passed rule checks
+    * (deterministic, explainable — not a learned model). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val checks = Seq(
+      f("n_tokens") >= 5,
+      f("n_tokens") <= 100000,
+      f("mean_word_len") >= 2 && f("mean_word_len") <= 12,
+      f("punct_ratio") <= 0.2,
+      f("stopword_ratio") > 0)
+    checks.map(c => when(c, 1.0).otherwise(0.0))
+      .reduce(_ + _) / checks.size
+  }
+
+  // ---- fingerprinting ----
+
+  /** Content fingerprint of the normalized text (md5 — stable across
+    * engines, used as the exact-dedup key). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit polynomial rolling hash over normalized-text words
+    * (Rabin-Karp family): h = Σ h*31 + xxhash64(word). Native
+    * `aggregate` HOF — no UDF. */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      words(normalize(text)),
+      lit(0L),
+      (acc, w) => acc * lit(31L) + xxhash64(w))
+}
