@@ -43,7 +43,7 @@ object Text {
     when(size(w) < n, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, n))))
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
   }
 
   /** Character n-grams of the normalized text. */
