@@ -26,11 +26,12 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark 4 refuses
-    * by default; read nanos as long, then expose both the raw nanos
-    * (`ts_ns`) and a microsecond-truncated proper timestamp (`ts`).
+    * by default; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * at build time (Bench/Verify/WithSpark all do). The raw nanos arrive
+    * as a long (`ts_ns`); a microsecond-truncated proper timestamp is
+    * exposed as `ts`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw
       .withColumnRenamed("ts", "ts_ns")

@@ -52,20 +52,25 @@ object GraftFunctions {
     * `sanitize`). Driver-side (plain Scala), used on catalog names.
     */
   def sanitize(fileName: String): String = {
-    val noExt = fileName.replaceFirst("[.][^.]+$", "")
+    // Truncate at the FIRST dot, like the reference ("a.b.tsv" → "a").
+    val dot = fileName.indexOf('.')
+    val noExt = if (dot > -1) fileName.substring(0, dot) else fileName
     Normalizer
       .normalize(noExt, Normalizer.Form.NFD)
       .replaceAll("[^a-zA-Z]", "")
       .toLowerCase
+      .trim
   }
 
-  /** Multi-format date parse, native: coalesce of `to_date` over the
-    * reference's four candidate patterns (reference: EtlUtils.scala:9-27).
-    * Strict ISO-ish semantics; for the reference's lenient
-    * `SimpleDateFormat` month-overflow behavior use [[LenientDate.parseDateUdf]].
+  /** Multi-format date parse, native. Spark's strict `d/M/yyyy` already
+    * accepts 1- and 2-digit day/month, so the reference's four slash
+    * variants (EtlUtils.scala:9-14) collapse to one pattern; `yyyy-MM-dd`
+    * is a deliberate extension NOT in the reference (ISO inputs fail
+    * there — use [[LenientDate]] when exact parity matters, including
+    * its lenient month-overflow behavior).
     */
   def multiFormatDate(c: Column): Column = {
-    val patterns = Seq("d/M/yyyy", "dd/MM/yyyy", "yyyy-MM-dd", "d/M/yy")
+    val patterns = Seq("d/M/yyyy", "yyyy-MM-dd")
     coalesce(patterns.map(p => try_to_date(c, p)): _*)
   }
 

@@ -15,15 +15,26 @@ import java.time.{LocalDate, Period, ZoneId}
   * parity paths; prefer [[GraftFunctions.multiFormatDate]] elsewhere.
   */
 object LenientDate {
-  private val Patterns = Seq("d/M/yyyy", "dd/MM/yyyy", "yyyy-MM-dd", "d/M/yy")
+  /** Exactly the reference's pattern list (EtlUtils.scala:9-14): the
+    * four slash variants, nothing else — ISO strings and 2-digit years
+    * must FAIL here like they do in the reference (the native
+    * [[GraftFunctions.multiFormatDate]] is the place for extensions).
+    */
+  private val Patterns =
+    Seq("d/M/yyyy", "d/MM/yyyy", "dd/M/yyyy", "dd/MM/yyyy")
 
-  /** First pattern that parses wins (lenient — may overflow fields). */
+  /** First pattern that parses wins (lenient — may overflow fields).
+    * Instant→LocalDate via the JVM-default zone, mirroring the
+    * reference's `ZoneId.systemDefault()` round-trip
+    * (EtlUtils.scala:25) — `SimpleDateFormat` parsed in the default
+    * zone converts back cleanly only through the same zone.
+    */
   def parse(s: String): Option[LocalDate] =
     if (s == null) None
     else Patterns.view.flatMap { p =>
       try {
         val fmt = new SimpleDateFormat(p) // lenient by default
-        Some(fmt.parse(s.trim).toInstant.atZone(ZoneId.of("UTC")).toLocalDate)
+        Some(fmt.parse(s).toInstant.atZone(ZoneId.systemDefault()).toLocalDate)
       } catch { case _: Exception => None }
     }.headOption
 

@@ -19,9 +19,10 @@ object Nest {
   /** Fold child rows into one array-of-struct column per parent key
     * (reference: ProcessETLUtils.scala:67-99 and 15+ other sites).
     *
-    * @param sortKeys when non-empty, the struct's leading fields, so
-    *   `sort_array` yields a deterministic child order (the reference
-    *   relies on single-row fixtures for determinism; we don't).
+    * @param sorted when true (default), `sort_array` orders the packed
+    *   structs by their leading fields so child order is deterministic
+    *   (the reference relies on single-row fixtures for determinism;
+    *   we don't).
     */
   def nestChildren(
       children: DataFrame,
