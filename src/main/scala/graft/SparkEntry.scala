@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ NestedQueries.defs
+    RelationalQueries.defs ++ NestedQueries.defs ++
+      TextQueries.defs ++ SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

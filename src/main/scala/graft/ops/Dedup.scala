@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (fingerprint group-by) and near-duplicate (MinHash + LSH banding).
+  *
+  * Everything is native `functions._` — the MinHash signature is a
+  * higher-order `transform`/`array_min` over `xxhash64`, so signature
+  * computation is per-row, codegen'd, and shuffle-free. The only
+  * shuffles are the (band, bucket) self-join and the final distinct —
+  * both equi-operations that scale linearly with data (never the
+  * all-pairs cross product; at 100 TB, all-pairs is impossible and
+  * bucketing is the whole point of LSH).
+  *
+  * Determinism: MinHash here is seeded by band/row index, not RNG, so
+  * the same input always yields the same signature, bucket assignment,
+  * and candidate set — results are reproducible and oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact-dedup groups: one row per distinct fingerprint with the
+    * minimum id as the deterministic surviving representative and the
+    * duplicate count. Map-side partial agg collapses heavy duplicate
+    * clusters before the shuffle, so a 100 TB corpus with a few viral
+    * documents doesn't skew the exchange.
+    */
+  def exactGroups(df: DataFrame, fingerprint: Column, id: Column): DataFrame =
+    df.groupBy(fingerprint.as("fingerprint"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep exactly one deterministic representative (min id) per
+    * fingerprint: the scalable alternative to `dropDuplicates`, whose
+    * surviving row is partition-order-dependent.
+    */
+  def dropExact(df: DataFrame, fingerprint: Column, id: Column): DataFrame = {
+    val reps = exactGroups(df, fingerprint, id)
+      .select(col("keep_id").as("__keep_id"))
+    df.join(reps, id === col("__keep_id"), "left_semi")
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by
+    * seeded hash functions, h_s(doc) = min over shingles of
+    * xxhash64(s, shingle). Null (not empty) when the doc has no
+    * shingles — callers should filter those out before LSH, otherwise
+    * all shingle-less docs collide in every band.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val distinctSh = array_distinct(shingles)
+    when(size(distinctSh) === 0, lit(null).cast("array<bigint>")).otherwise(
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        s => array_min(transform(distinctSh, sh => xxhash64(s, sh)))))
+  }
+
+  /** LSH banding: split a signature into `bands` rows of
+    * `signatureLen / bands` hashes each and hash every row to a
+    * bucket. Emits array of (band, bucket); docs sharing a bucket in
+    * ANY band become candidates.
+    */
+  def lshBuckets(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)))
+          .as("bucket")))
+
+  /** Candidate near-duplicate pairs via MinHash-LSH: explode each
+    * doc into its `bands` (band, bucket) keys and self-join on them.
+    * Output: (a, b) with a < b, distinct.
+    *
+    * Scale: the join key space is bands × buckets, so co-bucketed
+    * groups are tiny unless documents genuinely collide; the join and
+    * the distinct are the only shuffles. A pathological bucket (e.g.
+    * boilerplate-heavy corpora) shows up as AQE skew and can be salted
+    * by raising `bands`/`numHashes`; all-pairs never happens.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      id: String,
+      shingles: Column,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col(id), minhashSignature(shingles, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sig
+      .select(col(id), explode(lshBuckets(col("sig"), bands, rowsPerBand))
+        .as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
+    val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns:
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|), on distinct shingles.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - inter)
+  }
+
+  /** Near-duplicate pairs: LSH candidates re-scored with exact
+    * Jaccard and thresholded. The expensive exact comparison runs
+    * only on the candidate set (linear-ish), not all pairs
+    * (quadratic). Output: (a, b, jaccard) with a < b.
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      id: String,
+      shingles: Column,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val sets = docs.select(col(id), array_distinct(shingles).as("__sh"))
+    val cand = candidatePairs(docs, id, shingles, numHashes, bands)
+    cand
+      .join(sets.select(col(id).as("a"), col("__sh").as("__sha")), Seq("a"))
+      .join(sets.select(col(id).as("b"), col("__sh").as("__shb")), Seq("b"))
+      .select(col("a"), col("b"), jaccard(col("__sha"), col("__shb"))
+        .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH variant that buckets the corpus so the
+  * pairwise work at query time is corpus_size / 2^bits per probe
+  * instead of the full corpus.
+  *
+  * The dot product is a native `zip_with` + `aggregate` HOF — stays in
+  * whole-stage codegen, no UDF, no serialization cliff. Hyperplanes
+  * are deterministic (seeded driver-side PRNG, shipped as literals),
+  * so bucket assignment is reproducible run-to-run.
+  *
+  * Scale: brute-force is O(queries × corpus) but shuffle-free when the
+  * query set is broadcast — each executor scans its corpus partitions
+  * once per batch of queries. That is the right plan when the query
+  * batch is small (the 100 TB side stays partition-local). The LSH
+  * path cuts the scanned fraction exponentially in `bits` and is the
+  * scale path for large query batches.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (‖a‖·‖b‖). Null-safe only insofar as
+    * zero vectors yield NaN (caller filters). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    *
+    * @param corpus  (id, vec) rows — the big side; scanned once.
+    * @param queries (id, vec) rows — the small side; broadcast.
+    * @return (query_id, neighbor_id, rank, cosine), rank 1..k,
+    *         ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")))
+    val c = corpus.select(
+      col(id).as("neighbor_id"), col(vec).cast("array<double>").as("__cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `bits` × `dim` Gaussian matrix
+    * from a fixed seed (same plan every run — reproducible buckets). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id: bit j set iff hᵼ·x ≥ 0. Vectors with
+    * small angles agree on most sign bits, so near neighbors
+    * co-bucket with high probability. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (h, j) =>
+      val hv = array(h.map(lit): _*)
+      when(dot(vec, hv) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: bucket corpus and queries with the same
+    * hyperplanes, join on bucket, rank within bucket by exact cosine.
+    * One equi-join shuffle on the bucket key; each bucket holds
+    * ~corpus/2^bits vectors, so per-query work shrinks exponentially
+    * with `bits`.
+    *
+    * Multi-probe (`probeHamming = 1`, the default) also probes every
+    * bucket one sign-bit flip away — the standard recall fix for
+    * sign-LSH, since a near neighbor sitting close to one hyperplane
+    * lands in an adjacent bucket. Query-side only: the corpus keeps
+    * exactly one bucket per vector, so corpus size per bucket (the
+    * scale driver) is unchanged; the query batch fans out ×(bits+1),
+    * which is cheap because queries are the broadcast side.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      bits: Int, dim: Int, seed: Long = 42L,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      "only Hamming radius 0 or 1 supported")
+    val planes = hyperplanes(bits, dim, seed)
+    val c = corpus.select(
+      col(id).as("neighbor_id"), col(vec).cast("array<double>").as("__cv"),
+      lshBucket(col(vec).cast("array<double>"), planes).as("__bucket"))
+    val probed = queries
+      .select(col(id).as("query_id"),
+        col(vec).cast("array<double>").as("__qv"),
+        lshBucket(col(vec).cast("array<double>"), planes).as("__b0"))
+      .select(col("query_id"), col("__qv"),
+        explode(array_distinct(array(
+          col("__b0") +:
+            (if (probeHamming == 1)
+              (0 until bits).map(j => col("__b0").bitwiseXOR(lit(1L << j)))
+            else Seq.empty): _*))).as("__bucket"))
+    val q = broadcast(probed)
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

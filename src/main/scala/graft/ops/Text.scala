@@ -135,12 +135,15 @@ object Text {
     * engines, used as the exact-dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
-  /** 64-bit polynomial rolling hash over normalized-text words
-    * (Rabin-Karp family): h = Σ h*31 + xxhash64(word). Native
-    * `aggregate` HOF — no UDF. */
+  /** 64-bit rolling fingerprint over normalized-text words: the
+    * accumulator is re-hashed with each word, h = xxhash64(h, word)
+    * (order-sensitive, like a Rabin-Karp chain but with no modular
+    * arithmetic — important because Spark 4's default ANSI mode turns
+    * a polynomial hash's intentional wraparound into a runtime
+    * ARITHMETIC_OVERFLOW). Native `aggregate` HOF — no UDF. */
   def fingerprintRolling(text: Column): Column =
     aggregate(
       words(normalize(text)),
       lit(0L),
-      (acc, w) => acc * lit(31L) + xxhash64(w))
+      (acc, w) => xxhash64(acc, w))
 }

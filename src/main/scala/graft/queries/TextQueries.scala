@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text pipeline over `documents`: token stats,
+  * language ID, quality scoring, fingerprinting, exact dedup, and
+  * MinHash-LSH near-duplicate detection — each oracle-checked against
+  * DuckDB where expressible (xxhash64-based ops are rows-only).
+  *
+  * All per-doc ops are native-HOF map-side transforms (no UDFs, no
+  * shuffle); dedup shuffles only on fingerprint / (band, bucket) keys.
+  * The near-dup ORACLE is all-pairs O(n²) — fine for DuckDB at 500
+  * docs; the Spark side under test is the bucketed LSH path that
+  * scales to 100 TB.
+  */
+object TextQueries {
+  import QueryDef.{noOracle, sql}
+
+  /** DuckDB equivalent of [[Text.normalize]]. */
+  private val NormSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** All stopword seeds across languages, deduplicated, as a SQL list
+    * literal (must track [[Text.StopwordSeeds]]). */
+  private val AllStopsSql = Text.StopwordSeeds.values.flatten.toSeq.distinct
+    .map(w => s"'$w'").sorted.mkString("[", ", ", "]")
+
+  private def seedsSql(lang: String): String =
+    Text.StopwordSeeds(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting (whitespace + normalized) ----
+    sql(
+      "q_token_count",
+      s"""SELECT doc_id,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |  len(string_split($NormSql, ' ')) AS n_norm_tokens
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.tokenCount(Text.normalize(col("text"))).as("n_norm_tokens"))
+    },
+
+    // ---- language ID: argmax of stopword hits ----
+    sql(
+      "q_lang_id",
+      s"""WITH dw AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    len(list_intersect(w, ${seedsSql("de")})) AS h_de,
+         |    len(list_intersect(w, ${seedsSql("en")})) AS h_en,
+         |    len(list_intersect(w, ${seedsSql("es")})) AS h_es,
+         |    len(list_intersect(w, ${seedsSql("fr")})) AS h_fr,
+         |    len(list_intersect(w, ${seedsSql("zh")})) AS h_zh
+         |  FROM dw)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM h""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+    },
+
+    // ---- quality scoring: Gopher/C4-style rule features ----
+    sql(
+      "q_quality_score",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+         |  (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END
+         |   + CASE WHEN n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
+         |   + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END
+         |   + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
+         |   + CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END) / 5
+         |  AS quality_score
+         |FROM f""".stripMargin) { (s, d) =>
+      val feats = Text.qualityFeatures(col("text"))
+        .filter(_._1 != "n_chars_obs")
+        .map { case (n, c) => c.as(n) }
+      Tables.documents(s, d).select(
+        col("doc_id") +: feats :+
+          Text.qualityScore(col("text")).as("quality_score"): _*)
+    },
+
+    // ---- exact dedup: fingerprint groups + surviving representative ----
+    sql(
+      "q_dedup_exact",
+      s"""SELECT md5($NormSql) AS fingerprint,
+         |  min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.exactGroups(
+        Tables.documents(s, d),
+        Text.fingerprintMd5(col("text")), col("doc_id"))
+    },
+
+    // ---- exact dedup drop: left-semi join back to representatives ----
+    sql(
+      "q_dedup_drop",
+      s"""SELECT min(doc_id) AS doc_id
+         |FROM documents GROUP BY md5($NormSql)""".stripMargin) { (s, d) =>
+      Dedup.dropExact(
+          Tables.documents(s, d),
+          Text.fingerprintMd5(col("text")), col("doc_id"))
+        .select("doc_id")
+    },
+
+    // ---- near-dup: MinHash-LSH candidates + exact-Jaccard rescore ----
+    sql(
+      "q_neardup_pairs",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.s, y.s))::DOUBLE AS inter,
+         |    len(x.s) + len(y.s) AS tot
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |SELECT a, b, inter / (tot - inter) AS jaccard
+         |FROM p WHERE inter / (tot - inter) >= 0.8""".stripMargin) { (s, d) =>
+      Dedup.nearDupPairs(
+        Tables.documents(s, d).withColumn(
+          "shingles", Text.shingles(col("text"), 3)),
+        id = "doc_id", shingles = col("shingles"),
+        threshold = 0.8, numHashes = 64, bands = 16)
+    },
+
+    // ---- rolling-hash fingerprint (xxhash64: rows-only check) ----
+    noOracle("q_fingerprint_rolling") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.fingerprintRolling(col("text")).as("fingerprint"))
+    })
+}

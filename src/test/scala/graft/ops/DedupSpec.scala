@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  // d1/d2 exact dups after normalization; d3 a near-dup of d1 (one word
+  // changed); d4/d5 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (2L, "The QUICK brown fox, jumps over the lazy dog near the old barn!"),
+    (3L, "the quick brown fox jumps over the lazy cat near the old barn"),
+    (4L, "completely different content about spark query engines and planning"),
+    (5L, "yet another unrelated document mentioning databases and storage"))
+    .toDF("doc_id", "text")
+    .withColumn("sh", Text.shingles(col("text"), 3))
+
+  test("exactGroups keeps min-id representative with dup count") {
+    val got = Dedup.exactGroups(
+        docs, Text.fingerprintMd5(col("text")), col("doc_id"))
+      .orderBy("keep_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("dropExact keeps exactly the representatives") {
+    val kept = Dedup.dropExact(
+        docs, Text.fingerprintMd5(col("text")), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash signature is deterministic with expected length") {
+    val sigs = docs.select(
+        Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    val again = docs.select(
+        Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.toSeq == again.toSeq)
+  }
+
+  test("identical shingle sets share every minhash band bucket") {
+    val sig = docs.filter(col("doc_id").isin(1L, 2L))
+      .select(Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig(0) == sig(1))
+  }
+
+  test("nearDupPairs finds planted near-dups and nothing else") {
+    val got = Dedup.nearDupPairs(
+        docs, "doc_id", col("sh"), threshold = 0.5,
+        numHashes = 64, bands = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // jaccard(d1,d2)=1.0, jaccard(d1,d3)≈0.45/0.57 — with threshold 0.5
+    // only pairs among {1,2,3} with J>=0.5 survive; 4,5 never appear.
+    assert(got.contains((1L, 2L)))
+    assert(got.forall { case (a, b) => Set(1L, 2L, 3L).contains(a) &&
+      Set(1L, 2L, 3L).contains(b) })
+  }
+
+  test("jaccard computes |A∩B| / |A∪B| on distinct shingles") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .as[Double].collect()(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.9, 0.1, 0.0)),  // close to 0
+    (2L, Seq(0.0, 1.0, 0.0)),  // orthogonal to 0
+    (3L, Seq(-1.0, 0.0, 0.0)), // opposite of 0
+    (4L, Seq(0.8, 0.2, 0.1))). // close-ish to 0
+    toDF("vec_id", "embedding")
+
+  test("dot and cosine match hand computation") {
+    val got = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[(Double, Double)].collect()(0)
+    assert(got._1 == 32.0)
+    val expC = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got._2 - expC) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self") {
+    val got = Similarity.bruteForceTopK(
+        vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (4L, 2), (2L, 3)))
+  }
+
+  test("lshTopK co-buckets near vectors and never returns self") {
+    val got = Similarity.lshTopK(
+        vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, bits = 2, dim = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got.forall { case (q, n) => q == 0L && n != 0L })
+    // with 2 bits the half-space containing v0 also holds v1 and v4
+    assert(got.map(_._2).contains(1L))
+  }
+
+  test("lshTopK recall vs brute force on clustered real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(
+        e, q, "vec_id", "embedding", 5, bits = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+}

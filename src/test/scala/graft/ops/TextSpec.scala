@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).get(0)
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toSeq
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    assert(one(Text.normalize(col("t")), "  Héllo,   WORLD!!  42 ")
+      == "h llo world 42")
+    assert(one(Text.normalize(col("t")), "...") == "")
+  }
+
+  test("tokenCount counts whitespace tokens") {
+    assert(one(Text.tokenCount(col("t")), "a b  c\td") == 4L)
+    assert(one(Text.tokenCount(col("t")), "one") == 1L)
+  }
+
+  test("regexTokens splits words, numbers, and symbols") {
+    assert(oneSeq(Text.regexTokens(col("t")), "ab 12,c!")
+      == Seq("ab", "12", ",", "c", "!"))
+  }
+
+  test("shingles yields n-grams; short docs yield empty") {
+    assert(oneSeq(Text.shingles(col("t"), 3), "a b c d")
+      == Seq("a b c", "b c d"))
+    assert(oneSeq(Text.shingles(col("t"), 3), "a b").isEmpty)
+  }
+
+  test("charShingles yields char n-grams of normalized text") {
+    assert(oneSeq(Text.charShingles(col("t"), 3), "abcd")
+      == Seq("abc", "bcd"))
+  }
+
+  test("langId picks stopword-argmax, und when no hits") {
+    assert(one(Text.langId(col("t")), "the cat of the house is it") == "en")
+    assert(one(Text.langId(col("t")), "le chat de la maison et les chiens")
+      == "fr")
+    assert(one(Text.langId(col("t")), "der hund und die katze ist von den")
+      == "de")
+    assert(one(Text.langId(col("t")), "qqqq zzzz") == "und")
+  }
+
+  test("qualityScore is in [0,1] and rewards clean prose") {
+    val good = one(Text.qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog and runs away")
+      .asInstanceOf[Double]
+    val bad = one(Text.qualityScore(col("t")), "!!!! ???? ....")
+      .asInstanceOf[Double]
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("fingerprints are deterministic and normalization-invariant") {
+    val fp1 = one(Text.fingerprintMd5(col("t")), "Hello,  World!")
+    val fp2 = one(Text.fingerprintMd5(col("t")), "hello world")
+    assert(fp1 == fp2)
+    val r1 = one(Text.fingerprintRolling(col("t")), "Hello,  World!")
+    val r2 = one(Text.fingerprintRolling(col("t")), "hello world")
+    val r3 = one(Text.fingerprintRolling(col("t")), "world hello")
+    assert(r1 == r2 && r1 != r3) // order-sensitive, punctuation-invariant
+  }
+}
