@@ -22,6 +22,12 @@ object Ontology {
     * every ancestor (untagged), one output row per term
     * (reference: ProcessETLUtils.scala:251-297).
     *
+    * Single-pass: ONE broadcast join, then one explode of
+    * [self] ++ ancestors built per row. (A tagged/ancestors
+    * two-branch union would make Catalyst execute the join — and the
+    * fact-table scan under it — twice; at 100 TB a doubled fact scan
+    * is the whole cost of the operator.)
+    *
     * Output columns: groupKeys ++ payload ++
     *   (term_id, term_name, is_tagged, is_leaf).
     */
@@ -33,28 +39,27 @@ object Ontology {
       payload: Seq[String]): DataFrame = {
     val joined = data.join(
       broadcast(terms),
-      data(codeCol) === terms("id"),
-      "left_outer")
+      data(codeCol) === terms("id"))
 
     val keep = (groupKeys ++ payload).map(col)
-    val tagged = joined
-      .filter(terms("id").isNotNull)
-      .select(keep ++ Seq(
-        terms("id").as("term_id"),
-        terms("name").as("term_name"),
-        lit(true).as("is_tagged"),
-        coalesce(terms("is_leaf"), lit(false)).as("is_leaf")): _*)
+    val self = struct(
+      terms("id").as("term_id"),
+      terms("name").as("term_name"),
+      lit(true).as("is_tagged"),
+      coalesce(terms("is_leaf"), lit(false)).as("is_leaf"))
+    val ancs = transform(terms("ancestors"), a => struct(
+      a.getField("id").as("term_id"),
+      a.getField("name").as("term_name"),
+      lit(false).as("is_tagged"),
+      lit(false).as("is_leaf")))
+    val expanded = when(terms("ancestors").isNull, array(self))
+      .otherwise(concat(array(self), ancs))
 
-    val ancestors = joined
-      .filter(terms("id").isNotNull)
-      .select(keep :+ explode(terms("ancestors")).as("anc"): _*)
+    joined
+      .select(keep :+ explode(expanded).as("__t"): _*)
       .select(keep ++ Seq(
-        col("anc.id").as("term_id"),
-        col("anc.name").as("term_name"),
-        lit(false).as("is_tagged"),
-        lit(false).as("is_leaf")): _*)
-
-    tagged.unionByName(ancestors)
+        col("__t.term_id"), col("__t.term_name"),
+        col("__t.is_tagged"), col("__t.is_leaf")): _*)
   }
 
   /** Pick the "main category" ancestor per data row: the ancestor whose
