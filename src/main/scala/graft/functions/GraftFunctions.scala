@@ -47,6 +47,12 @@ object GraftFunctions {
   def entityKey(entity: String, keys: Column*): Column =
     sha1(concat_ws("_", (lit(entity) +: keys): _*))
 
+  /** Same recipe with sha-256 — for deployments where sha1 is
+    * disallowed, and the oracle-checkable variant (DuckDB 1.0 ships
+    * sha256 but not sha1). */
+  def entityKeySha256(entity: String, keys: Column*): Column =
+    sha2(concat_ws("_", (lit(entity) +: keys): _*), 256)
+
   /** Table-name normalization: strip extension, NFD-decompose, drop
     * non-letters, lowercase (reference: EtlUtils.scala:16-21
     * `sanitize`). Driver-side (plain Scala), used on catalog names.

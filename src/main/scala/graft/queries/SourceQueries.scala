@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.etl.PreProcess
+import graft.functions.GraftFunctions
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Ingest + pre-process surface (SURVEY.md §2.1 sources, §2.2 P2/P11,
+  * §2.3 J1, §2.6 dates): TSV / multiline-JSON / JSON-lines scans over
+  * the clinical fixtures, surrogate-key minting with internal-id
+  * attachment, and multi-format date parsing — each with a DuckDB
+  * oracle reading the same fixture files.
+  *
+  * The key-minting oracle uses the sha-256 recipe variant because
+  * DuckDB 1.0 has no sha1; the reference's sha1 recipe itself is
+  * digest-checked in FunctionsSpec against java.security.MessageDigest.
+  */
+object SourceQueries {
+  import QueryDef.sql
+
+  /** Repo-absolute fixture dir (driver runs on this machine; the
+    * oracle's read_csv needs the same absolute path). */
+  val FixtureDir = "/root/repo/src/test/resources/clinical"
+
+  private val DonorCsvSql =
+    s"read_csv('$FixtureDir/donor.tsv', delim='\\t', header=true, all_varchar=true)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S1: all-string TSV scan ----
+    sql(
+      "q_tsv_scan",
+      s"""SELECT study_id, submitter_donor_id, dob, gender, vital_status
+         |FROM $DonorCsvSql""".stripMargin) { (s, _) =>
+      Sources.tsv(s, s"$FixtureDir/donor.tsv")
+        .select("study_id", "submitter_donor_id", "dob", "gender",
+          "vital_status")
+    },
+
+    // ---- S2: multiline-JSON metadata scan ----
+    sql(
+      "q_json_multiline",
+      s"""SELECT dictionaryVersion, studyVersionId, studyVersionDate
+         |FROM read_json_auto('$FixtureDir/metadata.json')""".stripMargin) {
+      (s, _) =>
+        Sources.multilineJson(s, s"$FixtureDir/metadata.json")
+          .select("dictionaryVersion", "studyVersionId", "studyVersionDate")
+    },
+
+    // ---- S3: JSON-lines (gz) ontology term scan ----
+    sql(
+      "q_jsonl_terms",
+      s"""SELECT id, name, is_leaf, len(ancestors) AS n_ancestors, parents
+         |FROM read_json_auto('$FixtureDir/terms.jsonl.gz')""".stripMargin) {
+      (s, _) =>
+        Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz")
+          .select(col("id"), col("name"), col("is_leaf"),
+            size(col("ancestors")).cast("long").as("n_ancestors"),
+            col("parents"))
+    },
+
+    // ---- J1/P11: key minting + id attach + whitelist prune ----
+    sql(
+      "q_preprocess_donor",
+      s"""SELECT study_id, submitter_donor_id, gender, vital_status,
+         |  'donor' AS entity_kind,
+         |  'donor_' || substr(sha256(concat_ws('_', 'donor', study_id,
+         |    submitter_donor_id)), 1, 12) AS internal_donor_id
+         |FROM $DonorCsvSql""".stripMargin) { (s, _) =>
+      val raw = Sources.tsv(s, s"$FixtureDir/donor.tsv")
+      // sha-256 variant of the minting flow so the oracle can replay it
+      val minted = raw
+        .withColumn("entity_kind", lit("donor"))
+        .withColumn("entity_key", GraftFunctions.entityKeySha256(
+          "donor", col("study_id"), col("submitter_donor_id")))
+        .withColumn("internal_donor_id",
+          PreProcess.HashDerivedIds.asColumn.get)
+        .drop("entity_key")
+      PreProcess.whitelist(minted,
+        Seq("study_id", "submitter_donor_id", "gender", "vital_status",
+          "entity_kind", "internal_donor_id"))
+    },
+
+    // ---- §2.6 dates: multi-format parse + whole-year age ----
+    sql(
+      "q_date_age",
+      s"""SELECT submitter_donor_id,
+         |  coalesce(try_strptime(dob, '%-d/%-m/%Y'),
+         |           try_strptime(dob, '%Y-%m-%d'))::DATE AS dob_parsed,
+         |  CASE WHEN coalesce(try_strptime(dob, '%-d/%-m/%Y'),
+         |                     try_strptime(dob, '%Y-%m-%d')) IS NULL THEN -1
+         |       ELSE date_part('year', age(TIMESTAMP '2026-01-01',
+         |              coalesce(try_strptime(dob, '%-d/%-m/%Y'),
+         |                       try_strptime(dob, '%Y-%m-%d'))))::INT
+         |  END AS age_years
+         |FROM $DonorCsvSql""".stripMargin) { (s, _) =>
+      Sources.tsv(s, s"$FixtureDir/donor.tsv")
+        .select(
+          col("submitter_donor_id"),
+          GraftFunctions.multiFormatDate(col("dob")).as("dob_parsed"),
+          GraftFunctions.ageBetween(col("dob"), lit("2026-01-01"))
+            .as("age_years"))
+    },
+
+    // ---- P2: drop (column pruning reaches the scan) ----
+    sql(
+      "q_drop",
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.drop(c.columns.filterNot(
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+          .contains).toIndexedSeq: _*)
+    })
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private val dir = "src/test/resources/clinical"
+
+  test("tsv reads header-ful tab-separated files as all-string") {
+    val df = Sources.tsv(spark, s"$dir/donor.tsv")
+    assert(df.count() == 5)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.columns.take(3).toSeq ==
+      Seq("study_id", "submitter_donor_id", "dob"))
+  }
+
+  test("multilineJson reads pretty-printed JSON arrays") {
+    val df = Sources.multilineJson(spark, s"$dir/metadata.json")
+    val row = df.select("dictionaryVersion", "studyVersionId")
+      .as[(String, String)].collect().head
+    assert(row == ("9.9", "v42"))
+  }
+
+  test("jsonLines reads gzipped JSON-lines with nested arrays") {
+    val df = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz")
+    assert(df.count() == 4)
+    val seizure = df.filter($"id" === "HP:0000001")
+      .select(size($"ancestors"), $"is_leaf").as[(Int, Boolean)]
+      .collect().head
+    assert(seizure == ((2, true)))
+  }
+
+  test("jsonLines with explicit schema skips inference") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, name STRING, is_leaf BOOLEAN")
+    val df = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz", schema)
+    assert(df.schema == schema)
+    assert(df.count() == 4)
+  }
+
+  test("inMemoryJson parses JSON strings like the id-server response") {
+    val df = Sources.inMemoryJson(spark,
+      Seq("""{"hash": "abc", "internal_id": "donor_1"}""",
+        """{"hash": "def", "internal_id": "donor_2"}"""))
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq == Seq("hash", "internal_id"))
+  }
+
+  test("partitionedJson writes one dir per partition value, round-trips") {
+    val out = Files.createTempDirectory("graft-sink").toString
+    val df = Seq(("GS001", "DO001", 1L), ("GS001", "DO002", 2L),
+      ("GS002", "DO003", 3L)).toDF("study_id", "donor_id", "v")
+    Sinks.partitionedJson(df, out, Seq("study_id"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("study_id=")).sorted.toSeq
+    assert(dirs == Seq("study_id=GS001", "study_id=GS002"))
+    val back = spark.read.json(out)
+    assert(back.count() == 3)
+    assert(back.select(sum("v")).as[Long].collect().head == 6L)
+  }
+
+  test("partitionedJson singleFile mirrors the reference coalesce(1)") {
+    val out = Files.createTempDirectory("graft-sink1").toString
+    val df = Seq(("GS001", 1L), ("GS002", 2L)).toDF("study_id", "v")
+    Sinks.partitionedJson(df, out, Seq.empty, singleFile = true)
+    val parts = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+}
