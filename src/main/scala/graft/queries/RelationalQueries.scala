@@ -220,5 +220,36 @@ object RelationalQueries {
       (s, d) =>
         Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
           .distinct()
+    },
+
+    // ---- J7: compound two-key equi-join (agg re-join) ----
+    sql(
+      "q_join_compound",
+      """WITH g AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type, g.n
+        |FROM events e JOIN g USING (user_id, event_type)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.events(s, d)
+        val g = e.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        e.join(g, Seq("user_id", "event_type"))
+          .select("event_id", "user_id", "event_type", "n")
+    },
+
+    // ---- A5: first() collapse of a constant-per-group column ----
+    sql(
+      "q_first_collapse",
+      """SELECT o_orderkey, min(o_orderstatus) AS status, count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderkey")
+        // first() is safe here: o_orderstatus is functionally dependent
+        // on the group key (the oracle's min() agrees on constants)
+        .agg(first("o_orderstatus").as("status"),
+          count(lit(1)).as("n_items"))
     })
 }

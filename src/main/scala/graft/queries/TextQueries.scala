@@ -149,6 +149,21 @@ object TextQueries {
         threshold = 0.8, numHashes = 64, bands = 16)
     },
 
+    // ---- explode_outer: empty arrays keep their parent row ----
+    sql(
+      "q_explode_outer",
+      """SELECT doc_id,
+        |  unnest(CASE WHEN len(lw) = 0 THEN [NULL]::VARCHAR[] ELSE lw END)
+        |    AS long_word
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), w -> length(w) > 8) AS lw
+        |      FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        explode_outer(filter(split(col("text"), " "),
+          w => length(w) > 8)).as("long_word"))
+    },
+
     // ---- rolling-hash fingerprint (xxhash64: rows-only check) ----
     noOracle("q_fingerprint_rolling") { (s, d) =>
       Tables.documents(s, d).select(
