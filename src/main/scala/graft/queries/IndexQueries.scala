@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.etl.Indexes
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Index-assembly surface (reference: indexes/DonorIndex.scala,
+  * DataAccess.scala): the TPC-H analog nested index oracle-checked at
+  * any SF, the DUO data-access composition oracle-checked over the
+  * clinical fixtures, and the full donor index as a rows-only check
+  * (its golden assertions live in IndexesSpec).
+  */
+object IndexQueries {
+  import QueryDef.{noOracle, sql}
+  import SourceQueries.FixtureDir
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- nested index assembly (customer ⋈ nation ⋈ orders) ----
+    sql(
+      "q_customer_index",
+      """WITH n AS (
+        |  SELECT n_nationkey,
+        |    [struct_pack(name := n_name, regionkey := n_regionkey)] AS nation
+        |  FROM nation),
+        |o AS (
+        |  SELECT o_custkey,
+        |    list(struct_pack(orderkey := o_orderkey,
+        |          orderdate := o_orderdate, totalprice := o_totalprice)
+        |      ORDER BY o_orderkey) AS orders,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.nation, o.orders,
+        |  struct_pack(n_orders := coalesce(o.n, 0),
+        |    total_spend := coalesce(o.spend, 0.0),
+        |    has_orders := coalesce(o.n, 0) > 0) AS summary
+        |FROM customer c
+        |LEFT JOIN n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN o ON c.c_custkey = o.o_custkey""".stripMargin) { (s, d) =>
+      Indexes.customerIndex(
+        Tables.customer(s, d), Tables.nation(s, d), Tables.orders(s, d))
+    },
+
+    // ---- DUO data-access codes (split → explode → lookup → nest) ----
+    sql(
+      "q_data_access",
+      s"""WITH duo AS (
+         |  SELECT id, name FROM read_json_auto('$FixtureDir/duo_terms.jsonl.gz')),
+         |s AS (
+         |  SELECT study_id, access_limitations,
+         |    unnest(string_split(access_requirements, ';')) AS req
+         |  FROM read_csv('$FixtureDir/study.tsv', delim='\\t', header=true,
+         |                all_varchar=true)),
+         |j AS (
+         |  SELECT s.study_id,
+         |    d1.name || ' (' || s.access_limitations || ')'
+         |      AS access_limitations,
+         |    d2.name || ' (' || trim(s.req) || ')' AS access_requirements
+         |  FROM s
+         |  LEFT JOIN duo d1 ON s.access_limitations = d1.id
+         |  LEFT JOIN duo d2 ON trim(s.req) = d2.id
+         |  WHERE s.req IS NOT NULL AND trim(s.req) <> ''),
+         |g AS (
+         |  SELECT study_id, access_limitations,
+         |    list(DISTINCT access_requirements ORDER BY access_requirements)
+         |      AS access_requirements
+         |  FROM j GROUP BY 1, 2)
+         |SELECT study_id,
+         |  struct_pack(access_limitations := access_limitations,
+         |    access_requirements := access_requirements)
+         |    AS data_access_codes
+         |FROM g""".stripMargin) { (s, _) =>
+      Indexes.dataAccessCodes(
+        Sources.tsv(s, s"$FixtureDir/study.tsv"),
+        Sources.jsonLines(s, s"$FixtureDir/duo_terms.jsonl.gz"))
+    },
+
+    // ---- full donor index over the clinical fixtures ----
+    noOracle("q_donor_index") { (s, _) =>
+      Indexes.donorIndex(
+        donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
+        study = Sources.tsv(s, s"$FixtureDir/study.tsv"),
+        phenotype = Sources.tsv(s, s"$FixtureDir/phenotype.tsv"),
+        file = Sources.tsv(s, s"$FixtureDir/file.tsv"),
+        biospecimen = Sources.tsv(s, s"$FixtureDir/biospecimen.tsv"),
+        samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
+        terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
+        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
+    })
+}
