@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: payloads are opaque `binary` columns with a typed
+  * metadata struct; decode / feature-extraction runs per-partition in
+  * explicit batches (the Scala analog of Arrow-batched `mapInPandas`).
+  *
+  * STUB NOTE: this container ships no image/audio codecs, so the
+  * default [[Multimodal.FakeDecoder]] is a clearly-marked
+  * deterministic fake (pseudo-samples derived from the payload hash).
+  * The Spark-side plumbing — schema, encoder types, batch shape,
+  * partition balancing — is real and tested; binding a real codec
+  * means implementing one [[Multimodal.Decoder]].
+  *
+  * Scale notes: payloads dominate partition bytes, so balance
+  * partitions by BYTES not row count ([[rebalanceByBytes]]); feature
+  * extraction is per-row map-side work with zero shuffle; metadata
+  * sniffing (format magic, sizes) is native-expression and never
+  * touches the decoder.
+  */
+object Multimodal {
+
+  /** Typed media metadata carried alongside the opaque payload. */
+  final case class MediaMeta(
+      kind: String,       // "image" | "audio" | "video"
+      format: String,     // container/codec tag, e.g. "png", "wav"
+      width: Int, height: Int,      // images/video; 0 otherwise
+      sampleRate: Int,              // audio; 0 otherwise
+      durationMs: Long)             // audio/video; 0 otherwise
+
+  final case class MediaRow(
+      media_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Long, fingerprint: Long,
+      features: Array[Float])
+
+  /** Per-batch decode hook — the seam where a real codec binds. */
+  trait Decoder extends Serializable {
+    /** Decode one payload into a fixed-dim feature vector. */
+    def decode(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float]
+  }
+
+  /** STUB decoder: deterministic fake standing in for a real codec
+    * (none available in this environment). Features are derived from
+    * a rolling hash of the payload bytes — stable across runs, so
+    * tests and downstream plumbing behave exactly as with a real
+    * decoder, just without meaningful pixel/sample values. */
+  object FakeDecoder extends Decoder {
+    override def decode(
+        payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
+      var h = 1125899906842597L // FNV-ish seed
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        h = h * 31 + (payload(i) & 0xff)
+        out(i % dim) += ((h >>> 32).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Batched per-partition feature extraction: the iterator is grouped
+    * into `batchSize` chunks (mirroring Arrow record batches) so a
+    * real decoder can amortize model/codec setup per batch, and rows
+    * never accumulate beyond one batch in memory. Zero shuffle. */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      decoder: Decoder = FakeDecoder,
+      dim: Int = 8,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(
+            r.media_id,
+            r.payload.length.toLong,
+            scala.util.hashing.MurmurHash3.bytesHash(r.payload, 42).toLong,
+            decoder.decode(r.payload, r.meta, dim))
+        }
+      }
+    }
+  }
+
+  /** Native format sniff from magic bytes — no decoder, stays in
+    * codegen: PNG \x89PNG, JPEG \xFF\xD8\xFF, RIFF/WAV, else "bin". */
+  def sniffFormat(payload: Column): Column = {
+    val magic = hex(substring(payload, 1, 4))
+    when(magic.startsWith("89504E47"), "png")
+      .when(magic.startsWith("FFD8FF"), "jpeg")
+      .when(magic.startsWith("52494646"), "riff")
+      .otherwise("bin")
+  }
+
+  /** Native frame-sample plumbing for video rows: the sampled frame
+    * timeline as array<bigint> of millisecond offsets — explode it to
+    * fan one row per frame, then decode per frame. The fan-out is
+    * native `sequence`, so sampling density changes never touch the
+    * decoder seam. */
+  def frameOffsets(durationMs: Column, everyMs: Int): Column =
+    when(durationMs <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), durationMs - 1, lit(everyMs.toLong)))
+
+  /** Repartition so each partition holds ~`targetBytes` of payload —
+    * row-count balance is wrong for media (one 4K video ≈ 10⁵ thumbs).
+    * One lightweight agg job sizes the layout, then a single shuffle
+    * arranges it. */
+  def rebalanceByBytes(
+      df: DataFrame,
+      payloadCol: String,
+      targetBytes: Long): DataFrame = {
+    val total = df.agg(sum(length(col(payloadCol)))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    df.repartition(parts)
+  }
+}

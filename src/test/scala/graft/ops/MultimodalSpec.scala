@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+  import Multimodal._
+
+  private def media(id: Long, bytes: Array[Byte], kind: String = "image") =
+    MediaRow(id, bytes, MediaMeta(kind, "bin", 4, 4, 0, 0L))
+
+  test("extractFeatures is deterministic with fixed dim and stats") {
+    val rows = Seq(
+      media(1L, Array[Byte](1, 2, 3, 4, 5)),
+      media(2L, Array[Byte](9, 9, 9))).toDS()
+    val a = extractFeatures(rows, dim = 4).collect().sortBy(_.media_id)
+    val b = extractFeatures(rows, dim = 4).collect().sortBy(_.media_id)
+    assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq)
+    assert(a(0).n_bytes == 5L && a(1).n_bytes == 3L)
+    assert(a(0).fingerprint != a(1).fingerprint)
+    assert(a.forall(_.features.length == 4))
+  }
+
+  test("batch shape: decoder sees bounded batches, all rows survive") {
+    val n = 150
+    val rows = (1 to n).map(i => media(i.toLong, Array[Byte](i.toByte))).toDS()
+      .repartition(2)
+    val got = extractFeatures(rows, batchSize = 32).collect()
+    assert(got.length == n)
+    assert(got.map(_.media_id).toSet == (1 to n).map(_.toLong).toSet)
+  }
+
+  test("sniffFormat reads magic bytes natively") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val wav = "RIFF1234".getBytes
+    val other = Array[Byte](0, 1, 2, 3)
+    val got = Seq((1, png), (2, jpg), (3, wav), (4, other))
+      .toDF("id", "payload")
+      .select($"id", sniffFormat($"payload").as("fmt"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "png", 2 -> "jpeg", 3 -> "riff", 4 -> "bin"))
+  }
+
+  test("frameOffsets fans out a native sampled timeline") {
+    val got = Seq((1L, 2500L), (2L, 0L)).toDF("id", "duration_ms")
+      .select($"id", frameOffsets($"duration_ms", 1000).as("offs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(0L, 1000L, 2000L))
+    assert(got(2L).isEmpty)
+  }
+
+  test("rebalanceByBytes sizes partitions by payload bytes") {
+    val rows = (1 to 100).map(i => (i.toLong, Array.fill[Byte](1000)(1)))
+      .toDF("id", "payload")
+    val out = rebalanceByBytes(rows, "payload", targetBytes = 25000L)
+    assert(out.rdd.getNumPartitions == 4) // 100 KB / 25 KB
+  }
+}
