@@ -40,18 +40,51 @@ object Dedup {
     df.join(reps, id === col("__keep_id"), "left_semi")
   }
 
-  /** MinHash signature: `numHashes` permutations approximated by
-    * seeded hash functions, h_s(doc) = min over shingles of
-    * xxhash64(s, shingle). Null (not empty) when the doc has no
-    * shingles — callers should filter those out before LSH, otherwise
-    * all shingle-less docs collide in every band.
+  /** MinHash signature as a per-row expression: `numHashes`
+    * permutations approximated by seeded hashes, h_s(doc) = min over
+    * shingles of xxhash64(s, xxhash64(shingle)). Null (not empty)
+    * when the doc has no shingles.
+    *
+    * TEST/REFERENCE variant: inside the outer lambda, Catalyst cannot
+    * subexpression-eliminate the captured shingle column, so an
+    * upstream shingle EXPRESSION is re-evaluated once per seed after
+    * projection collapse — fine on a materialized array column, ruinous
+    * stacked on `Text.shingles`. The production path is
+    * [[minhashSignatures]], which hashes each shingle exactly once.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val distinctSh = array_distinct(shingles)
     when(size(distinctSh) === 0, lit(null).cast("array<bigint>")).otherwise(
       transform(
         sequence(lit(0), lit(numHashes - 1)),
-        s => array_min(transform(distinctSh, sh => xxhash64(s, sh)))))
+        s => array_min(transform(distinctSh, sh => xxhash64(s, xxhash64(sh))))))
+  }
+
+  /** MinHash signatures, aggregation-formulated — the scale path:
+    * explode distinct shingles, hash each ONCE to a long, then take
+    * `numHashes` seeded mins as map-side-combined aggregates. Each
+    * input shingle costs one string hash + `numHashes` fixed-width
+    * long hashes (vs. re-hashing the string per seed), everything
+    * stays in codegen, and the only shuffle carries one partial
+    * signature row per doc per partition. Docs with no shingles
+    * produce no row (same contract as a null signature).
+    *
+    * Agrees value-for-value with [[minhashSignature]] (asserted in
+    * DedupSpec).
+    */
+  def minhashSignatures(
+      docs: DataFrame, id: String, shingles: Column,
+      numHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(col(id), explode(array_distinct(shingles)).as("__sh"))
+      .select(col(id), xxhash64(col("__sh")).as("__h"))
+    val mins = (0 until numHashes)
+      .map(s => min(xxhash64(lit(s), col("__h"))).as(s"__m$s"))
+    exploded
+      .groupBy(col(id))
+      .agg(mins.head, mins.drop(1): _*)
+      .select(col(id),
+        array((0 until numHashes).map(s => col(s"__m$s")): _*).as("sig"))
   }
 
   /** LSH banding: split a signature into `bands` rows of
@@ -85,13 +118,15 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sig = docs
-      .select(col(id), minhashSignature(shingles, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    val sig = minhashSignatures(docs, id, shingles, numHashes)
+    // Persist the tiny (id, band, bucket) frame: the self-join consumes
+    // it twice, and without the pin each side would re-scan the corpus
+    // and recompute every signature.
     val banded = sig
       .select(col(id), explode(lshBuckets(col("sig"), bands, rowsPerBand))
         .as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))

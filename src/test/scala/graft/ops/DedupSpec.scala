@@ -44,6 +44,16 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     assert(sigs.toSeq == again.toSeq)
   }
 
+  test("aggregated signatures agree with the expression formulation") {
+    val viaExpr = docs
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .filter(col("sig").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = Dedup.minhashSignatures(docs, "doc_id", col("sh"), 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("identical shingle sets share every minhash band bucket") {
     val sig = docs.filter(col("doc_id").isin(1L, 2L))
       .select(Dedup.minhashSignature(col("sh"), 16).as("sig"))
