@@ -103,6 +103,32 @@ object SourceQueries {
             .as("age_years"))
     },
 
+    // ---- §2.6 truthy-string conditional over fixture data ----
+    sql(
+      "q_truthy",
+      s"""SELECT submitter_phenotype_id,
+         |  phenotype_observed IN ('YES','Yes','yes','TRUE','True','true',
+         |    'Y','y','1') AS observed
+         |FROM read_csv('$FixtureDir/phenotype.tsv', delim='\\t',
+         |              header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Sources.tsv(s, s"$FixtureDir/phenotype.tsv")
+          .select(col("submitter_phenotype_id"),
+            GraftFunctions.truthy(col("phenotype_observed")).as("observed"))
+    },
+
+    // ---- §2.5 metadata singleton grab (distinct → first) ----
+    sql(
+      "q_metadata_grab",
+      s"""SELECT DISTINCT dictionaryVersion, studyVersionId
+         |FROM read_json_auto('$FixtureDir/metadata.json') LIMIT 1""".stripMargin) {
+      (s, _) =>
+        Sources.multilineJson(s, s"$FixtureDir/metadata.json")
+          .select("dictionaryVersion", "studyVersionId")
+          .distinct()
+          .limit(1)
+    },
+
     // ---- P2: drop (column pruning reaches the scan) ----
     sql(
       "q_drop",

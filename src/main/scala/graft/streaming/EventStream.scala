@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured-Streaming extension (SURVEY.md §2.8 records the reference
+  * has none; §7 lists streaming ingest as the natural extension for a
+  * continuously-arriving corpus). The transforms are written against
+  * plain DataFrames so the SAME code runs in batch (where the DuckDB
+  * oracle can check it) and behind `readStream` (where the watermark
+  * bounds state).
+  *
+  * Scale notes: event-time windowed aggregation shuffles on
+  * (window, key) with map-side partial aggregation; the watermark caps
+  * in-flight state so a 100 TB/day stream holds only
+  * watermark-horizon × key-cardinality rows of state per executor.
+  * Sessionization keeps one small state object per active user key and
+  * times out on event time — no unbounded growth.
+  */
+object EventStream {
+
+  /** Event-time hourly stats per event type. Batch and streaming share
+    * this plan; callers on the streaming side apply
+    * `.withWatermark("ts", ...)` first (required for append-mode
+    * output, harmless in batch). */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** One user session: bounded event run with < `gap` between events. */
+  final case class Session(
+      user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)
+
+  /** Internal running state (public: codegen'd encoders need access). */
+  final case class SessionState(n: Long, first: Long, last: Long)
+
+  /** Event-time sessionization via mapGroupsWithState: emits one
+    * closed session per user when no event arrives within `gapMs`
+    * (state times out on the event-time watermark). Demonstrates the
+    * custom-state surface; at scale, state is one tiny object per
+    * ACTIVE user, evicted by timeout.
+    *
+    * Input must be a streaming Dataset of (user_id, event timestamp)
+    * whose timestamp column carries the watermark — keep the
+    * watermarked column itself (projecting it into epoch numbers
+    * upstream severs the watermark and fails analysis).
+    */
+  def sessionize(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, Session](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(user, s.n, s.first, s.last)
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, ts.min, ts.max))
+            val next = SessionState(
+              prev.n + ts.size, math.min(prev.first, ts.min),
+              math.max(prev.last, ts.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            Session(user, -1L, 0L, 0L) // interim marker, filtered by caller
+          }
+      }
+      .filter(_.n_events >= 0)
+  }
+}

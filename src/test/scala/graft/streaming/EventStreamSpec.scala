@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.WithSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class EventStreamSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("hourlyStats in batch: window, count, rounded sum") {
+    val events = Seq(
+      (ts(5), "view", 10.0), (ts(30), "view", 2.5),
+      (ts(45), "purchase", 99.99),
+      (Timestamp.valueOf("2026-01-01 11:10:00"), "view", 1.0))
+      .toDF("ts", "event_type", "value")
+    val got = EventStream.hourlyStats(events)
+      .orderBy("hour_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "purchase", 1L, 99.99),
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "view", 2L, 12.5),
+      (Timestamp.valueOf("2026-01-01 11:00:00"), "view", 1L, 1.0)))
+  }
+
+  test("hourlyStats over a stream with watermark drops late data") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val stats = EventStream.hourlyStats(
+      input.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "30 minutes"))
+    val query = stats.writeStream
+      .format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData((ts(5), "view", 1.0), (ts(50), "view", 2.0))
+      query.processAllAvailable()
+      // watermark now 10:20 — an event at 10:59 is on time…
+      input.addData((ts(59), "view", 4.0))
+      query.processAllAvailable()
+      // …then events far ahead advance the watermark past 10:xx
+      input.addData((Timestamp.valueOf("2026-01-01 13:00:00"), "view", 8.0))
+      query.processAllAvailable()
+      // late event in the closed 10:00 window must be dropped
+      input.addData((ts(10), "view", 100.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly")
+        .groupBy("hour_start", "event_type")
+        .agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .filter(col("hour_start") === ts(0).toString.replace(".0", ""))
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(rows.length == 1)
+      assert(rows(0)._3 == 3L)          // 3 on-time events
+      assert(rows(0)._4 == 7.0)         // late 100.0 excluded
+    } finally query.stop()
+  }
+
+  test("sessionize closes sessions after the event-time gap") {
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+    val sessions = EventStream.sessionize(events, gapMs = 10 * 60 * 1000)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(1)))
+      query.processAllAvailable()
+      // jump far forward: watermark passes both users' timeouts
+      input.addData((3L, Timestamp.valueOf("2026-01-01 12:00:00")))
+      query.processAllAvailable()
+      input.addData((3L, Timestamp.valueOf("2026-01-01 14:00:00")))
+      query.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[EventStream.Session].collect()
+        .map(s => s.user_id -> s.n_events).toMap
+      assert(got.get(1L).contains(2L)) // two events, one session
+      assert(got.get(2L).contains(1L))
+    } finally query.stop()
+  }
+}
