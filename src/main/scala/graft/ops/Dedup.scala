@@ -135,6 +135,69 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash fingerprints, aggregation-formulated like
+    * [[minhashSignatures]]: explode distinct features (shingles or
+    * tokens), hash each once, then for every one of the 64 bit
+    * positions sum +1/-1 votes map-side; the fingerprint re-assembles
+    * the sign bits. Near-duplicates differ in few bits (small Hamming
+    * distance). One shuffle carrying one partial vote row per doc per
+    * partition.
+    */
+  def simhashes(
+      docs: DataFrame, id: String, features: Column): DataFrame = {
+    val exploded = docs
+      .select(col(id), explode(array_distinct(features)).as("__f"))
+      .select(col(id), xxhash64(col("__f")).as("__h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("__h").bitwiseAND(lit(1L << j)) =!= 0, 1)
+        .otherwise(-1)).as(s"__v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    exploded
+      .groupBy(col(id))
+      .agg(votes.head, votes.drop(1): _*)
+      .select(col(id), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash: band each fingerprint into
+    * `bands` bit-chunks and self-join on any exact chunk match (two
+    * fingerprints within Hamming distance < bands must share a chunk
+    * — pigeonhole), then keep pairs within `maxHamming`. Same bucketed
+    * shape as MinHash-LSH: never all-pairs.
+    */
+  def simhashNearDups(
+      docs: DataFrame, id: String, features: Column,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bitsPerBand = 64 / bands
+    val sh = simhashes(docs, id, features)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mask = (1L << bitsPerBand) - 1
+    val banded = sh.select(col(id), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))
+            .as("chunk"))
+      }: _*)).as("bb"))
+      .select(col(id), col("simhash"),
+        col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val l = banded.select(col(id).as("a"), col("simhash").as("__sa"),
+      col("band"), col("chunk"))
+    val r = banded.select(col(id).as("b"), col("simhash").as("__sb"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        hammingDistance(col("__sa"), col("__sb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns:
     * |A ∩ B| / (|A| + |B| - |A ∩ B|), on distinct shingles.
     */

@@ -59,6 +59,25 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
+    * the O(n²) correctness baseline for embedding-level dedup,
+    * oracle-checkable. At corpus scale use the bucketed paths instead
+    * ([[lshTopK]] buckets, or SimHash over quantized vectors): a
+    * 100 TB corpus cannot be self-crossed.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(id).as("a"),
+      col(vec).cast("array<double>").as("__va"))
+    val b = corpus.select(col(id).as("b"),
+      col(vec).cast("array<double>").as("__vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: `bits` × `dim` Gaussian matrix
     * from a fixed seed (same plan every run — reproducible buckets). */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -28,13 +28,13 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text)).cast(LongType)
 
-  /** BPE-ish regex tokenization: word pieces, numbers, or single
+  /** BPE-ish regex tokenization: alphanumeric runs, or single
     * non-space symbols (GPT-2-style pretokenizer shape, public
-    * pattern family). */
+    * pattern family). One codegen'd `regexp_extract_all` — the
+    * pattern avoids lookarounds so an RE2-based oracle (DuckDB) can
+    * replay it. */
   def regexTokens(text: Column): Column =
-    filter(
-      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => t =!= "" && t =!= " ")
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
   /** Word n-gram shingles as space-joined strings. Empty when the doc
     * has fewer than n words.

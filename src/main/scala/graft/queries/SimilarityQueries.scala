@@ -41,6 +41,24 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- embedding-cosine near-dup pairs (exact baseline) ----
+    sql(
+      "q_embed_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  round(list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v))
+        |       * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+        |FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v))
+        |       * sqrt(list_dot_product(y.v, y.v))) >= 0.9""".stripMargin) {
+      (s, d) =>
+        Similarity.cosineNearDupPairs(
+            Tables.embeddings(s, d), "vec_id", "embedding", 0.9)
+          .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+    },
+
     noOracle("q_knn_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(

@@ -164,6 +164,28 @@ object TextQueries {
           w => length(w) > 8)).as("long_word"))
     },
 
+    // ---- BPE-ish regex token count (RE2-compatible pattern) ----
+    sql(
+      "q_regex_tokens",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS n_bpe_tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(Text.regexTokens(col("text"))).cast("long")
+          .as("n_bpe_tokens"))
+    },
+
+    // ---- SimHash near-dups (xxhash64-based: rows-only check; the
+    //      planted pairs are asserted in DedupSpec) ----
+    noOracle("q_simhash_neardup") { (s, d) =>
+      Dedup.simhashNearDups(
+        Tables.documents(s, d).withColumn(
+          "sh", Text.shingles(col("text"), 3)),
+        id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+    },
+
     // ---- rolling-hash fingerprint (xxhash64: rows-only check) ----
     noOracle("q_fingerprint_rolling") { (s, d) =>
       Tables.documents(s, d).select(

@@ -73,6 +73,19 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       Set(1L, 2L, 3L).contains(b) })
   }
 
+  test("simhash: near-identical docs land within small hamming distance") {
+    val sh = Dedup.simhashes(docs, "doc_id", col("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L)) // identical shingle sets → identical simhash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    val pairs = Dedup.simhashNearDups(
+        docs, "doc_id", col("sh"), maxHamming = 10, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
   test("jaccard computes |A∩B| / |A∪B| on distinct shingles") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("x", "y")

@@ -45,6 +45,14 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(got.map(_._2).contains(1L))
   }
 
+  test("cosineNearDupPairs keeps ordered high-cosine pairs only") {
+    val got = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L))) // cos ≈ 0.994
+    assert(got.forall { case (a, b) => a < b })
+    assert(!got.contains((0L, 3L))) // opposite vectors
+  }
+
   test("lshTopK recall vs brute force on clustered real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
