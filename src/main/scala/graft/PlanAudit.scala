@@ -1,0 +1,24 @@
+package graft
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q_filter_project", "q_join_dims", "q_customer_index",
+        "q_summary_lattice", "q_knn_topk", "q_ontology_expand",
+        "q_agg_pricing", "q_donor_index", "q_event_windows")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      def n(p: String) = p.r.findAllIn(plan).length
+      println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
+        f"exch=${n("Exchange")} scans=${n("FileScan|Scan parquet")} " +
+        f"pushed=${n("PushedFilters: \\[[^\\]]")} wsc=${n("WholeStageCodegen")}")
+    }
+    // detail: does the filter reach the scan in q_filter_project?
+    val fp = SparkEntry.queries("q_filter_project")(spark, d).queryExecution.executedPlan.toString
+    println(fp.split("\n").filter(_.contains("PushedFilters")).take(2).mkString("\n").take(500))
+    spark.stop()
+  }
+}

@@ -53,17 +53,23 @@ object Indexes {
           .map(col).toIndexedSeq: _*)).as("__s"))
         .select(col("study_id"), array(col("__s")).as("study")))
 
-    // phenotypes: observed split (truthy), ontology-expanded, nested
-    val observed = phenotype.filter(
-      GraftFunctions.truthy(col("phenotype_observed")))
-    val notObserved = phenotype.filter(
-      !GraftFunctions.truthy(col("phenotype_observed")))
-    def nestPhenos(rows: DataFrame, as: String): DataFrame =
-      Ontology.expandAndNest(
-        rows, terms, codeCol = "phenotype_HPO_code",
-        groupKeys = donorKey, valueCol = "age_at_phenotype", as = as)
-    val obsNested = nestPhenos(observed, "observed_phenotypes")
-    val nobsNested = nestPhenos(notObserved, "non_observed_phenotypes")
+    // phenotypes: ONE scan + ONE expansion with the observed flag as
+    // an extra group key, then a pivot into the two nested columns
+    // (two filtered expansions would scan the phenotype fact table
+    // twice — at scale that doubles the dominant input).
+    val flagged = phenotype.withColumn(
+      "__obs", GraftFunctions.truthy(col("phenotype_observed")))
+    val expanded = Ontology.expandAndNest(
+      flagged, terms, codeCol = "phenotype_HPO_code",
+      groupKeys = donorKey :+ "__obs", valueCol = "age_at_phenotype",
+      as = "__phenos")
+    val phenoNested = expanded
+      .groupBy(donorKey.map(col): _*)
+      .agg(
+        first(when(col("__obs"), col("__phenos")), ignoreNulls = true)
+          .as("observed_phenotypes"),
+        first(when(!col("__obs"), col("__phenos")), ignoreNulls = true)
+          .as("non_observed_phenotypes"))
 
     // biospecimen with nested samples, then files carrying them
     val bioWithSamples = Nest.attachChildren(
@@ -88,30 +94,24 @@ object Indexes {
         col("data_access"), col("biospecimen")),
       "files")
 
-    // summary struct: per-donor file facets + availability flags
-    val summary = file.groupBy(donorKey.map(col): _*)
-      .agg(
-        sort_array(collect_set(col("data_category"))).as("__cats"),
-        sort_array(collect_set(col("experimental_strategy")))
-          .as("__strats"),
-        count(lit(1)).as("__nf"))
-
+    // summary struct derived from the ALREADY-NESTED files array via
+    // array HOFs — no second scan of the file table
+    val emptyS = array().cast("array<string>")
     val assembled = donor
       .join(studyArr, Seq("study_id"), "left")
-      .join(obsNested, donorKey, "left")
-      .join(nobsNested, donorKey, "left")
+      .join(phenoNested, donorKey, "left")
       .join(filesNested, donorKey, "left")
-      .join(summary, donorKey, "left")
       .withColumn("summary", struct(
-        coalesce(col("__cats"), array().cast("array<string>"))
-          .as("data_category"),
-        coalesce(col("__strats"), array().cast("array<string>"))
-          .as("experimental_strategy"),
-        coalesce(col("__nf"), lit(0L)).as("n_files"),
-        (coalesce(col("__nf"), lit(0L)) > 0).as("files_available"),
+        coalesce(sort_array(array_distinct(
+          transform(col("files"), f => f.getField("data_category")))),
+          emptyS).as("data_category"),
+        coalesce(sort_array(array_distinct(
+          transform(col("files"), f => f.getField("experimental_strategy")))),
+          emptyS).as("experimental_strategy"),
+        coalesce(size(col("files")), lit(0)).cast("long").as("n_files"),
+        (coalesce(size(col("files")), lit(0)) > 0).as("files_available"),
         col("observed_phenotypes").isNotNull
           .as("clinical_data_available")))
-      .drop("__cats", "__strats", "__nf")
 
     meta.foldLeft(assembled) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
