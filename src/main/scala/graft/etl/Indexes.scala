@@ -22,6 +22,59 @@ import org.apache.spark.sql.functions._
   */
 object Indexes {
 
+  private val DonorKey = Seq("study_id", "submitter_donor_id")
+
+  /** Observed/non-observed phenotypes, ontology-expanded and nested,
+    * one row per donor — ONE scan of the phenotype fact table (the
+    * observed flag joins the expansion group keys; a first(when)
+    * pivot splits the two columns afterwards). Shared by the donor,
+    * study, and file indexes. */
+  private def phenotypesPerDonor(
+      phenotype: DataFrame, terms: DataFrame): DataFrame = {
+    val flagged = phenotype.withColumn(
+      "__obs", GraftFunctions.truthy(col("phenotype_observed")))
+    Ontology.expandAndNest(
+        flagged, terms, codeCol = "phenotype_HPO_code",
+        groupKeys = DonorKey :+ "__obs", valueCol = "age_at_phenotype",
+        as = "__phenos")
+      .groupBy(DonorKey.map(col): _*)
+      .agg(
+        first(when(col("__obs"), col("__phenos")), ignoreNulls = true)
+          .as("observed_phenotypes"),
+        first(when(!col("__obs"), col("__phenos")), ignoreNulls = true)
+          .as("non_observed_phenotypes"))
+  }
+
+  /** File rows with their biospecimen (and its nested samples) struct
+    * attached. Shared by the three indexes. */
+  private def filesWithBiospecimen(
+      file: DataFrame, biospecimen: DataFrame,
+      samples: DataFrame): DataFrame = {
+    val bioWithSamples = Nest.attachChildren(
+      biospecimen,
+      Nest.nestChildren(
+        samples.select("submitter_biospecimen_id", "submitter_sample_id",
+          "sample_type"),
+        Seq("submitter_biospecimen_id"),
+        Seq(col("submitter_sample_id"), col("sample_type")), "samples"),
+      Seq("submitter_biospecimen_id"), "samples")
+    file.join(
+      bioWithSamples.select(
+        col("submitter_biospecimen_id"),
+        struct(col("biospecimen_tissue_source"), col("biospecimen_type"),
+          col("is_cancer"), col("samples")).as("biospecimen")),
+      Seq("submitter_biospecimen_id"), "left")
+  }
+
+  /** study as a one-element array<struct> dimension (reference
+    * DonorIndex.scala:84-90 `array(struct("study.*"))`). */
+  private def studyStructArr(study: DataFrame): DataFrame =
+    broadcast(
+      study.groupBy("study_id")
+        .agg(first(struct(study.columns.filterNot(_ == "study_id")
+          .map(col).toIndexedSeq: _*)).as("__s"))
+        .select(col("study_id"), array(col("__s")).as("study")))
+
   /** Donor-centric nested index over the clinical model.
     *
     * @param donor       pre-processed donor rows (one per donor)
@@ -44,50 +97,11 @@ object Indexes {
       samples: DataFrame,
       terms: DataFrame,
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val donorKey = Seq("study_id", "submitter_donor_id")
-
-    // study as a one-element array<struct> (reference DonorIndex.scala:84-90)
-    val studyArr = broadcast(
-      study.groupBy("study_id")
-        .agg(first(struct(study.columns.filterNot(_ == "study_id")
-          .map(col).toIndexedSeq: _*)).as("__s"))
-        .select(col("study_id"), array(col("__s")).as("study")))
-
-    // phenotypes: ONE scan + ONE expansion with the observed flag as
-    // an extra group key, then a pivot into the two nested columns
-    // (two filtered expansions would scan the phenotype fact table
-    // twice — at scale that doubles the dominant input).
-    val flagged = phenotype.withColumn(
-      "__obs", GraftFunctions.truthy(col("phenotype_observed")))
-    val expanded = Ontology.expandAndNest(
-      flagged, terms, codeCol = "phenotype_HPO_code",
-      groupKeys = donorKey :+ "__obs", valueCol = "age_at_phenotype",
-      as = "__phenos")
-    val phenoNested = expanded
-      .groupBy(donorKey.map(col): _*)
-      .agg(
-        first(when(col("__obs"), col("__phenos")), ignoreNulls = true)
-          .as("observed_phenotypes"),
-        first(when(!col("__obs"), col("__phenos")), ignoreNulls = true)
-          .as("non_observed_phenotypes"))
-
-    // biospecimen with nested samples, then files carrying them
-    val bioWithSamples = Nest.attachChildren(
-      biospecimen,
-      Nest.nestChildren(
-        samples.select("submitter_biospecimen_id", "submitter_sample_id",
-          "sample_type"),
-        Seq("submitter_biospecimen_id"),
-        Seq(col("submitter_sample_id"), col("sample_type")), "samples"),
-      Seq("submitter_biospecimen_id"), "samples")
-    val fileWithBio = file.join(
-      bioWithSamples.select(
-        col("submitter_biospecimen_id"),
-        struct(col("biospecimen_tissue_source"), col("biospecimen_type"),
-          col("is_cancer"), col("samples")).as("biospecimen")),
-      Seq("submitter_biospecimen_id"), "left")
+    val donorKey = DonorKey
+    val studyArr = studyStructArr(study)
+    val phenoNested = phenotypesPerDonor(phenotype, terms)
     val filesNested = Nest.nestChildren(
-      fileWithBio,
+      filesWithBiospecimen(file, biospecimen, samples),
       donorKey,
       Seq(col("file_name"), col("data_category"), col("data_type"),
         col("experimental_strategy"), col("file_format"),
@@ -116,6 +130,84 @@ object Indexes {
     meta.foldLeft(assembled) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
     }
+  }
+
+  /** Study-centric nested index (reference: StudyIndex.scala:30-104):
+    * one row per study with nested donors (each carrying its
+    * phenotype expansions), nested files (with biospecimen), a
+    * study-level summary struct, DUO data-access codes, and metadata
+    * stamps. Same single-scan-per-input plan shape as [[donorIndex]];
+    * the final nests shuffle on study_id.
+    */
+  def studyIndex(
+      study: DataFrame,
+      donor: DataFrame,
+      phenotype: DataFrame,
+      file: DataFrame,
+      biospecimen: DataFrame,
+      samples: DataFrame,
+      terms: DataFrame,
+      duoTerms: DataFrame,
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val phenoNested = phenotypesPerDonor(phenotype, terms)
+    val donorCols = donor.columns.filterNot(_ == "study_id").toIndexedSeq
+    val donorsNested = donor
+      .join(phenoNested, DonorKey, "left")
+      .groupBy("study_id")
+      .agg(collect_list(struct(
+        (donorCols.map(col) ++ Seq(col("observed_phenotypes"),
+          col("non_observed_phenotypes"))): _*)).as("donors"))
+    val filesNested = filesWithBiospecimen(file, biospecimen, samples)
+      .groupBy("study_id")
+      .agg(
+        collect_list(struct(col("file_name"), col("data_category"),
+          col("experimental_strategy"), col("data_access"),
+          col("biospecimen"))).as("files"),
+        sort_array(collect_set(col("data_category"))).as("__cats"),
+        sort_array(collect_set(col("experimental_strategy"))).as("__strats"),
+        countDistinct(col("submitter_donor_id")).as("__nd"))
+    val assembled = study
+      .join(donorsNested, Seq("study_id"), "left")
+      .join(filesNested, Seq("study_id"), "left")
+      .join(dataAccessCodes(study, duoTerms), Seq("study_id"), "left")
+      .withColumn("summary", struct(
+        coalesce(col("__cats"), array().cast("array<string>"))
+          .as("data_category"),
+        coalesce(col("__strats"), array().cast("array<string>"))
+          .as("experimental_strategy"),
+        coalesce(size(col("donors")), lit(0)).cast("long").as("n_donors"),
+        coalesce(size(col("files")), lit(0)).cast("long").as("n_files"),
+        coalesce(col("__nd"), lit(0L)).as("n_donors_with_files")))
+      .drop("__cats", "__strats", "__nd")
+    meta.foldLeft(assembled) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+  }
+
+  /** File-centric nested index (reference: FileIndex.scala:19-77):
+    * one row per file with its study struct-array, its biospecimen
+    * (nested samples), its donor's row plus phenotype expansions, and
+    * metadata stamps. All joins are on file/donor/study keys — no
+    * fan-out beyond the reference's own donors-per-file nest.
+    */
+  def fileIndex(
+      file: DataFrame,
+      donor: DataFrame,
+      study: DataFrame,
+      phenotype: DataFrame,
+      biospecimen: DataFrame,
+      samples: DataFrame,
+      terms: DataFrame,
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val phenoNested = phenotypesPerDonor(phenotype, terms)
+    val donorStruct = donor
+      .join(phenoNested, DonorKey, "left")
+      .select(col("study_id"), col("submitter_donor_id"),
+        struct((donor.columns.filterNot(_ == "study_id").map(col) ++
+          Seq(col("observed_phenotypes"), col("non_observed_phenotypes")))
+          .toIndexedSeq: _*).as("donor"))
+    val assembled = filesWithBiospecimen(file, biospecimen, samples)
+      .join(studyStructArr(study), Seq("study_id"), "left")
+      .join(donorStruct, DonorKey, "left")
+    meta.foldLeft(assembled) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }
 
   /** Study-level DUO data-access codes (reference: DataAccess

@@ -87,5 +87,30 @@ object IndexQueries {
         samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
         terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
+    },
+
+    noOracle("q_study_index") { (s, _) =>
+      Indexes.studyIndex(
+        study = Sources.tsv(s, s"$FixtureDir/study.tsv"),
+        donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
+        phenotype = Sources.tsv(s, s"$FixtureDir/phenotype.tsv"),
+        file = Sources.tsv(s, s"$FixtureDir/file.tsv"),
+        biospecimen = Sources.tsv(s, s"$FixtureDir/biospecimen.tsv"),
+        samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
+        terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
+        duoTerms = Sources.jsonLines(s, s"$FixtureDir/duo_terms.jsonl.gz"),
+        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
+    },
+
+    noOracle("q_file_index") { (s, _) =>
+      Indexes.fileIndex(
+        file = Sources.tsv(s, s"$FixtureDir/file.tsv"),
+        donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
+        study = Sources.tsv(s, s"$FixtureDir/study.tsv"),
+        phenotype = Sources.tsv(s, s"$FixtureDir/phenotype.tsv"),
+        biospecimen = Sources.tsv(s, s"$FixtureDir/biospecimen.tsv"),
+        samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
+        terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
+        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
     })
 }

@@ -92,6 +92,55 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(gs2.getSeq[String](1) == Seq("Publication Required (DUO:0000019)"))
   }
 
+  test("studyIndex: one row per study, nested donors/files, summary, DUO") {
+    val idx = Indexes.studyIndex(
+      study = Sources.tsv(spark, s"$dir/study.tsv"),
+      donor = Sources.tsv(spark, s"$dir/donor.tsv"),
+      phenotype = Sources.tsv(spark, s"$dir/phenotype.tsv"),
+      file = Sources.tsv(spark, s"$dir/file.tsv"),
+      biospecimen = Sources.tsv(spark, s"$dir/biospecimen.tsv"),
+      samples = Sources.tsv(spark, s"$dir/sample_registration.tsv"),
+      terms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
+      duoTerms = Sources.jsonLines(spark, s"$dir/duo_terms.jsonl.gz"),
+      meta = Seq("study_version" -> "v42"))
+    assert(idx.count() == 2)
+    val gs1 = idx.filter($"study_id" === "GS001")
+      .select(size($"donors"), size($"files"), $"summary.n_donors",
+        $"summary.n_files", $"summary.data_category",
+        $"data_access_codes.access_limitations", $"study_version")
+      .as[(Int, Int, Long, Long, Seq[String], String, String)]
+      .collect().head
+    assert(gs1 == ((3, 4, 3L, 4L, Seq("Genomics", "Imaging"),
+      "General Research Use (DUO:0000005)", "v42")))
+    // donors carry their phenotype expansions into the nest
+    val donorsWithPhenos = idx.filter($"study_id" === "GS001")
+      .select(explode($"donors").as("d"))
+      .select($"d.submitter_donor_id",
+        coalesce(size($"d.observed_phenotypes"), lit(-1)).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(donorsWithPhenos("DO001") == 5) // 2 leaves + 3 ancestors
+    assert(donorsWithPhenos("DO003") == -1) // no phenotypes → null nest
+  }
+
+  test("fileIndex: one row per file with study, biospecimen, donor") {
+    val idx = Indexes.fileIndex(
+      file = Sources.tsv(spark, s"$dir/file.tsv"),
+      donor = Sources.tsv(spark, s"$dir/donor.tsv"),
+      study = Sources.tsv(spark, s"$dir/study.tsv"),
+      phenotype = Sources.tsv(spark, s"$dir/phenotype.tsv"),
+      biospecimen = Sources.tsv(spark, s"$dir/biospecimen.tsv"),
+      samples = Sources.tsv(spark, s"$dir/sample_registration.tsv"),
+      terms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
+      meta = Seq("dictionary_version" -> "9.9"))
+    assert(idx.count() == 5)
+    val f1 = idx.filter($"file_name" === "f1.cram")
+      .select($"study".getField("name").getItem(0),
+        $"biospecimen.biospecimen_type", $"donor.gender",
+        size($"donor.observed_phenotypes"), $"dictionary_version")
+      .as[(String, String, String, Int, String)].collect().head
+    assert(f1 == (("Graft Study One", "normal", "Female", 5, "9.9")))
+  }
+
   test("customerIndex assembles nation + sorted orders + summary") {
     val customer = Seq((1L, "Alice", "BUILDING", 10L), (2L, "Bob", "AUTO", 11L))
       .toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
