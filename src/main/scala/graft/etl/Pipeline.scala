@@ -1,0 +1,101 @@
+package graft.etl
+
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end pipeline — the reference's two commands composed
+  * (reference: commands/PreProcess.scala + commands/Process.scala via
+  * ProcessETL):
+  *
+  *  1. pre-process: raw TSV entities → surrogate keys + internal ids +
+  *     dictionary prune → parquet stage (reference stage-1 output).
+  *  2. process: pre-processed entities + ontology terms → the three
+  *     nested index products → partitioned JSON (reference stage-2
+  *     output, partitioned by study).
+  *
+  * Stage boundaries are parquet, like the reference — at 100 TB the
+  * stage-1 write is the checkpoint that lets index builds re-run
+  * without re-ingesting TSV.
+  */
+object Pipeline {
+
+  /** Entity name → dictionary whitelist for the fixture schema; the
+    * reference resolves this from its Lectern dictionary service
+    * (DictionaryClient.scala:60-82) — here it's explicit data. */
+  val FixtureSchemas: Map[String, Seq[String]] = Map(
+    "donor" -> Seq("study_id", "submitter_donor_id", "dob", "gender",
+      "ethnicity", "vital_status"),
+    "study" -> Seq("study_id", "name", "domain", "access_limitations",
+      "access_requirements"),
+    "phenotype" -> Seq("study_id", "submitter_donor_id",
+      "submitter_phenotype_id", "phenotype_HPO_code", "phenotype_HPO_term",
+      "age_at_phenotype", "phenotype_observed"),
+    "biospecimen" -> Seq("study_id", "submitter_donor_id",
+      "submitter_biospecimen_id", "biospecimen_tissue_source",
+      "biospecimen_type", "is_cancer"),
+    "sampleregistration" -> Seq("study_id", "submitter_donor_id",
+      "submitter_biospecimen_id", "submitter_sample_id", "sample_type"),
+    "file" -> Seq("study_id", "submitter_donor_id",
+      "submitter_biospecimen_id", "file_name", "data_category",
+      "data_type", "experimental_strategy", "file_format", "data_access"))
+
+  /** File-name stem per entity in the fixture directory. */
+  private val EntityFiles: Map[String, String] = Map(
+    "donor" -> "donor.tsv", "study" -> "study.tsv",
+    "phenotype" -> "phenotype.tsv", "biospecimen" -> "biospecimen.tsv",
+    "sampleregistration" -> "sample_registration.tsv",
+    "file" -> "file.tsv")
+
+  /** Stage 1: TSV → pre-processed parquet. Returns the frames too so
+    * callers can continue without re-reading. */
+  def preProcessStage(
+      spark: SparkSession, inputDir: String, stageDir: String,
+      resolver: PreProcess.IdResolver = PreProcess.HashDerivedIds)
+      : Map[String, DataFrame] = {
+    val meta = Sources.multilineJson(spark, s"$inputDir/metadata.json")
+      .select("dictionaryVersion", "studyVersionId", "studyVersionDate")
+      .collect()(0)
+    val stamps = Seq(
+      "dictionary_version" -> meta.getString(0),
+      "study_version" -> meta.getString(1),
+      "study_version_creation_date" -> meta.getString(2))
+    EntityFiles.map { case (entity, fileName) =>
+      val raw = Sources.tsv(spark, s"$inputDir/$fileName")
+      val processed = PreProcess.preProcessEntity(
+        fileName, raw, FixtureSchemas(entity), resolver,
+        studyMeta = stamps)
+      Sinks.parquet(processed, s"$stageDir/$entity")
+      entity -> processed
+    }
+  }
+
+  /** Stage 2: pre-processed entities + terms → three nested indexes →
+    * partitioned JSON (by study_id, the reference's partition key). */
+  def processStage(
+      spark: SparkSession, inputDir: String,
+      entities: Map[String, DataFrame], outDir: String): Unit = {
+    val terms = Sources.jsonLines(spark, s"$inputDir/terms.jsonl.gz")
+    val duo = Sources.jsonLines(spark, s"$inputDir/duo_terms.jsonl.gz")
+    val donors = Indexes.donorIndex(
+      entities("donor"), entities("study"), entities("phenotype"),
+      entities("file"), entities("biospecimen"),
+      entities("sampleregistration"), terms)
+    val studies = Indexes.studyIndex(
+      entities("study"), entities("donor"), entities("phenotype"),
+      entities("file"), entities("biospecimen"),
+      entities("sampleregistration"), terms, duo)
+    val files = Indexes.fileIndex(
+      entities("file"), entities("donor"), entities("study"),
+      entities("phenotype"), entities("biospecimen"),
+      entities("sampleregistration"), terms)
+    Sinks.partitionedJson(donors, s"$outDir/donors", Seq("study_id"))
+    Sinks.partitionedJson(studies, s"$outDir/studies", Seq("study_id"))
+    Sinks.partitionedJson(files, s"$outDir/files", Seq("study_id"))
+  }
+
+  /** Both stages, fixture-dir in → JSON indexes out. */
+  def run(spark: SparkSession, inputDir: String, workDir: String): Unit = {
+    val entities = preProcessStage(spark, inputDir, s"$workDir/stage1")
+    processStage(spark, inputDir, entities, s"$workDir/indexes")
+  }
+}

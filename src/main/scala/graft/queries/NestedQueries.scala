@@ -174,6 +174,34 @@ object NestedQueries {
             date_trunc("hour", col("ts")).as("hour"))
     },
 
+    // ---- §2.7 main-category pick (root-level ancestor, min display) ----
+    sql(
+      "q_main_category",
+      """SELECT c.c_custkey,
+        |  min(r.r_name || ' (R' || CAST(r.r_regionkey AS VARCHAR) || ')')
+        |    AS main_category
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val terms = n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(
+          concat(lit("N"), col("n_nationkey")).as("id"),
+          col("n_name").as("name"),
+          array(struct(
+            concat(lit("R"), col("r_regionkey")).as("id"),
+            col("r_name").as("name"),
+            array().cast("array<string>").as("parents"))).as("ancestors"),
+          lit(true).as("is_leaf"))
+      val data = Tables.customer(s, d)
+        .withColumn("nation_code", concat(lit("N"), col("c_nationkey")))
+      Ontology.mainCategory(
+        data, terms, "nation_code", Seq("c_custkey"),
+        rootPredicate = anc => size(anc.getField("parents")) === 0)
+    },
+
     // ---- §2.7 ontology ancestor expansion (nation→region closure) ----
     sql(
       "q_ontology_expand",

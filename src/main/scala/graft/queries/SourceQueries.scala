@@ -129,6 +129,15 @@ object SourceQueries {
           .limit(1)
     },
 
+    // ---- lenient-date parity path (SimpleDateFormat UDF — not
+    //      SQL-expressible, DuckDB strptime is strict: rows-only) ----
+    QueryDef.noOracle("q_lenient_age") { (s, _) =>
+      Sources.tsv(s, s"$FixtureDir/donor.tsv")
+        .select(col("submitter_donor_id"),
+          graft.functions.LenientDate.lenientAge(
+            col("dob"), lit("1/1/2026")).as("age_lenient"))
+    },
+
     // ---- P2: drop (column pruning reaches the scan) ----
     sql(
       "q_drop",

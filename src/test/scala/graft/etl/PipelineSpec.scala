@@ -1,0 +1,52 @@
+package graft.etl
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end: fixtures → pre-process parquet stage → three nested
+  * JSON index collections, read back and checked. */
+class PipelineSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  test("two-stage pipeline writes stage parquet and partitioned indexes") {
+    val work = Files.createTempDirectory("graft-pipeline").toString
+    Pipeline.run(spark, "src/test/resources/clinical", work)
+
+    // stage 1: pre-processed parquet with minted ids, pruned columns
+    val donorStage = spark.read.parquet(s"$work/stage1/donor")
+    assert(donorStage.count() == 5)
+    assert(donorStage.columns.contains("internal_donor_id"))
+    assert(!donorStage.columns.contains("age TODAY"))
+
+    // study got metadata stamps from metadata.json
+    val studyStage = spark.read.parquet(s"$work/stage1/study")
+    assert(studyStage.select("dictionary_version", "study_version")
+      .as[(String, String)].collect().head == ("9.9", "v42"))
+
+    // stage 2: JSON indexes partitioned by study_id
+    val donorsDirs = new java.io.File(s"$work/indexes/donors")
+      .listFiles().map(_.getName).filter(_.startsWith("study_id=")).sorted
+    assert(donorsDirs.toSeq == Seq("study_id=GS001", "study_id=GS002"))
+
+    val donors = spark.read.json(s"$work/indexes/donors")
+    assert(donors.count() == 5)
+    val do1 = donors.filter($"submitter_donor_id" === "DO001")
+      .select(size($"observed_phenotypes"), size($"files"),
+        $"summary.files_available")
+      .as[(Int, Int, Boolean)].collect().head
+    assert(do1 == ((5, 2, true)))
+
+    val studies = spark.read.json(s"$work/indexes/studies")
+    assert(studies.count() == 2)
+    assert(studies.filter($"study_id" === "GS001")
+      .select(size($"donors")).as[Int].collect().head == 3)
+
+    val files = spark.read.json(s"$work/indexes/files")
+    assert(files.count() == 5)
+    assert(files.filter($"file_name" === "f1.cram")
+      .select($"donor.gender").as[String].collect().head == "Female")
+  }
+}
