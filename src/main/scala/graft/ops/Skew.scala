@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys (stopwords, viral documents,
+  * null-ish defaults). AQE's skew handling only rewrites JOINS; a
+  * skewed AGGREGATION still funnels each hot key through one reducer,
+  * so the classic fix is salting: spread each key over `saltBuckets`
+  * partial groups, aggregate, then combine the partials.
+  *
+  * Only algebraic aggregates (sum/count/min/max and anything with an
+  * exact merge step) can ride this; the helpers below expose the
+  * common count/sum cases with the merge applied for you.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, saltBuckets): hash of the whole row's
+    * key columns PLUS spark_partition_id, so the same key occurring on
+    * different input partitions lands in different partial groups
+    * without any RNG (reproducible plans). */
+  def saltCol(saltBuckets: Int): Column =
+    pmod(spark_partition_id(), lit(saltBuckets))
+
+  /** Salted count+sum: phase 1 groups by (keys, salt) — map-side
+    * combine still applies inside each partial — phase 2 merges the
+    * ≤ `saltBuckets` partials per key. The hot key's work now spreads
+    * over `saltBuckets` reducers.
+    *
+    * @param sums value columns to sum, by output name
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      keys: Seq[String],
+      sums: Map[String, Column] = Map.empty,
+      saltBuckets: Int = 16,
+      countName: String = "n"): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(saltBuckets))
+    val partialAggs =
+      count(lit(1)).as(s"__c") +:
+        sums.toSeq.map { case (name, c) => sum(c).as(s"__s_$name") }
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.drop(1): _*)
+    val finalAggs =
+      sum(col("__c")).as(countName) +:
+        sums.keys.toSeq.map(name => sum(col(s"__s_$name")).as(name))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.drop(1): _*)
+  }
+
+  /** Salted distinct-count: phase 1 dedups (keys, value) within salt
+    * buckets, phase 2 dedups across buckets and counts. Exact (not a
+    * sketch); for approximate at extreme cardinality use
+    * `approx_count_distinct` instead. */
+  def saltedCountDistinct(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      saltBuckets: Int = 16,
+      as: String = "n_distinct"): DataFrame = {
+    val salted = df
+      .withColumn("__v", value)
+      .withColumn("__salt", saltCol(saltBuckets))
+    salted
+      .select((keys :+ "__salt" :+ "__v").map(col): _*)
+      .distinct()
+      .select((keys :+ "__v").map(col): _*)
+      .distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(as))
+  }
+}

@@ -149,6 +149,18 @@ object TextQueries {
         threshold = 0.8, numHashes = 64, bands = 16)
     },
 
+    // ---- skew-salted aggregation equals the plain oracle GROUP BY ----
+    sql(
+      "q_salted_wordcount",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word""".stripMargin) { (s, d) =>
+      graft.ops.Skew.saltedCountSum(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word")),
+        keys = Seq("word"), saltBuckets = 16)
+    },
+
     // ---- explode_outer: empty arrays keep their parent row ----
     sql(
       "q_explode_outer",
