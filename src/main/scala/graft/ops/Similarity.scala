@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ over two equal-length double arrays — the codegen'd
+    * [[graft.plans.DotProduct]] expression (same left-to-right
+    * summation as the HOF form, so bitwise-identical results; see
+    * [[dotHof]]). */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+
+  /** Built-in-only formulation (interpreted per element) — kept as the
+    * semantic reference; asserted equal to [[dot]] in SimilaritySpec. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */

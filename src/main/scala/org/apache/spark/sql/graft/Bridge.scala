@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Catalyst-Expression bridge for custom expressions.
+  *
+  * Spark 4 decoupled `Column` from `Expression` (Connect) and made the
+  * classic converters `private[sql]`; placing this one-file shim in a
+  * subpackage of `org.apache.spark.sql` is the standard third-party
+  * extension technique (public Spark source knowledge) and keeps every
+  * graft expression in its own `graft.plans` package.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -15,6 +15,19 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     (4L, Seq(0.8, 0.2, 0.1))). // close-ish to 0
     toDF("vec_id", "embedding")
 
+  test("codegen DotProduct is bitwise-identical to the HOF formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val pairs = e.select(col("v").as("a"))
+      .crossJoin(e.select(col("v").as("b")))
+    val mismatch = pairs.select(
+        Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotHof(col("a"), col("b")).as("ref"))
+      .filter(not(col("fast") <=> col("ref"))).count()
+    assert(mismatch == 0)
+  }
+
   test("dot and cosine match hand computation") {
     val got = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
       .toDF("a", "b")
