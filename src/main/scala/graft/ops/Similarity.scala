@@ -131,6 +131,66 @@ object Similarity {
       .toDF("a", "b", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k: `numCentroids`
+    * deterministic representatives are drawn from the corpus (smallest
+    * xxhash64(id) — reproducible, no RNG), the corpus is assigned to
+    * its nearest centroid ONCE (the inverted lists), and each query
+    * probes only its `nProbe` closest centroids' lists — scanned
+    * fraction ≈ nProbe / numCentroids.
+    *
+    * The centroid table is driver-collected (numCentroids × dim
+    * doubles — KBs) and shipped as literals, so assignment is pure
+    * map-side codegen'd work; the only shuffle is the equi-join on
+    * centroid id. Complements [[lshTopK]]: IVF adapts to the data
+    * distribution (centroids are real corpus points), LSH needs no
+    * driver pass at all.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(id), col(vec).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col(id)))
+      .limit(numCentroids)
+      .select(col("__v"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    def centroidSims(v: Column): Seq[(Int, Column)] =
+      centroids.toSeq.map { case (cid, cv) =>
+        val cvNorm = math.sqrt(cv.map(x => x * x).sum)
+        val cvCol = array(cv.map(lit).toIndexedSeq: _*)
+        cid -> (dot(v, cvCol) / (norm(v) * lit(cvNorm)))
+      }
+
+    def rankedCentroids(v: Column): Column = sort_array(
+      array(centroidSims(v).map { case (cid, sim) =>
+        struct((-sim).as("negsim"), lit(cid).as("cid"))
+      }: _*))
+
+    val c = corpus.select(
+      col(id).as("neighbor_id"), col(vec).cast("array<double>").as("__cv"))
+      .withColumn("__cid",
+        rankedCentroids(col("__cv")).getItem(0).getField("cid"))
+    val q = broadcast(
+      queries.select(col(id).as("query_id"),
+        col(vec).cast("array<double>").as("__qv"))
+        .withColumn("__cid", explode(slice(
+          transform(rankedCentroids(col("__qv")), s => s.getField("cid")),
+          1, nProbe))))
+    val scored = c.join(q, Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes: `bits` × `dim` Gaussian matrix
     * from a fixed seed (same plan every run — reproducible buckets). */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.{QueryDef, Tables}
 import graft.etl.Indexes
+import graft.ops.Nest
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
@@ -40,6 +41,42 @@ object IndexQueries {
         |LEFT JOIN o ON c.c_custkey = o.o_custkey""".stripMargin) { (s, d) =>
       Indexes.customerIndex(
         Tables.customer(s, d), Tables.nation(s, d), Tables.orders(s, d))
+    },
+
+    // ---- two-level nest: customer → orders → lineitems ----
+    sql(
+      "q_two_level_nest",
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    list(struct_pack(linenumber := l_linenumber,
+        |          quantity := l_quantity)
+        |      ORDER BY l_linenumber, l_quantity) AS items
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o.o_custkey,
+        |    list(struct_pack(orderkey := o.o_orderkey,
+        |          orderdate := o.o_orderdate, items := li.items)
+        |      ORDER BY o.o_orderkey) AS orders
+        |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+        |  GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, o.orders
+        |FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey""".stripMargin) {
+      (s, d) =>
+        val items = Nest.nestChildren(
+          Tables.lineitem(s, d), Seq("l_orderkey"),
+          Seq(col("l_linenumber").as("linenumber"),
+            col("l_quantity").as("quantity")), "items")
+        val ordersRaw = Tables.orders(s, d)
+        val orders = ordersRaw
+          .join(items, ordersRaw("o_orderkey") === items("l_orderkey"), "left")
+          .groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey").as("orderkey"),
+            col("o_orderdate").as("orderdate"),
+            col("items")))).as("orders"))
+        Tables.customer(s, d)
+          .join(orders, col("c_custkey") === col("o_custkey"), "left")
+          .select("c_custkey", "c_name", "orders")
     },
 
     // ---- DUO data-access codes (split → explode → lookup → nest) ----

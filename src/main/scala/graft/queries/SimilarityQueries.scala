@@ -64,5 +64,13 @@ object SimilarityQueries {
       Similarity.lshTopK(
         corpus = e, queries = e.filter(col("vec_id") < 10),
         id = "vec_id", vec = "embedding", k = 5, bits = 4, dim = 64)
+    },
+
+    noOracle("q_knn_ivf") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        corpus = e, queries = e.filter(col("vec_id") < 10),
+        id = "vec_id", vec = "embedding", k = 5,
+        numCentroids = 16, nProbe = 8)
     })
 }

@@ -66,6 +66,18 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(!got.contains((0L, 3L))) // opposite vectors
   }
 
+  test("ivfTopK recall vs brute force on clustered real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(
+        e, q, "vec_id", "embedding", 5, numCentroids = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("lshTopK recall vs brute force on clustered real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
