@@ -135,6 +135,27 @@ object Text {
       .reduce(_ + _) / checks.size
   }
 
+  // ---- repetition features (Gopher-style duplicate-fraction rules) ----
+
+  /** Fraction of word tokens that are repeats of an earlier token:
+    * 1 - |distinct words| / |words|. High values flag boilerplate /
+    * keyword-stuffed documents. */
+  def dupWordRatio(text: Column): Column = {
+    val w = words(normalize(text))
+    when(size(w) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(w)).cast(DoubleType) /
+        size(w).cast(DoubleType))
+  }
+
+  /** Fraction of n-gram shingles that are duplicates — the standard
+    * "duplicate n-gram fraction" repetition signal. */
+  def dupShingleRatio(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(sh)).cast(DoubleType) /
+        size(sh).cast(DoubleType))
+  }
+
   // ---- fingerprinting ----
 
   /** Content fingerprint of the normalized text (md5 — stable across

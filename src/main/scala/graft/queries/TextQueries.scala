@@ -149,6 +149,30 @@ object TextQueries {
         threshold = 0.8, numHashes = 64, bands = 16)
     },
 
+    // ---- repetition signals (duplicate word / n-gram fractions) ----
+    sql(
+      "q_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS w,
+         |    list_transform(range(len(string_split($NormSql, ' ')) - 2),
+         |      i -> string_split($NormSql, ' ')[i+1] || ' ' ||
+         |           string_split($NormSql, ' ')[i+2] || ' ' ||
+         |           string_split($NormSql, ' ')[i+3]) AS sh
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END
+         |    AS dup_word_ratio,
+         |  CASE WHEN len(sh) = 0 THEN 0.0
+         |       ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END
+         |    AS dup_trigram_ratio
+         |FROM t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.dupWordRatio(col("text")).as("dup_word_ratio"),
+        Text.dupShingleRatio(col("text"), 3).as("dup_trigram_ratio"))
+    },
+
     // ---- skew-salted aggregation equals the plain oracle GROUP BY ----
     sql(
       "q_salted_wordcount",

@@ -34,6 +34,15 @@ object EventStream {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first arrival per key, holding
+    * per-key state only for the watermark horizon (the streaming face
+    * of [[graft.ops.Dedup.dropExact]] — bounded state instead of a
+    * global group-by, which is the only dedup a 100 TB/day unbounded
+    * stream can afford). Input must carry a watermark. */
+  def dedupWithinWatermark(
+      events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keyCols.head, keyCols.drop(1): _*)
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

@@ -58,6 +58,19 @@ class TextSpec extends AnyFunSuite with WithSpark {
     assert(good > bad && good <= 1.0 && bad >= 0.0)
   }
 
+  test("repetition ratios flag duplicated content") {
+    val loop = one(Text.dupWordRatio(col("t")), "spam spam spam spam")
+      .asInstanceOf[Double]
+    val clean = one(Text.dupWordRatio(col("t")), "all words are unique here")
+      .asInstanceOf[Double]
+    assert(loop == 0.75 && clean == 0.0)
+    val tri = one(Text.dupShingleRatio(col("t"), 3), "a b c a b c a b c")
+      .asInstanceOf[Double]
+    assert(tri > 0.5) // "a b c" trigram repeats
+    assert(one(Text.dupShingleRatio(col("t"), 3), "a b")
+      .asInstanceOf[Double] == 0.0) // too short → no shingles → 0
+  }
+
   test("fingerprints are deterministic and normalization-invariant") {
     val fp1 = one(Text.fingerprintMd5(col("t")), "Hello,  World!")
     val fp2 = one(Text.fingerprintMd5(col("t")), "hello world")

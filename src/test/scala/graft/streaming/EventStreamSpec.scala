@@ -61,6 +61,27 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark keeps first arrival per key") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = EventStream.dedupWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "payload")
+        .withWatermark("ts", "10 minutes"),
+      Seq("doc_id"))
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, ts(0), "first"), (2L, ts(1), "other"))
+      query.processAllAvailable()
+      input.addData((1L, ts(2), "dup-within-watermark"))
+      query.processAllAvailable()
+      val got = spark.table("dedup")
+        .select("doc_id", "payload").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "first"), (2L, "other")))
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions after the event-time gap") {
     val input = MemoryStream[(Long, Timestamp)](spark)
     val events = input.toDF().toDF("user_id", "ts")
