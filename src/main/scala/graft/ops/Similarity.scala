@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`):
@@ -59,11 +58,8 @@ object Similarity {
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
   /** One corpus vector with its precomputed L2 norm. */
@@ -184,11 +180,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
   /** Deterministic random hyperplanes: `bits` × `dim` Gaussian matrix
@@ -247,10 +240,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 }

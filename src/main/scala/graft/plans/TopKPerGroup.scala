@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Custom whole-operator: top-k rows PER GROUP by (score desc,
+  * tie asc), with a 1-based `rank` column appended — the ladder's
+  * option (c): LogicalPlan + Strategy + physical exec.
+  *
+  * Why not a window? `row_number().over(partitionBy(g).orderBy(...))`
+  * SORTS every candidate row of every group (O(n log n) per group,
+  * full materialization before the filter drops all but k). This
+  * operator keeps a bounded k-element heap per group in one pass —
+  * O(n log k) and O(groups × k) memory — which is the difference
+  * between "sort 2M scored candidates to keep 50" and "stream them".
+  * Distribution-wise it declares ClusteredDistribution on the group
+  * key, so EnsureRequirements plans the same single shuffle a window
+  * would, and AQE still manages it.
+  *
+  * Deterministic: total order (score desc, tie asc) must be a total
+  * order over rows within a group (pass a unique tie column), so the
+  * result equals the window formulation row-for-row (spec-asserted).
+  */
+case class TopKPerGroupNode(
+    groupCols: Seq[Expression],
+    scoreCol: Expression, // DoubleType, descending
+    tieCol: Expression,   // LongType, ascending tie-break
+    k: Int,
+    rankAttr: AttributeReference, // constructor param: the exprId must
+                                  // survive tree copies or downstream
+                                  // references to `rank` dangle
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is produced HERE, not consumed — without this it lands in
+  // `references` (it's an Expression constructor arg) and CheckAnalysis
+  // reports it missing from the child's input
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
+    copy(child = c)
+}
+
+case class TopKPerGroupExec(
+    groupCols: Seq[Expression],
+    scoreCol: Expression,
+    tieCol: Expression,
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupCols) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    child.execute().mapPartitions ({ iter =>
+      val groupProj = UnsafeProjection.create(groupCols, childOutput)
+      val scoreBound = BindReferences.bindReference(scoreCol, childOutput)
+      val tieBound = BindReferences.bindReference(tieCol, childOutput)
+      val outProj = UnsafeProjection.create(
+        childOutput.map(a => a: Expression) :+ rankAttr, childOutput :+ rankAttr)
+      // min-heap ordered so the WORST kept row is at the head
+      val heapOrd = Ordering.by[(Double, Long, UnsafeRow), (Double, Long)] {
+        case (s, t, _) => (-s, t) // head = smallest score, largest-last tie
+      }
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
+      iter.foreach { row =>
+        val score = scoreBound.eval(row).asInstanceOf[Double]
+        val tie = tieBound.eval(row).asInstanceOf[Long]
+        val keyRef = groupProj(row)
+        val heap = heaps.get(keyRef) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable
+              .PriorityQueue.empty[(Double, Long, UnsafeRow)](heapOrd)
+            heaps.put(keyRef.copy(), h)
+            h
+        }
+        if (heap.size < kLocal) {
+          heap.enqueue((score, tie, row.asInstanceOf[UnsafeRow].copy()))
+        } else {
+          val (ws, wt, _) = heap.head
+          if (score > ws || (score == ws && tie < wt)) {
+            heap.dequeue()
+            heap.enqueue((score, tie, row.asInstanceOf[UnsafeRow].copy()))
+          }
+        }
+      }
+      val joined = new JoinedRow
+      heaps.iterator.flatMap { case (_, heap) =>
+        val best: Seq[(Double, Long, UnsafeRow)] = heap.dequeueAll.reverse
+        best.iterator.zipWithIndex.map { case ((_, _, row), i) =>
+          outProj(joined(row, InternalRow(i + 1))).copy()
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, s, t, k, rank, child) =>
+      TopKPerGroupExec(g, s, t, k, rank, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+
+  /** Idempotently add the planner strategy to a live session
+    * (`experimental.extraStrategies` is the public hook). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = cur :+ TopKStrategy
+    }
+  }
+
+  /** Top-k rows per group by (score desc, tie asc), `rank` appended.
+    * `tie` must be unique within a group for deterministic output.
+    * Columns are referenced by name and resolved here against the
+    * child's analyzed output — handing the node pre-resolved
+    * attributes, since analyzer rules don't reach inside expressions
+    * of unknown operators. */
+  def topK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      score: String,
+      tie: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val lp = Bridge.logicalPlan(df)
+    def attr(n: String): Expression = lp.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    Bridge.ofRows(spark, TopKPerGroupNode(
+      groupCols.map(attr),
+      attr(score),
+      attr(tie),
+      k,
+      AttributeReference("rank", IntegerType, nullable = false)(),
+      lp))
+  }
+}

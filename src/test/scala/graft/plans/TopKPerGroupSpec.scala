@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.WithSpark
+import graft.ops.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerGroupSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  test("topK equals the window row_number formulation row-for-row") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val scored = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("cosine"))
+
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val viaTopK = TopKPerGroup.topK(
+        scored, Seq("query_id"), "cosine", "neighbor_id", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    assert(viaTopK == viaWindow)
+    assert(viaTopK.size == 8 * 5)
+  }
+
+  test("plans one shuffle on the group key and no sort") {
+    val df = (1 to 100).map(i => (i % 5, i.toLong, i * 0.1))
+      .toDF("g", "id", "score")
+    val plan = TopKPerGroup.topK(
+        df, Seq("g"), "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("Sort ["), s"no global/window sort expected:\n$plan")
+  }
+
+  test("handles groups smaller than k and exact ties") {
+    val df = Seq((1, 10L, 2.0), (1, 11L, 2.0), (2, 20L, 1.0))
+      .toDF("g", "id", "score")
+    val got = TopKPerGroup.topK(
+        df, Seq("g"), "score", "id", 5)
+      .select("g", "id", "rank").as[(Int, Long, Int)].collect().toSet
+    // equal scores break ties by id ascending
+    assert(got == Set((1, 10L, 1), (1, 11L, 2), (2, 20L, 1)))
+  }
+}
