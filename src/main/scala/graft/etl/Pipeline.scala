@@ -47,10 +47,13 @@ object Pipeline {
     "file" -> "file.tsv")
 
   /** Stage 1: TSV → pre-processed parquet. Returns the frames too so
-    * callers can continue without re-reading. */
+    * callers can continue without re-reading. The dictionary resolves
+    * per-entity whitelists at the metadata's dictionaryVersion
+    * (reference: PreProcessETL.scala:56-66). */
   def preProcessStage(
       spark: SparkSession, inputDir: String, stageDir: String,
-      resolver: PreProcess.IdResolver = PreProcess.HashDerivedIds)
+      resolver: PreProcess.IdResolver = PreProcess.HashDerivedIds,
+      dictionary: Dictionary = StaticDictionary(FixtureSchemas))
       : Map[String, DataFrame] = {
     val meta = Sources.multilineJson(spark, s"$inputDir/metadata.json")
       .select("dictionaryVersion", "studyVersionId", "studyVersionDate")
@@ -59,10 +62,11 @@ object Pipeline {
       "dictionary_version" -> meta.getString(0),
       "study_version" -> meta.getString(1),
       "study_version_creation_date" -> meta.getString(2))
+    val schemas = dictionary.schemas(meta.getString(0))
     EntityFiles.map { case (entity, fileName) =>
       val raw = Sources.tsv(spark, s"$inputDir/$fileName")
       val processed = PreProcess.preProcessEntity(
-        fileName, raw, FixtureSchemas(entity), resolver,
+        fileName, raw, schemas(entity), resolver,
         studyMeta = stamps)
       Sinks.parquet(processed, s"$stageDir/$entity")
       entity -> processed

@@ -11,6 +11,15 @@ import java.nio.file.Files
 class PipelineSpec extends AnyFunSuite with WithSpark {
   import spark.implicits._
 
+  test("JsonDictionary resolves whitelists from the fixture document") {
+    val d = JsonDictionary(spark, "src/test/resources/clinical/dictionary.json")
+    val schemas = d.schemas("9.9")
+    assert(schemas("donor").contains("gender"))
+    assert(!schemas("donor").contains("age TODAY"))
+    assert(schemas.keySet.size == 6)
+    intercept[IllegalArgumentException] { d.schemas("0.0") }
+  }
+
   test("two-stage pipeline writes stage parquet and partitioned indexes") {
     val work = Files.createTempDirectory("graft-pipeline").toString
     Pipeline.run(spark, "src/test/resources/clinical", work)
