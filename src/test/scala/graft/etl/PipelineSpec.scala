@@ -11,6 +11,15 @@ import java.nio.file.Files
 class PipelineSpec extends AnyFunSuite with WithSpark {
   import spark.implicits._
 
+  test("Authz seam is idempotent and deterministic") {
+    val a = InMemoryAuthz()
+    val first = a.ensureResources(Seq("GS001", "GS002"))
+    val again = a.ensureResources(Seq("GS001"))
+    assert(first == Map("GS001" -> "res_GS001", "GS002" -> "res_GS002"))
+    assert(again == Map("GS001" -> "res_GS001"))
+    assert(a.all.size == 2)
+  }
+
   test("JsonDictionary resolves whitelists from the fixture document") {
     val d = JsonDictionary(spark, "src/test/resources/clinical/dictionary.json")
     val schemas = d.schemas("9.9")
