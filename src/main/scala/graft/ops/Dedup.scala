@@ -198,6 +198,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected-component labels over an undirected pair graph
+    * (a, b): every node gets its component's minimum id as `cluster`.
+    * Iterative min-label propagation — one join + one aggregate per
+    * round, converging in O(graph diameter) rounds (near-dup clusters
+    * are almost always dense cliques, so 1-2 rounds in practice;
+    * `maxIters` bounds pathological chains). Each round shuffles only
+    * the label frame (2 longs per node) — at 100 TB of documents the
+    * pair graph is the sparse minority that actually collided in LSH.
+    */
+  def clusterLabels(
+      nodes: DataFrame, // single column: the node id
+      pairs: DataFrame, // columns a, b
+      maxIters: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("node2"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
+          Seq("node"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Drop near-duplicates: LSH candidate pairs → exact-Jaccard filter
+    * → connected components → keep each cluster's min-id row. The
+    * companion of [[dropExact]] for the near-dup regime. */
+  def dropNearDups(
+      docs: DataFrame,
+      id: String,
+      shingles: Column,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(docs, id, shingles, threshold, numHashes, bands)
+      .select("a", "b")
+    val labels = clusterLabels(docs.select(col(id)), pairs)
+    docs.join(labels,
+        docs(id) === labels("node") && labels("cluster") === docs(id),
+        "left_semi")
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns:
     * |A ∩ B| / (|A| + |B| - |A ∩ B|), on distinct shingles.
     */

@@ -86,6 +86,25 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
   }
 
+  test("clusterLabels reaches fixpoint on a chain graph (diameter > 2)") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.clusterLabels(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      9L -> 9L))
+  }
+
+  test("dropNearDups keeps one representative per near-dup cluster") {
+    val kept = Dedup.dropNearDups(
+        docs, "doc_id", col("sh"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // d1/d2 (and possibly d3) collapse to min id 1; d4, d5 survive
+    assert(kept.head == 1L)
+    assert(kept.contains(4L) && kept.contains(5L))
+    assert(!kept.contains(2L))
+  }
+
   test("jaccard computes |A∩B| / |A∪B| on distinct shingles") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("x", "y")
