@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan shapes that matter at 100 TB, so a future
+  * refactor that silently doubles a fact scan, drops a broadcast, or
+  * loses filter pushdown fails CI instead of shipping.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = WithSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  private def count(p: String, pat: String): Int =
+    pat.r.findAllIn(p).length
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"))
+    assert(count(p, "Exchange") == 0) // pure scan+filter: no shuffle
+  }
+
+  test("dimension joins broadcast; fact table is never shuffled for dims") {
+    val p = plan("q_join_dims")
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("ontology expansion scans the fact side exactly once") {
+    val p = plan("q_ontology_expand")
+    assert(count(p, "customer.parquet") == 1)
+  }
+
+  test("donor index reads each of its 7 inputs exactly once") {
+    val p = plan("q_donor_index")
+    for (f <- Seq("donor.tsv", "phenotype.tsv", "file.tsv",
+        "biospecimen.tsv", "sample_registration.tsv", "study.tsv")) {
+      assert(count(p, f) == 1, s"$f scanned more than once")
+    }
+  }
+
+  test("knn top-k runs through the custom bounded-heap operator") {
+    val p = plan("q_knn_topk")
+    assert(p.contains("TopKPerGroup"))
+    assert(!p.contains("Window"), "window sort crept back into top-k")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan("q_agg_pricing")
+    assert(count(p, "HashAggregate") >= 2) // partial + final
+    assert(count(p, "Exchange") == 1)
+  }
+}
