@@ -23,10 +23,14 @@ object Bench {
     // whichever query sorts first.
     graft.core.Tables.all.foreach { t =>
       try graft.core.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup load of $t failed: ${e.getMessage}")
+      }
     }
     try SparkEntry.queries("q_join_dims")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup query failed: ${e.getMessage}")
+    }
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -119,14 +119,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, id, shingles, numHashes)
-    // Persist the tiny (id, band, bucket) frame: the self-join consumes
-    // it twice, and without the pin each side would re-scan the corpus
-    // and recompute every signature.
+    // The self-join consumes the tiny (id, band, bucket) frame twice;
+    // without a pin each side would re-scan the corpus and recompute
+    // every signature. localCheckpoint (not persist): persist registers
+    // in the session CacheManager and is pinned until an explicit
+    // unpersist — impossible from a lazy-returning API — whereas the
+    // checkpoint's RDD blocks are reclaimed by the ContextCleaner once
+    // the returned frame is unreachable. Cost: one eager job here.
     val banded = sig
       .select(col(id), explode(lshBuckets(col("sig"), bands, rowsPerBand))
         .as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -174,9 +178,16 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, id: String, features: Column,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    // Pigeonhole guarantee only holds below `bands` differing bits: two
+    // fingerprints within Hamming distance < bands MUST share a chunk.
+    // A maxHamming >= bands would silently miss qualifying pairs.
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for the " +
+        "pigeonhole banding to guarantee recall; raise bands")
     val bitsPerBand = 64 / bands
-    val sh = simhashes(docs, id, features)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: see candidatePairs — self-join reads
+    // it twice, blocks are GC-reclaimed with the returned frame.
+    val sh = simhashes(docs, id, features).localCheckpoint()
     val mask = (1L << bitsPerBand) - 1
     val banded = sh.select(col(id), col("simhash"),
       explode(array((0 until bands).map { b =>
@@ -216,6 +227,13 @@ object Dedup {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
+    // Each round eagerly localCheckpoints its label frame: that both
+    // truncates lineage (round N's job never replays rounds 1..N-1) and
+    // caches the frame for the two consumers (next round's join + the
+    // convergence count). The superseded round's blocks are released as
+    // soon as the new frame is materialized — at no point are more than
+    // two label frames (2 longs per node each) held.
+    var prevCkpt: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -228,14 +246,20 @@ object Dedup {
         .select(col("node"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager: materializes before prev is released
       val changed = next.join(labels.withColumnRenamed("cluster", "old"),
           Seq("node"))
         .filter(col("cluster") =!= col("old")).count()
+      prevCkpt.foreach(_.unpersist(false)) // superseded, never read again
+      prevCkpt = Some(next)
       labels = next
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(false)
+    // The final frame stays cached (it IS the result); lineage-free after
+    // the checkpoint, its blocks are ContextCleaner-reclaimed when the
+    // caller drops the reference.
     labels
   }
 

@@ -114,7 +114,9 @@ object Multimodal {
       df: DataFrame,
       payloadCol: String,
       targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(length(col(payloadCol)))).head().getLong(0)
+    // sum() is null on an empty frame (or all-null payloads) — treat as 0
+    val row = df.agg(sum(length(col(payloadCol)))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     df.repartition(parts)
   }

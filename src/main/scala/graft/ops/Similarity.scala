@@ -65,6 +65,15 @@ object Similarity {
   /** One corpus vector with its precomputed L2 norm. */
   final case class VecRow(id: Long, vec: Array[Double], norm: Double)
 
+  /** Block count that caps vectors-per-block at `targetPerBlock`:
+    * ceil(n / target), min 1. Factored out so the bound is unit-testable
+    * without running the kernel. */
+  def blocksFor(n: Long, targetPerBlock: Int): Int = {
+    require(targetPerBlock > 0, "targetPerBlock must be positive")
+    math.max(1L, (n + targetPerBlock - 1) / targetPerBlock)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Exact cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
     * the exact baseline for embedding-level dedup, oracle-checkable.
     *
@@ -75,14 +84,24 @@ object Similarity {
     * recompute each norm n times and evaluate interpreted HOF lambdas
     * per element; this rewrite took the sf0.1 bench from 62 s to ~2 s).
     * Still O(n²) compute by definition — distributed over B² tasks;
-    * raise `blocks` with corpus size, or use the bucketed paths
-    * ([[lshTopK]], SimHash) when all-pairs is no longer affordable.
+    * use the bucketed paths ([[lshTopK]], SimHash) when all-pairs is
+    * no longer affordable.
+    *
+    * Per-task memory is bounded BY CONSTRUCTION: the block count is
+    * derived from the corpus row count (one cheap count job) so each
+    * task holds at most ~2 × `targetPerBlock` vectors, regardless of
+    * corpus size. Pass `blocksOverride` > 0 only to pin a layout in
+    * tests.
     */
   def cosineNearDupPairs(
       corpus: DataFrame, id: String, vec: String,
-      threshold: Double, blocks: Int = 8): DataFrame = {
+      threshold: Double, targetPerBlock: Int = 4096,
+      blocksOverride: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val blocks =
+      if (blocksOverride > 0) blocksOverride
+      else blocksFor(corpus.count(), targetPerBlock)
     val withNorm = corpus
       .select(col(id).cast("long"), col(vec).cast("array<double>"))
       .as[(Long, Array[Double])]

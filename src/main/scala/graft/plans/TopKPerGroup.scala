@@ -62,6 +62,21 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupCols) :: Nil
 
+  /** Total-order sort key over Double scores matching Spark's ordering
+    * semantics for a DESC sort: NaN greatest (above +Inf, ranks FIRST
+    * desc), null smallest (below -Inf, ranks LAST desc = NULLS LAST).
+    * Standard doubleToLongBits monotone remap; null → Long.MinValue,
+    * strictly below the -Inf key (0x800FFFFFFFFFFFFF).
+    */
+  private def scoreKey(raw: Any): Long = raw match {
+    case null => Long.MinValue
+    case d: java.lang.Double =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      if (bits < 0) bits ^ 0x7fffffffffffffffL else bits
+    case other => throw new IllegalStateException(
+      s"score evaluated to non-Double ${other.getClass.getName}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
@@ -71,21 +86,26 @@ case class TopKPerGroupExec(
       val tieBound = BindReferences.bindReference(tieCol, childOutput)
       val outProj = UnsafeProjection.create(
         childOutput.map(a => a: Expression) :+ rankAttr, childOutput :+ rankAttr)
-      // min-heap ordered so the WORST kept row is at the head
-      val heapOrd = Ordering.by[(Double, Long, UnsafeRow), (Double, Long)] {
-        case (s, t, _) => (-s, t) // head = smallest score, largest-last tie
+      // max under this ordering = WORST kept row (smallest score key,
+      // then largest tie) — so heap.head is the eviction candidate
+      val heapOrd = new Ordering[(Long, Long, UnsafeRow)] {
+        override def compare(
+            x: (Long, Long, UnsafeRow), y: (Long, Long, UnsafeRow)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+        }
       }
       val heaps = scala.collection.mutable.LinkedHashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
       iter.foreach { row =>
-        val score = scoreBound.eval(row).asInstanceOf[Double]
+        val score = scoreKey(scoreBound.eval(row))
         val tie = tieBound.eval(row).asInstanceOf[Long]
         val keyRef = groupProj(row)
         val heap = heaps.get(keyRef) match {
           case Some(h) => h
           case None =>
             val h = scala.collection.mutable
-              .PriorityQueue.empty[(Double, Long, UnsafeRow)](heapOrd)
+              .PriorityQueue.empty[(Long, Long, UnsafeRow)](heapOrd)
             heaps.put(keyRef.copy(), h)
             h
         }
@@ -101,7 +121,7 @@ case class TopKPerGroupExec(
       }
       val joined = new JoinedRow
       heaps.iterator.flatMap { case (_, heap) =>
-        val best: Seq[(Double, Long, UnsafeRow)] = heap.dequeueAll.reverse
+        val best: Seq[(Long, Long, UnsafeRow)] = heap.dequeueAll.reverse
         best.iterator.zipWithIndex.map { case ((_, _, row), i) =>
           outProj(joined(row, InternalRow(i + 1))).copy()
         }
@@ -150,6 +170,17 @@ object TopKPerGroup {
     def attr(n: String): Expression = lp.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    // The physical exec evals these as primitive Double/Long — a wrong
+    // type would only surface as a runtime ClassCastException mid-job.
+    // Validate here against the analyzed schema instead.
+    val scoreType = attr(score).dataType
+    require(scoreType == org.apache.spark.sql.types.DoubleType,
+      s"score column '$score' must be DoubleType, got $scoreType " +
+        "(cast it explicitly)")
+    val tieType = attr(tie).dataType
+    require(tieType == org.apache.spark.sql.types.LongType,
+      s"tie column '$tie' must be LongType, got $tieType " +
+        "(cast it explicitly)")
     Bridge.ofRows(spark, TopKPerGroupNode(
       groupCols.map(attr),
       attr(score),

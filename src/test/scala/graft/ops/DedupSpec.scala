@@ -79,11 +79,17 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     assert(sh(1L) == sh(2L)) // identical shingle sets → identical simhash
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+    // bands must exceed maxHamming for the pigeonhole recall guarantee
+    // (enforced by require in simhashNearDups)
     val pairs = Dedup.simhashNearDups(
-        docs, "doc_id", col("sh"), maxHamming = 10, bands = 4)
+        docs, "doc_id", col("sh"), maxHamming = 10, bands = 16)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", col("sh"),
+        maxHamming = 10, bands = 4)
+    }
   }
 
   test("clusterLabels reaches fixpoint on a chain graph (diameter > 2)") {

@@ -66,6 +66,22 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(!got.contains((0L, 3L))) // opposite vectors
   }
 
+  test("block count scales with corpus size: per-task memory is bounded") {
+    assert(Similarity.blocksFor(0L, 4096) == 1)
+    assert(Similarity.blocksFor(4096L, 4096) == 1)
+    assert(Similarity.blocksFor(4097L, 4096) == 2)
+    assert(Similarity.blocksFor(1_000_000L, 4096) == 245)
+    assert(Similarity.blocksFor(100L, 10) == 10)
+    // the kernel result is identical whatever the block layout
+    val derived = Similarity.cosineNearDupPairs(
+        vecs, "vec_id", "embedding", 0.99, targetPerBlock = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val pinned = Similarity.cosineNearDupPairs(
+        vecs, "vec_id", "embedding", 0.99, blocksOverride = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(derived == pinned)
+  }
+
   test("ivfTopK recall vs brute force on clustered real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

@@ -56,4 +56,33 @@ class TopKPerGroupSpec extends AnyFunSuite with WithSpark {
     // equal scores break ties by id ascending
     assert(got == Set((1, 10L, 1), (1, 11L, 2), (2, 20L, 1)))
   }
+
+  test("null and NaN scores order like the window desc formulation") {
+    // Spark desc ordering: NaN greatest (rank 1), nulls last
+    val df = Seq(
+      (1, 10L, Some(1.0)), (1, 11L, Some(Double.NaN)), (1, 12L, None),
+      (1, 13L, Some(Double.PositiveInfinity)),
+      (1, 14L, Some(Double.NegativeInfinity)))
+      .toDF("g", "id", "score")
+    val viaWindow = df
+      .withColumn("rank", row_number().over(Window.partitionBy("g")
+        .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 4)
+      .select("id", "rank").as[(Long, Int)].collect().toSet
+    val viaTopK = TopKPerGroup.topK(df, Seq("g"), "score", "id", 4)
+      .select("id", "rank").as[(Long, Int)].collect().toSet
+    assert(viaTopK == viaWindow)
+    assert(viaTopK == Set((11L, 1), (13L, 2), (10L, 3), (14L, 4)))
+  }
+
+  test("rejects non-Double score and non-Long tie columns at plan time") {
+    val df = Seq((1, 10, 2.5f)).toDF("g", "id", "score")
+    assertThrows[IllegalArgumentException] {
+      TopKPerGroup.topK(df, Seq("g"), "score", "id", 1) // Float score
+    }
+    val df2 = Seq((1, 10, 2.5)).toDF("g", "id", "score")
+    assertThrows[IllegalArgumentException] {
+      TopKPerGroup.topK(df2, Seq("g"), "score", "id", 1) // Int tie
+    }
+  }
 }
