@@ -19,6 +19,8 @@ object IndexQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- nested index assembly (customer ⋈ nation ⋈ orders) ----
+    // Canonicalized per Canon: dates as yyyy-MM-dd strings, money as
+    // DECIMAL(18,2) strings, nested columns as to_json.
     sql(
       "q_customer_index",
       """WITH n AS (
@@ -28,19 +30,34 @@ object IndexQueries {
         |o AS (
         |  SELECT o_custkey,
         |    list(struct_pack(orderkey := o_orderkey,
-        |          orderdate := o_orderdate, totalprice := o_totalprice)
+        |          orderdate := strftime(o_orderdate, '%Y-%m-%d'),
+        |          totalprice := o_totalprice::DECIMAL(18,2)::VARCHAR)
         |      ORDER BY o_orderkey) AS orders,
-        |    count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        |    count(*) AS n,
+        |    round(sum(o_totalprice), 2)::DECIMAL(18,2)::VARCHAR AS spend
         |  FROM orders GROUP BY 1)
-        |SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.nation, o.orders,
-        |  struct_pack(n_orders := coalesce(o.n, 0),
-        |    total_spend := coalesce(o.spend, 0.0),
-        |    has_orders := coalesce(o.n, 0) > 0) AS summary
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  to_json(n.nation) AS nation_json,
+        |  to_json(o.orders) AS orders_json,
+        |  to_json(struct_pack(n_orders := coalesce(o.n, 0),
+        |    total_spend := coalesce(o.spend, '0.00'),
+        |    has_orders := coalesce(o.n, 0) > 0)) AS summary_json
         |FROM customer c
         |LEFT JOIN n ON c.c_nationkey = n.n_nationkey
         |LEFT JOIN o ON c.c_custkey = o.o_custkey""".stripMargin) { (s, d) =>
       Indexes.customerIndex(
-        Tables.customer(s, d), Tables.nation(s, d), Tables.orders(s, d))
+          Tables.customer(s, d), Tables.nation(s, d), Tables.orders(s, d))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          Canon.js(col("nation")).as("nation_json"),
+          Canon.js(transform(col("orders"), o => struct(
+            o.getField("orderkey").as("orderkey"),
+            Canon.dateStr(o.getField("orderdate")).as("orderdate"),
+            Canon.money(o.getField("totalprice")).as("totalprice"))))
+            .as("orders_json"),
+          Canon.js(struct(
+            col("summary.n_orders").as("n_orders"),
+            Canon.money(col("summary.total_spend")).as("total_spend"),
+            col("summary.has_orders").as("has_orders"))).as("summary_json"))
     },
 
     // ---- two-level nest: customer → orders → lineitems ----
@@ -55,11 +72,12 @@ object IndexQueries {
         |o AS (
         |  SELECT o.o_custkey,
         |    list(struct_pack(orderkey := o.o_orderkey,
-        |          orderdate := o.o_orderdate, items := li.items)
+        |          orderdate := strftime(o.o_orderdate, '%Y-%m-%d'),
+        |          items := li.items)
         |      ORDER BY o.o_orderkey) AS orders
         |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
         |  GROUP BY 1)
-        |SELECT c.c_custkey, c.c_name, o.orders
+        |SELECT c.c_custkey, c.c_name, to_json(o.orders) AS orders_json
         |FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey""".stripMargin) {
       (s, d) =>
         val items = Nest.nestChildren(
@@ -72,11 +90,12 @@ object IndexQueries {
           .groupBy(col("o_custkey"))
           .agg(sort_array(collect_list(struct(
             col("o_orderkey").as("orderkey"),
-            col("o_orderdate").as("orderdate"),
+            Canon.dateStr(col("o_orderdate")).as("orderdate"),
             col("items")))).as("orders"))
         Tables.customer(s, d)
           .join(orders, col("c_custkey") === col("o_custkey"), "left")
-          .select("c_custkey", "c_name", "orders")
+          .select(col("c_custkey"), col("c_name"),
+            Canon.js(col("orders")).as("orders_json"))
     },
 
     // ---- DUO data-access codes (split → explode → lookup → nest) ----
@@ -104,13 +123,15 @@ object IndexQueries {
          |      AS access_requirements
          |  FROM j GROUP BY 1, 2)
          |SELECT study_id,
-         |  struct_pack(access_limitations := access_limitations,
-         |    access_requirements := access_requirements)
-         |    AS data_access_codes
+         |  to_json(struct_pack(access_limitations := access_limitations,
+         |    access_requirements := access_requirements))
+         |    AS data_access_codes_json
          |FROM g""".stripMargin) { (s, _) =>
       Indexes.dataAccessCodes(
-        Sources.tsv(s, s"$FixtureDir/study.tsv"),
-        Sources.jsonLines(s, s"$FixtureDir/duo_terms.jsonl.gz"))
+          Sources.tsv(s, s"$FixtureDir/study.tsv"),
+          Sources.jsonLines(s, s"$FixtureDir/duo_terms.jsonl.gz"))
+        .select(col("study_id"),
+          Canon.js(col("data_access_codes")).as("data_access_codes_json"))
     },
 
     // ---- full donor index over the clinical fixtures ----

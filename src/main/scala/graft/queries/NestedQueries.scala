@@ -16,11 +16,14 @@ object NestedQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- A1: groupBy + collect_list(struct) — THE core op ----
+    // (nested array projected through to_json so the driver's hasher
+    // can digest it; the DuckDB oracle mirrors with its own to_json)
     sql(
       "q_nest_order_items",
       """SELECT l_orderkey,
-        |  list(struct_pack(linenumber := l_linenumber, quantity := l_quantity)
-        |       ORDER BY l_linenumber, l_quantity) AS items,
+        |  to_json(list(struct_pack(linenumber := l_linenumber,
+        |                           quantity := l_quantity)
+        |       ORDER BY l_linenumber, l_quantity)) AS items_json,
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, d) =>
       Nest.nestChildren(
@@ -30,6 +33,8 @@ object NestedQueries {
             col("l_quantity").as("quantity")),
           as = "items")
         .withColumn("n_items", size(col("items")).cast("long"))
+        .select(col("l_orderkey"), Canon.js(col("items")).as("items_json"),
+          col("n_items"))
     },
 
     // ---- A1 + J4: nested children re-attached to the parent ----
@@ -56,23 +61,26 @@ object NestedQueries {
     sql(
       "q_collect_set",
       """SELECT o_custkey,
-        |  list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+        |  to_json(list(DISTINCT o_orderpriority ORDER BY o_orderpriority))
+        |    AS priorities_json
         |FROM orders GROUP BY o_custkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"))
+        .agg(Canon.js(sort_array(collect_set(col("o_orderpriority"))))
+          .as("priorities_json"))
     },
 
     // ---- A8: collect_list(array) → array_distinct(sort_array(flatten)) ----
     sql(
       "q_array_reagg",
       """SELECT lang,
-        |  list_sort(list_distinct(flatten(list(string_split(text, ' '))))) AS vocab
+        |  to_json(list_sort(list_distinct(flatten(list(string_split(text, ' '))))))
+        |    AS vocab_json
         |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
-        .agg(array_distinct(sort_array(flatten(
-          collect_list(split(col("text"), " "))))).as("vocab"))
+        .agg(Canon.js(array_distinct(sort_array(flatten(
+          collect_list(split(col("text"), " ")))))).as("vocab_json"))
     },
 
     // ---- §2.6 explode + P9 array_contains ----

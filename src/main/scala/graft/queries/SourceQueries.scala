@@ -51,13 +51,14 @@ object SourceQueries {
     // ---- S3: JSON-lines (gz) ontology term scan ----
     sql(
       "q_jsonl_terms",
-      s"""SELECT id, name, is_leaf, len(ancestors) AS n_ancestors, parents
+      s"""SELECT id, name, is_leaf, len(ancestors) AS n_ancestors,
+         |  to_json(parents) AS parents_json
          |FROM read_json_auto('$FixtureDir/terms.jsonl.gz')""".stripMargin) {
       (s, _) =>
         Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz")
           .select(col("id"), col("name"), col("is_leaf"),
             size(col("ancestors")).cast("long").as("n_ancestors"),
-            col("parents"))
+            Canon.js(col("parents")).as("parents_json"))
     },
 
     // ---- J1/P11: key minting + id attach + whitelist prune ----
