@@ -23,6 +23,146 @@ import org.apache.spark.sql.functions._
 object Indexes {
 
   private val DonorKey = Seq("study_id", "submitter_donor_id")
+  private val DiagKey = DonorKey :+ "submitter_diagnosis_id"
+
+  /** The full 12-entity clinical model plus the 4 ontology term tables
+    * (reference: PreProcessETLConfig.scala entity list; ProcessETL
+    * .scala:40-60 extract). Bundling the frames keeps the index
+    * builders' signatures stable as branches are added. */
+  final case class ClinicalInputs(
+      donor: DataFrame, study: DataFrame, phenotype: DataFrame,
+      file: DataFrame, biospecimen: DataFrame, samples: DataFrame,
+      diagnosis: DataFrame, treatment: DataFrame, followUp: DataFrame,
+      exposure: DataFrame, family: DataFrame, familyHistory: DataFrame,
+      hpoTerms: DataFrame, mondoTerms: DataFrame, icdTerms: DataFrame,
+      duoTerms: DataFrame)
+
+  object ClinicalInputs {
+    import graft.sources.Sources
+    /** Read every entity + term table from one fixture directory. */
+    def fromDir(spark: org.apache.spark.sql.SparkSession,
+        dir: String): ClinicalInputs = ClinicalInputs(
+      donor = Sources.tsv(spark, s"$dir/donor.tsv"),
+      study = Sources.tsv(spark, s"$dir/study.tsv"),
+      phenotype = Sources.tsv(spark, s"$dir/phenotype.tsv"),
+      file = Sources.tsv(spark, s"$dir/file.tsv"),
+      biospecimen = Sources.tsv(spark, s"$dir/biospecimen.tsv"),
+      samples = Sources.tsv(spark, s"$dir/sample_registration.tsv"),
+      diagnosis = Sources.tsv(spark, s"$dir/diagnosis.tsv"),
+      treatment = Sources.tsv(spark, s"$dir/treatment.tsv"),
+      followUp = Sources.tsv(spark, s"$dir/follow_up.tsv"),
+      exposure = Sources.tsv(spark, s"$dir/exposure.tsv"),
+      family = Sources.tsv(spark, s"$dir/family.tsv"),
+      familyHistory = Sources.tsv(spark, s"$dir/family_history.tsv"),
+      hpoTerms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
+      mondoTerms = Sources.jsonLines(spark, s"$dir/mondo_terms.jsonl.gz"),
+      icdTerms = Sources.jsonLines(spark, s"$dir/icd_terms.jsonl.gz"),
+      duoTerms = Sources.jsonLines(spark, s"$dir/duo_terms.jsonl.gz"))
+  }
+
+  /** MONDO root-membership main-category rule (reference
+    * ProcessETLUtils.scala:244-245). */
+  val MondoRoot: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    anc => array_contains(anc.getField("parents"),
+      "disease or disorder (MONDO:0000001)")
+
+  /** ICD chapter-range regex main-category rule (reference
+    * ProcessETLUtils.scala:247: `^[A-Z][0-9]{2}-[A-Z][0-9]{2}`). */
+  val IcdChapterRoot
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    anc => anc.getField("id").rlike("^[A-Z][0-9]{2}-[A-Z][0-9]{2}")
+
+  /** ICD term ids arrive as `code|chapter` — split into a clean `id`
+    * plus a `chapter` column (reference ProcessETLUtils.scala:114-120
+    * regexp `^(.*)\|([1-9]*)`). */
+  def splitIcdTerms(icdTerms: DataFrame): DataFrame = {
+    val re = "^(.*)\\|([1-9]*)"
+    icdTerms
+      .withColumn("__code", regexp_extract(col("id"), re, 1))
+      .withColumn("chapter", regexp_extract(col("id"), re, 2))
+      .drop("id")
+      .withColumnRenamed("__code", "id")
+  }
+
+  /** Diagnoses nested per donor, each diagnosis carrying its MONDO and
+    * ICD main categories plus its treatments and follow-ups as sorted
+    * child arrays (reference: ProcessETLUtils.scala:108-126 MONDO/ICD
+    * expansion, :347-404 loadDiagnoses).
+    *
+    * Plan shape: main categories are resolved on the broadcast term
+    * dimension ([[Ontology.termMainCategory]]) so the diagnosis fact
+    * is scanned ONCE and never shuffled for the ontology step; the
+    * only shuffles are the child nests on submitter_diagnosis_id and
+    * the final donor nest — all equi-keys, AQE-safe at scale.
+    */
+  def diagnosesPerDonor(
+      diagnosis: DataFrame, treatment: DataFrame, followUp: DataFrame,
+      mondoTerms: DataFrame, icdTerms: DataFrame): DataFrame = {
+    val mondoMc = broadcast(
+      Ontology.termMainCategory(mondoTerms, MondoRoot)
+        .select(col("id").as("__mondo_id"),
+          col("main_category").as("mondo_main_category")))
+    val icdMc = broadcast(
+      Ontology.termMainCategory(splitIcdTerms(icdTerms), IcdChapterRoot)
+        .select(col("id").as("__icd_id"),
+          col("main_category").as("icd_main_category")))
+    def childNest(child: DataFrame, as: String): DataFrame =
+      Nest.nestChildren(
+        child, Seq("submitter_diagnosis_id"),
+        child.columns.filterNot(DiagKey.contains).map(col).toIndexedSeq, as)
+    val enriched = diagnosis
+      .join(mondoMc, diagnosis("diagnosis_mondo_code") === col("__mondo_id"),
+        "left")
+      .join(icdMc, diagnosis("diagnosis_ICD_code") === col("__icd_id"), "left")
+      .drop("__mondo_id", "__icd_id")
+      .join(childNest(treatment, "treatments"),
+        Seq("submitter_diagnosis_id"), "left")
+      .join(childNest(followUp, "follow_ups"),
+        Seq("submitter_diagnosis_id"), "left")
+    Nest.nestChildren(
+      enriched, DonorKey,
+      enriched.columns.filterNot(DonorKey.contains).map(col).toIndexedSeq,
+      "diagnoses")
+  }
+
+  /** Per-donor MONDO and ICD ancestor expansions (reference joins
+    * `mondoPerStudyIdAndDonor._1` / `icd._1` onto the diagnosis group,
+    * ProcessETLUtils.scala:178-182): one row per donor with `mondo`
+    * and `icd` array-of-term columns. */
+  def diagnosisExpansionsPerDonor(
+      diagnosis: DataFrame, mondoTerms: DataFrame,
+      icdTerms: DataFrame): DataFrame = {
+    val mondo = Ontology.expandAndNest(
+      diagnosis, mondoTerms, codeCol = "diagnosis_mondo_code",
+      groupKeys = DonorKey, valueCol = "age_at_diagnosis", as = "mondo")
+    val icd = Ontology.expandAndNest(
+      diagnosis, splitIcdTerms(icdTerms), codeCol = "diagnosis_ICD_code",
+      groupKeys = DonorKey, valueCol = "age_at_diagnosis", as = "icd")
+    mondo.join(icd, DonorKey, "full")
+  }
+
+  /** Family relationships, family conditions, and exposures nested per
+    * donor (reference loadDonors, ProcessETLUtils.scala:187-231). The
+    * reference left-joins then collect_lists null-field structs for
+    * childless donors; here childless donors get a null array (the
+    * nest is built from the child side), which downstream coalesces
+    * treat as empty. */
+  def donorNests(
+      donor: DataFrame, family: DataFrame, familyHistory: DataFrame,
+      exposure: DataFrame): DataFrame = {
+    def nest(child: DataFrame, drop: Seq[String], as: String): DataFrame =
+      Nest.nestChildren(
+        child, Seq("submitter_donor_id"),
+        child.columns.filterNot(drop.contains).map(col).toIndexedSeq, as)
+    donor
+      .join(nest(family, Seq("study_id", "submitter_donor_id",
+        "is_a_proband"), "family_relationships"),
+        Seq("submitter_donor_id"), "left")
+      .join(nest(familyHistory, Seq("study_id", "submitter_donor_id"),
+        "family_conditions"), Seq("submitter_donor_id"), "left")
+      .join(nest(exposure, Seq("study_id", "submitter_donor_id"),
+        "exposures"), Seq("submitter_donor_id"), "left")
+  }
 
   /** Observed/non-observed phenotypes, ontology-expanded and nested,
     * one row per donor — ONE scan of the phenotype fact table (the
@@ -75,33 +215,28 @@ object Indexes {
           .map(col).toIndexedSeq: _*)).as("__s"))
         .select(col("study_id"), array(col("__s")).as("study")))
 
-  /** Donor-centric nested index over the clinical model.
-    *
-    * @param donor       pre-processed donor rows (one per donor)
-    * @param study       pre-processed study rows (dimension)
-    * @param phenotype   phenotype child rows with an HPO code column
-    * @param file        file child rows
-    * @param biospecimen biospecimen rows (files join through them)
-    * @param samples     sample-registration rows (nested under
-    *                    biospecimen)
-    * @param terms       ontology term table (id, name, parents,
-    *                    ancestors, is_leaf)
-    * @param meta        literal stamps (dictionary/study version)
+  /** Donor-centric nested index over the full 12-entity clinical
+    * model (reference: DonorIndex.scala:21-113 + ProcessETLUtils
+    * loadDonors/loadDiagnoses): one row per donor with the study
+    * dimension, phenotype expansions, the diagnosis branch (MONDO/ICD
+    * main categories, nested treatments and follow-ups, per-donor
+    * ancestor expansions), family/exposure nests, files with
+    * biospecimen, a summary struct, and metadata stamps.
     */
   def donorIndex(
-      donor: DataFrame,
-      study: DataFrame,
-      phenotype: DataFrame,
-      file: DataFrame,
-      biospecimen: DataFrame,
-      samples: DataFrame,
-      terms: DataFrame,
+      in: ClinicalInputs,
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
     val donorKey = DonorKey
-    val studyArr = studyStructArr(study)
-    val phenoNested = phenotypesPerDonor(phenotype, terms)
+    val studyArr = studyStructArr(in.study)
+    val phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms)
+    val diagNested = diagnosesPerDonor(
+      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
+    val diagExpanded = diagnosisExpansionsPerDonor(
+      in.diagnosis, in.mondoTerms, in.icdTerms)
+    val donorEnriched = donorNests(
+      in.donor, in.family, in.familyHistory, in.exposure)
     val filesNested = Nest.nestChildren(
-      filesWithBiospecimen(file, biospecimen, samples),
+      filesWithBiospecimen(in.file, in.biospecimen, in.samples),
       donorKey,
       Seq(col("file_name"), col("data_category"), col("data_type"),
         col("experimental_strategy"), col("file_format"),
@@ -111,9 +246,11 @@ object Indexes {
     // summary struct derived from the ALREADY-NESTED files array via
     // array HOFs — no second scan of the file table
     val emptyS = array().cast("array<string>")
-    val assembled = donor
+    val assembled = donorEnriched
       .join(studyArr, Seq("study_id"), "left")
       .join(phenoNested, donorKey, "left")
+      .join(diagNested, donorKey, "left")
+      .join(diagExpanded, donorKey, "left")
       .join(filesNested, donorKey, "left")
       .withColumn("summary", struct(
         coalesce(sort_array(array_distinct(
@@ -124,8 +261,8 @@ object Indexes {
           emptyS).as("experimental_strategy"),
         coalesce(size(col("files")), lit(0)).cast("long").as("n_files"),
         (coalesce(size(col("files")), lit(0)) > 0).as("files_available"),
-        col("observed_phenotypes").isNotNull
-          .as("clinical_data_available")))
+        (col("observed_phenotypes").isNotNull ||
+          col("diagnoses").isNotNull).as("clinical_data_available")))
 
     meta.foldLeft(assembled) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
@@ -140,24 +277,21 @@ object Indexes {
     * the final nests shuffle on study_id.
     */
   def studyIndex(
-      study: DataFrame,
-      donor: DataFrame,
-      phenotype: DataFrame,
-      file: DataFrame,
-      biospecimen: DataFrame,
-      samples: DataFrame,
-      terms: DataFrame,
-      duoTerms: DataFrame,
+      in: ClinicalInputs,
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val phenoNested = phenotypesPerDonor(phenotype, terms)
-    val donorCols = donor.columns.filterNot(_ == "study_id").toIndexedSeq
-    val donorsNested = donor
+    val phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms)
+    val diagNested = diagnosesPerDonor(
+      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
+    val donorCols = in.donor.columns.filterNot(_ == "study_id").toIndexedSeq
+    val donorsNested = in.donor
       .join(phenoNested, DonorKey, "left")
+      .join(diagNested, DonorKey, "left")
       .groupBy("study_id")
       .agg(collect_list(struct(
         (donorCols.map(col) ++ Seq(col("observed_phenotypes"),
-          col("non_observed_phenotypes"))): _*)).as("donors"))
-    val filesNested = filesWithBiospecimen(file, biospecimen, samples)
+          col("non_observed_phenotypes"), col("diagnoses"))): _*))
+        .as("donors"))
+    val filesNested = filesWithBiospecimen(in.file, in.biospecimen, in.samples)
       .groupBy("study_id")
       .agg(
         collect_list(struct(col("file_name"), col("data_category"),
@@ -166,10 +300,10 @@ object Indexes {
         sort_array(collect_set(col("data_category"))).as("__cats"),
         sort_array(collect_set(col("experimental_strategy"))).as("__strats"),
         countDistinct(col("submitter_donor_id")).as("__nd"))
-    val assembled = study
+    val assembled = in.study
       .join(donorsNested, Seq("study_id"), "left")
       .join(filesNested, Seq("study_id"), "left")
-      .join(dataAccessCodes(study, duoTerms), Seq("study_id"), "left")
+      .join(dataAccessCodes(in.study, in.duoTerms), Seq("study_id"), "left")
       .withColumn("summary", struct(
         coalesce(col("__cats"), array().cast("array<string>"))
           .as("data_category"),
@@ -189,23 +323,21 @@ object Indexes {
     * fan-out beyond the reference's own donors-per-file nest.
     */
   def fileIndex(
-      file: DataFrame,
-      donor: DataFrame,
-      study: DataFrame,
-      phenotype: DataFrame,
-      biospecimen: DataFrame,
-      samples: DataFrame,
-      terms: DataFrame,
+      in: ClinicalInputs,
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val phenoNested = phenotypesPerDonor(phenotype, terms)
-    val donorStruct = donor
+    val phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms)
+    val diagNested = diagnosesPerDonor(
+      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
+    val donorStruct = in.donor
       .join(phenoNested, DonorKey, "left")
+      .join(diagNested, DonorKey, "left")
       .select(col("study_id"), col("submitter_donor_id"),
-        struct((donor.columns.filterNot(_ == "study_id").map(col) ++
-          Seq(col("observed_phenotypes"), col("non_observed_phenotypes")))
+        struct((in.donor.columns.filterNot(_ == "study_id").map(col) ++
+          Seq(col("observed_phenotypes"), col("non_observed_phenotypes"),
+            col("diagnoses")))
           .toIndexedSeq: _*).as("donor"))
-    val assembled = filesWithBiospecimen(file, biospecimen, samples)
-      .join(studyStructArr(study), Seq("study_id"), "left")
+    val assembled = filesWithBiospecimen(in.file, in.biospecimen, in.samples)
+      .join(studyStructArr(in.study), Seq("study_id"), "left")
       .join(donorStruct, DonorKey, "left")
     meta.foldLeft(assembled) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }

@@ -37,14 +37,34 @@ object Pipeline {
       "submitter_biospecimen_id", "submitter_sample_id", "sample_type"),
     "file" -> Seq("study_id", "submitter_donor_id",
       "submitter_biospecimen_id", "file_name", "data_category",
-      "data_type", "experimental_strategy", "file_format", "data_access"))
+      "data_type", "experimental_strategy", "file_format", "data_access"),
+    "diagnosis" -> Seq("study_id", "submitter_donor_id",
+      "submitter_diagnosis_id", "diagnosis_mondo_code",
+      "diagnosis_ICD_code", "age_at_diagnosis", "is_cancer"),
+    "treatment" -> Seq("study_id", "submitter_donor_id",
+      "submitter_treatment_id", "submitter_diagnosis_id",
+      "treatment_type", "treatment_intent"),
+    "followup" -> Seq("study_id", "submitter_donor_id",
+      "submitter_diagnosis_id", "submitter_follow_up_id",
+      "days_to_follow_up", "disease_status"),
+    "exposure" -> Seq("study_id", "submitter_donor_id",
+      "smoking_status", "alcohol_status"),
+    "family" -> Seq("study_id", "submitter_family_id",
+      "submitter_donor_id", "family_type", "is_a_proband",
+      "relationship_to_proband"),
+    "familyhistory" -> Seq("study_id", "submitter_donor_id",
+      "submitter_family_condition_id", "family_condition_name",
+      "family_condition_age", "family_condition_relationship"))
 
   /** File-name stem per entity in the fixture directory. */
   private val EntityFiles: Map[String, String] = Map(
     "donor" -> "donor.tsv", "study" -> "study.tsv",
     "phenotype" -> "phenotype.tsv", "biospecimen" -> "biospecimen.tsv",
     "sampleregistration" -> "sample_registration.tsv",
-    "file" -> "file.tsv")
+    "file" -> "file.tsv",
+    "diagnosis" -> "diagnosis.tsv", "treatment" -> "treatment.tsv",
+    "followup" -> "follow_up.tsv", "exposure" -> "exposure.tsv",
+    "family" -> "family.tsv", "familyhistory" -> "family_history.tsv")
 
   /** Stage 1: TSV → pre-processed parquet. Returns the frames too so
     * callers can continue without re-reading. The dictionary resolves
@@ -78,23 +98,24 @@ object Pipeline {
   def processStage(
       spark: SparkSession, inputDir: String,
       entities: Map[String, DataFrame], outDir: String): Unit = {
-    val terms = Sources.jsonLines(spark, s"$inputDir/terms.jsonl.gz")
-    val duo = Sources.jsonLines(spark, s"$inputDir/duo_terms.jsonl.gz")
-    val donors = Indexes.donorIndex(
-      entities("donor"), entities("study"), entities("phenotype"),
-      entities("file"), entities("biospecimen"),
-      entities("sampleregistration"), terms)
-    val studies = Indexes.studyIndex(
-      entities("study"), entities("donor"), entities("phenotype"),
-      entities("file"), entities("biospecimen"),
-      entities("sampleregistration"), terms, duo)
-    val files = Indexes.fileIndex(
-      entities("file"), entities("donor"), entities("study"),
-      entities("phenotype"), entities("biospecimen"),
-      entities("sampleregistration"), terms)
-    Sinks.partitionedJson(donors, s"$outDir/donors", Seq("study_id"))
-    Sinks.partitionedJson(studies, s"$outDir/studies", Seq("study_id"))
-    Sinks.partitionedJson(files, s"$outDir/files", Seq("study_id"))
+    val in = Indexes.ClinicalInputs(
+      donor = entities("donor"), study = entities("study"),
+      phenotype = entities("phenotype"), file = entities("file"),
+      biospecimen = entities("biospecimen"),
+      samples = entities("sampleregistration"),
+      diagnosis = entities("diagnosis"), treatment = entities("treatment"),
+      followUp = entities("followup"), exposure = entities("exposure"),
+      family = entities("family"), familyHistory = entities("familyhistory"),
+      hpoTerms = Sources.jsonLines(spark, s"$inputDir/terms.jsonl.gz"),
+      mondoTerms = Sources.jsonLines(spark, s"$inputDir/mondo_terms.jsonl.gz"),
+      icdTerms = Sources.jsonLines(spark, s"$inputDir/icd_terms.jsonl.gz"),
+      duoTerms = Sources.jsonLines(spark, s"$inputDir/duo_terms.jsonl.gz"))
+    Sinks.partitionedJson(
+      Indexes.donorIndex(in), s"$outDir/donors", Seq("study_id"))
+    Sinks.partitionedJson(
+      Indexes.studyIndex(in), s"$outDir/studies", Seq("study_id"))
+    Sinks.partitionedJson(
+      Indexes.fileIndex(in), s"$outDir/files", Seq("study_id"))
   }
 
   /** Both stages, fixture-dir in → JSON indexes out. */

@@ -86,6 +86,27 @@ object Ontology {
         .as("main_category"))
   }
 
+  /** Per-TERM main category: the ancestor (satisfying `rootPredicate`)
+    * with the minimum "Name (ID)" display, computed once per term row.
+    *
+    * The reference computes the main category per DATA row
+    * (ProcessETLUtils.scala:240-248,406-425), but the pick is a pure
+    * function of the code's precomputed ancestor closure — so the
+    * Spark-first plan resolves it on the dimension side and broadcast-
+    * joins one (id, main_category) row per code back to the fact:
+    * ONE fact scan and zero fact-side shuffles, vs. the reference's
+    * explode-the-join then re-group-by-data-keys (a full shuffle of
+    * the exploded fact). Identical result by construction.
+    */
+  def termMainCategory(
+      terms: DataFrame, rootPredicate: Column => Column): DataFrame =
+    terms
+      .select(col("id"), explode(col("ancestors")).as("anc"))
+      .filter(rootPredicate(col("anc")))
+      .groupBy(col("id"))
+      .agg(min(concat(col("anc.name"), lit(" ("), col("anc.id"), lit(")")))
+        .as("main_category"))
+
   /** Merge per-(group, term) payload-value lists:
     * `collect_list(array(c))` → `array_distinct(sort_array(flatten(...)))`
     * (reference: ProcessETLUtils.scala:299-318 age_at_event merge).

@@ -40,4 +40,19 @@ object Canon {
   /** Timestamp/date → `yyyy-MM-dd` string, matching DuckDB
     * `strftime(x, '%Y-%m-%d')`. */
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Project every complex (array/struct/map) column of `df` through
+    * [[js]] as `<name>_json`, leaving scalars untouched — the blanket
+    * driver-checkable form for wide index products. */
+  def flattenNested(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          js(df.col(f.name)).as(f.name + "_json")
+        case _ => df.col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
 }

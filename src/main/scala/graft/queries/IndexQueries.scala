@@ -134,41 +134,148 @@ object IndexQueries {
           Canon.js(col("data_access_codes")).as("data_access_codes_json"))
     },
 
-    // ---- full donor index over the clinical fixtures ----
+    // ---- diagnosis branch: MONDO/ICD main categories + treatments
+    //      and follow-ups nested under each diagnosis ----
+    sql(
+      "q_diagnosis_nest",
+      s"""WITH diag AS (SELECT * FROM read_csv('$FixtureDir/diagnosis.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |tr AS (SELECT * FROM read_csv('$FixtureDir/treatment.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |fu AS (SELECT * FROM read_csv('$FixtureDir/follow_up.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |mondo_mc AS (
+         |  SELECT id, min(a.name || ' (' || a.id || ')') AS mc
+         |  FROM (SELECT id, unnest(ancestors) AS a
+         |        FROM read_json_auto('$FixtureDir/mondo_terms.jsonl.gz'))
+         |  WHERE list_contains(a.parents,
+         |    'disease or disorder (MONDO:0000001)')
+         |  GROUP BY id),
+         |icd_mc AS (
+         |  SELECT id, min(a.name || ' (' || a.id || ')') AS mc
+         |  FROM (SELECT regexp_extract(id, '^(.*)\\|([1-9]*)', 1) AS id,
+         |               unnest(ancestors) AS a
+         |        FROM read_json_auto('$FixtureDir/icd_terms.jsonl.gz'))
+         |  WHERE regexp_matches(a.id, '^[A-Z][0-9]{2}-[A-Z][0-9]{2}')
+         |  GROUP BY id),
+         |trn AS (
+         |  SELECT submitter_diagnosis_id,
+         |    list(struct_pack(
+         |      submitter_treatment_id := submitter_treatment_id,
+         |      treatment_type := treatment_type,
+         |      treatment_intent := treatment_intent)
+         |      ORDER BY submitter_treatment_id, treatment_type,
+         |        treatment_intent) AS treatments
+         |  FROM tr GROUP BY 1),
+         |fun AS (
+         |  SELECT submitter_diagnosis_id,
+         |    list(struct_pack(
+         |      submitter_follow_up_id := submitter_follow_up_id,
+         |      days_to_follow_up := days_to_follow_up,
+         |      disease_status := disease_status)
+         |      ORDER BY submitter_follow_up_id, days_to_follow_up,
+         |        disease_status) AS follow_ups
+         |  FROM fu GROUP BY 1),
+         |enriched AS (
+         |  SELECT d.*, m.mc AS mondo_main_category,
+         |    i.mc AS icd_main_category, trn.treatments, fun.follow_ups
+         |  FROM diag d
+         |  LEFT JOIN mondo_mc m ON d.diagnosis_mondo_code = m.id
+         |  LEFT JOIN icd_mc i ON d.diagnosis_ICD_code = i.id
+         |  LEFT JOIN trn USING (submitter_diagnosis_id)
+         |  LEFT JOIN fun USING (submitter_diagnosis_id))
+         |SELECT study_id, submitter_donor_id,
+         |  to_json(list(struct_pack(
+         |    submitter_diagnosis_id := submitter_diagnosis_id,
+         |    diagnosis_mondo_code := diagnosis_mondo_code,
+         |    diagnosis_ICD_code := diagnosis_ICD_code,
+         |    age_at_diagnosis := age_at_diagnosis,
+         |    is_cancer := is_cancer,
+         |    mondo_main_category := mondo_main_category,
+         |    icd_main_category := icd_main_category,
+         |    treatments := treatments,
+         |    follow_ups := follow_ups) ORDER BY submitter_diagnosis_id))
+         |    AS diagnoses_json
+         |FROM enriched GROUP BY 1, 2""".stripMargin) { (s, _) =>
+      Indexes.diagnosesPerDonor(
+          diagnosis = Sources.tsv(s, s"$FixtureDir/diagnosis.tsv"),
+          treatment = Sources.tsv(s, s"$FixtureDir/treatment.tsv"),
+          followUp = Sources.tsv(s, s"$FixtureDir/follow_up.tsv"),
+          mondoTerms = Sources.jsonLines(s, s"$FixtureDir/mondo_terms.jsonl.gz"),
+          icdTerms = Sources.jsonLines(s, s"$FixtureDir/icd_terms.jsonl.gz"))
+        .select(col("study_id"), col("submitter_donor_id"),
+          Canon.js(col("diagnoses")).as("diagnoses_json"))
+    },
+
+    // ---- family / family-history / exposure donor nests ----
+    sql(
+      "q_donor_nests",
+      s"""WITH donor AS (SELECT * FROM read_csv('$FixtureDir/donor.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |fam AS (
+         |  SELECT submitter_donor_id,
+         |    list(struct_pack(submitter_family_id := submitter_family_id,
+         |      family_type := family_type,
+         |      relationship_to_proband := relationship_to_proband)
+         |      ORDER BY submitter_family_id, family_type,
+         |        relationship_to_proband) AS family_relationships
+         |  FROM read_csv('$FixtureDir/family.tsv', delim='\\t',
+         |    header=true, all_varchar=true) GROUP BY 1),
+         |fh AS (
+         |  SELECT submitter_donor_id,
+         |    list(struct_pack(
+         |      submitter_family_condition_id := submitter_family_condition_id,
+         |      family_condition_name := family_condition_name,
+         |      family_condition_age := family_condition_age,
+         |      family_condition_relationship := family_condition_relationship)
+         |      ORDER BY submitter_family_condition_id) AS family_conditions
+         |  FROM read_csv('$FixtureDir/family_history.tsv', delim='\\t',
+         |    header=true, all_varchar=true) GROUP BY 1),
+         |ex AS (
+         |  SELECT submitter_donor_id,
+         |    list(struct_pack(smoking_status := smoking_status,
+         |      alcohol_status := alcohol_status)
+         |      ORDER BY smoking_status, alcohol_status) AS exposures
+         |  FROM read_csv('$FixtureDir/exposure.tsv', delim='\\t',
+         |    header=true, all_varchar=true) GROUP BY 1)
+         |SELECT d.study_id, d.submitter_donor_id,
+         |  to_json(fam.family_relationships) AS family_relationships_json,
+         |  to_json(fh.family_conditions) AS family_conditions_json,
+         |  to_json(ex.exposures) AS exposures_json
+         |FROM donor d
+         |LEFT JOIN fam USING (submitter_donor_id)
+         |LEFT JOIN fh USING (submitter_donor_id)
+         |LEFT JOIN ex USING (submitter_donor_id)""".stripMargin) { (s, _) =>
+      Indexes.donorNests(
+          donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
+          family = Sources.tsv(s, s"$FixtureDir/family.tsv"),
+          familyHistory = Sources.tsv(s, s"$FixtureDir/family_history.tsv"),
+          exposure = Sources.tsv(s, s"$FixtureDir/exposure.tsv"))
+        .select(col("study_id"), col("submitter_donor_id"),
+          Canon.js(col("family_relationships"))
+            .as("family_relationships_json"),
+          Canon.js(col("family_conditions")).as("family_conditions_json"),
+          Canon.js(col("exposures")).as("exposures_json"))
+    },
+
+    // ---- full index products over the clinical fixtures (no SQL
+    //      oracle — golden assertions live in IndexesSpec; outputs are
+    //      Canon-flattened so the driver's hasher can digest them) ----
     noOracle("q_donor_index") { (s, _) =>
-      Indexes.donorIndex(
-        donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
-        study = Sources.tsv(s, s"$FixtureDir/study.tsv"),
-        phenotype = Sources.tsv(s, s"$FixtureDir/phenotype.tsv"),
-        file = Sources.tsv(s, s"$FixtureDir/file.tsv"),
-        biospecimen = Sources.tsv(s, s"$FixtureDir/biospecimen.tsv"),
-        samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
-        terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
-        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
+      Canon.flattenNested(Indexes.donorIndex(
+        Indexes.ClinicalInputs.fromDir(s, FixtureDir),
+        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
     noOracle("q_study_index") { (s, _) =>
-      Indexes.studyIndex(
-        study = Sources.tsv(s, s"$FixtureDir/study.tsv"),
-        donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
-        phenotype = Sources.tsv(s, s"$FixtureDir/phenotype.tsv"),
-        file = Sources.tsv(s, s"$FixtureDir/file.tsv"),
-        biospecimen = Sources.tsv(s, s"$FixtureDir/biospecimen.tsv"),
-        samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
-        terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
-        duoTerms = Sources.jsonLines(s, s"$FixtureDir/duo_terms.jsonl.gz"),
-        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
+      Canon.flattenNested(Indexes.studyIndex(
+        Indexes.ClinicalInputs.fromDir(s, FixtureDir),
+        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
     noOracle("q_file_index") { (s, _) =>
-      Indexes.fileIndex(
-        file = Sources.tsv(s, s"$FixtureDir/file.tsv"),
-        donor = Sources.tsv(s, s"$FixtureDir/donor.tsv"),
-        study = Sources.tsv(s, s"$FixtureDir/study.tsv"),
-        phenotype = Sources.tsv(s, s"$FixtureDir/phenotype.tsv"),
-        biospecimen = Sources.tsv(s, s"$FixtureDir/biospecimen.tsv"),
-        samples = Sources.tsv(s, s"$FixtureDir/sample_registration.tsv"),
-        terms = Sources.jsonLines(s, s"$FixtureDir/terms.jsonl.gz"),
-        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
+      Canon.flattenNested(Indexes.fileIndex(
+        Indexes.ClinicalInputs.fromDir(s, FixtureDir),
+        meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     })
 }

@@ -33,12 +33,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "customer.parquet") == 1)
   }
 
-  test("donor index reads each of its 7 inputs exactly once") {
+  test("donor index reads each of its inputs exactly once") {
     val p = plan("q_donor_index")
+    // the diagnosis fact feeds two branches (diagnoses nest + per-donor
+    // MONDO/ICD expansions), each of which scans it — anything beyond
+    // those planned scans is a regression
     for (f <- Seq("donor.tsv", "phenotype.tsv", "file.tsv",
-        "biospecimen.tsv", "sample_registration.tsv", "study.tsv")) {
+        "biospecimen.tsv", "sample_registration.tsv", "study.tsv",
+        "treatment.tsv", "follow_up.tsv", "exposure.tsv", "family.tsv",
+        "family_history.tsv")) {
       assert(count(p, f) == 1, s"$f scanned more than once")
     }
+    assert(count(p, "diagnosis.tsv") <= 3, "diagnosis fact scan fan-out grew")
   }
 
   test("knn top-k runs through the custom bounded-heap operator") {

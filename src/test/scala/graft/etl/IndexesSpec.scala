@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Golden assertions over the assembled donor index, reference-style
+/** Golden assertions over the assembled index products, reference-style
   * (reference: PreProcessETLTest golden compare + StudiesExpected
   * nested shape). */
 class IndexesSpec extends AnyFunSuite with WithSpark {
@@ -14,14 +14,10 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
 
   private val dir = "src/test/resources/clinical"
 
+  private lazy val inputs = Indexes.ClinicalInputs.fromDir(spark, dir)
+
   private lazy val index = Indexes.donorIndex(
-    donor = Sources.tsv(spark, s"$dir/donor.tsv"),
-    study = Sources.tsv(spark, s"$dir/study.tsv"),
-    phenotype = Sources.tsv(spark, s"$dir/phenotype.tsv"),
-    file = Sources.tsv(spark, s"$dir/file.tsv"),
-    biospecimen = Sources.tsv(spark, s"$dir/biospecimen.tsv"),
-    samples = Sources.tsv(spark, s"$dir/sample_registration.tsv"),
-    terms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
+    inputs,
     meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42"))
     .cache()
 
@@ -54,6 +50,83 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(nobs.contains("HP:0000003"))
   }
 
+  test("diagnosis branch: MONDO + ICD main categories per diagnosis") {
+    // DO001 DG001: MONDO:0005068 → "cardiovascular disorder
+    // (MONDO:0004995)" (parents contain the MONDO root); ICD I21 →
+    // chapter-range ancestor "Ischaemic heart diseases (I20-I25)"
+    val dg = index.filter($"submitter_donor_id" === "DO001")
+      .select(explode($"diagnoses").as("d"))
+      .select($"d.submitter_diagnosis_id", $"d.mondo_main_category",
+        $"d.icd_main_category")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dg("DG001") == (("cardiovascular disorder (MONDO:0004995)",
+      "Ischaemic heart diseases (I20-I25)")))
+    assert(dg("DG002") == (("nervous system disorder (MONDO:0005071)",
+      "Episodic and paroxysmal disorders (G40-G47)")))
+    // DO005 DG005 has unknown codes → null main categories
+    val dg5 = index.filter($"submitter_donor_id" === "DO005")
+      .select(explode($"diagnoses").as("d"))
+      .select($"d.mondo_main_category", $"d.icd_main_category")
+      .collect().head
+    assert(dg5.isNullAt(0) && dg5.isNullAt(1))
+  }
+
+  test("treatments and follow-ups nest under their diagnosis") {
+    val dg = index.filter($"submitter_donor_id" === "DO001")
+      .select(explode($"diagnoses").as("d"))
+      .select($"d.submitter_diagnosis_id",
+        coalesce(size($"d.treatments"), lit(-1)),
+        coalesce(size($"d.follow_ups"), lit(-1)))
+      .as[(String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dg("DG001") == ((2, 1))) // TR001+TR002, FU001
+    assert(dg("DG002") == ((-1, -1))) // no children → null nests
+    val tr = index.filter($"submitter_donor_id" === "DO001")
+      .select(explode($"diagnoses").as("d"))
+      .filter($"d.submitter_diagnosis_id" === "DG001")
+      .select(explode($"d.treatments").as("t"))
+      .select($"t.submitter_treatment_id", $"t.treatment_type")
+      .as[(String, String)].collect().toSeq
+    assert(tr == Seq(("TR001", "Surgery"), ("TR002", "Medication")))
+  }
+
+  test("per-donor MONDO/ICD ancestor expansions (mondo + icd arrays)") {
+    // DO001 has MONDO:0005068 + MONDO:0005027 → leaves tagged plus
+    // cardiovascular/nervous-system ancestors plus shared root
+    val mondo = index.filter($"submitter_donor_id" === "DO001")
+      .select(explode($"mondo").as("t"))
+      .select($"t.term_id", $"t.is_tagged")
+      .as[(String, Boolean)].collect().toMap
+    assert(mondo.keySet == Set("MONDO:0005068", "MONDO:0005027",
+      "MONDO:0004995", "MONDO:0005071", "MONDO:0000001"))
+    assert(mondo("MONDO:0005068") && !mondo("MONDO:0000001"))
+    // ICD codes expand through the split id (I21, not I21|9)
+    val icd = index.filter($"submitter_donor_id" === "DO001")
+      .select(explode($"icd").as("t"))
+      .select($"t.term_id").as[String].collect().toSet
+    assert(icd.contains("I21") && icd.contains("G40"))
+  }
+
+  test("family, family-history, exposure nests on the donor row") {
+    val d1 = index.filter($"submitter_donor_id" === "DO001")
+      .select(size($"family_relationships"), size($"family_conditions"),
+        size($"exposures"))
+      .as[(Int, Int, Int)].collect().head
+    assert(d1 == ((1, 1, 1)))
+    val rel = index.filter($"submitter_donor_id" === "DO002")
+      .select(explode($"family_relationships").as("r"))
+      .select($"r.submitter_family_id", $"r.relationship_to_proband")
+      .as[(String, String)].collect().head
+    assert(rel == (("FM001", "Father")))
+    // DO003 has none of the three → null nests
+    val d3 = index.filter($"submitter_donor_id" === "DO003")
+      .select($"family_relationships".isNull, $"family_conditions".isNull,
+        $"exposures".isNull)
+      .as[(Boolean, Boolean, Boolean)].collect().head
+    assert(d3 == ((true, true, true)))
+  }
+
   test("files nest with biospecimen and samples attached") {
     val files = index.filter($"submitter_donor_id" === "DO001")
       .select(explode($"files").as("f"))
@@ -69,12 +142,16 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
         $"summary.files_available", $"summary.clinical_data_available")
       .as[(Seq[String], Long, Boolean, Boolean)].collect().head
     assert(s2 == ((Seq("Genomics", "Imaging"), 2L, true, true)))
-    // DO003 has no files and no phenotypes
+    // DO003 has no files, no phenotypes, and no diagnoses
     val s3 = index.filter($"submitter_donor_id" === "DO003")
       .select($"summary.n_files", $"summary.files_available",
         $"summary.clinical_data_available")
       .as[(Long, Boolean, Boolean)].collect().head
     assert(s3 == ((0L, false, false)))
+    // DO005 has no files but carries a diagnosis → clinical data
+    val s5 = index.filter($"submitter_donor_id" === "DO005")
+      .select($"summary.clinical_data_available").as[Boolean].collect().head
+    assert(s5)
   }
 
   test("dataAccessCodes: split, DUO display-name, sorted distinct") {
@@ -93,16 +170,7 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
   }
 
   test("studyIndex: one row per study, nested donors/files, summary, DUO") {
-    val idx = Indexes.studyIndex(
-      study = Sources.tsv(spark, s"$dir/study.tsv"),
-      donor = Sources.tsv(spark, s"$dir/donor.tsv"),
-      phenotype = Sources.tsv(spark, s"$dir/phenotype.tsv"),
-      file = Sources.tsv(spark, s"$dir/file.tsv"),
-      biospecimen = Sources.tsv(spark, s"$dir/biospecimen.tsv"),
-      samples = Sources.tsv(spark, s"$dir/sample_registration.tsv"),
-      terms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
-      duoTerms = Sources.jsonLines(spark, s"$dir/duo_terms.jsonl.gz"),
-      meta = Seq("study_version" -> "v42"))
+    val idx = Indexes.studyIndex(inputs, meta = Seq("study_version" -> "v42"))
     assert(idx.count() == 2)
     val gs1 = idx.filter($"study_id" === "GS001")
       .select(size($"donors"), size($"files"), $"summary.n_donors",
@@ -112,33 +180,35 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
       .collect().head
     assert(gs1 == ((3, 4, 3L, 4L, Seq("Genomics", "Imaging"),
       "General Research Use (DUO:0000005)", "v42")))
-    // donors carry their phenotype expansions into the nest
-    val donorsWithPhenos = idx.filter($"study_id" === "GS001")
+    // donors carry their phenotype expansions AND diagnoses into the nest
+    val donorsNested = idx.filter($"study_id" === "GS001")
       .select(explode($"donors").as("d"))
       .select($"d.submitter_donor_id",
-        coalesce(size($"d.observed_phenotypes"), lit(-1)).as("n"))
-      .as[(String, Int)].collect().toMap
-    assert(donorsWithPhenos("DO001") == 5) // 2 leaves + 3 ancestors
-    assert(donorsWithPhenos("DO003") == -1) // no phenotypes → null nest
+        coalesce(size($"d.observed_phenotypes"), lit(-1)).as("n"),
+        coalesce(size($"d.diagnoses"), lit(-1)).as("nd"))
+      .as[(String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(donorsNested("DO001") == ((5, 2))) // 2 leaves + 3 ancestors; 2 dgs
+    assert(donorsNested("DO003") == ((-1, -1))) // nothing → null nests
   }
 
   test("fileIndex: one row per file with study, biospecimen, donor") {
-    val idx = Indexes.fileIndex(
-      file = Sources.tsv(spark, s"$dir/file.tsv"),
-      donor = Sources.tsv(spark, s"$dir/donor.tsv"),
-      study = Sources.tsv(spark, s"$dir/study.tsv"),
-      phenotype = Sources.tsv(spark, s"$dir/phenotype.tsv"),
-      biospecimen = Sources.tsv(spark, s"$dir/biospecimen.tsv"),
-      samples = Sources.tsv(spark, s"$dir/sample_registration.tsv"),
-      terms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
-      meta = Seq("dictionary_version" -> "9.9"))
+    val idx = Indexes.fileIndex(inputs, meta = Seq("dictionary_version" -> "9.9"))
     assert(idx.count() == 5)
     val f1 = idx.filter($"file_name" === "f1.cram")
       .select($"study".getField("name").getItem(0),
         $"biospecimen.biospecimen_type", $"donor.gender",
-        size($"donor.observed_phenotypes"), $"dictionary_version")
-      .as[(String, String, String, Int, String)].collect().head
-    assert(f1 == (("Graft Study One", "normal", "Female", 5, "9.9")))
+        size($"donor.observed_phenotypes"), size($"donor.diagnoses"),
+        $"dictionary_version")
+      .as[(String, String, String, Int, Int, String)].collect().head
+    assert(f1 == (("Graft Study One", "normal", "Female", 5, 2, "9.9")))
+  }
+
+  test("splitIcdTerms unpacks code|chapter ids") {
+    val got = Indexes.splitIcdTerms(
+        Sources.jsonLines(spark, s"$dir/icd_terms.jsonl.gz"))
+      .select("id", "chapter").as[(String, String)].collect().toSet
+    assert(got == Set(("I21", "9"), ("G40", "6"), ("G40-G47", "6")))
   }
 
   test("customerIndex assembles nation + sorted orders + summary") {

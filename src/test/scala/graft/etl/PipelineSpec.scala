@@ -25,7 +25,8 @@ class PipelineSpec extends AnyFunSuite with WithSpark {
     val schemas = d.schemas("9.9")
     assert(schemas("donor").contains("gender"))
     assert(!schemas("donor").contains("age TODAY"))
-    assert(schemas.keySet.size == 6)
+    assert(schemas.keySet.size == 12)
+    assert(schemas("diagnosis").contains("diagnosis_ICD_code"))
     intercept[IllegalArgumentException] { d.schemas("0.0") }
   }
 
@@ -33,11 +34,19 @@ class PipelineSpec extends AnyFunSuite with WithSpark {
     val work = Files.createTempDirectory("graft-pipeline").toString
     Pipeline.run(spark, "src/test/resources/clinical", work)
 
-    // stage 1: pre-processed parquet with minted ids, pruned columns
+    // stage 1: pre-processed parquet with minted ids, pruned columns —
+    // all 12 clinical entities round-trip the stage
+    for (e <- Seq("donor", "study", "phenotype", "biospecimen",
+        "sampleregistration", "file", "diagnosis", "treatment", "followup",
+        "exposure", "family", "familyhistory")) {
+      assert(spark.read.parquet(s"$work/stage1/$e").count() > 0, e)
+    }
     val donorStage = spark.read.parquet(s"$work/stage1/donor")
     assert(donorStage.count() == 5)
     assert(donorStage.columns.contains("internal_donor_id"))
     assert(!donorStage.columns.contains("age TODAY"))
+    val diagStage = spark.read.parquet(s"$work/stage1/diagnosis")
+    assert(diagStage.columns.contains("internal_diagnosis_id"))
 
     // study got metadata stamps from metadata.json
     val studyStage = spark.read.parquet(s"$work/stage1/study")
@@ -53,9 +62,10 @@ class PipelineSpec extends AnyFunSuite with WithSpark {
     assert(donors.count() == 5)
     val do1 = donors.filter($"submitter_donor_id" === "DO001")
       .select(size($"observed_phenotypes"), size($"files"),
-        $"summary.files_available")
-      .as[(Int, Int, Boolean)].collect().head
-    assert(do1 == ((5, 2, true)))
+        $"summary.files_available", size($"diagnoses"),
+        size($"family_relationships"))
+      .as[(Int, Int, Boolean, Int, Int)].collect().head
+    assert(do1 == ((5, 2, true, 2, 1)))
 
     val studies = spark.read.json(s"$work/indexes/studies")
     assert(studies.count() == 2)
