@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.functions.GraftFunctions
-import graft.ops.{Nest, Ontology}
+import graft.ops.{Nest, Ontology, Summary}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -276,6 +276,54 @@ object Indexes {
     * stamps. Same single-scan-per-input plan shape as [[donorIndex]];
     * the final nests shuffle on study_id.
     */
+  /** Reference-shape study summary (reference: indexes/Summary
+    * .scala:12-130 + StudyIndex.scala:40-56): per-(data_category ×
+    * {donors, files}) and per-(experimental_strategy × {donors, files})
+    * countDistinct matrices over the full (study × category) universe,
+    * plus per-clinical-entity distinct-donor counts — emitted as the
+    * reference's nested summary arrays.
+    *
+    * Plan: each matrix is ONE aggregation + a broadcast-universe left
+    * join ([[Summary.lattice]] — no repartition(1) crossJoin hack);
+    * the clinical counts are one unionByName + one aggregation instead
+    * of the reference's six chained full-outer joins.
+    */
+  def studySummary(in: ClinicalInputs): DataFrame = {
+    val donorPerFile = in.donor.join(in.file, DonorKey)
+      .select(col("study_id"), col("submitter_donor_id"), col("file_name"),
+        col("data_category"), col("experimental_strategy"))
+    def matrix(field: String): DataFrame =
+      Summary.lattice(
+          donorPerFile.filter(col(field).isNotNull),
+          groupKeys = Seq("study_id"),
+          categoryCol = field,
+          distinctCounts = Map(
+            "donors" -> col("submitter_donor_id"),
+            "files" -> col("file_name")))
+        .groupBy("study_id")
+        .agg(sort_array(collect_list(struct(
+          col(field).as("key"), col("donors"), col("files")))).as(field))
+    val clinicalSources: Seq[(String, DataFrame)] = Seq(
+      "diagnosis" -> in.diagnosis, "phenotype" -> in.phenotype,
+      "treatment" -> in.treatment, "exposure" -> in.exposure,
+      "follow_up" -> in.followUp, "family_history" -> in.familyHistory,
+      "family" -> in.family)
+    val clinical = clinicalSources
+      .map { case (k, df) =>
+        df.select(col("study_id"), lit(k).as("key"),
+          col("submitter_donor_id"))
+      }
+      .reduce(_.unionByName(_))
+      .groupBy("study_id", "key")
+      .agg(countDistinct("submitter_donor_id").as("donors"))
+      .groupBy("study_id")
+      .agg(sort_array(collect_list(struct(col("key"), col("donors"))))
+        .as("clinical_data_available"))
+    matrix("data_category")
+      .join(matrix("experimental_strategy"), Seq("study_id"), "full")
+      .join(clinical, Seq("study_id"), "full")
+  }
+
   def studyIndex(
       in: ClinicalInputs,
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
@@ -297,22 +345,28 @@ object Indexes {
         collect_list(struct(col("file_name"), col("data_category"),
           col("experimental_strategy"), col("data_access"),
           col("biospecimen"))).as("files"),
-        sort_array(collect_set(col("data_category"))).as("__cats"),
-        sort_array(collect_set(col("experimental_strategy"))).as("__strats"),
         countDistinct(col("submitter_donor_id")).as("__nd"))
+    val emptyMatrix = array()
+      .cast("array<struct<key:string,donors:bigint,files:bigint>>")
+    val emptyClinical = array()
+      .cast("array<struct<key:string,donors:bigint>>")
+    val summaryRenamed = studySummary(in).select(
+      col("study_id"), col("data_category").as("__dc"),
+      col("experimental_strategy").as("__es"),
+      col("clinical_data_available").as("__cda"))
     val assembled = in.study
       .join(donorsNested, Seq("study_id"), "left")
       .join(filesNested, Seq("study_id"), "left")
+      .join(summaryRenamed, Seq("study_id"), "left")
       .join(dataAccessCodes(in.study, in.duoTerms), Seq("study_id"), "left")
       .withColumn("summary", struct(
-        coalesce(col("__cats"), array().cast("array<string>"))
-          .as("data_category"),
-        coalesce(col("__strats"), array().cast("array<string>"))
-          .as("experimental_strategy"),
+        coalesce(col("__dc"), emptyMatrix).as("data_category"),
+        coalesce(col("__es"), emptyMatrix).as("experimental_strategy"),
+        coalesce(col("__cda"), emptyClinical).as("clinical_data_available"),
         coalesce(size(col("donors")), lit(0)).cast("long").as("n_donors"),
         coalesce(size(col("files")), lit(0)).cast("long").as("n_files"),
         coalesce(col("__nd"), lit(0L)).as("n_donors_with_files")))
-      .drop("__cats", "__strats", "__nd")
+      .drop("__dc", "__es", "__cda", "__nd")
     meta.foldLeft(assembled) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }
 

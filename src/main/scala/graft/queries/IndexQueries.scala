@@ -258,6 +258,94 @@ object IndexQueries {
           Canon.js(col("exposures")).as("exposures_json"))
     },
 
+    // ---- reference-shape study summary: per-category countDistinct
+    //      matrices over the full universe + clinical availability ----
+    sql(
+      "q_study_summary",
+      s"""WITH donor AS (SELECT * FROM read_csv('$FixtureDir/donor.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |f AS (SELECT * FROM read_csv('$FixtureDir/file.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |dpf AS (
+         |  SELECT f.study_id, f.submitter_donor_id, f.file_name,
+         |    f.data_category, f.experimental_strategy
+         |  FROM f JOIN donor USING (study_id, submitter_donor_id)),
+         |studies AS (SELECT DISTINCT study_id FROM dpf),
+         |dc AS (
+         |  SELECT s.study_id,
+         |    to_json(list(struct_pack(key := c.data_category,
+         |      donors := coalesce(p.donors, 0),
+         |      files := coalesce(p.files, 0)) ORDER BY c.data_category))
+         |      AS data_category_json
+         |  FROM studies s
+         |  CROSS JOIN (SELECT DISTINCT data_category FROM dpf) c
+         |  LEFT JOIN (
+         |    SELECT study_id, data_category,
+         |      count(DISTINCT submitter_donor_id) AS donors,
+         |      count(DISTINCT file_name) AS files
+         |    FROM dpf GROUP BY 1, 2) p
+         |  ON s.study_id = p.study_id AND c.data_category = p.data_category
+         |  GROUP BY 1),
+         |es AS (
+         |  SELECT s.study_id,
+         |    to_json(list(struct_pack(key := c.experimental_strategy,
+         |      donors := coalesce(p.donors, 0),
+         |      files := coalesce(p.files, 0))
+         |      ORDER BY c.experimental_strategy))
+         |      AS experimental_strategy_json
+         |  FROM studies s
+         |  CROSS JOIN (SELECT DISTINCT experimental_strategy FROM dpf) c
+         |  LEFT JOIN (
+         |    SELECT study_id, experimental_strategy,
+         |      count(DISTINCT submitter_donor_id) AS donors,
+         |      count(DISTINCT file_name) AS files
+         |    FROM dpf GROUP BY 1, 2) p
+         |  ON s.study_id = p.study_id
+         |    AND c.experimental_strategy = p.experimental_strategy
+         |  GROUP BY 1),
+         |clin AS (
+         |  SELECT study_id,
+         |    to_json(list(struct_pack(key := key, donors := donors)
+         |      ORDER BY key)) AS clinical_data_available_json
+         |  FROM (
+         |    SELECT study_id, key,
+         |      count(DISTINCT submitter_donor_id) AS donors
+         |    FROM (
+         |      SELECT study_id, 'diagnosis' AS key, submitter_donor_id
+         |      FROM read_csv('$FixtureDir/diagnosis.tsv', delim='\\t',
+         |        header=true, all_varchar=true)
+         |      UNION ALL SELECT study_id, 'phenotype', submitter_donor_id
+         |      FROM read_csv('$FixtureDir/phenotype.tsv', delim='\\t',
+         |        header=true, all_varchar=true)
+         |      UNION ALL SELECT study_id, 'treatment', submitter_donor_id
+         |      FROM read_csv('$FixtureDir/treatment.tsv', delim='\\t',
+         |        header=true, all_varchar=true)
+         |      UNION ALL SELECT study_id, 'exposure', submitter_donor_id
+         |      FROM read_csv('$FixtureDir/exposure.tsv', delim='\\t',
+         |        header=true, all_varchar=true)
+         |      UNION ALL SELECT study_id, 'follow_up', submitter_donor_id
+         |      FROM read_csv('$FixtureDir/follow_up.tsv', delim='\\t',
+         |        header=true, all_varchar=true)
+         |      UNION ALL SELECT study_id, 'family_history', submitter_donor_id
+         |      FROM read_csv('$FixtureDir/family_history.tsv', delim='\\t',
+         |        header=true, all_varchar=true)
+         |      UNION ALL SELECT study_id, 'family', submitter_donor_id
+         |      FROM read_csv('$FixtureDir/family.tsv', delim='\\t',
+         |        header=true, all_varchar=true))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT coalesce(dc.study_id, es.study_id, clin.study_id)
+         |    AS study_id,
+         |  dc.data_category_json, es.experimental_strategy_json,
+         |  clin.clinical_data_available_json
+         |FROM dc
+         |FULL JOIN es ON dc.study_id = es.study_id
+         |FULL JOIN clin ON dc.study_id = clin.study_id""".stripMargin) {
+      (s, _) =>
+        Canon.flattenNested(Indexes.studySummary(
+          Indexes.ClinicalInputs.fromDir(s, FixtureDir)))
+    },
+
     // ---- full index products over the clinical fixtures (no SQL
     //      oracle — golden assertions live in IndexesSpec; outputs are
     //      Canon-flattened so the driver's hasher can digest them) ----

@@ -169,12 +169,31 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(gs2.getSeq[String](1) == Seq("Publication Required (DUO:0000019)"))
   }
 
+  test("studySummary: full-universe matrices and clinical availability") {
+    val s = Indexes.studySummary(inputs).cache()
+    // GS001: Genomics (2 donors, 3 files), Imaging (1 donor, 1 file);
+    // GS002 has no Imaging files → zero-filled universe row
+    val dc = s.select($"study_id", explode($"data_category").as("c"))
+      .select($"study_id", $"c.key", $"c.donors", $"c.files")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(dc == Set(
+      ("GS001", "Genomics", 2L, 3L), ("GS001", "Imaging", 1L, 1L),
+      ("GS002", "Genomics", 1L, 1L), ("GS002", "Imaging", 0L, 0L)))
+    // clinical availability: distinct donors per entity kind
+    val cda = s.filter($"study_id" === "GS001")
+      .select(explode($"clinical_data_available").as("c"))
+      .select($"c.key", $"c.donors").as[(String, Long)].collect().toMap
+    assert(cda == Map("diagnosis" -> 2L, "phenotype" -> 2L,
+      "treatment" -> 2L, "exposure" -> 2L, "follow_up" -> 1L,
+      "family_history" -> 1L, "family" -> 2L))
+  }
+
   test("studyIndex: one row per study, nested donors/files, summary, DUO") {
     val idx = Indexes.studyIndex(inputs, meta = Seq("study_version" -> "v42"))
     assert(idx.count() == 2)
     val gs1 = idx.filter($"study_id" === "GS001")
       .select(size($"donors"), size($"files"), $"summary.n_donors",
-        $"summary.n_files", $"summary.data_category",
+        $"summary.n_files", $"summary.data_category.key",
         $"data_access_codes.access_limitations", $"study_version")
       .as[(Int, Int, Long, Long, Seq[String], String, String)]
       .collect().head
