@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Text}
+import graft.sources.Sources
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Regenerates the golden TSV fixtures for the deterministic JVM-side
+  * operators whose outputs DuckDB cannot recompute (xxhash64 chains,
+  * scala MurmurHash3, the SimpleDateFormat-parity age UDF) — the
+  * snapshot device of the reference's own test harness (reference:
+  * PreProcessETLTest.scala:68-78 `ClassGenerator.writeCLassFile`
+  * regenerates the `*Expected` classes from actual output).
+  *
+  * The goldens are COMMITTED and reviewed: the semantic properties the
+  * snapshots must honor (planted near-dup pairs found, hand-computed
+  * ages, byte counts) are asserted independently in DedupSpec /
+  * GraftFunctionsSpec / the fixture-golden rows themselves, so a
+  * regression that silently changes a hash chain fails the oracle
+  * compare rather than being re-snapshotted unnoticed.
+  *
+  * Run: `sbt "runMain graft.GenGoldens"` after an INTENTIONAL semantic
+  * change, then review the fixture diff.
+  */
+object GenGoldens {
+  private val Dir = "src/test/resources/clinical"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def writeTsv(rows: Seq[String], header: String, file: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$Dir/$file")
+      java.nio.file.Files.writeString(p, (header +: rows).mkString("", "\n", "\n"))
+      println(s"wrote $p (${rows.size} rows)")
+    }
+
+    val docs = Sources.tsv(spark, s"$Dir/docs_planted.tsv")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    // q_simhash_neardup golden: (a, b, hamming) over the planted corpus
+    val pairs = Dedup.simhashNearDups(
+        docs.withColumn("sh", Text.shingles(col("text"), 3)),
+        id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+      .orderBy("a", "b")
+      .as[(Long, Long, Int)].collect()
+    writeTsv(pairs.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
+      "a\tb\thamming", "golden_simhash_pairs.tsv")
+
+    // q_fingerprint_rolling golden: (doc_id, fingerprint)
+    val fps = docs
+      .select(col("doc_id"), Text.fingerprintRolling(col("text"))
+        .as("fingerprint"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    writeTsv(fps.map(p => s"${p._1}\t${p._2}").toSeq,
+      "doc_id\tfingerprint", "golden_rolling_fp.tsv")
+
+    // q_media_features golden: (media_id, n_bytes, fingerprint)
+    val media = docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(lit("image").as("kind"), lit("bin").as("format"),
+        lit(4).as("width"), lit(4).as("height"),
+        lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media, dim = 8).toDF()
+      .select(col("media_id"), col("n_bytes"), col("fingerprint"))
+      .orderBy("media_id").as[(Long, Long, Long)].collect()
+    writeTsv(feats.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
+      "media_id\tn_bytes\tfingerprint", "golden_media_features.tsv")
+
+    spark.stop()
+  }
+}

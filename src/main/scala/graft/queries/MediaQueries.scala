@@ -2,32 +2,56 @@ package graft.queries
 
 import graft.core.{QueryDef, Tables}
 import graft.ops.Multimodal
+import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
 /** Multimodal surface: documents' text re-encoded as opaque binary
   * payloads drive the real plumbing (typed rows, batched per-partition
-  * decode, native magic-byte sniff + frame fan-out). Decode itself is
-  * the documented deterministic stub — rows-only driver checks.
+  * decode, native magic-byte sniff + frame fan-out).
+  *
+  * q_media_features runs the decode seam over the planted corpus and
+  * compares against the committed GenGoldens snapshot (the scala
+  * MurmurHash3 fingerprint is not recomputable in DuckDB);
+  * q_media_frames keeps SF scale with a REAL DuckDB oracle — the sniff
+  * and frame fan-out are native expressions both engines can compute.
   */
 object MediaQueries {
-  import QueryDef.noOracle
+  import QueryDef.sql
+  import SourceQueries.FixtureDir
 
   val defs: Seq[QueryDef] = Seq(
 
-    noOracle("q_media_features") { (s, d) =>
-      import s.implicits._
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        col("text").cast("binary").as("payload"),
-        struct(lit("image").as("kind"), lit("bin").as("format"),
-          lit(4).as("width"), lit(4).as("height"),
-          lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
-        .as[Multimodal.MediaRow]
-      Multimodal.extractFeatures(media, dim = 8).toDF()
-        .select(col("media_id"), col("n_bytes"), col("fingerprint"))
+    sql(
+      "q_media_features",
+      s"""SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes,
+         |  fingerprint::BIGINT AS fingerprint
+         |FROM read_csv('$FixtureDir/golden_media_features.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        import s.implicits._
+        val media = Sources.tsv(s, s"$FixtureDir/docs_planted.tsv").select(
+          col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          struct(lit("image").as("kind"), lit("bin").as("format"),
+            lit(4).as("width"), lit(4).as("height"),
+            lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
+          .as[Multimodal.MediaRow]
+        Multimodal.extractFeatures(media, dim = 8).toDF()
+          .select(col("media_id"), col("n_bytes"), col("fingerprint"))
     },
 
-    noOracle("q_media_frames") { (s, d) =>
+    // Text payloads can only hit the RIFF magic (PNG/JPEG magics are
+    // not valid UTF-8 prefixes), so the sniff reduces to a prefix
+    // check the oracle mirrors; the frame fan-out is sequence/range
+    // over the same millisecond grid.
+    sql(
+      "q_media_frames",
+      """SELECT doc_id,
+        |  CASE WHEN starts_with(text, 'RIFF') THEN 'riff' ELSE 'bin' END
+        |    AS format,
+        |  unnest(range(0, n_chars * 10, 1000)) AS frame_ms
+        |FROM documents
+        |WHERE n_chars > 0""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
         Multimodal.sniffFormat(col("text").cast("binary")).as("format"),

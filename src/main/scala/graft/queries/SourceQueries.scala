@@ -130,9 +130,15 @@ object SourceQueries {
           .limit(1)
     },
 
-    // ---- lenient-date parity path (SimpleDateFormat UDF — not
-    //      SQL-expressible, DuckDB strptime is strict: rows-only) ----
-    QueryDef.noOracle("q_lenient_age") { (s, _) =>
+    // ---- lenient-date parity path (SimpleDateFormat UDF — DuckDB
+    //      strptime is strict, so the oracle reads a hand-verified
+    //      golden fixture that locks the month-overflow parity
+    //      semantics: ages computed by hand from the fixture dobs) ----
+    sql(
+      "q_lenient_age",
+      s"""SELECT submitter_donor_id, age_lenient::INT AS age_lenient
+         |FROM read_csv('$FixtureDir/golden_lenient_age.tsv', delim='\\t',
+         |  header=true, all_varchar=true)""".stripMargin) { (s, _) =>
       Sources.tsv(s, s"$FixtureDir/donor.tsv")
         .select(col("submitter_donor_id"),
           graft.functions.LenientDate.lenientAge(

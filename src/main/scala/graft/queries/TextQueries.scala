@@ -253,19 +253,44 @@ object TextQueries {
           .as("n_bpe_tokens"))
     },
 
-    // ---- SimHash near-dups (xxhash64-based: rows-only check; the
-    //      planted pairs are asserted in DedupSpec) ----
-    noOracle("q_simhash_neardup") { (s, d) =>
+    // ---- SimHash near-dups over the planted corpus: DuckDB cannot
+    //      recompute the xxhash64 vote chain, so the oracle reads the
+    //      committed GenGoldens snapshot (planted-pair semantics are
+    //      independently asserted in DedupSpec) ----
+    sql(
+      "q_simhash_neardup",
+      s"""SELECT a::BIGINT AS a, b::BIGINT AS b, hamming::INT AS hamming
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_simhash_pairs.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Dedup.simhashNearDups(
+          graft.sources.Sources.tsv(
+              s, s"${SourceQueries.FixtureDir}/docs_planted.tsv")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .withColumn("sh", Text.shingles(col("text"), 3)),
+          id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+    },
+
+    // ---- SimHash at SF scale: the bench-weight run of the same
+    //      operator (genuinely non-oracle-able at scale: xxhash64) ----
+    noOracle("q_simhash_scale") { (s, d) =>
       Dedup.simhashNearDups(
         Tables.documents(s, d).withColumn(
           "sh", Text.shingles(col("text"), 3)),
         id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
     },
 
-    // ---- rolling-hash fingerprint (xxhash64: rows-only check) ----
-    noOracle("q_fingerprint_rolling") { (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        Text.fingerprintRolling(col("text")).as("fingerprint"))
+    // ---- rolling-hash fingerprint: golden-snapshot oracle over the
+    //      planted corpus (xxhash64 chain; GenGoldens) ----
+    sql(
+      "q_fingerprint_rolling",
+      s"""SELECT doc_id::BIGINT AS doc_id, fingerprint::BIGINT AS fingerprint
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_rolling_fp.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        graft.sources.Sources.tsv(
+            s, s"${SourceQueries.FixtureDir}/docs_planted.tsv")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            Text.fingerprintRolling(col("text")).as("fingerprint"))
     })
 }
