@@ -331,20 +331,24 @@ object Indexes {
     val diagNested = diagnosesPerDonor(
       in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
     val donorCols = in.donor.columns.filterNot(_ == "study_id").toIndexedSeq
+    // sort_array: collect_list order is partition-order-dependent —
+    // nondeterministic run to run at scale; the leading struct field
+    // (donor id / file name) is unique within a study, so the sort
+    // pins a total order
     val donorsNested = in.donor
       .join(phenoNested, DonorKey, "left")
       .join(diagNested, DonorKey, "left")
       .groupBy("study_id")
-      .agg(collect_list(struct(
+      .agg(sort_array(collect_list(struct(
         (donorCols.map(col) ++ Seq(col("observed_phenotypes"),
-          col("non_observed_phenotypes"), col("diagnoses"))): _*))
+          col("non_observed_phenotypes"), col("diagnoses"))): _*)))
         .as("donors"))
     val filesNested = filesWithBiospecimen(in.file, in.biospecimen, in.samples)
       .groupBy("study_id")
       .agg(
-        collect_list(struct(col("file_name"), col("data_category"),
-          col("experimental_strategy"), col("data_access"),
-          col("biospecimen"))).as("files"),
+        sort_array(collect_list(struct(col("file_name"),
+          col("data_category"), col("experimental_strategy"),
+          col("data_access"), col("biospecimen")))).as("files"),
         countDistinct(col("submitter_donor_id")).as("__nd"))
     val emptyMatrix = array()
       .cast("array<struct<key:string,donors:bigint,files:bigint>>")

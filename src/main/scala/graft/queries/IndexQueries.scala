@@ -346,22 +346,22 @@ object IndexQueries {
           Indexes.ClinicalInputs.fromDir(s, FixtureDir)))
     },
 
-    // ---- full index products over the clinical fixtures (no SQL
-    //      oracle — golden assertions live in IndexesSpec; outputs are
-    //      Canon-flattened so the driver's hasher can digest them) ----
-    noOracle("q_donor_index") { (s, _) =>
+    // ---- full index products over the clinical fixtures, each with
+    //      a complete DuckDB oracle recomputing the whole nested
+    //      document (IndexOracles); outputs are Canon-flattened ----
+    sql("q_donor_index", IndexOracles.donorIndexSql) { (s, _) =>
       Canon.flattenNested(Indexes.donorIndex(
         Indexes.ClinicalInputs.fromDir(s, FixtureDir),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
-    noOracle("q_study_index") { (s, _) =>
+    sql("q_study_index", IndexOracles.studyIndexSql) { (s, _) =>
       Canon.flattenNested(Indexes.studyIndex(
         Indexes.ClinicalInputs.fromDir(s, FixtureDir),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
-    noOracle("q_file_index") { (s, _) =>
+    sql("q_file_index", IndexOracles.fileIndexSql) { (s, _) =>
       Canon.flattenNested(Indexes.fileIndex(
         Indexes.ClinicalInputs.fromDir(s, FixtureDir),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
