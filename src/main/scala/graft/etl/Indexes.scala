@@ -334,14 +334,24 @@ object Indexes {
     // sort_array: collect_list order is partition-order-dependent —
     // nondeterministic run to run at scale; the leading struct field
     // (donor id / file name) is unique within a study, so the sort
-    // pins a total order
-    val donorsNested = in.donor
+    // pins a total order. The donor struct carries every per-donor
+    // branch the reference's DONORS document does (StudiesExpected
+    // .scala:35-62): family/exposure nests, phenotype expansions,
+    // diagnoses with nested treatments/follow-ups, mondo/icd terms.
+    val diagExpanded = diagnosisExpansionsPerDonor(
+      in.diagnosis, in.mondoTerms, in.icdTerms)
+    val donorsNested = donorNests(
+        in.donor, in.family, in.familyHistory, in.exposure)
       .join(phenoNested, DonorKey, "left")
       .join(diagNested, DonorKey, "left")
+      .join(diagExpanded, DonorKey, "left")
       .groupBy("study_id")
       .agg(sort_array(collect_list(struct(
-        (donorCols.map(col) ++ Seq(col("observed_phenotypes"),
-          col("non_observed_phenotypes"), col("diagnoses"))): _*)))
+        (donorCols.map(col) ++ Seq(
+          col("family_relationships"), col("family_conditions"),
+          col("exposures"), col("observed_phenotypes"),
+          col("non_observed_phenotypes"), col("diagnoses"),
+          col("mondo"), col("icd"))): _*)))
         .as("donors"))
     val filesNested = filesWithBiospecimen(in.file, in.biospecimen, in.samples)
       .groupBy("study_id")

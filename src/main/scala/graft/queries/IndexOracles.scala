@@ -429,12 +429,21 @@ files_nested AS (
       "age TODAY" := d."age TODAY", gender := d.gender,
       ethnicity := d.ethnicity, vital_status := d.vital_status,
       is_a_proband := d.is_a_proband,
+      family_relationships := fam.family_relationships,
+      family_conditions := fh.family_conditions,
+      exposures := ex.exposures,
       observed_phenotypes := ph_piv.observed_phenotypes,
       non_observed_phenotypes := ph_piv.non_observed_phenotypes,
-      diagnoses := dn.diagnoses) ORDER BY d.submitter_donor_id) AS donors
+      diagnoses := dn.diagnoses,
+      mondo := de.mondo,
+      icd := de.icd) ORDER BY d.submitter_donor_id) AS donors
   FROM donor d
+  LEFT JOIN fam ON d.submitter_donor_id = fam.submitter_donor_id
+  LEFT JOIN fh ON d.submitter_donor_id = fh.submitter_donor_id
+  LEFT JOIN ex ON d.submitter_donor_id = ex.submitter_donor_id
   LEFT JOIN ph_piv ON d.study_id = ph_piv.study_id AND d.submitter_donor_id = ph_piv.submitter_donor_id
   LEFT JOIN diag_nested dn ON d.study_id = dn.study_id AND d.submitter_donor_id = dn.submitter_donor_id
+  LEFT JOIN diag_exp de ON d.study_id = de.study_id AND d.submitter_donor_id = de.submitter_donor_id
   GROUP BY 1),
 study_files AS (
   SELECT f.study_id,
