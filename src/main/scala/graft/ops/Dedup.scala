@@ -226,13 +226,20 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
+    // Iterate ONLY over nodes that appear in the collision graph: a
+    // node with no edge can never change label, so the per-round joins
+    // and counts touch the (tiny) collided subgraph, not the corpus —
+    // at 100 TB the difference between shuffling every document id per
+    // round and shuffling just the near-dup candidates. Isolated nodes
+    // are stitched back with one left join at the end.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
     // Each round eagerly localCheckpoints its label frame: that both
     // truncates lineage (round N's job never replays rounds 1..N-1) and
     // caches the frame for the two consumers (next round's join + the
     // convergence count). The superseded round's blocks are released as
     // soon as the new frame is materialized — at no point are more than
-    // two label frames (2 longs per node each) held.
+    // two label frames (2 longs per graph node each) held.
     var prevCkpt: Option[DataFrame] = None
     var converged = false
     var i = 0
@@ -241,26 +248,33 @@ object Dedup {
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node2"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels
+      // carry the old label through so convergence is a filter over the
+      // checkpointed frame, not another join against the previous round
+      val nextWide = labels
         .join(neighborMin, labels("node") === col("node2"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
+            .as("next_cluster"),
+          col("cluster").as("old_cluster"))
         .localCheckpoint() // eager: materializes before prev is released
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
-          Seq("node"))
-        .filter(col("cluster") =!= col("old")).count()
+      val changed = nextWide
+        .filter(col("next_cluster") =!= col("old_cluster")).count()
       prevCkpt.foreach(_.unpersist(false)) // superseded, never read again
-      prevCkpt = Some(next)
-      labels = next
+      prevCkpt = Some(nextWide)
+      labels = nextWide.select(col("node"),
+        col("next_cluster").as("cluster"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist(false)
-    // The final frame stays cached (it IS the result); lineage-free after
-    // the checkpoint, its blocks are ContextCleaner-reclaimed when the
-    // caller drops the reference.
-    labels
+    // Stitch isolated nodes back: their cluster is themselves. The
+    // graph labels stay cached (lineage-free after the checkpoint) and
+    // are ContextCleaner-reclaimed when the result is dropped.
+    nodes.select(col(idCol).as("node"))
+      .join(labels.withColumnRenamed("node", "__gn"),
+        col("node") === col("__gn"), "left")
+      .select(col("node"),
+        coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
   /** Drop near-duplicates: LSH candidate pairs → exact-Jaccard filter

@@ -61,6 +61,19 @@ object SourceQueries {
             Canon.js(col("parents")).as("parents_json"))
     },
 
+    // ---- S5: in-memory JSON scan (the reference's id-server HTTP
+    //      response parsing idiom, PreProcessUtils.scala:96-98) ----
+    sql(
+      "q_inmem_json",
+      """SELECT * FROM (VALUES ('h1', 'id1'), ('h2', 'id2'), ('h3', 'id3'))
+        |  t(hash, internal_id)""".stripMargin) { (s, _) =>
+      Sources.inMemoryJson(s, Seq(
+          """{"hash":"h1","internal_id":"id1"}""",
+          """{"hash":"h2","internal_id":"id2"}""",
+          """{"hash":"h3","internal_id":"id3"}"""))
+        .select("hash", "internal_id")
+    },
+
     // ---- J1/P11: key minting + id attach + whitelist prune ----
     sql(
       "q_preprocess_donor",

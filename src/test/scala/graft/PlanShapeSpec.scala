@@ -47,6 +47,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "diagnosis.tsv") <= 3, "diagnosis fact scan fan-out grew")
   }
 
+  test("diagnosis branch: one fact scan, term lookups broadcast") {
+    val p = plan("q_diagnosis_nest")
+    // main categories resolve on the term dimension and broadcast back —
+    // the diagnosis fact is scanned once and never shuffled for ontology
+    assert(count(p, "diagnosis.tsv") == 1, "diagnosis fact scanned once")
+    assert(count(p, "BroadcastHashJoin") >= 2) // mondo + icd lookups
+  }
+
   test("knn top-k runs through the custom bounded-heap operator") {
     val p = plan("q_knn_topk")
     assert(p.contains("TopKPerGroup"))
