@@ -37,6 +37,15 @@ object Indexes {
       hpoTerms: DataFrame, mondoTerms: DataFrame, icdTerms: DataFrame,
       duoTerms: DataFrame)
 
+  /** Explicit ontology term-table schema (field order matches what
+    * Spark's JSON inference produces, so plans are identical — minus
+    * the inference pass, which double-reads every term file and is
+    * the wrong default at scale; Sources.scala scale notes). */
+  val TermSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "ancestors array<struct<id:string,name:string,parents:array<string>>>," +
+        "id string, is_leaf boolean, name string, parents array<string>")
+
   object ClinicalInputs {
     import graft.sources.Sources
     /** Read every entity + term table from one fixture directory. */
@@ -54,10 +63,13 @@ object Indexes {
       exposure = Sources.tsv(spark, s"$dir/exposure.tsv"),
       family = Sources.tsv(spark, s"$dir/family.tsv"),
       familyHistory = Sources.tsv(spark, s"$dir/family_history.tsv"),
-      hpoTerms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz"),
-      mondoTerms = Sources.jsonLines(spark, s"$dir/mondo_terms.jsonl.gz"),
-      icdTerms = Sources.jsonLines(spark, s"$dir/icd_terms.jsonl.gz"),
-      duoTerms = Sources.jsonLines(spark, s"$dir/duo_terms.jsonl.gz"))
+      hpoTerms = Sources.jsonLines(spark, s"$dir/terms.jsonl.gz", TermSchema),
+      mondoTerms =
+        Sources.jsonLines(spark, s"$dir/mondo_terms.jsonl.gz", TermSchema),
+      icdTerms =
+        Sources.jsonLines(spark, s"$dir/icd_terms.jsonl.gz", TermSchema),
+      duoTerms =
+        Sources.jsonLines(spark, s"$dir/duo_terms.jsonl.gz", TermSchema))
   }
 
   /** MONDO root-membership main-category rule (reference

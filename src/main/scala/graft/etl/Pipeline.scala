@@ -106,10 +106,14 @@ object Pipeline {
       diagnosis = entities("diagnosis"), treatment = entities("treatment"),
       followUp = entities("followup"), exposure = entities("exposure"),
       family = entities("family"), familyHistory = entities("familyhistory"),
-      hpoTerms = Sources.jsonLines(spark, s"$inputDir/terms.jsonl.gz"),
-      mondoTerms = Sources.jsonLines(spark, s"$inputDir/mondo_terms.jsonl.gz"),
-      icdTerms = Sources.jsonLines(spark, s"$inputDir/icd_terms.jsonl.gz"),
-      duoTerms = Sources.jsonLines(spark, s"$inputDir/duo_terms.jsonl.gz"))
+      hpoTerms = Sources.jsonLines(
+        spark, s"$inputDir/terms.jsonl.gz", Indexes.TermSchema),
+      mondoTerms = Sources.jsonLines(
+        spark, s"$inputDir/mondo_terms.jsonl.gz", Indexes.TermSchema),
+      icdTerms = Sources.jsonLines(
+        spark, s"$inputDir/icd_terms.jsonl.gz", Indexes.TermSchema),
+      duoTerms = Sources.jsonLines(
+        spark, s"$inputDir/duo_terms.jsonl.gz", Indexes.TermSchema))
     Sinks.partitionedJson(
       Indexes.donorIndex(in), s"$outDir/donors", Seq("study_id"))
     Sinks.partitionedJson(
