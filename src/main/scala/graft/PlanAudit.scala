@@ -9,12 +9,13 @@ object PlanAudit {
     val d = "/root/testdata/sf0.001"
     for (q <- Seq("q_filter_project", "q_join_dims", "q_customer_index",
         "q_summary_lattice", "q_knn_topk", "q_ontology_expand",
-        "q_agg_pricing", "q_donor_index", "q_event_windows")) {
+        "q_agg_pricing", "q_donor_index", "q_event_windows",
+        "q_diagnosis_nest", "q_study_summary", "q_study_index")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).length
       println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
         f"exch=${n("Exchange")} scans=${n("FileScan|Scan parquet")} " +
-        f"pushed=${n("PushedFilters: \\[[^\\]]")} wsc=${n("WholeStageCodegen")}")
+        f"pushed=${n("PushedFilters: \\[[^\\]]")} wsc=${n("\\*\\(\\d+\\)")}")
     }
     // detail: does the filter reach the scan in q_filter_project?
     val fp = SparkEntry.queries("q_filter_project")(spark, d).queryExecution.executedPlan.toString

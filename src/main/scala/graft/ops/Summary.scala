@@ -18,23 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Summary {
 
-  /** countDistinct of `distinctCols` per (groupKeys × category), with
+  /** countDistinct of `distinctCounts` per (groupKeys × category), with
     * zero-filled rows for categories absent in a group.
+    *
+    * Single fact scan: the (group × category) universe is derived from
+    * the partial aggregate itself — every group and every category that
+    * exists appears in `partial`, so projecting its key sides and
+    * cross-joining reconstructs the same universe the reference builds
+    * from two extra scans of the input (Summary.scala:15-25,33-39).
+    * The partial is dimension-sized by construction (groups ×
+    * categories present), so it is localCheckpointed once and feeds
+    * all three consumers from cache.
     */
   def lattice(
       facts: DataFrame,
       groupKeys: Seq[String],
       categoryCol: String,
       distinctCounts: Map[String, Column]): DataFrame = {
-    val groups = facts.select(groupKeys.map(col): _*).distinct()
-    val cats = facts.select(col(categoryCol)).distinct()
-    val universe = groups.crossJoin(broadcast(cats))
     val aggs = distinctCounts.toSeq.sortBy(_._1).map { case (as, c) =>
       countDistinct(c).as(as)
     }
     val partial = facts
       .groupBy((groupKeys :+ categoryCol).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val groups = partial.select(groupKeys.map(col): _*).distinct()
+    val cats = partial.select(col(categoryCol)).distinct()
+    val universe = groups.crossJoin(broadcast(cats))
     val joined = universe.join(partial, groupKeys :+ categoryCol, "left")
     distinctCounts.keys.foldLeft(joined) { (df, as) =>
       df.withColumn(as, coalesce(col(as), lit(0L)))
