@@ -227,6 +227,46 @@ object Indexes {
           .map(col).toIndexedSeq: _*)).as("__s"))
         .select(col("study_id"), array(col("__s")).as("study")))
 
+  /** The sub-frames every index product consumes — computed once and
+    * persisted by [[buildAll]] when the three products are built
+    * together, instead of the reference's 3× recomputation of the same
+    * logical subtrees ("no .cache() anywhere", SURVEY.md §3 E2). */
+  final case class SharedFrames(
+      phenoNested: DataFrame,
+      diagNested: DataFrame,
+      diagExpanded: DataFrame,
+      donorEnriched: DataFrame,
+      filesBio: DataFrame)
+
+  def sharedFrames(in: ClinicalInputs): SharedFrames = SharedFrames(
+    phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms),
+    diagNested = diagnosesPerDonor(
+      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms),
+    diagExpanded = diagnosisExpansionsPerDonor(
+      in.diagnosis, in.mondoTerms, in.icdTerms),
+    donorEnriched = donorNests(
+      in.donor, in.family, in.familyHistory, in.exposure),
+    filesBio = filesWithBiospecimen(in.file, in.biospecimen, in.samples))
+
+  /** Build all three index products sharing the persisted common
+    * sub-frames. Returns the products plus a release() that unpersists
+    * after the caller has written/consumed them. */
+  def buildAll(
+      in: ClinicalInputs,
+      meta: Seq[(String, String)] = Seq.empty)
+      : (Map[String, DataFrame], () => Unit) = {
+    val sh = sharedFrames(in)
+    val pinned = Seq(sh.phenoNested, sh.diagNested, sh.diagExpanded,
+      sh.donorEnriched, sh.filesBio)
+    pinned.foreach(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val products = Map(
+      "donors" -> donorIndex(in, meta, Some(sh)),
+      "studies" -> studyIndex(in, meta, Some(sh)),
+      "files" -> fileIndex(in, meta, Some(sh)))
+    (products, () => pinned.foreach(_.unpersist(false)))
+  }
+
   /** Donor-centric nested index over the full 12-entity clinical
     * model (reference: DonorIndex.scala:21-113 + ProcessETLUtils
     * loadDonors/loadDiagnoses): one row per donor with the study
@@ -237,18 +277,17 @@ object Indexes {
     */
   def donorIndex(
       in: ClinicalInputs,
-      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+      meta: Seq[(String, String)] = Seq.empty,
+      shared: Option[SharedFrames] = None): DataFrame = {
     val donorKey = DonorKey
+    val sh = shared.getOrElse(sharedFrames(in))
     val studyArr = studyStructArr(in.study)
-    val phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms)
-    val diagNested = diagnosesPerDonor(
-      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
-    val diagExpanded = diagnosisExpansionsPerDonor(
-      in.diagnosis, in.mondoTerms, in.icdTerms)
-    val donorEnriched = donorNests(
-      in.donor, in.family, in.familyHistory, in.exposure)
+    val phenoNested = sh.phenoNested
+    val diagNested = sh.diagNested
+    val diagExpanded = sh.diagExpanded
+    val donorEnriched = sh.donorEnriched
     val filesNested = Nest.nestChildren(
-      filesWithBiospecimen(in.file, in.biospecimen, in.samples),
+      sh.filesBio,
       donorKey,
       Seq(col("file_name"), col("data_category"), col("data_type"),
         col("experimental_strategy"), col("file_format"),
@@ -338,10 +377,11 @@ object Indexes {
 
   def studyIndex(
       in: ClinicalInputs,
-      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms)
-    val diagNested = diagnosesPerDonor(
-      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
+      meta: Seq[(String, String)] = Seq.empty,
+      shared: Option[SharedFrames] = None): DataFrame = {
+    val sh = shared.getOrElse(sharedFrames(in))
+    val phenoNested = sh.phenoNested
+    val diagNested = sh.diagNested
     val donorCols = in.donor.columns.filterNot(_ == "study_id").toIndexedSeq
     // sort_array: collect_list order is partition-order-dependent —
     // nondeterministic run to run at scale; the leading struct field
@@ -350,13 +390,10 @@ object Indexes {
     // branch the reference's DONORS document does (StudiesExpected
     // .scala:35-62): family/exposure nests, phenotype expansions,
     // diagnoses with nested treatments/follow-ups, mondo/icd terms.
-    val diagExpanded = diagnosisExpansionsPerDonor(
-      in.diagnosis, in.mondoTerms, in.icdTerms)
-    val donorsNested = donorNests(
-        in.donor, in.family, in.familyHistory, in.exposure)
+    val donorsNested = sh.donorEnriched
       .join(phenoNested, DonorKey, "left")
       .join(diagNested, DonorKey, "left")
-      .join(diagExpanded, DonorKey, "left")
+      .join(sh.diagExpanded, DonorKey, "left")
       .groupBy("study_id")
       .agg(sort_array(collect_list(struct(
         (donorCols.map(col) ++ Seq(
@@ -365,7 +402,7 @@ object Indexes {
           col("non_observed_phenotypes"), col("diagnoses"),
           col("mondo"), col("icd"))): _*)))
         .as("donors"))
-    val filesNested = filesWithBiospecimen(in.file, in.biospecimen, in.samples)
+    val filesNested = sh.filesBio
       .groupBy("study_id")
       .agg(
         sort_array(collect_list(struct(col("file_name"),
@@ -404,19 +441,18 @@ object Indexes {
     */
   def fileIndex(
       in: ClinicalInputs,
-      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val phenoNested = phenotypesPerDonor(in.phenotype, in.hpoTerms)
-    val diagNested = diagnosesPerDonor(
-      in.diagnosis, in.treatment, in.followUp, in.mondoTerms, in.icdTerms)
+      meta: Seq[(String, String)] = Seq.empty,
+      shared: Option[SharedFrames] = None): DataFrame = {
+    val sh = shared.getOrElse(sharedFrames(in))
     val donorStruct = in.donor
-      .join(phenoNested, DonorKey, "left")
-      .join(diagNested, DonorKey, "left")
+      .join(sh.phenoNested, DonorKey, "left")
+      .join(sh.diagNested, DonorKey, "left")
       .select(col("study_id"), col("submitter_donor_id"),
         struct((in.donor.columns.filterNot(_ == "study_id").map(col) ++
           Seq(col("observed_phenotypes"), col("non_observed_phenotypes"),
             col("diagnoses")))
           .toIndexedSeq: _*).as("donor"))
-    val assembled = filesWithBiospecimen(in.file, in.biospecimen, in.samples)
+    val assembled = sh.filesBio
       .join(studyStructArr(in.study), Seq("study_id"), "left")
       .join(donorStruct, DonorKey, "left")
     meta.foldLeft(assembled) { case (d, (k, v)) => d.withColumn(k, lit(v)) }

@@ -114,12 +114,17 @@ object Pipeline {
         spark, s"$inputDir/icd_terms.jsonl.gz", Indexes.TermSchema),
       duoTerms = Sources.jsonLines(
         spark, s"$inputDir/duo_terms.jsonl.gz", Indexes.TermSchema))
-    Sinks.partitionedJson(
-      Indexes.donorIndex(in), s"$outDir/donors", Seq("study_id"))
-    Sinks.partitionedJson(
-      Indexes.studyIndex(in), s"$outDir/studies", Seq("study_id"))
-    Sinks.partitionedJson(
-      Indexes.fileIndex(in), s"$outDir/files", Seq("study_id"))
+    // shared sub-frames computed once, persisted across the three
+    // writes, released after (the reference recomputes them per index)
+    val (products, release) = Indexes.buildAll(in)
+    try {
+      Sinks.partitionedJson(products("donors"), s"$outDir/donors",
+        Seq("study_id"))
+      Sinks.partitionedJson(products("studies"), s"$outDir/studies",
+        Seq("study_id"))
+      Sinks.partitionedJson(products("files"), s"$outDir/files",
+        Seq("study_id"))
+    } finally release()
   }
 
   /** Both stages, fixture-dir in → JSON indexes out. */
