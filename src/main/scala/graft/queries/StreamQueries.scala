@@ -19,5 +19,31 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       EventStream.hourlyStats(Tables.events(s, d))
+    },
+
+    // session_window semantics (measured, pinned in EventStreamSpec):
+    // an event at exactly last + gap still EXTENDS the session — only
+    // diff > gap starts a new one; session_end = last event + gap. The
+    // oracle reconstructs sessions with lag + running sum.
+    sql(
+      "q_event_sessions",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      EventStream.sessionStats(Tables.events(s, d), "30 minutes")
     })
 }

@@ -43,6 +43,23 @@ object EventStream {
       events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(keyCols.head, keyCols.drop(1): _*)
 
+  /** Gap-based sessions via Spark's native `session_window` — the
+    * declarative sibling of [[sessionize]] that runs identically in
+    * batch (oracle-checkable) and behind readStream (watermark evicts
+    * closed sessions). A session extends while each event arrives
+    * within `gap` of the last — INCLUSIVE: an event at exactly
+    * last + gap still extends (measured; the window end is treated as
+    * closed for the merge). `session_end` = last event + gap. Shuffles
+    * once on the user key; windows merge inside the aggregation. */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

@@ -82,6 +82,22 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("sessionStats: exact-gap boundary extends; beyond it splits") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2026-01-01 10:20:00")), // < 30m: extends
+      (1L, Timestamp.valueOf("2026-01-01 10:50:00")), // == 30m: extends
+      (1L, Timestamp.valueOf("2026-01-01 11:21:00")), // > 30m: NEW session
+      (2L, Timestamp.valueOf("2026-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventStream.sessionStats(events, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (1L, 1L), (2L, 1L)))
+  }
+
   test("sessionize closes sessions after the event-time gap") {
     val input = MemoryStream[(Long, Timestamp)](spark)
     val events = input.toDF().toDF("user_id", "ts")
