@@ -13,7 +13,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ NestedQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ SourceQueries.defs ++
-      IndexQueries.defs ++ MediaQueries.defs ++ StreamQueries.defs
+      IndexQueries.defs ++ MediaQueries.defs ++ StreamQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic analytics surface BEYOND the reference's inventory (SURVEY
+  * .md §2.4-2.5 records windows / rollup / pivot / percentiles / set
+  * ops as absent there): a complete engine offers them, so each is
+  * registered with a DuckDB oracle. Where per-group top-k is the real
+  * workload, [[graft.plans.TopKPerGroup]] (bounded heap, no sort)
+  * remains the scale path — the window queries here are the general
+  * ranking/lag/running-total forms.
+  */
+object AnalyticsQueries {
+  import QueryDef.sql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ranking + lag + running sum over event time ----
+    // (event_id tiebreak: (user_id, ts) is unique in the data, but a
+    // total order must never depend on that accident)
+    sql(
+      "q_window_rank",
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  round(coalesce(lag(value) OVER w, 0.0), 2) AS prev_value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          round(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2)
+            .as("prev_value"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_value"))
+    },
+
+    // ---- rollup: subtotals + grand total with null indicators ----
+    sql(
+      "q_rollup",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2)::DECIMAL(18,2)::VARCHAR AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .rollup("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Canon.money(round(sum(col("o_totalprice")), 2)).as("total"))
+    },
+
+    // ---- pivot with pinned value set (deterministic columns) ----
+    sql(
+      "q_pivot",
+      """SELECT user_id,
+        |  round(coalesce(sum(value) FILTER (event_type = 'click'), 0.0), 2)
+        |    AS click,
+        |  round(coalesce(sum(value) FILTER (event_type = 'view'), 0.0), 2)
+        |    AS view,
+        |  round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 2)
+        |    AS purchase
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(round(coalesce(sum(col("value")), lit(0.0)), 2))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0.0)).as("click"),
+          coalesce(col("view"), lit(0.0)).as("view"),
+          coalesce(col("purchase"), lit(0.0)).as("purchase"))
+    },
+
+    // ---- exact percentiles (linear interpolation both engines) ----
+    sql(
+      "q_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"))
+    },
+
+    // ---- set ops: distinct-semantics intersect / except ----
+    sql(
+      "q_set_ops",
+      """SELECT c_custkey, 'both' AS src FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS src FROM (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      val both = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey").intersect(o)
+        .withColumn("src", lit("both"))
+      val noOrders = c.select("c_custkey").except(o)
+        .withColumn("src", lit("no_orders"))
+      both.unionByName(noOrders)
+    })
+}
