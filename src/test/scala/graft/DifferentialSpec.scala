@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.{Dedup, Text}
+import graft.plans.TopKPerGroup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded randomized differential tests: each scale operator is
+  * compared against an independent brute-force reference computed
+  * in-test. Seeds are fixed, so failures are reproducible, and the
+  * generators cover shapes the hand-written specs don't (uneven
+  * groups, null scores, overlapping shingle sets at varied Jaccard).
+  */
+class DifferentialSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  test("TopKPerGroup equals the window formulation on random data " +
+      "with nulls and NaNs") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val score: Option[Double] =
+        if (rng.nextInt(20) == 0) None
+        else if (rng.nextInt(50) == 0) Some(Double.NaN)
+        else Some(math.floor(rng.nextDouble() * 20) / 2.0) // forced ties
+      (rng.nextInt(17), i.toLong, score)
+    }
+    val df = rows.toDF("g", "id", "score")
+    val viaWindow = df
+      .withColumn("rank", row_number().over(Window.partitionBy("g")
+        .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 7)
+      .select("g", "id", "rank").as[(Int, Long, Int)].collect().toSet
+    val viaTopK = TopKPerGroup.topK(df, Seq("g"), "score", "id", 7)
+      .select("g", "id", "rank").as[(Int, Long, Int)].collect().toSet
+    assert(viaTopK == viaWindow)
+  }
+
+  test("dropNearDups equals brute-force Jaccard clustering at high " +
+      "threshold (LSH recall ~1 for J>=0.9 at 64/16 banding)") {
+    val rng = new scala.util.Random(11)
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    // clusters of near-identical docs (1-word perturbations of a 20-word
+    // base => J >= 0.9) plus unrelated singletons
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for (_ <- 0 until 8) {
+      val base = Seq.fill(20)(vocab(rng.nextInt(vocab.size)))
+      val n = 1 + rng.nextInt(3)
+      for (_ <- 0 until n) {
+        val words = base.updated(rng.nextInt(20), vocab(rng.nextInt(vocab.size)))
+        docs += ((id, words.mkString(" "))); id += 1
+      }
+    }
+    for (_ <- 0 until 10) {
+      // distinct length + distinct prefix word => no accidental overlap
+      val words = Seq.fill(12)(s"x${rng.nextInt(1000)}")
+      docs += ((id, words.mkString(" "))); id += 1
+    }
+    val df = docs.toSeq.toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 3))
+
+    // brute-force: exact shingle sets → all-pairs Jaccard → union-find
+    def shingleSet(text: String): Set[String] = {
+      val ws = text.toLowerCase.split("\\s+").toSeq
+      ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (i, t) => i -> shingleSet(t) }.toMap
+    val ids = docs.map(_._1).toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- ids; b <- ids if a < b) {
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toDouble
+      val j = inter / (sa.size + sb.size - inter)
+      if (j >= 0.9) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expectedKept = ids.filter(i => find(i) == i).toSet
+
+    val kept = Dedup.dropNearDups(df, "doc_id", col("sh"), threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expectedKept)
+  }
+
+  test("exactGroups equals a reference groupBy over random duplicates") {
+    val rng = new scala.util.Random(13)
+    val texts = (0 until 40).map(_ => s"doc ${rng.nextInt(12)}")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val expected = texts.zipWithIndex
+      .groupBy(_._1).map { case (_, g) =>
+        (g.map(_._2.toLong).min, g.size.toLong)
+      }.toSet
+    val got = Dedup.exactGroups(docs, Text.fingerprintMd5(col("text")),
+        col("doc_id"))
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+}
