@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide plan regression net: every registered query's physical
+  * plan is screened for the scale-killers — accidental cartesian
+  * products and nested-loop joins. Queries that legitimately use a
+  * bounded cross product are allowlisted with the reason; anything
+  * new that plans one fails here instead of shipping a quadratic
+  * plan to the 100 TB cluster.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  private lazy val spark = WithSpark.session
+  private val d = "/root/testdata/sf0.001"
+
+  // query -> why a cross/nested-loop shape is intended and bounded
+  private val allowedCross: Map[String, String] = Map(
+    "q_join_cross" -> "the operator under test: broadcast dimension universe",
+    "q_summary_lattice" -> "universe = groups x broadcast(categories), both dimension-sized",
+    "q_study_summary" -> "same lattice universe construction per matrix",
+    "q_study_index" -> "embeds the study summary lattice",
+    "q_embed_neardup" -> "documented exact all-pairs baseline, block-partitioned",
+    "q_knn_topk" -> "brute-force baseline: corpus x broadcast(query batch)")
+
+  test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
+      "in any registered query") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, d).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val crossy = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (crossy && !allowedCross.contains(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unplanned cross-product shapes in: ${offenders.mkString(", ")}")
+  }
+}
