@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * (its golden assertions live in IndexesSpec).
   */
 object IndexQueries {
-  import QueryDef.{noOracle, sql}
+  import QueryDef.sql
   import SourceQueries.FixtureDir
 
   val defs: Seq[QueryDef] = Seq(

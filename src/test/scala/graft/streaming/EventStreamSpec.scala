@@ -98,6 +98,29 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     assert(got == Seq((1L, 3L), (1L, 1L), (2L, 1L)))
   }
 
+  test("sessionStats runs behind readStream with a watermark") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val query = EventStream.sessionStats(events, "10 minutes")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(1)))
+      query.processAllAvailable()
+      // watermark far past both sessions' ends closes them
+      input.addData((3L, Timestamp.valueOf("2026-01-01 12:00:00")))
+      query.processAllAvailable()
+      val got = spark.table("native_sessions")
+        .select(col("user_id"), col("n_events"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.get(1L).contains(2L)) // one merged session, two events
+      assert(got.get(2L).contains(1L))
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions after the event-time gap") {
     val input = MemoryStream[(Long, Timestamp)](spark)
     val events = input.toDF().toDF("user_id", "ts")
