@@ -223,8 +223,13 @@ object Dedup {
       pairs: DataFrame, // columns a, b
       maxIters: Int = 20): DataFrame = {
     val idCol = nodes.columns.head
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // materialize the pair list ONCE before the symmetric union — both
+    // union branches share the pairs subtree, and without the pin the
+    // whole upstream pipeline (for dropNearDups: the entire LSH +
+    // rescore chain) executes twice to build the edge list
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Iterate ONLY over nodes that appear in the collision graph: a
     // node with no edge can never change label, so the per-round joins
