@@ -61,6 +61,21 @@ object SourceQueries {
             Canon.js(col("parents")).as("parents_json"))
     },
 
+    // ---- S10: dictionary-document resolution (the reference's
+    //      Lectern schema payload reduced to per-entity column lists,
+    //      DictionaryClient.scala:28-82) ----
+    sql(
+      "q_dictionary",
+      s"""SELECT version, s.name AS entity, len(s.columns) AS n_cols
+         |FROM (SELECT version, unnest(schemas) AS s
+         |      FROM read_json_auto('$FixtureDir/dictionary.json'))""".stripMargin) {
+      (s, _) =>
+        Sources.multilineJson(s, s"$FixtureDir/dictionary.json")
+          .select(col("version"), explode(col("schemas")).as("s"))
+          .select(col("version"), col("s.name").as("entity"),
+            size(col("s.columns")).cast("long").as("n_cols"))
+    },
+
     // ---- S5: in-memory JSON scan (the reference's id-server HTTP
     //      response parsing idiom, PreProcessUtils.scala:96-98) ----
     sql(
