@@ -37,9 +37,16 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity: dot / (‖a‖·‖b‖). Null-safe only insofar as
-    * zero vectors yield NaN (caller filters). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the fused single-pass
+    * [[graft.plans.CosineSim]] expression (one array walk for all
+    * three accumulators instead of three DotProduct walks; bitwise
+    * equal to the composed form, asserted in SimilaritySpec). Zero
+    * vectors yield NaN (caller filters). */
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSim.cosine(a, b)
+
+  /** The composed three-pass form — kept as the semantic reference. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors by cosine for each query vector.
     *

@@ -28,6 +28,19 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(mismatch == 0)
   }
 
+  test("fused CosineSim is bitwise-identical to the composed three-pass form") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val pairs = e.select(col("v").as("a"))
+      .crossJoin(e.select(col("v").as("b")))
+    val mismatch = pairs.select(
+        Similarity.cosine(col("a"), col("b")).as("fused"),
+        Similarity.cosineComposed(col("a"), col("b")).as("ref"))
+      .filter(not(col("fused") <=> col("ref"))).count()
+    assert(mismatch == 0)
+  }
+
   test("dot and cosine match hand computation") {
     val got = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
       .toDF("a", "b")

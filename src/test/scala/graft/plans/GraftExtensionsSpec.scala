@@ -27,4 +27,16 @@ class GraftExtensionsSpec extends AnyFunSuite with WithSpark {
       spark.sql("SELECT graft_dot(1.0, 2.0)").collect()
     }
   }
+
+  test("graft_cosine is callable from SQL and matches hand computation") {
+    GraftExtensions.register(spark)
+    val got = spark
+      .sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(got == 1.0)
+    val ortho = spark
+      .sql("SELECT graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(ortho == 0.0)
+  }
 }
