@@ -109,13 +109,22 @@ object Dedup {
     * the distinct are the only shuffles. A pathological bucket (e.g.
     * boilerplate-heavy corpora) shows up as AQE skew and can be salted
     * by raising `bands`/`numHashes`; all-pairs never happens.
+    *
+    * @param maxBucketSize when > 0, drop (band, bucket) groups larger
+    *   than this before the self-join — the standard production guard
+    *   for boilerplate corpora, where one shared template floods a
+    *   bucket and its pair fan-out goes quadratic. Dropping a bucket
+    *   only loses recall for pairs whose EVERY band collides
+    *   oversized; genuine near-dups still meet in their other bands.
+    *   0 (default) disables the cap.
     */
   def candidatePairs(
       docs: DataFrame,
       id: String,
       shingles: Column,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, id, shingles, numHashes)
@@ -126,11 +135,20 @@ object Dedup {
     // unpersist — impossible from a lazy-returning API — whereas the
     // checkpoint's RDD blocks are reclaimed by the ContextCleaner once
     // the returned frame is unreachable. Cost: one eager job here.
-    val banded = sig
+    val bandedAll = sig
       .select(col(id), explode(lshBuckets(col("sig"), bands, rowsPerBand))
         .as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint()
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else {
+        val ok = bandedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("band", "bucket")
+        bandedAll.join(ok, Seq("band", "bucket"), "left_semi")
+      }
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))

@@ -92,6 +92,27 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("maxBucketSize caps boilerplate buckets; 0 leaves recall intact") {
+    // 6 exact copies of one template: every band-bucket holds all 6
+    val boiler = (10L to 15L)
+      .map(i => (i, "common template text repeated across the corpus wide"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 3))
+    val uncapped = Dedup.candidatePairs(boiler, "doc_id", col("sh"))
+      .count()
+    assert(uncapped == 15) // all C(6,2) pairs
+    val capped = Dedup.candidatePairs(boiler, "doc_id", col("sh"),
+      maxBucketSize = 5).count()
+    assert(capped == 0) // every bucket oversized → dropped
+    // small genuine clusters are untouched by a generous cap
+    val normal = Dedup.candidatePairs(docs, "doc_id", col("sh"),
+        maxBucketSize = 100)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val reference = Dedup.candidatePairs(docs, "doc_id", col("sh"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(normal == reference)
+  }
+
   test("clusterLabels reaches fixpoint on a chain graph (diameter > 2)") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
