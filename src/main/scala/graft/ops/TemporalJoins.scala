@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — operators Spark has no native form of
+  * (the brief's custom-operator ladder, option a: composed from
+  * existing ops, because the built-ins CAN express the semantics
+  * scalably).
+  *
+  * The naive formulations are inequality joins, which Spark plans as
+  * nested-loop — quadratic per key. Both operators here reduce to
+  * equi-shuffles:
+  *
+  *  - as-of: union both sides, ONE shuffle+sort per key, carry the
+  *    last right-side value forward with a running window — the
+  *    merge-join formulation, O(n log n) per key partition;
+  *  - range: map each side into overlapping bins of width >= the max
+  *    range span, equi-join on (key?, bin), then apply the residual
+  *    predicate — the standard binning trick that turns a theta join
+  *    into an equi join plus a bounded local filter.
+  */
+object TemporalJoins {
+
+  /** For every left row, attach the LATEST right row at or before the
+    * left row's time, per key ("most recent prior observation").
+    *
+    * @param left     probe side; keeps all its rows
+    * @param right    reference side; its `payload` columns are carried
+    * @param keyCol   equi-key column name present on both sides
+    * @param timeCol  orderable time column name present on both sides
+    * @param payload  right-side columns to attach (null when no right
+    *                 row at or before the left time)
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // union both sides: right rows carry payload, left rows carry
+    // nulls; a right row at the same instant sorts BEFORE the left row
+    // (is_left breaks the tie) so "at or before" includes ties
+    val taggedLeft = left
+      .withColumn("__is_left", lit(1))
+      .select((leftCols.map(col) :+ col("__is_left")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType)
+          .as(s"__p_$p")): _*)
+    val taggedRight = right
+      .withColumn("__is_left", lit(0))
+      .select((leftCols.map(c =>
+        if (c == keyCol || c == timeCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("__is_left")) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, p) =>
+        df.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true)
+          .over(w))
+    }
+    carried
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__c_$p").as(p)): _*)
+  }
+
+  /** Join rows to the dimension band containing their value:
+    * `lo <= value < hi`, reduced to an equi-join on the bin index.
+    * Bands are exploded into every `binWidth`-sized bin they touch
+    * (a band spanning many bins fans out accordingly — pick binWidth
+    * near the typical band span), and the residual predicate filters
+    * locally after the equi-join — no nested-loop, one shuffle (or
+    * none when the band side is broadcast, the common case).
+    */
+  def bandJoin(
+      facts: DataFrame, valueCol: String,
+      bands: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = facts.withColumn(
+      "__bin", floor(col(valueCol) / binWidth).cast("long"))
+    val bandBins = bands
+      .withColumn("__lo_bin", floor(col(loCol) / binWidth).cast("long"))
+      .withColumn("__hi_bin",
+        floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))
+      .withColumn("__bin",
+        explode(sequence(col("__lo_bin"), greatest(col("__hi_bin"),
+          col("__lo_bin")))))
+      .drop("__lo_bin", "__hi_bin")
+    binned
+      .join(broadcast(bandBins), Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -90,6 +90,47 @@ object AnalyticsQueries {
           round(percentile(col("l_quantity"), lit(0.9)), 2).as("p90"))
     },
 
+    // ---- as-of join: latest prior click per purchase, per user ----
+    // (union + one shuffle/sort + running window — the merge-join
+    // formulation; DuckDB checks it with its native ASOF JOIN)
+    sql(
+      "q_asof_join",
+      """SELECT p.event_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("value").as("click_value"))
+        graft.ops.TemporalJoins.asofJoin(
+          purchases, clicks, keyCol = "user_id", timeCol = "ts",
+          payload = Seq("click_value"))
+    },
+
+    // ---- range join via binning: quantity -> band dimension ----
+    sql(
+      "q_band_join",
+      """SELECT l_orderkey, l_linenumber, l_quantity, band
+        |FROM lineitem
+        |JOIN (VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0),
+        |             ('high', 35.0, 60.0)) bands(band, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity < hi""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val bands = Seq(("low", 0.0, 15.0), ("mid", 15.0, 35.0),
+          ("high", 35.0, 60.0)).toDF("band", "lo", "hi")
+        graft.ops.TemporalJoins.bandJoin(
+            Tables.lineitem(s, d)
+              .select("l_orderkey", "l_linenumber", "l_quantity"),
+            "l_quantity", bands, "lo", "hi", binWidth = 20.0)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "band")
+    },
+
     // ---- set ops: distinct-semantics intersect / except ----
     sql(
       "q_set_ops",

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinsSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: latest at-or-before match, ties included, no-prior null") {
+    val left = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),
+      (2L, 100L, ts("2026-01-01 12:00:00")),
+      (3L, 200L, ts("2026-01-01 09:00:00"))) // user 200 has no clicks
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2026-01-01 09:00:00"), 1.0),
+      (100L, ts("2026-01-01 10:00:00"), 2.0), // same instant as event 1
+      (100L, ts("2026-01-01 11:00:00"), 3.0))
+      .toDF("user_id", "ts", "click_value")
+    val got = TemporalJoins.asofJoin(
+        left, right, "user_id", "ts", Seq("click_value"))
+      .select(col("event_id"), col("click_value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(2.0)) // tie at 10:00 counts as "at or before"
+    assert(got(2L).contains(3.0)) // latest prior, not first
+    assert(got(3L).isEmpty)       // no prior observation → null
+  }
+
+  test("asofJoin plans one shuffle, no nested-loop join") {
+    val left = Seq((1L, 100L, ts("2026-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts("2026-01-01 09:00:00"), 1.0))
+      .toDF("user_id", "ts", "click_value")
+    val plan = TemporalJoins.asofJoin(
+        left, right, "user_id", "ts", Seq("click_value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bandJoin: inclusive lo, exclusive hi, bands spanning bins") {
+    val facts = Seq((1L, 0.0), (2L, 14.999), (3L, 15.0), (4L, 34.999),
+      (5L, 35.0), (6L, 59.999), (7L, 60.0), (8L, -1.0))
+      .toDF("id", "v")
+    val bands = Seq(("low", 0.0, 15.0), ("mid", 15.0, 35.0),
+      ("high", 35.0, 60.0)).toDF("band", "lo", "hi")
+    // binWidth much smaller than band spans: every band fans across bins
+    val got = TemporalJoins.bandJoin(facts, "v", bands, "lo", "hi", 4.0)
+      .select("id", "band").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "low", 2L -> "low", 3L -> "mid", 4L -> "mid",
+      5L -> "high", 6L -> "high")) // 60.0 and -1.0 fall outside all bands
+  }
+}
