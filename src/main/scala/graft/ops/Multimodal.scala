@@ -87,6 +87,50 @@ object Multimodal {
     }
   }
 
+  /** Per-batch resize hook — the seam where a real image library
+    * binds (none in this environment). */
+  trait Resizer extends Serializable {
+    def resize(payload: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB resizer: deterministic fake with a REAL contract the
+    * plumbing (and the oracle) can check — emits exactly w×h bytes,
+    * each sampled from the source payload at the proportional offset
+    * (nearest-neighbor downsampling over the raw bytes). */
+  object FakeResizer extends Resizer {
+    override def resize(payload: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = payload((i.toLong * payload.length / out.length).toInt)
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Batched per-partition resize: same batch shape as
+    * [[extractFeatures]]; meta dims are rewritten to the target size
+    * so downstream stages see consistent typed metadata. */
+  def resizeAll(
+      media: Dataset[MediaRow], w: Int, h: Int,
+      resizer: Resizer = FakeResizer,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaRow(r.media_id, resizer.resize(r.payload, r.meta, w, h),
+            r.meta.copy(width = w, height = h))
+        }
+      }
+    }
+  }
+
   /** Native format sniff from magic bytes — no decoder, stays in
     * codegen: PNG \x89PNG, JPEG \xFF\xD8\xFF, RIFF/WAV, else "bin". */
   def sniffFormat(payload: Column): Column = {

@@ -40,6 +40,30 @@ object MediaQueries {
           .select(col("media_id"), col("n_bytes"), col("fingerprint"))
     },
 
+    // Resize seam: the stub contract (exactly w*h bytes, meta dims
+    // rewritten) is computable, so the oracle is pure arithmetic over
+    // the same corpus — the plumbing (typed rows, batching, meta
+    // rewrite) is what's under test.
+    sql(
+      "q_media_resize",
+      s"""SELECT doc_id::BIGINT AS media_id, 16::INT AS width,
+         |  8::INT AS height, 128::BIGINT AS n_bytes
+         |FROM read_csv('$FixtureDir/docs_planted.tsv', delim='\\t',
+         |  header=true, all_varchar=true)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val media = Sources.tsv(s, s"$FixtureDir/docs_planted.tsv").select(
+        col("doc_id").cast("long").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("image").as("kind"), lit("bin").as("format"),
+          lit(640).as("width"), lit(480).as("height"),
+          lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
+        .as[Multimodal.MediaRow]
+      Multimodal.resizeAll(media, w = 16, h = 8).toDF()
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          length(col("payload")).cast("long").as("n_bytes"))
+    },
+
     // Text payloads can only hit the RIFF magic (PNG/JPEG magics are
     // not valid UTF-8 prefixes), so the sniff reduces to a prefix
     // check the oracle mirrors; the frame fan-out is sequence/range

@@ -32,6 +32,21 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
     assert(got.map(_.media_id).toSet == (1 to n).map(_.toLong).toSet)
   }
 
+  test("resizeAll rewrites meta dims and emits the stub byte contract") {
+    val rows = Seq(
+      media(1L, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)),
+      media(2L, Array.emptyByteArray)).toDS()
+    val got = resizeAll(rows, w = 2, h = 2).collect().sortBy(_.media_id)
+    assert(got.forall(r => r.meta.width == 2 && r.meta.height == 2))
+    assert(got.forall(_.payload.length == 4))
+    // nearest-neighbor over raw bytes: offsets 0, 2, 4, 6
+    assert(got(0).payload.toSeq == Seq[Byte](10, 30, 50, 70))
+    assert(got(1).payload.toSeq == Seq[Byte](0, 0, 0, 0)) // empty source
+    // deterministic
+    val again = resizeAll(rows, w = 2, h = 2).collect().sortBy(_.media_id)
+    assert(again.map(_.payload.toSeq).toSeq == got.map(_.payload.toSeq).toSeq)
+  }
+
   test("sniffFormat reads magic bytes natively") {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2)
     val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
