@@ -61,6 +61,14 @@ object GenGoldens {
     writeTsv(fps.map(p => s"${p._1}\t${p._2}").toSeq,
       "doc_id\tfingerprint", "golden_rolling_fp.tsv")
 
+    // q_compression_ratio golden: (doc_id, compression_ratio @ 4dp)
+    val ratios = Text.compressionRatios(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("compression_ratio"), 4)
+        .as("compression_ratio"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    writeTsv(ratios.map(p => s"${p._1}\t${p._2}").toSeq,
+      "doc_id\tcompression_ratio", "golden_compression.tsv")
+
     // q_media_features golden: (media_id, n_bytes, fingerprint)
     val media = docs.select(
       col("doc_id").as("media_id"),

@@ -156,6 +156,44 @@ object Text {
         size(sh).cast(DoubleType))
   }
 
+  /** Deflate compression ratio per document: compressed_bytes /
+    * raw_bytes — the standard boilerplate/noise signal the native
+    * repetition ratios approximate (highly repetitive or low-entropy
+    * text compresses far below ~0.4; random noise stays near 1).
+    *
+    * A JVM kernel by necessity (zlib is not expressible in Catalyst):
+    * typed mapPartitions with one Deflater reused per partition, like
+    * the other explicit kernels. Deterministic for a fixed level, so
+    * golden-snapshot checkable. Empty/null text → ratio 0.
+    */
+  def compressionRatios(
+      docs: org.apache.spark.sql.DataFrame, id: String,
+      textCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (docId, text) =>
+          if (text == null || text.isEmpty) (docId, 0.0)
+          else {
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished()) {
+              compressed += deflater.deflate(buf)
+            }
+            (docId, compressed.toDouble / raw.length)
+          }
+        }
+      }
+      .toDF(id, "compression_ratio")
+  }
+
   // ---- fingerprinting ----
 
   /** Content fingerprint of the normalized text (md5 — stable across

@@ -280,6 +280,23 @@ object TextQueries {
         id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
     },
 
+    // ---- deflate compression ratio: the standard boilerplate signal;
+    //      JVM kernel (zlib), golden-snapshot oracle via GenGoldens ----
+    sql(
+      "q_compression_ratio",
+      s"""SELECT doc_id::BIGINT AS doc_id,
+         |  compression_ratio::DOUBLE AS compression_ratio
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_compression.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Text.compressionRatios(
+            graft.sources.Sources.tsv(
+              s, s"${SourceQueries.FixtureDir}/docs_planted.tsv"),
+            "doc_id", "text")
+          .select(col("doc_id"), round(col("compression_ratio"), 4)
+            .as("compression_ratio"))
+    },
+
     // ---- rolling-hash fingerprint: golden-snapshot oracle over the
     //      planted corpus (xxhash64 chain; GenGoldens) ----
     sql(

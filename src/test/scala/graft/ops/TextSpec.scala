@@ -71,6 +71,25 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .asInstanceOf[Double] == 0.0) // too short → no shingles → 0
   }
 
+  test("compressionRatios: repetitive text compresses far below noise") {
+    val docs = Seq(
+      (1L, "lorem ipsum " * 500),                  // boilerplate loop
+      (2L, scala.util.Random.javaRandomToRandom(   // fixed-seed noise
+        new java.util.Random(99)).alphanumeric.take(6000).mkString),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Text.compressionRatios(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.05, s"boilerplate ratio ${got(1L)}")
+    assert(got(2L) > 0.5, s"noise ratio ${got(2L)}")
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+    // deterministic (golden-snapshot safety)
+    val again = Text.compressionRatios(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("fingerprints are deterministic and normalization-invariant") {
     val fp1 = one(Text.fingerprintMd5(col("t")), "Hello,  World!")
     val fp2 = one(Text.fingerprintMd5(col("t")), "hello world")
