@@ -86,6 +86,31 @@ class DifferentialSpec extends AnyFunSuite with WithSpark {
     assert(kept == expectedKept)
   }
 
+  test("asofJoin equals a brute-force latest-at-or-before scan on " +
+      "random event streams") {
+    val rng = new scala.util.Random(17)
+    val leftRows = (0 until 300).map { i =>
+      (i.toLong, rng.nextInt(12).toLong, rng.nextInt(5000).toLong)
+    } // (event_id, key, t)
+    val rightRows = (0 until 400).map { i =>
+      (rng.nextInt(12).toLong, rng.nextInt(5000).toLong, i.toDouble)
+    }.distinct // (key, t, payload)
+      // unique (key, t) so the match is well-defined
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.toDF("user_id", "ts", "click_value")
+    val got = graft.ops.TemporalJoins.asofJoin(
+        left, right, "user_id", "ts", Seq("click_value"))
+      .select(col("event_id"), col("click_value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for ((eid, key, t) <- leftRows) {
+      val expected = rightRows.filter(r => r._1 == key && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(eid) == expected, s"event $eid (key=$key, t=$t)")
+    }
+  }
+
   test("exactGroups equals a reference groupBy over random duplicates") {
     val rng = new scala.util.Random(13)
     val texts = (0 until 40).map(_ => s"doc ${rng.nextInt(12)}")

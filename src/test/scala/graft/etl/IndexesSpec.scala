@@ -230,6 +230,23 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(got == Set(("I21", "9"), ("G40", "6"), ("G40-G47", "6")))
   }
 
+  test("buildAll products equal the standalone builds; release unpersists") {
+    val (products, release) = Indexes.buildAll(
+      inputs, meta = Seq("study_version" -> "v42"))
+    val standalone = Indexes.donorIndex(
+      inputs, meta = Seq("study_version" -> "v42"))
+    // same rows regardless of shared-frame injection
+    assert(products("donors").count() == standalone.count())
+    assert(products("donors").exceptAll(standalone).isEmpty &&
+      standalone.exceptAll(products("donors")).isEmpty)
+    assert(products("studies").count() == 2)
+    assert(products("files").count() == 5)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore ||
+      cachedBefore == 0)
+  }
+
   test("customerIndex assembles nation + sorted orders + summary") {
     val customer = Seq((1L, "Alice", "BUILDING", 10L), (2L, "Bob", "AUTO", 11L))
       .toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
