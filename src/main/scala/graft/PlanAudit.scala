@@ -10,7 +10,8 @@ object PlanAudit {
     for (q <- Seq("q_filter_project", "q_join_dims", "q_customer_index",
         "q_summary_lattice", "q_knn_topk", "q_ontology_expand",
         "q_agg_pricing", "q_donor_index", "q_event_windows",
-        "q_diagnosis_nest", "q_study_summary", "q_study_index")) {
+        "q_diagnosis_nest", "q_study_summary", "q_study_index",
+        "q_interval_join")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).length
       println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +

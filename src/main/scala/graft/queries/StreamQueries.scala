@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.{QueryDef, Tables}
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
 
 /** Batch face of the streaming transforms: the same `hourlyStats` plan
   * that runs behind readStream is oracle-checked here over the events
@@ -19,6 +20,32 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       EventStream.hourlyStats(Tables.events(s, d))
+    },
+
+    // ---- interval join: purchases paired with the same user's
+    //      clicks in the preceding hour (batch face of the bounded
+    //      stream-stream join; streaming face in EventStreamSpec) ----
+    sql(
+      "q_interval_join",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  c.event_id AS click_id,
+        |  round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |  AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value"))
+      EventStream.intervalJoin(
+          purchases, clicks, "user_id", "ts", "click_ts", "1 HOUR")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          round(col("value"), 2).as("click_value"))
     },
 
     // session_window semantics (measured, pinned in EventStreamSpec):

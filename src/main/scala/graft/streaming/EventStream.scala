@@ -60,6 +60,34 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream (or batch-batch — same plan) interval join: each
+    * left event paired with every right event for the same key whose
+    * time falls in [left.ts - lookback, left.ts]. In streaming, both
+    * sides carry watermarks and the time-range condition bounds the
+    * join state each side must retain — the canonical bounded
+    * stream-stream join shape. In batch it plans as one equi-shuffle
+    * on the key plus a local range filter (no nested-loop).
+    *
+    * Column contract: left has (`keyCol`, `timeCol`, ...), right has
+    * (`keyCol`, `rightTimeCol`, payload...); right columns are
+    * returned alongside the left's.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, rightTimeCol: String,
+      lookback: String): DataFrame = {
+    // Explicit side aliases: both sides often derive from the same scan
+    // (batch face), where bare df(col) references share expr-ids and the
+    // key equality would need Spark's self-join rescue to disambiguate.
+    val lookbackExpr = expr(s"INTERVAL $lookback")
+    left.alias("gl").join(right.alias("gr"),
+      col(s"gl.$keyCol") === col(s"gr.$keyCol") &&
+        col(s"gr.$rightTimeCol") >=
+          col(s"gl.$timeCol").cast("timestamp") - lookbackExpr &&
+        col(s"gr.$rightTimeCol") <= col(s"gl.$timeCol"))
+      .drop(col(s"gr.$keyCol"))
+  }
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

@@ -98,6 +98,31 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     assert(got == Seq((1L, 3L), (1L, 1L), (2L, 1L)))
   }
 
+  test("intervalJoin runs as a bounded stream-stream join") {
+    import org.apache.spark.sql.functions.col
+    val leftIn = MemoryStream[(Long, Timestamp)](spark)
+    val rightIn = MemoryStream[(Long, Timestamp, Double)](spark)
+    val purchases = leftIn.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val clicks = rightIn.toDF().toDF("user_id", "click_ts", "value")
+      .withWatermark("click_ts", "0 seconds")
+    val joined = EventStream.intervalJoin(
+      purchases, clicks, "user_id", "ts", "click_ts", "10 MINUTES")
+    val query = joined.writeStream
+      .format("memory").queryName("interval_join")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      rightIn.addData((1L, ts(0), 5.0), (1L, ts(30), 7.0)) // 30m earlier
+      leftIn.addData((1L, ts(5)))  // within 10m of the first click only
+      query.processAllAvailable()
+      val got = spark.table("interval_join")
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 5.0)))
+    } finally query.stop()
+  }
+
   test("sessionStats runs behind readStream with a watermark") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Long, Timestamp)](spark)
