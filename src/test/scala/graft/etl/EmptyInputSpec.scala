@@ -1,0 +1,86 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input hardening: at 100 TB a partial load (a study with no
+  * exposures, no families, no files yet) is normal, not exceptional —
+  * the index build must degrade to null/empty branches and zero
+  * counts, never throw. Fixture: the clinical dir with every child
+  * entity truncated to its header line; only donor and study carry
+  * rows.
+  */
+class EmptyInputSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private val src = Paths.get("src/test/resources/clinical")
+
+  /** Entities emptied to header-only in the derived fixture dir. */
+  private val emptied = Seq("phenotype.tsv", "file.tsv", "biospecimen.tsv",
+    "sample_registration.tsv", "diagnosis.tsv", "treatment.tsv",
+    "follow_up.tsv", "exposure.tsv", "family.tsv", "family_history.tsv")
+
+  private lazy val dir: Path = {
+    val d = Files.createTempDirectory("graft_empty_fixture")
+    for (f <- Seq("donor.tsv", "study.tsv", "metadata.json",
+        "terms.jsonl.gz", "mondo_terms.jsonl.gz", "icd_terms.jsonl.gz",
+        "duo_terms.jsonl.gz"))
+      Files.copy(src.resolve(f), d.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    for (f <- emptied) {
+      val header = Files.readAllLines(src.resolve(f)).get(0)
+      Files.writeString(d.resolve(f), header + "\n")
+    }
+    d
+  }
+
+  private lazy val products = {
+    val (p, release) = Indexes.buildAll(
+      Indexes.ClinicalInputs.fromDir(spark, dir.toString))
+    val out = p.map { case (k, v) => k -> v.cache() }
+    out.values.foreach(_.count()) // materialize before release
+    release()
+    out
+  }
+
+  test("donor index: every donor survives with empty branches") {
+    val donors = products("donors")
+    assert(donors.count() == 5)
+    val row = donors.filter($"submitter_donor_id" === "DO001")
+      .select(
+        $"summary.n_files", $"summary.files_available",
+        $"summary.clinical_data_available", $"summary.data_category",
+        $"diagnoses".isNull, $"files".isNull, $"exposures".isNull)
+      .as[(Long, Boolean, Boolean, Seq[String], Boolean, Boolean, Boolean)]
+      .collect().head
+    assert(row == ((0L, false, false, Seq.empty, true, true, true)))
+  }
+
+  test("study index: both studies survive with zeroed summaries") {
+    val studies = products("studies")
+    assert(studies.count() == 2)
+    val bySid = studies
+      .select($"study_id", $"summary.n_donors", $"summary.n_files",
+        $"summary.n_donors_with_files", size($"summary.data_category"),
+        size($"summary.clinical_data_available"))
+      .as[(String, Long, Long, Long, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(bySid("GS001")._2 > 0)          // donors still nest
+    assert(bySid("GS001").productIterator.drop(2).toSeq ==
+      Seq(0L, 0L, 0, 0))                   // all file/clinical facets empty
+  }
+
+  test("file index is empty, not broken") {
+    assert(products("files").count() == 0)
+  }
+
+  test("full pipeline runs end-to-end on the empty-children fixture") {
+    val work = Files.createTempDirectory("graft_empty_out")
+    Pipeline.run(spark, dir.toString, work.toString)
+    val donorsBack = spark.read.json(s"$work/indexes/donors")
+    assert(donorsBack.count() == 5)
+  }
+}
