@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines (no reference counterpart — the reference has no sampling;
+  * SURVEY.md §8 extension surface).
+  *
+  * Everything here derives from one primitive: the first
+  * [[PrefixHexLen]] hex chars of `md5(salt ++ key)` read as a
+  * fixed-point draw in [0, 1). Because the prefix is fixed-width hex,
+  * LEXICAL comparison equals numeric comparison, so a sample defined as
+  * `draw < threshold` is reproducible byte-for-byte across engines
+  * (Spark, DuckDB, anything with md5), across runs, and across
+  * repartitionings — unlike `df.sample()`, whose output depends on
+  * partition layout and RNG stream position.
+  *
+  * Scale shape: every operator below is a pure map-side filter or
+  * projection — NO shuffle, no RNG state, no driver round-trip — except
+  * [[topQuantileFilter]], which adds one partial-aggregated shuffle on
+  * the (low-cardinality) group key and broadcasts the thresholds back.
+  * Null keys draw null and are dropped by the comparison (both engines
+  * agree: NULL < x is NULL).
+  */
+object Sampling {
+
+  /** 8 hex chars = 32 bits of draw: fraction granularity 2^-32. */
+  val PrefixHexLen = 8
+
+  private val Buckets = 1L << (4 * PrefixHexLen) // 16^8
+
+  /** The uniform draw for `key` as a fixed-width lowercase hex string.
+    * `salt` decorrelates independent samples over the same keys (an
+    * empty salt is fine when only one sample is taken). */
+  def unitDraw(key: Column, salt: String = ""): Column =
+    substring(md5(concat(lit(salt), key.cast("string")).cast("binary")),
+      1, PrefixHexLen)
+
+  /** `fraction` as the hex threshold the draw is compared against.
+    * fraction >= 1 returns "g" — lexically above every hex string, so
+    * everything passes; fraction <= 0 passes nothing. */
+  def hexThreshold(fraction: Double): String = {
+    val n = math.floor(fraction * Buckets).toLong
+    if (n >= Buckets) "g"
+    else if (n <= 0L) "00000000"
+    else f"$n%08x"
+  }
+
+  /** Keep ~`fraction` of rows, chosen by key hash: deterministic,
+    * partition-independent, map-side. */
+  def sampleByHash(
+      df: DataFrame, key: Column, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(unitDraw(key, salt) < lit(hexThreshold(fraction)))
+
+  /** Split label ("train" / "val" / "test" / …) for `key` under
+    * `weights` (normalized to sum 1): the draw lands in the cumulative
+    * bucket of its label. The last label takes everything remaining, so
+    * rounding never orphans a row. */
+  def splitAssign(
+      key: Column, weights: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-negative")
+    val total = weights.map(_._2).sum
+    val draw = unitDraw(key, salt)
+    val cum = weights.init.scanLeft(0.0) { case (acc, (_, w)) =>
+      acc + w / total
+    }.tail
+    weights.init.zip(cum)
+      .foldRight(lit(weights.last._1)) { case (((label, _), c), rest) =>
+        when(draw < lit(hexThreshold(c)), label).otherwise(rest)
+      }
+  }
+
+  /** Per-stratum deterministic sampling: each stratum value gets its
+    * own keep-fraction (absent strata fall back to `default`). One
+    * when-chain per stratum — map-side, no shuffle, unlike
+    * `DataFrameStatFunctions.sampleBy` (seeded RNG, partition-layout
+    * dependent). */
+  def stratifiedSampleByHash(
+      df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val draw = unitDraw(key, salt)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(hexThreshold(default))) {
+        case ((value, f), rest) =>
+          when(strata === lit(value), lit(hexThreshold(f))).otherwise(rest)
+      }
+    df.filter(draw < threshold)
+  }
+
+  /** EXACT per-group top-fraction filter: keep rows whose `score`
+    * ranks in the best `fraction` of their group (ties inclusive),
+    * via window percent_rank — a per-group sort, so this is the
+    * oracle-checkable face for gate-scale data. At 100 TB prefer
+    * [[topQuantileFilter]]. */
+  def percentRankTopFraction(
+      df: DataFrame, groupCols: Seq[String], score: Column,
+      fraction: Double): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(score.desc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= fraction)
+      .drop("__pr")
+  }
+
+  /** SCALE path for per-group quality filtering: one aggregation
+    * computes each group's `1 - fraction` score quantile
+    * (percentile_approx, map-side combined), the tiny threshold table
+    * broadcasts back, and the filter runs map-side on the fact — no
+    * per-group sort anywhere. `accuracy` trades memory for quantile
+    * error exactly as percentile_approx documents. */
+  def topQuantileFilter(
+      df: DataFrame, groupCols: Seq[String], score: Column,
+      fraction: Double, accuracy: Int = 10000): DataFrame = {
+    val thr = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(score, lit(1.0 - fraction), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thr), groupCols)
+      .filter(score >= col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split surface over `documents` — every
+  * query here is byte-exact oracle-checkable because the md5-prefix
+  * draw ([[Sampling.unitDraw]]) is engine-independent: the DuckDB SQL
+  * recomputes the identical hex draw and thresholds, so MEMBERSHIP
+  * (not just counts) is verified by the hash gate.
+  */
+object SamplingQueries {
+  import QueryDef.sql
+
+  /** DuckDB side of [[Sampling.unitDraw]]. */
+  private def drawSql(salt: String): String =
+    s"substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, ${Sampling.PrefixHexLen})"
+
+  private val StratFractions =
+    Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.125)
+  private val StratDefault = 0.0625
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deterministic Bernoulli sample: exact membership checked ----
+    sql(
+      "q_hash_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${drawSql("")} < '${Sampling.hexThreshold(0.25)}'"""
+        .stripMargin) { (s, d) =>
+      Sampling.sampleByHash(
+          Tables.documents(s, d), col("doc_id"), 0.25)
+        .select("doc_id", "lang", "source")
+    },
+
+    // ---- train/val/test assignment: per-split count + id-sum pins
+    //      the exact partition of the corpus ----
+    sql(
+      "q_train_split",
+      s"""SELECT split, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM (SELECT doc_id,
+         |  CASE WHEN ${drawSql("")} < '${Sampling.hexThreshold(0.8)}'
+         |         THEN 'train'
+         |       WHEN ${drawSql("")} < '${Sampling.hexThreshold(0.9)}'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |GROUP BY split""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+    },
+
+    // ---- per-language keep-fractions (salted independently of
+    //      q_hash_sample so the two samples decorrelate) ----
+    sql(
+      "q_stratified_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${drawSql("strat")} <
+         |  CASE lang
+         |    WHEN 'en' THEN '${Sampling.hexThreshold(0.5)}'
+         |    WHEN 'zh' THEN '${Sampling.hexThreshold(0.25)}'
+         |    WHEN 'de' THEN '${Sampling.hexThreshold(0.125)}'
+         |    ELSE '${Sampling.hexThreshold(StratDefault)}' END"""
+        .stripMargin) { (s, d) =>
+      Sampling.stratifiedSampleByHash(
+          Tables.documents(s, d), col("doc_id"), col("lang"),
+          StratFractions, default = StratDefault, salt = "strat")
+        .select("doc_id", "lang")
+    },
+
+    // ---- per-group quality-quantile filter (exact face; the scale
+    //      path is Sampling.topQuantileFilter, spec-checked against
+    //      this one) ----
+    sql(
+      "q_quantile_filter",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER
+        |      (PARTITION BY lang ORDER BY n_chars DESC) AS pr
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |WHERE pr <= 0.25""".stripMargin) { (s, d) =>
+      Sampling.percentRankTopFraction(
+          Tables.documents(s, d).filter(col("n_chars").isNotNull),
+          Seq("lang"), col("n_chars"), 0.25)
+        .select("doc_id", "lang", "n_chars")
+    })
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 10000).toDF("id")
+
+  test("hexThreshold maps fractions onto the lexical hex grid") {
+    assert(Sampling.hexThreshold(0.25) == "40000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "g") // above every hex draw
+  }
+
+  test("sampleByHash is deterministic and partition-independent") {
+    def run(parts: Int): Set[Long] =
+      Sampling.sampleByHash(ids.repartition(parts), $"id", 0.2)
+        .as[Long].collect().toSet
+    val a = run(1)
+    assert(run(32) == a)   // layout changes nothing
+    assert(run(7) == a)
+    val frac = a.size / 10000.0
+    assert(math.abs(frac - 0.2) < 0.02, s"got $frac") // ~3.3 binomial sd
+  }
+
+  test("salt decorrelates two samples of the same keys") {
+    val a = Sampling.sampleByHash(ids, $"id", 0.5, salt = "a")
+      .as[Long].collect().toSet
+    val b = Sampling.sampleByHash(ids, $"id", 0.5, salt = "b")
+      .as[Long].collect().toSet
+    val overlap = (a & b).size / 10000.0
+    assert(math.abs(overlap - 0.25) < 0.02, s"got $overlap") // ≈ p²
+  }
+
+  test("splitAssign partitions every row exactly once, near weights") {
+    val n = ids.count()
+    val counts = ids
+      .select(Sampling.splitAssign($"id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == n) // disjoint + exhaustive by construction
+    assert(math.abs(counts("train") / n.toDouble - 0.8) < 0.02)
+    assert(math.abs(counts("val") / n.toDouble - 0.1) < 0.02)
+  }
+
+  test("stratifiedSampleByHash applies per-stratum fractions") {
+    val docs = ids.withColumn("grp",
+      when($"id" % 2 === 0, "a").otherwise("b"))
+    val kept = Sampling.stratifiedSampleByHash(
+        docs, $"id", $"grp", Map("a" -> 0.5), default = 0.1)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("a") / 5000.0 - 0.5) < 0.04)
+    assert(math.abs(kept("b") / 5000.0 - 0.1) < 0.04)
+  }
+
+  test("topQuantileFilter agrees with the exact percent-rank face") {
+    // distinct scores: at high accuracy the approx sketch is exact, so
+    // the scale path must reproduce the exact top-quartile membership
+    val scored = spark.range(0, 2000)
+      .select($"id", ($"id" % 4).cast("string").as("grp"),
+        (xxhash64($"id") % 100000).cast("double").as("score"))
+    val exact = Sampling.percentRankTopFraction(
+        scored, Seq("grp"), $"score", 0.25)
+      .select("id").as[Long].collect().toSet
+    val approx = Sampling.topQuantileFilter(
+        scored, Seq("grp"), $"score", 0.25)
+      .select("id").as[Long].collect().toSet
+    val jac = (exact & approx).size.toDouble / (exact | approx).size
+    assert(jac > 0.98, s"exact=${exact.size} approx=${approx.size} j=$jac")
+  }
+
+  test("topQuantileFilter plan: broadcast threshold join, no window sort") {
+    val scored = ids.select($"id", ($"id" % 4).cast("string").as("grp"),
+      $"id".cast("double").as("score"))
+    val plan = Sampling.topQuantileFilter(scored, Seq("grp"), $"score", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Window"), "scale path must not sort per group")
+  }
+}
