@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines: documents are
+  * concatenated in a deterministic order and the token stream is cut
+  * into fixed-`budget` chunks (the standard concat-and-chunk packing —
+  * a document may straddle a chunk boundary). No reference counterpart
+  * (SURVEY.md §8 extension surface).
+  *
+  * The whole assignment is closed-form over a per-shard running token
+  * sum: `start = exclusive-cumsum(tokens)`, so a doc occupies chunks
+  * `start div budget .. (start + tokens - 1) div budget`. Integer
+  * arithmetic end to end — byte-reproducible in any engine with window
+  * sums, which is what makes the oracle exact.
+  *
+  * Scale shape: ONE shuffle on the shard key; each shard's window sum
+  * runs independently, so parallelism = shard count (pick shards like
+  * input file / source — thousands at 100 TB). No global sort: chunk
+  * ids are shard-local by construction, globally unique as
+  * (shard, chunk).
+  */
+object Packing {
+
+  /** Chunk-span assignment: input + (start_tok, first_chunk,
+    * last_chunk), ordered-by `orderCol` within each `shardCol`.
+    * `tokens` must be a non-negative bigint column expression. */
+  def packChunks(
+      df: DataFrame, shardCol: Column, orderCol: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__tok", tokens)
+      .withColumn("start_tok", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("first_chunk",
+        expr(s"start_tok div ${budget}L"))
+      .withColumn("last_chunk",
+        expr(s"(start_tok + __tok - 1) div ${budget}L"))
+      .drop("__tok")
+  }
+
+  /** Per-shard packing stats: chunk count and padding waste of the
+    * final short chunk — the number every packing change is judged by
+    * (waste fraction at a given budget). */
+  def packStats(
+      df: DataFrame, shardCol: Column, tokens: Column,
+      budget: Long): DataFrame =
+    df.groupBy(shardCol)
+      .agg(sum(tokens).as("total_tokens"))
+      .withColumn("n_chunks",
+        expr(s"(total_tokens + ${budget - 1}L) div ${budget}L"))
+      .withColumn("waste_tokens",
+        expr(s"n_chunks * ${budget}L - total_tokens"))
+}
