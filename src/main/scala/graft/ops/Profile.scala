@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the ANALYZE-style one-pass column summary every
+  * ingest step wants before trusting a new drop of data (no reference
+  * counterpart; SURVEY.md §8 extension surface).
+  *
+  * Output is long-format: one row per profiled column with row count,
+  * null count, distinct count, and min/max rendered as strings so the
+  * schema is uniform across column types.
+  *
+  * Scale shape: ONE aggregation pass. With exact distinct counts over
+  * k columns Spark plans one Expand (k× row multiplication before the
+  * map-side partial agg) — the standard exact cost; set `approx` at
+  * 100 TB for HLL sketches (per-column error ~2%, no Expand), which is
+  * what ANALYZE itself does.
+  */
+object Profile {
+
+  def profile(
+      df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    row.select(inline(array(structs: _*)))
+  }
+}

@@ -151,5 +151,22 @@ object AnalyticsQueries {
       val noOrders = c.select("c_custkey").except(o)
         .withColumn("src", lit("no_orders"))
       both.unionByName(noOrders)
+    },
+
+    // ---- one-pass column profiling (ANALYZE-style long format) ----
+    sql(
+      "q_profile", {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value FROM documents"""
+            .stripMargin
+        Seq("lang", "source", "n_chars").map(one)
+          .mkString("\nUNION ALL\n")
+      }) { (s, d) =>
+      graft.ops.Profile.profile(
+        Tables.documents(s, d), Seq("lang", "source", "n_chars"))
     })
 }

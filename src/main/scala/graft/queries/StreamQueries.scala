@@ -48,6 +48,22 @@ object StreamQueries {
           round(col("value"), 2).as("click_value"))
     },
 
+    // ---- stream-static enrichment: events broadcast-joined with the
+    //      customer dimension (streaming face in EventStreamSpec) ----
+    sql(
+      "q_stream_enrich",
+      """SELECT event_id, user_id, event_type,
+        |  c_mktsegment AS segment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey"""
+        .stripMargin) { (s, d) =>
+      EventStream.enrichWithDim(
+          Tables.events(s, d),
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          "user_id", "c_custkey")
+        .select("event_id", "user_id", "event_type", "segment")
+    },
+
     // session_window semantics (measured, pinned in EventStreamSpec):
     // an event at exactly last + gap still EXTENDS the session — only
     // diff > gap starts a new one; session_end = last event + gap. The

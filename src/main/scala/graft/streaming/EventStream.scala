@@ -88,6 +88,19 @@ object EventStream {
       .drop(col(s"gr.$keyCol"))
   }
 
+  /** Stream-static dimension enrichment: each micro-batch broadcast-
+    * joins the static dim — no streaming state at all (the third join
+    * shape next to windowed aggs and stream-stream joins). At scale
+    * the dim re-broadcasts per batch, so keep it dimension-sized; a
+    * 100 TB/day stream enriches map-side with zero shuffle of the
+    * stream. Left join: unmatched events pass through with nulls
+    * rather than silently dropping. */
+  def enrichWithDim(
+      events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

@@ -123,6 +123,26 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("enrichWithDim broadcast-joins a static dim into each batch") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "segment")
+    val input = MemoryStream[(Long, Double)](spark)
+    val enriched = EventStream.enrichWithDim(
+      input.toDF().toDF("user_id", "value"), dim, "user_id", "cust_id")
+    val query = enriched.writeStream
+      .format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, 5.0), (3L, 7.0)) // 3 has no dim row
+      query.processAllAvailable()
+      val got = spark.table("enriched")
+        .select(col("user_id"), col("segment"))
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("GOLD")), (3L, None))) // left join
+    } finally query.stop()
+  }
+
   test("sessionStats runs behind readStream with a watermark") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Long, Timestamp)](spark)
