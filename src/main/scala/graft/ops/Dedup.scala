@@ -125,9 +125,6 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 0): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(docs, id, shingles, numHashes)
     // The self-join consumes the tiny (id, band, bucket) frame twice;
     // without a pin each side would re-scan the corpus and recompute
     // every signature. localCheckpoint (not persist): persist registers
@@ -135,10 +132,7 @@ object Dedup {
     // unpersist — impossible from a lazy-returning API — whereas the
     // checkpoint's RDD blocks are reclaimed by the ContextCleaner once
     // the returned frame is unreachable. Cost: one eager job here.
-    val bandedAll = sig
-      .select(col(id), explode(lshBuckets(col("sig"), bands, rowsPerBand))
-        .as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandedAll = bandedBuckets(docs, id, shingles, numHashes, bands)
       .localCheckpoint()
     val banded =
       if (maxBucketSize <= 0) bandedAll
@@ -316,6 +310,52 @@ object Dedup {
     docs.join(labels,
         docs(id) === labels("node") && labels("cluster") === docs(id),
         "left_semi")
+  }
+
+  /** The persistent LSH state for incremental ingest: the corpus as
+    * (id, band, bucket) rows — what [[candidatePairs]] builds
+    * internally, exposed so a long-lived pipeline can persist it
+    * (parquet, bucketed by (band, bucket)) and dedupe each arriving
+    * batch WITHOUT re-shingling 100 TB of existing corpus. */
+  def bandedBuckets(
+      docs: DataFrame, id: String, shingles: Column,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    minhashSignatures(docs, id, shingles, numHashes)
+      .select(col(id),
+        explode(lshBuckets(col("sig"), bands, numHashes / bands)).as("bb"))
+      .select(col(id), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Incremental near-dup candidates for one arriving batch: LSH only
+    * the NEW docs, join their banded rows against the persisted corpus
+    * state, and self-join the batch against itself. Output: distinct
+    * (a, b) where b is always a new doc and a is an existing doc or a
+    * smaller new id — existing-vs-existing pairs are never re-reported.
+    * Also returns the batch's banded rows so the caller appends them
+    * to the state (one LSH pass per batch, total cost O(batch), never
+    * O(corpus)). Rescore candidates with [[jaccard]] by fetching just
+    * the matched docs' shingles — a targeted semi-join, not a corpus
+    * scan. */
+  def incrementalCandidates(
+      corpusBanded: DataFrame, newDocs: DataFrame, id: String,
+      shingles: Column, numHashes: Int = 64,
+      bands: Int = 16): (DataFrame, DataFrame) = {
+    val newBanded =
+      bandedBuckets(newDocs, id, shingles, numHashes, bands)
+        .localCheckpoint() // consumed three times below; see candidatePairs
+    val oldNew = corpusBanded.select(col(id).as("a"), col("band"),
+        col("bucket"))
+      .join(newBanded.select(col(id).as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") =!= col("b")) // re-ingested id is not its own dup
+    val newNew = newBanded.select(col(id).as("a"), col("band"), col("bucket"))
+      .join(newBanded.select(col(id).as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    (oldNew.select("a", "b").unionByName(newNew.select("a", "b")).distinct(),
+      newBanded)
   }
 
   /** Exact Jaccard similarity of two shingle-set columns:

@@ -149,6 +149,48 @@ object TextQueries {
         threshold = 0.8, numHashes = 64, bands = 16)
     },
 
+    // ---- incremental near-dup ingest: docs < 400 are the persisted
+    //      corpus state, docs >= 400 the arriving batch; only pairs
+    //      involving a new doc are reported (existing-vs-existing
+    //      never re-checked). Oracle: all-pairs Jaccard restricted to
+    //      b >= 400 — the b side of every incremental pair is new. ----
+    sql(
+      "q_dedup_incremental",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.s, y.s))::DOUBLE AS inter,
+         |    len(x.s) + len(y.s) AS tot
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE y.doc_id >= 400)
+         |SELECT a, b, inter / (tot - inter) AS jaccard
+         |FROM p WHERE inter / (tot - inter) >= 0.8""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", Text.shingles(col("text"), 3))
+      val state = Dedup.bandedBuckets(
+        docs.filter(col("doc_id") < 400), "doc_id", col("sh"),
+        numHashes = 64, bands = 16)
+      val (cand, _) = Dedup.incrementalCandidates(
+        state, docs.filter(col("doc_id") >= 400), "doc_id", col("sh"),
+        numHashes = 64, bands = 16)
+      val sets = docs.select(col("doc_id"), array_distinct(col("sh"))
+        .as("__sh"))
+      cand
+        .join(sets.select(col("doc_id").as("a"), col("__sh").as("__sha")),
+          Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("__sh").as("__shb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          Dedup.jaccard(col("__sha"), col("__shb")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    },
+
     // ---- repetition signals (duplicate word / n-gram fractions) ----
     sql(
       "q_repetition",

@@ -73,6 +73,35 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       Set(1L, 2L, 3L).contains(b) })
   }
 
+  test("incrementalCandidates: batch joins the persisted state, " +
+      "existing pairs never re-reported") {
+    // corpus: d1/d2 exact dups, d4 unique — state built once
+    val corpus = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+    val state = Dedup.bandedBuckets(corpus, "doc_id", col("sh"),
+      numHashes = 64, bands = 16)
+    // batch: d3 near-dups d1/d2 (cross-batch), d6/d7 in-batch dups,
+    // d5 unique
+    val batch = docs.filter(col("doc_id").isin(3L, 5L))
+      .unionByName(Seq(
+        (6L, "spark shuffles partition data across the cluster nodes"),
+        (7L, "spark shuffles partition data across the cluster racks"))
+        .toDF("doc_id", "text")
+        .withColumn("sh", Text.shingles(col("text"), 3)))
+    val (pairs, newBanded) = Dedup.incrementalCandidates(
+      state, batch, "doc_id", col("sh"), numHashes = 64, bands = 16)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)) || got.contains((2L, 3L)),
+      s"cross-batch near-dup missed: $got")
+    assert(got.contains((6L, 7L)), s"in-batch near-dup missed: $got")
+    assert(!got.contains((1L, 2L)),
+      "existing-vs-existing pair must not be re-reported")
+    assert(got.forall { case (_, b) => Set(3L, 5L, 6L, 7L).contains(b) },
+      s"b side must always be a new doc: $got")
+    // appending the batch state keeps the invariant: next batch sees all
+    val nextState = state.unionByName(newBanded)
+    assert(nextState.select("doc_id").distinct().count() == 7)
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val sh = Dedup.simhashes(docs, "doc_id", col("sh"))
       .as[(Long, Long)].collect().toMap
