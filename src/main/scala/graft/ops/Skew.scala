@@ -50,6 +50,30 @@ object Skew {
       .agg(finalAggs.head, finalAggs.drop(1): _*)
   }
 
+  /** Heavy-hitter diagnostic: the k most frequent value-combinations
+    * of `keys` with counts and rank — the first thing to run when one
+    * reducer runs forever. The counting itself rides
+    * [[saltedCountSum]] (a hot key IS a skewed aggregation, so plain
+    * groupBy would funnel it through one reducer) and the selection
+    * uses the bounded-heap TopKPerGroup operator — O(n log k), never a
+    * global sort. `tie` breaks equal counts deterministically; it is
+    * evaluated over the counted frame (`keys` + `n`) and must be a
+    * unique LongType expression, e.g. the key itself or a hash of the
+    * keys. */
+  def hotKeys(
+      df: DataFrame,
+      keys: Seq[String],
+      k: Int,
+      tie: Column,
+      saltBuckets: Int = 16): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+        saltedCountSum(df, keys, saltBuckets = saltBuckets)
+          .withColumn("__g", lit(0))
+          .withColumn("__score", col("n").cast("double"))
+          .withColumn("__tie", tie),
+        Seq("__g"), "__score", "__tie", k)
+      .drop("__g", "__score", "__tie")
+
   /** Salted distinct-count: phase 1 dedups (keys, value) within salt
     * buckets, phase 2 dedups across buckets and counts. Exact (not a
     * sketch); for approximate at extreme cardinality use

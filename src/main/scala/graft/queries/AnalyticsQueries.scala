@@ -153,6 +153,22 @@ object AnalyticsQueries {
       both.unionByName(noOrders)
     },
 
+    // ---- heavy-hitter diagnostic: salted count + bounded-heap top-k ----
+    sql(
+      "q_hot_keys",
+      """SELECT l_suppkey, n, rank FROM (
+        |  SELECT l_suppkey, n,
+        |    row_number() OVER (ORDER BY n DESC, l_suppkey) AS rank
+        |  FROM (SELECT l_suppkey, count(*) AS n
+        |        FROM lineitem GROUP BY l_suppkey))
+        |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      graft.ops.Skew.hotKeys(
+          Tables.lineitem(s, d), Seq("l_suppkey"), k = 10,
+          tie = col("l_suppkey"))
+        .select(col("l_suppkey"), col("n"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // ---- one-pass column profiling (ANALYZE-style long format) ----
     sql(
       "q_profile", {

@@ -149,6 +149,28 @@ object TextQueries {
         threshold = 0.8, numHashes = 64, bands = 16)
     },
 
+    // ---- incremental EXACT dedup: new docs (>= 400) whose normalized
+    //      fingerprint is unseen in the corpus (< 400) — the batch face
+    //      of EventStream.filterKnown (stateless stream-static anti
+    //      join). NOT EXISTS, not NOT IN: anti-join keeps null-key rows
+    //      and NOT IN would drop everything on one null. ----
+    sql(
+      "q_dedup_new_docs",
+      s"""SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id >= 400 AND NOT EXISTS (
+         |  SELECT 1 FROM documents c
+         |  WHERE c.doc_id < 400
+         |    AND md5(${NormSql.replace("text", "c.text")}) =
+         |        md5(${NormSql.replace("text", "d.text")}))"""
+        .stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("fp", Text.fingerprintMd5(col("text")))
+      graft.streaming.EventStream.filterKnown(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400), "fp")
+        .select("doc_id")
+    },
+
     // ---- incremental near-dup ingest: docs < 400 are the persisted
     //      corpus state, docs >= 400 the arriving batch; only pairs
     //      involving a new doc are reported (existing-vs-existing

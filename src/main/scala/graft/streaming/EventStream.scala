@@ -43,6 +43,21 @@ object EventStream {
       events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(keyCols.head, keyCols.drop(1): _*)
 
+  /** Streaming exact-dedup against a STATIC historical corpus: anti
+    * join on the fingerprint — stateless, so the stream holds zero
+    * dedup state for the corpus however large it is. The static side's
+    * strategy is the planner's choice: dimension-sized fingerprint
+    * sets broadcast, a 100 TB corpus's fingerprints shuffle-join per
+    * micro-batch (keep them as a compact fingerprint-only parquet).
+    * Chain with [[dedupWithinWatermark]] for in-stream duplicates;
+    * together they are the streaming face of [[graft.ops.Dedup]]'s
+    * incremental ingest. */
+  def filterKnown(
+      stream: DataFrame, corpusFingerprints: DataFrame,
+      fpCol: String): DataFrame =
+    stream.join(corpusFingerprints.select(fpCol).distinct(),
+      Seq(fpCol), "left_anti")
+
   /** Gap-based sessions via Spark's native `session_window` — the
     * declarative sibling of [[sessionize]] that runs identically in
     * batch (oracle-checkable) and behind readStream (watermark evicts

@@ -143,6 +143,25 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("filterKnown anti-joins a static corpus statelessly") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq("fp1", "fp2").toDF("fp")
+    val input = MemoryStream[(String, Long)](spark)
+    val fresh = EventStream.filterKnown(
+      input.toDF().toDF("fp", "doc_id"), corpus, "fp")
+    val query = fresh.writeStream
+      .format("memory").queryName("fresh_docs")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("fp1", 10L), ("fp9", 11L)) // fp1 known, fp9 new
+      query.processAllAvailable()
+      val got = spark.table("fresh_docs")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(got == Set(11L))
+    } finally query.stop()
+  }
+
   test("sessionStats runs behind readStream with a watermark") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Long, Timestamp)](spark)
