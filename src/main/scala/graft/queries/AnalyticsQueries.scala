@@ -153,6 +153,34 @@ object AnalyticsQueries {
       both.unionByName(noOrders)
     },
 
+    // ---- z-order (Morton) values: magic-mask bit spread replayed in
+    //      DuckDB bit ops, stage by stage ----
+    sql(
+      "q_zorder",
+      """WITH t0 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+        |  FROM lineitem),
+        |t1 AS (SELECT l_orderkey, l_linenumber,
+        |  (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b
+        |  FROM t0),
+        |t2 AS (SELECT l_orderkey, l_linenumber,
+        |  (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b
+        |  FROM t1),
+        |t3 AS (SELECT l_orderkey, l_linenumber,
+        |  (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b
+        |  FROM t2),
+        |t4 AS (SELECT l_orderkey, l_linenumber,
+        |  (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b
+        |  FROM t3)
+        |SELECT l_orderkey, l_linenumber, a | (b << 1) AS z
+        |FROM t4""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zValue(col("l_partkey"), col("l_suppkey"))
+          .as("z"))
+    },
+
     // ---- heavy-hitter diagnostic: salted count + bounded-heap top-k ----
     sql(
       "q_hot_keys",

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  /** Reference interleave, bit by bit. */
+  private def mortonRef(a: Int, b: Int): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc |
+        (((a >> i) & 1).toLong << (2 * i)) |
+        (((b >> i) & 1).toLong << (2 * i + 1))
+    }
+
+  test("zValue matches a bit-by-bit reference interleave") {
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535),
+      (12345, 54321), (65535, 65535), (256, 255))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zValue($"a", $"b").as("z"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (a, b) => mortonRef(a, b) })
+  }
+
+  test("z-order layout clusters BOTH columns; sort-by-a only one") {
+    // uniform 128x128 grid; 16 output partitions
+    val grid = spark.range(0, 128 * 128)
+      .select(($"id" % 128).cast("int").as("a"),
+        ($"id" / 128).cast("int").as("b"))
+    def avgSpanB(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("__part", spark_partition_id())
+        .groupBy("__part")
+        .agg((max($"b") - min($"b")).as("span"))
+        .agg(avg($"span")).as[Double].collect().head
+    val zed = Layout.zOrderBy(grid, $"a", $"b", numFiles = 16)
+    val aSorted = grid.repartitionByRange(16, $"a")
+      .sortWithinPartitions($"a")
+    val (zSpan, aSpan) = (avgSpanB(zed), avgSpanB(aSorted))
+    // 16 z-range partitions of a 128x128 grid are ~4x4 quadrant tiles:
+    // each covers ~1/4 of b's domain; sort-by-a partitions span ALL of b
+    assert(zSpan < 0.45 * 127, s"z-order b-span too wide: $zSpan")
+    assert(aSpan > 0.9 * 127, s"control layout unexpectedly clustered b")
+  }
+}
