@@ -43,4 +43,35 @@ object Profile {
     }
     row.select(inline(array(structs: _*)))
   }
+
+  /** Mergeable distinct-count sketches for INCREMENTAL profiling: each
+    * batch/day/partition aggregates once into a binary HLL sketch per
+    * (group, column); later, sketches union in a tiny aggregation over
+    * the stored sketch rows — re-profiling a 100 TB corpus after each
+    * daily drop costs O(day), never O(corpus) (the sketch-state sibling
+    * of [[graft.ops.Dedup]]'s incremental LSH ingest). Long format:
+    * (group..., col_name, sketch). */
+  def distinctSketches(
+      df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to sketch")
+    val aggs = cols.map(c => hll_sketch_agg(col(c)).as(s"__sk_$c"))
+    val row = df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+    val structs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(s"__sk_$c").as("sketch")))
+    row.select(groupCols.map(col) :+
+      inline(array(structs: _*)).as(Seq("col_name", "sketch")): _*)
+  }
+
+  /** Union stored sketch rows (across days / partitions / tables) into
+    * per-(group, column) distinct estimates. Input shape is
+    * [[distinctSketches]] output, possibly concatenated over many
+    * batch runs. */
+  def mergeDistinctSketches(
+      sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches
+      .groupBy((groupCols :+ "col_name").map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("n_distinct_est"))
 }

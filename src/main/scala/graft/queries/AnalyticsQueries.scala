@@ -197,6 +197,20 @@ object AnalyticsQueries {
           col("rank").cast("long").as("rank"))
     },
 
+    // ---- mergeable HLL distinct sketches: batch sketches union to
+    //      the corpus estimate; exact at dimension-scale cardinality
+    //      (pinned by SketchExactnessCheck), hence oracle-able ----
+    sql(
+      "q_sketch_distinct",
+      """SELECT lang, 'source' AS col_name,
+        |  count(DISTINCT source) AS n_distinct_est
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      graft.ops.Profile.mergeDistinctSketches(
+        graft.ops.Profile.distinctSketches(
+          Tables.documents(s, d), Seq("lang"), Seq("source")),
+        Seq("lang"))
+    },
+
     // ---- one-pass column profiling (ANALYZE-style long format) ----
     sql(
       "q_profile", {
