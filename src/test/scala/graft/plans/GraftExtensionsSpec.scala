@@ -28,6 +28,35 @@ class GraftExtensionsSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("graft_draw from SQL is byte-identical to Sampling.unitDraw") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val viaSql = spark.range(0, 200)
+      .createOrReplaceTempView("__draw_ids")
+    val sqlDraws = spark
+      .sql("SELECT id, graft_draw(id, 'salty') AS d FROM __draw_ids")
+      .as[(Long, String)].collect().toMap
+    val colDraws = spark.range(0, 200)
+      .select(col("id"),
+        graft.ops.Sampling.unitDraw(col("id"), "salty").as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(sqlDraws == colDraws)
+  }
+
+  test("graft_zvalue from SQL matches Layout.zValue") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val got = spark
+      .sql("SELECT graft_zvalue(12345, 54321) AS z")
+      .as[Long].collect().head
+    val want = Seq((12345, 54321)).toDF("a", "b")
+      .select(graft.ops.Layout.zValue(col("a"), col("b")))
+      .as[Long].collect().head
+    assert(got == want)
+  }
+
   test("graft_cosine is callable from SQL and matches hand computation") {
     GraftExtensions.register(spark)
     val got = spark
