@@ -93,6 +93,23 @@ object Sampling {
     df.filter(draw < threshold)
   }
 
+  /** Deterministic fixed-size per-group sample: the k rows with the
+    * HIGHEST hash draw in each group — a balanced per-class subset
+    * (classic for eval sets / class-capped training data) that is
+    * reproducible across runs, engines, and layouts like every other
+    * draw here. Selection runs on the bounded-heap TopKPerGroup
+    * operator: O(n log k), O(groups × k) memory, never a per-group
+    * sort. `tie` must name a unique LongType column (draw collisions
+    * are possible at 32-bit scale). */
+  def sampleKPerGroup(
+      df: DataFrame, groupCols: Seq[String], key: Column, k: Int,
+      tie: String, salt: String = ""): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+        df.withColumn("__draw",
+          conv(unitDraw(key, salt), 16, 10).cast("double")),
+        groupCols, "__draw", tie, k)
+      .drop("__draw", "rank")
+
   /** EXACT per-group top-fraction filter: keep rows whose `score`
     * ranks in the best `fraction` of their group (ties inclusive),
     * via window percent_rank — a per-group sort, so this is the

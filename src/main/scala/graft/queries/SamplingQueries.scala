@@ -74,6 +74,24 @@ object SamplingQueries {
         .select("doc_id", "lang")
     },
 
+    // ---- fixed-k balanced per-group sample: highest hash draws per
+    //      lang, selected by the bounded-heap operator (no group sort);
+    //      lexical hex order == numeric draw order, so DuckDB's string
+    //      DESC replays the heap's double DESC exactly ----
+    sql(
+      "q_sample_per_group",
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${drawSql("kpg")} DESC, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10""".stripMargin) { (s, d) =>
+      Sampling.sampleKPerGroup(
+          Tables.documents(s, d), Seq("lang"), col("doc_id"), k = 10,
+          tie = "doc_id", salt = "kpg")
+        .select("doc_id", "lang")
+    },
+
     // ---- per-group quality-quantile filter (exact face; the scale
     //      path is Sampling.topQuantileFilter, spec-checked against
     //      this one) ----

@@ -58,6 +58,31 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
     assert(math.abs(kept("b") / 5000.0 - 0.1) < 0.04)
   }
 
+  test("sampleKPerGroup: exactly k per group, partition-independent, " +
+      "no window in the plan") {
+    val docs = ids.withColumn("grp", ($"id" % 3).cast("string"))
+    def run(parts: Int): Set[Long] =
+      Sampling.sampleKPerGroup(
+          docs.repartition(parts), Seq("grp"), $"id", k = 7, tie = "id")
+        .select("id").as[Long].collect().toSet
+    val a = run(4)
+    assert(a.size == 21) // 3 groups x 7
+    assert(run(17) == a) // layout-independent membership
+    val counts = Sampling.sampleKPerGroup(
+        docs, Seq("grp"), $"id", k = 7, tie = "id")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 7L))
+    // small groups yield the whole group, not an error
+    val tiny = Sampling.sampleKPerGroup(
+        docs.filter($"id" < 4), Seq("grp"), $"id", k = 7, tie = "id")
+      .count()
+    assert(tiny == 4L)
+    val plan = Sampling.sampleKPerGroup(
+        docs, Seq("grp"), $"id", k = 7, tie = "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup") && !plan.contains("Window"))
+  }
+
   test("topQuantileFilter agrees with the exact percent-rank face") {
     // distinct scores: at high accuracy the approx sketch is exact, so
     // the scale path must reproduce the exact top-quartile membership
