@@ -116,6 +116,19 @@ object EventStream {
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
       .drop(dimKey)
 
+  /** Idempotent micro-batch file sink for `foreachBatch`: each batch
+    * overwrites its own `batch_id=` partition directory, so a batch
+    * re-delivered after a failure replaces itself instead of
+    * duplicating — the standard exactly-once recipe for sinks without
+    * a transaction log, and the partition column doubles as lineage
+    * (which batch produced which rows). Readers see
+    * `basePath`-partitioned parquet; compaction can fold old batch
+    * dirs without touching the live head. */
+  def idempotentParquetSink(outDir: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$batchId")
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

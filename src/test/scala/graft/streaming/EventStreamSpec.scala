@@ -162,6 +162,30 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("idempotentParquetSink: re-delivered batches replace, not duplicate") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Long](spark)
+    val query = input.toDF().toDF("v").writeStream
+      .foreachBatch(EventStream.idempotentParquetSink(out) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(1L, 2L); query.processAllAvailable()
+      input.addData(3L); query.processAllAvailable()
+      val first = spark.read.parquet(out)
+        .select(col("v")).as[Long].collect().sorted.toSeq
+      assert(first == Seq(1L, 2L, 3L))
+      // simulate failure re-delivery of batch 1 with the same payload
+      EventStream.idempotentParquetSink(out)(
+        Seq(3L).toDF("v"), batchId = 1L)
+      val after = spark.read.parquet(out)
+        .select(col("v")).as[Long].collect().sorted.toSeq
+      assert(after == Seq(1L, 2L, 3L), "re-delivery must not duplicate")
+    } finally query.stop()
+  }
+
   test("sessionStats runs behind readStream with a watermark") {
     import org.apache.spark.sql.functions.col
     val input = MemoryStream[(Long, Timestamp)](spark)
