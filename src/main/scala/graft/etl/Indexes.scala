@@ -334,26 +334,35 @@ object Indexes {
     * plus per-clinical-entity distinct-donor counts — emitted as the
     * reference's nested summary arrays.
     *
-    * Plan: each matrix is ONE aggregation + a broadcast-universe left
-    * join ([[Summary.lattice]] — no repartition(1) crossJoin hack);
-    * the clinical counts are one unionByName + one aggregation instead
-    * of the reference's six chained full-outer joins.
+    * Plan: BOTH matrices come from one scan of the donor⋈file join —
+    * a single generator unpivots (data_category, experimental_strategy)
+    * into (kind, key) long rows, [[Summary.latticeUnpivot]] aggregates
+    * once and zero-fills each kind's universe via a broadcast equi-join
+    * (no repartition(1) crossJoin hack); the clinical counts are one
+    * unionByName + one aggregation instead of the reference's six
+    * chained full-outer joins.
     */
   def studySummary(in: ClinicalInputs): DataFrame = {
-    val donorPerFile = in.donor.join(in.file, DonorKey)
-      .select(col("study_id"), col("submitter_donor_id"), col("file_name"),
-        col("data_category"), col("experimental_strategy"))
-    def matrix(field: String): DataFrame =
-      Summary.lattice(
-          donorPerFile.filter(col(field).isNotNull),
-          groupKeys = Seq("study_id"),
-          categoryCol = field,
-          distinctCounts = Map(
-            "donors" -> col("submitter_donor_id"),
-            "files" -> col("file_name")))
-        .groupBy("study_id")
-        .agg(sort_array(collect_list(struct(
-          col(field).as("key"), col("donors"), col("files")))).as(field))
+    // both category matrices from ONE scan of the donor⋈file join
+    // (unpivot to (kind, key), one lattice aggregation, pivot back) —
+    // the per-field formulation re-ran the join per matrix, reading
+    // donor.tsv and file.tsv twice
+    val matrices = Summary.latticeUnpivot(
+        donorPerFile(in),
+        groupKeys = Seq("study_id"),
+        fields = Seq("data_category", "experimental_strategy"),
+        distinctCounts = Map(
+          "donors" -> col("submitter_donor_id"),
+          "files" -> col("file_name")))
+      .groupBy("study_id", "kind")
+      .agg(sort_array(collect_list(struct(
+        col("key"), col("donors"), col("files")))).as("__m"))
+      .groupBy("study_id")
+      .agg(
+        first(when(col("kind") === "data_category", col("__m")),
+          ignoreNulls = true).as("data_category"),
+        first(when(col("kind") === "experimental_strategy", col("__m")),
+          ignoreNulls = true).as("experimental_strategy"))
     val clinicalSources: Seq[(String, DataFrame)] = Seq(
       "diagnosis" -> in.diagnosis, "phenotype" -> in.phenotype,
       "treatment" -> in.treatment, "exposure" -> in.exposure,
@@ -370,10 +379,27 @@ object Indexes {
       .groupBy("study_id")
       .agg(sort_array(collect_list(struct(col("key"), col("donors"))))
         .as("clinical_data_available"))
-    matrix("data_category")
-      .join(matrix("experimental_strategy"), Seq("study_id"), "full")
-      .join(clinical, Seq("study_id"), "full")
+    matrices.join(clinical, Seq("study_id"), "full")
   }
+
+  /** donor⋈file with the summary's projection (shared by
+    * [[studySummary]] and its plan pin). */
+  private[graft] def donorPerFile(in: ClinicalInputs): DataFrame =
+    in.donor.join(in.file, DonorKey)
+      .select(col("study_id"), col("submitter_donor_id"), col("file_name"),
+        col("data_category"), col("experimental_strategy"))
+
+  /** The un-checkpointed summary partial (plan pinning only: the
+    * eager localCheckpoint inside [[Summary.latticeUnpivot]] hides
+    * these scans from the downstream executed plan). */
+  private[graft] def studySummaryPartial(in: ClinicalInputs): DataFrame =
+    Summary.unpivotPartial(
+      donorPerFile(in),
+      groupKeys = Seq("study_id"),
+      fields = Seq("data_category", "experimental_strategy"),
+      distinctCounts = Map(
+        "donors" -> col("submitter_donor_id"),
+        "files" -> col("file_name")))
 
   def studyIndex(
       in: ClinicalInputs,

@@ -51,6 +51,64 @@ object Summary {
     }
   }
 
+  /** The un-checkpointed long-format partial behind [[latticeUnpivot]]
+    * — exposed separately because the eager localCheckpoint hides the
+    * fact scans from every downstream executed plan, so the
+    * single-scan property must be pinned on THIS frame (PlanShapeSpec).
+    */
+  private[graft] def unpivotPartial(
+      facts: DataFrame,
+      groupKeys: Seq[String],
+      fields: Seq[String],
+      distinctCounts: Map[String, Column]): DataFrame = {
+    val counts = distinctCounts.toSeq.sortBy(_._1)
+    val long = facts
+      .select(
+        (groupKeys.map(col) ++
+          counts.map { case (as, c) => c.as(s"__v_$as") } :+
+          explode(array(fields.map(f =>
+            struct(lit(f).as("kind"), col(f).cast("string").as("key")))
+            : _*)).as("__kk")): _*)
+      .select(
+        (groupKeys.map(col) ++
+          counts.map { case (as, _) => col(s"__v_$as") } ++
+          Seq(col("__kk.kind").as("kind"), col("__kk.key").as("key"))): _*)
+      .filter(col("key").isNotNull)
+    val aggs = counts.map { case (as, _) =>
+      countDistinct(col(s"__v_$as")).as(as)
+    }
+    long
+      .groupBy((groupKeys ++ Seq("kind", "key")).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Multi-field lattice from ONE fact scan (vs one [[lattice]] call
+    * per field = one full scan of the fact per field): unpivot
+    * `fields` into (kind, key) long rows with a single generator,
+    * aggregate once, and zero-fill each kind's universe independently.
+    * The universe is groups-of-kind ⋈ keys-of-kind — an equi-join on
+    * `kind`, NOT a cross of all kinds × all keys — so the output is
+    * row-for-row the union of per-field [[lattice]] results (with a
+    * `kind` discriminator column). Keys are cast to string; null keys
+    * are dropped before aggregation.
+    */
+  def latticeUnpivot(
+      facts: DataFrame,
+      groupKeys: Seq[String],
+      fields: Seq[String],
+      distinctCounts: Map[String, Column]): DataFrame = {
+    val partial =
+      unpivotPartial(facts, groupKeys, fields, distinctCounts)
+        .localCheckpoint()
+    val groups = partial.select((groupKeys :+ "kind").map(col): _*).distinct()
+    val cats = partial.select(col("kind"), col("key")).distinct()
+    val universe = groups.join(broadcast(cats), Seq("kind"))
+    val joined = universe.join(partial, groupKeys ++ Seq("kind", "key"), "left")
+    distinctCounts.keys.foldLeft(joined) { (df, as) =>
+      df.withColumn(as, coalesce(col(as), lit(0L)))
+    }
+  }
+
   /** Existence flag per group: `count > 0` as boolean (reference:
     * Summary.scala:141-145 `countDistinct("*")` + toBoolean — rewritten
     * per SURVEY §2.4 A4 as a cheaper count-gt-0).

@@ -55,6 +55,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") >= 2) // mondo + icd lookups
   }
 
+  test("study summary builds both category matrices from one donor⋈file scan") {
+    // the eager localCheckpoint inside latticeUnpivot hides these scans
+    // from q_study_summary's executed plan, so the single-scan property
+    // is pinned on the un-checkpointed partial itself
+    val fixtures = "/root/repo/src/test/resources/clinical"
+    val p = graft.etl.Indexes
+      .studySummaryPartial(
+        graft.etl.Indexes.ClinicalInputs.fromDir(spark, fixtures))
+      .queryExecution.executedPlan.toString
+    assert(count(p, "file.tsv") == 1, "file.tsv scanned more than once")
+    assert(count(p, "donor.tsv") == 1, "donor.tsv scanned more than once")
+  }
+
+  test("study index: one visible scan per fact outside the summary checkpoint") {
+    val p = plan("q_study_index")
+    // the summary subtree is checkpointed (one job, one scan of each
+    // fact); the visible plan must scan donor/file once — for the
+    // donor-nest and file-nest branches respectively
+    assert(count(p, "file.tsv") == 1, "file.tsv re-scanned in study index")
+    assert(count(p, "donor.tsv") == 1, "donor.tsv re-scanned in study index")
+  }
+
   test("knn top-k runs through the custom bounded-heap operator") {
     val p = plan("q_knn_topk")
     assert(p.contains("TopKPerGroup"))

@@ -63,6 +63,34 @@ class SummarySpec extends AnyFunSuite with WithSpark {
       ("S2", "WXS", 0L, 0L))) // zero-filled: S2 has no WXS files
   }
 
+  test("latticeUnpivot equals one lattice per field, from one scan") {
+    val facts = Seq(
+      ("S1", "WGS", "genomics", "F1", "D1"),
+      ("S1", "WGS", "genomics", "F2", "D1"),
+      ("S1", "WXS", "imaging", "F3", "D2"),
+      ("S2", "WGS", null, "F4", "D3")).toDF(
+      "study_id", "strategy", "category", "file_id", "donor_id")
+    val counts = Map("files" -> col("file_id"), "donors" -> col("donor_id"))
+    val got = Summary.latticeUnpivot(
+        facts, Seq("study_id"), Seq("strategy", "category"), counts)
+      .orderBy("kind", "study_id", "key")
+      .select("kind", "study_id", "key", "files", "donors")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    // per-kind universes are independent: S2 (no non-null category)
+    // contributes NO category rows, but is zero-filled for strategy WXS
+    val expected = Seq("strategy", "category").flatMap { f =>
+      Summary.lattice(
+          facts.filter(col(f).isNotNull), Seq("study_id"), f, counts)
+        .orderBy("study_id", f)
+        .select(lit(f).as("kind"), col("study_id"), col(f),
+          col("files"), col("donors"))
+        .as[(String, String, String, Long, Long)].collect().toSeq
+    }.sorted
+    assert(got == expected)
+    assert(got.contains(("strategy", "S2", "WXS", 0L, 0L)))
+    assert(!got.exists(r => r._1 == "category" && r._2 == "S2"))
+  }
+
   test("existenceFlag is true for any non-empty group") {
     val facts = Seq(("D1", "f1"), ("D1", "f2"), ("D2", "f3"))
       .toDF("donor_id", "file_id")
