@@ -20,9 +20,14 @@ import org.apache.spark.sql.types.IntegerType
   * operator keeps a bounded k-element heap per group in one pass —
   * O(n log k) and O(groups × k) memory — which is the difference
   * between "sort 2M scored candidates to keep 50" and "stream them".
-  * Distribution-wise it declares ClusteredDistribution on the group
-  * key, so EnsureRequirements plans the same single shuffle a window
-  * would, and AQE still manages it.
+  * Physically it plans as a partial/final pair (like HashAggregate):
+  * a map-side heap below the exchange keeps ≤ k per group per input
+  * partition, the final heap above the exchange merges survivors — so
+  * the shuffle carries at most partitions × groups × k rows, and a
+  * low-cardinality (or constant) group key never funnels the full
+  * frame through one task. The final declares ClusteredDistribution
+  * on the group key, so EnsureRequirements plans the same single
+  * shuffle a window would, and AQE still manages it.
   *
   * Deterministic: total order (score desc, tie asc) must be a total
   * order over rows within a group (pass a unique tie column), so the
@@ -47,6 +52,106 @@ case class TopKPerGroupNode(
     copy(child = c)
 }
 
+/** The bounded-heap pass shared by the partial and final execs. */
+private[plans] object TopKHeap {
+  type Entry = (Long, Long, UnsafeRow) // (score key, tie, row)
+
+  /** Total-order sort key over Double scores matching Spark's ordering
+    * semantics for a DESC sort: NaN greatest (above +Inf, ranks FIRST
+    * desc), null smallest (below -Inf, ranks LAST desc = NULLS LAST).
+    * Standard doubleToLongBits monotone remap; null → Long.MinValue,
+    * strictly below the -Inf key (0x800FFFFFFFFFFFFF).
+    */
+  def scoreKey(raw: Any): Long = raw match {
+    case null => Long.MinValue
+    case d: java.lang.Double =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      if (bits < 0) bits ^ 0x7fffffffffffffffL else bits
+    case other => throw new IllegalStateException(
+      s"score evaluated to non-Double ${other.getClass.getName}")
+  }
+
+  // max under this ordering = WORST kept row (smallest score key,
+  // then largest tie) — so heap.head is the eviction candidate
+  val heapOrd: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(x: Entry, y: Entry): Int = {
+      val c = java.lang.Long.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  /** One pass over a partition: a k-bounded heap per group key.
+    * O(n log k) time, O(groups-in-partition × k) memory. */
+  def build(
+      iter: Iterator[InternalRow],
+      childOutput: Seq[Attribute],
+      groupCols: Seq[Expression],
+      scoreCol: Expression,
+      tieCol: Expression,
+      k: Int): scala.collection.mutable.LinkedHashMap[
+        UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]] = {
+    val groupProj = UnsafeProjection.create(groupCols, childOutput)
+    val scoreBound = BindReferences.bindReference(scoreCol, childOutput)
+    val tieBound = BindReferences.bindReference(tieCol, childOutput)
+    val heaps = scala.collection.mutable.LinkedHashMap
+      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]
+    iter.foreach { row =>
+      val score = scoreKey(scoreBound.eval(row))
+      val tie = tieBound.eval(row).asInstanceOf[Long]
+      val keyRef = groupProj(row)
+      val heap = heaps.get(keyRef) match {
+        case Some(h) => h
+        case None =>
+          val h = scala.collection.mutable
+            .PriorityQueue.empty[Entry](heapOrd)
+          heaps.put(keyRef.copy(), h)
+          h
+      }
+      if (heap.size < k) {
+        heap.enqueue((score, tie, row.asInstanceOf[UnsafeRow].copy()))
+      } else {
+        val (ws, wt, _) = heap.head
+        if (score > ws || (score == ws && tie < wt)) {
+          heap.dequeue()
+          heap.enqueue((score, tie, row.asInstanceOf[UnsafeRow].copy()))
+        }
+      }
+    }
+    heaps
+  }
+}
+
+/** Map-side partial: keeps ≤ k rows per group per INPUT partition with
+  * no distribution requirement, so it runs below the exchange
+  * EnsureRequirements inserts for the final exec — the partial/final
+  * split HashAggregate uses. The shuffle then carries at most
+  * partitions × groups × k survivors instead of the full frame, which
+  * is what keeps a low-cardinality group (including a constant global
+  * group, e.g. Skew.hotKeys) from funneling everything through one
+  * task. Emits rows unranked and unordered; the final heap re-selects.
+  */
+case class TopKPerGroupPartialExec(
+    groupCols: Seq[Expression],
+    scoreCol: Expression,
+    tieCol: Expression,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    child.execute().mapPartitions({ iter =>
+      TopKHeap.build(iter, childOutput, groupCols, scoreCol, tieCol, kLocal)
+        .iterator.flatMap { case (_, heap) => heap.iterator.map(_._3) }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
+    copy(child = c)
+}
+
 case class TopKPerGroupExec(
     groupCols: Seq[Expression],
     scoreCol: Expression,
@@ -62,66 +167,17 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupCols) :: Nil
 
-  /** Total-order sort key over Double scores matching Spark's ordering
-    * semantics for a DESC sort: NaN greatest (above +Inf, ranks FIRST
-    * desc), null smallest (below -Inf, ranks LAST desc = NULLS LAST).
-    * Standard doubleToLongBits monotone remap; null → Long.MinValue,
-    * strictly below the -Inf key (0x800FFFFFFFFFFFFF).
-    */
-  private def scoreKey(raw: Any): Long = raw match {
-    case null => Long.MinValue
-    case d: java.lang.Double =>
-      val bits = java.lang.Double.doubleToLongBits(d)
-      if (bits < 0) bits ^ 0x7fffffffffffffffL else bits
-    case other => throw new IllegalStateException(
-      s"score evaluated to non-Double ${other.getClass.getName}")
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
     child.execute().mapPartitions ({ iter =>
-      val groupProj = UnsafeProjection.create(groupCols, childOutput)
-      val scoreBound = BindReferences.bindReference(scoreCol, childOutput)
-      val tieBound = BindReferences.bindReference(tieCol, childOutput)
       val outProj = UnsafeProjection.create(
         childOutput.map(a => a: Expression) :+ rankAttr, childOutput :+ rankAttr)
-      // max under this ordering = WORST kept row (smallest score key,
-      // then largest tie) — so heap.head is the eviction candidate
-      val heapOrd = new Ordering[(Long, Long, UnsafeRow)] {
-        override def compare(
-            x: (Long, Long, UnsafeRow), y: (Long, Long, UnsafeRow)): Int = {
-          val c = java.lang.Long.compare(y._1, x._1)
-          if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-        }
-      }
-      val heaps = scala.collection.mutable.LinkedHashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
-      iter.foreach { row =>
-        val score = scoreKey(scoreBound.eval(row))
-        val tie = tieBound.eval(row).asInstanceOf[Long]
-        val keyRef = groupProj(row)
-        val heap = heaps.get(keyRef) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable
-              .PriorityQueue.empty[(Long, Long, UnsafeRow)](heapOrd)
-            heaps.put(keyRef.copy(), h)
-            h
-        }
-        if (heap.size < kLocal) {
-          heap.enqueue((score, tie, row.asInstanceOf[UnsafeRow].copy()))
-        } else {
-          val (ws, wt, _) = heap.head
-          if (score > ws || (score == ws && tie < wt)) {
-            heap.dequeue()
-            heap.enqueue((score, tie, row.asInstanceOf[UnsafeRow].copy()))
-          }
-        }
-      }
+      val heaps =
+        TopKHeap.build(iter, childOutput, groupCols, scoreCol, tieCol, kLocal)
       val joined = new JoinedRow
       heaps.iterator.flatMap { case (_, heap) =>
-        val best: Seq[(Long, Long, UnsafeRow)] = heap.dequeueAll.reverse
+        val best: Seq[TopKHeap.Entry] = heap.dequeueAll.reverse
         best.iterator.zipWithIndex.map { case ((_, _, row), i) =>
           outProj(joined(row, InternalRow(i + 1))).copy()
         }
@@ -136,7 +192,10 @@ case class TopKPerGroupExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, s, t, k, rank, child) =>
-      TopKPerGroupExec(g, s, t, k, rank, planLater(child)) :: Nil
+      // partial below the (EnsureRequirements-inserted) exchange,
+      // final above — mirroring partial/final HashAggregate
+      TopKPerGroupExec(g, s, t, k, rank,
+        TopKPerGroupPartialExec(g, s, t, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

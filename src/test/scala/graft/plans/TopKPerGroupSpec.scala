@@ -47,6 +47,33 @@ class TopKPerGroupSpec extends AnyFunSuite with WithSpark {
     assert(!plan.contains("Sort ["), s"no global/window sort expected:\n$plan")
   }
 
+  test("partial heap runs below the exchange, final above (like HashAggregate)") {
+    val df = (1 to 100).map(i => (i % 5, i.toLong, i * 0.1))
+      .toDF("g", "id", "score")
+    val plan = TopKPerGroup.topK(df, Seq("g"), "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    val iPartial = plan.indexOf("TopKPerGroupPartial")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    val iFinal = plan.indexOf("TopKPerGroup ") // final node, trailing space
+    assert(iPartial >= 0, s"partial node missing:\n$plan")
+    assert(iExchange >= 0 && iFinal >= 0)
+    // plan prints top-down: final < exchange < partial
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"partial/final straddle the exchange:\n$plan")
+  }
+
+  test("partial pre-selection caps what a constant global group shuffles") {
+    // 8 input partitions, one global group: the exchange input is fed
+    // by the partial heaps — ≤ k rows each — not the full frame
+    val df = spark.range(0, 10000, 1, 8)
+      .select(lit(0).as("g"), col("id"),
+        (col("id") % 97).cast("double").as("score"))
+    val exec = TopKPerGroup.topK(df, Seq("g"), "score", "id", 7)
+    val rows = exec.select("id", "rank").as[(Long, Int)].collect().toSet
+    // correctness under the split: global top 7 of (id % 97) desc, id asc
+    assert(rows == (0 until 7).map(i => (96L + 97 * i, i + 1)).toSet)
+  }
+
   test("handles groups smaller than k and exact ties") {
     val df = Seq((1, 10L, 2.0), (1, 11L, 2.0), (2, 20L, 1.0))
       .toDF("g", "id", "score")
