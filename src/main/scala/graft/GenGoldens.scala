@@ -69,6 +69,22 @@ object GenGoldens {
     writeTsv(ratios.map(p => s"${p._1}\t${p._2}").toSeq,
       "doc_id\tcompression_ratio", "golden_compression.tsv")
 
+    // q_simhash_scale golden: the same operator over the sf0.01
+    // documents table (the driver's fixed correctness SF — TESTDATA.md).
+    // Deterministic: xxhash64 vote chain over a static corpus.
+    val scaleDocs = "/root/testdata/sf0.01/documents.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(scaleDocs))) {
+      val scalePairs = Dedup.simhashNearDups(
+          spark.read.parquet(scaleDocs)
+            .select(col("doc_id"), col("text"))
+            .withColumn("sh", Text.shingles(col("text"), 3)),
+          id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+        .orderBy("a", "b")
+        .as[(Long, Long, Int)].collect()
+      writeTsv(scalePairs.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
+        "a\tb\thamming", "golden_simhash_scale.tsv")
+    } else println(s"skipped golden_simhash_scale.tsv ($scaleDocs missing)")
+
     // q_media_features golden: (media_id, n_bytes, fingerprint)
     val media = docs.select(
       col("doc_id").as("media_id"),

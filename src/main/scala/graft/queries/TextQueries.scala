@@ -336,12 +336,20 @@ object TextQueries {
     },
 
     // ---- SimHash at SF scale: the bench-weight run of the same
-    //      operator (genuinely non-oracle-able at scale: xxhash64) ----
-    noOracle("q_simhash_scale") { (s, d) =>
-      Dedup.simhashNearDups(
-        Tables.documents(s, d).withColumn(
-          "sh", Text.shingles(col("text"), 3)),
-        id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+    //      operator. DuckDB cannot recompute the xxhash64 vote chain,
+    //      but the output over the driver's fixed correctness SF
+    //      (sf0.01, TESTDATA.md) is deterministic, so the oracle reads
+    //      the committed GenGoldens snapshot of exactly that run ----
+    sql(
+      "q_simhash_scale",
+      s"""SELECT a::BIGINT AS a, b::BIGINT AS b, hamming::INT AS hamming
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_simhash_scale.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        Dedup.simhashNearDups(
+          Tables.documents(s, d).withColumn(
+            "sh", Text.shingles(col("text"), 3)),
+          id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
     },
 
     // ---- deflate compression ratio: the standard boilerplate signal;
