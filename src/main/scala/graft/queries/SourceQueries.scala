@@ -173,6 +173,44 @@ object SourceQueries {
             col("dob"), lit("1/1/2026")).as("age_lenient"))
     },
 
+    // ---- S7: partitioned JSON sink round-trip — write with
+    //      partition-owner parallelism, read back with an explicit
+    //      schema (JSON drops null fields; partition-column type
+    //      inference is bypassed), hash against the source table.
+    //      The write itself is the operator under test ----
+    sql(
+      "q_json_sink_roundtrip",
+      "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer") {
+      (s, d) =>
+        val out = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_json"
+        graft.sources.Sinks.partitionedJson(
+          out, path, partitionBy = Seq("c_mktsegment"))
+        s.read
+          .schema("c_custkey bigint, c_name string, c_nationkey int, " +
+            "c_mktsegment string")
+          .json(path)
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    },
+
+    // ---- S8: single-file coalesce mode round-trip (metadata-sized
+    //      outputs; the reference's coalesce(1) idiom) ----
+    sql(
+      "q_json_sink_single",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, d) =>
+      val out = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sink_json_single"
+      graft.sources.Sinks.partitionedJson(
+        out, path, partitionBy = Seq.empty, singleFile = true)
+      s.read
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    },
+
     // ---- P2: drop (column pruning reaches the scan) ----
     sql(
       "q_drop",
