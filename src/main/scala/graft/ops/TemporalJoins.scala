@@ -74,11 +74,20 @@ object TemporalJoins {
     * near the typical band span), and the residual predicate filters
     * locally after the equi-join — no nested-loop, one shuffle (or
     * none when the band side is broadcast, the common case).
+    *
+    * @param broadcastBands Some(true) forces the broadcast hint,
+    *   Some(false) forces a shuffled sort-merge join (for callers who
+    *   know the band stats are underestimated); None (default)
+    *   broadcasts only when the band table's estimated size fits
+    *   `spark.sql.autoBroadcastJoinThreshold` — an unconditional hint
+    *   would drive the driver OOM on a large band side instead of
+    *   degrading to a shuffled equi-join.
     */
   def bandJoin(
       facts: DataFrame, valueCol: String,
       bands: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      broadcastBands: Option[Boolean] = None): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val binned = facts.withColumn(
       "__bin", floor(col(valueCol) / binWidth).cast("long"))
@@ -90,8 +99,24 @@ object TemporalJoins {
         explode(sequence(col("__lo_bin"), greatest(col("__hi_bin"),
           col("__lo_bin")))))
       .drop("__lo_bin", "__hi_bin")
+    val build = broadcastBands match {
+      case Some(true) => broadcast(bandBins)
+      case Some(false) => bandBins.hint("merge")
+      case None =>
+        // pre-explode stats: the bin fan-out is assumed modest because
+        // binWidth is chosen near the typical band span (scaladoc above)
+        val est = bands.queryExecution.optimizedPlan.stats.sizeInBytes
+        val raw = facts.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        // "-1" disables broadcast; JavaUtils rejects negative strings
+        val threshold =
+          if (raw.trim.startsWith("-")) -1L
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        if (threshold > 0 && est <= threshold) broadcast(bandBins)
+        else bandBins
+    }
     binned
-      .join(broadcast(bandBins), Seq("__bin"))
+      .join(build, Seq("__bin"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }

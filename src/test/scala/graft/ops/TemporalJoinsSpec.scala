@@ -54,4 +54,31 @@ class TemporalJoinsSpec extends AnyFunSuite with WithSpark {
     assert(got == Map(1L -> "low", 2L -> "low", 3L -> "mid", 4L -> "mid",
       5L -> "high", 6L -> "high")) // 60.0 and -1.0 fall outside all bands
   }
+
+  test("bandJoin build side adapts: broadcast small, shuffle when forced/large") {
+    val facts = Seq((1L, 5.0), (2L, 20.0)).toDF("id", "v")
+    val bands = Seq(("low", 0.0, 15.0), ("mid", 15.0, 35.0))
+      .toDF("band", "lo", "hi")
+
+    def planOf(bb: Option[Boolean]): String =
+      TemporalJoins.bandJoin(facts, "v", bands, "lo", "hi", 4.0, bb)
+        .queryExecution.executedPlan.toString
+
+    // small band side: auto picks broadcast
+    assert(planOf(None).contains("BroadcastHashJoin"))
+    // forced shuffle join: no broadcast exchange, still correct
+    val forced = TemporalJoins.bandJoin(
+      facts, "v", bands, "lo", "hi", 4.0, Some(false))
+    assert(!planOf(Some(false)).contains("BroadcastExchange"))
+    assert(forced.select("id", "band").as[(Long, String)].collect().toMap
+      == Map(1L -> "low", 2L -> "mid"))
+    // auto respects a disabled broadcast threshold (the large-band path)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(!planOf(None).contains("BroadcastExchange"),
+        "band side must degrade to a shuffled equi-join")
+    } finally spark.conf.set(key, prev)
+  }
 }
