@@ -99,6 +99,22 @@ object GenGoldens {
     writeTsv(feats.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
       "media_id\tn_bytes\tfingerprint", "golden_media_features.tsv")
 
+    // StudiesExpected-style field-for-field golden of the FULL study
+    // document over the clinical fixtures (the reference's
+    // ClassGenerator snapshot device, StudiesExpected.scala:8-209):
+    // every scalar and every nested branch, canonicalized exactly like
+    // q_study_index. ReferenceShapeSpec compares byte-for-byte.
+    val studyDoc = graft.queries.Canon.flattenNested(
+        graft.etl.Indexes.studyIndex(
+          graft.etl.Indexes.ClinicalInputs.fromDir(spark, Dir),
+          meta = Seq("dictionary_version" -> "9.9",
+            "study_version" -> "v42")))
+      .orderBy("study_id")
+      .toJSON.collect().toSeq
+    val sp = java.nio.file.Paths.get(s"$Dir/golden_study_index.jsonl")
+    java.nio.file.Files.writeString(sp, studyDoc.mkString("", "\n", "\n"))
+    println(s"wrote $sp (${studyDoc.size} rows)")
+
     spark.stop()
   }
 }

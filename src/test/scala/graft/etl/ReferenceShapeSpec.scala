@@ -90,6 +90,37 @@ class ReferenceShapeSpec extends AnyFunSuite with WithSpark {
     assertPath("summary.clinical_data_available.donors")
   }
 
+  test("field-for-field golden of the full study document (ClassGenerator device)") {
+    // the committed snapshot locks VALUE-level parity of every column
+    // the document carries — the reference's own StudiesExpected
+    // mechanism; regenerate with GenGoldens after an INTENTIONAL
+    // semantic change and review the diff
+    val got = graft.queries.Canon.flattenNested(
+        Indexes.studyIndex(
+          Indexes.ClinicalInputs.fromDir(spark, dir),
+          meta = Seq("dictionary_version" -> "9.9",
+            "study_version" -> "v42")))
+      .orderBy("study_id")
+      .toJSON.collect().toSeq
+    val want = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$dir/golden_study_index.jsonl"))
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    assert(got.size == want.size, s"row count ${got.size} != ${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"study document row $i diverged from the golden")
+    }
+    // reviewed anchors: the golden means what StudiesExpected means
+    val gs1 = got.head
+    assert(gs1.contains("\"study_id\":\"GS001\""))
+    assert(gs1.contains("\"name\":\"Graft Study One\""))
+    assert(gs1.contains("\"dictionary_version\":\"9.9\""))
+    // nested branches live inside escaped JSON strings — match on the
+    // escaped key:value form
+    assert(gs1.contains("\\\"submitter_donor_id\\\":\\\"DO001\\\"")) // donors[]
+    assert(gs1.contains("\\\"submitter_treatment_id\\\":\\\"TR001\\\"")) // 3 deep
+    assert(gs1.contains("\\\"submitter_sample_id\\\":\\\"SA001\\\"")) // files→bio→samples
+  }
+
   // Deliberate divergences from StudiesExpected (documented, not bugs):
   //  - *_keyword / *_ngrams search-duplicate columns: an Elasticsearch
   //    indexing concern, not engine semantics (SURVEY.md §7.3).
