@@ -153,25 +153,66 @@ object Similarity {
       .toDF("a", "b", "cosine")
   }
 
+  /** Cosine-ranked centroid list for one vector, as a sorted
+    * array<struct<negsim,cid>> over literal centroids. */
+  private def rankedCentroids(
+      v: Column, centroids: Array[(Int, Array[Double])]): Column = sort_array(
+    array(centroids.toSeq.map { case (cid, cv) =>
+      val cvNorm = math.sqrt(cv.map(x => x * x).sum)
+      val cvCol = array(cv.map(lit).toIndexedSeq: _*)
+      struct((-(dot(v, cvCol) / (norm(v) * lit(cvNorm)))).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** One Lloyd pass: assign every corpus vector to its nearest
+    * centroid (map-side, literal centroids), recompute each centroid
+    * as the per-dimension mean of its cluster. One full corpus scan +
+    * one dimension-sized aggregation; the means are rounded to a fixed
+    * 1e-6 grid so the floating-point merge order of the distributed
+    * sum cannot leak into the collected centroids — assignment stays
+    * reproducible run-to-run. Clusters that lose every point keep
+    * their seed centroid.
+    */
+  private def lloydRefine(
+      corpusVecs: DataFrame,
+      centroids: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    val means = corpusVecs
+      .withColumn("__cid",
+        rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
+      .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy("__cid", "__pos")
+      .agg(round(avg(col("__x")), 6).as("__m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    centroids.map { case (cid, seed) => (cid, means.getOrElse(cid, seed)) }
+  }
+
   /** IVF (inverted-file) approximate top-k: `numCentroids`
     * deterministic representatives are drawn from the corpus (smallest
-    * xxhash64(id) — reproducible, no RNG), the corpus is assigned to
-    * its nearest centroid ONCE (the inverted lists), and each query
-    * probes only its `nProbe` closest centroids' lists — scanned
-    * fraction ≈ nProbe / numCentroids.
+    * xxhash64(id) — reproducible, no RNG) and sharpened by
+    * `refineIters` Lloyd passes ([[lloydRefine]] — data-adapted
+    * centroids lift the recall floor over raw corpus draws), the
+    * corpus is assigned to its nearest centroid ONCE (the inverted
+    * lists), and each query probes only its `nProbe` closest
+    * centroids' lists — scanned fraction ≈ nProbe / numCentroids.
     *
     * The centroid table is driver-collected (numCentroids × dim
     * doubles — KBs) and shipped as literals, so assignment is pure
     * map-side codegen'd work; the only shuffle is the equi-join on
     * centroid id. Complements [[lshTopK]]: IVF adapts to the data
-    * distribution (centroids are real corpus points), LSH needs no
-    * driver pass at all.
+    * distribution, LSH needs no driver pass at all.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Int, Array[Double])] = corpus
+      numCentroids: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 1): DataFrame = {
+    val corpusVecs =
+      corpus.select(col(vec).cast("array<double>").as("__v"))
+    val seeds: Array[(Int, Array[Double])] = corpus
       .select(col(id), col(vec).cast("array<double>").as("__v"))
       .orderBy(xxhash64(col(id)))
       .limit(numCentroids)
@@ -179,28 +220,19 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-
-    def centroidSims(v: Column): Seq[(Int, Column)] =
-      centroids.toSeq.map { case (cid, cv) =>
-        val cvNorm = math.sqrt(cv.map(x => x * x).sum)
-        val cvCol = array(cv.map(lit).toIndexedSeq: _*)
-        cid -> (dot(v, cvCol) / (norm(v) * lit(cvNorm)))
-      }
-
-    def rankedCentroids(v: Column): Column = sort_array(
-      array(centroidSims(v).map { case (cid, sim) =>
-        struct((-sim).as("negsim"), lit(cid).as("cid"))
-      }: _*))
+    val centroids = (1 to refineIters)
+      .foldLeft(seeds)((cs, _) => lloydRefine(corpusVecs, cs))
 
     val c = corpus.select(
       col(id).as("neighbor_id"), col(vec).cast("array<double>").as("__cv"))
       .withColumn("__cid",
-        rankedCentroids(col("__cv")).getItem(0).getField("cid"))
+        rankedCentroids(col("__cv"), centroids).getItem(0).getField("cid"))
     val q = broadcast(
       queries.select(col(id).as("query_id"),
         col(vec).cast("array<double>").as("__qv"))
         .withColumn("__cid", explode(slice(
-          transform(rankedCentroids(col("__qv")), s => s.getField("cid")),
+          transform(rankedCentroids(col("__qv"), centroids),
+            s => s.getField("cid")),
           1, nProbe))))
     val scored = c.join(q, Seq("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -104,7 +104,15 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
         e, q, "vec_id", "embedding", 5, numCentroids = 16, nProbe = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"IVF recall $recall too low")
+    val unrefined = Similarity.ivfTopK(
+        e, q, "vec_id", "embedding", 5, numCentroids = 16, nProbe = 8,
+        refineIters = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall0 = (exact & unrefined).size.toDouble / exact.size
+    info(s"IVF recall refined=$recall unrefined=$recall0")
+    // the Lloyd pass lifts the floor above what raw corpus-point seeds
+    // reach on this fixture (0.68) — a lost refinement fails here
+    assert(recall >= 0.7, s"IVF recall $recall too low")
   }
 
   test("lshTopK recall vs brute force on clustered real embeddings") {
