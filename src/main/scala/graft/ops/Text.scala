@@ -211,4 +211,64 @@ object Text {
       words(normalize(text)),
       lit(0L),
       (acc, w) => xxhash64(acc, w))
+
+  // ---- PII redaction ----
+
+  /** (pattern, replacement) chain for PII scrubbing, applied in order:
+    * emails → IPv4 → phone-like digit runs → long digit runs (IDs,
+    * card numbers). Order matters — later patterns would otherwise
+    * match digits an earlier redaction consumes (an IPv4 is also a
+    * phone-shaped digit run). Patterns are RE2-compatible (no
+    * backreferences or lookaround) so Spark's Java regex and DuckDB's
+    * RE2 produce byte-identical output — the chain is oracle-checked,
+    * not just spec'd. The phone class uses a literal space, not \\s, so
+    * a match can never swallow a line break.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    // a phone needs at least one separator after the leading digits —
+    // contiguous long runs (card/id numbers) fall through to <NUM>
+    "\\+?[0-9]{1,4}[()\\-. ][0-9()\\-. ]{4,}[0-9]" -> "<PHONE>",
+    "[0-9]{9,}" -> "<NUM>")
+
+  /** Scrub PII from free text: one codegen'd `regexp_replace` per
+    * [[PiiPatterns]] entry — pure map-side, no shuffle, no UDF. The
+    * aggressive phone pattern intentionally over-matches spaced digit
+    * runs; training-data scrubbing prefers recall over precision. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  /** DuckDB equivalent of [[redactPii]] over a column expression —
+    * generated from the same [[PiiPatterns]] so the two faces cannot
+    * drift. */
+  def redactPiiSql(colExpr: String): String =
+    PiiPatterns.foldLeft(colExpr) { case (e, (p, r)) =>
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+
+  // ---- URL decomposition (crawl metadata) ----
+
+  /** One RE2-compatible regex splitting a URL into
+    * scheme://host path ?query — no java.net driver-side parsing, so
+    * extraction stays inside whole-stage codegen and DuckDB evaluates
+    * the identical pattern (capture-group semantics match). Malformed
+    * URLs yield empty strings, never errors. */
+  val UrlRegex = "^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
+
+  def urlScheme(url: Column): Column = regexp_extract(url, UrlRegex, 1)
+  def urlHost(url: Column): Column = regexp_extract(url, UrlRegex, 2)
+  def urlPath(url: Column): Column = regexp_extract(url, UrlRegex, 3)
+  def urlQuery(url: Column): Column = regexp_extract(url, UrlRegex, 4)
+
+  /** Last two host labels, port stripped — the per-domain key for
+    * crawl caps and source mixing (pair with the k-per-group sampler
+    * to cap docs per domain). A public-suffix list would refine
+    * co.uk-style hosts; out of scope without network data. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(
+      regexp_extract(urlHost(url), "^([^:]*)", 1),
+      "([^.]+\\.[^.]+)$", 1)
 }

@@ -317,6 +317,48 @@ object TextQueries {
           .as("n_bpe_tokens"))
     },
 
+    // ---- PII redaction: email/IPv4/phone/long-digit scrubbing as an
+    //      RE2-compatible regexp_replace chain — the DuckDB side is
+    //      GENERATED from the same pattern list, so the two faces
+    //      cannot drift and the redaction is byte-oracle-checked ----
+    sql(
+      "q_redact_pii",
+      s"""SELECT doc_id, ${Text.redactPiiSql("text")} AS clean_text
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), Text.redactPii(col("text")).as("clean_text"))
+    },
+
+    // ---- URL decomposition over deterministically constructed crawl
+    //      urls (documents carries no raw url column; the parser is
+    //      the operator under test, byte-checked against DuckDB's RE2
+    //      on the same regex) ----
+    sql(
+      "q_url_parts",
+      s"""SELECT doc_id,
+         |  regexp_extract(u, '${Text.UrlRegex}', 1) AS scheme,
+         |  regexp_extract(u, '${Text.UrlRegex}', 2) AS host,
+         |  regexp_extract(u, '${Text.UrlRegex}', 3) AS path,
+         |  regexp_extract(u, '${Text.UrlRegex}', 4) AS query,
+         |  regexp_extract(regexp_extract(
+         |      regexp_extract(u, '${Text.UrlRegex}', 2), '^([^:]*)', 1),
+         |    '([^.]+\\.[^.]+)${"$"}', 1) AS domain
+         |FROM (
+         |  SELECT doc_id, 'https://' || source || '.example.com/docs/' ||
+         |    CAST(doc_id AS VARCHAR) || '?lang=' || lang AS u
+         |  FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("u", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang")))
+        .select(col("doc_id"),
+          Text.urlScheme(col("u")).as("scheme"),
+          Text.urlHost(col("u")).as("host"),
+          Text.urlPath(col("u")).as("path"),
+          Text.urlQuery(col("u")).as("query"),
+          Text.urlDomain(col("u")).as("domain"))
+    },
+
     // ---- SimHash near-dups over the planted corpus: DuckDB cannot
     //      recompute the xxhash64 vote chain, so the oracle reads the
     //      committed GenGoldens snapshot (planted-pair semantics are

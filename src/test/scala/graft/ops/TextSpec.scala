@@ -99,4 +99,41 @@ class TextSpec extends AnyFunSuite with WithSpark {
     val r3 = one(Text.fingerprintRolling(col("t")), "world hello")
     assert(r1 == r2 && r1 != r3) // order-sensitive, punctuation-invariant
   }
+
+  test("redactPii scrubs emails, IPs, phones, and long ids in order") {
+    def red(s: String): String =
+      one(Text.redactPii(col("t")), s).asInstanceOf[String]
+    assert(red("mail a.b+c@x-y.co.uk now") == "mail <EMAIL> now")
+    assert(red("host 192.168.0.1 up") == "host <IP> up")
+    assert(red("call +1 (514) 555-0199 now") == "call <PHONE> now")
+    assert(red("card 4111111111111111.") == "card <NUM>.")
+    // order: the IP is NOT re-matched as a phone-shaped digit run, and
+    // an email's host digits are not re-matched as numbers
+    assert(red("9.9.9.9") == "<IP>")
+    assert(red("x123456789@mail99.com") == "<EMAIL>")
+    // clean text passes through byte-identical
+    val clean = "no pii here, just 42 words and v1.2 versions"
+    assert(red(clean) == clean)
+    // a spaced digit run never swallows a newline (literal-space class)
+    assert(red("a 12 34 56 78 b\n90 12 34 56 c")
+      == "a <PHONE> b\n<PHONE> c")
+  }
+
+  test("url parts: scheme/host/path/query/domain; malformed yields empties") {
+    def parts(u: String): (String, String, String, String, String) = (
+      one(Text.urlScheme(col("t")), u).asInstanceOf[String],
+      one(Text.urlHost(col("t")), u).asInstanceOf[String],
+      one(Text.urlPath(col("t")), u).asInstanceOf[String],
+      one(Text.urlQuery(col("t")), u).asInstanceOf[String],
+      one(Text.urlDomain(col("t")), u).asInstanceOf[String])
+    assert(parts("https://a.b.example.com/x/y?q=1&r=2")
+      == ("https", "a.b.example.com", "/x/y", "q=1&r=2", "example.com"))
+    assert(parts("http://host.io") == ("http", "host.io", "", "", "host.io"))
+    assert(parts("https://h.co:8080/p")
+      == ("https", "h.co:8080", "/p", "", "h.co")) // port stays in host, not domain
+    assert(parts("not a url") == ("", "", "", "", ""))
+    // fragments are excluded from path and query
+    assert(parts("https://x.org/a?b=c#frag")
+      == ("https", "x.org", "/a", "b=c", "x.org"))
+  }
 }
