@@ -85,6 +85,29 @@ object GenGoldens {
         "a\tb\thamming", "golden_simhash_scale.tsv")
     } else println(s"skipped golden_simhash_scale.tsv ($scaleDocs missing)")
 
+    // q_bloom_novel golden: doc_ids surviving the bloom novelty gate at
+    // the correctness SF (deterministic xxhash64 probes; a dedicated
+    // dup-check below guards the no-false-negative contract so a
+    // regression cannot be silently re-snapshotted)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(scaleDocs))) {
+      val docs = spark.read.parquet(scaleDocs)
+        .withColumn("fp", Text.fingerprintMd5(col("text")))
+      val bloom = graft.ops.Bloom.build(
+        docs.filter(col("doc_id") < 400).select("fp"), col("fp"),
+        mBits = 1 << 16, k = 4)
+      val novel = graft.ops.Bloom.filterNovel(
+          docs, bloom, col("fp"), mBits = 1 << 16, k = 4)
+        .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
+      // contract: nothing from the corpus half may survive
+      val corpusFps = docs.filter(col("doc_id") < 400)
+        .select("fp").as[String].collect().toSet
+      val survivorFps = docs.filter(col("doc_id").isin(novel: _*))
+        .select("fp").as[String].collect().toSet
+      require(survivorFps.intersect(corpusFps).isEmpty,
+        "bloom golden violates the no-false-negative contract")
+      writeTsv(novel.map(_.toString).toSeq, "doc_id", "golden_bloom_novel.tsv")
+    } else println(s"skipped golden_bloom_novel.tsv ($scaleDocs missing)")
+
     // q_media_features golden: (media_id, n_bytes, fingerprint)
     val media = docs.select(
       col("doc_id").as("media_id"),

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter corpus membership: a compact, shuffle-free alternative
+  * to the anti-join for "is this fingerprint already in the corpus?"
+  * (the streaming-ingest dedup gate, [[graft.streaming.EventStream
+  * .filterKnown]]'s scale sibling).
+  *
+  * Build ONCE over the corpus — one scan, one dimension-sized
+  * aggregation (m/64 words) — then test ANY number of micro-batches
+  * map-side against the broadcast bitset: zero per-batch shuffle of
+  * either side, versus the anti-join's per-batch join against the
+  * corpus fingerprints. The trade is one-sided error: a known
+  * fingerprint NEVER passes (no false negatives — the dedup guarantee
+  * holds), while a truly novel one is dropped with probability
+  * ≈ (1 - e^(-k·n/m))^k (sized by `mBits`).
+  *
+  * Scale envelope: the bitset must fit a broadcast — 1 G bits = 128 MB
+  * handles ~100 M fingerprints at 1% FP. Beyond that, shard the bloom
+  * by fingerprint prefix or fall back to the partitioned anti-join
+  * (both exist; this operator covers the common
+  * dimension-sized-state case).
+  *
+  * All probe positions are xxhash64 chains — deterministic, no RNG,
+  * identical across runs and cluster layouts. Pure `functions._`
+  * composition (explode + bit_or + element_at + shift) — no UDF, the
+  * membership test stays in whole-stage codegen.
+  */
+object Bloom {
+
+  /** k probe positions in [0, mBits) for one value: xxhash64 seeded by
+    * the probe index. */
+  private def positions(v: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(lit(i), v), lit(mBits.toLong)))
+
+  /** `1L << (pos & 63)` with a column shift amount (the typed API only
+    * accepts literal shifts). */
+  private def bitMask(pos: Column): Column =
+    call_function("shiftleft", lit(1L), pos.bitwiseAND(lit(63L)).cast("int"))
+
+  /** Build the bitset over the corpus: explode each fingerprint's k
+    * positions, OR the bit masks per 64-bit word (map-side partial
+    * bit_or, one tiny shuffle on word index), collect the ≤ m/64
+    * non-zero words. Returns the dense word array, driver-held.
+    */
+  def build(
+      corpus: DataFrame, fp: Column, mBits: Int, k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(k > 0, "k must be positive")
+    val words = corpus
+      .select(explode(array(positions(fp, mBits, k): _*)).as("__pos"))
+      .select(shiftright(col("__pos"), 6).as("__w"), bitMask(col("__pos")).as("__m"))
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Append a boolean might-contain column. The bitset rides a one-row
+    * broadcast frame (data, not a plan literal — a 16 M-bit filter
+    * would otherwise be a quarter-million-node literal expression);
+    * the test is k element_at + AND chains, all codegen'd. */
+  def withMightContain(
+      df: DataFrame, bloom: Array[Long], fp: Column,
+      mBits: Int, k: Int, as: String): DataFrame = {
+    require(bloom.length == mBits / 64, "bitset length must match mBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bloomDf = Seq(Tuple1(bloom.toSeq)).toDF("__bloom")
+    val test = positions(fp, mBits, k).map { p =>
+      element_at(col("__bloom"), shiftright(p, 6).cast("int") + lit(1))
+        .bitwiseAND(bitMask(p)) =!= lit(0L)
+    }.reduce(_ && _)
+    df.crossJoin(broadcast(bloomDf))
+      .withColumn(as, test)
+      .drop("__bloom")
+  }
+
+  /** Keep only rows whose fingerprint is definitely NOT in the corpus
+    * the bloom was built from: known rows never pass; a novel row is
+    * sacrificed with the filter's FP probability. The right gate when
+    * re-ingesting a feed that mostly overlaps the corpus. */
+  def filterNovel(
+      df: DataFrame, bloom: Array[Long], fp: Column,
+      mBits: Int, k: Int): DataFrame =
+    withMightContain(df, bloom, fp, mBits, k, "__known")
+      .filter(!col("__known"))
+      .drop("__known")
+}

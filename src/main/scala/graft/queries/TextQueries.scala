@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{QueryDef, Tables}
-import graft.ops.{Dedup, Text}
+import graft.ops.{Bloom, Dedup, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text pipeline over `documents`: token stats,
@@ -392,6 +392,27 @@ object TextQueries {
           Tables.documents(s, d).withColumn(
             "sh", Text.shingles(col("text"), 3)),
           id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+    },
+
+    // ---- bloom-gated novelty: corpus = docs 0..399's fingerprints
+    //      folded into a bloom bitset ONCE, stream = all docs filtered
+    //      map-side. Known docs never pass (no false negatives);
+    //      DuckDB cannot replay the xxhash64 probes, so the oracle is
+    //      the committed GenGoldens snapshot over the correctness SF
+    //      (deterministic: hash chains over static data) ----
+    sql(
+      "q_bloom_novel",
+      s"""SELECT doc_id::BIGINT AS doc_id
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_bloom_novel.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .withColumn("fp", Text.fingerprintMd5(col("text")))
+        val bloom = Bloom.build(
+          docs.filter(col("doc_id") < 400).select("fp"), col("fp"),
+          mBits = 1 << 16, k = 4)
+        Bloom.filterNovel(docs, bloom, col("fp"), mBits = 1 << 16, k = 4)
+          .select("doc_id")
     },
 
     // ---- deflate compression ratio: the standard boilerplate signal;

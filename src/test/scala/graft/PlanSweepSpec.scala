@@ -20,7 +20,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_study_summary" -> "same lattice universe construction per matrix",
     "q_study_index" -> "embeds the study summary lattice",
     "q_embed_neardup" -> "documented exact all-pairs baseline, block-partitioned",
-    "q_knn_topk" -> "brute-force baseline: corpus x broadcast(query batch)")
+    "q_knn_topk" -> "brute-force baseline: corpus x broadcast(query batch)",
+    "q_bloom_novel" -> "bitset rides a ONE-row broadcast frame (crossJoin by construction)")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
