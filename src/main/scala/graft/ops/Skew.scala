@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, saltBuckets): hash of the whole row's
-    * key columns PLUS spark_partition_id, so the same key occurring on
-    * different input partitions lands in different partial groups
-    * without any RNG (reproducible plans). */
+  /** Deterministic salt in [0, saltBuckets): the input partition id
+    * mod saltBuckets, so the same key occurring on different input
+    * partitions lands in different partial groups without any RNG
+    * (reproducible plans).
+    *
+    * Effective spread is min(saltBuckets, input partitions): with
+    * fewer input partitions than buckets, some buckets stay empty.
+    * That bound is irrelevant for the count/sum helpers below — their
+    * phase-1 partials are per-input-partition anyway, so reducer-side
+    * work per key is already capped by the partition count — but a
+    * caller salting something else (e.g. a join key) on a
+    * few-partition input should repartition first. */
   def saltCol(saltBuckets: Int): Column =
     pmod(spark_partition_id(), lit(saltBuckets))
 

@@ -40,4 +40,50 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionBy: _*)
       .parquet(path)
+
+  /** Fold the `batch_id=` directories the idempotent streaming sink
+    * accumulates ([[graft.streaming.EventStream.idempotentParquetSink]])
+    * into one compact partition, without touching the live head: every
+    * batch dir with id ≤ `upTo` is rewritten as a single
+    * `batch_id=upTo` directory of `targetFiles` files, then the
+    * superseded dirs are removed. A per-batch micro-file layout
+    * otherwise degrades every downstream scan (file-listing and
+    * open-cost dominate under ~128 MB/file).
+    *
+    * Contract: run as the single maintenance writer, and only with
+    * `upTo` strictly below the last COMMITTED batch — the engine never
+    * replays committed batches, so no future write can target a folded
+    * dir. The rewrite lands in a hidden temp dir first (readers using
+    * `basePath` never see it), so a crash before the swap leaves the
+    * original dirs intact; a crash mid-swap is recoverable from the
+    * temp dir.
+    */
+  def compactBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      upTo: Long,
+      targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = fs.listStatus(new Path(outDir)).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch_id=") &&
+          n.stripPrefix("batch_id=").forall(_.isDigit) &&
+          n.stripPrefix("batch_id=").toLong <= upTo
+      }
+    if (folded.nonEmpty) {
+      val tmp = new Path(outDir, s".compact_tmp_$upTo")
+      spark.read
+        .option("basePath", outDir)
+        .parquet(folded.map(_.toString): _*)
+        .drop("batch_id")
+        .coalesce(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      folded.foreach(p => fs.delete(p, true))
+      fs.rename(tmp, new Path(outDir, s"batch_id=$upTo"))
+    }
+  }
 }

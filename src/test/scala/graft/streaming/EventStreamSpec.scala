@@ -186,6 +186,31 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("bloom novelty gate filters a stream map-side (no per-batch corpus join)") {
+    import graft.ops.Bloom
+    val corpus = (0 until 100).map(i => s"fp_$i").toDF("fp")
+    val bloom = Bloom.build(corpus, col("fp"), mBits = 8192, k = 4)
+    val input = MemoryStream[(String, Long)](spark)
+    val fresh = Bloom.filterNovel(
+      input.toDF().toDF("fp", "doc_id"), bloom, col("fp"),
+      mBits = 8192, k = 4)
+    val query = fresh.writeStream
+      .format("memory").queryName("bloom_fresh")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("fp_1", 10L), ("fp_99", 11L), ("novel_a", 12L))
+      query.processAllAvailable()
+      input.addData(("fp_50", 13L), ("novel_b", 14L))
+      query.processAllAvailable()
+      val got = spark.table("bloom_fresh")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(!got.contains(10L) && !got.contains(11L) && !got.contains(13L),
+        "known fingerprints must never pass") // the one-sided guarantee
+      assert(got.contains(12L) && got.contains(14L))
+    } finally query.stop()
+  }
+
   test("checkpointed restart replays the uncommitted batch without duplicates") {
     // end-to-end exactly-once: file source + checkpoint + idempotent
     // sink. The crash is simulated faithfully: after the first run we
@@ -233,6 +258,33 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
       .select(col("v")).as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 2L, 3L),
       "replayed batch must replace its own output, new batch appended once")
+  }
+
+  test("compactBatches folds old batch dirs; the live head keeps replaying") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_compact").toString
+    val sink = EventStream.idempotentParquetSink(out) _
+    sink(Seq(1L, 2L).toDF("v"), 0L)
+    sink(Seq(3L).toDF("v"), 1L)
+    sink(Seq(4L).toDF("v"), 2L)
+    sink(Seq(5L).toDF("v"), 3L) // live head — must not be folded
+
+    graft.sources.Sinks.compactBatches(spark, out, upTo = 2L)
+
+    val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .map(p => Paths.get(p).getFileName.toString)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=2", "batch_id=3"))
+    // data preserved, one file in the folded partition
+    assert(spark.read.parquet(out).select(col("v"))
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val foldedFiles = Files.list(Paths.get(out, "batch_id=2")).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(foldedFiles == 1, "folded partition should be one compact file")
+    // the live head still replays idempotently after compaction
+    sink(Seq(5L).toDF("v"), 3L)
+    assert(spark.read.parquet(out).select(col("v"))
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("sessionStats runs behind readStream with a watermark") {
