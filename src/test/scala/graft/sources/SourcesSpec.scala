@@ -72,4 +72,22 @@ class SourcesSpec extends AnyFunSuite with WithSpark {
       .count(_.getName.startsWith("part-"))
     assert(parts == 1)
   }
+
+  test("a filter on the partition column prunes partitions at the scan") {
+    // the 100 TB contract behind partitioned writes: a reader filtering
+    // on the layout key must plan a PartitionFilter (metadata-only
+    // pruning), not a data filter over every file
+    val out = Files.createTempDirectory("graft-prune").toString
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L))
+      .toDF("k", "v")
+    Sinks.parquet(df, out, partitionBy = Seq("k"))
+    val read = spark.read.parquet(out).filter(col("k") === "b")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(k"),
+      s"partition filter missing from scan:\n$scan")
+    assert(!scan.contains("PushedFilters: [IsNotNull(k)"),
+      "layout-key filter leaked into the data-filter path")
+    assert(read.select("k", "v").as[(String, Long)].collect().toSeq
+      == Seq(("b", 3L)))
+  }
 }
