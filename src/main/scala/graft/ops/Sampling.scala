@@ -142,4 +142,46 @@ object Sampling {
       .filter(score >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Deterministic weighted corpus mixture: each source keeps ~its
+    * weight fraction via an independently-salted draw (the source
+    * index decorrelates sources sharing keys), then everything unions
+    * by name — the standard recipe for composing a training mix
+    * ("web at 30%, code at 100%, forums at 10%"). Pure map-side
+    * sampling + union: no shuffle, reproducible across engines and
+    * layouts. Weights are rates in [0, 1]; oversampling (> 1 epoch of
+    * a source) is explicit repetition — union the same source again
+    * with a different salt — not a hidden behavior here. */
+  def weightedMix(
+      sources: Seq[(DataFrame, Double)], key: String,
+      salt: String = ""): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(sources.forall { case (_, w) => w >= 0.0 && w <= 1.0 },
+      "weights are keep-rates in [0, 1]")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      sampleByHash(df, col(key), w, s"$salt#$i")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Deterministic token-budget slice: rows ordered by their hash draw
+    * (a reproducible "random" corpus order — no RNG, no layout
+    * dependence), kept while the running `tokens` sum stays within
+    * `budget` per shard. "Give me a 10 B-token slice of this corpus"
+    * as one window over each shard: one shuffle on `shardCols`, sort
+    * within shard (pick shards at file/source granularity so 1000
+    * executors stay busy — the same parallelism contract as sequence
+    * packing). Ties on the 32-bit draw break by key string, so the
+    * slice is total-order deterministic. */
+  def takeTokenBudget(
+      df: DataFrame, shardCols: Seq[String], key: Column, tokens: Column,
+      budget: Long, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*)
+      .orderBy(col("__draw"), col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__draw", unitDraw(key, salt))
+      .withColumn("__key", key.cast("string"))
+      .withColumn("__cum", sum(tokens).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__draw", "__key", "__cum")
+  }
 }

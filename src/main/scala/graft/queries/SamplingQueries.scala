@@ -107,5 +107,48 @@ object SamplingQueries {
           Tables.documents(s, d).filter(col("n_chars").isNotNull),
           Seq("lang"), col("n_chars"), 0.25)
         .select("doc_id", "lang", "n_chars")
+    },
+
+    // ---- deterministic weighted corpus mixture: three language
+    //      sub-corpora at different keep-rates, unioned — the draws
+    //      are indexed-salt md5 prefixes, so DuckDB replays the exact
+    //      membership of the mix ----
+    sql(
+      "q_weighted_mix",
+      s"""SELECT doc_id, lang FROM documents WHERE lang = 'en'
+         |  AND ${drawSql("#0")} < '${Sampling.hexThreshold(0.5)}'
+         |UNION ALL
+         |SELECT doc_id, lang FROM documents WHERE lang = 'es'
+         |  AND ${drawSql("#1")} < '${Sampling.hexThreshold(1.0)}'
+         |UNION ALL
+         |SELECT doc_id, lang FROM documents WHERE lang = 'zh'
+         |  AND ${drawSql("#2")} < '${Sampling.hexThreshold(0.25)}'"""
+        .stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Sampling.weightedMix(
+          Seq(
+            docs.filter(col("lang") === "en") -> 0.5,
+            docs.filter(col("lang") === "es") -> 1.0,
+            docs.filter(col("lang") === "zh") -> 0.25),
+          key = "doc_id")
+        .select("doc_id", "lang")
+    },
+
+    // ---- token-budget slice: rows in draw order until the per-lang
+    //      running token sum hits the budget — the exact window is
+    //      replayed in DuckDB over the same draw order ----
+    sql(
+      "q_token_budget",
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    sum(n_chars) OVER (PARTITION BY lang
+         |      ORDER BY ${drawSql("")}, CAST(doc_id AS VARCHAR)
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |WHERE cum <= 20000""".stripMargin) { (s, d) =>
+      Sampling.takeTokenBudget(
+          Tables.documents(s, d), Seq("lang"), col("doc_id"),
+          col("n_chars"), budget = 20000L)
+        .select("doc_id", "lang", "n_chars")
     })
 }

@@ -107,4 +107,37 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("Window"), "scale path must not sort per group")
   }
+
+  test("weightedMix: per-source rates hold; shared keys decorrelate") {
+    val a = ids.select($"id", lit("a").as("src"))
+    val b = ids.select($"id", lit("b").as("src")) // same keys as a
+    val mixed = Sampling.weightedMix(Seq(a -> 0.5, b -> 0.5), "id")
+      .select("id", "src").as[(Long, String)].collect()
+    val aKept = mixed.filter(_._2 == "a").map(_._1).toSet
+    val bKept = mixed.filter(_._2 == "b").map(_._1).toSet
+    assert(math.abs(aKept.size - 5000) < 250 && math.abs(bKept.size - 5000) < 250)
+    // indexed salts: the same id draws independently per source
+    assert(aKept != bKept, "sources sharing keys must draw independently")
+    // weight 1.0 keeps everything, weight 0 keeps nothing
+    assert(Sampling.weightedMix(Seq(a -> 1.0), "id").count() == 10000)
+    assert(Sampling.weightedMix(Seq(a -> 0.0), "id").count() == 0)
+  }
+
+  test("takeTokenBudget: cumulative cut in draw order, per shard") {
+    val docs = ids.select($"id", ($"id" % 2).cast("string").as("shard"),
+      lit(10L).as("toks"))
+    val kept = Sampling.takeTokenBudget(
+        docs, Seq("shard"), $"id", $"toks", budget = 200L)
+      .groupBy("shard").count().as[(String, Long)].collect().toMap
+    // 10 tokens/row → exactly 20 rows per shard fit the 200 budget
+    assert(kept == Map("0" -> 20L, "1" -> 20L))
+    // determinism: same slice on a different layout
+    val again = Sampling.takeTokenBudget(
+        docs.repartition(13), Seq("shard"), $"id", $"toks", budget = 200L)
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.takeTokenBudget(
+        docs, Seq("shard"), $"id", $"toks", budget = 200L)
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
 }
