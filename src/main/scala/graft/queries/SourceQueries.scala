@@ -211,6 +211,19 @@ object SourceQueries {
         .select("n_nationkey", "n_name", "n_regionkey")
     },
 
+    // ---- ORC sink/scan round-trip (Spark's second native columnar
+    //      format): write, read back, hash against the parquet-backed
+    //      oracle — DuckDB never needs to read ORC itself ----
+    sql(
+      "q_orc_roundtrip",
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders") { (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc"
+      graft.sources.Sinks.orc(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_orderstatus"), out)
+      s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
+    },
+
     // ---- P2: drop (column pruning reaches the scan) ----
     sql(
       "q_drop",

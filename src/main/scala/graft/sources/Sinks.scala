@@ -41,6 +41,18 @@ object Sinks {
       .partitionBy(partitionBy: _*)
       .parquet(path)
 
+  /** Columnar ORC sink — Spark's second native columnar format, for
+    * interop with Hive-ecosystem consumers (same partition-owner write
+    * discipline as [[parquet]]). */
+  def orc(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Seq.empty): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionBy: _*)
+      .orc(path)
+
   /** Fold the `batch_id=` directories the idempotent streaming sink
     * accumulates ([[graft.streaming.EventStream.idempotentParquetSink]])
     * into one compact partition, without touching the live head: every
