@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineDescriptor)
     e.injectFunction(GraftExtensions.drawDescriptor)
     e.injectFunction(GraftExtensions.zvalueDescriptor)
+    e.injectFunction(GraftExtensions.redactDescriptor)
   }
 }
 
@@ -67,6 +68,17 @@ object GraftExtensions {
     BitwiseOr(spread(exprs(0)), ShiftLeft(spread(exprs(1)), Literal(1)))
   }
 
+  /** SQL face of [[graft.ops.Text.redactPii]]: the identical ordered
+    * RegExpReplace chain, built from the same pattern list so the SQL
+    * and Column faces cannot drift. graft_redact(text). */
+  private def redactBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "graft_redact takes (text)")
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    graft.ops.Text.PiiPatterns.foldLeft(exprs.head) { case (e, (p, r)) =>
+      RegExpReplace(e, Literal(p), Literal(r))
+    }
+  }
+
   val dotDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
@@ -91,6 +103,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BitwiseOr].getName, "graft_zvalue"),
     zvalueBuilder _)
 
+  val redactDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_redact"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace]
+        .getName, "graft_redact"),
+    redactBuilder _)
+
   /** Register on a live session's temp-function registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -101,5 +121,7 @@ object GraftExtensions {
       "graft_draw", drawBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zvalue", zvalueBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_redact", redactBuilder, "built-in")
   }
 }

@@ -84,4 +84,47 @@ class PipelinePropertiesSpec extends AnyFunSuite with WithSpark {
       for (((a2, b2), z2) <- zs if b2 == b && a2 > a) assert(z2 > z)
     }
   }
+
+  test("weightedMix: per-source membership equals sampleByHash at that salt") {
+    // the mixture is EXACTLY the union of independently-salted samples:
+    // membership per source must replay through the primitive
+    val ids = spark.range(0, 2000).toDF("id")
+    for (weights <- samples(Gen.listOfN(3, Gen.choose(0.0, 1.0)), 5, 77L)) {
+      val srcs = weights.zipWithIndex.map { case (w, i) =>
+        ids.withColumn("src", lit(s"s$i")) -> w
+      }
+      val mixed = Sampling.weightedMix(srcs, "id", salt = "wm")
+        .select("src", "id").as[(String, Long)].collect().toSet
+      weights.zipWithIndex.foreach { case (w, i) =>
+        val direct = Sampling.sampleByHash(ids, $"id", w, s"wm#$i")
+          .as[Long].collect().toSet
+        assert(mixed.filter(_._1 == s"s$i").map(_._2) == direct,
+          s"source $i at weight $w diverged from the primitive")
+      }
+    }
+  }
+
+  test("takeTokenBudget: monotone in budget; never exceeds it") {
+    val docs = spark.range(0, 1000).toDF("id")
+      .select($"id", ($"id" % 3).cast("string").as("shard"),
+        (($"id" % 7) + 1).as("toks"))
+    def slice(b: Long): Map[String, Seq[Long]] =
+      Sampling.takeTokenBudget(docs, Seq("shard"), $"id", $"toks", b)
+        .select("shard", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val budgets = Seq(50L, 200L, 800L)
+    val slices = budgets.map(slice)
+    for (Seq(small, large) <- slices.sliding(2)) {
+      for ((shard, idsSmall) <- small) {
+        assert(idsSmall.toSet.subsetOf(
+          large.getOrElse(shard, Seq.empty).toSet),
+          s"budget growth must only ADD rows (shard $shard)")
+      }
+    }
+    // the kept token sum respects the budget per shard
+    val kept = Sampling.takeTokenBudget(docs, Seq("shard"), $"id", $"toks", 200L)
+      .groupBy("shard").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect()
+    kept.foreach { case (s, t) => assert(t <= 200L, s"shard $s over budget") }
+  }
 }

@@ -68,4 +68,19 @@ class GraftExtensionsSpec extends AnyFunSuite with WithSpark {
       .collect()(0).getDouble(0)
     assert(ortho == 0.0)
   }
+
+  test("graft_redact matches the Column face byte-for-byte") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val s = "mail a@b.co from 10.0.0.1 or +1 555-019-9 id 123456789012"
+    val viaSql = spark.sql(
+        s"SELECT graft_redact('$s') AS r")
+      .collect()(0).getString(0)
+    val viaColumn = Seq(s).toDF("t")
+      .select(graft.ops.Text.redactPii(
+        org.apache.spark.sql.functions.col("t")))
+      .collect()(0).getString(0)
+    assert(viaSql == viaColumn)
+    assert(viaSql == "mail <EMAIL> from <IP> or <PHONE> id <NUM>")
+  }
 }
