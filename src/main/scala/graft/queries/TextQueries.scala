@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{QueryDef, Tables}
-import graft.ops.{Bloom, Dedup, Text}
+import graft.ops.{Bloom, Dedup, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text pipeline over `documents`: token stats,
@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import QueryDef.{noOracle, sql}
 
-  /** DuckDB equivalent of [[Text.normalize]]. */
-  private val NormSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  /** DuckDB equivalent of [[Text.normalize]] over any column expr. */
+  private def normSqlOf(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private val NormSql = normSqlOf("text")
 
   /** All stopword seeds across languages, deduplicated, as a SQL list
     * literal (must track [[Text.StopwordSeeds]]). */
@@ -392,6 +394,66 @@ object TextQueries {
           Tables.documents(s, d).withColumn(
             "sh", Text.shingles(col("text"), 3)),
           id = "doc_id", features = col("sh"), maxHamming = 3, bands = 4)
+    },
+
+    // ---- the whole prep pipeline in one query: redact → quality
+    //      gate → exact dedup → per-lang token-budget slice. Every
+    //      stage is individually oracle-checked elsewhere; this
+    //      composition proves they chain into a runnable corpus-prep
+    //      pipeline whose END result DuckDB still replays exactly ----
+    sql(
+      "q_prep_pipeline", {
+        val q = "clean_text"
+        s"""WITH cleaned AS (
+           |  SELECT doc_id, lang, ${Text.redactPiiSql("text")} AS $q
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, $q,
+           |    (CASE WHEN len(string_split_regex($q, '\\s+')) >= 5
+           |       THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN len(string_split_regex($q, '\\s+')) <= 100000
+           |       THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN length(regexp_replace($q, '\\s', '', 'g'))::DOUBLE
+           |           / len(string_split_regex($q, '\\s+')) >= 2
+           |         AND length(regexp_replace($q, '\\s', '', 'g'))::DOUBLE
+           |           / len(string_split_regex($q, '\\s+')) <= 12
+           |       THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN length(regexp_replace($q, '[^.,;:!?]', '', 'g'))::DOUBLE
+           |           / greatest(length($q), 1) <= 0.2
+           |       THEN 1.0 ELSE 0.0 END
+           |     + CASE WHEN len(list_intersect(
+           |           list_distinct(string_split_regex($q, '\\s+')),
+           |           $AllStopsSql)) > 0
+           |       THEN 1.0 ELSE 0.0 END) / 5 AS score
+           |  FROM cleaned),
+           |qualified AS (SELECT * FROM scored WHERE score >= 0.8),
+           |reps AS (
+           |  SELECT min(doc_id) AS doc_id
+           |  FROM qualified GROUP BY md5(${normSqlOf(q)})),
+           |deduped AS (
+           |  SELECT qualified.* FROM qualified JOIN reps USING (doc_id)),
+           |sliced AS (
+           |  SELECT doc_id, lang FROM (
+           |    SELECT doc_id, lang,
+           |      sum(len(string_split_regex($q, '\\s+')))
+           |        OVER (PARTITION BY lang
+           |          ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+           |            CAST(doc_id AS VARCHAR)
+           |          ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM deduped)
+           |  WHERE cum <= 2000)
+           |SELECT doc_id, lang FROM sliced""".stripMargin
+      }) { (s, d) =>
+      val cleaned = Tables.documents(s, d)
+        .withColumn("clean_text", Text.redactPii(col("text")))
+      val qualified = cleaned
+        .filter(Text.qualityScore(col("clean_text")) >= 0.8)
+      val deduped = Dedup.dropExact(
+        qualified, Text.fingerprintMd5(col("clean_text")), col("doc_id"))
+      Sampling.takeTokenBudget(
+          deduped, Seq("lang"), col("doc_id"),
+          Text.tokenCount(col("clean_text")), budget = 2000L)
+        .select("doc_id", "lang")
     },
 
     // ---- bloom-gated novelty: corpus = docs 0..399's fingerprints
