@@ -61,6 +61,8 @@ object Summary {
       groupKeys: Seq[String],
       fields: Seq[String],
       distinctCounts: Map[String, Column]): DataFrame = {
+    require(fields.nonEmpty, "at least one field to unpivot")
+    require(distinctCounts.nonEmpty, "at least one distinct count")
     val counts = distinctCounts.toSeq.sortBy(_._1)
     val long = facts
       .select(

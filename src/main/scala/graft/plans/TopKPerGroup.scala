@@ -139,6 +139,13 @@ case class TopKPerGroupPartialExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // a map-side pass: a child already clustered on the group key must
+  // keep advertising it, or EnsureRequirements plans a redundant
+  // exchange above us
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
@@ -166,6 +173,10 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupCols) :: Nil
+
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

@@ -62,6 +62,16 @@ class TopKPerGroupSpec extends AnyFunSuite with WithSpark {
       s"partial/final straddle the exchange:\n$plan")
   }
 
+  test("pre-clustered input: the partial advertises it, no second exchange") {
+    val df = (1 to 100).map(i => (i % 5, i.toLong, i * 0.1))
+      .toDF("g", "id", "score")
+      .repartition(col("g"))
+    val plan = TopKPerGroup.topK(df, Seq("g"), "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"the explicit repartition must be the only exchange:\n$plan")
+  }
+
   test("partial pre-selection caps what a constant global group shuffles") {
     // 8 input partitions, one global group: the exchange input is fed
     // by the partial heaps — ≤ k rows each — not the full frame
