@@ -95,14 +95,13 @@ object GenGoldens {
       val bloom = graft.ops.Bloom.build(
         docs.filter(col("doc_id") < 400).select("fp"), col("fp"),
         mBits = 1 << 16, k = 4)
-      val novel = graft.ops.Bloom.filterNovel(
-          docs, bloom, col("fp"), mBits = 1 << 16, k = 4)
-        .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
+      val survivors = graft.ops.Bloom.filterNovel(docs, bloom, col("fp"))
+      val novel =
+        survivors.select(col("doc_id")).orderBy("doc_id").as[Long].collect()
       // contract: nothing from the corpus half may survive
       val corpusFps = docs.filter(col("doc_id") < 400)
         .select("fp").as[String].collect().toSet
-      val survivorFps = docs.filter(col("doc_id").isin(novel: _*))
-        .select("fp").as[String].collect().toSet
+      val survivorFps = survivors.select("fp").as[String].collect().toSet
       require(survivorFps.intersect(corpusFps).isEmpty,
         "bloom golden violates the no-false-negative contract")
       writeTsv(novel.map(_.toString).toSeq, "doc_id", "golden_bloom_novel.tsv")

@@ -342,6 +342,16 @@ object Indexes {
     * unionByName + one aggregation instead of the reference's six
     * chained full-outer joins.
     */
+  /** The one unpivot spec shared by [[studySummary]] and its
+    * plan-pin face [[studySummaryPartial]] — a drifted copy would let
+    * the single-scan pin keep passing against a plan the production
+    * query no longer runs. */
+  private val SummaryGroupKeys = Seq("study_id")
+  private val SummaryFields = Seq("data_category", "experimental_strategy")
+  private def summaryCounts: Map[String, org.apache.spark.sql.Column] = Map(
+    "donors" -> col("submitter_donor_id"),
+    "files" -> col("file_name"))
+
   def studySummary(in: ClinicalInputs): DataFrame = {
     // both category matrices from ONE scan of the donor⋈file join
     // (unpivot to (kind, key), one lattice aggregation, pivot back) —
@@ -349,11 +359,9 @@ object Indexes {
     // donor.tsv and file.tsv twice
     val matrices = Summary.latticeUnpivot(
         donorPerFile(in),
-        groupKeys = Seq("study_id"),
-        fields = Seq("data_category", "experimental_strategy"),
-        distinctCounts = Map(
-          "donors" -> col("submitter_donor_id"),
-          "files" -> col("file_name")))
+        groupKeys = SummaryGroupKeys,
+        fields = SummaryFields,
+        distinctCounts = summaryCounts)
       .groupBy("study_id", "kind")
       .agg(sort_array(collect_list(struct(
         col("key"), col("donors"), col("files")))).as("__m"))
@@ -391,15 +399,14 @@ object Indexes {
 
   /** The un-checkpointed summary partial (plan pinning only: the
     * eager localCheckpoint inside [[Summary.latticeUnpivot]] hides
-    * these scans from the downstream executed plan). */
+    * these scans from the downstream executed plan). Built from the
+    * SAME spec constants as [[studySummary]]. */
   private[graft] def studySummaryPartial(in: ClinicalInputs): DataFrame =
     Summary.unpivotPartial(
       donorPerFile(in),
-      groupKeys = Seq("study_id"),
-      fields = Seq("data_category", "experimental_strategy"),
-      distinctCounts = Map(
-        "donors" -> col("submitter_donor_id"),
-        "files" -> col("file_name")))
+      groupKeys = SummaryGroupKeys,
+      fields = SummaryFields,
+      distinctCounts = summaryCounts)
 
   def studyIndex(
       in: ClinicalInputs,

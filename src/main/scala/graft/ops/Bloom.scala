@@ -40,13 +40,20 @@ object Bloom {
   private def bitMask(pos: Column): Column =
     call_function("shiftleft", lit(1L), pos.bitwiseAND(lit(63L)).cast("int"))
 
+  /** A built bitset WITH the parameters it was built under — probing
+    * with different mBits/k than the build silently voids the
+    * no-false-negative guarantee, so the pair travels together and
+    * the test side cannot drift. */
+  final case class BloomBits(words: Array[Long], mBits: Int, k: Int)
+
   /** Build the bitset over the corpus: explode each fingerprint's k
     * positions, OR the bit masks per 64-bit word (map-side partial
     * bit_or, one tiny shuffle on word index), collect the ≤ m/64
-    * non-zero words. Returns the dense word array, driver-held.
+    * non-zero words. Returns the dense word array, driver-held,
+    * carrying its build parameters.
     */
   def build(
-      corpus: DataFrame, fp: Column, mBits: Int, k: Int): Array[Long] = {
+      corpus: DataFrame, fp: Column, mBits: Int, k: Int): BloomBits = {
     require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
     require(k > 0, "k must be positive")
     val words = corpus
@@ -56,21 +63,20 @@ object Bloom {
       .collect()
     val arr = new Array[Long](mBits / 64)
     words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    arr
+    BloomBits(arr, mBits, k)
   }
 
   /** Append a boolean might-contain column. The bitset rides a one-row
     * broadcast frame (data, not a plan literal — a 16 M-bit filter
     * would otherwise be a quarter-million-node literal expression);
-    * the test is k element_at + AND chains, all codegen'd. */
+    * the test is k element_at + AND chains, all codegen'd, probing
+    * with exactly the parameters the bitset was built under. */
   def withMightContain(
-      df: DataFrame, bloom: Array[Long], fp: Column,
-      mBits: Int, k: Int, as: String): DataFrame = {
-    require(bloom.length == mBits / 64, "bitset length must match mBits")
+      df: DataFrame, bloom: BloomBits, fp: Column, as: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bloomDf = Seq(Tuple1(bloom.toSeq)).toDF("__bloom")
-    val test = positions(fp, mBits, k).map { p =>
+    val bloomDf = Seq(Tuple1(bloom.words.toSeq)).toDF("__bloom")
+    val test = positions(fp, bloom.mBits, bloom.k).map { p =>
       element_at(col("__bloom"), shiftright(p, 6).cast("int") + lit(1))
         .bitwiseAND(bitMask(p)) =!= lit(0L)
     }.reduce(_ && _)
@@ -84,9 +90,8 @@ object Bloom {
     * sacrificed with the filter's FP probability. The right gate when
     * re-ingesting a feed that mostly overlaps the corpus. */
   def filterNovel(
-      df: DataFrame, bloom: Array[Long], fp: Column,
-      mBits: Int, k: Int): DataFrame =
-    withMightContain(df, bloom, fp, mBits, k, "__known")
+      df: DataFrame, bloom: BloomBits, fp: Column): DataFrame =
+    withMightContain(df, bloom, fp, "__known")
       .filter(!col("__known"))
       .drop("__known")
 }

@@ -171,7 +171,10 @@ object Sampling {
     * within shard (pick shards at file/source granularity so 1000
     * executors stay busy — the same parallelism contract as sequence
     * packing). Ties on the 32-bit draw break by key string, so the
-    * slice is total-order deterministic. */
+    * slice is total-order deterministic PROVIDED `key` is unique per
+    * row (like [[sampleKPerGroup]]'s tie column) — rows sharing a key
+    * share both sort fields, and whichever of them straddles the
+    * budget boundary is then layout-dependent. */
   def takeTokenBudget(
       df: DataFrame, shardCols: Seq[String], key: Column, tokens: Column,
       budget: Long, salt: String = ""): DataFrame = {

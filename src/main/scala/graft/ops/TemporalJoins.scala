@@ -76,12 +76,13 @@ object TemporalJoins {
     * none when the band side is broadcast, the common case).
     *
     * @param broadcastBands Some(true) forces the broadcast hint,
-    *   Some(false) forces a shuffled sort-merge join (for callers who
-    *   know the band stats are underestimated); None (default)
-    *   broadcasts only when the band table's estimated size fits
-    *   `spark.sql.autoBroadcastJoinThreshold` — an unconditional hint
-    *   would drive the driver OOM on a large band side instead of
-    *   degrading to a shuffled equi-join.
+    *   Some(false) forces a shuffled sort-merge join; None (default)
+    *   broadcasts only when the band table's estimated size TIMES the
+    *   measured bin fan-out fits `spark.sql.autoBroadcastJoinThreshold`
+    *   (one cheap aggregation over the dimension-sized band table at
+    *   plan time) — an unconditional hint would drive the driver OOM
+    *   on a large or wide-band side instead of degrading to a shuffled
+    *   equi-join.
     */
   def bandJoin(
       facts: DataFrame, valueCol: String,
@@ -103,17 +104,41 @@ object TemporalJoins {
       case Some(true) => broadcast(bandBins)
       case Some(false) => bandBins.hint("merge")
       case None =>
-        // pre-explode stats: the bin fan-out is assumed modest because
-        // binWidth is chosen near the typical band span (scaladoc above)
+        // gate on the POST-explode size: the optimizer's pre-explode
+        // estimate misses the (hi-lo)/binWidth fan-out, which can be
+        // orders of magnitude (a wide band over a narrow binWidth).
+        // One cheap aggregation over the dimension-sized band table
+        // counts the exploded rows exactly.
         val est = bands.queryExecution.optimizedPlan.stats.sizeInBytes
+        val counted = bands.select(
+          count(lit(1)).as("__n"),
+          sum(greatest(
+            floor((col(hiCol) - lit(1e-9)) / binWidth) -
+              floor(col(loCol) / binWidth) + 1,
+            lit(1L))).as("__exploded")).head()
+        val bandRows = counted.getLong(0)
+        val explodedRows =
+          if (counted.isNullAt(1)) 0L
+          else counted.get(1) match {
+            case l: java.lang.Long => l.longValue()
+            case d: java.math.BigDecimal => d.longValue()
+            case other => other.toString.toDouble.toLong
+          }
+        val fanout =
+          if (bandRows == 0L) 1.0
+          else explodedRows.toDouble / bandRows
+        val postExplodeEst = (BigDecimal(est) * fanout).toBigInt
         val raw = facts.sparkSession.conf
           .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         // "-1" disables broadcast; JavaUtils rejects negative strings
         val threshold =
           if (raw.trim.startsWith("-")) -1L
           else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-        if (threshold > 0 && est <= threshold) broadcast(bandBins)
-        else bandBins
+        if (threshold > 0 && postExplodeEst <= threshold) broadcast(bandBins)
+        // Catalyst's own estimate of the Generate output misses the
+        // fan-out too, so declining the hint is not enough — force the
+        // shuffle join or the planner auto-broadcasts the inflated side
+        else bandBins.hint("merge")
     }
     binned
       .join(build, Seq("__bin"))

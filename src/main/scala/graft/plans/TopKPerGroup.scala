@@ -234,6 +234,9 @@ object TopKPerGroup {
       score: String,
       tie: String,
       k: Int): DataFrame = {
+    // same rationale as the type checks below: k <= 0 would only fail
+    // mid-job (empty-heap head in every task)
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val lp = Bridge.logicalPlan(df)

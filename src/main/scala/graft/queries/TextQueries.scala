@@ -473,8 +473,7 @@ object TextQueries {
         val bloom = Bloom.build(
           docs.filter(col("doc_id") < 400).select("fp"), col("fp"),
           mBits = 1 << 16, k = 4)
-        Bloom.filterNovel(docs, bloom, col("fp"), mBits = 1 << 16, k = 4)
-          .select("doc_id")
+        Bloom.filterNovel(docs, bloom, col("fp")).select("doc_id")
     },
 
     // ---- deflate compression ratio: the standard boilerplate signal;

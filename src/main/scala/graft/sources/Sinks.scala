@@ -65,10 +65,13 @@ object Sinks {
     * Contract: run as the single maintenance writer, and only with
     * `upTo` strictly below the last COMMITTED batch — the engine never
     * replays committed batches, so no future write can target a folded
-    * dir. The rewrite lands in a hidden temp dir first (readers using
-    * `basePath` never see it), so a crash before the swap leaves the
-    * original dirs intact; a crash mid-swap is recoverable from the
-    * temp dir.
+    * dir. Crash-safe under RE-RUN with the same `upTo`: the rewrite
+    * lands in a hidden temp dir (readers using `basePath` never see
+    * it) and source dirs are deleted only after the temp write
+    * COMMITTED (parquet `_SUCCESS`); a re-run that finds a committed
+    * temp resumes at the delete/rename step instead of rebuilding it
+    * from whatever source dirs survive — rebuilding there would bake a
+    * partial fold over the already-deleted batches.
     */
   def compactBatches(
       spark: org.apache.spark.sql.SparkSession,
@@ -86,14 +89,17 @@ object Sinks {
           n.stripPrefix("batch_id=").forall(_.isDigit) &&
           n.stripPrefix("batch_id=").toLong <= upTo
       }
-    if (folded.nonEmpty) {
-      val tmp = new Path(outDir, s".compact_tmp_$upTo")
+    val tmp = new Path(outDir, s".compact_tmp_$upTo")
+    val tmpCommitted = fs.exists(new Path(tmp, "_SUCCESS"))
+    if (folded.nonEmpty && !tmpCommitted) {
       spark.read
         .option("basePath", outDir)
         .parquet(folded.map(_.toString): _*)
         .drop("batch_id")
         .coalesce(targetFiles)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    if (folded.nonEmpty || tmpCommitted) {
       folded.foreach(p => fs.delete(p, true))
       fs.rename(tmp, new Path(outDir, s"batch_id=$upTo"))
     }

@@ -14,15 +14,14 @@ class BloomSpec extends AnyFunSuite with WithSpark {
   private lazy val bloom = Bloom.build(corpus, col("fp"), M, K)
 
   test("no false negatives: every corpus fingerprint tests positive") {
-    val known = Bloom.withMightContain(
-        corpus, bloom, col("fp"), M, K, "hit")
+    val known = Bloom.withMightContain(corpus, bloom, col("fp"), "hit")
       .filter(!col("hit")).count()
     assert(known == 0L, "a known fingerprint escaped the filter")
   }
 
   test("false-positive rate on disjoint values matches the sizing math") {
     val novel = (0L until 2000L).map(i => s"other_$i").toDF("fp")
-    val fp = Bloom.withMightContain(novel, bloom, col("fp"), M, K, "hit")
+    val fp = Bloom.withMightContain(novel, bloom, col("fp"), "hit")
       .filter(col("hit")).count()
     val rate = fp.toDouble / 2000
     // (1 - e^(-k n / m))^k ≈ 0.002 at n=500, m=8192, k=4; allow 10×
@@ -32,7 +31,7 @@ class BloomSpec extends AnyFunSuite with WithSpark {
   test("filterNovel drops all known rows and keeps (almost) all novel") {
     val stream = ((0L until 500L).map(i => s"fp_$i") ++
       (0L until 100L).map(i => s"new_$i")).toDF("fp")
-    val kept = Bloom.filterNovel(stream, bloom, col("fp"), M, K)
+    val kept = Bloom.filterNovel(stream, bloom, col("fp"))
       .as[String].collect().toSet
     assert(kept.forall(_.startsWith("new_")), "a known row passed the gate")
     assert(kept.size >= 95, s"only ${kept.size}/100 novel rows survived")
@@ -40,12 +39,13 @@ class BloomSpec extends AnyFunSuite with WithSpark {
 
   test("bitset build is deterministic and layout-independent") {
     val again = Bloom.build(corpus.repartition(7), col("fp"), M, K)
-    assert(java.util.Arrays.equals(bloom, again))
+    assert(java.util.Arrays.equals(bloom.words, again.words))
+    assert(bloom.mBits == again.mBits && bloom.k == again.k)
   }
 
   test("membership test plans no shuffle of the probe side") {
     val stream = (0L until 100L).map(i => s"s_$i").toDF("fp")
-    val plan = Bloom.filterNovel(stream, bloom, col("fp"), M, K)
+    val plan = Bloom.filterNovel(stream, bloom, col("fp"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"probe side must stay map-side:\n$plan")

@@ -81,4 +81,24 @@ class TemporalJoinsSpec extends AnyFunSuite with WithSpark {
         "band side must degrade to a shuffled equi-join")
     } finally spark.conf.set(key, prev)
   }
+
+  test("bandJoin auto gate accounts for the bin fan-out, not just raw size") {
+    // facts sized above the broadcast threshold so the only broadcast
+    // candidate is the band side
+    val facts = spark.range(0, 4000000)
+      .select(col("id"), (col("id") % 100).cast("double").as("v"))
+    // ONE band row, KBs pre-explode — but 40M bins at this binWidth:
+    // the auto path must refuse to broadcast the exploded frame
+    val wide = Seq(("all", 0.0, 4e7)).toDF("band", "lo", "hi")
+    val plan = TemporalJoins.bandJoin(facts, "v", wide, "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"wide band exploded into millions of bins must not broadcast:\n$plan")
+    // sanity: a NARROW band table over the same facts does broadcast
+    val narrow = Seq(("lo", 0.0, 50.0), ("hi", 50.0, 100.0))
+      .toDF("band", "lo", "hi")
+    val p2 = TemporalJoins.bandJoin(facts, "v", narrow, "lo", "hi", 25.0)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastExchange"), s"narrow bands should broadcast:\n$p2")
+  }
 }

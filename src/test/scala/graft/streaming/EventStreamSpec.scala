@@ -192,8 +192,7 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     val bloom = Bloom.build(corpus, col("fp"), mBits = 8192, k = 4)
     val input = MemoryStream[(String, Long)](spark)
     val fresh = Bloom.filterNovel(
-      input.toDF().toDF("fp", "doc_id"), bloom, col("fp"),
-      mBits = 8192, k = 4)
+      input.toDF().toDF("fp", "doc_id"), bloom, col("fp"))
     val query = fresh.writeStream
       .format("memory").queryName("bloom_fresh")
       .outputMode(OutputMode.Append())
@@ -285,6 +284,30 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     sink(Seq(5L).toDF("v"), 3L)
     assert(spark.read.parquet(out).select(col("v"))
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("compactBatches re-run resumes a crashed swap without losing rows") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_compact_crash").toString
+    val sink = EventStream.idempotentParquetSink(out) _
+    sink(Seq(1L, 2L).toDF("v"), 0L)
+    sink(Seq(3L).toDF("v"), 1L)
+    // simulate a crash mid-swap: the temp fold is committed and one of
+    // the two source dirs is already gone
+    Seq(1L, 2L, 3L).toDF("v").coalesce(1)
+      .write.parquet(s"$out/.compact_tmp_1")
+    Files.walk(Paths.get(s"$out/batch_id=0"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+    // the re-run must NOT rebuild the fold from the surviving dir only
+    graft.sources.Sinks.compactBatches(spark, out, upTo = 1L)
+    assert(spark.read.parquet(out).select(col("v"))
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "rows from the already-deleted batch dir were lost")
+    val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .map(p => Paths.get(p).getFileName.toString)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=1"))
   }
 
   test("sessionStats runs behind readStream with a watermark") {
