@@ -11,7 +11,9 @@ object PlanAudit {
         "q_summary_lattice", "q_knn_topk", "q_ontology_expand",
         "q_agg_pricing", "q_donor_index", "q_event_windows",
         "q_diagnosis_nest", "q_study_summary", "q_study_index",
-        "q_interval_join")) {
+        "q_interval_join", "q_bloom_novel", "q_redact_pii",
+        "q_weighted_mix", "q_token_budget", "q_prep_pipeline",
+        "q_band_join")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).length
       println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
