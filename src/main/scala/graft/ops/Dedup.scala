@@ -389,4 +389,29 @@ object Dedup {
         .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Eval-set decontamination: drop every training document sharing
+    * ANY word n-gram with the eval corpus — the standard leakage
+    * guard before training (exact-substring flavor; near-dup leakage
+    * is [[nearDupPairs]] against the eval side).
+    *
+    * Shape: the eval side's distinct n-grams are dimension-sized
+    * (eval sets are small by definition) so the semi-join against the
+    * exploded training shingles broadcasts; the anti-join back to the
+    * training rows keys on `id`. Two equi-joins, nothing all-pairs;
+    * the training text is shingled once, map-side.
+    */
+  def decontaminate(
+      train: DataFrame, id: String, text: Column,
+      eval: DataFrame, evalText: Column, n: Int = 5): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Text.shingles(evalText, n)).as("__g"))
+      .distinct()
+    val contaminated = train
+      .select(col(id), explode(Text.shingles(text, n)).as("__g"))
+      .join(evalGrams, Seq("__g"), "left_semi")
+      .select(id)
+      .distinct()
+    train.join(contaminated, Seq(id), "left_anti")
+  }
 }

@@ -215,6 +215,31 @@ object TextQueries {
         .filter(col("jaccard") >= 0.8)
     },
 
+    // ---- eval-set decontamination: docs >= 450 are the "eval" set;
+    //      training docs sharing any 5-gram with it are dropped (the
+    //      survivors exclude the planted near-dups). DuckDB replays
+    //      the shingle construction and the anti-join exactly ----
+    sql(
+      "q_decontaminate",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_transform(range(len(w) - 4),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5]) AS g
+         |  FROM t),
+         |ev AS (SELECT flatten(list(g)) AS eg FROM sh WHERE doc_id >= 450)
+         |SELECT doc_id FROM sh, ev
+         |WHERE doc_id < 450 AND NOT list_has_any(g, eg)""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(
+            docs.filter(col("doc_id") < 450), "doc_id", col("text"),
+            docs.filter(col("doc_id") >= 450), col("text"), n = 5)
+          .select("doc_id")
+    },
+
     // ---- repetition signals (duplicate word / n-gram fractions) ----
     sql(
       "q_repetition",

@@ -168,4 +168,19 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       .as[Double].collect()(0)
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("decontaminate drops docs sharing any eval n-gram, keeps the rest") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog"), // shares a 3-gram
+      (2L, "completely unrelated training text here now"),
+      (3L, "short doc"), // fewer than n words: never contaminated
+      (4L, "Quick  BROWN fox! appears here too")) // normalization matches
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "watch the quick brown fox run"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(
+        train, "doc_id", col("text"), eval, col("text"), n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
 }
