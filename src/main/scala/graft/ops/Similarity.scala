@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding columns (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a
@@ -167,11 +168,14 @@ object Similarity {
   /** One Lloyd pass: assign every corpus vector to its nearest
     * centroid (map-side, literal centroids), recompute each centroid
     * as the per-dimension mean of its cluster. One full corpus scan +
-    * one dimension-sized aggregation; the means are rounded to a fixed
-    * 1e-6 grid so the floating-point merge order of the distributed
-    * sum cannot leak into the collected centroids — assignment stays
-    * reproducible run-to-run. Clusters that lose every point keep
-    * their seed centroid.
+    * one dimension-sized aggregation. The mean is computed as an
+    * EXACT fixed-scale decimal sum divided by the count — decimal
+    * addition is associative and commutative, so the distributed
+    * merge order cannot perturb the result the way a floating-point
+    * `avg` at a rounding boundary could — then rounded to a 1e-6
+    * grid. Centroids are therefore bit-stable run-to-run and
+    * assignment stays reproducible. Clusters that lose every point
+    * keep their seed centroid.
     */
   private def lloydRefine(
       corpusVecs: DataFrame,
@@ -181,7 +185,9 @@ object Similarity {
         rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
       .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
       .groupBy("__cid", "__pos")
-      .agg(round(avg(col("__x")), 6).as("__m"))
+      .agg(round(
+        (sum(col("__x").cast(DecimalType(38, 18))) /
+          count(lit(1))).cast("double"), 6).as("__m"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cid, rows) =>

@@ -93,6 +93,16 @@ object Summary {
     * row-for-row the union of per-field [[lattice]] results (with a
     * `kind` discriminator column). Keys are cast to string; null keys
     * are dropped before aggregation.
+    *
+    * The aggregated partial is `localCheckpoint(eager = false)`-ed so
+    * the groups/keys/zero-fill consumers share one computation instead
+    * of re-running the fact scan three times. Lazy, so constructing
+    * the frame costs nothing until an action runs. Trade-off: local
+    * checkpoints store blocks on executors without lineage — losing an
+    * executor mid-query fails the query rather than recomputing. Right
+    * for this engine's batch jobs (a retry re-runs the stage); a
+    * long-running always-on deployment should swap in
+    * `persist(MEMORY_AND_DISK)` or a reliable `checkpoint()` instead.
     */
   def latticeUnpivot(
       facts: DataFrame,
@@ -101,7 +111,7 @@ object Summary {
       distinctCounts: Map[String, Column]): DataFrame = {
     val partial =
       unpivotPartial(facts, groupKeys, fields, distinctCounts)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val groups = partial.select((groupKeys :+ "kind").map(col): _*).distinct()
     val cats = partial.select(col("kind"), col("key")).distinct()
     val universe = groups.join(broadcast(cats), Seq("kind"))

@@ -243,11 +243,15 @@ object Text {
 
   /** DuckDB equivalent of [[redactPii]] over a column expression —
     * generated from the same [[PiiPatterns]] so the two faces cannot
-    * drift. */
-  def redactPiiSql(colExpr: String): String =
+    * drift. Single quotes in a pattern or replacement are doubled on
+    * the way into the SQL literal, so a future entry containing an
+    * apostrophe generates correct SQL instead of a silent breakage. */
+  def redactPiiSql(colExpr: String): String = {
+    def q(s: String): String = s.replace("'", "''")
     PiiPatterns.foldLeft(colExpr) { case (e, (p, r)) =>
-      s"regexp_replace($e, '$p', '$r', 'g')"
+      s"regexp_replace($e, '${q(p)}', '${q(r)}', 'g')"
     }
+  }
 
   // ---- URL decomposition (crawl metadata) ----
 

@@ -23,6 +23,20 @@ object SourceQueries {
     * oracle's read_csv needs the same absolute path). */
   val FixtureDir = "/root/repo/src/test/resources/clinical"
 
+  /** Per-JVM namespace for the sink round-trip scratch dirs. Two
+    * harness runs on one machine previously shared fixed tmp paths and
+    * could clobber each other's sink output mid-read; a UUID minted
+    * once per JVM keeps every run's scratch disjoint while staying
+    * stable across the queries of one run. */
+  private lazy val sinkScratch: String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_run_${java.util.UUID.randomUUID().toString.take(8)}")
+    d.mkdirs()
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
   private val DonorCsvSql =
     s"read_csv('$FixtureDir/donor.tsv', delim='\\t', header=true, all_varchar=true)"
 
@@ -184,7 +198,7 @@ object SourceQueries {
       (s, d) =>
         val out = Tables.customer(s, d)
           .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_json"
+        val path = s"$sinkScratch/graft_sink_json"
         graft.sources.Sinks.partitionedJson(
           out, path, partitionBy = Seq("c_mktsegment"))
         s.read
@@ -202,7 +216,7 @@ object SourceQueries {
       val out = Tables.nation(s, d)
         .select("n_nationkey", "n_name", "n_regionkey")
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_sink_json_single"
+        s"$sinkScratch/graft_sink_json_single"
       graft.sources.Sinks.partitionedJson(
         out, path, partitionBy = Seq.empty, singleFile = true)
       s.read
@@ -217,7 +231,7 @@ object SourceQueries {
     sql(
       "q_orc_roundtrip",
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders") { (s, d) =>
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc"
+      val out = s"$sinkScratch/graft_sink_orc"
       graft.sources.Sinks.orc(
         Tables.orders(s, d).select("o_orderkey", "o_custkey",
           "o_orderstatus"), out)

@@ -100,8 +100,24 @@ object Sinks {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     if (folded.nonEmpty || tmpCommitted) {
-      folded.foreach(p => fs.delete(p, true))
-      fs.rename(tmp, new Path(outDir, s"batch_id=$upTo"))
+      // HDFS-style FileSystem APIs report failure as `false`, not an
+      // exception. Swallowing a false here is silent data loss: with
+      // the source dirs gone, a failed rename strands the folded rows
+      // in the hidden temp dir that basePath readers skip. Fail loudly
+      // instead — the committed temp makes a re-run resume safely.
+      folded.foreach { p =>
+        if (!fs.delete(p, true) && fs.exists(p))
+          throw new java.io.IOException(
+            s"compactBatches: failed to delete superseded dir $p")
+      }
+      val dest = new Path(outDir, s"batch_id=$upTo")
+      if (fs.exists(dest) && !fs.delete(dest, true))
+        throw new java.io.IOException(
+          s"compactBatches: failed to clear stale destination $dest")
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"compactBatches: rename $tmp -> $dest failed; folded rows " +
+            "remain in the temp dir — re-run with the same upTo to retry")
     }
   }
 }
