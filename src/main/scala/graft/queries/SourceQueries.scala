@@ -238,6 +238,54 @@ object SourceQueries {
       s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
     },
 
+    // ---- CSV sink round-trip (interchange format for BI/spreadsheet
+    //      consumers; header-ful, partition-owner writes) ----
+    sql(
+      "q_csv_roundtrip",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      val out = s"$sinkScratch/graft_sink_csv"
+      graft.sources.Sinks.csv(
+        Tables.region(s, d).select("r_regionkey", "r_name"), out)
+      s.read.option("header", "true")
+        .schema("r_regionkey int, r_name string")
+        .csv(out)
+        .select("r_regionkey", "r_name")
+    },
+
+    // ---- Multimodal raw-file boundary, both directions: scatter a
+    //      deterministic payload per nation row to one raw file each
+    //      (Sinks.binaryFiles), gather with the built-in binaryFile
+    //      source, sniff the magic bytes. The oracle recomputes every
+    //      column RELATIONALLY from the nation table — filename, byte
+    //      count, sniffed format, full payload hex — so a correct
+    //      answer requires the entire write→list→read→sniff loop to
+    //      preserve bytes exactly; the oracle never touches the files ----
+    sql(
+      "q_binary_ingest",
+      """SELECT 'n_' || n_nationkey || '.bin' AS fname,
+        |  20::BIGINT AS n_bytes,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'riff' END AS format,
+        |  upper(CASE n_nationkey % 3 WHEN 0 THEN '89504E47'
+        |             WHEN 1 THEN 'FFD8FFE0' ELSE '52494646' END
+        |        || md5(n_name)) AS payload_hex
+        |FROM nation""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_media_raw"
+      val magicHex = when(col("n_nationkey") % 3 === 0, "89504E47")
+        .when(col("n_nationkey") % 3 === 1, "FFD8FFE0")
+        .otherwise("52494646")
+      val staged = Tables.nation(s, d).select(
+        concat(lit("n_"), col("n_nationkey"), lit(".bin")).as("fname"),
+        unhex(concat(magicHex, md5(col("n_name")))).as("payload"))
+      graft.sources.Sinks.binaryFiles(staged, dir, "fname", "payload")
+      Sources.binaryFiles(s, dir, "*.bin")
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length").as("n_bytes"),
+          graft.ops.Multimodal.sniffFormat(col("content")).as("format"),
+          hex(col("content")).as("payload_hex"))
+    },
+
     // ---- P2: drop (column pruning reaches the scan) ----
     sql(
       "q_drop",

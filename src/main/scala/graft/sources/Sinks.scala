@@ -53,6 +53,63 @@ object Sinks {
       .partitionBy(partitionBy: _*)
       .orc(path)
 
+  /** Header-ful CSV sink with the same partition-owner write
+    * discipline as [[partitionedJson]] — the interchange format for
+    * spreadsheet/BI consumers of metadata-sized outputs. */
+  def csv(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Seq.empty,
+      singleFile: Boolean = false): Unit = {
+    val arranged =
+      if (singleFile) df.coalesce(1)
+      else if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+      else df
+    arranged.write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .partitionBy(partitionBy: _*)
+      .csv(path)
+  }
+
+  /** Scatter a binary payload column to one raw file per row — the
+    * export half of the multimodal ingest loop (the import half is
+    * [[Sources.binaryFiles]]). Media consumers (codecs, labeling UIs,
+    * CDNs) read raw files, not parquet row groups, so a training
+    * pipeline needs this boundary both ways.
+    *
+    * Each executor writes the rows of its own partitions directly to
+    * the target filesystem — no driver funnel, no coalesce(1); write
+    * parallelism is the partition count. `nameCol` must be unique per
+    * row (it becomes the file name) and is the caller's contract —
+    * duplicate names mean last-writer-wins, not an error, matching
+    * object-store semantics.
+    */
+  def binaryFiles(
+      df: DataFrame,
+      dir: String,
+      nameCol: String,
+      payloadCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    val driverFs = base.getFileSystem(conf.value)
+    if (driverFs.exists(base)) driverFs.delete(base, true)
+    driverFs.mkdirs(base)
+    df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.nonEmpty) {
+          val fs = new Path(dir).getFileSystem(conf.value)
+          rows.foreach { r =>
+            val out = fs.create(new Path(dir, r.getString(0)), true)
+            try out.write(r.getAs[Array[Byte]](1))
+            finally out.close()
+          }
+        }
+      }
+  }
+
   /** Fold the `batch_id=` directories the idempotent streaming sink
     * accumulates ([[graft.streaming.EventStream.idempotentParquetSink]])
     * into one compact partition, without touching the live head: every

@@ -52,4 +52,25 @@ object Sources {
     val ds: Dataset[String] = spark.createDataset(rows)
     spark.read.json(ds)
   }
+
+  /** Raw media files → (path, modificationTime, length, content) via
+    * Spark's built-in `binaryFile` format — the ingest boundary of the
+    * multimodal pipeline ([[graft.ops.Multimodal]]): image/audio/video
+    * arrive as files, become opaque binary columns here, and flow
+    * through sniff/decode/feature stages as ordinary rows.
+    *
+    * Scale: listing parallelizes driver-side, reads parallelize one
+    * task per file (files are indivisible blobs); pair with
+    * [[graft.ops.Multimodal.rebalanceByBytes]] after ingest so payload
+    * skew does not decide partition sizes. `pathGlob` filters at the
+    * listing (e.g. `*.png`) — files that never match are never opened.
+    */
+  def binaryFiles(
+      spark: SparkSession,
+      dir: String,
+      pathGlob: String = "*"): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
 }

@@ -64,6 +64,48 @@ class SourcesSpec extends AnyFunSuite with WithSpark {
     assert(back.select(sum("v")).as[Long].collect().head == 6L)
   }
 
+  test("binaryFiles scatter→gather round-trips payload bytes exactly") {
+    val out = Files.createTempDirectory("graft-bin").toString
+    val df = Seq(
+      ("a.png", Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2)),
+      ("b.bin", Array[Byte](0, 1, 2, 3))).toDF("fname", "payload")
+    Sinks.binaryFiles(df, out, "fname", "payload")
+    val back = Sources.binaryFiles(spark, out)
+      .select(regexp_extract($"path", "([^/]+)$", 1), $"length", $"content")
+      .as[(String, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(back.map(r => (r._1, r._2)).toSeq == Seq(("a.png", 6L), ("b.bin", 4L)))
+    assert(back(0)._3.toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2))
+    assert(back(1)._3.toSeq == Seq[Byte](0, 1, 2, 3))
+  }
+
+  test("binaryFiles glob filters at the listing, and scatter overwrites") {
+    val out = Files.createTempDirectory("graft-bin2").toString
+    val df1 = Seq(("x.png", Array[Byte](1)), ("y.wav", Array[Byte](2)))
+      .toDF("fname", "payload")
+    Sinks.binaryFiles(df1, out, "fname", "payload")
+    // second scatter replaces the directory wholesale (Overwrite contract)
+    val df2 = Seq(("x.png", Array[Byte](9)), ("z.png", Array[Byte](3)))
+      .toDF("fname", "payload")
+    Sinks.binaryFiles(df2, out, "fname", "payload")
+    val names = Sources.binaryFiles(spark, out, "*.png")
+      .select(regexp_extract($"path", "([^/]+)$", 1)).as[String]
+      .collect().sorted.toSeq
+    assert(names == Seq("x.png", "z.png"))
+    val xBytes = Sources.binaryFiles(spark, out, "x.png")
+      .select($"content").as[Array[Byte]].collect().head.toSeq
+    assert(xBytes == Seq[Byte](9))
+  }
+
+  test("csv sink writes header-ful files that round-trip typed reads") {
+    val out = Files.createTempDirectory("graft-csv").toString
+    val df = Seq((1, "AFRICA"), (2, "ASIA")).toDF("k", "name")
+    Sinks.csv(df, out)
+    val back = spark.read.option("header", "true")
+      .schema("k int, name string").csv(out)
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1, "AFRICA"), (2, "ASIA")))
+  }
+
   test("partitionedJson singleFile mirrors the reference coalesce(1)") {
     val out = Files.createTempDirectory("graft-sink1").toString
     val df = Seq(("GS001", 1L), ("GS002", 2L)).toDF("study_id", "v")
