@@ -368,6 +368,77 @@ object Dedup {
     inter / (size(da) + size(db) - inter)
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering — the
+    * completeness-guaranteed counterpart to [[nearDupPairs]]: LSH can
+    * miss a qualifying pair (banding is probabilistic); this operator
+    * provably cannot, and still never goes all-pairs.
+    *
+    * The AllPairs principle (Bayardo et al., WWW'07): order every
+    * document's distinct shingles by a global canonical order —
+    * rarest-first by corpus document frequency — and keep only each
+    * document's PREFIX of length |d| - ceil(t·|d|) + 1. Two sets with
+    * Jaccard ≥ t must overlap in ≥ ceil(t·|d|) shingles, so by
+    * pigeonhole they share at least one prefix shingle: an equi-join
+    * on prefix shingles finds every qualifying pair. A length filter
+    * (t·|a| ≤ |b| ≤ |a|/t, another Jaccard necessity) prunes
+    * candidates before the exact rescore.
+    *
+    * Scale shape: one aggregation for document frequencies, one
+    * re-group to per-doc sorted arrays, one equi-join on prefix
+    * shingles. Rarest-first ordering is what bounds the join fan-out:
+    * prefixes preferentially hold the corpus's RARE shingles, so
+    * bucket sizes stay small even when stop-word shingles are
+    * corpus-wide hot keys — the frequent shingles end up outside the
+    * prefix, exactly where the pigeonhole argument lets them be
+    * ignored. Candidate count ≈ Σ_rare df², orders of magnitude under
+    * all-pairs; every candidate is rescored with exact [[jaccard]].
+    * Output: (a, b, jaccard) with a < b, identical contract to
+    * [[nearDupPairs]].
+    */
+  def exactNearDupPairs(
+      docs: DataFrame,
+      id: String,
+      shingles: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sets = docs
+      .select(col(id).as("__id"), array_distinct(shingles).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val toks = sets.select(col("__id"), explode(col("__sh")).as("__tok"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // canonical rarest-first order: (df, tok); per-doc sorted array,
+    // then the pigeonhole prefix
+    val ordered = toks
+      .join(dfreq, "__tok")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
+        .getField("__tok").as("__ord"))
+    val prefixed = ordered.select(
+      col("__id"),
+      size(col("__ord")).as("__n"),
+      explode(slice(col("__ord"), lit(1),
+        (size(col("__ord"))
+          - ceil(lit(threshold) * size(col("__ord"))) + 1).cast("int")))
+        .as("__tok"))
+    val cand = prefixed.as("x")
+      .join(prefixed.as("y"),
+        col("x.__tok") === col("y.__tok") &&
+          col("x.__id") < col("y.__id") &&
+          // length filter: t·|a| ≤ |b| (x,y sides both orders)
+          col("y.__n") >= ceil(lit(threshold) * col("x.__n")) &&
+          col("x.__n") >= ceil(lit(threshold) * col("y.__n")))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("a"), col("__sh").as("__sha")),
+        Seq("a"))
+      .join(sets.select(col("__id").as("b"), col("__sh").as("__shb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-duplicate pairs: LSH candidates re-scored with exact
     * Jaccard and thresholded. The expensive exact comparison runs
     * only on the candidate set (linear-ish), not all pairs

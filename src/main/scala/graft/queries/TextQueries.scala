@@ -151,6 +151,34 @@ object TextQueries {
         threshold = 0.8, numHashes = 64, bands = 16)
     },
 
+    // ---- near-dup, EXACT face: prefix-filtered AllPairs similarity
+    //      join — provably complete (no LSH false negatives), never
+    //      all-pairs. Lower threshold than the LSH face on purpose:
+    //      0.7 admits pairs LSH banding could plausibly miss, and the
+    //      all-pairs oracle proves this operator still catches every
+    //      one of them ----
+    sql(
+      "q_jaccard_exact",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.s, y.s))::DOUBLE AS inter,
+         |    len(x.s) + len(y.s) AS tot
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |SELECT a, b, inter / (tot - inter) AS jaccard
+         |FROM p WHERE inter / (tot - inter) >= 0.7""".stripMargin) { (s, d) =>
+      Dedup.exactNearDupPairs(
+        Tables.documents(s, d).withColumn(
+          "shingles", Text.shingles(col("text"), 3)),
+        id = "doc_id", shingles = col("shingles"), threshold = 0.7)
+    },
+
     // ---- incremental EXACT dedup: new docs (>= 400) whose normalized
     //      fingerprint is unseen in the corpus (< 400) — the batch face
     //      of EventStream.filterKnown (stateless stream-static anti

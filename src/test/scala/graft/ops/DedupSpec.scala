@@ -73,6 +73,41 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       Set(1L, 2L, 3L).contains(b) })
   }
 
+  test("exactNearDupPairs finds planted near-dups with exact scores") {
+    val got = Dedup.exactNearDupPairs(docs, "doc_id", col("sh"), 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.forall { case (a, b) => Set(1L, 2L, 3L).contains(a) &&
+      Set(1L, 2L, 3L).contains(b) })
+  }
+
+  test("exactNearDupPairs equals brute-force all-pairs Jaccard " +
+      "(completeness: the prefix filter provably misses nothing)") {
+    // deterministic pseudo-random corpus over a tiny vocab so shingle
+    // overlap is common — the adversarial case for candidate pruning
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 60L).map { i =>
+      val n = 6 + rnd.nextInt(10)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(col("sh")).as("s"))
+    for (t <- Seq(0.4, 0.7, 0.9)) {
+      val brute = sets.as("x").join(sets.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.jaccard(col("x.s"), col("y.s")).as("j"))
+        .filter(col("j") >= t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val got = Dedup.exactNearDupPairs(corpus, "doc_id", col("sh"), t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"threshold $t")
+    }
+  }
+
   test("incrementalCandidates: batch joins the persisted state, " +
       "existing pairs never re-reported") {
     // corpus: d1/d2 exact dups, d4 unique — state built once
