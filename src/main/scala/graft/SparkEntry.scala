@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.defs ++ NestedQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ SourceQueries.defs ++
       IndexQueries.defs ++ MediaQueries.defs ++ StreamQueries.defs ++
-      AnalyticsQueries.defs ++ SamplingQueries.defs ++ PackingQueries.defs
+      AnalyticsQueries.defs ++ SamplingQueries.defs ++
+      PackingQueries.defs ++ RankingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

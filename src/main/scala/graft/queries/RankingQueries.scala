@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.{Ranking, Text}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance scoring over `documents` ([[graft.ops.Ranking]]):
+  * TF-IDF term weights and BM25 query scores, both hash-checked
+  * against full DuckDB recomputations.
+  *
+  * Float parity notes (measured): Spark's Catalyst `log` evaluates
+  * via StrictMath (fdlibm) while DuckDB's `ln` is glibc — equal on
+  * most arguments but one ulp apart on some (e.g. ln(1.2699619771…)).
+  * q_tfidf's ~300 distinct idf arguments all agree, so it compares at
+  * full precision; q_bm25's argument set hits disagreements, so its
+  * score is rounded to a 9-decimal grid on both faces (max observed
+  * cross-engine gap ~4e-16, nine digits is far from the boundary).
+  * Every non-log step is IEEE-deterministic as long as BOTH faces
+  * associate identically — the oracle SQL mirrors the Scala
+  * association order token for token. The BM25 per-doc sum is an
+  * ordered fold (see [[Ranking.bm25]]); its oracle pivots the three
+  * query terms explicitly in the same ascending order, so even the
+  * addition sequence matches.
+  *
+  * Gotcha (measured): DuckDB parses `2.2` as DECIMAL, not DOUBLE —
+  * `tf * 2.2` stays exact decimal 6.6 and converts to a DIFFERENT
+  * double than the JVM's `3 * 2.2d`. Every literal that is not
+  * binary-exact (2.2, 1.2 — unlike 0.5/0.25/0.75/1.0) must be cast
+  * `::DOUBLE` in the oracle before arithmetic with integer columns.
+  */
+object RankingQueries {
+  import QueryDef.sql
+
+  private def normSqlOf(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private val NormSql = normSqlOf("text")
+
+  /** The fixed BM25 demo query, ascending — the fold and the oracle
+    * pivot both add contributions in this order. */
+  private val Bm25Query = Seq("hash", "join", "spark")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- TF-IDF: every (doc, term) weight, smoothed idf ----
+    sql(
+      "q_tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+         |SELECT t.doc_id, t.term, t.tf, d.df,
+         |  t.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+         |             / (d.df + 1.0)) + 1.0) AS tfidf
+         |FROM tf t JOIN dfreq d USING (term)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Ranking.tfIdf(
+        docs, "doc_id", Text.words(Text.normalize(col("text"))),
+        docCount = docs.count())
+    },
+
+    // ---- BM25 against a literal query; ordered-fold sum mirrored by
+    //      an explicit three-way pivot in the same term order ----
+    sql(
+      "q_bm25",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term
+         |  FROM toks),
+         |tfc AS (
+         |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+         |  FROM tf GROUP BY 1, 2, 3),
+         |dfreq AS (
+         |  SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+         |scal AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    (sum(len(ws))::DOUBLE / count(*)) AS avgdl
+         |  FROM toks),
+         |contrib AS (
+         |  SELECT c.doc_id, c.term,
+         |    ln(1.0 + ((SELECT n FROM scal) - d.df + 0.5) / (d.df + 0.5))
+         |      * (c.tf * 2.2::DOUBLE)
+         |      / (c.tf + 1.2::DOUBLE * (0.25 + 0.75 * c.dl
+         |           / (SELECT avgdl FROM scal))) AS w
+         |  FROM tfc c JOIN dfreq d USING (term)
+         |  WHERE c.term IN ('hash', 'join', 'spark'))
+         |SELECT doc_id,
+         |  round(coalesce(max(CASE WHEN term = 'hash' THEN w END), 0.0)
+         |  + coalesce(max(CASE WHEN term = 'join' THEN w END), 0.0)
+         |  + coalesce(max(CASE WHEN term = 'spark' THEN w END), 0.0),
+         |    9) AS bm25
+         |FROM contrib GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("__toks", Text.words(Text.normalize(col("text"))))
+      val scal = docs
+        .agg(count(lit(1)), sum(size(col("__toks")).cast("long")))
+        .collect()(0)
+      val n = scal.getLong(0)
+      val avgDl = scal.getLong(1).toDouble / n
+      // round to a 9-decimal grid: Spark's Catalyst `log` is
+      // StrictMath (fdlibm) while DuckDB's ln is glibc — they differ
+      // in the last ulp on some arguments, so full-precision scores
+      // cannot hash-match across engines (measured; see scaladoc)
+      Ranking.bm25(docs, "doc_id", col("__toks"), Bm25Query,
+          docCount = n, avgDl = avgDl)
+        .withColumn("bm25", round(col("bm25"), 9))
+    })
+}
