@@ -74,4 +74,71 @@ object Profile {
       .groupBy((groupCols :+ "col_name").map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("n_distinct_est"))
+
+  // ---- count-min frequency sketches (the frequency sibling of the
+  //      HLL distinct sketches above) ----
+
+  /** One-pass count-min sketch of a string key column, as the
+    * serialized binary (Spark's `CountMinSketch` wire format). The
+    * sketch is KB-sized regardless of corpus size, mergeable, and
+    * NEVER undercounts — its estimate is exact + nonnegative
+    * collision noise bounded by eps·N with the configured confidence.
+    * Deterministic for a fixed seed. */
+  def cmsOf(
+      df: DataFrame, key: String,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): Array[Byte] =
+    df.agg(count_min_sketch(
+        col(key), lit(eps), lit(confidence), lit(seed)))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  /** Merge two serialized sketches built with the same
+    * (eps, confidence, seed) — the incremental-profiling step: sketch
+    * each day's drop in O(day), fold into the running corpus sketch
+    * driver-side in microseconds. */
+  def cmsMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+    val sb = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    sa.mergeInPlace(sb)
+    val out = new java.io.ByteArrayOutputStream()
+    sa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Historically-heavy keys of a batch: estimate every distinct batch
+    * key against a corpus sketch and keep those at or above
+    * `minCount`. The guarantee direction is the useful one for
+    * curation gates: CMS never undercounts, so no true heavy hitter
+    * is ever missed — false positives are bounded by eps·N.
+    *
+    * Scale shape: the batch's distinct keys are one map-side-partial
+    * aggregation; the KB-sized sketch ships as a task binding and is
+    * deserialized once per partition; estimation is a per-row lookup.
+    * No shuffle touches the (unbounded) corpus — that is the point:
+    * the corpus participates only through its sketch. */
+  def estimateHot(
+      batch: DataFrame, key: String,
+      sketch: Array[Byte], minCount: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.util.sketch.CountMinSketch
+    val keys = batch.select(col(key).cast("string").as("key"))
+      .filter(col("key").isNotNull).distinct()
+    val outSchema = StructType(
+      keys.schema.fields :+ StructField("est_count", LongType,
+        nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    keys.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val cms = CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketch))
+        rows.flatMap { r =>
+          val est = cms.estimateCount(r.getString(0))
+          if (est >= minCount) Some(Row(r.getString(0), est)) else None
+        }
+      }
+    }(enc)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{QueryDef, Tables}
-import graft.ops.{Bloom, Dedup, Sampling, Text}
+import graft.ops.{Bloom, Dedup, Profile, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text pipeline over `documents`: token stats,
@@ -241,6 +241,36 @@ object TextQueries {
         .select(col("a"), col("b"),
           Dedup.jaccard(col("__sha"), col("__shb")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
+    },
+
+    // ---- count-min heavy hitters: docs < 400 are the historical
+    //      corpus, sketched in two halves and MERGED (the incremental
+    //      path); the arriving batch's distinct words are estimated
+    //      against the merged sketch without touching corpus rows.
+    //      The sketch is wide enough that estimates are exact at gate
+    //      scale, so the oracle is plain exact counting ----
+    sql(
+      "q_cms_hot",
+      s"""WITH hist AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS key
+         |  FROM documents WHERE doc_id < 400),
+         |cnt AS (
+         |  SELECT key, count(*)::BIGINT AS est_count
+         |  FROM hist GROUP BY 1 HAVING count(*) >= 700),
+         |batch AS (
+         |  SELECT DISTINCT unnest(string_split($NormSql, ' ')) AS key
+         |  FROM documents WHERE doc_id >= 400)
+         |SELECT c.key, c.est_count
+         |FROM cnt c JOIN batch b USING (key)""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(Text.words(Text.normalize(col("text")))).as("w"))
+      val sketch = Profile.cmsMerge(
+        Profile.cmsOf(words.filter(col("doc_id") < 200), "w"),
+        Profile.cmsOf(
+          words.filter(col("doc_id") >= 200 && col("doc_id") < 400), "w"))
+      Profile.estimateHot(
+        words.filter(col("doc_id") >= 400), "w", sketch, minCount = 700L)
     },
 
     // ---- eval-set decontamination: docs >= 450 are the "eval" set;

@@ -39,6 +39,40 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
     assert(stored.count() == 2)
   }
 
+  test("cms estimates are exact at gate scale and merge like a union") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val a = Seq("x y x", "y z y").toDF("t")
+      .select(explode(split(col("t"), " ")).as("w"))
+    val b = Seq("x q", "q q").toDF("t")
+      .select(explode(split(col("t"), " ")).as("w"))
+    val sa = Profile.cmsOf(a, "w")
+    val sb = Profile.cmsOf(b, "w")
+    val merged = Profile.cmsMerge(sa, sb)
+    val union = Profile.cmsOf(a.unionByName(b), "w")
+    // estimates from the merged sketch equal the union-built sketch's
+    // and both equal the true counts (wide sketch, no collisions)
+    val batch = Seq("x", "y", "z", "q").toDF("w")
+    val estM = Profile.estimateHot(batch, "w", merged, 1L)
+      .as[(String, Long)].collect().toMap
+    val estU = Profile.estimateHot(batch, "w", union, 1L)
+      .as[(String, Long)].collect().toMap
+    assert(estM == Map("x" -> 3L, "y" -> 3L, "z" -> 1L, "q" -> 3L))
+    assert(estM == estU)
+  }
+
+  test("cms never undercounts, even when deliberately tiny") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    // eps huge -> width tiny -> forced collisions; the estimate must
+    // still be >= the true count for every key
+    val df = spark.range(0, 2000)
+      .select(concat(lit("k"), pmod(col("id"), lit(100))).as("w"))
+    val sk = Profile.cmsOf(df, "w", eps = 0.5, confidence = 0.9)
+    val est = Profile.estimateHot(df, "w", sk, 0L)
+      .as[(String, Long)].collect().toMap
+    assert(est.size == 100)
+    assert(est.values.forall(_ >= 20L)) // true count is 20 each
+  }
+
   test("exact profile is one aggregation pass (single Expand)") {
     val plan = Profile.profile(df, Seq("s", "n"))
       .queryExecution.executedPlan.toString
