@@ -13,7 +13,8 @@ object PlanAudit {
         "q_diagnosis_nest", "q_study_summary", "q_study_index",
         "q_interval_join", "q_bloom_novel", "q_redact_pii",
         "q_weighted_mix", "q_token_budget", "q_prep_pipeline",
-        "q_band_join")) {
+        "q_band_join", "q_jaccard_exact", "q_tfidf", "q_bm25",
+        "q_cms_hot", "q_binary_ingest")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).length
       println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +

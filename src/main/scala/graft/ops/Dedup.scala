@@ -394,6 +394,24 @@ object Dedup {
     * all-pairs; every candidate is rescored with exact [[jaccard]].
     * Output: (a, b, jaccard) with a < b, identical contract to
     * [[nearDupPairs]].
+    *
+    * Two further prunes run INSIDE the join condition, before the
+    * candidate distinct (PPJoin, Xiao et al., WWW'08):
+    *  - length filter: Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
+    *  - positional filter: a shared prefix token at (0-based)
+    *    positions (px, py) caps the possible overlap at
+    *    min(|a|−px, |b|−py), which must reach the tight requirement
+    *    ceil(t/(1+t)·(|a|+|b|)). Complete because every qualifying
+    *    pair's FIRST shared token (all common tokens at-or-after it
+    *    in both sorted sets) satisfies the cap.
+    * Low-diversity corpora — where nothing is rare and prefix buckets
+    * are forced large — are exactly where the positional filter keeps
+    * the candidate set near the true pair count.
+    *
+    * Float-safety: every ceil() argument subtracts 1e-9 so a
+    * last-ulp-high product can never round a boundary count UP and
+    * silently shorten a prefix / tighten a bound past correctness —
+    * the slack only ever admits extra candidates.
     */
   def exactNearDupPairs(
       docs: DataFrame,
@@ -401,9 +419,16 @@ object Dedup {
       shingles: Column,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // One shingle pass, not three: the set frame feeds the token
+    // pipeline (df → canonical order → prefixes) AND both sides of
+    // the candidate rescore; without a materialization the shingle
+    // regex — the single most expensive map-side step — re-runs per
+    // consumer. Lazy local checkpoint: first action materializes,
+    // the rest read executor-local blocks.
     val sets = docs
       .select(col(id).as("__id"), array_distinct(shingles).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .localCheckpoint(eager = false)
     val toks = sets.select(col("__id"), explode(col("__sh")).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // canonical rarest-first order: (df, tok); per-doc sorted array,
@@ -416,17 +441,24 @@ object Dedup {
     val prefixed = ordered.select(
       col("__id"),
       size(col("__ord")).as("__n"),
-      explode(slice(col("__ord"), lit(1),
+      posexplode(slice(col("__ord"), lit(1),
         (size(col("__ord"))
-          - ceil(lit(threshold) * size(col("__ord"))) + 1).cast("int")))
-        .as("__tok"))
+          - ceil(lit(threshold) * size(col("__ord")) - lit(1e-9)) + 1)
+          .cast("int")))
+        .as(Seq("__pos", "__tok")))
+    // tight overlap requirement for Jaccard ≥ t: ceil(t/(1+t)·(nx+ny))
+    val q = threshold / (1.0 + threshold)
     val cand = prefixed.as("x")
       .join(prefixed.as("y"),
         col("x.__tok") === col("y.__tok") &&
           col("x.__id") < col("y.__id") &&
           // length filter: t·|a| ≤ |b| (x,y sides both orders)
-          col("y.__n") >= ceil(lit(threshold) * col("x.__n")) &&
-          col("x.__n") >= ceil(lit(threshold) * col("y.__n")))
+          col("y.__n") >= ceil(lit(threshold) * col("x.__n") - lit(1e-9)) &&
+          col("x.__n") >= ceil(lit(threshold) * col("y.__n") - lit(1e-9)) &&
+          // positional filter: remaining-suffix cap must reach the
+          // tight overlap requirement
+          least(col("x.__n") - col("x.__pos"), col("y.__n") - col("y.__pos"))
+            >= ceil(lit(q) * (col("x.__n") + col("y.__n")) - lit(1e-9)))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
     cand
@@ -451,8 +483,13 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
+    // shingle ONCE (same discipline as [[exactNearDupPairs]]): the
+    // distinct-shingle frame feeds signature banding and both rescore
+    // sides — minhash over the distinct set equals minhash over the
+    // raw bag, so candidates are unchanged
     val sets = docs.select(col(id), array_distinct(shingles).as("__sh"))
-    val cand = candidatePairs(docs, id, shingles, numHashes, bands)
+      .localCheckpoint(eager = false)
+    val cand = candidatePairs(sets, id, col("__sh"), numHashes, bands)
     cand
       .join(sets.select(col(id).as("a"), col("__sh").as("__sha")), Seq("a"))
       .join(sets.select(col(id).as("b"), col("__sh").as("__shb")), Seq("b"))
