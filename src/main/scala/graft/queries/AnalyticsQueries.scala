@@ -55,6 +55,49 @@ object AnalyticsQueries {
             Canon.money(round(sum(col("o_totalprice")), 2)).as("total"))
     },
 
+    // ---- cube: all 2^k grouping-set combinations (completes the
+    //      rollup/pivot/grouping-sets family) ----
+    sql(
+      "q_cube",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2)::DECIMAL(18,2)::VARCHAR AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Canon.money(round(sum(col("o_totalprice")), 2)).as("total"))
+    },
+
+    // ---- JSON scalar functions: build a JSON payload column, then
+    //      extract by path (string face) and parse back through a
+    //      schema (typed face) — the semi-structured column idiom ----
+    sql(
+      "q_json_extract",
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(n_name := n_name,
+        |                      n_nationkey := n_nationkey))::VARCHAR
+        |    AS payload,
+        |  json_extract_string(
+        |    to_json(struct_pack(n_name := n_name,
+        |                        n_nationkey := n_nationkey)),
+        |    '$.n_name') AS name_extracted,
+        |  json_extract_string(
+        |    to_json(struct_pack(n_name := n_name,
+        |                        n_nationkey := n_nationkey)),
+        |    '$.n_nationkey')::BIGINT AS key_parsed
+        |FROM nation""".stripMargin) { (s, d) =>
+      val j = Canon.js(struct(col("n_name"), col("n_nationkey")))
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        j.as("payload"),
+        get_json_object(j, "$.n_name").as("name_extracted"),
+        from_json(j, org.apache.spark.sql.types.StructType.fromDDL(
+            "n_name STRING, n_nationkey BIGINT"))
+          .getField("n_nationkey").as("key_parsed"))
+    },
+
     // ---- pivot with pinned value set (deterministic columns) ----
     sql(
       "q_pivot",
