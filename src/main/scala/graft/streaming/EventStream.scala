@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
@@ -128,6 +128,79 @@ object EventStream {
       batch: DataFrame, batchId: Long): Unit =
     batch.write.mode("overwrite")
       .parquet(s"$outDir/batch_id=$batchId")
+
+  /** Streaming frequency state — the streaming face of
+    * [[graft.ops.Profile]]'s count-min sketches: each micro-batch
+    * aggregates once into a KB-sized sketch, which folds into a
+    * persisted running sketch. Downstream heavy-hitter gates
+    * ([[graft.ops.Profile.estimateHot]]) read the state file; the
+    * stream itself is never re-scanned.
+    *
+    * Exactly-once under restart replay: the state file carries the
+    * last folded batch id, and a re-delivered batch (id ≤ last) is
+    * skipped — folding it twice would double-count, the failure mode
+    * the parquet sink's overwrite-by-batch-dir avoids structurally.
+    * The fold commits by temp-write + rename with loud failure on a
+    * false FileSystem return, never an in-place update.
+    */
+  def cmsSink(
+      stateDir: String, key: String,
+      eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val stateFile = new Path(stateDir, "cms_state.bin")
+    val prev: Option[(Long, Array[Byte])] =
+      if (fs.exists(stateFile)) {
+        val in = fs.open(stateFile)
+        try {
+          val last = in.readLong()
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some((last, bytes.toByteArray))
+        } finally in.close()
+      } else None
+    if (!prev.exists(_._1 >= batchId)) {
+      val batchSketch =
+        graft.ops.Profile.cmsOf(batch, key, eps, confidence, seed)
+      val merged = prev match {
+        case Some((_, bytes)) => graft.ops.Profile.cmsMerge(bytes, batchSketch)
+        case None => batchSketch
+      }
+      fs.mkdirs(new Path(stateDir))
+      val tmp = new Path(stateDir, s".cms_state_$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try { out.writeLong(batchId); out.write(merged) } finally out.close()
+      if (fs.exists(stateFile) && !fs.delete(stateFile, false))
+        throw new java.io.IOException(
+          s"cmsSink: failed to clear previous state $stateFile")
+      if (!fs.rename(tmp, stateFile))
+        throw new java.io.IOException(
+          s"cmsSink: rename $tmp -> $stateFile failed; state is in the " +
+            "temp file — re-deliver the batch to retry")
+    }
+  }
+
+  /** Read the running sketch written by [[cmsSink]]:
+    * (lastFoldedBatchId, sketchBytes). */
+  def readCmsState(
+      spark: SparkSession, stateDir: String): (Long, Array[Byte]) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(stateDir, "cms_state.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val last = in.readLong()
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      (last, bytes.toByteArray)
+    } finally in.close()
+  }
 
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(

@@ -333,6 +333,44 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("cmsSink folds batch sketches; re-delivered batches never " +
+      "double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val sink = EventStream.cmsSink(dir, "w") _
+    val b0 = Seq("x", "x", "y").toDF("w")
+    val b1 = Seq("x", "z").toDF("w")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    sink(b1, 1L) // restart replay of the last uncommitted batch
+    sink(b0, 0L) // stale replay far behind the head
+    val (last, sketch) = EventStream.readCmsState(spark, dir)
+    assert(last == 1L)
+    val est = graft.ops.Profile.estimateHot(
+        Seq("x", "y", "z").toDF("w"), "w", sketch, 1L)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("cmsSink behind a real foreachBatch stream tracks exact counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-s").toString
+    val input = MemoryStream[String](spark)
+    val query = input.toDF().toDF("w").writeStream
+      .foreachBatch(EventStream.cmsSink(dir, "w") _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData("a", "b", "a")
+      query.processAllAvailable()
+      input.addData("b", "c")
+      query.processAllAvailable()
+      val (_, sketch) = EventStream.readCmsState(spark, dir)
+      val est = graft.ops.Profile.estimateHot(
+          Seq("a", "b", "c").toDF("w"), "w", sketch, 1L)
+        .as[(String, Long)].collect().toMap
+      assert(est == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions after the event-time gap") {
     val input = MemoryStream[(Long, Timestamp)](spark)
     val events = input.toDF().toDF("user_id", "ts")
