@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Text}
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
 import graft.sources.Sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -120,6 +120,33 @@ object GenGoldens {
       .orderBy("media_id").as[(Long, Long, Long)].collect()
     writeTsv(feats.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
       "media_id\tn_bytes\tfingerprint", "golden_media_features.tsv")
+
+    // q_knn_lsh / q_knn_ivf goldens at the correctness SF: both
+    // operators are deterministic end to end — seeded hyperplanes
+    // (spec'd LCG), xxhash64-seeded + decimal-mean Lloyd centroids,
+    // bounded-heap ranks tie-broken by neighbor id — so the committed
+    // snapshot turns the last two rows-only queries into hash-checked
+    // ones. Recall quality itself stays guarded by SimilaritySpec's
+    // brute-force comparisons; the golden locks reproducibility.
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(embPath))) {
+      val e = spark.read.parquet(embPath)
+      def annRows(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Int, Double)].collect()
+        .map(p => s"${p._1}\t${p._2}\t${p._3}\t${p._4}").toSeq
+      writeTsv(annRows(Similarity.lshTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          id = "vec_id", vec = "embedding", k = 5, bits = 4, dim = 64)),
+        "query_id\tneighbor_id\trank\tcosine", "golden_knn_lsh.tsv")
+      writeTsv(annRows(Similarity.ivfTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          id = "vec_id", vec = "embedding", k = 5,
+          numCentroids = 16, nProbe = 8)),
+        "query_id\tneighbor_id\trank\tcosine", "golden_knn_ivf.tsv")
+    } else println(s"skipped golden_knn_*.tsv ($embPath missing)")
 
     // StudiesExpected-style field-for-field golden of the FULL study
     // document over the clinical fixtures (the reference's

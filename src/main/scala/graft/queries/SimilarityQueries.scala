@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * (64-dim `array<float>`, 10 labeled clusters).
   *
   * `q_knn_topk` is the exact brute-force baseline, oracle-checked
-  * against DuckDB's `list_dot_product`. `q_knn_lsh` is the bucketed
-  * scale path — approximate by construction, so it gets a rows-only
-  * driver check plus a recall unit test (SimilaritySpec).
+  * against DuckDB's `list_dot_product`. `q_knn_lsh` / `q_knn_ivf` are
+  * the bucketed scale paths — approximate RELATIVE TO brute force
+  * (recall unit-tested in SimilaritySpec) but deterministic in
+  * themselves, so committed GenGoldens snapshots hash-check their
+  * reproducibility at the correctness SF.
   */
 object SimilarityQueries {
-  import QueryDef.{noOracle, sql}
+  import QueryDef.sql
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -59,18 +61,39 @@ object SimilarityQueries {
           .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
     },
 
-    noOracle("q_knn_lsh") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(
-        corpus = e, queries = e.filter(col("vec_id") < 10),
-        id = "vec_id", vec = "embedding", k = 5, bits = 4, dim = 64)
+    // ---- approximate top-k faces: approximate vs BRUTE FORCE (recall
+    //      guarded in SimilaritySpec), but deterministic end to end —
+    //      seeded hyperplanes, decimal-mean Lloyd centroids, tie-broken
+    //      heap ranks — so a committed GenGoldens snapshot at the
+    //      correctness SF hash-checks reproducibility ----
+    sql(
+      "q_knn_lsh",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  cosine::DOUBLE AS cosine
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_lsh.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        Similarity.lshTopK(
+            corpus = e, queries = e.filter(col("vec_id") < 10),
+            id = "vec_id", vec = "embedding", k = 5, bits = 4, dim = 64)
+          .withColumn("cosine", round(col("cosine"), 6))
     },
 
-    noOracle("q_knn_ivf") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(
-        corpus = e, queries = e.filter(col("vec_id") < 10),
-        id = "vec_id", vec = "embedding", k = 5,
-        numCentroids = 16, nProbe = 8)
+    sql(
+      "q_knn_ivf",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  cosine::DOUBLE AS cosine
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivf.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+            corpus = e, queries = e.filter(col("vec_id") < 10),
+            id = "vec_id", vec = "embedding", k = 5,
+            numCentroids = 16, nProbe = 8)
+          .withColumn("cosine", round(col("cosine"), 6))
     })
 }
