@@ -98,6 +98,33 @@ object AnalyticsQueries {
           .getField("n_nationkey").as("key_parsed"))
     },
 
+    // ---- Spark 4 VariantType: parse_json into the binary variant
+    //      encoding, extract typed values by path — the engine-native
+    //      semi-structured column (shredded storage scale path),
+    //      next to the string-face q_json_extract ----
+    sql(
+      "q_variant",
+      """SELECT o_orderkey,
+        |  json_extract_string(
+        |    to_json(struct_pack(status := o_orderstatus,
+        |                        price := o_totalprice)),
+        |    '$.status') AS status,
+        |  round(json_extract_string(
+        |    to_json(struct_pack(status := o_orderstatus,
+        |                        price := o_totalprice)),
+        |    '$.price')::DOUBLE, 2) AS price
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, d) =>
+      val payload = Canon.js(struct(
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price")))
+      val v = parse_json(payload)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          variant_get(v, "$.status", "string").as("status"),
+          round(variant_get(v, "$.price", "double"), 2).as("price"))
+    },
+
     // ---- pivot with pinned value set (deterministic columns) ----
     sql(
       "q_pivot",
