@@ -211,11 +211,11 @@ object Similarity {
     * centroid id. Complements [[lshTopK]]: IVF adapts to the data
     * distribution, LSH needs no driver pass at all.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4,
-      refineIters: Int = 1): DataFrame = {
+  /** Deterministic data-adapted centroids: xxhash64-seeded corpus
+    * draws sharpened by `refineIters` Lloyd passes. */
+  private def ivfCentroids(
+      corpus: DataFrame, id: String, vec: String,
+      numCentroids: Int, refineIters: Int): Array[(Int, Array[Double])] = {
     val corpusVecs =
       corpus.select(col(vec).cast("array<double>").as("__v"))
     val seeds: Array[(Int, Array[Double])] = corpus
@@ -226,8 +226,16 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    val centroids = (1 to refineIters)
-      .foldLeft(seeds)((cs, _) => lloydRefine(corpusVecs, cs))
+    (1 to refineIters).foldLeft(seeds)((cs, _) => lloydRefine(corpusVecs, cs))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 1): DataFrame = {
+    val centroids =
+      ivfCentroids(corpus, id, vec, numCentroids, refineIters)
 
     val c = corpus.select(
       col(id).as("neighbor_id"), col(vec).cast("array<double>").as("__cv"))
@@ -278,6 +286,74 @@ object Similarity {
     * scale driver) is unchanged; the query batch fans out ×(bits+1),
     * which is cheap because queries are the broadcast side.
     */
+  /** Build and PERSIST an IVF index — the production ANN shape: the
+    * Lloyd/assignment cost is paid once at index time, then every
+    * query batch runs against the stored index ([[ivfQuery]]) without
+    * touching raw vectors outside its probe set.
+    *
+    * Layout: `dir/centroids` (numCentroids × dim — KBs) and
+    * `dir/lists` partitioned by centroid id, so the inverted lists
+    * are FILES per centroid: a query batch's probe set prunes the
+    * scan to ~nProbe/numCentroids of the corpus bytes via static
+    * partition pruning — at 100 TB that pruning, not the join, is
+    * the difference between an index and a table scan.
+    */
+  def ivfBuild(
+      corpus: DataFrame, id: String, vec: String, dir: String,
+      numCentroids: Int = 16, refineIters: Int = 1): Unit = {
+    val centroids =
+      ivfCentroids(corpus, id, vec, numCentroids, refineIters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vector")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus
+      .select(col(id).as("neighbor_id"),
+        col(vec).cast("array<double>").as("vector"))
+      .withColumn("cid",
+        rankedCentroids(col("vector"), centroids).getItem(0).getField("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /** Query a persisted IVF index ([[ivfBuild]]). The probe set —
+    * ≤ queries × nProbe centroid ids, driver-bounded because a query
+    * batch is human/request-sized — becomes a static IN filter on the
+    * partition column, so only the probed lists' FILES are read.
+    * Identical results to [[ivfTopK]] with the same build parameters:
+    * centroid doubles round-trip parquet bit-exactly and assignment
+    * is the same codegen'd expression.
+    */
+  def ivfQuery(
+      queries: DataFrame, dir: String,
+      id: String, vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[(Int, Array[Double])] = spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val q = queries.select(col(id).as("query_id"),
+        col(vec).cast("array<double>").as("__qv"))
+      .withColumn("__cid", explode(slice(
+        transform(rankedCentroids(col("__qv"), centroids),
+          s => s.getField("cid")),
+        1, nProbe)))
+    val probed = q.select("__cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    val scored = lists
+      .join(broadcast(q), col("cid") === col("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("vector")).as("cosine"))
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "cosine", "neighbor_id", k)
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import QueryDef.sql
 
+  /** Per-JVM scratch for the persisted-index face (same concurrent-
+    * runs rationale as SourceQueries.sinkScratch). */
+  private lazy val indexScratch: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${java.util.UUID.randomUUID().toString.take(8)}")
+    f.mkdirs()
+    f.getAbsolutePath
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     sql(
@@ -94,6 +104,28 @@ object SimilarityQueries {
             corpus = e, queries = e.filter(col("vec_id") < 10),
             id = "vec_id", vec = "embedding", k = 5,
             numCentroids = 16, nProbe = 8)
+          .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // ---- the production ANN shape: build the IVF index ONCE on disk
+    //      (inverted lists partitioned by centroid id), query against
+    //      it with static partition pruning. Provably identical
+    //      results to q_knn_ivf (SimilaritySpec), so it shares the
+    //      same committed golden ----
+    sql(
+      "q_knn_ivf_index",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  cosine::DOUBLE AS cosine
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivf.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val dir = s"$indexScratch/ivf"
+        Similarity.ivfBuild(e, "vec_id", "embedding", dir,
+          numCentroids = 16)
+        Similarity.ivfQuery(e.filter(col("vec_id") < 10), dir,
+            "vec_id", "embedding", k = 5, nProbe = 8)
           .withColumn("cosine", round(col("cosine"), 6))
     })
 }

@@ -115,6 +115,29 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(recall >= 0.7, s"IVF recall $recall too low")
   }
 
+  test("persisted IVF index returns identical results to ivfTopK and " +
+      "prunes unprobed list partitions at the scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfBuild(e, "vec_id", "embedding", dir, numCentroids = 16)
+    val fromIndex = Similarity.ivfQuery(
+      q, dir, "vec_id", "embedding", k = 5, nProbe = 8)
+    val direct = Similarity.ivfTopK(
+      e, q, "vec_id", "embedding", 5, numCentroids = 16, nProbe = 8)
+    val a = fromIndex.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = direct.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b)
+    // the scale contract: the probe set becomes a PartitionFilter on
+    // the cid layout — unprobed inverted lists are never read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid.*"),
+      s"no partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("lshTopK recall vs brute force on clustered real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
