@@ -78,18 +78,24 @@ object Profile {
   // ---- count-min frequency sketches (the frequency sibling of the
   //      HLL distinct sketches above) ----
 
-  /** One-pass count-min sketch of a string key column, as the
-    * serialized binary (Spark's `CountMinSketch` wire format). The
-    * sketch is KB-sized regardless of corpus size, mergeable, and
-    * NEVER undercounts — its estimate is exact + nonnegative
-    * collision noise bounded by eps·N with the configured confidence.
-    * Deterministic for a fixed seed. */
+  /** One-pass count-min sketch of a key column, as the serialized
+    * binary (Spark's `CountMinSketch` wire format). The sketch is
+    * KB-sized regardless of corpus size, mergeable, and NEVER
+    * undercounts — its estimate is exact + nonnegative collision
+    * noise bounded by eps·N with the configured confidence.
+    * Deterministic for a fixed seed.
+    *
+    * The key is cast to STRING before sketching: the SQL aggregate
+    * hashes a string's UTF-8 bytes, which is the same hash path
+    * `CountMinSketch.estimateCount(String)` uses in [[estimateHot]] —
+    * sketching a raw long while estimating its string rendering would
+    * hash differently and silently estimate ~0 for every key. */
   def cmsOf(
       df: DataFrame, key: String,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): Array[Byte] =
     df.agg(count_min_sketch(
-        col(key), lit(eps), lit(confidence), lit(seed)))
+        col(key).cast("string"), lit(eps), lit(confidence), lit(seed)))
       .collect()(0).getAs[Array[Byte]](0)
 
   /** Merge two serialized sketches built with the same

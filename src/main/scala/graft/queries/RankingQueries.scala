@@ -31,10 +31,8 @@ import org.apache.spark.sql.functions._
 object RankingQueries {
   import QueryDef.sql
 
-  private def normSqlOf(c: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-
-  private val NormSql = normSqlOf("text")
+  /** One shared oracle-side mirror of Text.normalize (TextQueries). */
+  private val NormSql = TextQueries.NormSql
 
   /** The fixed BM25 demo query, ascending — the fold and the oracle
     * pivot both add contributions in this order. */

@@ -17,15 +17,11 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import QueryDef.sql
 
-  /** Per-JVM scratch for the persisted-index face (same concurrent-
-    * runs rationale as SourceQueries.sinkScratch). */
-  private lazy val indexScratch: String = {
-    val f = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_${java.util.UUID.randomUUID().toString.take(8)}")
-    f.mkdirs()
-    f.getAbsolutePath
-  }
+  /** Per-JVM scratch for the persisted-index face
+    * ([[graft.core.Scratch]]: disjoint across runs, cleaned at exit —
+    * the IVF lists are corpus-sized, leaking them per bench run would
+    * fill tmp). */
+  private lazy val indexScratch: String = graft.core.Scratch.dir("ivf")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -23,19 +23,10 @@ object SourceQueries {
     * oracle's read_csv needs the same absolute path). */
   val FixtureDir = "/root/repo/src/test/resources/clinical"
 
-  /** Per-JVM namespace for the sink round-trip scratch dirs. Two
-    * harness runs on one machine previously shared fixed tmp paths and
-    * could clobber each other's sink output mid-read; a UUID minted
-    * once per JVM keeps every run's scratch disjoint while staying
-    * stable across the queries of one run. */
-  private lazy val sinkScratch: String = {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_run_${java.util.UUID.randomUUID().toString.take(8)}")
-    d.mkdirs()
-    d.deleteOnExit()
-    d.getAbsolutePath
-  }
+  /** Per-JVM namespace for the sink round-trip scratch dirs (shared
+    * [[graft.core.Scratch]] device: concurrent runs stay disjoint,
+    * the JVM cleans up after itself). */
+  private lazy val sinkScratch: String = graft.core.Scratch.dir("sinks")
 
   private val DonorCsvSql =
     s"read_csv('$FixtureDir/donor.tsv', delim='\\t', header=true, all_varchar=true)"

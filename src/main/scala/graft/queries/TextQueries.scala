@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import QueryDef.{noOracle, sql}
 
-  /** DuckDB equivalent of [[Text.normalize]] over any column expr. */
-  private def normSqlOf(c: String): String =
+  /** DuckDB equivalent of [[Text.normalize]] over any column expr —
+    * shared with every query module whose oracle replays the
+    * normalization (RankingQueries), so there is exactly ONE place
+    * the oracle SQL must track [[Text.normalize]]. */
+  private[queries] def normSqlOf(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
-  private val NormSql = normSqlOf("text")
+  private[queries] val NormSql = normSqlOf("text")
 
   /** All stopword seeds across languages, deduplicated, as a SQL list
     * literal (must track [[Text.StopwordSeeds]]). */

@@ -17,20 +17,24 @@ import org.apache.spark.sql.functions.col
   */
 object Sinks {
 
+  /** Partition-owner arrangement shared by the text sinks: one writer
+    * per Hive partition dir (or coalesce(1) reference parity). */
+  private def arrange(
+      df: DataFrame, partitionBy: Seq[String],
+      singleFile: Boolean): DataFrame =
+    if (singleFile) df.coalesce(1)
+    else if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+    else df
+
   def partitionedJson(
       df: DataFrame,
       path: String,
       partitionBy: Seq[String],
-      singleFile: Boolean = false): Unit = {
-    val arranged =
-      if (singleFile) df.coalesce(1)
-      else if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
-      else df
-    arranged.write
+      singleFile: Boolean = false): Unit =
+    arrange(df, partitionBy, singleFile).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionBy: _*)
       .json(path)
-  }
 
   def parquet(
       df: DataFrame,
@@ -60,17 +64,12 @@ object Sinks {
       df: DataFrame,
       path: String,
       partitionBy: Seq[String] = Seq.empty,
-      singleFile: Boolean = false): Unit = {
-    val arranged =
-      if (singleFile) df.coalesce(1)
-      else if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
-      else df
-    arranged.write
+      singleFile: Boolean = false): Unit =
+    arrange(df, partitionBy, singleFile).write
       .mode(SaveMode.Overwrite)
       .option("header", "true")
       .partitionBy(partitionBy: _*)
       .csv(path)
-  }
 
   /** Scatter a binary payload column to one raw file per row — the
     * export half of the multimodal ingest loop (the import half is

@@ -150,19 +150,7 @@ object EventStream {
     import org.apache.hadoop.fs.Path
     val fs = new Path(stateDir)
       .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    val stateFile = new Path(stateDir, "cms_state.bin")
-    val prev: Option[(Long, Array[Byte])] =
-      if (fs.exists(stateFile)) {
-        val in = fs.open(stateFile)
-        try {
-          val last = in.readLong()
-          val bytes = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-          Some((last, bytes.toByteArray))
-        } finally in.close()
-      } else None
+    val prev = recoverState(fs, stateDir)
     if (!prev.exists(_._1 >= batchId)) {
       val batchSketch =
         graft.ops.Profile.cmsOf(batch, key, eps, confidence, seed)
@@ -171,9 +159,15 @@ object EventStream {
         case None => batchSketch
       }
       fs.mkdirs(new Path(stateDir))
+      val stateFile = new Path(stateDir, StateFileName)
       val tmp = new Path(stateDir, s".cms_state_$batchId.tmp")
       val out = fs.create(tmp, true)
       try { out.writeLong(batchId); out.write(merged) } finally out.close()
+      // Commit = delete old + rename tmp into place. A crash between
+      // the delete and the rename leaves NO state file but a fully-
+      // written tmp — recoverState completes that rename on the next
+      // read, so the accumulated sketch is never lost (the tmp is the
+      // durable copy from the moment it is closed).
       if (fs.exists(stateFile) && !fs.delete(stateFile, false))
         throw new java.io.IOException(
           s"cmsSink: failed to clear previous state $stateFile")
@@ -184,13 +178,12 @@ object EventStream {
     }
   }
 
-  /** Read the running sketch written by [[cmsSink]]:
-    * (lastFoldedBatchId, sketchBytes). */
-  def readCmsState(
-      spark: SparkSession, stateDir: String): (Long, Array[Byte]) = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(stateDir, "cms_state.bin")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val StateFileName = "cms_state.bin"
+
+  /** Read (lastFoldedBatchId, sketchBytes) from one file. */
+  private def readStateFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Long, Array[Byte]) = {
     val in = fs.open(p)
     try {
       val last = in.readLong()
@@ -200,6 +193,52 @@ object EventStream {
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       (last, bytes.toByteArray)
     } finally in.close()
+  }
+
+  /** Load the committed state, finishing an interrupted commit first:
+    * if the state file is absent but committed `.cms_state_*.tmp`
+    * files exist (crash between the delete and the rename), the
+    * highest-batch tmp is renamed into place and older tmps removed —
+    * the accumulated sketch survives any single-point crash. */
+  private def recoverState(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Option[(Long, Array[Byte])] = {
+    import org.apache.hadoop.fs.Path
+    val stateFile = new Path(stateDir, StateFileName)
+    if (fs.exists(stateFile)) Some(readStateFile(fs, stateFile))
+    else if (!fs.exists(new Path(stateDir))) None
+    else {
+      val tmps = fs.listStatus(new Path(stateDir)).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(".cms_state_") && n.endsWith(".tmp") &&
+            n.stripPrefix(".cms_state_").stripSuffix(".tmp")
+              .forall(_.isDigit)
+        }
+      if (tmps.isEmpty) None
+      else {
+        val newest = tmps.maxBy(
+          _.getName.stripPrefix(".cms_state_").stripSuffix(".tmp").toLong)
+        if (!fs.rename(newest, stateFile))
+          throw new java.io.IOException(
+            s"cmsSink recovery: rename $newest -> $stateFile failed")
+        tmps.filterNot(_ == newest).foreach(p => fs.delete(p, false))
+        Some(readStateFile(fs, stateFile))
+      }
+    }
+  }
+
+  /** Read the running sketch written by [[cmsSink]]:
+    * (lastFoldedBatchId, sketchBytes). Completes an interrupted
+    * commit if one is pending. */
+  def readCmsState(
+      spark: SparkSession, stateDir: String): (Long, Array[Byte]) = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverState(fs, stateDir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no cms state in $stateDir"))
   }
 
   /** One user session: bounded event run with < `gap` between events. */

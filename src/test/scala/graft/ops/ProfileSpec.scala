@@ -60,6 +60,16 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
     assert(estM == estU)
   }
 
+  test("cms round-trips non-string key columns (sketch and estimate " +
+      "must hash the same rendering)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 30).select((col("id") % 3).as("k")) // longs
+    val sk = Profile.cmsOf(df, "k")
+    val est = Profile.estimateHot(df, "k", sk, 1L)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+  }
+
   test("cms never undercounts, even when deliberately tiny") {
     import org.apache.spark.sql.functions.{col, concat, lit, pmod}
     // eps huge -> width tiny -> forced collisions; the estimate must

@@ -351,6 +351,27 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     assert(est == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
   }
 
+  test("cmsSink survives a crash between state delete and rename " +
+      "(recovery completes the interrupted commit)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-r").toString
+    val sink = EventStream.cmsSink(dir, "w") _
+    sink(Seq("x", "x").toDF("w"), 0L)
+    sink(Seq("y").toDF("w"), 1L)
+    // simulate the crash window: the commit deleted the old state and
+    // died before renaming the (fully written) tmp into place
+    val state = new java.io.File(dir, "cms_state.bin")
+    val tmp = new java.io.File(dir, ".cms_state_1.tmp")
+    assert(state.renameTo(tmp))
+    // next fold must recover batches 0-1 from the tmp, not restart
+    sink(Seq("x", "z").toDF("w"), 2L)
+    val (last, sketch) = EventStream.readCmsState(spark, dir)
+    assert(last == 2L)
+    val est = graft.ops.Profile.estimateHot(
+        Seq("x", "y", "z").toDF("w"), "w", sketch, 1L)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+  }
+
   test("cmsSink behind a real foreachBatch stream tracks exact counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cms-s").toString
     val input = MemoryStream[String](spark)
