@@ -85,6 +85,39 @@ object Bloom {
       .drop("__bloom")
   }
 
+  /** Bloom-pruned equi-join (explicit semi-join pushdown): build the
+    * bitset over the build side's join keys, drop probe rows map-side
+    * BEFORE the shuffle join. No false negatives → every matching probe
+    * row survives the gate, so the inner-join result is IDENTICAL to
+    * the plain join (exactly oracle-checkable); false positives only
+    * cost shuffled-then-dropped rows at the filter's FP rate.
+    *
+    * This is the manual, reusable form of Spark's runtime bloom
+    * pushdown (`spark.sql.optimizer.runtime.bloomFilter.*`, which
+    * injects the same gate only when its own size heuristics fire):
+    * here the caller KNOWS the build side is selective — e.g. "the 2%
+    * of orders flagged urgent" probed by a 100 TB lineitem — and the
+    * built [[BloomBits]] can be kept and reused across many probes of
+    * the same build side.
+    */
+  def prunedJoin(
+      probe: DataFrame,
+      buildSide: DataFrame,
+      keys: Seq[String],
+      mBits: Int = 1 << 20,
+      k: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "prunedJoin needs at least one join key")
+    // one fingerprint over the compound key; xxhash64 of the key
+    // columns matches positions()'s hashing domain on both sides
+    def fp(df: DataFrame): Column = xxhash64(keys.map(df(_)): _*)
+    val bloom =
+      build(buildSide.select(keys.map(col): _*), fp(buildSide), mBits, k)
+    withMightContain(probe, bloom, fp(probe), "__hit")
+      .filter(col("__hit"))
+      .drop("__hit")
+      .join(buildSide, keys, "inner")
+  }
+
   /** Keep only rows whose fingerprint is definitely NOT in the corpus
     * the bloom was built from: known rows never pass; a novel row is
     * sacrificed with the filter's FP probability. The right gate when

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Multi-dimensional data layout: z-order (Morton) interleaving so a
   * range-partitioned, sorted-within-partition write clusters BOTH key
@@ -50,4 +51,40 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Global 1-based row number in the total order given by `sortCols`
+    * — `row_number() OVER (ORDER BY ...)` semantics WITHOUT the
+    * empty-partition window's Exchange SinglePartition, which funnels
+    * the whole table through one task and is the classic global-sort
+    * scale killer.
+    *
+    * Shape: one range exchange (sampled bounds) + in-partition sort —
+    * the same single shuffle any total-order sort costs, spread over
+    * `numPartitions` tasks — then `zipWithIndex` stitches the global
+    * index from per-partition counts. zipWithIndex runs one extra
+    * small job to count partitions; both jobs share the range
+    * exchange's shuffle files (the map stage is skipped on the second
+    * pass), so the input is scanned and shuffled once. The in-partition
+    * sort re-runs on the second pass — at 100 TB trade that for a
+    * `persist(DISK_ONLY)` of the sorted frame if the sort dominates.
+    *
+    * `sortCols` must be a TOTAL order (append a unique tiebreak) or
+    * the assigned numbers are nondeterministic within ties — same
+    * contract as the SQL window.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numPartitions: Int,
+      as: String = "rn"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
+    val sorted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    df.sparkSession.createDataFrame(
+      indexed, sorted.schema.add(StructField(as, LongType, nullable = false)))
+  }
 }

@@ -82,6 +82,46 @@ object Skew {
         Seq("__g"), "__score", "__tie", k)
       .drop("__g", "__score", "__tie")
 
+  /** Salted equi-join for a skewed fact key against a dim too large to
+    * broadcast: replicate each dim row across `saltBuckets` salt values
+    * and give each fact row ONE deterministic salt, so a hot key's fact
+    * rows spread over `saltBuckets` reducers instead of funneling
+    * through one sort-merge task.
+    *
+    * Complements AQE skew-join splitting (which rewrites already-
+    * planned shuffle joins when runtime sizes reveal skew): salting is
+    * the static fix you reach for when the hot keys are KNOWN and AQE's
+    * per-partition thresholds won't fire (e.g. one key = 40% of the
+    * fact). The dim side pays `saltBuckets`× replication — keep buckets
+    * small (8-32) and the dim lean (project first).
+    *
+    * Fact salt is `pmod(spark_partition_id(), saltBuckets)`: effective
+    * spread is min(saltBuckets, fact input partitions) — repartition a
+    * few-partition fact first (same caveat as [[saltCol]]).
+    *
+    * Inner and left joins preserve semantics exactly: each fact row
+    * carries one salt and meets each matching dim row exactly once (the
+    * replica with its salt). Result is identical to the unsalted join,
+    * which is what the oracle checks.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(joinType == "inner" || joinType == "left" ||
+        joinType == "left_outer",
+      s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
+    val saltedFact = fact.withColumn("__salt", saltCol(saltBuckets))
+    val explodedDim = dim.withColumn(
+      "__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedFact
+      .join(explodedDim, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+
   /** Salted distinct-count: phase 1 dedups (keys, value) within salt
     * buckets, phase 2 dedups across buckets and counts. Exact (not a
     * sketch); for approximate at extreme cardinality use

@@ -41,6 +41,19 @@ object AnalyticsQueries {
             .as("running_value"))
     },
 
+    // ---- global row_number at scale: range-partitioned, never the
+    //      single-partition empty-window funnel ----
+    sql(
+      "q_global_rank",
+      """SELECT o_orderkey, o_totalprice,
+        |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders""".stripMargin) { (s, d) =>
+      graft.ops.Layout.globalRowNumber(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        numPartitions = 32)
+    },
+
     // ---- rollup: subtotals + grand total with null indicators ----
     sql(
       "q_rollup",

@@ -251,5 +251,41 @@ object RelationalQueries {
         // on the group key (the oracle's min() agrees on constants)
         .agg(first("o_orderstatus").as("status"),
           count(lit(1)).as("n_items"))
+    },
+
+    // ---- salted skew join: result identical to the plain join, hot
+    //      keys spread over saltBuckets reducers ----
+    sql(
+      "q_salted_join",
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin) {
+      (s, d) =>
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"))
+        val dim = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        graft.ops.Skew.saltedJoin(fact, dim, Seq("o_orderkey"), saltBuckets = 8)
+          .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"),
+            col("o_custkey"), col("o_orderstatus"))
+    },
+
+    // ---- bloom-pruned join: explicit semi-join pushdown; zero false
+    //      negatives make it byte-identical to the plain join ----
+    sql(
+      "q_bloom_join",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
+        |FROM lineitem
+        |JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON l_orderkey = o_orderkey""".stripMargin) { (s, d) =>
+      val probe = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      graft.ops.Bloom.prunedJoin(probe, urgent, Seq("o_orderkey"))
+        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("o_orderpriority"))
     })
 }

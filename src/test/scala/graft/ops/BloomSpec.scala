@@ -43,6 +43,30 @@ class BloomSpec extends AnyFunSuite with WithSpark {
     assert(bloom.mBits == again.mBits && bloom.k == again.k)
   }
 
+  test("prunedJoin equals the plain inner join (no false negatives)") {
+    val probe = (0L until 2000L).map(i => (i % 500, s"p_$i")).toDF("k", "pv")
+    val build = (0L until 100L).map(i => (i * 3, s"b_$i")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val pruned = Bloom.prunedJoin(probe, build, Seq("k"), mBits = 1 << 12)
+      .select("k", "pv", "bv")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(pruned == plain)
+  }
+
+  test("prunedJoin gate drops most non-matching probe rows map-side") {
+    val probe = (0L until 2000L).map(i => (i, s"p_$i")).toDF("k", "pv")
+    val build = (0L until 20L).map(i => (i, s"b_$i")).toDF("k", "bv")
+    def fp(df: org.apache.spark.sql.DataFrame) = xxhash64(df("k"))
+    val bits = Bloom.build(build, fp(build), 1 << 12, 5)
+    val survivors =
+      Bloom.withMightContain(probe, bits, fp(probe), "hit")
+        .filter(col("hit")).count()
+    // 20 true matches; FP rate at m=4096,n=20,k=5 is ~0 — allow slack
+    assert(survivors >= 20 && survivors < 60,
+      s"gate passed $survivors of 2000 probe rows")
+  }
+
   test("membership test plans no shuffle of the probe side") {
     val stream = (0L until 100L).map(i => s"s_$i").toDF("fp")
     val plan = Bloom.filterNovel(stream, bloom, col("fp"))

@@ -43,4 +43,28 @@ class LayoutSpec extends AnyFunSuite with WithSpark {
     assert(zSpan < 0.45 * 127, s"z-order b-span too wide: $zSpan")
     assert(aSpan > 0.9 * 127, s"control layout unexpectedly clustered b")
   }
+
+  test("globalRowNumber equals the window formulation, without the funnel") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 5000)
+      .map(i => (i.toLong, rnd.nextInt(200).toDouble)) // heavy score ties
+      .toDF("id", "score")
+    val got = Layout.globalRowNumber(
+      df, Seq($"score".desc, $"id".asc), numPartitions = 8)
+    val want = df.withColumn(
+      "rn", row_number().over(Window.orderBy($"score".desc, $"id".asc)))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the whole point: work is spread, not funneled through one task
+    assert(got.rdd.getNumPartitions > 1,
+      "globalRowNumber collapsed to a single partition")
+  }
+
+  test("globalRowNumber numbering is dense 1..n and follows the order") {
+    val df = spark.range(0, 1000).select(($"id" * 7 % 1000).as("k"))
+    val got = Layout.globalRowNumber(df, Seq($"k".asc), 5, as = "rn")
+      .orderBy("rn").as[(Long, Long)].collect()
+    assert(got.map(_._2).toSeq == (1L to 1000L))
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
 }
