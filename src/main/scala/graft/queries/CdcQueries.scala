@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Cdc
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture faces ([[graft.ops.Cdc]]): snapshot diff, SCD1
+  * upsert, SCD2 history merge. Both "snapshots" of each pair derive
+  * deterministically from one driver table (modulus filters + attribute
+  * mutations), so the DuckDB oracle can rebuild the exact same pair and
+  * recompute the merge relationally.
+  */
+object CdcQueries {
+  import QueryDef.sql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- snapshot diff: inserts (keys %13=0 ∧ %11≠0), deletes
+    //      (%11=0 ∧ %13≠0), updates (status mutated at %7=0) ----
+    sql(
+      "q_snapshot_diff",
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_orderkey % 13 <> 0),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |          AS o_orderstatus,
+        |        o_totalprice
+        |      FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  o.o_totalprice  AS old_o_totalprice,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  n.o_totalprice  AS new_o_totalprice
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""".stripMargin) {
+      (s, d) =>
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val oldSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+        val newSnap = base.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        Cdc.diffSnapshots(oldSnap, newSnap,
+          keys = Seq("o_orderkey"),
+          attrs = Seq("o_orderstatus", "o_totalprice"))
+    },
+
+    // ---- SCD1 upsert: batch rows win, untouched target survives ----
+    sql(
+      "q_scd1_merge",
+      """WITH t AS (SELECT c_custkey, c_name, c_mktsegment
+        |           FROM customer WHERE c_custkey % 10 <> 0),
+        |b AS (SELECT c_custkey, upper(c_name) AS c_name, c_mktsegment
+        |      FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT * FROM b
+        |UNION ALL
+        |SELECT * FROM t
+        |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.c_custkey = t.c_custkey)""".stripMargin) {
+      (s, d) =>
+        val base = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment")
+        val target = base.filter(col("c_custkey") % 10 =!= 0)
+        val batch = base.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_name", upper(col("c_name")))
+        Cdc.scd1Merge(target, batch, Seq("c_custkey"))
+    },
+
+    // ---- SCD2 merge: closed history passes through, changed keys
+    //      (%5=0, status flips to 'X') close + reopen, no-op batch
+    //      rows (%5=1, same status) change nothing ----
+    sql(
+      "q_scd2_merge",
+      """SELECT o_orderkey, 'OLD' AS status,
+        |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+        |  o_orderdate AS valid_to
+        |FROM orders WHERE o_orderkey % 17 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  CASE WHEN o_orderkey % 5 = 0
+        |       THEN TIMESTAMP '1998-12-31 00:00:00' END AS valid_to
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'X' AS status,
+        |  TIMESTAMP '1998-12-31 00:00:00' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val closed = orders.filter(col("o_orderkey") % 17 === 0).select(
+        col("o_orderkey"), lit("OLD").as("status"),
+        expr("TIMESTAMP '1990-01-01 00:00:00'").as("valid_from"),
+        col("o_orderdate").as("valid_to"))
+      val current = orders.select(
+        col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      // batch: %5=0 keys flip to 'X' (a real change — statuses are
+      // O/F/P), %5=1 keys restate the current status (a no-op)
+      val batch = orders
+        .filter(col("o_orderkey") % 5 <= 1)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          expr("TIMESTAMP '1998-12-31 00:00:00'").as("effective_at"))
+      Cdc.scd2Merge(closed.unionByName(current), batch,
+        keys = Seq("o_orderkey"), attrs = Seq("status"))
+    })
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  test("diffSnapshots classifies insert/delete/update and skips unchanged") {
+    val oldSnap = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d"))
+    ).toDF("k", "v")
+    val newSnap = Seq(
+      (2L, Some("B")), (3L, None), (4L, Some("d")), (5L, Some("e"))
+    ).toDF("k", "v")
+    val got = Cdc.diffSnapshots(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select("k", "op", "old_v", "new_v")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "delete", Some("a"), None),
+      (2L, "update", Some("b"), Some("B")),
+      (5L, "insert", None, Some("e"))))
+    // k=3 (null attr both sides) and k=4 (equal) produce no row
+  }
+
+  test("diffSnapshots null transitions count as changes, null=null does not") {
+    val oldSnap = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("k", "v")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option("y"))).toDF("k", "v")
+    val ops = Cdc.diffSnapshots(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select("k", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(1L -> "update", 2L -> "update"))
+  }
+
+  test("scd1Merge upserts: batch wins, untouched target survives") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val batch = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val got = Cdc.scd1Merge(target, batch, Seq("k"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("scd1Merge rejects mismatched schemas") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val batch = Seq((1L, "a")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Cdc.scd1Merge(target, batch, Seq("k"))
+    }
+  }
+
+  test("scd2Merge: change closes + reopens, no-op unchanged, new key opens") {
+    val history = Seq(
+      // k=1: one closed + one current version
+      (1L, "v1", Some("2020-01-01"), Some("2021-01-01")),
+      (1L, "v2", Some("2021-01-01"), None),
+      // k=2: current only, batch restates it (no-op)
+      (2L, "w1", Some("2020-06-01"), None),
+      // k=3: current only, untouched by batch
+      (3L, "z1", Some("2020-09-01"), None)
+    ).toDF("k", "v", "valid_from", "valid_to")
+      .select($"k", $"v",
+        to_timestamp($"valid_from").as("valid_from"),
+        to_timestamp($"valid_to").as("valid_to"))
+    val batch = Seq(
+      (1L, "v3", "2022-01-01"), // change
+      (2L, "w1", "2022-01-01"), // no-op
+      (9L, "n1", "2022-01-01")  // brand-new key
+    ).toDF("k", "v", "effective_at")
+      .withColumn("effective_at", to_timestamp($"effective_at"))
+    val got = Cdc.scd2Merge(history, batch, Seq("k"), Seq("v"))
+      .select($"k", $"v", date_format($"valid_from", "yyyy-MM-dd").as("f"),
+        date_format($"valid_to", "yyyy-MM-dd").as("t"))
+      .as[(Long, String, String, Option[String])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "v1", "2020-01-01", Some("2021-01-01")), // closed passes through
+      (1L, "v2", "2021-01-01", Some("2022-01-01")), // closed by the change
+      (1L, "v3", "2022-01-01", None),               // reopened
+      (2L, "w1", "2020-06-01", None),               // no-op: stays current
+      (3L, "z1", "2020-09-01", None),               // untouched
+      (9L, "n1", "2022-01-01", None)))              // new key opens
+  }
+}
