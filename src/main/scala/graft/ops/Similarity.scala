@@ -101,6 +101,39 @@ object Similarity {
     * corpus size. Pass `blocksOverride` > 0 only to pin a layout in
     * tests.
     */
+  /** Tight pairwise loop over two vector blocks: emits (min id, max id,
+    * cosine) for every pair at or above `threshold`. `sameBlock` blocks
+    * enumerate each unordered pair once via id order. Shared by
+    * [[cosineNearDupPairs]] and [[semanticDedup]]. */
+  private def pairScan(
+      sameBlock: Boolean, ra: Array[VecRow], rb: Array[VecRow],
+      threshold: Double): Seq[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < ra.length) {
+      val x = ra(i)
+      var j = 0
+      while (j < rb.length) {
+        val y = rb(j)
+        // same block: each unordered pair once via id order;
+        // cross block: every (x, y) combination is already unique
+        if (if (sameBlock) x.id < y.id else true) {
+          var dot = 0.0; var k = 0
+          val xv = x.vec; val yv = y.vec
+          while (k < xv.length) { dot += xv(k) * yv(k); k += 1 }
+          val c = dot / (x.norm * y.norm)
+          if (c >= threshold) {
+            if (x.id < y.id) out += ((x.id, y.id, c))
+            else out += ((y.id, x.id, c))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   def cosineNearDupPairs(
       corpus: DataFrame, id: String, vec: String,
       threshold: Double, targetPerBlock: Int = 4096,
@@ -125,33 +158,71 @@ object Similarity {
     val right = blocked.toDF("bj", "rows_b")
     left.join(right, col("bi") <= col("bj"))
       .as[(Int, Array[VecRow], Int, Array[VecRow])]
-      .flatMap { case (bi, ra, bj, rb) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < ra.length) {
-          val x = ra(i)
-          var j = 0
-          while (j < rb.length) {
-            val y = rb(j)
-            // same block: each unordered pair once via id order;
-            // cross block: every (x, y) combination is already unique
-            if (if (bi == bj) x.id < y.id else true) {
-              var dot = 0.0; var k = 0
-              val xv = x.vec; val yv = y.vec
-              while (k < xv.length) { dot += xv(k) * yv(k); k += 1 }
-              val c = dot / (x.norm * y.norm)
-              if (c >= threshold) {
-                if (x.id < y.id) out += ((x.id, y.id, c))
-                else out += ((y.id, x.id, c))
-              }
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out
-      }
+      .flatMap { case (bi, ra, bj, rb) => pairScan(bi == bj, ra, rb, threshold) }
       .toDF("a", "b", "cosine")
+  }
+
+  /** Semantic deduplication over an embedding column — the SemDeDup
+    * recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    * around data-adapted centroids, search for near-duplicate pairs
+    * ONLY within each cluster, then keep one representative (min id)
+    * per connected near-dup group. Cross-cluster near-dups are the
+    * documented approximation — the paper's cost cut is exactly that
+    * the n² pair space shrinks to Σ clusterSize², and scaled copies /
+    * trivially-rephrased documents co-cluster because centroid ranking
+    * is by cosine.
+    *
+    * Everything is deterministic: xxhash64-seeded centroids sharpened
+    * by decimal-mean Lloyd passes, cosine-ranked assignment with cid
+    * tie-break, min-label connected components — so the kept set is
+    * reproducible across runs and cluster layouts (the oracle plants
+    * exact scaled copies and checks they, and only they, are dropped).
+    *
+    * Scale shape: centroid table is KB-sized literals (map-side
+    * assignment); within each cluster the pairwise kernel is block-
+    * partitioned like [[cosineNearDupPairs]] with per-task rows capped
+    * at ~2×targetPerBlock for BALANCED clusters (block count derives
+    * from the mean cluster size — a pathologically hot cluster needs
+    * more centroids or a smaller targetPerBlock, same assumption the
+    * paper makes); the component labeling shuffles only the collided
+    * subgraph.
+    */
+  def semanticDedup(
+      corpus: DataFrame, id: String, vec: String,
+      threshold: Double, numCentroids: Int = 16,
+      refineIters: Int = 1, targetPerBlock: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, id, vec, numCentroids, refineIters)
+    val blocks = blocksFor(
+      math.max(1L, corpus.count() / math.max(1, numCentroids)), targetPerBlock)
+    val assigned = corpus
+      .select(col(id).cast("long").as("__id"),
+        col(vec).cast("array<double>").as("__v"))
+      .withColumn("__cid",
+        rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
+      .as[(Long, Array[Double], Int)]
+      .map { case (i, v, cid) =>
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        (cid, VecRow(i, v, math.sqrt(s)))
+      }
+    val blocked = assigned
+      .groupByKey { case (cid, r) =>
+        (cid, math.floorMod(r.id, blocks.toLong).toInt) }
+      .mapGroups((k, it) => (k._1, k._2, it.map(_._2).toArray))
+    val left = blocked.toDF("cid", "bi", "rows_a")
+    val right = blocked.toDF("cid2", "bj", "rows_b")
+    val pairs = left
+      .join(right, col("cid") === col("cid2") && col("bi") <= col("bj"))
+      .select("bi", "rows_a", "bj", "rows_b")
+      .as[(Int, Array[VecRow], Int, Array[VecRow])]
+      .flatMap { case (bi, ra, bj, rb) => pairScan(bi == bj, ra, rb, threshold) }
+      .toDF("a", "b", "cosine")
+    val labels = Dedup.clusterLabels(corpus.select(col(id)), pairs)
+    corpus.join(labels,
+      corpus(id) === labels("node") && labels("cluster") === corpus(id),
+      "left_semi")
   }
 
   /** Cosine-ranked centroid list for one vector, as a sorted

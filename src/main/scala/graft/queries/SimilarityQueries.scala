@@ -123,5 +123,26 @@ object SimilarityQueries {
         Similarity.ivfQuery(e.filter(col("vec_id") < 10), dir,
             "vec_id", "embedding", k = 5, nProbe = 8)
           .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // ---- SemDeDup: plant exact scaled copies (cosine(v, 2v) = 1, and
+    //      ×2 is exact in floating point, so a copy ranks every
+    //      centroid identically to its original and MUST co-cluster);
+    //      the natural corpus tops out at cosine ≈ 0.51, far below the
+    //      0.99 threshold. The oracle is therefore fully relational:
+    //      the kept set must be exactly the original rows — a false
+    //      drop or a surviving copy both hash-mismatch ----
+    sql(
+      "q_semantic_dedup",
+      "SELECT vec_id, label FROM embeddings") { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+      val copies = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label"))
+      Similarity.semanticDedup(
+          e.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.99, numCentroids = 8)
+        .select("vec_id", "label")
     })
 }

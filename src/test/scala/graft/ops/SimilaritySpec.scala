@@ -149,4 +149,34 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
+
+  test("semanticDedup drops planted scaled copies, keeps all originals") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val kept = Similarity.semanticDedup(
+        e.unionByName(copies), "vec_id", "embedding",
+        threshold = 0.99, numCentroids = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val originals = e.select("vec_id").as[Long].collect().toSet
+    assert(kept == originals,
+      s"missing=${(originals -- kept).take(5)} extra=${(kept -- originals).take(5)}")
+  }
+
+  test("semanticDedup collapses a duplicate CHAIN to one representative") {
+    // three copies of the same vector + one unrelated: the pair graph
+    // within the cluster is a clique; min-id representative survives
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)),
+      (3L, Seq(4.0f, 0.0f, 0.0f)),
+      (9L, Seq(0.0f, 1.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(
+        df, "vec_id", "embedding", threshold = 0.99, numCentroids = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L))
+  }
 }
