@@ -108,12 +108,19 @@ object Summary {
       facts: DataFrame,
       groupKeys: Seq[String],
       fields: Seq[String],
-      distinctCounts: Map[String, Column]): DataFrame = {
+      distinctCounts: Map[String, Column],
+      extraKeys: Option[DataFrame] = None): DataFrame = {
     val partial =
       unpivotPartial(facts, groupKeys, fields, distinctCounts)
         .localCheckpoint(eager = false)
     val groups = partial.select((groupKeys :+ "kind").map(col): _*).distinct()
-    val cats = partial.select(col("kind"), col("key")).distinct()
+    // extraKeys widens the zero-fill universe beyond what these facts
+    // contain — the incremental-refresh hook: a partial rebuild must
+    // zero-fill against the full corpus's (kind, key) dimension, which
+    // rides in from the prior snapshot (Indexes.refreshStudyIndex)
+    val derived = partial.select(col("kind"), col("key")).distinct()
+    val cats = extraKeys.fold(derived)(e =>
+      derived.unionByName(e.select(col("kind"), col("key"))).distinct())
     val universe = groups.join(broadcast(cats), Seq("kind"))
     val joined = universe.join(partial, groupKeys ++ Seq("kind", "key"), "left")
     distinctCounts.keys.foldLeft(joined) { (df, as) =>

@@ -365,5 +365,25 @@ object IndexQueries {
       Canon.flattenNested(Indexes.fileIndex(
         Indexes.ClinicalInputs.fromDir(s, FixtureDir),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
+    },
+
+    // ---- incremental refresh == full rebuild (same oracle as
+    //      q_study_index): the prior snapshot was built before donor
+    //      DO002's files landed, so it misses GS001's Imaging/
+    //      Histology/WXS everywhere — including GS002's zero-fill
+    //      rows. Refreshing ONLY GS001 must reproduce the full
+    //      rebuild byte-for-byte: the rebuilt doc zero-fills against
+    //      the prior universe, and the unchanged GS002 doc gets the
+    //      reintroduced categories patched in as zero rows ----
+    sql("q_index_refresh", IndexOracles.studyIndexSql) { (s, _) =>
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val stale = in.copy(file = in.file.filter(
+        !(col("study_id") === "GS001" &&
+          col("submitter_donor_id") === "DO002")))
+      val prior = Indexes.studyIndex(stale, meta)
+      Canon.flattenNested(
+        Indexes.refreshStudyIndex(prior, in, Seq("GS001"), meta))
     })
 }

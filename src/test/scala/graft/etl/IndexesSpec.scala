@@ -266,4 +266,38 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(bobSummary.getLong(0) == 0L && !bobSummary.getBoolean(2))
     assert(got(1).isNullAt(4)) // no orders → null nest (left join)
   }
+
+  private val stamps =
+    Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+
+  test("refreshStudyIndex(changed) equals the full rebuild field-for-field") {
+    // prior built before DO002's files landed: GS001's doc is stale
+    // AND the corpus universe is missing Imaging/Histology/WXS
+    val stale = inputs.copy(file = inputs.file.filter(
+      !(col("study_id") === "GS001" && col("submitter_donor_id") === "DO002")))
+    val prior = Indexes.studyIndex(stale, stamps)
+    val refreshed =
+      Indexes.refreshStudyIndex(prior, inputs, Seq("GS001"), stamps)
+    val full = Indexes.studyIndex(inputs, stamps)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(to_json(struct(df.columns.sorted.map(col): _*)))
+      .as[String].collect().sorted.toSeq
+    assert(canon(refreshed) == canon(full))
+  }
+
+  test("refreshStudyIndex passes unchanged docs through, not rebuilds them") {
+    // sentinel: tamper GS002's name in the PRIOR inputs only — if the
+    // refresh of GS001 rebuilt GS002 from (untampered) inputs, the
+    // sentinel would vanish; pass-through preserves it
+    val tampered = inputs.copy(study = inputs.study.withColumn("name",
+      when(col("study_id") === "GS002", lit("SENTINEL"))
+        .otherwise(col("name"))))
+    val prior = Indexes.studyIndex(tampered, stamps)
+    val refreshed =
+      Indexes.refreshStudyIndex(prior, inputs, Seq("GS001"), stamps)
+    val names = refreshed.select("study_id", "name")
+      .as[(String, String)].collect().toMap
+    assert(names("GS002") == "SENTINEL", "unchanged doc was rebuilt")
+    assert(names("GS001") != "SENTINEL")
+  }
 }
