@@ -14,7 +14,11 @@ object PlanAudit {
         "q_interval_join", "q_bloom_novel", "q_redact_pii",
         "q_weighted_mix", "q_token_budget", "q_prep_pipeline",
         "q_band_join", "q_jaccard_exact", "q_tfidf", "q_bm25",
-        "q_cms_hot", "q_binary_ingest")) {
+        "q_cms_hot", "q_binary_ingest",
+        // round 5
+        "q_global_rank", "q_salted_join", "q_bloom_join",
+        "q_snapshot_diff", "q_scd1_merge", "q_scd2_merge",
+        "q_semantic_dedup", "q_index_refresh")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).length
       println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +

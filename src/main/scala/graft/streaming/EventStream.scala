@@ -129,6 +129,115 @@ object EventStream {
     batch.write.mode("overwrite")
       .parquet(s"$outDir/batch_id=$batchId")
 
+  /** Streaming SCD1 upsert sink — the streaming face of
+    * [[graft.ops.Cdc.scd1Merge]]: maintains a keyed snapshot table
+    * under `dir` where each micro-batch's rows replace same-key rows
+    * and new keys append (a changelog stream folded into current
+    * state).
+    *
+    * Layout: versioned snapshot dirs `snapshot_v<batchId>` plus a
+    * `_current` pointer file committed by temp-write + rename (the
+    * [[cmsSink]] recipe). Exactly-once under restart replay: a
+    * re-delivered batch (id ≤ committed) is a no-op; a crash BEFORE
+    * the pointer commit leaves the old pointer valid and the old
+    * snapshot dir intact (it is pruned only after the commit), so the
+    * replay rebuilds from exactly the state the failed attempt read. A
+    * crash between pointer-delete and rename is healed at the next
+    * read (the tmp is the durable copy).
+    *
+    * Per-batch cost: one anti-join (snapshot × batch) + a full
+    * snapshot rewrite — the honest trade-off of a table without a
+    * transaction log. At 100 TB partition the snapshot by a key hash
+    * and rewrite only the partitions the batch touches
+    * ([[graft.ops.Cdc.diffSnapshots]] tells you which), or use a
+    * MERGE-capable table format; this sink covers the
+    * dimension-to-moderate-fact sizes where a rewrite is one job.
+    * The batch must hold at most one row per key (same contract as
+    * scd2Merge — fold multi-version batches upstream).
+    */
+  def upsertSink(dir: String, keys: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = recoverPointer(fs, dir)
+    if (committed.exists(_ >= batchId)) return // replayed, already folded
+    val merged = committed match {
+      case Some(v) =>
+        val target = spark.read.parquet(s"$dir/snapshot_v$v")
+          .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
+        graft.ops.Cdc.scd1Merge(target, batch, keys)
+      case None => batch
+    }
+    merged.write.mode("overwrite").parquet(s"$dir/snapshot_v$batchId")
+    val pointer = new Path(dir, PointerFileName)
+    val tmp = new Path(dir, s"._current_$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.writeLong(batchId) finally out.close()
+    if (fs.exists(pointer) && !fs.delete(pointer, false))
+      throw new java.io.IOException(
+        s"upsertSink: failed to clear previous pointer $pointer")
+    if (!fs.rename(tmp, pointer))
+      throw new java.io.IOException(
+        s"upsertSink: rename $tmp -> $pointer failed; re-deliver the batch")
+    // prune superseded versions only AFTER the commit — a crash here
+    // just leaves orphan dirs that the next batch's prune sweeps up
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("snapshot_v") &&
+          n.stripPrefix("snapshot_v").forall(_.isDigit) &&
+          n.stripPrefix("snapshot_v").toLong != batchId
+      }
+      .foreach(p => fs.delete(p, true))
+  }
+
+  private val PointerFileName = "_current"
+
+  /** Committed snapshot version, healing an interrupted pointer
+    * commit (highest `._current_*.tmp` renamed into place) first. */
+  private def recoverPointer(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val pointer = new Path(dir, PointerFileName)
+    def readPtr(): Option[Long] = {
+      val in = fs.open(pointer)
+      try Some(in.readLong()) finally in.close()
+    }
+    if (fs.exists(pointer)) readPtr()
+    else if (!fs.exists(new Path(dir))) None
+    else {
+      val tmps = fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("._current_") && n.endsWith(".tmp") &&
+            n.stripPrefix("._current_").stripSuffix(".tmp")
+              .forall(_.isDigit)
+        }
+      if (tmps.isEmpty) None
+      else {
+        val newest = tmps.maxBy(
+          _.getName.stripPrefix("._current_").stripSuffix(".tmp").toLong)
+        if (!fs.rename(newest, pointer))
+          throw new java.io.IOException(
+            s"upsertSink recovery: rename $newest -> $pointer failed")
+        tmps.filterNot(_ == newest).foreach(p => fs.delete(p, false))
+        readPtr()
+      }
+    }
+  }
+
+  /** Read the current upsert snapshot maintained by [[upsertSink]],
+    * completing an interrupted pointer commit if one is pending. */
+  def readSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = recoverPointer(fs, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"no upsert snapshot in $dir"))
+    spark.read.parquet(s"$dir/snapshot_v$v")
+  }
+
   /** Streaming frequency state — the streaming face of
     * [[graft.ops.Profile]]'s count-min sketches: each micro-batch
     * aggregates once into a KB-sized sketch, which folds into a

@@ -186,6 +186,48 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("upsertSink folds a changelog stream into a keyed snapshot") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val query = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch(EventStream.upsertSink(out, Seq("k")) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); query.processAllAvailable()
+      input.addData((2L, "B"), (3L, "c")); query.processAllAvailable()
+      val snap = EventStream.readSnapshot(spark, out)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(snap == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // re-delivery of an already-folded batch is a no-op, even with a
+      // DIFFERENT payload (the engine replays the same data; the guard
+      // is the batch id)
+      EventStream.upsertSink(out, Seq("k"))(
+        Seq((9L, "z")).toDF("k", "v"), batchId = 0L)
+      val after = EventStream.readSnapshot(spark, out)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(after == snap, "replayed batch must not refold")
+    } finally query.stop()
+  }
+
+  test("upsertSink heals an interrupted pointer commit") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_upsert2").toString
+    EventStream.upsertSink(out, Seq("k"))(Seq((1L, "a")).toDF("k", "v"), 0L)
+    EventStream.upsertSink(out, Seq("k"))(Seq((1L, "A")).toDF("k", "v"), 1L)
+    // simulate a crash between pointer-delete and rename: pointer gone,
+    // the committed tmp is the durable copy
+    val dir = new java.io.File(out)
+    val ptr = new java.io.File(dir, "_current")
+    val tmp = new java.io.File(dir, "._current_1.tmp")
+    assert(ptr.renameTo(tmp))
+    val snap = EventStream.readSnapshot(spark, out)
+      .as[(Long, String)].collect().toSeq
+    assert(snap == Seq((1L, "A")))
+    assert(ptr.exists(), "recovery must reinstate the pointer")
+  }
+
   test("bloom novelty gate filters a stream map-side (no per-batch corpus join)") {
     import graft.ops.Bloom
     val corpus = (0 until 100).map(i => s"fp_$i").toDF("fp")
