@@ -465,6 +465,11 @@ object Indexes {
     * `meta` must match the stamps the prior snapshot was built with,
     * or unchanged documents keep their old stamps (by design: pass-
     * through means pass-through).
+    *
+    * `prior` is read by three consumers (universe extraction, the
+    * pass-through filter, the patch): hand it a STORED snapshot (a
+    * parquet read) or a materialized frame — a lazily recomputed
+    * build would run once per consumer.
     */
   def refreshStudyIndex(
       prior: DataFrame,
