@@ -146,6 +146,16 @@ object GenGoldens {
           id = "vec_id", vec = "embedding", k = 5,
           numCentroids = 16, nProbe = 8)),
         "query_id\tneighbor_id\trank\tcosine", "golden_knn_ivf.tsv")
+      // q_knn_pq: deterministic like the others (L2-argmin codes with
+      // cid tie-break over decimal-mean codebooks); parameters match
+      // the query face and the SimilaritySpec recall guard
+      val cb = Similarity.pqCodebooks(
+        e, "vec_id", "embedding", m = 32, k = 16, refineIters = 2)
+      writeTsv(annRows(Similarity.pqTopK(
+          Similarity.pqEncode(e, "vec_id", "embedding", cb),
+          queries = e.filter(col("vec_id") < 10),
+          id = "vec_id", vec = "embedding", k = 5, codebooks = cb)),
+        "query_id\tneighbor_id\trank\tcosine", "golden_knn_pq.tsv")
     } else println(s"skipped golden_knn_*.tsv ($embPath missing)")
 
     // StudiesExpected-style field-for-field golden of the FULL study

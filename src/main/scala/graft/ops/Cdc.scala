@@ -116,30 +116,38 @@ object Cdc {
       attrs: Seq[String],
       effectiveCol: String = "effective_at"): DataFrame = {
     val closed = history.filter(col("valid_to").isNotNull)
+    // explicit presence markers: a null KEY column must not read as
+    // "side absent" after the full-outer join
     val current = prefixed(
       history.filter(col("valid_to").isNull),
       keys ++ attrs :+ "valid_from", "__c_")
-      // explicit presence marker: a null KEY in current must not read
-      // as "key absent" on the opening side's left join
       .withColumn("__c_present", lit(true))
     val b = prefixed(batch, keys ++ attrs :+ effectiveCol, "__b_")
+      .withColumn("__b_present", lit(true))
     val joinCond =
       keys.map(k => col(s"__c_$k") <=> col(s"__b_$k")).reduce(_ && _)
     val eff = col(s"__b_$effectiveCol")
-    val changed = eff.isNotNull && anyDiffers(attrs, "__c_", "__b_")
-    // current rows: closed if the batch changed them, untouched otherwise
-    val keptCurrent = current.join(b, joinCond, "left").select(
+    val cPresent = col("__c_present").isNotNull
+    val bPresent = col("__b_present").isNotNull
+    val changed = cPresent && bPresent && anyDiffers(attrs, "__c_", "__b_")
+    val validToType = history.schema("valid_to").dataType
+    // ONE full-outer join emits both outputs per joined row via a
+    // generator (0-2 rows each): the kept/closed current version and
+    // the opening batch version. The two-join formulation shuffled
+    // current and batch twice for the same information.
+    val kept = when(cPresent, struct(
       (keys ++ attrs).map(c => col(s"__c_$c").as(c)) :+
         col("__c_valid_from").as("valid_from") :+
-        when(changed, eff).as("valid_to"): _*)
-    // batch rows that open a new version: changed keys + unseen keys
-    val opening = b.join(current, joinCond, "left")
-      .filter(col("__c_present").isNull ||
-        anyDiffers(attrs, "__b_", "__c_"))
-      .select(
+        when(changed, eff).cast(validToType).as("valid_to"): _*))
+    val opening = when(bPresent && (!cPresent || anyDiffers(attrs, "__b_", "__c_")),
+      struct(
         (keys ++ attrs).map(c => col(s"__b_$c").as(c)) :+
           eff.as("valid_from") :+
-          lit(null).cast(history.schema("valid_to").dataType).as("valid_to"): _*)
-    closed.unionByName(keptCurrent).unionByName(opening)
+          lit(null).cast(validToType).as("valid_to"): _*))
+    val merged = current.join(b, joinCond, "full_outer")
+      .select(explode(filter(array(kept, opening), c => c.isNotNull))
+        .as("__r"))
+      .select(col("__r.*"))
+    closed.unionByName(merged)
   }
 }

@@ -327,6 +327,117 @@ object Similarity {
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
+  /** Product quantization (Jégou et al. 2011, the IVFADC paper's PQ
+    * half): split each vector into `m` subvectors, learn `k` centroids
+    * per subspace (same deterministic device as IVF — xxhash64-seeded
+    * corpus draws + decimal-mean Lloyd passes), and store each corpus
+    * vector as `m` small codes. At 64 dims × float (256 B) and m=8,
+    * k=16 the scan payload drops to 8 codes (~8 B) — a 32× memory/IO
+    * compression — and scoring a pair is m table lookups instead of
+    * dim multiplies. This is the compressed-scan path that makes a
+    * brute-force sweep affordable when even the IVF probe set is too
+    * many raw bytes; compose with IVF lists for the full IVFADC shape.
+    *
+    * Assignment is by exact L2 (argmin ‖v−c‖² = argmin c·c − 2v·c,
+    * the per-row v·v term cancels), tie-broken by centroid id —
+    * deterministic, so codes and ADC ranks are reproducible and the
+    * query face snapshots under GenGoldens like the other ANN faces.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, id: String, vec: String,
+      m: Int = 8, k: Int = 16, refineIters: Int = 1)
+      : Array[Array[(Int, Array[Double])]] = {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      subCentroids(corpus, id,
+        slice(col(vec).cast("array<double>"), j * sub + 1, sub),
+        k, refineIters)
+    }.toArray
+  }
+
+  /** Deterministic centroids over an arbitrary vector expression —
+    * the [[ivfCentroids]] device generalized so PQ can train one
+    * codebook per subspace slice. */
+  private def subCentroids(
+      corpus: DataFrame, id: String, vecExpr: Column,
+      k: Int, refineIters: Int): Array[(Int, Array[Double])] = {
+    val corpusVecs = corpus.select(vecExpr.as("__v"))
+    val seeds: Array[(Int, Array[Double])] = corpus
+      .select(col(id), vecExpr.as("__v"))
+      .orderBy(xxhash64(col(id)))
+      .limit(k)
+      .select(col("__v"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    (1 to refineIters).foldLeft(seeds)((cs, _) => lloydRefine(corpusVecs, cs))
+  }
+
+  /** `(negTwoDot + c·c, cid)`-ranked L2-argmin code for one subvector
+    * against one codebook — all literal centroids, codegen'd. */
+  private def pqCode(
+      subVec: Column, codebook: Array[(Int, Array[Double])]): Column =
+    sort_array(array(codebook.toSeq.map { case (cid, cv) =>
+      val c2 = cv.map(x => x * x).sum
+      val cvCol = array(cv.map(lit).toIndexedSeq: _*)
+      struct((lit(c2) - lit(2.0) * dot(subVec, cvCol)).as("negd"),
+        lit(cid).as("cid"))
+    }: _*)).getItem(0).getField("cid")
+
+  /** Encode the corpus: one row per vector with its `m` PQ codes (the
+    * compressed representation a 100 TB corpus persists instead of raw
+    * floats). Map-side, no shuffle. */
+  def pqEncode(
+      corpus: DataFrame, id: String, vec: String,
+      codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    val sub = codebooks(0)(0)._2.length
+    require(codebooks.forall(_.forall(_._2.length == sub)),
+      "ragged codebooks")
+    corpus.select(
+      col(id).as("neighbor_id"),
+      array(codebooks.zipWithIndex.map { case (cb, j) =>
+        pqCode(slice(col(vec).cast("array<double>"), j * sub + 1, sub), cb)
+      }.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** Approximate top-k by asymmetric distance: the query stays full
+    * precision, each corpus row is scored from its codes via per-
+    * subspace lookup tables (query-subvector · centroid dots), i.e.
+    * cosine(q, x̂) where x̂ is the PQ reconstruction. One scan of the
+    * code table × broadcast queries — the brute-force plan shape at
+    * 1/32nd the scanned bytes. */
+  def pqTopK(
+      codes: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    val sub = codebooks(0)(0)._2.length
+    val q = broadcast(queries.select(
+      col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")))
+    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+    // per subspace: LUT of query·centroid dots indexed by the code
+    def lut(j: Int, per: (Int, Array[Double]) => Column): Column =
+      element_at(
+        array(codebooks(j).toSeq.map { case (cid, cv) =>
+          per(cid, cv)
+        }: _*),
+        element_at(col("codes"), j + 1) + lit(1))
+    val adcDot = codebooks.indices.map { j =>
+      lut(j, (_, cv) => dot(
+        slice(col("__qv"), j * sub + 1, sub),
+        array(cv.map(lit).toIndexedSeq: _*)))
+    }.reduce(_ + _)
+    val reconNorm2 = codebooks.indices.map { j =>
+      lut(j, (_, cv) => lit(cv.map(x => x * x).sum))
+    }.reduce(_ + _)
+    val cosinePq = adcDot / (norm(col("__qv")) * sqrt(reconNorm2))
+    graft.plans.TopKPerGroup.topK(
+      scored.select(col("query_id"), col("neighbor_id"),
+        cosinePq.as("cosine")),
+      Seq("query_id"), "cosine", "neighbor_id", k)
+  }
+
   /** Deterministic random hyperplanes: `bits` × `dim` Gaussian matrix
     * from a fixed seed (same plan every run — reproducible buckets). */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

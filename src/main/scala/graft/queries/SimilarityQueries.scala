@@ -125,6 +125,30 @@ object SimilarityQueries {
           .withColumn("cosine", round(col("cosine"), 6))
     },
 
+    // ---- PQ compressed-scan ANN: the corpus persists as 32 4-bit
+    //      codes (16 B vs 256 B of raw floats — 16x fewer scanned
+    //      bytes), queries scored against reconstructions via per-
+    //      subspace LUTs. Deterministic end to end -> GenGoldens
+    //      snapshot; recall vs brute force guarded in SimilaritySpec
+    //      at these same parameters ----
+    sql(
+      "q_knn_pq",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  cosine::DOUBLE AS cosine
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_pq.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val cb = Similarity.pqCodebooks(
+          e, "vec_id", "embedding", m = 32, k = 16, refineIters = 2)
+        Similarity.pqTopK(
+            Similarity.pqEncode(e, "vec_id", "embedding", cb),
+            queries = e.filter(col("vec_id") < 10),
+            id = "vec_id", vec = "embedding", k = 5, codebooks = cb)
+          .withColumn("cosine", round(col("cosine"), 6))
+    },
+
     // ---- SemDeDup: plant exact scaled copies (cosine(v, 2v) = 1, and
     //      ×2 is exact in floating point, so a copy ranks every
     //      centroid identically to its original and MUST co-cluster);

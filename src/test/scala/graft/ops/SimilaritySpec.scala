@@ -150,6 +150,35 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("pqTopK recall vs brute force; codes stay within codebook range") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val cb = Similarity.pqCodebooks(
+      e, "vec_id", "embedding", m = 32, k = 16, refineIters = 2)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    val codeBounds = codes
+      .select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c")))
+      .as[(Int, Int)].head()
+    assert(codeBounds._1 >= 0 && codeBounds._2 < 16)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(codes, q, "vec_id", "embedding", 5, cb)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall $recall too low")
+  }
+
+  test("pq encoding is deterministic across partitionings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding")
+    val a = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = Similarity.pqEncode(e.repartition(7), "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
   test("semanticDedup drops planted scaled copies, keeps all originals") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
