@@ -68,6 +68,24 @@ object AnalyticsQueries {
             Canon.money(round(sum(col("o_totalprice")), 2)).as("total"))
     },
 
+    // ---- explicit GROUPING SETS (the general form behind
+    //      rollup/cube): two single-column subtotal sets, no grand
+    //      total — exactly the sets listed, nothing implied ----
+    sql(
+      "q_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2)::DECIMAL(18,2)::VARCHAR AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            Canon.money(round(sum(col("o_totalprice")), 2)).as("total"))
+    },
+
     // ---- cube: all 2^k grouping-set combinations (completes the
     //      rollup/pivot/grouping-sets family) ----
     sql(

@@ -22,6 +22,24 @@ object StreamQueries {
       EventStream.hourlyStats(Tables.events(s, d))
     },
 
+    // ---- sliding windows: 10-minute windows every 5 minutes — each
+    //      event lands in exactly two; the oracle reconstructs the
+    //      window fan-out with a two-branch union of 5-minute buckets ----
+    sql(
+      "q_event_sliding",
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))
+        |           AS win_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP))
+        |           - INTERVAL 5 MINUTES, event_type, value FROM events)
+        |SELECT win_start, win_start + INTERVAL 10 MINUTES AS win_end,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 3""".stripMargin) { (s, d) =>
+      EventStream.slidingStats(Tables.events(s, d))
+    },
+
     // ---- interval join: purchases paired with the same user's
     //      clicks in the preceding hour (batch face of the bounded
     //      stream-stream join; streaming face in EventStreamSpec) ----

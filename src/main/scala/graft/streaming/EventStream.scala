@@ -34,6 +34,24 @@ object EventStream {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows (`length` > `slide`): each event lands
+    * in length/slide overlapping windows — `window()` plans ONE
+    * generator (the Expand-like window fan-out) + one aggregation, the
+    * same single shuffle as the tumbling face; state under a watermark
+    * is bounded by (horizon / slide) × key cardinality. Same plan in
+    * batch and behind `readStream`. */
+  def slidingStats(
+      events: DataFrame,
+      length: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: keep the first arrival per key, holding
     * per-key state only for the watermark horizon (the streaming face
     * of [[graft.ops.Dedup.dropExact]] — bounded state instead of a

@@ -61,6 +61,19 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("slidingStats lands each event in exactly length/slide windows") {
+    val df = Seq(
+      (ts(0), "click", 1.0), (ts(7), "click", 2.0), (ts(23), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    val got = EventStream.slidingStats(df) // 10 min windows, 5 min slide
+    assert(got.agg(sum(col("n_events"))).head().getLong(0) == 6L)
+    // the 10:00 click is in [09:55,10:05) and [10:00,10:10)
+    val starts = got.filter(col("event_type") === "click")
+      .select(col("win_start").cast("string")).as[String].collect().toSet
+    assert(starts == Set("2026-01-01 09:55:00", "2026-01-01 10:00:00",
+      "2026-01-01 10:05:00"))
+  }
+
   test("dedupWithinWatermark keeps first arrival per key") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val deduped = EventStream.dedupWithinWatermark(
