@@ -77,6 +77,28 @@ object Cdc {
           attrs.map(a => col(s"__n_$a").as(s"new_$a")): _*)
   }
 
+  /** Apply a [[diffSnapshots]] delta to the snapshot it was computed
+    * FROM, reconstructing the new snapshot exactly (the consumer side
+    * of shipping diffs: `applyDiff(old, diff(old, new)) == new`,
+    * property-tested). Deletes and updates anti-join the old rows out;
+    * updates and inserts come back from the diff's `new_` columns —
+    * one anti join + one union, both delta-driven, so applying a
+    * day's diff to a 100 TB snapshot costs the day, not the corpus.
+    */
+  def applyDiff(
+      snapshot: DataFrame,
+      diff: DataFrame,
+      keys: Seq[String],
+      attrs: Seq[String]): DataFrame = {
+    val touched = diff.filter(col("op").isin("delete", "update"))
+      .select(keys.map(col): _*)
+    val incoming = diff.filter(col("op").isin("insert", "update"))
+      .select(keys.map(col) ++ attrs.map(a => col(s"new_$a").as(a)): _*)
+    snapshot.select((keys ++ attrs).map(col): _*)
+      .join(touched, keys, "left_anti")
+      .unionByName(incoming)
+  }
+
   /** SCD type-1 upsert: batch rows replace target rows with the same
     * key; target rows the batch doesn't touch survive as-is. The
     * classic `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED

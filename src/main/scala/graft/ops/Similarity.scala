@@ -194,6 +194,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(corpus, id, vec, numCentroids, refineIters)
+    // empty corpus → no centroid draws → nothing to dedup (and the
+    // zero-centroid ranking expression would not even analyze)
+    if (centroids.isEmpty) return corpus
     val blocks = blocksFor(
       math.max(1L, corpus.count() / math.max(1, numCentroids)), targetPerBlock)
     val assigned = corpus
@@ -251,6 +254,9 @@ object Similarity {
   private def lloydRefine(
       corpusVecs: DataFrame,
       centroids: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    // empty seed set (empty corpus): nothing to refine — and the
+    // zero-centroid ranking expression would not analyze
+    if (centroids.isEmpty) return centroids
     val means = corpusVecs
       .withColumn("__cid",
         rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
@@ -307,6 +313,13 @@ object Similarity {
       refineIters: Int = 1): DataFrame = {
     val centroids =
       ivfCentroids(corpus, id, vec, numCentroids, refineIters)
+    if (centroids.isEmpty) // empty corpus → no neighbors, typed empty
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as("query_id"),
+          lit(null).cast("long").as("neighbor_id"),
+          lit(null).cast("int").as("rank"),
+          lit(null).cast("double").as("cosine"))
+        .limit(0)
 
     val c = corpus.select(
       col(id).as("neighbor_id"), col(vec).cast("array<double>").as("__cv"))
@@ -347,7 +360,10 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String,
       m: Int = 8, k: Int = 16, refineIters: Int = 1)
       : Array[Array[(Int, Array[Double])]] = {
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val head = corpus.select(size(col(vec))).take(1)
+    require(head.nonEmpty,
+      "pqCodebooks: cannot train codebooks on an empty corpus")
+    val dim = head(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     // seeds: ONE job — k deterministic full-vector draws, sliced into

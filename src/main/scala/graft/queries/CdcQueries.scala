@@ -51,6 +51,29 @@ object CdcQueries {
           attrs = Seq("o_orderstatus", "o_totalprice"))
     },
 
+    // ---- the consumer side of the diff: applying the delta to the
+    //      old snapshot reconstructs the new one exactly, so the
+    //      oracle is simply the new snapshot ----
+    sql(
+      "q_apply_diff",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val keys = Seq("o_orderkey")
+      val attrs = Seq("o_orderstatus", "o_totalprice")
+      Cdc.applyDiff(oldSnap,
+        Cdc.diffSnapshots(oldSnap, newSnap, keys, attrs), keys, attrs)
+    },
+
     // ---- SCD1 upsert: batch rows win, untouched target survives ----
     sql(
       "q_scd1_merge",

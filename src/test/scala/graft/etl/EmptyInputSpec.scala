@@ -77,6 +77,53 @@ class EmptyInputSpec extends AnyFunSuite with WithSpark {
     assert(products("files").count() == 0)
   }
 
+  test("refreshStudyIndex degrades on the empty-children fixture " +
+      "(empty matrices stay empty, no throw)") {
+    val in = Indexes.ClinicalInputs.fromDir(spark, dir.toString)
+    val prior = Indexes.studyIndex(in).localCheckpoint()
+    val refreshed = Indexes.refreshStudyIndex(prior, in, Seq("GS001"))
+    assert(refreshed.count() == 2)
+    // no donor⋈file rows anywhere → every matrix must stay EMPTY
+    val sizes = refreshed
+      .select(size(col("summary.data_category")).as("dc"),
+        size(col("summary.experimental_strategy")).as("es"))
+      .as[(Int, Int)].collect().toSeq
+    assert(sizes.forall { case (dc, es) => dc == 0 && es == 0 }, sizes)
+  }
+
+  test("CDC and scale-join operators degrade on empty frames") {
+    import graft.ops.{Cdc, Skew, Similarity}
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val some = Seq((1L, "a")).toDF("k", "v")
+    // diff of two empties / one-sided empties
+    assert(Cdc.diffSnapshots(empty, empty, Seq("k"), Seq("v")).count() == 0)
+    assert(Cdc.diffSnapshots(some, empty, Seq("k"), Seq("v"))
+      .select("op").as[String].collect().toSeq == Seq("delete"))
+    assert(Cdc.scd1Merge(empty, some, Seq("k")).count() == 1)
+    assert(Cdc.applyDiff(empty,
+      Cdc.diffSnapshots(empty, some, Seq("k"), Seq("v")),
+      Seq("k"), Seq("v")).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+    // salted join with an empty dim: left keeps facts, inner drops all
+    assert(Skew.saltedJoin(some, empty.withColumnRenamed("v", "w"),
+      Seq("k"), 4, "left").count() == 1)
+    assert(Skew.saltedJoin(some, empty.withColumnRenamed("v", "w"),
+      Seq("k"), 4).count() == 0)
+    // global row number of nothing is nothing
+    assert(graft.ops.Layout.globalRowNumber(
+      empty, Seq(col("k")), 4).count() == 0)
+    // semantic dedup / IVF of an empty corpus is empty (no centroids
+    // to draw); PQ training refuses loudly instead of a cryptic head()
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+    assert(Similarity.semanticDedup(
+      emptyVecs, "id", "vec", 0.9, numCentroids = 4).count() == 0)
+    assert(Similarity.ivfTopK(
+      emptyVecs, emptyVecs, "id", "vec", 5).count() == 0)
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(emptyVecs, "id", "vec", m = 2, k = 2)
+    }
+  }
+
   test("full pipeline runs end-to-end on the empty-children fixture") {
     val work = Files.createTempDirectory("graft_empty_out")
     Pipeline.run(spark, dir.toString, work.toString)

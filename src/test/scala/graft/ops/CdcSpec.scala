@@ -33,6 +33,28 @@ class CdcSpec extends AnyFunSuite with WithSpark {
     assert(ops == Map(1L -> "update", 2L -> "update"))
   }
 
+  test("property: applyDiff(old, diff(old, new)) == new on random snapshots") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def snap() = (1 to 300).flatMap { i =>
+        if (rnd.nextDouble() < 0.7)
+          Some((i.toLong,
+            if (rnd.nextDouble() < 0.1) None else Some(s"v${rnd.nextInt(4)}"),
+            rnd.nextInt(100)))
+        else None
+      }.toDF("k", "v", "n")
+      val oldSnap = snap()
+      val newSnap = snap()
+      val keys = Seq("k"); val attrs = Seq("v", "n")
+      val got = Cdc.applyDiff(oldSnap,
+          Cdc.diffSnapshots(oldSnap, newSnap, keys, attrs), keys, attrs)
+        .as[(Long, Option[String], Int)].collect().sorted.toSeq
+      val want = newSnap
+        .as[(Long, Option[String], Int)].collect().sorted.toSeq
+      assert(got == want, s"round-trip failed at seed $seed")
+    }
+  }
+
   test("scd1Merge upserts: batch wins, untouched target survives") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val batch = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
