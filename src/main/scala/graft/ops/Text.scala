@@ -135,6 +135,27 @@ object Text {
       .reduce(_ + _) / checks.size
   }
 
+  /** Learned-model scoring seam: a logistic scorer over
+    * [[qualityFeatures]] with LITERAL coefficients — the deployment
+    * shape of a trained quality classifier (fastText / logistic
+    * regression) distilled to weights. The model ships as numbers in
+    * the plan: scoring is pure codegen'd expressions, map-side, no
+    * UDF/JNI, and the same coefficients paste into any engine (which
+    * is how the DuckDB oracle recomputes it). Weight keys must name
+    * [[qualityFeatures]] entries. */
+  def linearModelScore(
+      text: Column,
+      weights: Map[String, Double],
+      bias: Double): Column = {
+    val f = qualityFeatures(text).toMap
+    require(weights.keySet.subsetOf(f.keySet),
+      s"unknown feature(s): ${weights.keySet -- f.keySet}")
+    val z = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) {
+      case (acc, (name, w)) => acc + lit(w) * f(name).cast(DoubleType)
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   // ---- repetition features (Gopher-style duplicate-fraction rules) ----
 
   /** Fraction of word tokens that are repeats of an earlier token:

@@ -108,6 +108,37 @@ object TextQueries {
           Text.qualityScore(col("text")).as("quality_score"): _*)
     },
 
+    // ---- learned-model scoring seam: logistic scorer with literal
+    //      coefficients over the same feature set (sigmoid on a
+    //      9-decimal grid — exp() is fdlibm in the JVM, glibc in
+    //      DuckDB; the q_bm25 convention) ----
+    sql(
+      "q_model_score",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-(-2.0 + 0.2 * mean_word_len
+         |    + 0.01 * n_tokens - 3.0 * punct_ratio
+         |    + 2.5 * stopword_ratio))), 9) AS model_score
+         |FROM f""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(Text.linearModelScore(col("text"),
+          Map("n_tokens" -> 0.01, "mean_word_len" -> 0.2,
+            "punct_ratio" -> -3.0, "stopword_ratio" -> 2.5),
+          bias = -2.0), 9).as("model_score"))
+    },
+
     // ---- exact dedup: fingerprint groups + surviving representative ----
     sql(
       "q_dedup_exact",

@@ -111,6 +111,64 @@ class DifferentialSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("scd2Merge equals a brute-force in-memory merge on random histories") {
+    import graft.ops.Cdc
+    for (seed <- Seq(3, 11)) {
+      val rng = new scala.util.Random(seed)
+      // history: per key 0-3 closed versions + maybe a current one
+      val hist = (1 to 60).flatMap { key =>
+        val nClosed = rng.nextInt(3)
+        val closed = (0 until nClosed).map { v =>
+          (key.toLong, s"v$v", s"2020-0${v + 1}-01", Some(s"2020-0${v + 2}-01"))
+        }
+        val current =
+          if (rng.nextDouble() < 0.8)
+            Seq((key.toLong, s"v$nClosed", s"2020-0${nClosed + 1}-01",
+              Option.empty[String]))
+          else Seq.empty
+        closed ++ current
+      }
+      // batch: subset of keys + some unseen; half restate, half change
+      val currentByKey = hist.filter(_._4.isEmpty).map(r => r._1 -> r._2).toMap
+      val batch = (1 to 80).flatMap { key =>
+        if (rng.nextDouble() < 0.5) None
+        else {
+          val v = currentByKey.get(key.toLong) match {
+            case Some(cur) if rng.nextBoolean() => cur // no-op restate
+            case _ => s"n$key"
+          }
+          Some((key.toLong, v, "2021-01-01"))
+        }
+      }
+      val histDf = hist.toDF("k", "v", "valid_from", "valid_to")
+        .select($"k", $"v", to_timestamp($"valid_from").as("valid_from"),
+          to_timestamp($"valid_to").as("valid_to"))
+      val batchDf = batch.toDF("k", "v", "effective_at")
+        .withColumn("effective_at", to_timestamp($"effective_at"))
+      val got = Cdc.scd2Merge(histDf, batchDf, Seq("k"), Seq("v"))
+        .select($"k", $"v", date_format($"valid_from", "yyyy-MM-dd").as("f"),
+          date_format($"valid_to", "yyyy-MM-dd").as("t"))
+        .as[(Long, String, String, Option[String])].collect().sorted.toSeq
+      // brute-force reference
+      val eff = "2021-01-01"
+      val expected = (
+        hist.filter(_._4.nonEmpty).map(r => (r._1, r._2, r._3, r._4)) ++
+          hist.filter(_._4.isEmpty).map { case (k, v, f, _) =>
+            val b = batch.find(_._1 == k)
+            val closedBy = b.exists(_._2 != v)
+            (k, v, f, if (closedBy) Some(eff) else None)
+          } ++
+          batch.flatMap { case (k, v, e) =>
+            currentByKey.get(k) match {
+              case Some(cur) if cur == v => None // no-op
+              case _ => Some((k, v, e, Option.empty[String]))
+            }
+          }
+      ).sorted
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("exactGroups equals a reference groupBy over random duplicates") {
     val rng = new scala.util.Random(13)
     val texts = (0 until 40).map(_ => s"doc ${rng.nextInt(12)}")
