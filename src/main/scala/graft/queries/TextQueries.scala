@@ -139,6 +139,48 @@ object TextQueries {
           bias = -2.0), 9).as("model_score"))
     },
 
+    // ---- curriculum ordering: model score -> GLOBAL rank (the
+    //      range-partitioned operator, no single-partition window) ->
+    //      deterministic shard assignment; the composition a training
+    //      run consumes as "easiest-first shards" ----
+    sql(
+      "q_curriculum",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.2 * mean_word_len
+         |      + 0.01 * n_tokens - 3.0 * punct_ratio
+         |      + 2.5 * stopword_ratio))), 9) AS score
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM s)
+         |SELECT doc_id, score, rn, (rn - 1) % 8 AS shard FROM r""".stripMargin) {
+      (s, d) =>
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"),
+          round(Text.linearModelScore(col("text"),
+            Map("n_tokens" -> 0.01, "mean_word_len" -> 0.2,
+              "punct_ratio" -> -3.0, "stopword_ratio" -> 2.5),
+            bias = -2.0), 9).as("score"))
+        graft.ops.Layout.globalRowNumber(
+            scored, Seq(col("score").desc, col("doc_id").asc),
+            numPartitions = 32)
+          .withColumn("shard", (col("rn") - 1) % 8)
+    },
+
     // ---- exact dedup: fingerprint groups + surviving representative ----
     sql(
       "q_dedup_exact",

@@ -92,4 +92,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // plan for this shape — three would mean the rewrite regressed.
     assert(count(p, "Exchange") == 2)
   }
+
+  test("snapshot diff is ONE full-outer join, both scans filter-pushed") {
+    val p = plan("q_snapshot_diff")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") == 1,
+      "diff must be exactly one shuffle join")
+    assert(count(p, "orders.parquet") == 2) // old + new side, once each
+  }
+
+  test("scd2 merge is ONE join (the generator emits both outputs)") {
+    val p = plan("q_scd2_merge")
+    // closed-history branch has no join at all; current⋈batch joins once
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") == 1,
+      s"scd2 must join current and batch exactly once:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "kept/opening generator missing")
+  }
 }

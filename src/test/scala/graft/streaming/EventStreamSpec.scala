@@ -388,6 +388,28 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("slidingStats runs behind readStream with a watermark") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "0 seconds")
+    val query = EventStream.slidingStats(events)
+      .writeStream.format("memory").queryName("sliding_stats")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((ts(0), "click", 1.0))
+      query.processAllAvailable()
+      // watermark far past the windows' ends emits them
+      input.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "x", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("sliding_stats")
+        .filter(col("event_type") === "click")
+        .select(col("win_start").cast("string"))
+        .as[String].collect().toSet
+      assert(got == Set("2026-01-01 09:55:00", "2026-01-01 10:00:00"))
+    } finally query.stop()
+  }
+
   test("cmsSink folds batch sketches; re-delivered batches never " +
       "double-count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
