@@ -471,6 +471,31 @@ object Indexes {
     * parquet read) or a materialized frame — a lazily recomputed
     * build would run once per consumer.
     */
+  /** Incremental refresh for the study-keyed products WITHOUT a
+    * cross-study dependency (donor and file documents: every branch —
+    * phenotypes, diagnoses, biospecimen, per-donor summary — derives
+    * from the document's own study): unchanged studies' rows pass
+    * through the prior snapshot, changed studies rebuild from inputs.
+    * The study index needs [[refreshStudyIndex]] instead (its summary
+    * lattice zero-fills against the GLOBAL category universe).
+    */
+  def refreshDonorIndex(
+      prior: DataFrame, in: ClinicalInputs, changed: Seq[String],
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(changed.nonEmpty, "refreshDonorIndex needs a changed study")
+    prior.filter(!col("study_id").isin(changed: _*))
+      .unionByName(donorIndex(filterStudies(in, changed), meta))
+  }
+
+  /** [[refreshDonorIndex]]'s file-product sibling. */
+  def refreshFileIndex(
+      prior: DataFrame, in: ClinicalInputs, changed: Seq[String],
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(changed.nonEmpty, "refreshFileIndex needs a changed study")
+    prior.filter(!col("study_id").isin(changed: _*))
+      .unionByName(fileIndex(filterStudies(in, changed), meta))
+  }
+
   def refreshStudyIndex(
       prior: DataFrame,
       in: ClinicalInputs,

@@ -381,7 +381,38 @@ object IndexQueries {
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       Canon.flattenNested(
         Indexes.refreshStudyIndex(stalePrior(s), in, Seq("GS001"), meta))
+    },
+
+    // ---- donor-product refresh == full rebuild (same oracle as
+    //      q_donor_index); file-product sibling is spec-covered ----
+    sql("q_donor_refresh", IndexOracles.donorIndexSql) { (s, _) =>
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      Canon.flattenNested(
+        Indexes.refreshDonorIndex(staleDonorPrior(s), in, Seq("GS001"), meta))
     })
+
+  /** Donor-product incremental refresh against the full-rebuild
+    * oracle — the stale prior (GS001 before its phenotypes landed) is
+    * stored parquet like [[stalePrior]]. */
+  private val donorPriorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def staleDonorPrior(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val path = donorPriorCache.computeIfAbsent("stale_donor_prior", _ => {
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val stale = in.copy(phenotype = in.phenotype.filter(
+        col("study_id") =!= "GS001"))
+      val dir = graft.core.Scratch.dir("stale_donor_prior_index")
+      Indexes.donorIndex(stale, meta)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
 
   /** The refresh scenario's STORED prior snapshot (the operator's real
     * contract — refreshes read the last build from disk, they don't

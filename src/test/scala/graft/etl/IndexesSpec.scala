@@ -285,6 +285,23 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(canon(refreshed) == canon(full))
   }
 
+  test("refreshDonorIndex / refreshFileIndex equal their full rebuilds") {
+    // stale prior: GS001's phenotypes had not landed yet
+    val stale = inputs.copy(phenotype = inputs.phenotype.filter(
+      col("study_id") =!= "GS001"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(to_json(struct(df.columns.sorted.map(col): _*)))
+      .as[String].collect().sorted.toSeq
+    val donorPrior = Indexes.donorIndex(stale, stamps).localCheckpoint()
+    assert(canon(Indexes.refreshDonorIndex(
+        donorPrior, inputs, Seq("GS001"), stamps)) ==
+      canon(Indexes.donorIndex(inputs, stamps)))
+    val filePrior = Indexes.fileIndex(stale, stamps).localCheckpoint()
+    assert(canon(Indexes.refreshFileIndex(
+        filePrior, inputs, Seq("GS001"), stamps)) ==
+      canon(Indexes.fileIndex(inputs, stamps)))
+  }
+
   test("refreshStudyIndex passes unchanged docs through, not rebuilds them") {
     // sentinel: tamper GS002's name in the PRIOR inputs only — if the
     // refresh of GS001 rebuilt GS002 from (untampered) inputs, the
