@@ -661,27 +661,41 @@ object Similarity {
     * (~16 B each instead of 256 B of floats) — the two reductions
     * compose, which is what makes ANN affordable at 100 TB.
     *
-    * Divergence from the paper: codes quantize the RAW vectors, not
-    * the per-list residuals (simpler, one codebook set instead of one
-    * per list; costs some recall — the recall spec measures the
-    * composed operator against brute force). Probing ALL lists is
-    * provably identical to the flat [[pqTopK]] scan (spec'd).
+    * `residual = true` is the paper's formulation: codes quantize
+    * v − c (the vector's offset from its coarse centroid), which is
+    * much smaller in magnitude than v on clustered data, so the same
+    * code budget spends itself on finer detail (recall measured in
+    * SimilaritySpec; the residual cross-terms are reconstructed at
+    * query time from driver-sized literal tables). `residual = false`
+    * quantizes raw vectors — that variant's all-lists probe is
+    * provably identical to the flat [[pqTopK]] scan (spec'd). The
+    * index is self-describing: the flag is stored beside the
+    * codebooks and [[ivfPqQuery]] reads it back.
     */
   def ivfPqBuild(
       corpus: DataFrame, id: String, vec: String, dir: String,
       numCentroids: Int = 16, m: Int = 32, k: Int = 16,
-      refineIters: Int = 1): Unit = {
+      refineIters: Int = 1, residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val coarse = ivfCentroids(corpus, id, vec, numCentroids, refineIters)
-    val codebooks = pqCodebooks(corpus, id, vec, m, k, refineIters)
+    // residual mode trains the codebooks on v − c, not on v
+    val trainSrc =
+      if (!residual) corpus.select(col(id), col(vec))
+      else corpus
+        .select(col(id).cast("long"), col(vec).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .map { case (i, v) => (i, residualOf(v, coarse)) }
+        .toDF(id, vec)
+    val codebooks = pqCodebooks(trainSrc, id, vec, m, k, refineIters)
     coarse.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "vector")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.zipWithIndex.toSeq
-      .flatMap { case (cb, j) => cb.map { case (c, v) => (j, c, v.toSeq) } }
-      .toDF("subspace", "code", "vector")
+      .flatMap { case (cb, j) =>
+        cb.map { case (c, v) => (j, c, v.toSeq, residual) } }
+      .toDF("subspace", "code", "vector", "residual")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     // codes + coarse assignment in ONE corpus scan (map-side typed
@@ -692,13 +706,20 @@ object Similarity {
       .select(col(id).cast("long"), col(vec).cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (i, v) =>
-        (i,
-          Array.tabulate(mm)(j => pqCodeOf(v, j * sub, codebooks(j))),
-          coarseCidOf(v, coarse))
+        val cid = coarseCidOf(v, coarse)
+        val enc = if (residual) residualOf(v, coarse) else v
+        (i, Array.tabulate(mm)(j => pqCodeOf(enc, j * sub, codebooks(j))), cid)
       }
       .toDF("neighbor_id", "codes", "cid")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /** v − c for v's cosine-nearest coarse centroid. */
+  private def residualOf(
+      v: Array[Double], coarse: Array[(Int, Array[Double])]): Array[Double] = {
+    val c = coarse(coarseCidOf(v, coarse))._2
+    Array.tabulate(v.length)(t => v(t) - c(t))
   }
 
   /** Query a persisted IVFADC index ([[ivfPqBuild]]): static partition
@@ -713,13 +734,23 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val codebooks: Array[Array[(Int, Array[Double])]] = spark.read
-      .parquet(s"$dir/codebooks")
+    val cbDf = spark.read.parquet(s"$dir/codebooks")
+    val residual = cbDf.schema.fieldNames.contains("residual") &&
+      cbDf.select("residual").head().getBoolean(0)
+    val codebooks: Array[Array[(Int, Array[Double])]] = cbDf
+      .select("subspace", "code", "vector")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(t => (t._2, t._3)))
-    val q = queriesWithLut(queries, id, vec, codebooks)
+    val qBase = queriesWithLut(queries, id, vec, codebooks)
+    // residual scoring needs q·c per probed centroid: hoist the 16
+    // full-dimension dots once per query row, next to the LUT
+    val qWithCoarse =
+      if (!residual) qBase
+      else qBase.withColumn("__qc", array(coarse.toSeq.map { case (_, c) =>
+        dot(col("__qv"), array(c.map(lit).toIndexedSeq: _*)) }: _*))
+    val q = qWithCoarse
       .withColumn("__cid", explode(slice(
         transform(rankedCentroids(col("__qv"), coarse),
           s => s.getField("cid")),
@@ -728,13 +759,55 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    val score =
+      if (!residual) adcCosine(col("codes"), codebooks)
+      else residualAdcCosine(col("codes"), col("cid"), coarse, codebooks)
     val scored = lists
       .join(broadcast(q), col("cid") === col("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcCosine(col("codes"), codebooks).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
     graft.plans.TopKPerGroup.topK(
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
+  }
+
+  /** cosine(q, c + r̂) for residual-encoded lists:
+    * (q·c + q·r̂) / (|q| · √(|c|² + 2 c·r̂ + |r̂|²)). q·c and q·r̂ ride
+    * the hoisted per-query tables; the query-independent pieces —
+    * c·r̂ per (cid, subspace, code), |r̂|² per (subspace, code), |c|²
+    * per cid — are driver-computed literal tables (numCentroids × m ×
+    * k doubles, constant-folded into the plan). */
+  private def residualAdcCosine(
+      codesCol: Column, cidCol: Column,
+      coarse: Array[(Int, Array[Double])],
+      codebooks: Array[Array[(Int, Array[Double])]]): Column = {
+    val sub = codebooks(0)(0)._2.length
+    def scalaDot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var t = 0
+      while (t < b.length) { s += a(off + t) * b(t); t += 1 }
+      s
+    }
+    val crLit = array(coarse.toSeq.map { case (_, c) =>
+      array(codebooks.indices.map { j =>
+        array(codebooks(j).toSeq.map { case (_, rv) =>
+          lit(scalaDot(c, j * sub, rv)) }: _*)
+      }: _*)
+    }: _*)
+    val rn2Lit = array(codebooks.indices.map { j =>
+      array(codebooks(j).toSeq.map { case (_, rv) =>
+        lit(rv.map(x => x * x).sum) }: _*)
+    }: _*)
+    val c2Lit = array(coarse.toSeq.map { case (_, c) =>
+      lit(c.map(x => x * x).sum) }: _*)
+    def perSub(table: Column): Column = codebooks.indices.map { j =>
+      element_at(element_at(table, j + 1),
+        element_at(codesCol, j + 1) + lit(1))
+    }.reduce(_ + _)
+    val qDotR = perSub(col("__lut"))
+    val cDotR = perSub(element_at(crLit, cidCol + lit(1)))
+    val rNorm2 = perSub(rn2Lit)
+    val qDotC = element_at(col("__qc"), cidCol + lit(1))
+    (qDotC + qDotR) / (col("__qn") *
+      sqrt(element_at(c2Lit, cidCol + lit(1)) + lit(2.0) * cDotR + rNorm2))
   }
 
   def lshTopK(

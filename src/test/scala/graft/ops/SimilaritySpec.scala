@@ -174,8 +174,10 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    // raw-vector mode: the only variant where all-lists == flat scan
     Similarity.ivfPqBuild(e, "vec_id", "embedding", dir,
-      numCentroids = 16, m = 32, k = 16, refineIters = 2)
+      numCentroids = 16, m = 32, k = 16, refineIters = 2,
+      residual = false)
     val full = Similarity.ivfPqQuery(
         q, dir, "vec_id", "embedding", k = 5, nProbe = 16)
       .select("query_id", "neighbor_id", "rank")
@@ -199,8 +201,21 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
         q, dir, "vec_id", "embedding", k = 5, nProbe = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    info(s"IVFADC recall at nProbe=8: $recall")
+    info(s"IVFADC raw-vector recall at nProbe=8: $recall")
     assert(recall >= 0.25, s"IVFADC recall $recall too low")
+    // residual mode (the paper's formulation): codes spend themselves
+    // on v − c, which is smaller on clustered data — recall must not
+    // regress vs raw-vector quantization at the same budget
+    val rdir = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    Similarity.ivfPqBuild(e, "vec_id", "embedding", rdir,
+      numCentroids = 16, m = 32, k = 16, refineIters = 2)
+    val resid = Similarity.ivfPqQuery(
+        q, dir = rdir, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val residRecall = (exact & resid).size.toDouble / exact.size
+    info(s"IVFADC residual recall at nProbe=8: $residRecall")
+    assert(residRecall >= recall - 0.04,
+      s"residual encoding regressed recall: $residRecall < $recall")
   }
 
   test("pq encoding is deterministic across partitionings") {
