@@ -257,10 +257,19 @@ object Similarity {
     // empty seed set (empty corpus): nothing to refine — and the
     // zero-centroid ranking expression would not analyze
     if (centroids.isEmpty) return centroids
+    // assignment is the same cosine-argmax the ranking expression
+    // computes (sequential dot, same tie-break), as a typed kernel —
+    // the k×dim literal expression tree cost ~1 s of codegen per pass
+    val spark = corpusVecs.sparkSession
+    import spark.implicits._
     val means = corpusVecs
-      .withColumn("__cid",
-        rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
-      .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .select(col("__v").cast("array<double>"))
+      .as[Array[Double]]
+      .flatMap { v =>
+        val cid = coarseCidOf(v, centroids)
+        v.iterator.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
+      }
+      .toDF("__cid", "__pos", "__x")
       .groupBy("__cid", "__pos")
       .agg(round(
         (sum(col("__x").cast(DecimalType(38, 18))) /
