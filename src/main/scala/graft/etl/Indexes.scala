@@ -428,16 +428,6 @@ object Indexes {
       family = f(in.family), familyHistory = f(in.familyHistory))
   }
 
-  /** (kind, key) category dimension of a [[donorPerFile]]-shaped frame
-    * — the summary lattice's zero-fill universe contribution. */
-  private def catKeys(facts: DataFrame): DataFrame = facts
-    .select(explode(array(SummaryFields.map(f =>
-      struct(lit(f).as("kind"), col(f).cast("string").as("key"))): _*))
-      .as("__kk"))
-    .select(col("__kk.kind").as("kind"), col("__kk.key").as("key"))
-    .filter(col("key").isNotNull)
-    .distinct()
-
   /** Incremental refresh of the study index: rebuild ONLY `changed`
     * studies' documents from inputs; every other document passes
     * through from the prior snapshot without touching its study's
@@ -507,13 +497,22 @@ object Indexes {
       prior.select(explode(col(s"summary.$f")).as("__s"))
         .select(lit(f).as("kind"), col("__s.key").as("key"))
     }.reduce(_.unionByName(_)).distinct()
+    // lazy checkpoint: the rebuilt docs have two readers (the universe
+    // extraction below and the output union) — materialize the
+    // changed-slice build once instead of running it per reader
     val rebuilt = studyIndex(changedIn, meta,
       shared = None, extraCatKeys = Some(priorUniverse))
-    // full universe for the unchanged-doc patch: prior ∪ what the
-    // changed slice introduces. Dimension-sized driver collect (the
-    // same envelope as the dictionary rows / IVF centroid table).
-    val fullUniverse: Map[String, Seq[String]] = priorUniverse
-      .unionByName(catKeys(donorPerFile(changedIn))).distinct()
+      .localCheckpoint(eager = false)
+    // full universe for the unchanged-doc patch: the rebuilt docs'
+    // own matrices already carry prior ∪ introduced (their lattice
+    // zero-filled against extraCatKeys), so extracting from them
+    // needs no second donor⋈file scan of the changed slice.
+    // Dimension-sized driver collect (the dictionary-rows envelope).
+    val fullUniverse: Map[String, Seq[String]] = SummaryFields.map { f =>
+      rebuilt.select(explode(col(s"summary.$f")).as("__s"))
+        .select(lit(f).as("kind"), col("__s.key").as("key"))
+    }.reduce(_.unionByName(_)).distinct()
+      .unionByName(priorUniverse).distinct()
       .collect()
       .groupBy(_.getString(0))
       .map { case (k, rows) => k -> rows.map(_.getString(1)).toSeq.sorted }

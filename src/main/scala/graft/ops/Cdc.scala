@@ -54,16 +54,18 @@ object Cdc {
       attrs: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffSnapshots needs at least one key column")
     require(attrs.nonEmpty, "diffSnapshots needs at least one compare column")
+    // explicit presence markers: a row whose key columns are ALL null
+    // is still a present row, so probing the key columns after the
+    // join cannot distinguish it from an absent side
     val o = prefixed(oldDf, keys ++ attrs, "__o_")
+      .withColumn("__o_present", lit(true))
     val n = prefixed(newDf, keys ++ attrs, "__n_")
+      .withColumn("__n_present", lit(true))
     val joined = o.join(
       n, keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _),
       "full_outer")
-    // presence probes: a key column can be legitimately null in data,
-    // so presence is "any key col non-null on that side" after the
-    // null-safe join (an absent side leaves ALL its columns null)
-    val oPresent = keys.map(k => col(s"__o_$k").isNotNull).reduce(_ || _)
-    val nPresent = keys.map(k => col(s"__n_$k").isNotNull).reduce(_ || _)
+    val oPresent = col("__o_present").isNotNull
+    val nPresent = col("__n_present").isNotNull
     val op = when(!oPresent, lit("insert"))
       .when(!nPresent, lit("delete"))
       .when(anyDiffers(attrs, "__o_", "__n_"), lit("update"))
@@ -90,12 +92,18 @@ object Cdc {
       diff: DataFrame,
       keys: Seq[String],
       attrs: Seq[String]): DataFrame = {
+    // the anti join must be null-safe like the diff's own join, or a
+    // null-key delete/update is never applied and the round-trip
+    // property breaks exactly where diffSnapshots promises null keys
+    // are legitimate
     val touched = diff.filter(col("op").isin("delete", "update"))
-      .select(keys.map(col): _*)
+      .select(keys.map(k => col(k).as(s"__t_$k")): _*)
     val incoming = diff.filter(col("op").isin("insert", "update"))
       .select(keys.map(col) ++ attrs.map(a => col(s"new_$a").as(a)): _*)
     snapshot.select((keys ++ attrs).map(col): _*)
-      .join(touched, keys, "left_anti")
+      .join(touched,
+        keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _),
+        "left_anti")
       .unionByName(incoming)
   }
 
@@ -110,7 +118,14 @@ object Cdc {
     require(target.columns.toSeq == batch.columns.toSeq,
       "scd1Merge: target and batch schemas must match " +
         s"(${target.columns.mkString(",")} vs ${batch.columns.mkString(",")})")
-    target.join(batch, keys, "left_anti").unionByName(batch)
+    // null-safe anti join (a batch row with a null key must still
+    // replace the target's null-key row); the batch side is prefixed
+    // for fresh exprIds, same as the other operators
+    val b = prefixed(batch, keys, "__b_")
+    target
+      .join(b, keys.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _),
+        "left_anti")
+      .unionByName(batch)
   }
 
   /** SCD type-2 history merge. `history` rows are versioned
@@ -161,7 +176,7 @@ object Cdc {
       (keys ++ attrs).map(c => col(s"__c_$c").as(c)) :+
         col("__c_valid_from").as("valid_from") :+
         when(changed, eff).cast(validToType).as("valid_to"): _*))
-    val opening = when(bPresent && (!cPresent || anyDiffers(attrs, "__b_", "__c_")),
+    val opening = when(bPresent && (!cPresent || changed),
       struct(
         (keys ++ attrs).map(c => col(s"__b_$c").as(c)) :+
           eff.as("valid_from") :+

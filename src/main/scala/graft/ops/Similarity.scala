@@ -229,13 +229,21 @@ object Similarity {
   }
 
   /** Cosine-ranked centroid list for one vector, as a sorted
-    * array<struct<negsim,cid>> over literal centroids. */
+    * array<struct<negsim,cid>> over literal centroids. A zero-norm
+    * side (degenerate vector, or a centroid that collapsed to zeros)
+    * ranks WORSE than any real cosine (negsim 2.0 vs max 1.0) instead
+    * of dividing by zero — ANSI mode makes 0-divisor a hard error, and
+    * the kernel paths (coarseCidOf) already never pick NaN
+    * similarities, so the two formulations stay consistent. */
   private def rankedCentroids(
       v: Column, centroids: Array[(Int, Array[Double])]): Column = sort_array(
     array(centroids.toSeq.map { case (cid, cv) =>
       val cvNorm = math.sqrt(cv.map(x => x * x).sum)
       val cvCol = array(cv.map(lit).toIndexedSeq: _*)
-      struct((-(dot(v, cvCol) / (norm(v) * lit(cvNorm)))).as("negsim"),
+      val denom = norm(v) * lit(cvNorm)
+      struct(
+        when(denom === 0.0, lit(2.0))
+          .otherwise(-(dot(v, cvCol) / denom)).as("negsim"),
         lit(cid).as("cid"))
     }: _*))
 
@@ -454,7 +462,10 @@ object Similarity {
       if (sim > best) { best = sim; bc = cs(i)._1 }
       i += 1
     }
-    bc
+    // a zero-norm (or NaN) vector compares NaN to every centroid and
+    // never updates bc — pin it to the first centroid instead of
+    // letting the -1 sentinel escape as an array index / list id
+    if (bc == -1) cs(0)._1 else bc
   }
 
   /** L2-argmin code of `v(off until off+sub)` against one codebook —
@@ -475,7 +486,10 @@ object Similarity {
       if (d < best) { best = d; bc = cb(i)._1 }
       i += 1
     }
-    bc
+    // NaN components make every distance NaN and bc never updates —
+    // pin to the first code rather than emit -1, which would blow up
+    // later as element_at(lut, 0) in a query far from the bad row
+    if (bc == -1) cb(0)._1 else bc
   }
 
   /** Encode the corpus: one row per vector with its `m` PQ codes (the
@@ -549,7 +563,10 @@ object Similarity {
       element_at(element_at(norm2Lit, j + 1),
         element_at(codesCol, j + 1) + lit(1))
     }.reduce(_ + _)
-    adcDot / (col("__qn") * sqrt(reconNorm2))
+    val denom = col("__qn") * sqrt(reconNorm2)
+    // zero-norm query or zero reconstruction: rank strictly below any
+    // real cosine instead of an ANSI divide-by-zero
+    when(denom === 0.0, lit(-2.0)).otherwise(adcDot / denom)
   }
 
   def pqTopK(
@@ -727,7 +744,10 @@ object Similarity {
   /** v − c for v's cosine-nearest coarse centroid. */
   private def residualOf(
       v: Array[Double], coarse: Array[(Int, Array[Double])]): Array[Double] = {
-    val c = coarse(coarseCidOf(v, coarse))._2
+    val cid = coarseCidOf(v, coarse)
+    // look up by cid value, not array position (they coincide for
+    // ivfCentroids output, but the contract is the id)
+    val c = coarse.find(_._1 == cid).get._2
     Array.tabulate(v.length)(t => v(t) - c(t))
   }
 
@@ -815,8 +835,11 @@ object Similarity {
     val cDotR = perSub(element_at(crLit, cidCol + lit(1)))
     val rNorm2 = perSub(rn2Lit)
     val qDotC = element_at(col("__qc"), cidCol + lit(1))
-    (qDotC + qDotR) / (col("__qn") *
-      sqrt(element_at(c2Lit, cidCol + lit(1)) + lit(2.0) * cDotR + rNorm2))
+    val denom = col("__qn") *
+      sqrt(element_at(c2Lit, cidCol + lit(1)) + lit(2.0) * cDotR + rNorm2)
+    // zero-norm query or zero reconstruction: rank strictly below any
+    // real cosine instead of an ANSI divide-by-zero
+    when(denom === 0.0, lit(-2.0)).otherwise((qDotC + qDotR) / denom)
   }
 
   def lshTopK(

@@ -55,6 +55,25 @@ class CdcSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("null KEYS are first-class: diff classifies them, apply applies " +
+      "them, scd1 replaces them") {
+    val oldSnap = Seq((Option(1L), "a"), (Option.empty[Long], "x"))
+      .toDF("k", "v")
+    val newSnap = Seq((Option(1L), "a"), (Option.empty[Long], "y"))
+      .toDF("k", "v")
+    // null-key value change must be ONE update, not a spurious insert
+    val d = Cdc.diffSnapshots(oldSnap, newSnap, Seq("k"), Seq("v"))
+    assert(d.select("op").as[String].collect().toSeq == Seq("update"))
+    // and applying it must converge on the new snapshot
+    val applied = Cdc.applyDiff(oldSnap, d, Seq("k"), Seq("v"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(applied == Set((Option(1L), "a"), (None, "y")))
+    // scd1: the null-key batch row replaces, never duplicates
+    val merged = Cdc.scd1Merge(oldSnap, newSnap, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(merged == Set((Option(1L), "a"), (None, "y")))
+  }
+
   test("scd1Merge upserts: batch wins, untouched target survives") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val batch = Seq((2L, "B"), (3L, "c")).toDF("k", "v")

@@ -218,6 +218,28 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       s"residual encoding regressed recall: $residRecall < $recall")
   }
 
+  test("zero-norm and NaN vectors get pinned codes, not -1 sentinels") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),          // zero norm
+      (3L, Seq(Float.NaN, 1.0f, 1.0f, 1.0f)),     // NaN component
+      (4L, Seq(0.5f, 0.25f, 1.0f, 2.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, k = 2)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+      .select(explode(col("codes")).as("c")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 2), codes.toSeq)
+    // the degenerate rows must also survive an IVFADC residual build
+    // + query end to end (the -1 sentinel used to index coarse())
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    Similarity.ivfPqBuild(df, "vec_id", "embedding", dir,
+      numCentroids = 2, m = 2, k = 2)
+    val got = Similarity.ivfPqQuery(
+      df.filter(col("vec_id") === 1), dir, "vec_id", "embedding",
+      k = 2, nProbe = 2)
+    assert(got.count() > 0)
+  }
+
   test("pq encoding is deterministic across partitionings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebooks(e, "vec_id", "embedding")
