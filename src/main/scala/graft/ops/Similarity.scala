@@ -523,61 +523,79 @@ object Similarity {
     * code table × broadcast queries — the brute-force plan shape at
     * 1/32nd the scanned bytes. */
   /** Broadcast query frame carrying precomputed per-query ADC lookup
-    * tables: `__lut[j][c]` = query-subvector-j · centroid-(j,c), plus
-    * the query norm. The LUT costs m×k dots ONCE per query row; the
-    * per-pair score is then m array lookups — the asymmetric-distance
-    * trick that makes the compressed scan cheap. Shared by [[pqTopK]]
-    * and [[ivfPqQuery]]. */
+    * tables: `__lut[j][c]` = query-subvector-j · centroid-(j,c), the
+    * query norm, and (when `coarse` is supplied) `__qc[cid]` = q · c.
+    * The LUT costs m×k dots ONCE per query row; the per-pair score is
+    * then m array lookups — the asymmetric-distance trick that makes
+    * the compressed scan cheap. A typed kernel, not an expression
+    * tree: the m×k-dot projection generated ~0.5 s of fresh janino
+    * compilation per ACTION, which dwarfed the work for human-sized
+    * query batches. Shared by [[pqTopK]] and [[ivfPqQuery]]. */
   private def queriesWithLut(
       queries: DataFrame, id: String, vec: String,
-      codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+      codebooks: Array[Array[(Int, Array[Double])]],
+      coarse: Array[(Int, Array[Double])] = Array.empty): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val sub = codebooks(0)(0)._2.length
-    val lut = array(codebooks.indices.map { j =>
-      array(codebooks(j).toSeq.map { case (_, cv) =>
-        dot(slice(col("__qv"), j * sub + 1, sub),
-          array(cv.map(lit).toIndexedSeq: _*))
-      }: _*)
-    }: _*)
+    val m = codebooks.length
     queries
-      .select(col(id).as("query_id"),
-        col(vec).cast("array<double>").as("__qv"))
-      .withColumn("__lut", lut)
-      .withColumn("__qn", norm(col("__qv")))
+      .select(col(id).cast("long"), col(vec).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (qid, v) =>
+        val lut = Array.tabulate(m)(j =>
+          codebooks(j).map { case (_, cv) =>
+            var s = 0.0; var t = 0
+            while (t < cv.length) { s += v(j * sub + t) * cv(t); t += 1 }
+            s
+          })
+        var n2 = 0.0
+        v.foreach(x => n2 += x * x)
+        val qc = coarse.map { case (_, c) =>
+          var s = 0.0; var t = 0
+          while (t < c.length) { s += v(t) * c(t); t += 1 }
+          s
+        }
+        (qid, v, lut, math.sqrt(n2), qc)
+      }
+      .toDF("query_id", "__qv", "__lut", "__qn", "__qc")
   }
 
   /** cosine(q, x̂) from a codes column + the precomputed `__lut`:
-    * m LUT lookups per pair plus the (query-independent, literal)
-    * reconstruction norm. */
-  private def adcCosine(
-      codesCol: Column,
-      codebooks: Array[Array[(Int, Array[Double])]]): Column = {
-    val adcDot = codebooks.indices.map { j =>
-      element_at(element_at(col("__lut"), j + 1),
+    * m LUT lookups per pair plus the data-carried reconstruction-norm
+    * table `__rn2` (one-row broadcast — see the scale note in
+    * [[ivfPqQuery]]). */
+  private def adcCosine(codesCol: Column, m: Int): Column = {
+    def perSub(table: Column): Column = (0 until m).map { j =>
+      element_at(element_at(table, j + 1),
         element_at(codesCol, j + 1) + lit(1))
     }.reduce(_ + _)
-    val norm2Lit = array(codebooks.indices.map { j =>
-      array(codebooks(j).toSeq.map { case (_, cv) =>
-        lit(cv.map(x => x * x).sum) }: _*)
-    }: _*)
-    val reconNorm2 = codebooks.indices.map { j =>
-      element_at(element_at(norm2Lit, j + 1),
-        element_at(codesCol, j + 1) + lit(1))
-    }.reduce(_ + _)
-    val denom = col("__qn") * sqrt(reconNorm2)
+    val denom = col("__qn") * sqrt(perSub(col("__rn2")))
     // zero-norm query or zero reconstruction: rank strictly below any
     // real cosine instead of an ANSI divide-by-zero
-    when(denom === 0.0, lit(-2.0)).otherwise(adcDot / denom)
+    when(denom === 0.0, lit(-2.0))
+      .otherwise(perSub(col("__lut")) / denom)
   }
 
   def pqTopK(
       codes: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val q = broadcast(queriesWithLut(queries, id, vec, codebooks))
-    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+    // reconstruction norms ride a one-row broadcast (data, not a
+    // plan literal — see ivfPqQuery's scale note)
+    val tables = broadcast(Seq(Tuple1(
+      codebooks.toSeq.map(cb =>
+        cb.toSeq.map { case (_, cv) => cv.map(x => x * x).sum })
+    )).toDF("__rn2"))
+    val scored = codes
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .crossJoin(tables)
     graft.plans.TopKPerGroup.topK(
       scored.select(col("query_id"), col("neighbor_id"),
-        adcCosine(col("codes"), codebooks).as("cosine")),
+        adcCosine(col("codes"), codebooks.length).as("cosine")),
       Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
@@ -772,14 +790,11 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(t => (t._2, t._3)))
-    val qBase = queriesWithLut(queries, id, vec, codebooks)
-    // residual scoring needs q·c per probed centroid: hoist the 16
-    // full-dimension dots once per query row, next to the LUT
-    val qWithCoarse =
-      if (!residual) qBase
-      else qBase.withColumn("__qc", array(coarse.toSeq.map { case (_, c) =>
-        dot(col("__qv"), array(c.map(lit).toIndexedSeq: _*)) }: _*))
-    val q = qWithCoarse
+    // residual scoring needs q·c per probed centroid: the kernel
+    // hoists those 16 full-dimension dots once per query row too
+    val qBase = queriesWithLut(queries, id, vec, codebooks,
+      coarse = if (residual) coarse else Array.empty)
+    val q = qBase
       .withColumn("__cid", explode(slice(
         transform(rankedCentroids(col("__qv"), coarse),
           s => s.getField("cid")),
@@ -788,11 +803,33 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    // the query-independent tables ride a ONE-ROW broadcast frame
+    // (data, not plan literals — the Bloom-bitset device): an
+    // 8k-double literal in the tree gets re-hashed by every optimizer
+    // / AQE rule pass and cost multiple seconds of driver time per
+    // action
+    import spark.implicits._
+    val sub = codebooks(0)(0)._2.length
+    def sd(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var t = 0
+      while (t < b.length) { s += a(off + t) * b(t); t += 1 }
+      s
+    }
+    val tables = broadcast(Seq((
+      coarse.toSeq.map { case (_, c) =>
+        codebooks.indices.map(j =>
+          codebooks(j).toSeq.map { case (_, rv) => sd(c, j * sub, rv) })
+      },
+      codebooks.toSeq.map(cb =>
+        cb.toSeq.map { case (_, rv) => rv.map(x => x * x).sum }),
+      coarse.toSeq.map { case (_, c) => c.map(x => x * x).sum }
+    )).toDF("__crT", "__rn2", "__c2"))
     val score =
-      if (!residual) adcCosine(col("codes"), codebooks)
-      else residualAdcCosine(col("codes"), col("cid"), coarse, codebooks)
+      if (!residual) adcCosine(col("codes"), codebooks.length)
+      else residualAdcCosine(col("codes"), col("cid"), codebooks.length)
     val scored = lists
       .join(broadcast(q), col("cid") === col("__cid"))
+      .crossJoin(tables)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
     graft.plans.TopKPerGroup.topK(
@@ -802,41 +839,21 @@ object Similarity {
   /** cosine(q, c + r̂) for residual-encoded lists:
     * (q·c + q·r̂) / (|q| · √(|c|² + 2 c·r̂ + |r̂|²)). q·c and q·r̂ ride
     * the hoisted per-query tables; the query-independent pieces —
-    * c·r̂ per (cid, subspace, code), |r̂|² per (subspace, code), |c|²
-    * per cid — are driver-computed literal tables (numCentroids × m ×
-    * k doubles, constant-folded into the plan). */
+    * `__crT` (c·r̂ per cid/subspace/code), `__rn2` (|r̂|²), `__c2`
+    * (|c|²) — ride the one-row broadcast tables frame. */
   private def residualAdcCosine(
-      codesCol: Column, cidCol: Column,
-      coarse: Array[(Int, Array[Double])],
-      codebooks: Array[Array[(Int, Array[Double])]]): Column = {
-    val sub = codebooks(0)(0)._2.length
-    def scalaDot(a: Array[Double], off: Int, b: Array[Double]): Double = {
-      var s = 0.0; var t = 0
-      while (t < b.length) { s += a(off + t) * b(t); t += 1 }
-      s
-    }
-    val crLit = array(coarse.toSeq.map { case (_, c) =>
-      array(codebooks.indices.map { j =>
-        array(codebooks(j).toSeq.map { case (_, rv) =>
-          lit(scalaDot(c, j * sub, rv)) }: _*)
-      }: _*)
-    }: _*)
-    val rn2Lit = array(codebooks.indices.map { j =>
-      array(codebooks(j).toSeq.map { case (_, rv) =>
-        lit(rv.map(x => x * x).sum) }: _*)
-    }: _*)
-    val c2Lit = array(coarse.toSeq.map { case (_, c) =>
-      lit(c.map(x => x * x).sum) }: _*)
-    def perSub(table: Column): Column = codebooks.indices.map { j =>
+      codesCol: Column, cidCol: Column, m: Int): Column = {
+    def perSub(table: Column): Column = (0 until m).map { j =>
       element_at(element_at(table, j + 1),
         element_at(codesCol, j + 1) + lit(1))
     }.reduce(_ + _)
     val qDotR = perSub(col("__lut"))
-    val cDotR = perSub(element_at(crLit, cidCol + lit(1)))
-    val rNorm2 = perSub(rn2Lit)
+    val cDotR = perSub(element_at(col("__crT"), cidCol + lit(1)))
+    val rNorm2 = perSub(col("__rn2"))
     val qDotC = element_at(col("__qc"), cidCol + lit(1))
     val denom = col("__qn") *
-      sqrt(element_at(c2Lit, cidCol + lit(1)) + lit(2.0) * cDotR + rNorm2)
+      sqrt(element_at(col("__c2"), cidCol + lit(1)) +
+        lit(2.0) * cDotR + rNorm2)
     // zero-norm query or zero reconstruction: rank strictly below any
     // real cosine instead of an ANSI divide-by-zero
     when(denom === 0.0, lit(-2.0)).otherwise((qDotC + qDotR) / denom)
