@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -154,6 +154,47 @@ object Text {
       case (acc, (name, w)) => acc + lit(w) * f(name).cast(DoubleType)
     }
     lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Record linkage: all pairs within unit edit distance, via the
+    * deletion-neighborhood device (SymSpell, public): if
+    * levenshtein(a, b) ≤ 1 then {a} ∪ del1(a) and {b} ∪ del1(b)
+    * intersect (substitution → same single deletion; insert/delete →
+    * one side's variant IS the other; equality → self), so an
+    * equi-join on deletion variants is COMPLETE — zero false
+    * negatives — and an exact levenshtein rescore drops the false
+    * positives (e.g. "ab"/"ba" share variant "a" at distance 2).
+    *
+    * Scale shape: one generator fans each string into len+1 variants
+    * (apply to KEY-sized columns — names, titles — not documents),
+    * one hash equi-join on the variant, rescore on the candidate
+    * minority. The classic all-pairs levenshtein join this replaces
+    * is O(n²·len²) and never survives a big table. Candidate volume
+    * tracks variant-key collisions: serial-number-style keys with
+    * long shared prefixes (the TPC-H fixture is the worst case) fan
+    * wider than natural names; a skewed hot variant is a
+    * [[graft.ops.Skew.saltedJoin]] candidate.
+    */
+  def editDistance1Pairs(
+      df: DataFrame, id: String, strCol: String): DataFrame = {
+    val s = col(strCol)
+    val delVars = transform(sequence(lit(0), length(s) - 1),
+      i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s))))
+    val vars = array_distinct(
+      when(length(s) === 0, array(s)) // sequence(0,-1) would not analyze
+        .otherwise(concat(array(s), delVars)))
+    val side = df.select(col(id), s, explode(vars).as("__var"))
+    val a = side.toDF("a", "__sa", "__v")
+    val b = side.toDF("b", "__sb", "__v2")
+    a.join(b, col("__v") === col("__v2") && col("a") < col("b"))
+      // rescore BEFORE dedup: a candidate appears once per shared
+      // variant (≤ 3×), and re-running a key-length levenshtein is far
+      // cheaper than shuffling every raw candidate through distinct —
+      // the exchange then carries only true pairs
+      .filter(levenshtein(col("__sa"), col("__sb")) <= 1)
+      .select(col("a"), col("b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .distinct()
   }
 
   // ---- repetition features (Gopher-style duplicate-fraction rules) ----

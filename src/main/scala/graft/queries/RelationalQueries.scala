@@ -270,6 +270,20 @@ object RelationalQueries {
             col("o_custkey"), col("o_orderstatus"))
     },
 
+    // ---- record linkage: unit-edit-distance self-join via deletion
+    //      neighborhoods (complete banding + exact rescore); the
+    //      oracle is the brute-force levenshtein join ----
+    sql(
+      "q_fuzzy_join",
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) {
+      (s, d) =>
+        graft.ops.Text.editDistance1Pairs(
+          Tables.customer(s, d), "c_custkey", "c_name")
+    },
+
     // ---- bloom-pruned join: explicit semi-join pushdown; zero false
     //      negatives make it byte-identical to the plain join ----
     sql(

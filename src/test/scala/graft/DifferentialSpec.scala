@@ -169,6 +169,43 @@ class DifferentialSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("editDistance1Pairs equals the brute-force levenshtein join " +
+      "on random mutated strings") {
+    import graft.ops.Text
+    val rng = new scala.util.Random(17)
+    val alphabet = "abc" // small alphabet forces dense collisions
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    // base strings + mutated copies (sub/insert/delete) + empties
+    val strs = (0 until 60).flatMap { _ =>
+      val s = randStr(2 + rng.nextInt(5))
+      val mutated = rng.nextInt(3) match {
+        case 0 => s.updated(rng.nextInt(s.length), alphabet(rng.nextInt(3)))
+        case 1 => s.patch(rng.nextInt(s.length), s"${alphabet(rng.nextInt(3))}", 0)
+        case _ => s.patch(rng.nextInt(s.length), "", 1)
+      }
+      Seq(s, mutated.toString)
+    } :+ "" :+ "" :+ "a"
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expected = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      if lev(strs(i), strs(j)) <= 1
+    } yield (i.toLong, j.toLong, lev(strs(i), strs(j)))).toSet
+    val got = Text.editDistance1Pairs(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("exactGroups equals a reference groupBy over random duplicates") {
     val rng = new scala.util.Random(13)
     val texts = (0 until 40).map(_ => s"doc ${rng.nextInt(12)}")
