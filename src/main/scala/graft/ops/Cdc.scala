@@ -54,6 +54,11 @@ object Cdc {
       attrs: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffSnapshots needs at least one key column")
     require(attrs.nonEmpty, "diffSnapshots needs at least one compare column")
+    // the presence markers live in the same prefixed namespace as the
+    // data columns — a data column named "present" would be silently
+    // overwritten and its changes never detected
+    require(!(keys ++ attrs).contains("present"),
+      "diffSnapshots: column name 'present' is reserved (presence markers)")
     // explicit presence markers: a row whose key columns are ALL null
     // is still a present row, so probing the key columns after the
     // join cannot distinguish it from an absent side
@@ -152,6 +157,8 @@ object Cdc {
       keys: Seq[String],
       attrs: Seq[String],
       effectiveCol: String = "effective_at"): DataFrame = {
+    require(!(keys ++ attrs).contains("present"),
+      "scd2Merge: column name 'present' is reserved (presence markers)")
     val closed = history.filter(col("valid_to").isNotNull)
     // explicit presence markers: a null KEY column must not read as
     // "side absent" after the full-outer join

@@ -442,6 +442,24 @@ object Similarity {
     books
   }
 
+  /** Σ a(off+t)·b(t) — the one offset dot-product loop shared by the
+    * kernel paths (LUT build, q·c hoists, residual cross-terms). */
+  private def dotOff(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var s = 0.0; var t = 0
+    while (t < b.length) { s += a(off + t) * b(t); t += 1 }
+    s
+  }
+
+  /** The ANN kernels carry ids as longs ([[VecRow]], codes frames) —
+    * reject non-integral id columns at the call site instead of an
+    * executor-side ANSI cast crash. */
+  private def requireIntegralId(df: DataFrame, id: String, op: String): Unit = {
+    val dt = df.schema(id).dataType
+    require(Seq("long", "int", "integer", "short", "byte")
+        .contains(dt.typeName) || dt.typeName.startsWith("int"),
+      s"$op requires an integral id column, got $id: ${dt.typeName}")
+  }
+
   /** Cosine-argmax coarse assignment (max similarity, ties to the
     * lowest cid by ascending iteration + strict `>`). */
   private def coarseCidOf(
@@ -535,6 +553,7 @@ object Similarity {
       queries: DataFrame, id: String, vec: String,
       codebooks: Array[Array[(Int, Array[Double])]],
       coarse: Array[(Int, Array[Double])] = Array.empty): DataFrame = {
+    requireIntegralId(queries, id, "pq query side")
     val spark = queries.sparkSession
     import spark.implicits._
     val sub = codebooks(0)(0)._2.length
@@ -544,18 +563,10 @@ object Similarity {
       .as[(Long, Array[Double])]
       .map { case (qid, v) =>
         val lut = Array.tabulate(m)(j =>
-          codebooks(j).map { case (_, cv) =>
-            var s = 0.0; var t = 0
-            while (t < cv.length) { s += v(j * sub + t) * cv(t); t += 1 }
-            s
-          })
+          codebooks(j).map { case (_, cv) => dotOff(v, j * sub, cv) })
         var n2 = 0.0
         v.foreach(x => n2 += x * x)
-        val qc = coarse.map { case (_, c) =>
-          var s = 0.0; var t = 0
-          while (t < c.length) { s += v(t) * c(t); t += 1 }
-          s
-        }
+        val qc = coarse.map { case (_, c) => dotOff(v, 0, c) }
         (qid, v, lut, math.sqrt(n2), qc)
       }
       .toDF("query_id", "__qv", "__lut", "__qn", "__qc")
@@ -810,15 +821,10 @@ object Similarity {
     // action
     import spark.implicits._
     val sub = codebooks(0)(0)._2.length
-    def sd(a: Array[Double], off: Int, b: Array[Double]): Double = {
-      var s = 0.0; var t = 0
-      while (t < b.length) { s += a(off + t) * b(t); t += 1 }
-      s
-    }
     val tables = broadcast(Seq((
       coarse.toSeq.map { case (_, c) =>
         codebooks.indices.map(j =>
-          codebooks(j).toSeq.map { case (_, rv) => sd(c, j * sub, rv) })
+          codebooks(j).toSeq.map { case (_, rv) => dotOff(c, j * sub, rv) })
       },
       codebooks.toSeq.map(cb =>
         cb.toSeq.map { case (_, rv) => rv.map(x => x * x).sum }),

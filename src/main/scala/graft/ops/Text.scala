@@ -187,13 +187,14 @@ object Text {
     val a = side.toDF("a", "__sa", "__v")
     val b = side.toDF("b", "__sb", "__v2")
     a.join(b, col("__v") === col("__v2") && col("a") < col("b"))
-      // rescore BEFORE dedup: a candidate appears once per shared
-      // variant (≤ 3×), and re-running a key-length levenshtein is far
-      // cheaper than shuffling every raw candidate through distinct —
-      // the exchange then carries only true pairs
-      .filter(levenshtein(col("__sa"), col("__sb")) <= 1)
+      // rescore BEFORE dedup (project-then-filter, ONE levenshtein per
+      // candidate): a candidate appears once per shared variant (≤ 3×)
+      // and re-running a key-length levenshtein is far cheaper than
+      // shuffling every raw candidate through distinct — the exchange
+      // then carries only true pairs
       .select(col("a"), col("b"),
         levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= 1)
       .distinct()
   }
 
