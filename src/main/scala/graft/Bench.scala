@@ -31,6 +31,24 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup query failed: ${e.getMessage}")
     }
+    // Pre-build the amortized index-time artifacts (PQ codebooks, the
+    // stored IVF/IVFADC indexes, the refresh scenarios' prior
+    // snapshots) HERE, and report their cost as build_s: they are
+    // one-time index/build costs by contract, amortized over query
+    // batches — letting them land inside whichever query's first timed
+    // call populates the cache reported build+query as query (r5
+    // overstated the two PQ faces ~7×). Results are unchanged: the
+    // caches are deterministic and keyed by sf dir.
+    val b0 = System.nanoTime()
+    val buildSecs =
+      try {
+        graft.queries.SimilarityQueries.warm(spark, sfDir)
+        graft.queries.IndexQueries.warm(spark)
+        Some((System.nanoTime() - b0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact warmup failed: ${e.getMessage}")
+        None
+      }
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -52,8 +70,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = timings.values.flatten.sum
+    val buildJson = buildSecs.map(_.toString).getOrElse("null")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

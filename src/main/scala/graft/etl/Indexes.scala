@@ -428,6 +428,31 @@ object Indexes {
       family = f(in.family), familyHistory = f(in.familyHistory))
   }
 
+  /** Incremental refresh for the study-keyed products WITHOUT a
+    * cross-study dependency (donor and file documents: every branch —
+    * phenotypes, diagnoses, biospecimen, per-donor summary — derives
+    * from the document's own study): unchanged studies' rows pass
+    * through the prior snapshot, changed studies rebuild from inputs.
+    * The study index needs [[refreshStudyIndex]] instead (its summary
+    * lattice zero-fills against the GLOBAL category universe).
+    */
+  def refreshDonorIndex(
+      prior: DataFrame, in: ClinicalInputs, changed: Seq[String],
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(changed.nonEmpty, "refreshDonorIndex needs a changed study")
+    prior.filter(!col("study_id").isin(changed: _*))
+      .unionByName(donorIndex(filterStudies(in, changed), meta))
+  }
+
+  /** [[refreshDonorIndex]]'s file-product sibling. */
+  def refreshFileIndex(
+      prior: DataFrame, in: ClinicalInputs, changed: Seq[String],
+      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
+    require(changed.nonEmpty, "refreshFileIndex needs a changed study")
+    prior.filter(!col("study_id").isin(changed: _*))
+      .unionByName(fileIndex(filterStudies(in, changed), meta))
+  }
+
   /** Incremental refresh of the study index: rebuild ONLY `changed`
     * studies' documents from inputs; every other document passes
     * through from the prior snapshot without touching its study's
@@ -461,31 +486,6 @@ object Indexes {
     * parquet read) or a materialized frame — a lazily recomputed
     * build would run once per consumer.
     */
-  /** Incremental refresh for the study-keyed products WITHOUT a
-    * cross-study dependency (donor and file documents: every branch —
-    * phenotypes, diagnoses, biospecimen, per-donor summary — derives
-    * from the document's own study): unchanged studies' rows pass
-    * through the prior snapshot, changed studies rebuild from inputs.
-    * The study index needs [[refreshStudyIndex]] instead (its summary
-    * lattice zero-fills against the GLOBAL category universe).
-    */
-  def refreshDonorIndex(
-      prior: DataFrame, in: ClinicalInputs, changed: Seq[String],
-      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    require(changed.nonEmpty, "refreshDonorIndex needs a changed study")
-    prior.filter(!col("study_id").isin(changed: _*))
-      .unionByName(donorIndex(filterStudies(in, changed), meta))
-  }
-
-  /** [[refreshDonorIndex]]'s file-product sibling. */
-  def refreshFileIndex(
-      prior: DataFrame, in: ClinicalInputs, changed: Seq[String],
-      meta: Seq[(String, String)] = Seq.empty): DataFrame = {
-    require(changed.nonEmpty, "refreshFileIndex needs a changed study")
-    prior.filter(!col("study_id").isin(changed: _*))
-      .unionByName(fileIndex(filterStudies(in, changed), meta))
-  }
-
   def refreshStudyIndex(
       prior: DataFrame,
       in: ClinicalInputs,
@@ -500,9 +500,8 @@ object Indexes {
     // lazy checkpoint: the rebuilt docs have two readers (the universe
     // extraction below and the output union) — materialize the
     // changed-slice build once instead of running it per reader
-    val rebuilt = studyIndex(changedIn, meta,
-      shared = None, extraCatKeys = Some(priorUniverse))
-      .localCheckpoint(eager = false)
+    val rebuilt = graft.core.LazyCheckpoint(studyIndex(changedIn, meta,
+      shared = None, extraCatKeys = Some(priorUniverse)))
     // full universe for the unchanged-doc patch: the rebuilt docs'
     // own matrices already carry prior ∪ introduced (their lattice
     // zero-filled against extraCatKeys), so extracting from them

@@ -59,6 +59,11 @@ object Cdc {
     // overwritten and its changes never detected
     require(!(keys ++ attrs).contains("present"),
       "diffSnapshots: column name 'present' is reserved (presence markers)")
+    // a column listed as both key and attr would be compared against
+    // itself and duplicate in the output projection — reject loudly
+    require(keys.intersect(attrs).isEmpty,
+      s"diffSnapshots: keys and attrs must be disjoint, both contain " +
+        s"${keys.intersect(attrs).mkString(",")}")
     // explicit presence markers: a row whose key columns are ALL null
     // is still a present row, so probing the key columns after the
     // join cannot distinguish it from an absent side
@@ -159,6 +164,17 @@ object Cdc {
       effectiveCol: String = "effective_at"): DataFrame = {
     require(!(keys ++ attrs).contains("present"),
       "scd2Merge: column name 'present' is reserved (presence markers)")
+    // the output schema appends valid_from/valid_to (and the batch
+    // carries effectiveCol): a key/attr with one of those names would
+    // produce duplicate columns and a confusing analysis error later
+    val reserved = Seq("valid_from", "valid_to", effectiveCol)
+    require((keys ++ attrs).intersect(reserved).isEmpty,
+      s"scd2Merge: ${reserved.mkString("/")} are reserved version " +
+        s"columns; found ${(keys ++ attrs).intersect(reserved).mkString(",")}" +
+        " in keys/attrs")
+    require(keys.intersect(attrs).isEmpty,
+      s"scd2Merge: keys and attrs must be disjoint, both contain " +
+        s"${keys.intersect(attrs).mkString(",")}")
     val closed = history.filter(col("valid_to").isNotNull)
     // explicit presence markers: a null KEY column must not read as
     // "side absent" after the full-outer join

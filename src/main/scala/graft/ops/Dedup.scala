@@ -425,10 +425,9 @@ object Dedup {
     // regex — the single most expensive map-side step — re-runs per
     // consumer. Lazy local checkpoint: first action materializes,
     // the rest read executor-local blocks.
-    val sets = docs
+    val sets = graft.core.LazyCheckpoint(docs
       .select(col(id).as("__id"), array_distinct(shingles).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .localCheckpoint(eager = false)
+      .filter(size(col("__sh")) > 0))
     val toks = sets.select(col("__id"), explode(col("__sh")).as("__tok"))
     val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // canonical rarest-first order: (df, tok); per-doc sorted array,
@@ -487,8 +486,8 @@ object Dedup {
     // distinct-shingle frame feeds signature banding and both rescore
     // sides — minhash over the distinct set equals minhash over the
     // raw bag, so candidates are unchanged
-    val sets = docs.select(col(id), array_distinct(shingles).as("__sh"))
-      .localCheckpoint(eager = false)
+    val sets = graft.core.LazyCheckpoint(
+      docs.select(col(id), array_distinct(shingles).as("__sh")))
     val cand = candidatePairs(sets, id, col("__sh"), numHashes, bands)
     cand
       .join(sets.select(col(id).as("a"), col("__sh").as("__sha")), Seq("a"))

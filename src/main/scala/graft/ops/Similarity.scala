@@ -138,6 +138,7 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String,
       threshold: Double, targetPerBlock: Int = 4096,
       blocksOverride: Int = 0): DataFrame = {
+    requireIntegralId(corpus, id, "cosineNearDupPairs corpus side")
     val spark = corpus.sparkSession
     import spark.implicits._
     val blocks =
@@ -191,6 +192,7 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String,
       threshold: Double, numCentroids: Int = 16,
       refineIters: Int = 1, targetPerBlock: Int = 4096): DataFrame = {
+    requireIntegralId(corpus, id, "semanticDedup corpus side")
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(corpus, id, vec, numCentroids, refineIters)
@@ -455,8 +457,10 @@ object Similarity {
     * executor-side ANSI cast crash. */
   private def requireIntegralId(df: DataFrame, id: String, op: String): Unit = {
     val dt = df.schema(id).dataType
+    // explicit list only — a startsWith("int") shortcut would also
+    // accept "interval"
     require(Seq("long", "int", "integer", "short", "byte")
-        .contains(dt.typeName) || dt.typeName.startsWith("int"),
+        .contains(dt.typeName),
       s"$op requires an integral id column, got $id: ${dt.typeName}")
   }
 
@@ -519,6 +523,7 @@ object Similarity {
   def pqEncode(
       corpus: DataFrame, id: String, vec: String,
       codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    requireIntegralId(corpus, id, "pqEncode corpus side")
     val sub = codebooks(0)(0)._2.length
     require(codebooks.forall(_.forall(_._2.length == sub)),
       "ragged codebooks")
@@ -731,6 +736,7 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String, dir: String,
       numCentroids: Int = 16, m: Int = 32, k: Int = 16,
       refineIters: Int = 1, residual: Boolean = true): Unit = {
+    requireIntegralId(corpus, id, "ivfPqBuild corpus side")
     val spark = corpus.sparkSession
     import spark.implicits._
     val coarse = ivfCentroids(corpus, id, vec, numCentroids, refineIters)

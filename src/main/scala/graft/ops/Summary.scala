@@ -28,7 +28,12 @@ object Summary {
     * from two extra scans of the input (Summary.scala:15-25,33-39).
     * The partial is dimension-sized by construction (groups ×
     * categories present), so it is localCheckpointed once and feeds
-    * all three consumers from cache.
+    * all three consumers from cache. The checkpoint is LAZY
+    * ([[graft.core.LazyCheckpoint]] — plain `eager = false` still runs
+    * the shuffle map stages under AQE): constructing the frame
+    * launches no job (PlanShapeSpec pins this) — the partial
+    * materializes on first action and is shared thereafter.
+    * Fault-tolerance trade-off documented on [[graft.core.LazyCheckpoint]].
     */
   def lattice(
       facts: DataFrame,
@@ -38,10 +43,9 @@ object Summary {
     val aggs = distinctCounts.toSeq.sortBy(_._1).map { case (as, c) =>
       countDistinct(c).as(as)
     }
-    val partial = facts
+    val partial = graft.core.LazyCheckpoint(facts
       .groupBy((groupKeys :+ categoryCol).map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
+      .agg(aggs.head, aggs.tail: _*))
     val groups = partial.select(groupKeys.map(col): _*).distinct()
     val cats = partial.select(col(categoryCol)).distinct()
     val universe = groups.crossJoin(broadcast(cats))
@@ -94,15 +98,12 @@ object Summary {
     * `kind` discriminator column). Keys are cast to string; null keys
     * are dropped before aggregation.
     *
-    * The aggregated partial is `localCheckpoint(eager = false)`-ed so
-    * the groups/keys/zero-fill consumers share one computation instead
-    * of re-running the fact scan three times. Lazy, so constructing
-    * the frame costs nothing until an action runs. Trade-off: local
-    * checkpoints store blocks on executors without lineage — losing an
-    * executor mid-query fails the query rather than recomputing. Right
-    * for this engine's batch jobs (a retry re-runs the stage); a
-    * long-running always-on deployment should swap in
-    * `persist(MEMORY_AND_DISK)` or a reliable `checkpoint()` instead.
+    * The aggregated partial is lazily checkpointed
+    * ([[graft.core.LazyCheckpoint]]) so the groups/keys/zero-fill
+    * consumers share one computation instead of re-running the fact
+    * scan three times, and constructing the frame costs nothing until
+    * an action runs. Fault-tolerance trade-off (lineage-free local
+    * blocks) documented on [[graft.core.LazyCheckpoint]].
     */
   def latticeUnpivot(
       facts: DataFrame,
@@ -110,9 +111,8 @@ object Summary {
       fields: Seq[String],
       distinctCounts: Map[String, Column],
       extraKeys: Option[DataFrame] = None): DataFrame = {
-    val partial =
-      unpivotPartial(facts, groupKeys, fields, distinctCounts)
-        .localCheckpoint(eager = false)
+    val partial = graft.core.LazyCheckpoint(
+      unpivotPartial(facts, groupKeys, fields, distinctCounts))
     val groups = partial.select((groupKeys :+ "kind").map(col): _*).distinct()
     // extraKeys widens the zero-fill universe beyond what these facts
     // contain — the incremental-refresh hook: a partial rebuild must

@@ -437,4 +437,14 @@ object IndexQueries {
     })
     s.read.parquet(path)
   }
+
+  /** Materialize the per-JVM stored-prior snapshots OUTSIDE any timed
+    * region — they are scenario scaffolding (the refresh operators'
+    * contract reads a prior build from disk), not refresh cost. Bench
+    * calls this during warmup so q_index_refresh / q_donor_refresh
+    * time the refresh itself. */
+  def warm(s: org.apache.spark.sql.SparkSession): Unit = {
+    stalePrior(s)
+    staleDonorPrior(s)
+  }
 }

@@ -97,9 +97,8 @@ object RankingQueries {
          |FROM contrib GROUP BY doc_id""".stripMargin) { (s, d) =>
       // tokenize once: the scalar pass (N, avgdl) materializes the
       // lazy checkpoint, the scoring pass reads it back
-      val docs = Tables.documents(s, d)
-        .withColumn("__toks", Text.words(Text.normalize(col("text"))))
-        .localCheckpoint(eager = false)
+      val docs = graft.core.LazyCheckpoint(Tables.documents(s, d)
+        .withColumn("__toks", Text.words(Text.normalize(col("text")))))
       val scal = docs
         .agg(count(lit(1)), sum(size(col("__toks")).cast("long")))
         .collect()(0)

@@ -196,17 +196,26 @@ object EventStream {
     if (fs.exists(pointer) && !fs.delete(pointer, false))
       throw new java.io.IOException(
         s"upsertSink: failed to clear previous pointer $pointer")
-    if (!fs.rename(tmp, pointer))
-      throw new java.io.IOException(
-        s"upsertSink: rename $tmp -> $pointer failed; re-deliver the batch")
+    if (!fs.rename(tmp, pointer)) {
+      // a reader's recoverPointer racing inside our delete->rename
+      // window may have promoted OUR tmp already — that is the same
+      // commit, not a failure. Only throw if the pointer isn't there
+      // or names a different batch.
+      val healed = fs.exists(pointer) && {
+        val in = fs.open(pointer)
+        try in.readLong() == batchId finally in.close()
+      }
+      if (!healed)
+        throw new java.io.IOException(
+          s"upsertSink: rename $tmp -> $pointer failed; re-deliver the batch")
+    }
     // prune superseded versions only AFTER the commit — a crash here
     // just leaves orphan dirs that the next batch's prune sweeps up
     fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter { p =>
-        val n = p.getName
-        n.startsWith("snapshot_v") &&
-          n.stripPrefix("snapshot_v").forall(_.isDigit) &&
-          n.stripPrefix("snapshot_v").toLong != batchId
+        val v = p.getName.stripPrefix("snapshot_v")
+        p.getName.startsWith("snapshot_v") &&
+          v.nonEmpty && v.forall(_.isDigit) && v.toLong != batchId
       }
       .foreach(p => fs.delete(p, true))
   }
@@ -214,7 +223,13 @@ object EventStream {
   private val PointerFileName = "_current"
 
   /** Committed snapshot version, healing an interrupted pointer
-    * commit (highest `._current_*.tmp` renamed into place) first. */
+    * commit (highest complete `._current_*.tmp` renamed into place)
+    * first. A tmp is promotable only if it holds exactly the 8 bytes
+    * of its batch-id long — a crash between `fs.create(tmp)` and a
+    * durable `writeLong` leaves a shorter file, and promoting that
+    * would poison every subsequent read with EOFException. Truncated
+    * tmps are deleted, not promoted (their batch never committed its
+    * pointer, so the source will re-deliver it). */
   private def recoverPointer(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
@@ -226,21 +241,24 @@ object EventStream {
     if (fs.exists(pointer)) readPtr()
     else if (!fs.exists(new Path(dir))) None
     else {
-      val tmps = fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
-        .filter { p =>
-          val n = p.getName
+      val (tmps, truncated) = fs.listStatus(new Path(dir)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          val v = n.stripPrefix("._current_").stripSuffix(".tmp")
           n.startsWith("._current_") && n.endsWith(".tmp") &&
-            n.stripPrefix("._current_").stripSuffix(".tmp")
-              .forall(_.isDigit)
+            v.nonEmpty && v.forall(_.isDigit)
         }
+        .partition(_.getLen == java.lang.Long.BYTES)
+      truncated.foreach(st => fs.delete(st.getPath, false))
       if (tmps.isEmpty) None
       else {
-        val newest = tmps.maxBy(
+        val newest = tmps.map(_.getPath).maxBy(
           _.getName.stripPrefix("._current_").stripSuffix(".tmp").toLong)
-        if (!fs.rename(newest, pointer))
+        if (!fs.rename(newest, pointer) && !fs.exists(pointer))
           throw new java.io.IOException(
             s"upsertSink recovery: rename $newest -> $pointer failed")
-        tmps.filterNot(_ == newest).foreach(p => fs.delete(p, false))
+        tmps.map(_.getPath).filterNot(_ == newest)
+          .foreach(p => fs.delete(p, false))
         readPtr()
       }
     }

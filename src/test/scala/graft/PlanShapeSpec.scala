@@ -77,6 +77,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "donor.tsv") == 1, "donor.tsv re-scanned in study index")
   }
 
+  test("constructing a summary lattice launches no Spark job") {
+    // the partial inside lattice() is localCheckpoint(eager = false):
+    // an eager checkpoint would run (and block on) a job right here at
+    // construction time, whose completion event must surface within
+    // the poll window below — so "no new job id appears" pins laziness
+    import org.apache.spark.sql.functions._
+    // resolve the source first — parquet file listing / schema read
+    // runs its own small jobs, which are read-construction cost, not
+    // lattice-construction cost
+    val orders = graft.core.Tables.load(spark, d, "orders")
+    orders.count()
+    // the status store is fed by the async listener bus: wait for the
+    // count()'s own job events to drain so they can't masquerade as
+    // lattice-construction jobs below
+    def ids() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    var before = ids()
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() - stableSince < 500L * 1000 * 1000) {
+      Thread.sleep(50)
+      val now = ids()
+      if (now != before) { before = now; stableSince = System.nanoTime() }
+    }
+    graft.ops.Summary.lattice(
+      orders, Seq("o_orderstatus"), "o_orderpriority",
+      Map("n_cust" -> col("o_custkey")))
+    val deadline = System.nanoTime() + 1500L * 1000 * 1000
+    while (System.nanoTime() < deadline) {
+      val now = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+      assert((now -- before).isEmpty,
+        "constructing lattice() ran a Spark job (eager checkpoint?)")
+      Thread.sleep(100)
+    }
+  }
+
   test("knn top-k runs through the custom bounded-heap operator") {
     val p = plan("q_knn_topk")
     assert(p.contains("TopKPerGroup"))
