@@ -156,14 +156,15 @@ object GenGoldens {
           queries = e.filter(col("vec_id") < 10),
           id = "vec_id", vec = "embedding", k = 5, codebooks = cb)),
         "query_id\tneighbor_id\trank\tcosine", "golden_knn_pq.tsv")
-      // q_knn_ivfpq: the composed index (same parameters as the face)
+      // q_knn_ivfpq: the composed index (same parameters as the face,
+      // including the exact re-rank stage — IVFADC-R)
       val ivfpqDir = java.nio.file.Files
         .createTempDirectory("golden_ivfpq").toString
       Similarity.ivfPqBuild(e, "vec_id", "embedding", ivfpqDir,
         numCentroids = 16, m = 32, k = 16, refineIters = 2)
       writeTsv(annRows(Similarity.ivfPqQuery(
           e.filter(col("vec_id") < 10), ivfpqDir,
-          "vec_id", "embedding", k = 5, nProbe = 8)),
+          "vec_id", "embedding", k = 5, nProbe = 8, rerank = 50)),
         "query_id\tneighbor_id\trank\tcosine", "golden_knn_ivfpq.tsv")
     } else println(s"skipped golden_knn_*.tsv ($embPath missing)")
 

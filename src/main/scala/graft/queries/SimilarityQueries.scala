@@ -198,8 +198,12 @@ object SimilarityQueries {
 
     // ---- the composed production shape: IVF partition-pruned lists
     //      holding PQ codes — probe-set file pruning x compressed
-    //      scan. Deterministic (all-lists probe provably equals the
-    //      flat PQ scan, spec'd) -> GenGoldens snapshot ----
+    //      scan — plus the exact re-rank stage (IVFADC-R): the ADC
+    //      shortlist's raw vectors come back from the same pruned
+    //      files and the final top-k is exact-cosine ranked, so PQ
+    //      quantization error costs candidates only, never ranks.
+    //      Deterministic (all-lists probe provably equals the flat PQ
+    //      scan, spec'd; recall gated >= 0.8) -> GenGoldens snapshot ----
     sql(
       "q_knn_ivfpq",
       s"""SELECT query_id::BIGINT AS query_id,
@@ -210,7 +214,7 @@ object SimilarityQueries {
       (s, d) =>
         val e = Tables.embeddings(s, d)
         Similarity.ivfPqQuery(e.filter(col("vec_id") < 10), ivfPqDir(s, d),
-            "vec_id", "embedding", k = 5, nProbe = 8)
+            "vec_id", "embedding", k = 5, nProbe = 8, rerank = 50)
           .withColumn("cosine", round(col("cosine"), 6))
     },
 

@@ -117,6 +117,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "window sort crept back into top-k")
   }
 
+  test("ADC scoring expressions stay inside whole-stage codegen") {
+    // residualAdcCosine is a 96-lookup element_at chain — the shape
+    // the project's notes flag as a codegen-explosion risk. Audited
+    // (round 6): it COMPILES and rides inside a WholeStageCodegen
+    // span. This pins that; a fallback to interpreted projection
+    // (no star on the scoring Project) fails here. NOTE the plan must
+    // be EXECUTED first: an unexecuted AdaptiveSparkPlanExec prints
+    // its initial plan, which never shows codegen markers.
+    val df = SparkEntry.queries("q_knn_ivfpq")(spark, d)
+    df.queryExecution.toRdd.count()
+    val lines = df.queryExecution.executedPlan.toString.split("\n")
+    val starred = "\\*\\(\\d+\\)".r
+    assert(lines.exists(l => l.contains("element_at") &&
+        starred.findFirstIn(l).isDefined),
+      "residual ADC scoring Project fell out of whole-stage codegen")
+    assert(lines.exists(l => l.contains("graft_cosine") &&
+        starred.findFirstIn(l).isDefined),
+      "exact re-rank Project fell out of whole-stage codegen")
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan("q_agg_pricing")
     assert(count(p, "HashAggregate") >= 2) // partial + final

@@ -113,6 +113,7 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     // the Lloyd pass lifts the floor above what raw corpus-point seeds
     // reach on this fixture (0.68) — a lost refinement fails here
     assert(recall >= 0.7, s"IVF recall $recall too low")
+    assert(recall0 >= 0.6, s"unrefined IVF recall $recall0 regressed")
   }
 
   test("persisted IVF index returns identical results to ivfTopK and " +
@@ -202,7 +203,10 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"IVFADC raw-vector recall at nProbe=8: $recall")
-    assert(recall >= 0.25, s"IVFADC recall $recall too low")
+    // measured 0.56 on this fixture — the floor is a regression gate,
+    // not aspiration (the production answer to the gap is the exact
+    // re-rank stage, gated >= 0.8 in its own test)
+    assert(recall >= 0.5, s"IVFADC recall $recall too low")
     // residual mode (the paper's formulation): codes spend themselves
     // on v − c, which is smaller on clustered data — recall must not
     // regress vs raw-vector quantization at the same budget
@@ -214,8 +218,36 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val residRecall = (exact & resid).size.toDouble / exact.size
     info(s"IVFADC residual recall at nProbe=8: $residRecall")
+    assert(residRecall >= 0.6, // measured 0.64 — regression gate
+      s"IVFADC residual recall $residRecall too low")
     assert(residRecall >= recall - 0.04,
       s"residual encoding regressed recall: $residRecall < $recall")
+  }
+
+  test("IVFADC exact re-rank (IVFADC-R) lifts recall to the gate at nProbe=8") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rr").toString
+    Similarity.ivfPqBuild(e, "vec_id", "embedding", dir,
+      numCentroids = 16, m = 32, k = 16, refineIters = 2)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val noRr = Similarity.ivfPqQuery(
+        q, dir, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.ivfPqQuery(
+        q, dir, "vec_id", "embedding", k = 5, nProbe = 8, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallNo = (exact & noRr).size.toDouble / exact.size
+    val recallRr = (exact & rr).size.toDouble / exact.size
+    info(s"IVFADC residual recall at nProbe=8: " +
+      s"no-rerank=$recallNo rerank50=$recallRr")
+    // the GATE the compressed path is held to: re-ranked recall must
+    // reach 0.8 — quantization mis-ranking is fixed by the exact pass,
+    // so only probe-coverage misses remain
+    assert(recallRr >= 0.8, s"re-ranked IVFADC recall $recallRr below gate")
+    assert(recallRr >= recallNo,
+      s"re-rank must never lose recall: $recallRr < $recallNo")
   }
 
   test("zero-norm and NaN vectors get pinned codes, not -1 sentinels") {
