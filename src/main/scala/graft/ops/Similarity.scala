@@ -181,11 +181,13 @@ object Similarity {
     *
     * Scale shape: centroid table is KB-sized literals (map-side
     * assignment); within each cluster the pairwise kernel is block-
-    * partitioned like [[cosineNearDupPairs]] with per-task rows capped
-    * at ~2×targetPerBlock for BALANCED clusters (block count derives
-    * from the mean cluster size — a pathologically hot cluster needs
-    * more centroids or a smaller targetPerBlock, same assumption the
-    * paper makes); the component labeling shuffles only the collided
+    * partitioned like [[cosineNearDupPairs]], with the block count
+    * derived PER CLUSTER from that cluster's own row count (one
+    * dimension-sized aggregation) — so per-task rows stay capped at
+    * ~2×targetPerBlock even when one cluster holds 90% of the corpus:
+    * a hot cluster gets quadratically more TASKS, never bigger ones
+    * (SimilaritySpec plants exactly that corpus and asserts the
+    * bound). The component labeling shuffles only the collided
     * subgraph.
     */
   def semanticDedup(
@@ -199,22 +201,16 @@ object Similarity {
     // empty corpus → no centroid draws → nothing to dedup (and the
     // zero-centroid ranking expression would not even analyze)
     if (centroids.isEmpty) return corpus
-    val blocks = blocksFor(
-      math.max(1L, corpus.count() / math.max(1, numCentroids)), targetPerBlock)
-    val assigned = corpus
-      .select(col(id).cast("long").as("__id"),
-        col(vec).cast("array<double>").as("__v"))
-      .withColumn("__cid",
-        rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
-      .as[(Long, Array[Double], Int)]
-      .map { case (i, v, cid) =>
-        var s = 0.0; var k = 0
-        while (k < v.length) { s += v(k) * v(k); k += 1 }
-        (cid, VecRow(i, v, math.sqrt(s)))
-      }
+    val assigned = assignClusters(corpus, id, vec, centroids)
+    // per-cluster block counts from per-cluster SIZES: numCentroids
+    // rows to the driver. The assignment recomputes on the next pass
+    // (map-side KB-table work — cheaper than materializing a
+    // corpus-sized checkpoint just to save it).
+    val blocksByCid = clusterBlocks(assigned, targetPerBlock)
     val blocked = assigned
       .groupByKey { case (cid, r) =>
-        (cid, math.floorMod(r.id, blocks.toLong).toInt) }
+        (cid, math.floorMod(r.id,
+          blocksByCid.getOrElse(cid, 1).toLong).toInt) }
       .mapGroups((k, it) => (k._1, k._2, it.map(_._2).toArray))
     val left = blocked.toDF("cid", "bi", "rows_a")
     val right = blocked.toDF("cid2", "bj", "rows_b")
@@ -228,6 +224,43 @@ object Similarity {
     corpus.join(labels,
       corpus(id) === labels("node") && labels("cluster") === corpus(id),
       "left_semi")
+  }
+
+  /** Coarse assignment of every corpus row to its cosine-nearest
+    * centroid, with the norm precomputed — the map-side front half of
+    * [[semanticDedup]], factored out so the per-task bound is
+    * spec-testable. */
+  private[ops] def assignClusters(
+      corpus: DataFrame, id: String, vec: String,
+      centroids: Array[(Int, Array[Double])])
+      : org.apache.spark.sql.Dataset[(Int, VecRow)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(col(id).cast("long").as("__id"),
+        col(vec).cast("array<double>").as("__v"))
+      .withColumn("__cid",
+        rankedCentroids(col("__v"), centroids).getItem(0).getField("cid"))
+      .as[(Long, Array[Double], Int)]
+      .map { case (i, v, cid) =>
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        (cid, VecRow(i, v, math.sqrt(s)))
+      }
+  }
+
+  /** Per-cluster block counts from per-cluster sizes (one
+    * dimension-sized aggregation → driver map). Each cluster's
+    * pairwise work is split so a task holds ~targetPerBlock of ITS
+    * rows — the bound [[semanticDedup]] enforces regardless of how
+    * skewed the cluster layout is. */
+  private[ops] def clusterBlocks(
+      assigned: org.apache.spark.sql.Dataset[(Int, VecRow)],
+      targetPerBlock: Int): Map[Int, Int] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.groupByKey(_._1).count().collect()
+      .map { case (cid, n) => cid -> blocksFor(n, targetPerBlock) }.toMap
   }
 
   /** Cosine-ranked centroid list for one vector, as a sorted
@@ -309,7 +342,7 @@ object Similarity {
     */
   /** Deterministic data-adapted centroids: xxhash64-seeded corpus
     * draws sharpened by `refineIters` Lloyd passes. */
-  private def ivfCentroids(
+  private[ops] def ivfCentroids(
       corpus: DataFrame, id: String, vec: String,
       numCentroids: Int, refineIters: Int): Array[(Int, Array[Double])] = {
     val corpusVecs =

@@ -297,6 +297,48 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       s"missing=${(originals -- kept).take(5)} extra=${(kept -- originals).take(5)}")
   }
 
+  test("semanticDedup bounds per-task rows even under a 90%-hot cluster") {
+    // 450 of 500 vectors land in ONE tight cluster (small angular
+    // jitter so they are near-dup-free at the threshold below), the
+    // rest spread elsewhere. A block count derived from the MEAN
+    // cluster size (500/8 ≈ 62 rows → 2 blocks at target 50) would
+    // hand a single task the hot cluster's 450×450/4 pair space; the
+    // per-cluster derivation must split the hot cluster by ITS size.
+    // centroids are PINNED (the operator's data-adapted Lloyd pass
+    // would split a hot region among nearby seeds — the bound must
+    // hold even when the layout stays skewed, e.g. user-supplied or
+    // stale centroids)
+    val hot = (0 until 450).map(i =>
+      (i.toLong, Seq(1.0, 0.5 + i * 1e-5, 0.0)))
+    val rest = (0 until 50).map(i =>
+      (1000L + i, Seq(0.0, 0.1 * (i % 5), 5.0 + i * 0.01)))
+    val df = (hot ++ rest).toDF("vec_id", "embedding")
+    val cents = Array(
+      0 -> Array(1.0, 0.5, 0.0), 1 -> Array(0.0, 0.0, 5.0),
+      2 -> Array(0.0, 1.0, 0.0), 3 -> Array(-1.0, 0.0, 0.0),
+      4 -> Array(0.0, -1.0, 0.0), 5 -> Array(0.0, 0.0, -1.0),
+      6 -> Array(1.0, -1.0, 0.0), 7 -> Array(-1.0, 1.0, 0.0))
+    val assigned = Similarity.assignClusters(df, "vec_id", "embedding", cents)
+    val blocks = Similarity.clusterBlocks(assigned, targetPerBlock = 50)
+    val sizes = assigned.groupByKey(_._1).count().collect().toMap
+    val (hotCid, hotSize) = sizes.maxBy(_._2)
+    assert(hotSize >= 400, s"fixture drifted: hot cluster only $hotSize")
+    assert(blocks(hotCid) >= (hotSize / 50).toInt,
+      s"hot cluster got ${blocks(hotCid)} blocks for $hotSize rows")
+    // the bound itself: no (cluster, block) task side exceeds
+    // ~2×targetPerBlock rows (floorMod over consecutive ids is even)
+    val maxPerTask = assigned
+      .map { case (cid, r) =>
+        (cid, math.floorMod(r.id, blocks(cid).toLong).toInt) }
+      .groupByKey(identity).count().collect().map(_._2).max
+    assert(maxPerTask <= 100, s"a task side holds $maxPerTask rows")
+    // and the operator end-to-end still runs on the skewed layout
+    val kept = Similarity.semanticDedup(
+      df, "vec_id", "embedding", threshold = 0.9999,
+      numCentroids = 8, targetPerBlock = 50).count()
+    assert(kept > 0 && kept <= 500)
+  }
+
   test("semanticDedup collapses a duplicate CHAIN to one representative") {
     // three copies of the same vector + one unrelated: the pair graph
     // within the cluster is a clique; min-id representative survives

@@ -67,6 +67,41 @@ class SkewSpec extends AnyFunSuite with WithSpark {
     assert(salted == plain)
   }
 
+  test("hot-key stress: one key holding 50% of the fact stays within " +
+      "~2x of the mean reducer load under salting") {
+    // the scale claim made in the scaladoc, measured: a key owning
+    // half the fact side must NOT own half a reducer. 16k fact rows,
+    // 8k under one key, 64 salt buckets, 16 reducers.
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val prev = conf.map { case (k, _) => k -> spark.conf.get(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = (1 to 16000).map { i =>
+        (if (i % 2 == 0) "hot" else s"cold${i % 500}", i.toLong)
+      }.toDF("key", "id").repartition(64)
+      val d = (Seq("hot") ++ (0 until 500).map(i => s"cold$i"))
+        .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "attr")
+      def partitionLoads(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").count().as[(Int, Long)].collect().map(_._2).toSeq
+      val unsalted = partitionLoads(fact.join(d, Seq("key")))
+      val salted = partitionLoads(
+        Skew.saltedJoin(fact, d, Seq("key"), saltBuckets = 64))
+      assert(salted.sum == unsalted.sum, "row counts must match")
+      val mean = salted.sum.toDouble / salted.size
+      info(s"unsalted max=${unsalted.max} salted max=${salted.max} " +
+        f"mean=$mean%.0f")
+      // unsalted: the hot key funnels 8k rows through ONE reducer
+      assert(unsalted.max >= 8000, "fixture drifted: hot key not funneled")
+      // salted: worst reducer within ~2x of the mean
+      assert(salted.max <= 2 * mean,
+        s"salting left a reducer at ${salted.max} rows (mean $mean)")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("saltedJoin spreads the hot key's output over multiple tasks") {
     // disable auto-broadcast so the join actually shuffles (the regime
     // salting is for: a dim too large to broadcast) and AQE coalescing

@@ -115,6 +115,33 @@ class SourcesSpec extends AnyFunSuite with WithSpark {
     assert(parts == 1)
   }
 
+  test("object-store conf seam produces the reference's s3a entries") {
+    // conf-only S9 seam (reference SparkConfig.scala:21-26): the
+    // sandbox has no network, so the contract under test is exactly
+    // what the reference's dev block sets — key names and values on
+    // the Hadoop configuration — plus the scale knobs
+    val c = ObjectStoreConf(
+      endpoint = "https://store.example:9000",
+      accessKey = "AK", secretKey = "SK",
+      extra = Map("fs.s3a.connection.timeout" -> "5000"))
+    val m = c.confMap
+    assert(m("fs.s3a.endpoint") == "https://store.example:9000")
+    assert(m("fs.s3a.access.key") == "AK")
+    assert(m("fs.s3a.secret.key") == "SK")
+    assert(m("fs.s3a.path.style.access") == "true")
+    assert(m("fs.s3a.committer.magic.enabled") == "true")
+    assert(m("fs.s3a.connection.maximum") == "96")
+    assert(m("fs.s3a.connection.timeout") == "5000") // extra wins a slot
+    // overrides flow through `extra`
+    assert(c.copy(extra = Map("fs.s3a.connection.maximum" -> "8"))
+      .confMap("fs.s3a.connection.maximum") == "8")
+    // applyTo lands the entries on a live session's Hadoop conf
+    ObjectStoreConf.devDefaults.applyTo(spark)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+  }
+
   test("a filter on the partition column prunes partitions at the scan") {
     // the 100 TB contract behind partitioned writes: a reader filtering
     // on the layout key must plan a PartitionFilter (metadata-only
