@@ -135,6 +135,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(lines.exists(l => l.contains("graft_cosine") &&
         starred.findFirstIn(l).isDefined),
       "exact re-rank Project fell out of whole-stage codegen")
+    // columnar pruning between the two list scans: the ADC pass must
+    // read ONLY codes (16 B/row — the compression is the point), the
+    // re-rank pass ONLY vector
+    val reads = lines.filter(_.contains("ReadSchema"))
+      .map(l => l.substring(l.indexOf("ReadSchema"))).distinct
+    assert(reads.exists(r => r.contains("codes") && !r.contains("vector")),
+      s"ADC scan no longer prunes the vector column:\n${reads.mkString("\n")}")
+    assert(reads.exists(r => r.contains("vector") && !r.contains("codes")),
+      s"re-rank scan no longer prunes the codes column:\n${reads.mkString("\n")}")
+    assert(!reads.exists(r => r.contains("codes") && r.contains("vector")),
+      s"a list scan reads BOTH codes and vector:\n${reads.mkString("\n")}")
   }
 
   test("aggregations are partial (map-side combine) before the shuffle") {
