@@ -187,14 +187,19 @@ object Text {
     val a = side.toDF("a", "__sa", "__v")
     val b = side.toDF("b", "__sb", "__v2")
     a.join(b, col("__v") === col("__v2") && col("a") < col("b"))
-      // rescore BEFORE dedup (project-then-filter, ONE levenshtein per
-      // candidate): a candidate appears once per shared variant (≤ 3×)
-      // and re-running a key-length levenshtein is far cheaper than
-      // shuffling every raw candidate through distinct — the exchange
-      // then carries only true pairs
+      // rescore BEFORE dedup (project-then-filter): a candidate
+      // appears once per shared variant (≤ 3×) and the rescore is far
+      // cheaper than shuffling every raw candidate through distinct —
+      // the exchange then carries only true pairs. The rescore itself
+      // is [[graft.plans.OneEditDist]], the O(n) two-pointer unit-
+      // distance kernel: the full levenshtein DP was the dominant
+      // cost of the whole join (it also runs twice per candidate once
+      // the optimizer copies the filter into the join condition);
+      // dist ∈ {0,1} on kept rows equals levenshtein exactly
+      // (property-checked in TextSpec)
       .select(col("a"), col("b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= 1)
+        graft.plans.OneEditDist.oneEdit(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") >= 0)
       .distinct()
   }
 

@@ -206,6 +206,50 @@ class DifferentialSpec extends AnyFunSuite with WithSpark {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("OneEdit.dist agrees with levenshtein exhaustively over a " +
+      "multi-byte alphabet") {
+    // 1/2/4-byte UTF-8 code points: 'a', 'é' (2 B), '𝄞' (4 B), 'b'.
+    // All strings up to length 3 → 85 strings, all ordered pairs.
+    val alpha = Seq("a", "é", new String(Character.toChars(0x1D11E)), "b")
+    val strs = Seq("") ++
+      alpha ++
+      (for (x <- alpha; y <- alpha) yield x + y) ++
+      (for (x <- alpha; y <- alpha; z <- alpha) yield x + y + z)
+    def levCp(x: String, y: String): Int = {
+      val a = x.codePoints().toArray; val b = y.codePoints().toArray
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // interpreted path: the kernel directly
+    for (x <- strs; y <- strs) {
+      val expect = levCp(x, y) match {
+        case 0 => 0
+        case 1 => 1
+        case _ => -1
+      }
+      val got = graft.plans.OneEdit.dist(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x),
+        org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      assert(got == expect, s"OneEdit.dist('$x', '$y') = $got, want $expect")
+    }
+    // codegen path: the expression against Spark's own levenshtein
+    val df = strs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val disagree = df.select(col("i").as("ia"), col("s").as("sa"))
+      .crossJoin(df.select(col("i").as("ib"), col("s").as("sb")))
+      .select(
+        levenshtein(col("sa"), col("sb")).as("lev"),
+        graft.plans.OneEditDist.oneEdit(col("sa"), col("sb")).as("one"))
+      .filter(
+        ((col("lev") <= 1) =!= (col("one") >= 0)) ||
+          (col("one") >= 0 && col("one") =!= col("lev")))
+      .count()
+    assert(disagree == 0)
+  }
+
   test("exactGroups equals a reference groupBy over random duplicates") {
     val rng = new scala.util.Random(13)
     val texts = (0 until 40).map(_ => s"doc ${rng.nextInt(12)}")
