@@ -241,6 +241,47 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     assert(ptr.exists(), "recovery must reinstate the pointer")
   }
 
+  test("recovery never promotes a truncated pointer tmp") {
+    // a crash between fs.create(tmp) and a durable writeLong leaves a
+    // short file; promoting it would poison every later read with
+    // EOFException — recovery must delete it and fall back
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_upsert3").toString
+    EventStream.upsertSink(out, Seq("k"))(Seq((1L, "a")).toDF("k", "v"), 0L)
+    val dir = new java.io.File(out)
+    val ptr = new java.io.File(dir, "_current")
+    // simulate the interrupted NEXT commit: pointer cleared, tmp short
+    assert(ptr.delete())
+    val bad = new java.io.File(dir, "._current_1.tmp")
+    java.nio.file.Files.write(bad.toPath, Array[Byte](0, 0, 1))
+    val ex = intercept[java.io.FileNotFoundException](
+      EventStream.readSnapshot(spark, out))
+    assert(ex.getMessage.contains("no upsert snapshot"))
+    assert(!bad.exists(), "truncated tmp must be swept, not promoted")
+    // the batch re-delivers (its pointer never committed) and the sink
+    // recovers end to end
+    EventStream.upsertSink(out, Seq("k"))(Seq((1L, "A")).toDF("k", "v"), 1L)
+    assert(EventStream.readSnapshot(spark, out)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "A")))
+  }
+
+  test("recovery with a complete AND a truncated tmp promotes the complete one") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_upsert4").toString
+    EventStream.upsertSink(out, Seq("k"))(Seq((1L, "a")).toDF("k", "v"), 0L)
+    val dir = new java.io.File(out)
+    val ptr = new java.io.File(dir, "_current")
+    val good = new java.io.File(dir, "._current_0.tmp")
+    assert(ptr.renameTo(good)) // crash mid-commit of batch 0
+    // plus a NEWER truncated tmp from a second crash
+    val bad = new java.io.File(dir, "._current_1.tmp")
+    java.nio.file.Files.write(bad.toPath, Array[Byte](7))
+    val snap = EventStream.readSnapshot(spark, out)
+      .as[(Long, String)].collect().toSeq
+    assert(snap == Seq((1L, "a")))
+    assert(ptr.exists() && !bad.exists())
+  }
+
   test("bloom novelty gate filters a stream map-side (no per-batch corpus join)") {
     import graft.ops.Bloom
     val corpus = (0 until 100).map(i => s"fp_$i").toDF("fp")
