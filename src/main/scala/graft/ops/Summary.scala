@@ -49,7 +49,12 @@ object Summary {
     val groups = partial.select(groupKeys.map(col): _*).distinct()
     val cats = partial.select(col(categoryCol)).distinct()
     val universe = groups.crossJoin(broadcast(cats))
-    val joined = universe.join(partial, groupKeys :+ categoryCol, "left")
+    // the zero-fill join broadcasts the partial: it is dimension-sized
+    // by construction, but rides a checkpointed RDD whose stats
+    // Catalyst cannot see — without the hint this planned as a
+    // sort-merge join (two exchanges + sorts over dimension rows)
+    val joined = universe.join(
+      broadcast(partial), groupKeys :+ categoryCol, "left")
     distinctCounts.keys.foldLeft(joined) { (df, as) =>
       df.withColumn(as, coalesce(col(as), lit(0L)))
     }
@@ -122,7 +127,10 @@ object Summary {
     val cats = extraKeys.fold(derived)(e =>
       derived.unionByName(e.select(col("kind"), col("key"))).distinct())
     val universe = groups.join(broadcast(cats), Seq("kind"))
-    val joined = universe.join(partial, groupKeys ++ Seq("kind", "key"), "left")
+    // broadcast the dimension-sized partial — same rationale as
+    // [[lattice]]'s zero-fill join
+    val joined = universe.join(
+      broadcast(partial), groupKeys ++ Seq("kind", "key"), "left")
     distinctCounts.keys.foldLeft(joined) { (df, as) =>
       df.withColumn(as, coalesce(col(as), lit(0L)))
     }
