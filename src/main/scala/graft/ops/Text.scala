@@ -203,6 +203,52 @@ object Text {
       .distinct()
   }
 
+  /** Exact repeated-substring SPAN removal — the span-level sibling of
+    * document dedup (Lee et al. 2022, arXiv:2107.06499: duplicated
+    * training substrings are memorized disproportionately; removing
+    * the SPANS beats dropping whole documents). A token span is
+    * removed when some `k`-gram covering it occurs at least
+    * `minCount` times corpus-wide (within- or cross-document).
+    *
+    * Shape: one shingle pass ([[shingles]] — position-ordered, so
+    * gram j starts at token j), one count aggregation on the gram,
+    * one equi-join back for the duplicated grams' positions, one
+    * per-doc mask. All shuffles are equi-key; the per-doc mask is
+    * array work bounded by document length. The gram SHUFFLE carries
+    * k-token strings — at 100 TB swap the join/count key to
+    * xxhash64(gram) (64-bit collisions would mis-drop ~nothing, but
+    * the string form is kept here for exactness and the DuckDB
+    * oracle).
+    *
+    * Output: (id, clean) where `clean` is the normalized text with
+    * covered tokens removed (space-joined). Documents shorter than
+    * `k` tokens pass through whole. Deterministic.
+    */
+  def dropRepeatedSpans(
+      docs: DataFrame, id: String, textCol: String,
+      k: Int = 10, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"span gram size must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val base = docs.select(col(id).as("__id"),
+      words(normalize(col(textCol))).as("__w"),
+      shingles(col(textCol), k).as("__g"))
+    val gramRows = base.select(col("__id"),
+      posexplode(col("__g")).as(Seq("__gpos", "__gram")))
+    val dup = gramRows.groupBy("__gram").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__gram")
+    val covered = gramRows.join(dup, "__gram")
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("__gpos"))).as("__starts"))
+    base.join(covered, Seq("__id"), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col("__id").as(id),
+        array_join(
+          filter(col("__w"), (t, i) =>
+            !exists(col("__starts"), s => i >= s && i < s + lit(k))),
+          " ").as("clean"))
+  }
+
   // ---- repetition features (Gopher-style duplicate-fraction rules) ----
 
   /** Fraction of word tokens that are repeats of an earlier token:

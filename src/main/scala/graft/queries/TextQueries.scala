@@ -233,6 +233,36 @@ object TextQueries {
         .select("doc_id")
     },
 
+    // ---- exact repeated-SPAN removal (Lee et al. 2022): token spans
+    //      whose 5-gram repeats corpus-wide are cut out of the
+    //      document, not the document out of the corpus. Oracle
+    //      recomputes the same mask relationally: gram counts ->
+    //      duplicated grams -> per-doc covered starts -> index-lambda
+    //      filter over the token list ----
+    sql(
+      "q_span_dedup",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |ge AS (
+         |  SELECT doc_id, e['gpos'] AS gpos, e['gram'] AS gram
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      range(CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END),
+         |      i -> {'gpos': i, 'gram': array_to_string(ws[i+1:i+5], ' ')}))
+         |      AS e
+         |    FROM w)),
+         |dup AS (SELECT gram FROM ge GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT doc_id, list_sort(list(DISTINCT gpos)) AS starts
+         |  FROM ge JOIN dup USING (gram) GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(array_to_string(list_filter(w.ws, (x, i) ->
+         |    len(list_filter(coalesce(cov.starts, []),
+         |        s -> i - 1 >= s AND i - 1 < s + 5)) = 0), ' '), '') AS clean
+         |FROM w LEFT JOIN cov USING (doc_id)""".stripMargin) { (s, d) =>
+      graft.ops.Text.dropRepeatedSpans(
+        Tables.documents(s, d), "doc_id", "text", k = 5)
+    },
+
     // ---- near-dup: MinHash-LSH candidates + exact-Jaccard rescore ----
     sql(
       "q_neardup_pairs",

@@ -90,6 +90,33 @@ class TextSpec extends AnyFunSuite with WithSpark {
     assert(again == got)
   }
 
+  test("dropRepeatedSpans cuts cross-doc repeated spans, keeps unique text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one tail"),
+      (2L, "prefix words alpha beta gamma delta epsilon zeta other end"),
+      (3L, "totally different content with no repeats at all ok"),
+      (4L, "short doc")). // shorter than k: passes through whole
+      toDF("doc_id", "text")
+    val got = Text.dropRepeatedSpans(docs, "doc_id", "text", k = 6)
+      .as[(Long, String)].collect().toMap
+    // the shared 6-token span is cut from BOTH documents; everything
+    // else survives in order
+    assert(got(1L) == "unique one tail")
+    assert(got(2L) == "prefix words other end")
+    assert(got(3L) == "totally different content with no repeats at all ok")
+    assert(got(4L) == "short doc")
+  }
+
+  test("dropRepeatedSpans catches WITHIN-doc repetition too") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 x1 x2 x3"), // the 3-gram 'x1 x2 x3' occurs twice
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Text.dropRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "") // every position covered by a repeated gram
+    assert(got(2L) == "a b c d e")
+  }
+
   test("fingerprints are deterministic and normalization-invariant") {
     val fp1 = one(Text.fingerprintMd5(col("t")), "Hello,  World!")
     val fp2 = one(Text.fingerprintMd5(col("t")), "hello world")
