@@ -470,6 +470,92 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment of `a` in `b`: |Sa ∩ Sb| / |Sa|. */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / size(a)
+  }
+
+  /** EXACT directed containment join — the asymmetric sibling of
+    * [[exactNearDupPairs]] for TEMPLATE detection: emit (a, b) whenever
+    * |Sa ∩ Sb| / |Sa| ≥ t, i.e. document `a` is (mostly) contained in
+    * document `b`. Jaccard misses this workload structurally: a 50-line
+    * boilerplate header inside a 5 000-line page has near-zero Jaccard
+    * but containment 1.0 — and boilerplate/template discovery over a
+    * crawl is a containment question, not a similarity one.
+    *
+    * Prefix filtering adapts asymmetrically (Bayardo et al. WWW'07 §5):
+    * a qualifying pair shares ≥ ceil(t·|a|) shingles, so the CONTAINED
+    * side keeps the same rarest-first prefix of length
+    * |a| − ceil(t·|a|) + 1 — but the containing side has no lower bound
+    * on its own overlap fraction, so `b` indexes its FULL ordered
+    * shingle list. Completeness: both sets are sorted by the same
+    * global (df, tok) order, so the pair's first shared token is first
+    * in both; it sits inside a's prefix (pigeonhole) and somewhere in
+    * b's full postings — the equi-join cannot miss it. Two prunes run
+    * inside the join, both necessary conditions of containment ≥ t:
+    *  - size filter: |b| ≥ overlap ≥ ceil(t·|a|);
+    *  - positional filter: a shared token at 0-based (px, py) caps
+    *    overlap at min(|a|−px, |b|−py), which must reach ceil(t·|a|).
+    *
+    * Scale shape: identical shuffle count to [[exactNearDupPairs]] (one
+    * df aggregation, one regroup, one equi-join) — the asymmetry costs
+    * join fan-in, not shuffles: bucket sizes are df_prefix(tok)·df(tok)
+    * instead of df_prefix², and rarest-first ordering keeps
+    * df_prefix(tok) near zero exactly for the corpus-hot tokens whose
+    * full postings are large. At crawl scale, partition the full-
+    * postings side by set-size range on top of this (LSH Ensemble,
+    * Zhu et al. VLDB'16) — the join condition already carries the size
+    * filter that makes those partitions prunable.
+    *
+    * Output: (a, b, containment), a ≠ b, both directions evaluated
+    * independently (containment is not symmetric).
+    */
+  def containmentJoinExact(
+      docs: DataFrame,
+      id: String,
+      shingles: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sets = graft.core.LazyCheckpoint(docs
+      .select(col(id).as("__id"), array_distinct(shingles).as("__sh"))
+      .filter(size(col("__sh")) > 0))
+    val toks = sets.select(col("__id"), explode(col("__sh")).as("__tok"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ordered = toks
+      .join(dfreq, "__tok")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
+        .getField("__tok").as("__ord"))
+    // contained side: rarest-first prefix; containing side: full list.
+    // Both posexplode the same ordered array — one generator each, the
+    // prefix is a slice of the same order, so positions line up.
+    val full = ordered.select(
+      col("__id"), size(col("__ord")).as("__n"),
+      posexplode(col("__ord")).as(Seq("__pos", "__tok")))
+    val prefixed = full.filter(
+      col("__pos") < col("__n")
+        - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+    val minOverlap = ceil(lit(threshold) * col("x.__n") - lit(1e-9))
+    val cand = prefixed.as("x")
+      .join(full.as("y"),
+        col("x.__tok") === col("y.__tok") &&
+          col("x.__id") =!= col("y.__id") &&
+          col("y.__n") >= minOverlap &&
+          least(col("x.__n") - col("x.__pos"), col("y.__n") - col("y.__pos"))
+            >= minOverlap)
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("a"), col("__sh").as("__sha")),
+        Seq("a"))
+      .join(sets.select(col("__id").as("b"), col("__sh").as("__shb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        containment(col("__sha"), col("__shb")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Near-duplicate pairs: LSH candidates re-scored with exact
     * Jaccard and thresholded. The expensive exact comparison runs
     * only on the candidate set (linear-ish), not all pairs

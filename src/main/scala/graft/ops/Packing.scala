@@ -54,4 +54,40 @@ object Packing {
         expr(s"(total_tokens + ${budget - 1}L) div ${budget}L"))
       .withColumn("waste_tokens",
         expr(s"n_chunks * ${budget}L - total_tokens"))
+
+  /** Per-document sliding-window chunking with overlap — the RAG /
+    * context-window prep op: cut each document's token list into
+    * chunks of `chunkSize` starting every `chunkSize - overlap`
+    * tokens, so consecutive chunks share `overlap` tokens and no
+    * token is more than `overlap` away from a chunk boundary it can
+    * see across. Entirely map-side (array HOFs inside one projection
+    * + one generator) — chunking a 100 TB corpus shuffles nothing.
+    *
+    * Chunk k starts at k·(chunkSize−overlap); exactly
+    * ceil((n − overlap) / (chunkSize − overlap)) chunks are emitted
+    * (min 1) — the smallest count whose last chunk still reaches the
+    * document end, so every token is covered and no chunk is redundant
+    * (a start whose tokens the previous chunk fully covers is never
+    * generated). The last chunk may be shorter; never empty. A
+    * document shorter than `chunkSize` yields exactly one chunk.
+    * Output: every input column, plus `chunk_id` (0-based, per-doc)
+    * and `chunk` (the token slice).
+    */
+  def slidingChunks(
+      df: DataFrame, tokens: Column,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val stride = chunkSize - overlap
+    val n = size(tokens)
+    // number of chunks: 1 + floor((n-1)/stride) clipped so the LAST
+    // start < n; equivalently ceil((n - overlap) / stride), min 1
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    df.select(col("*"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          k => slice(tokens, k * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_id", "chunk")))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Time-series regularization: put a ragged event stream onto a
+  * fixed-grain per-key timeline (resample), then carry the last
+  * observation forward across the empty buckets.
+  *
+  * Not in the reference's inventory (its `events`-style streams stop at
+  * windowed aggregation — SURVEY.md §2.8); a feature/metrics pipeline
+  * needs the dense grid: model features join against "the value as of
+  * hour H" for EVERY hour, not just hours that happened to see events.
+  *
+  * Scale shape (100 TB): the fact table is touched exactly once, by the
+  * (key, bucket) aggregation — everything after operates on the
+  * bucket-grain aggregate, which is smaller by the events-per-bucket
+  * ratio. The spine derives from a key-grain (lo, hi) aggregate and
+  * explodes map-side (`sequence`), so no driver ever sees a timeline.
+  * Per-key spine length = key's active range / grain — document the
+  * grain choice: a key active for a year at 1-minute grain is 525 600
+  * rows, all in one window partition. The forward-fill window runs
+  * partitioned by key with a running frame, so Spark's streaming window
+  * evaluator never buffers more than one bucket row.
+  */
+object TimeSeries {
+
+  /** Dense per-key fixed-grain timeline with forward fill.
+    *
+    * @param events   input frame
+    * @param key      partition key column name (series identity)
+    * @param ts       event-time column (timestamp)
+    * @param valueAgg aggregation computing each bucket's observed value
+    *                 (e.g. `sum(col("value").cast("decimal(18,2)"))`);
+    *                 deterministic aggregates only — float sums drift
+    *                 under partition order, route money through decimal
+    * @param truncUnit bucket grain as a `date_trunc` unit
+    *                 ("minute" | "hour" | "day" | "week" | ...)
+    * @param step     the same grain as an interval literal
+    *                 (e.g. "INTERVAL 1 HOUR") — drives the spine
+    * @return (key, bucket, value, filled, observed): `value` is the
+    *         bucket's own aggregate (null in gaps), `filled` carries
+    *         the last non-null value forward (null until the key's
+    *         first observation — leading edges are NOT back-filled),
+    *         `observed` marks real vs gap rows
+    */
+  def gapFill(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      valueAgg: Column,
+      truncUnit: String = "hour",
+      step: String = "INTERVAL 1 HOUR"): DataFrame = {
+    // one fact-table pass: bucket-grain aggregate
+    val perBucket = events
+      .groupBy(col(key), date_trunc(truncUnit, col(ts)).as("bucket"))
+      .agg(valueAgg.as("value"))
+    // key-grain span, exploded into the dense spine map-side
+    val spine = perBucket
+      .groupBy(col(key))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(key),
+        explode(sequence(col("__lo"), col("__hi"), expr(step)))
+          .as("bucket"))
+    val w = Window.partitionBy(key).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(perBucket, Seq(key, "bucket"), "left")
+      .select(
+        col(key), col("bucket"),
+        col("value"),
+        last(col("value"), ignoreNulls = true).over(w).as("filled"),
+        col("value").isNotNull.as("observed"))
+  }
+}

@@ -327,5 +327,141 @@ object AnalyticsQueries {
       }) { (s, d) =>
       graft.ops.Profile.profile(
         Tables.documents(s, d), Seq("lang", "source", "n_chars"))
+    },
+
+    // ---- time-series gap fill: dense hourly per-user grid, last
+    //      observation carried forward (ops/TimeSeries.gapFill) ----
+    //      decimal-routed sums + ::VARCHAR so both engines print the
+    //      identical fixed-scale string
+    sql(
+      "q_gap_fill",
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    sum(value::DECIMAL(18,2)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        |  FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |        FROM b GROUP BY 1)),
+        |j AS (SELECT sp.user_id, sp.bucket, b.v
+        |      FROM sp LEFT JOIN b
+        |        ON sp.user_id = b.user_id AND sp.bucket = b.bucket)
+        |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+        |  v::VARCHAR AS value,
+        |  (last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW))::VARCHAR AS filled,
+        |  v IS NOT NULL AS observed
+        |FROM j""".stripMargin) { (s, d) =>
+      graft.ops.TimeSeries.gapFill(
+          Tables.events(s, d), key = "user_id", ts = "ts",
+          valueAgg = sum(col("value").cast("decimal(18,2)")),
+          truncUnit = "hour", step = "INTERVAL 1 HOUR")
+        .select(col("user_id"), col("bucket"),
+          col("value").cast("string").as("value"),
+          col("filled").cast("string").as("filled"),
+          col("observed"))
+    },
+
+    // ---- rolling per-key stats (5-row trailing frame): decimal sum,
+    //      exact min/max — the feature-engineering window shape ----
+    sql(
+      "q_rolling_stats",
+      """SELECT event_id, user_id,
+        |  (sum(value::DECIMAL(18,2)) OVER w5)::VARCHAR AS roll_sum,
+        |  round(min(value) OVER w5, 2) AS roll_min,
+        |  round(max(value) OVER w5, 2) AS roll_max,
+        |  count(*) OVER w5 AS roll_n
+        |FROM events
+        |WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, d) =>
+        val w5 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w5)
+            .cast("string").as("roll_sum"),
+          round(min(col("value")).over(w5), 2).as("roll_min"),
+          round(max(col("value")).over(w5), 2).as("roll_max"),
+          count(lit(1)).over(w5).as("roll_n"))
+    },
+
+    // ---- fixed-width histogram (map-side binning + one agg) ----
+    sql(
+      "q_histogram",
+      """SELECT CAST(floor(value/10) AS INTEGER) AS bucket, count(*) AS n,
+        |  (sum(value::DECIMAL(18,2)))::VARCHAR AS total
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("string").as("total"))
+    },
+
+    // ---- z-score outliers with EXACT integer arithmetic: the
+    //      |v − μ| > 2σ test rearranged to (iv·n − s)² > 4(n·ss − s²)
+    //      over integer cents — no float mean/stddev, so the verdict
+    //      is bit-portable across engines and partitionings (a float
+    //      stddev is neither). At petabyte group sizes swap the longs
+    //      for decimal(38,0); the rearrangement is unchanged. ----
+    sql(
+      "q_outliers",
+      """WITH e AS (SELECT event_id, event_type, value,
+        |             CAST(round(value*100) AS BIGINT) AS iv FROM events),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n,
+        |         sum(iv)::BIGINT AS s, sum(iv*iv)::BIGINT AS ss
+        |       FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM e JOIN st USING (event_type)
+        |WHERE (e.iv*st.n - st.s)*(e.iv*st.n - st.s)
+        |  > 4*(st.n*st.ss - st.s*st.s)""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("iv"))
+      // per-type moments: rows = |event_type| — always broadcastable
+      val st = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("iv").as("s"),
+        sum(col("iv") * col("iv")).as("ss"))
+      val dev = col("iv") * col("n") - col("s")
+      e.join(broadcast(st), "event_type")
+        .filter(dev * dev > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
+        .select("event_id", "event_type", "value")
+    },
+
+    // ---- ordered funnel: users who viewed, then clicked after that
+    //      view, then purchased after that click. Greedy earliest-
+    //      event semantics are exact for existence: if ANY ordered
+    //      triple exists, the earliest view admits an earliest
+    //      subsequent click, which admits a purchase. Each stage is an
+    //      event_type-pruned scan joined per-user; the per-user minima
+    //      frames are key-sized and broadcast under AQE. ----
+    sql(
+      "q_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |           WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        |      WHERE e.event_type='click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        |      WHERE e.event_type='purchase' GROUP BY 1)
+        |SELECT p.user_id, CAST(v.t AS TIMESTAMP) AS first_view,
+        |  CAST(c.t AS TIMESTAMP) AS first_click,
+        |  CAST(p.t AS TIMESTAMP) AS first_purchase
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |JOIN v ON p.user_id = v.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("first_view"))
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("first_click"))
+        .groupBy("user_id").agg(min("ts").as("first_purchase"))
+      p.join(c, "user_id").join(v, "user_id")
+        .select("user_id", "first_view", "first_click", "first_purchase")
     })
 }

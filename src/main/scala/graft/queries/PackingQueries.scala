@@ -54,5 +54,30 @@ object PackingQueries {
       Packing.packStats(
         Tables.documents(s, d), col("source"),
         Text.tokenCount(col("text")), Budget)
+    },
+
+    // ---- sliding-window chunking with overlap (RAG prep): 32-token
+    //      chunks every 24 tokens (8 overlap), map-side only; chunk
+    //      arrays ride the to_json canon ----
+    sql(
+      "q_chunk_overlap",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(${TextQueries.NormSql}, ' ') AS ws
+         |  FROM documents),
+         |d AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+         |c AS (
+         |  SELECT doc_id, k AS chunk_id, ws[k*24+1 : k*24+32] AS chunk
+         |  FROM d, UNNEST(range(greatest(1,
+         |    CAST(ceil((n - 8) / 24.0) AS BIGINT)))) AS t(k))
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  to_json(chunk) AS chunk_json
+         |FROM c""".stripMargin) { (s, d) =>
+      Packing.slidingChunks(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              Text.words(Text.normalize(col("text"))).as("__toks")),
+          tokens = col("__toks"), chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"),
+          Canon.js(col("chunk")).as("chunk_json"))
     })
 }

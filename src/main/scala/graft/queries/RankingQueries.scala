@@ -111,5 +111,34 @@ object RankingQueries {
       Ranking.bm25(docs, "doc_id", col("__toks"), Bm25Query,
           docCount = n, avgDl = avgDl)
         .withColumn("bm25", round(col("bm25"), 9))
+    },
+
+    // ---- directed within-window co-occurrence + PMI (the word2vec/
+    //      GloVe statistics table). Pair generation is map-side array
+    //      HOFs — no self-join; margins come from the pair-count frame
+    //      itself. ln on the shared 9-decimal grid (see q_bm25). ----
+    sql(
+      "q_pmi",
+      s"""WITH toks AS (
+         |  SELECT string_split(${TextQueries.NormSql}, ' ') AS ws
+         |  FROM documents),
+         |p AS (
+         |  SELECT ws[i+1] AS a, ws[i+1+j] AS b
+         |  FROM toks, UNNEST(range(len(ws)-1)) AS t(i),
+         |    UNNEST(range(1, 4)) AS s(j)
+         |  WHERE i + j < len(ws)),
+         |c AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+         |ma AS (SELECT a, sum(n_ab) AS n_a FROM c GROUP BY 1),
+         |mb AS (SELECT b, sum(n_ab) AS n_b FROM c GROUP BY 1),
+         |t AS (SELECT sum(n_ab) AS n FROM c)
+         |SELECT c.a, c.b, c.n_ab,
+         |  round(ln(CAST(c.n_ab AS DOUBLE) * t.n / (ma.n_a * mb.n_b)), 9)
+         |    AS pmi
+         |FROM c JOIN ma ON c.a = ma.a JOIN mb ON c.b = mb.b, t
+         |WHERE c.n_ab >= 5""".stripMargin) { (s, d) =>
+      graft.ops.Cooccurrence.pmi(
+        Tables.documents(s, d),
+        tokens = Text.words(Text.normalize(col("text"))),
+        window = 3, minCount = 5)
     })
 }

@@ -315,6 +315,30 @@ object TextQueries {
         id = "doc_id", shingles = col("shingles"), threshold = 0.7)
     },
 
+    // ---- directed containment join (template detection): a mostly-
+    //      inside-b pairs that Jaccard structurally misses; oracle is
+    //      the all-pairs truth so the prefix filter's completeness is
+    //      what's actually on trial ----
+    sql(
+      "q_containment",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) AS containment
+         |FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+         |WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(x.s) >= 0.8
+         |""".stripMargin) { (s, d) =>
+      Dedup.containmentJoinExact(
+        Tables.documents(s, d).withColumn(
+          "shingles", Text.shingles(col("text"), 3)),
+        id = "doc_id", shingles = col("shingles"), threshold = 0.8)
+    },
+
     // ---- incremental EXACT dedup: new docs (>= 400) whose normalized
     //      fingerprint is unseen in the corpus (< 400) — the batch face
     //      of EventStream.filterKnown (stateless stream-static anti

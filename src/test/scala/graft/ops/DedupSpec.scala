@@ -108,6 +108,46 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("containmentJoinExact finds a template inside a larger doc " +
+      "where Jaccard misses it") {
+    val tmpl = "one two three four five six"
+    val page = tmpl + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val c = Seq((1L, tmpl), (2L, page), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val got = Dedup.containmentJoinExact(c, "doc_id", col("sh"), 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // directed: template ⊂ page only
+    val jac = Dedup.exactNearDupPairs(c, "doc_id", col("sh"), 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty) // the symmetric score can't see it
+  }
+
+  test("containmentJoinExact equals brute-force all-pairs containment " +
+      "(asymmetric prefix filter completeness)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 60L).map { i =>
+      val n = 4 + rnd.nextInt(14)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(col("sh")).as("s"))
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val brute = sets.as("x").join(sets.as("y"),
+          col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.containment(col("x.s"), col("y.s")).as("c"))
+        .filter(col("c") >= t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val got = Dedup.containmentJoinExact(corpus, "doc_id", col("sh"), t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"threshold $t")
+    }
+  }
+
   test("incrementalCandidates: batch joins the persisted state, " +
       "existing pairs never re-reported") {
     // corpus: d1/d2 exact dups, d4 unique — state built once

@@ -35,6 +35,31 @@ class PackingSpec extends AnyFunSuite with WithSpark {
     assert(stats("b") == ((7L, 1L, 25L)))
   }
 
+  test("slidingChunks: coverage, overlap, and minimal chunk count") {
+    // 7 tokens, size 5, overlap 2 (stride 3) → ceil((7-2)/3) = 2 chunks
+    val df = Seq((1L, (0 until 7).map(i => s"t$i"))).toDF("id", "toks")
+    val got = Packing.slidingChunks(df, col("toks"), 5, 2)
+      .select("chunk_id", "chunk").as[(Int, Seq[String])].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      0 -> Seq("t0", "t1", "t2", "t3", "t4"),
+      1 -> Seq("t3", "t4", "t5", "t6")))
+    // consecutive chunks share exactly `overlap` tokens; union covers all
+    assert(got(0)._2.takeRight(2) == got(1)._2.take(2))
+    assert(got.flatMap(_._2).distinct.size == 7)
+  }
+
+  test("slidingChunks: short doc yields one whole-doc chunk; no " +
+      "redundant tail chunk when the previous chunk already covers it") {
+    val df = Seq((1L, Seq("a", "b")), (2L, (0 until 8).map(_.toString)))
+      .toDF("id", "toks")
+    val got = Packing.slidingChunks(df, col("toks"), 5, 2)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L) // 2 tokens < chunkSize
+    assert(got(2L) == 2L) // starts 0,3: [0..4],[3..7] — start 6 redundant
+  }
+
   test("plan: one shuffle on the shard key, no global sort") {
     val plan = Packing.packChunks(
       docs, $"shard", $"id", $"tok", budget = 32L)

@@ -1,0 +1,57 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // key "a": observations at hours 0, 1, 4 (gap 2-3); key "b": one lone
+  // observation (degenerate spine of length 1)
+  private lazy val events = Seq(
+    ("a", ts("2024-01-01 00:10:00"), 1.0),
+    ("a", ts("2024-01-01 00:50:00"), 2.0),
+    ("a", ts("2024-01-01 01:20:00"), 4.0),
+    ("a", ts("2024-01-01 04:05:00"), 8.0),
+    ("b", ts("2024-01-02 12:30:00"), 5.0)
+  ).toDF("k", "t", "v")
+
+  private lazy val filled = TimeSeries.gapFill(
+    events, key = "k", ts = "t",
+    valueAgg = sum(col("v").cast("decimal(18,2)")),
+    truncUnit = "hour", step = "INTERVAL 1 HOUR")
+
+  test("spine is dense from first to last bucket per key") {
+    val a = filled.filter(col("k") === "a")
+      .select("bucket").as[Timestamp].collect().sorted
+    assert(a.toSeq == (0 to 4).map(h => ts(f"2024-01-01 $h%02d:00:00")))
+    assert(filled.filter(col("k") === "b").count() == 1)
+  }
+
+  test("gap rows carry the last observation forward, observed=false") {
+    val rows = filled.filter(col("k") === "a")
+      .select(col("bucket"), col("value").cast("string"),
+        col("filled").cast("string"), col("observed"))
+      .as[(Timestamp, String, String, Boolean)].collect()
+      .sortBy(_._1.getTime).toSeq
+    assert(rows.map(r => (r._2, r._3, r._4)) == Seq(
+      ("3.00", "3.00", true),   // hour 0: 1+2 aggregated
+      ("4.00", "4.00", true),
+      (null, "4.00", false),    // gap: forward-filled
+      (null, "4.00", false),
+      ("8.00", "8.00", true)))
+  }
+
+  test("leading edge is not back-filled") {
+    // a key whose FIRST bucket exists by construction (spine starts at
+    // the first observation) can never have a null fill; assert the
+    // invariant: filled is null-free because every spine starts at an
+    // observed bucket
+    assert(filled.filter(col("filled").isNull).count() == 0)
+  }
+}
