@@ -428,15 +428,7 @@ object Dedup {
     val sets = graft.core.LazyCheckpoint(docs
       .select(col(id).as("__id"), array_distinct(shingles).as("__sh"))
       .filter(size(col("__sh")) > 0))
-    val toks = sets.select(col("__id"), explode(col("__sh")).as("__tok"))
-    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    // canonical rarest-first order: (df, tok); per-doc sorted array,
-    // then the pigeonhole prefix
-    val ordered = toks
-      .join(dfreq, "__tok")
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
-        .getField("__tok").as("__ord"))
+    val ordered = orderedTokenHashes(sets)
     val prefixed = ordered.select(
       col("__id"),
       size(col("__ord")).as("__n"),
@@ -468,6 +460,35 @@ object Dedup {
       .select(col("a"), col("b"),
         jaccard(col("__sha"), col("__shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared AllPairs token pipeline over a (__id, __sh) set frame:
+    * per-document canonical rarest-first token sequence, emitted as
+    * xxhash64 LONGS. Tokens travel the df aggregation and the
+    * candidate equi-join as 8-byte hashes instead of shingle strings —
+    * a multi-token shingle easily runs 20-40 bytes, so hashing shrinks
+    * the two corpus-sized shuffles several-fold. Correctness is
+    * untouched: a given token always maps to the same hash (no false
+    * negatives — the completeness proof transfers verbatim), and a
+    * hash collision between distinct tokens only ADDS a candidate
+    * pair, which the exact rescore on the original shingle sets then
+    * scores truthfully. The canonical order is (df-of-hash, hash,
+    * token) — total and globally consistent, so per-document positions
+    * are well-defined and the positional filter's first-shared-token
+    * argument still holds; merging collided tokens' df counts can only
+    * perturb ordering QUALITY (bucket sizes), never completeness.
+    */
+  private def orderedTokenHashes(sets: DataFrame): DataFrame = {
+    val toks = sets
+      .select(col("__id"), explode(col("__sh")).as("__tok"))
+      .withColumn("__th", xxhash64(col("__tok")))
+    val dfreq = toks.groupBy("__th").agg(count(lit(1)).as("__df"))
+    toks
+      .join(dfreq, "__th")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(
+        struct(col("__df"), col("__th"), col("__tok"))))
+        .getField("__th").as("__ord"))
   }
 
   /** Containment of `a` in `b`: |Sa ∩ Sb| / |Sa|. */
@@ -520,13 +541,7 @@ object Dedup {
     val sets = graft.core.LazyCheckpoint(docs
       .select(col(id).as("__id"), array_distinct(shingles).as("__sh"))
       .filter(size(col("__sh")) > 0))
-    val toks = sets.select(col("__id"), explode(col("__sh")).as("__tok"))
-    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val ordered = toks
-      .join(dfreq, "__tok")
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__tok"))))
-        .getField("__tok").as("__ord"))
+    val ordered = orderedTokenHashes(sets)
     // contained side: rarest-first prefix; containing side: full list.
     // Both posexplode the same ordered array — one generator each, the
     // prefix is a slice of the same order, so positions line up.

@@ -52,10 +52,24 @@ object TimeSeries {
       valueAgg: Column,
       truncUnit: String = "hour",
       step: String = "INTERVAL 1 HOUR"): DataFrame = {
-    // one fact-table pass: bucket-grain aggregate
-    val perBucket = events
+    require(events.columns.contains(key), s"missing key column '$key'")
+    require(events.columns.contains(ts), s"missing time column '$ts'")
+    // date_trunc silently yields null on a bogus unit — fail loudly at
+    // the driver instead of emitting an all-null bucket column
+    val validUnits = Set("year", "quarter", "month", "week", "day",
+      "hour", "minute", "second")
+    require(validUnits.contains(truncUnit.toLowerCase),
+      s"unsupported trunc unit '$truncUnit' (one of $validUnits)")
+    require(!Seq("bucket", "value", "filled", "observed").contains(key),
+      s"key column '$key' collides with a gapFill output column")
+    // one fact-table pass: bucket-grain aggregate. Checkpointed
+    // because BOTH the spine (span aggregate) and the left join read
+    // it — unchecked, each consumer re-scans the fact table (measured;
+    // PlanShapeSpec pins the single scan). The frame is bucket-grain:
+    // smaller than the input by the events-per-bucket ratio.
+    val perBucket = graft.core.LazyCheckpoint(events
       .groupBy(col(key), date_trunc(truncUnit, col(ts)).as("bucket"))
-      .agg(valueAgg.as("value"))
+      .agg(valueAgg.as("value")))
     // key-grain span, exploded into the dense spine map-side
     val spine = perBucket
       .groupBy(col(key))

@@ -172,4 +172,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scd2 must join current and batch exactly once:\n${p.take(1500)}")
     assert(p.contains("Generate"), "kept/opening generator missing")
   }
+
+  test("sliding chunking is shuffle-free (map-side generator only)") {
+    val p = plan("q_chunk_overlap")
+    assert(count(p, "Exchange") == 0,
+      s"chunking must not shuffle:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "chunk generator missing")
+  }
+
+  test("pmi generates pairs ONCE: consumers read the checkpointed " +
+      "count frame, never re-scanning the corpus") {
+    // Catalyst does NOT reuse the count aggregate's exchange across
+    // the four consumers (measured: 6 corpus scans without the
+    // checkpoint) — the LazyCheckpoint hides the single real scan
+    // behind an ExistingRDD, so at most one (in practice zero) corpus
+    // scan may be visible in the consuming plan
+    val p = plan("q_pmi")
+    assert(count(p, "documents.parquet") <= 1,
+      s"pair generation re-scans the corpus:\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"),
+      "pair-count frame is no longer checkpointed")
+  }
+
+  test("gap fill scans the fact table exactly once") {
+    val p = plan("q_gap_fill")
+    // the bucket aggregate is checkpointed (spine + join both read it);
+    // without it each consumer re-scans events.parquet
+    assert(count(p, "events.parquet") <= 1,
+      s"gapFill must aggregate the fact once:\n${p.take(1500)}")
+    assert(p.contains("ExistingRDD"),
+      "bucket aggregate is no longer checkpointed")
+    assert(p.contains("Generate"), "spine sequence-explode missing")
+  }
+
+  test("outlier gate: moment frame broadcasts, verdict is map-side") {
+    val p = plan("q_outliers")
+    assert(count(p, "BroadcastHashJoin") == 1,
+      "per-type moments must broadcast")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
 }

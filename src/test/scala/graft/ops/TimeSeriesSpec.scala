@@ -47,6 +47,41 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
       ("8.00", "8.00", true)))
   }
 
+  test("gapFill equals a per-key sorted-scan reference on random events") {
+    val rnd = new scala.util.Random(11)
+    val hourMs = 3600L * 1000
+    val base = ts("2024-03-01 00:00:00").getTime
+    val rows = (1 to 300).map { _ =>
+      val k = s"k${rnd.nextInt(5)}"
+      val t = new Timestamp(base + (rnd.nextDouble() * 72 * hourMs).toLong)
+      (k, t, (rnd.nextInt(2000) + 1) / 100.0)
+    }
+    val df = rows.toDF("k", "t", "v")
+    val got = TimeSeries.gapFill(df, "k", "t",
+        sum(col("v").cast("decimal(18,2)")), "hour", "INTERVAL 1 HOUR")
+      .select(col("k"), col("bucket"), col("value").cast("string"),
+        col("filled").cast("string"))
+      .as[(String, Timestamp, String, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // reference: per-key hourly buckets via a plain sorted scan
+    val expect = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val byBucket = rs.groupBy(r => r._2.getTime / hourMs * hourMs)
+        .view.mapValues(_.map(r => BigDecimal(r._3).setScale(2)).sum).toMap
+      val (lo, hi) = (byBucket.keys.min, byBucket.keys.max)
+      var lastSeen: Option[BigDecimal] = None
+      (lo to hi by hourMs).map { b =>
+        val v = byBucket.get(b)
+        if (v.isDefined) lastSeen = v
+        (k, new Timestamp(b)) ->
+          (v.map(_.toString).orNull, lastSeen.map(_.toString).orNull)
+      }
+    }
+    assert(got.size == expect.size)
+    expect.foreach { case (key, exp) =>
+      assert(got(key) == exp, s"mismatch at $key")
+    }
+  }
+
   test("leading edge is not back-filled") {
     // a key whose FIRST bucket exists by construction (spine starts at
     // the first observation) can never have a null fill; assert the
