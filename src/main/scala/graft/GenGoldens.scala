@@ -121,6 +121,14 @@ object GenGoldens {
     writeTsv(feats.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
       "media_id\tn_bytes\tfingerprint", "golden_media_features.tsv")
 
+    // q_media_phash golden: (media_id, phash) — locks the full DCT →
+    // median-threshold → bit-pack kernel (dim 65: full 64-bit acuity)
+    val phashes = Multimodal.perceptualHashes(
+        Multimodal.extractFeatures(media, dim = 65)).toDF()
+      .orderBy("media_id").as[(Long, Long)].collect()
+    writeTsv(phashes.map(p => s"${p._1}\t${p._2}").toSeq,
+      "media_id\tphash", "golden_media_phash.tsv")
+
     // q_knn_lsh / q_knn_ivf goldens at the correctness SF: both
     // operators are deterministic end to end — seeded hyperplanes
     // (spec'd LCG), xxhash64-seeded + decimal-mean Lloyd centroids,

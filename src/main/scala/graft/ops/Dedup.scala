@@ -189,6 +189,21 @@ object Dedup {
     */
   def simhashNearDups(
       docs: DataFrame, id: String, features: Column,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    // localCheckpoint, not persist: see candidatePairs — self-join reads
+    // it twice, blocks are GC-reclaimed with the returned frame.
+    hammingNearDups(simhashes(docs, id, features).localCheckpoint(),
+      id, "simhash", maxHamming, bands)
+
+  /** Near-duplicate pairs over ANY 64-bit fingerprint column by
+    * pigeonhole banding — the fingerprint-agnostic core of
+    * [[simhashNearDups]], reused by perceptual-hash media dedup
+    * ([[Multimodal.phashNearDups]]): band each hash into `bands`
+    * bit-chunks, self-join on any exact chunk match, rescore with
+    * exact Hamming distance. Never all-pairs.
+    */
+  def hammingNearDups(
+      hashes: DataFrame, id: String, hashCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     // Pigeonhole guarantee only holds below `bands` differing bits: two
     // fingerprints within Hamming distance < bands MUST share a chunk.
@@ -196,22 +211,20 @@ object Dedup {
     require(maxHamming < bands,
       s"maxHamming ($maxHamming) must be < bands ($bands) for the " +
         "pigeonhole banding to guarantee recall; raise bands")
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
     val bitsPerBand = 64 / bands
-    // localCheckpoint, not persist: see candidatePairs — self-join reads
-    // it twice, blocks are GC-reclaimed with the returned frame.
-    val sh = simhashes(docs, id, features).localCheckpoint()
     val mask = (1L << bitsPerBand) - 1
-    val banded = sh.select(col(id), col("simhash"),
+    val banded = hashes.select(col(id), col(hashCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))
+          shiftright(col(hashCol), b * bitsPerBand).bitwiseAND(lit(mask))
             .as("chunk"))
       }: _*)).as("bb"))
-      .select(col(id), col("simhash"),
+      .select(col(id), col(hashCol),
         col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    val l = banded.select(col(id).as("a"), col("simhash").as("__sa"),
+    val l = banded.select(col(id).as("a"), col(hashCol).as("__sa"),
       col("band"), col("chunk"))
-    val r = banded.select(col(id).as("b"), col("simhash").as("__sb"),
+    val r = banded.select(col(id).as("b"), col(hashCol).as("__sb"),
       col("band"), col("chunk"))
     l.join(r, Seq("band", "chunk"))
       .filter(col("a") < col("b"))

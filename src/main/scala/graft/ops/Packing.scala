@@ -89,5 +89,8 @@ object Packing {
         posexplode(transform(sequence(lit(0), nChunks - 1),
           k => slice(tokens, k * stride + 1, lit(chunkSize))))
           .as(Seq("chunk_id", "chunk")))
+      // an empty/null token list must yield NO chunk rows, not one
+      // empty chunk ("never empty" contract)
+      .where(size(col("chunk")) > 0)
   }
 }

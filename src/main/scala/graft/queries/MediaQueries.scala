@@ -40,6 +40,29 @@ object MediaQueries {
           .select(col("media_id"), col("n_bytes"), col("fingerprint"))
     },
 
+    // Perceptual-hash media dedup fingerprints: the committed golden
+    // locks the whole DCT → median-threshold → bit-pack kernel (the
+    // MATH is real pHash; only the pixel decode is the stub). The
+    // near-dup pairing over these hashes is differential-tested vs
+    // brute force in MultimodalSpec.
+    sql(
+      "q_media_phash",
+      s"""SELECT media_id::BIGINT AS media_id, phash::BIGINT AS phash
+         |FROM read_csv('$FixtureDir/golden_media_phash.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        import s.implicits._
+        val media = Sources.tsv(s, s"$FixtureDir/docs_planted.tsv").select(
+          col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          struct(lit("image").as("kind"), lit("bin").as("format"),
+            lit(4).as("width"), lit(4).as("height"),
+            lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
+          .as[Multimodal.MediaRow]
+        Multimodal.perceptualHashes(
+          Multimodal.extractFeatures(media, dim = 65)).toDF()
+    },
+
     // Resize seam: the stub contract (exactly w*h bytes, meta dims
     // rewritten) is computable, so the oracle is pure arithmetic over
     // the same corpus — the plumbing (typed rows, batching, meta

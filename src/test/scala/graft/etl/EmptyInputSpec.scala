@@ -124,6 +124,25 @@ class EmptyInputSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("round-6 operators degrade on empty frames") {
+    import graft.ops.{Cooccurrence, Dedup, Packing, TimeSeries}
+    val emptyDocs = Seq.empty[(Long, Seq[String])].toDF("id", "toks")
+    assert(Cooccurrence.pmi(emptyDocs, col("toks"), 3).count() == 0)
+    assert(Packing.slidingChunks(emptyDocs, col("toks"), 8, 2)
+      .count() == 0)
+    // a doc with an EMPTY token array yields no chunk rows (sequence
+    // over a negative count must not throw) and no pairs
+    val blank = Seq((1L, Seq.empty[String])).toDF("id", "toks")
+    assert(Packing.slidingChunks(blank, col("toks"), 8, 2).count() == 0)
+    assert(Cooccurrence.pmi(blank, col("toks"), 3).count() == 0)
+    assert(Dedup.containmentJoinExact(
+      emptyDocs, "id", col("toks"), 0.8).count() == 0)
+    val emptyEvents = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("k", "t", "v")
+    assert(TimeSeries.gapFill(emptyEvents, "k", "t",
+      sum(col("v").cast("decimal(18,2)"))).count() == 0)
+  }
+
   test("full pipeline runs end-to-end on the empty-children fixture") {
     val work = Files.createTempDirectory("graft_empty_out")
     Pipeline.run(spark, dir.toString, work.toString)

@@ -73,4 +73,46 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
     val out = rebalanceByBytes(rows, "payload", targetBytes = 25000L)
     assert(out.rdd.getNumPartitions == 4) // 100 KB / 25 KB
   }
+
+  test("perceptual hash: deterministic, DC-invariant, locality-aware") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.tabulate(65)(i => math.sin(i * 0.37).toFloat * 10f)
+    // identical signal -> identical hash
+    assert(phashOf(base.clone()) == phashOf(base.clone()))
+    // adding a constant offset only moves the DC coefficient, which the
+    // hash drops -> same fingerprint (brightness invariance)
+    val brighter = base.map(_ + 5.0f)
+    assert(phashOf(brighter) == phashOf(base))
+    // small local perturbation stays closer than an unrelated signal
+    val near = base.clone(); near(10) += 0.3f; near(40) -= 0.2f
+    val far = Array.tabulate(65)(_ => rnd.nextFloat() * 20f - 10f)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = phashOf(base)
+    assert(ham(h0, phashOf(near)) < ham(h0, phashOf(far)),
+      s"near=${ham(h0, phashOf(near))} far=${ham(h0, phashOf(far))}")
+  }
+
+  test("phashNearDups equals brute-force hamming pairs (pigeonhole " +
+      "completeness over real banding)") {
+    val rnd = new scala.util.Random(9)
+    // 30 base signals; every third gets a slightly perturbed sibling
+    val rows = (0 until 30).flatMap { g =>
+      val base = Array.tabulate(65)(i =>
+        math.sin(i * (0.1 + g * 0.07)).toFloat * 10f)
+      val sib = base.clone(); sib(g % 65) += 0.15f
+      Seq((g.toLong * 2, base)) ++
+        (if (g % 3 == 0) Seq((g.toLong * 2 + 1, sib)) else Nil)
+    }
+    val feats = rows.map { case (id, v) =>
+      MediaFeatures(id, 0L, 0L, v) }.toDS()
+    val got = Multimodal.phashNearDups(feats, maxHamming = 3, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val hashes = rows.map { case (id, v) => id -> phashOf(v) }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture planted no near pairs - test is vacuous")
+  }
 }
