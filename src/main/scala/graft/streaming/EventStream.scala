@@ -76,6 +76,57 @@ object EventStream {
     stream.join(corpusFingerprints.select(fpCol).distinct(),
       Seq(fpCol), "left_anti")
 
+  /** NEAR-duplicate gate for a stream of 64-bit fingerprints
+    * (SimHash / perceptual hash): drop every arriving row whose hash
+    * is within `maxHamming` of ANY corpus fingerprint. The exact-match
+    * gate ([[filterKnown]]) can't see a re-encoded image or a
+    * lightly-edited document; this one can — the streaming face of
+    * [[graft.ops.Dedup.hammingNearDups]].
+    *
+    * Shape: the stream side explodes each hash into `bands` chunk keys
+    * map-side; a stream-static equi-join on (band, chunk) against the
+    * pre-banded corpus (store it banded: `bands` rows per corpus hash,
+    * bucketed by (band, chunk)) surfaces candidates; the exact Hamming
+    * filter re-judges them, and a left-anti against the surviving
+    * candidate ids keeps only genuinely-novel rows. Pigeonhole
+    * complete for `maxHamming < bands` — a qualifying pair MUST share
+    * a chunk, so no near-dup slips through. Stateless: per-batch cost
+    * is O(batch × bands) join probes, zero stream-held state.
+    *
+    * In a streaming query, run it INSIDE `foreachBatch` (the
+    * micro-batch is a plain batch frame there): the anti-join's right
+    * side derives from the batch itself, which Spark's continuous
+    * planner rejects (`LeftAnti ... streaming ... on the right`) but
+    * the per-batch plan runs unchanged — same pattern as the engine's
+    * idempotent sinks. Spec'd both ways.
+    */
+  def filterNearKnown(
+      stream: DataFrame, corpusHashes: DataFrame, hashCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for the " +
+        "pigeonhole banding to guarantee recall; raise bands")
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    val bitsPerBand = 64 / bands
+    val mask = (1L << bitsPerBand) - 1
+    def banded(df: DataFrame, out: String): DataFrame = df
+      .select(col(hashCol).as(out),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col(hashCol), b * bitsPerBand).bitwiseAND(lit(mask))
+              .as("chunk"))
+        }: _*)).as("bb"))
+      .select(col(out), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val corpus = banded(corpusHashes, "__corpus_h")
+    // candidate hashes in THIS batch that near-match the corpus
+    val hit = banded(stream.select(hashCol), "__h")
+      .join(corpus, Seq("band", "chunk"))
+      .filter(bit_count(col("__h").bitwiseXOR(col("__corpus_h")))
+        <= maxHamming)
+      .select(col("__h").as(hashCol)).distinct()
+    stream.join(hit, Seq(hashCol), "left_anti")
+  }
+
   /** Gap-based sessions via Spark's native `session_window` — the
     * declarative sibling of [[sessionize]] that runs identically in
     * batch (oracle-checkable) and behind readStream (watermark evicts

@@ -175,6 +175,50 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("filterNearKnown drops within-hamming arrivals, keeps novel ones") {
+    import org.apache.spark.sql.functions.col
+    val base = 0x0123456789abcdefL
+    val corpus = Seq(base).toDF("h")
+    // 2 bits flipped: near-dup (<= 3); 20 bits flipped: novel
+    val near = base ^ 0x3L
+    val far = base ^ 0x000fffff00000000L
+    val input = MemoryStream[(Long, Long)](spark)
+    // the gate's anti-join right side derives from the batch, which
+    // the continuous planner rejects — foreachBatch is the contract
+    val survived = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val query = input.toDF().toDF("h", "doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStream.filterNearKnown(batch, corpus, "h",
+            maxHamming = 3, bands = 4)
+          .select(col("doc_id")).as[Long].collect()
+          .foreach(survived.add)
+        ()
+      }
+      .start()
+    try {
+      input.addData((base, 1L), (near, 2L), (far, 3L))
+      query.processAllAvailable()
+      assert(survived.size == 1 && survived.contains(3L))
+    } finally query.stop()
+  }
+
+  test("filterNearKnown batch face equals brute-force hamming gate") {
+    val rnd = new scala.util.Random(21)
+    val corpus = Seq.fill(40)(rnd.nextLong())
+    val batch = corpus.take(10).map(_ ^ 0x5L) ++ // 2-bit edits: near
+      Seq.fill(30)(rnd.nextLong())               // random: mostly novel
+    val got = EventStream.filterNearKnown(
+        batch.zipWithIndex.map { case (h, i) => (h, i.toLong) }
+          .toDF("h", "id"),
+        corpus.toDF("h"), "h", maxHamming = 3, bands = 4)
+      .select("id").as[Long].collect().toSet
+    val expect = batch.zipWithIndex.collect { case (h, i)
+      if !corpus.exists(c => java.lang.Long.bitCount(c ^ h) <= 3) =>
+        i.toLong
+    }.toSet
+    assert(got == expect)
+  }
+
   test("idempotentParquetSink: re-delivered batches replace, not duplicate") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files
