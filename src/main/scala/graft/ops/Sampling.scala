@@ -110,6 +110,36 @@ object Sampling {
         groupCols, "__draw", tie, k)
       .drop("__draw", "rank")
 
+  /** WEIGHTED k-sample per group without replacement — Efraimidis &
+    * Spirakis (2006) A-ES keys over the engine's deterministic hash
+    * draws: row i gets key ln(u_i)/w_i with u_i its md5-derived
+    * uniform draw in (0,1); the k LARGEST keys per group are a
+    * weighted sample without replacement, each row's inclusion
+    * probability proportional to its weight. Same scale shape as
+    * [[sampleKPerGroup]]: keys are map-side, ranking rides the
+    * bounded-heap TopKPerGroup (no per-group sort), and the draw is
+    * engine-portable so a DuckDB oracle reproduces the exact sample.
+    * (ln is the one transcendental: cross-engine last-ulp divergence
+    * could in principle flip two keys within 1e-16 of each other —
+    * with continuous draws that is a measure-zero tie, and `tie`
+    * breaks exact key equality deterministically.)
+    *
+    * `weight` must be strictly positive; rows with weight <= 0 or
+    * null are dropped (they can never be sampled).
+    */
+  def weightedSampleKPerGroup(
+      df: DataFrame, groupCols: Seq[String], key: Column, weight: Column,
+      k: Int, tie: String, salt: String = ""): DataFrame = {
+    val buckets = math.pow(16.0, PrefixHexLen) // 2^32, exact in double
+    val u = (conv(unitDraw(key, salt), 16, 10).cast("double") + 0.5) /
+      buckets // (0,1) exclusive: ln never sees 0
+    graft.plans.TopKPerGroup.topK(
+        df.filter(weight > 0)
+          .withColumn("__wkey", log(u) / weight),
+        groupCols, "__wkey", tie, k)
+      .drop("__wkey", "rank")
+  }
+
   /** EXACT per-group top-fraction filter: keep rows whose `score`
     * ranks in the best `fraction` of their group (ties inclusive),
     * via window percent_rank — a per-group sort, so this is the

@@ -92,6 +92,26 @@ object SamplingQueries {
         .select("doc_id", "lang")
     },
 
+    // ---- weighted k-sample per group without replacement (A-ES
+    //      keys, length-proportional weights): inclusion odds track
+    //      n_chars; the oracle recomputes the exact keys ----
+    sql(
+      "q_weighted_sample",
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ln((CAST('0x' || substr(md5('ws' ||
+         |        CAST(doc_id AS VARCHAR)), 1, ${Sampling.PrefixHexLen})
+         |        AS BIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
+         |      doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rn <= 5""".stripMargin) { (s, d) =>
+      Sampling.weightedSampleKPerGroup(
+          Tables.documents(s, d), Seq("lang"), col("doc_id"),
+          weight = col("n_chars"), k = 5, tie = "doc_id", salt = "ws")
+        .select("doc_id", "lang", "n_chars")
+    },
+
     // ---- per-group quality-quantile filter (exact face; the scale
     //      path is Sampling.topQuantileFilter, spec-checked against
     //      this one) ----

@@ -140,4 +140,37 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
       .select("id").as[Long].collect().toSet
     assert(again == first)
   }
+
+  test("weightedSampleKPerGroup: exactly k, positive weights only, " +
+      "deterministic") {
+    val df = (1L to 40L).map(i =>
+        (i, "g", if (i <= 35) i.toDouble else -1.0))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedSampleKPerGroup(
+        df, Seq("g"), col("id"), col("w"), k = 8, tie = "id", salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 8)
+    assert(got.forall(_ <= 35L), "a non-positive-weight row was sampled")
+    val again = Sampling.weightedSampleKPerGroup(
+        df.repartition(7), Seq("g"), col("id"), col("w"),
+        k = 8, tie = "id", salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(again == got, "sample depends on layout")
+  }
+
+  test("weightedSampleKPerGroup: inclusion odds track the weight " +
+      "(A-ES property, measured over independent salts)") {
+    // one heavy row (weight 30) among 29 light rows (weight 1),
+    // k=3 of 30: P(heavy in sample) should be near 1, far above the
+    // ~3/30 a uniform sampler would give
+    val df = (1L to 30L).map(i =>
+        (i, "g", if (i == 7L) 30.0 else 1.0)).toDF("id", "g", "w")
+    val hits = (1 to 25).count { s =>
+      Sampling.weightedSampleKPerGroup(
+          df, Seq("g"), col("id"), col("w"), k = 3, tie = "id",
+          salt = s"s$s")
+        .select("id").as[Long].collect().contains(7L)
+    }
+    assert(hits >= 18, s"heavy row sampled only $hits/25 times")
+  }
 }
