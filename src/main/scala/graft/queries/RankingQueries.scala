@@ -140,5 +140,50 @@ object RankingQueries {
         Tables.documents(s, d),
         tokens = Text.words(Text.normalize(col("text"))),
         window = 3, minCount = 5)
+    },
+
+    // ---- top-k collocations per token: the PMI table ranked by the
+    //      bounded-heap TopKPerGroup (no per-token window sort); rank
+    //      over the 9-decimal grid pmi, ties by partner token ----
+    sql(
+      "q_collocations",
+      s"""WITH toks AS (
+         |  SELECT string_split(${TextQueries.NormSql}, ' ') AS ws
+         |  FROM documents),
+         |p AS (
+         |  SELECT ws[i+1] AS a, ws[i+1+j] AS b
+         |  FROM toks, UNNEST(range(len(ws)-1)) AS t(i),
+         |    UNNEST(range(1, 4)) AS s(j)
+         |  WHERE i + j < len(ws)),
+         |c AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+         |ma AS (SELECT a, sum(n_ab) AS n_a FROM c GROUP BY 1),
+         |mb AS (SELECT b, sum(n_ab) AS n_b FROM c GROUP BY 1),
+         |t AS (SELECT sum(n_ab) AS n FROM c),
+         |scored AS (
+         |  SELECT c.a, c.b, c.n_ab,
+         |    round(ln(CAST(c.n_ab AS DOUBLE) * t.n / (ma.n_a * mb.n_b)),
+         |      9) AS pmi
+         |  FROM c JOIN ma ON c.a = ma.a JOIN mb ON c.b = mb.b, t
+         |  WHERE c.n_ab >= 5)
+         |SELECT a, b, n_ab, pmi, rank FROM (
+         |  SELECT a, b, n_ab, pmi, row_number() OVER (
+         |    PARTITION BY a ORDER BY pmi DESC,
+         |      CAST('0x' || substr(md5(b), 1, 8) AS BIGINT), b) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      // TopKPerGroup ties on a LONG column; the engine-portable md5
+      // prefix (the sampling-draw device) gives the string partner a
+      // deterministic long surrogate both engines compute identically
+      graft.plans.TopKPerGroup.topK(
+          graft.ops.Cooccurrence.pmi(
+              Tables.documents(s, d),
+              tokens = Text.words(Text.normalize(col("text"))),
+              window = 3, minCount = 5)
+            .withColumn("__tb",
+              conv(substring(md5(col("b").cast("binary")), 1, 8), 16, 10)
+                .cast("long")),
+          groupCols = Seq("a"), score = "pmi", tie = "__tb", k = 3)
+        .select(col("a"), col("b"), col("n_ab"), col("pmi"),
+          col("rank").cast("long").as("rank"))
     })
 }

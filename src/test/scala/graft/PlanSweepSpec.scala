@@ -25,7 +25,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_knn_ivfpq" -> "one-row broadcast tables frame (data, not plan literals)",
     "q_bloom_novel" -> "bitset rides a ONE-row broadcast frame (crossJoin by construction)",
     "q_bloom_join" -> "same one-row broadcast bitset gate before the equi-join",
-    "q_pmi" -> "grand-total N rides a ONE-row broadcast carrier into the score")
+    "q_pmi" -> "grand-total N rides a ONE-row broadcast carrier into the score",
+    "q_collocations" -> "embeds q_pmi's one-row grand-total carrier")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
