@@ -22,7 +22,11 @@ object PlanAudit {
         // round 6: the ADC scoring faces — audited for codegen
         // fallback (answer: the m-way element_at chains COMPILE and
         // sit inside WholeStageCodegen; PlanShapeSpec pins it)
-        "q_knn_pq", "q_knn_ivfpq")) {
+        "q_knn_pq", "q_knn_ivfpq",
+        // round 6b: new operator families
+        "q_containment", "q_pmi", "q_collocations", "q_gap_fill",
+        "q_chunk_overlap", "q_outliers", "q_weighted_sample",
+        "q_media_phash")) {
       val qe = SparkEntry.queries(q)(spark, d).queryExecution
       // EXECUTE this queryExecution before printing: an unexecuted
       // AdaptiveSparkPlanExec prints its initial plan with no

@@ -117,6 +117,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "window sort crept back into top-k")
   }
 
+  test("collocations and weighted sampling ride the bounded heap, " +
+      "not a window sort") {
+    for (q <- Seq("q_collocations", "q_weighted_sample")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"), s"$q lost the custom operator")
+      assert(!p.contains("Window"), s"window sort crept into $q")
+    }
+  }
+
   test("ADC scoring expressions stay inside whole-stage codegen") {
     // residualAdcCosine is a 96-lookup element_at chain — the shape
     // the project's notes flag as a codegen-explosion risk. Audited
