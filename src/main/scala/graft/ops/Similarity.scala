@@ -70,6 +70,43 @@ object Similarity {
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
+  /** ColBERT-style late-interaction scoring (Khattab & Zaharia,
+    * SIGIR'20): query and document are SETS of token vectors;
+    * maxsim(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d) — each query token
+    * finds its best-matching document token, so phrase structure
+    * survives pooling. The single-vector ANN family can't express it;
+    * multi-vector retrieval is the modern retrieval stack's scorer.
+    *
+    * Shape: corpus scan × broadcast query batch (queries are
+    * human-sized); the per-pair score is ONE nested HOF expression —
+    * `aggregate` left-fold over query tokens of `array_max` over
+    * document tokens of the fused codegen'd [[cosine]] — entirely
+    * map-side, ranked by the bounded-heap TopKPerGroup. The fold is
+    * left-to-right and `max` is exact selection, so scores are
+    * data-deterministic under any partitioning; the 9-decimal grid
+    * (q_bm25 convention) absorbs cross-engine sqrt/division last-ulp
+    * drift in the oracle. Per-pair cost is |Q|·|D| cosines — the
+    * late-interaction brute force; at 100 TB, prefilter candidates
+    * with single-vector ANN over pooled embeddings (IVF faces above)
+    * and maxsim-rescore only the shortlist, exactly as ColBERT
+    * deployments do.
+    */
+  def maxSimTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vecs: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(id).as("query_id"), col(vecs).as("__qvs")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vecs).as("__cvs"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(col("__qvs"), lit(0.0d),
+          (acc, qv) => acc +
+            array_max(transform(col("__cvs"), dv => cosine(qv, dv)))), 9)
+          .as("maxsim"))
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "maxsim", "neighbor_id", k)
+  }
+
   /** One corpus vector with its precomputed L2 norm. */
   final case class VecRow(id: Long, vec: Array[Double], norm: Double)
 

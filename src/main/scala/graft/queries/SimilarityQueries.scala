@@ -118,6 +118,47 @@ object SimilarityQueries {
           .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- ColBERT-style multi-vector maxsim: each 64-dim embedding is
+    //      split into 4 token-vectors of 16; the oracle mirrors the
+    //      HOF fold's left association term by term (rank on the
+    //      9-grid score, output on the 6-grid like the knn faces) ----
+    sql(
+      "q_maxsim", {
+        def cosSql(a: String, b: String) =
+          s"""(list_dot_product($a, $b)
+             |      / (sqrt(list_dot_product($a, $a))
+             |         * sqrt(list_dot_product($b, $b))))""".stripMargin
+        def maxSql(i: Int) =
+          s"greatest(${(1 to 4).map(j => cosSql(s"q.vs[$i]", s"e.vs[$j]"))
+            .mkString(",\n    ")})"
+        s"""WITH mv AS (
+           |  SELECT vec_id,
+           |    [v[1:16], v[17:32], v[33:48], v[49:64]] AS vs
+           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+           |        FROM embeddings)),
+           |q AS (SELECT vec_id, vs FROM mv WHERE vec_id < 5),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |    round(${(1 to 4).map(maxSql).mkString("\n  + ")}, 9)
+           |      AS maxsim
+           |  FROM q JOIN mv e ON e.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, rank, round(maxsim, 6) AS maxsim
+           |FROM (SELECT query_id, neighbor_id, maxsim,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY maxsim DESC, neighbor_id) AS rank
+           |      FROM s)
+           |WHERE rank <= 3""".stripMargin
+      }) { (s, d) =>
+      val v = col("embedding").cast("array<double>")
+      val mv = Tables.embeddings(s, d).select(col("vec_id"),
+        array(slice(v, 1, 16), slice(v, 17, 16),
+          slice(v, 33, 16), slice(v, 49, 16)).as("vs"))
+      Similarity.maxSimTopK(
+          mv, mv.filter(col("vec_id") < 5), "vec_id", "vs", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("maxsim"), 6).as("maxsim"))
+    },
+
     // ---- approximate top-k faces: approximate vs BRUTE FORCE (recall
     //      guarded in SimilaritySpec), but deterministic end to end —
     //      seeded hyperplanes, decimal-mean Lloyd centroids, tie-broken

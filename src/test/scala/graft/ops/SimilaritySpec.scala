@@ -353,4 +353,38 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 9L))
   }
+
+  test("maxSimTopK: identity scores |Q| exactly; differential vs a " +
+      "plain Scala reference") {
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val rows = (0L until 20L).map(i => (i, Seq.fill(4)(vec())))
+    val df = rows.toDF("vec_id", "vs")
+    val got = Similarity.maxSimTopK(df, df.filter(col("vec_id") < 3),
+        "vec_id", "vs", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxsim(q: Seq[Seq[Double]], d: Seq[Seq[Double]]) =
+      BigDecimal(q.map(qv => d.map(dv => cos(qv, dv)).max).sum)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = rows.filter(_._1 < 3).map { case (qid, qvs) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (nid, dvs) => (nid, maxsim(qvs, dvs)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(4).map(_._1).toSeq
+    }.toMap
+    assert(got == expect)
+    // a set scored against itself: every query token finds itself,
+    // maxsim == |Q| exactly
+    val self = Similarity.maxSimTopK(
+        df, df.filter(col("vec_id") === 5L).withColumn("vec_id", lit(99L)),
+        "vec_id", "vs", k = 1)
+      .select("neighbor_id", "maxsim").as[(Long, Double)].collect()
+    assert(self.head._1 == 5L && math.abs(self.head._2 - 4.0) < 1e-9)
+  }
 }
