@@ -463,5 +463,54 @@ object AnalyticsQueries {
         .groupBy("user_id").agg(min("ts").as("first_purchase"))
       p.join(c, "user_id").join(v, "user_id")
         .select("user_id", "first_view", "first_click", "first_purchase")
+    },
+
+    // ---- per-group min-max normalization (feature scaling): the
+    //      bounds frame is |groups|-sized and broadcasts; min/max are
+    //      exact selections and (v-lo)/(hi-lo) is the same IEEE ops on
+    //      both engines, so the scores compare at FULL precision ----
+    sql(
+      "q_normalize",
+      """WITH st AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |            FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  (e.value - st.lo) / (st.hi - st.lo) AS norm_value
+        |FROM events e JOIN st USING (event_type)
+        |WHERE st.hi > st.lo""".stripMargin) { (s, d) =>
+      val st = Tables.events(s, d).groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      Tables.events(s, d).join(broadcast(st), "event_type")
+        .filter(col("hi") > col("lo"))
+        .select(col("event_id"), col("event_type"),
+          ((col("value") - col("lo")) / (col("hi") - col("lo")))
+            .as("norm_value"))
+    },
+
+    // ---- cohort retention: users grouped by first-seen week, counted
+    //      in each later active week. Two aggregations over one fact
+    //      (first-seen is key-grain and broadcasts back); offsets are
+    //      exact integer week arithmetic on both engines ----
+    sql(
+      "q_retention",
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |      FROM events)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+        |  CAST(date_diff('day', f.cohort, a.wk) // 7 AS INTEGER)
+        |    AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_week"))
+      ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+        .join(broadcast(f), "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
     })
 }
