@@ -129,6 +129,29 @@ object GenGoldens {
     writeTsv(phashes.map(p => s"${p._1}\t${p._2}").toSeq,
       "media_id\tphash", "golden_media_phash.tsv")
 
+    // q_maxsim_ivf golden: the ANN-shortlist → maxsim-rescore scale
+    // path at the correctness SF — deterministic end to end
+    // (decimal-mean Lloyd + exact maxsim on the 9-grid)
+    locally {
+      val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(embPath))) {
+        val v = col("embedding").cast("array<double>")
+        val mv = spark.read.parquet(embPath).select(col("vec_id"),
+          array(slice(v, 1, 16), slice(v, 17, 16),
+            slice(v, 33, 16), slice(v, 49, 16)).as("vs"))
+        val rows = Similarity.maxSimIvfTopK(
+            mv, mv.filter(col("vec_id") < 5), "vec_id", "vs", k = 3,
+            shortlist = 50, numCentroids = 16, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("maxsim"), 6).as("maxsim"))
+          .orderBy("query_id", "rank")
+          .as[(Long, Long, Int, Double)].collect()
+          .map(p => s"${p._1}\t${p._2}\t${p._3}\t${p._4}").toSeq
+        writeTsv(rows, "query_id\tneighbor_id\trank\tmaxsim",
+          "golden_maxsim_ivf.tsv")
+      } else println(s"skipped golden_maxsim_ivf.tsv ($embPath missing)")
+    }
+
     // q_knn_lsh / q_knn_ivf goldens at the correctness SF: both
     // operators are deterministic end to end — seeded hyperplanes
     // (spec'd LCG), xxhash64-seeded + decimal-mean Lloyd centroids,

@@ -107,6 +107,56 @@ object Similarity {
       scored, Seq("query_id"), "maxsim", "neighbor_id", k)
   }
 
+  /** The maxsim SCALE path, end to end: single-vector ANN over POOLED
+    * (mean) token vectors prunes the corpus to a `shortlist` per
+    * query, then [[maxSimTopK]]'s late-interaction score re-ranks only
+    * that shortlist — the standard ColBERT deployment shape. Pooling
+    * is a map-side HOF (element-wise mean of the token vectors); the
+    * shortlist join back to multi-vectors is id-keyed; the rescore
+    * cost is shortlist-sized, never corpus-sized. Deterministic end to
+    * end (decimal-mean Lloyd centroids + exact maxsim), so a committed
+    * golden hash-checks it.
+    *
+    * Recall vs the full [[maxSimTopK]] is a POOLING-fidelity property
+    * of the data: real token vectors cluster around their document's
+    * topic and mean-pool faithfully; adversarially-uncorrelated token
+    * sets don't, and need a larger `shortlist`. The pruning stages add
+    * no approximation of their own — with shortlist ≥ |corpus| and
+    * nProbe = numCentroids the result EQUALS the brute-force path
+    * (spec-gated exactly).
+    */
+  def maxSimIvfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vecs: String, k: Int,
+      shortlist: Int = 20,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    def pooled(df: DataFrame) = df.select(col(id), col(vecs).as("__vs"))
+      .withColumn("__pool",
+        transform(
+          aggregate(col("__vs"),
+            transform(element_at(col("__vs"), 1), _ => lit(0.0d)),
+            (acc, v) => zip_with(acc, v, (a, b) => a + b)),
+          x => x / size(col("__vs"))))
+    val cand = ivfTopK(
+        pooled(corpus), pooled(queries), id, "__pool", k = shortlist,
+        numCentroids = numCentroids, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(corpus.select(col(id).as("neighbor_id"), col(vecs).as("__cvs")),
+        Seq("neighbor_id"))
+      .join(broadcast(
+          queries.select(col(id).as("query_id"), col(vecs).as("__qvs"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(col("__qvs"), lit(0.0d),
+          (acc, qv) => acc +
+            array_max(transform(col("__cvs"), dv => cosine(qv, dv)))), 9)
+          .as("maxsim"))
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "maxsim", "neighbor_id", k)
+  }
+
   /** One corpus vector with its precomputed L2 norm. */
   final case class VecRow(id: Long, vec: Array[Double], norm: Double)
 

@@ -179,6 +179,29 @@ object SimilarityQueries {
           .withColumn("cosine", round(col("cosine"), 6))
     },
 
+    // ---- the maxsim SCALE path: IVF shortlist over pooled vectors →
+    //      late-interaction rescore of the shortlist only. Golden-
+    //      checked (deterministic end to end); the exhaustive-
+    //      shortlist == brute-force contract is spec-gated ----
+    sql(
+      "q_maxsim_ivf",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  maxsim::DOUBLE AS maxsim
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_maxsim_ivf.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val v = col("embedding").cast("array<double>")
+        val mv = Tables.embeddings(s, d).select(col("vec_id"),
+          array(slice(v, 1, 16), slice(v, 17, 16),
+            slice(v, 33, 16), slice(v, 49, 16)).as("vs"))
+        Similarity.maxSimIvfTopK(
+            mv, mv.filter(col("vec_id") < 5), "vec_id", "vs", k = 3,
+            shortlist = 50, numCentroids = 16, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("maxsim"), 6).as("maxsim"))
+    },
+
     sql(
       "q_knn_ivf",
       s"""SELECT query_id::BIGINT AS query_id,

