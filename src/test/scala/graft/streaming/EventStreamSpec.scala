@@ -219,6 +219,29 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     assert(got == expect)
   }
 
+  test("deterministic hash sampling runs unchanged behind readStream " +
+      "(map-side filter, no state) and matches the batch sample") {
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[Long](spark)
+    val sampled = graft.ops.Sampling.sampleByHash(
+      input.toDF().toDF("id"), col("id"), 0.3, salt = "st")
+    val query = sampled.writeStream
+      .format("memory").queryName("stream_sample")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(1L to 200L: _*)
+      query.processAllAvailable()
+      val got = spark.table("stream_sample")
+        .select(col("id")).as[Long].collect().toSet
+      val batch = graft.ops.Sampling.sampleByHash(
+          (1L to 200L).toDF("id"), col("id"), 0.3, salt = "st")
+        .select("id").as[Long].collect().toSet
+      assert(got == batch, "stream sample diverged from batch sample")
+      assert(got.nonEmpty && got.size < 200)
+    } finally query.stop()
+  }
+
   test("idempotentParquetSink: re-delivered batches replace, not duplicate") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files
