@@ -512,5 +512,28 @@ object AnalyticsQueries {
           (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
             .as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
+    },
+
+    // ---- market-basket pair mining: parts co-occurring in an order,
+    //      support-thresholded. The pair join is basket-local (equi on
+    //      the order key, already the table's natural clustering), so
+    //      fan-out is bounded by basket size² — never corpus² ----
+    sql(
+      "q_basket_pairs",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem)
+        |SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS support
+        |FROM items x JOIN items y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      items.as("x").join(items.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
     })
 }
