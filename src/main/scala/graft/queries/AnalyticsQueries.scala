@@ -535,5 +535,33 @@ object AnalyticsQueries {
         .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
+    },
+
+    // ---- winsorization: clip values at per-group p05/p95. The
+    //      thresholds land on the 2-decimal grid BEFORE clamping, so
+    //      both the comparisons (against exact 2-decimal data) and
+    //      the replacement values are bit-identical across engines —
+    //      no output rounding needed. One tiny broadcast, map-side
+    //      clamp ----
+    sql(
+      "q_winsorize",
+      """WITH thr AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 2) AS lo,
+        |    round(quantile_cont(value, 0.95), 2) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value < thr.lo THEN thr.lo
+        |       WHEN e.value > thr.hi THEN thr.hi
+        |       ELSE e.value END AS clipped
+        |FROM events e JOIN thr USING (event_type)""".stripMargin) {
+      (s, d) =>
+        val thr = Tables.events(s, d).groupBy("event_type").agg(
+          round(percentile(col("value"), lit(0.05)), 2).as("lo"),
+          round(percentile(col("value"), lit(0.95)), 2).as("hi"))
+        Tables.events(s, d).join(broadcast(thr), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(col("value") < col("lo"), col("lo"))
+              .when(col("value") > col("hi"), col("hi"))
+              .otherwise(col("value")).as("clipped"))
     })
 }
