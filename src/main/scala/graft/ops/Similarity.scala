@@ -85,7 +85,13 @@ object Similarity {
     * left-to-right and `max` is exact selection, so scores are
     * data-deterministic under any partitioning; the 9-decimal grid
     * (q_bm25 convention) absorbs cross-engine sqrt/division last-ulp
-    * drift in the oracle. Per-pair cost is |Q|·|D| cosines — the
+    * drift in the oracle. An all-zero token vector yields a NaN
+    * cosine, and NaN would both win `array_max` and out-rank +Inf in
+    * the desc TopK heap — one corrupt corpus token would rank its
+    * document FIRST for every query. The fold therefore nanvl-clamps
+    * each cosine to -1 (the metric's floor): a corrupt token pair
+    * contributes the worst legal score instead of poisoning the
+    * document. Per-pair cost is |Q|·|D| cosines — the
     * late-interaction brute force; at 100 TB, prefilter candidates
     * with single-vector ANN over pooled embeddings (IVF faces above)
     * and maxsim-rescore only the shortlist, exactly as ColBERT
@@ -101,7 +107,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(aggregate(col("__qvs"), lit(0.0d),
           (acc, qv) => acc +
-            array_max(transform(col("__cvs"), dv => cosine(qv, dv)))), 9)
+            array_max(transform(col("__cvs"),
+              dv => nanvl(cosine(qv, dv), lit(-1.0d))))), 9)
           .as("maxsim"))
     graft.plans.TopKPerGroup.topK(
       scored, Seq("query_id"), "maxsim", "neighbor_id", k)
@@ -151,7 +158,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(aggregate(col("__qvs"), lit(0.0d),
           (acc, qv) => acc +
-            array_max(transform(col("__cvs"), dv => cosine(qv, dv)))), 9)
+            array_max(transform(col("__cvs"),
+              dv => nanvl(cosine(qv, dv), lit(-1.0d))))), 9)
           .as("maxsim"))
     graft.plans.TopKPerGroup.topK(
       scored, Seq("query_id"), "maxsim", "neighbor_id", k)

@@ -36,30 +36,44 @@ object TimeSeries {
     *                 deterministic aggregates only — float sums drift
     *                 under partition order, route money through decimal
     * @param truncUnit bucket grain as a `date_trunc` unit
-    *                 ("minute" | "hour" | "day" | "week" | ...)
-    * @param step     the same grain as an interval literal
-    *                 (e.g. "INTERVAL 1 HOUR") — drives the spine
+    *                 ("minute" | "hour" | "day" | "week" | ...); the
+    *                 spine's step interval is DERIVED from it (one
+    *                 grain parameter — a caller-supplied step coarser
+    *                 than the grain would build a spine that misses
+    *                 observed buckets, and the left join would then
+    *                 silently drop those observations; a finer one
+    *                 would fabricate sub-grain gap rows)
     * @return (key, bucket, value, filled, observed): `value` is the
     *         bucket's own aggregate (null in gaps), `filled` carries
     *         the last non-null value forward (null until the key's
     *         first observation — leading edges are NOT back-filled),
     *         `observed` marks real vs gap rows
     */
+  /** Spine step per trunc grain: `date_trunc(u, lo)` is always on the
+    * grain's grid, so stepping by exactly one grain keeps every spine
+    * point a valid bucket value (week = 7 days from a Monday-aligned
+    * lo; quarter = 3 months from a quarter-start lo). Deriving this
+    * here (instead of taking a second caller parameter) makes a
+    * grain/step mismatch unrepresentable. */
+  private val stepFor: Map[String, String] = Map(
+    "year" -> "INTERVAL 1 YEAR", "quarter" -> "INTERVAL 3 MONTH",
+    "month" -> "INTERVAL 1 MONTH", "week" -> "INTERVAL 7 DAY",
+    "day" -> "INTERVAL 1 DAY", "hour" -> "INTERVAL 1 HOUR",
+    "minute" -> "INTERVAL 1 MINUTE", "second" -> "INTERVAL 1 SECOND")
+
   def gapFill(
       events: DataFrame,
       key: String,
       ts: String,
       valueAgg: Column,
-      truncUnit: String = "hour",
-      step: String = "INTERVAL 1 HOUR"): DataFrame = {
+      truncUnit: String = "hour"): DataFrame = {
     require(events.columns.contains(key), s"missing key column '$key'")
     require(events.columns.contains(ts), s"missing time column '$ts'")
     // date_trunc silently yields null on a bogus unit — fail loudly at
     // the driver instead of emitting an all-null bucket column
-    val validUnits = Set("year", "quarter", "month", "week", "day",
-      "hour", "minute", "second")
-    require(validUnits.contains(truncUnit.toLowerCase),
-      s"unsupported trunc unit '$truncUnit' (one of $validUnits)")
+    require(stepFor.contains(truncUnit.toLowerCase),
+      s"unsupported trunc unit '$truncUnit' (one of ${stepFor.keySet})")
+    val step = stepFor(truncUnit.toLowerCase)
     require(!Seq("bucket", "value", "filled", "observed").contains(key),
       s"key column '$key' collides with a gapFill output column")
     // one fact-table pass: bucket-grain aggregate. Checkpointed

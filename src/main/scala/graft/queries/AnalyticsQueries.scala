@@ -357,7 +357,7 @@ object AnalyticsQueries {
       graft.ops.TimeSeries.gapFill(
           Tables.events(s, d), key = "user_id", ts = "ts",
           valueAgg = sum(col("value").cast("decimal(18,2)")),
-          truncUnit = "hour", step = "INTERVAL 1 HOUR")
+          truncUnit = "hour")
         .select(col("user_id"), col("bucket"),
           col("value").cast("string").as("value"),
           col("filled").cast("string").as("filled"),
@@ -404,14 +404,20 @@ object AnalyticsQueries {
     //      |v − μ| > 2σ test rearranged to (iv·n − s)² > 4(n·ss − s²)
     //      over integer cents — no float mean/stddev, so the verdict
     //      is bit-portable across engines and partitionings (a float
-    //      stddev is neither). At petabyte group sizes swap the longs
-    //      for decimal(38,0); the rearrangement is unchanged. ----
+    //      stddev is neither). The moments and the deviation run in
+    //      128-bit-class integers (decimal(38,0) / HUGEINT): with
+    //      cents ~1e6 the squared deviation alone passes 2^63 around
+    //      1e6 rows per group, where BIGINT would hard-error under
+    //      ANSI instead of returning a verdict. decimal(38,0) keeps
+    //      the test exact to ~1e12 rows/group (moments ≤ ~1e33 ≪
+    //      1e38), and the moment frame is |groups|-sized, so the wide
+    //      type costs nothing on the fact-table side. ----
     sql(
       "q_outliers",
       """WITH e AS (SELECT event_id, event_type, value,
         |             CAST(round(value*100) AS BIGINT) AS iv FROM events),
-        |st AS (SELECT event_type, count(*)::BIGINT AS n,
-        |         sum(iv)::BIGINT AS s, sum(iv*iv)::BIGINT AS ss
+        |st AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |         sum(iv::HUGEINT) AS s, sum(iv::HUGEINT * iv) AS ss
         |       FROM e GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value
         |FROM e JOIN st USING (event_type)
@@ -420,11 +426,15 @@ object AnalyticsQueries {
       val e = Tables.events(s, d).select(
         col("event_id"), col("event_type"), col("value"),
         round(col("value") * 100).cast("long").as("iv"))
-      // per-type moments: rows = |event_type| — always broadcastable
+      // per-type moments: rows = |event_type| — always broadcastable.
+      // iv is cast to decimal BEFORE the square so the per-row product
+      // is already wide; sums of decimal(38,0) stay decimal(38,0).
+      val wide = col("iv").cast("decimal(38,0)")
       val st = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"), sum("iv").as("s"),
-        sum(col("iv") * col("iv")).as("ss"))
-      val dev = col("iv") * col("n") - col("s")
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(wide).as("s"),
+        sum(wide * col("iv")).as("ss"))
+      val dev = wide * col("n") - col("s")
       e.join(broadcast(st), "event_type")
         .filter(dev * dev > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
         .select("event_id", "event_type", "value")

@@ -168,19 +168,24 @@ object RankingQueries {
          |SELECT a, b, n_ab, pmi, rank FROM (
          |  SELECT a, b, n_ab, pmi, row_number() OVER (
          |    PARTITION BY a ORDER BY pmi DESC,
-         |      CAST('0x' || substr(md5(b), 1, 8) AS BIGINT), b) AS rank
+         |      CAST('0x' || substr(md5(b), 1, 15) AS BIGINT), b) AS rank
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin) { (s, d) =>
       // TopKPerGroup ties on a LONG column; the engine-portable md5
       // prefix (the sampling-draw device) gives the string partner a
-      // deterministic long surrogate both engines compute identically
+      // deterministic long surrogate both engines compute identically.
+      // 15 hex chars = 60 bits (< 2^63): TopKPerGroup's total-order
+      // contract wants a unique tie column, and a 32-bit prefix leaves
+      // a realistic birthday collision at corpus scale — at 60 bits a
+      // (pmi, prefix) collision needs ~2^30 equal-pmi partners of one
+      // token before the residual b-order can matter
       graft.plans.TopKPerGroup.topK(
           graft.ops.Cooccurrence.pmi(
               Tables.documents(s, d),
               tokens = Text.words(Text.normalize(col("text"))),
               window = 3, minCount = 5)
             .withColumn("__tb",
-              conv(substring(md5(col("b").cast("binary")), 1, 8), 16, 10)
+              conv(substring(md5(col("b").cast("binary")), 1, 15), 16, 10)
                 .cast("long")),
           groupCols = Seq("a"), score = "pmi", tie = "__tb", k = 3)
         .select(col("a"), col("b"), col("n_ab"), col("pmi"),

@@ -24,7 +24,7 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
   private lazy val filled = TimeSeries.gapFill(
     events, key = "k", ts = "t",
     valueAgg = sum(col("v").cast("decimal(18,2)")),
-    truncUnit = "hour", step = "INTERVAL 1 HOUR")
+    truncUnit = "hour")
 
   test("spine is dense from first to last bucket per key") {
     val a = filled.filter(col("k") === "a")
@@ -58,7 +58,7 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
     }
     val df = rows.toDF("k", "t", "v")
     val got = TimeSeries.gapFill(df, "k", "t",
-        sum(col("v").cast("decimal(18,2)")), "hour", "INTERVAL 1 HOUR")
+        sum(col("v").cast("decimal(18,2)")), "hour")
       .select(col("k"), col("bucket"), col("value").cast("string"),
         col("filled").cast("string"))
       .as[(String, Timestamp, String, String)].collect()
