@@ -15,7 +15,8 @@ object SparkEntry {
       TextQueries.defs ++ SimilarityQueries.defs ++ SourceQueries.defs ++
       IndexQueries.defs ++ MediaQueries.defs ++ StreamQueries.defs ++
       AnalyticsQueries.defs ++ SamplingQueries.defs ++
-      PackingQueries.defs ++ RankingQueries.defs ++ CdcQueries.defs
+      PackingQueries.defs ++ RankingQueries.defs ++ CdcQueries.defs ++
+      GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

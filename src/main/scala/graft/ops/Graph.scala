@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over plain edge frames — connected
+  * components and PageRank — formulated as joins + aggregations so
+  * Catalyst plans them like any other relational workload (no graph
+  * runtime, no vertex collect).
+  *
+  * Not in the reference's inventory (its pipelines stop at nested
+  * joins — SURVEY.md §2.3); a training-data engine needs both:
+  * near-duplicate collapse IS connected components over the collision
+  * graph, and link/co-occurrence graph centrality (PageRank over a
+  * host graph, TextRank over token co-occurrence) is a standard
+  * corpus-quality signal (e.g. Common Crawl-derived corpora rank
+  * hosts by centrality before sampling).
+  *
+  * Two CC algorithms exist in this engine, deliberately:
+  * [[Dedup.clusterLabels]] is min-label propagation — O(diameter)
+  * rounds, the right tool for near-dup collision graphs (dense little
+  * cliques, diameter 1-2). This file's [[Graph.connectedComponents]]
+  * is alternating large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — O(log² n) rounds
+  * on ANY shape, the right tool for general graphs where a chain
+  * (citation threads, link paths) would make label propagation crawl
+  * one hop per round.
+  */
+object Graph {
+
+  /** Symmetric closure of an (a, b) edge frame, self-loops dropped. */
+  private def symmetric(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star.
+    *
+    * State is an edge frame; each half-round rewires edges toward each
+    * neighborhood's minimum and strictly shrinks the potential
+    * function, converging to per-component stars in O(log² n) rounds
+    * (O(log n) observed). Per half-round cost: ONE aggregate (the
+    * neighborhood minimum — never a `collect_list`, so a celebrity
+    * node with 10⁹ neighbors costs a bigger shuffle, not a bigger
+    * task) and ONE join, both partitioned by node id.
+    *
+    * large-star(u): every neighbor v > u re-points at
+    * m(u) = min(N(u) ∪ {u}) — strictly-larger nodes hop toward the
+    * minimum without ever creating (x, y) with x < m(u).
+    * small-star(u): every neighbor v ≤ u (edges oriented big→small)
+    * plus u itself re-points at m(u) — the local star collapses.
+    *
+    * Each round eagerly localCheckpoints its edge frame: lineage stays
+    * O(1) (round N never replays rounds 1..N-1) and the convergence
+    * count reads the materialized frame; the superseded round's blocks
+    * are released immediately, so at most two edge frames are ever
+    * held. Convergence = the oriented edge set reached a fixpoint
+    * (count + except, both over the checkpointed frames).
+    *
+    * @param edges  undirected edges as columns (a, b); self-loops
+    *               ignored; node ids must be non-null
+    * @param nodes  optional single-column universe; nodes with no edge
+    *               come back as their own singleton component (the
+    *               edge-frame vertices alone otherwise)
+    * @return (node, component) — component = min node id reachable
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: Option[DataFrame] = None,
+      maxIters: Int = 30): DataFrame = {
+    // orient big→small so small-star's grouping key is well-defined;
+    // the checkpoint pins the (possibly expensive) upstream pipeline
+    // that produced the edge list
+    var cur = symmetric(edges)
+      .filter(col("src") > col("dst"))
+      .localCheckpoint()
+    var prev: Option[DataFrame] = None
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // -- large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+      //    every neighbor v > u re-points at m(u)
+      val sym = cur.select(col("src"), col("dst"))
+        .union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val large = sym.join(mins, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // -- small-star over the big→small orientation: u's smaller
+      //    neighbors AND u itself re-point at m(u)
+      val smins = large.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("m"))
+      val small = large.join(smins, col("src") === col("u"))
+        .select(explode(array(
+          struct(col("dst").as("src"), col("m").as("dst")),
+          struct(col("src").as("src"), col("m").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint() // eager: materialize before prev is released
+      // fixpoint test over two materialized frames — a count plus an
+      // anti-join on frames already in block storage, no recompute
+      converged = small.count() == cur.count() &&
+        small.except(cur).isEmpty
+      prev.foreach(_.unpersist(false))
+      prev = Some(small)
+      cur = small
+      i += 1
+    }
+    // at the fixpoint `cur` is a star forest: (member, componentMin).
+    // Re-attach each component's root and any isolated universe nodes.
+    val roots = cur.select(col("dst").as("node"), col("dst").as("component"))
+      .distinct()
+    val members = cur.select(col("src").as("node"), col("dst").as("component"))
+    val labeled = members.union(roots).distinct()
+    nodes match {
+      case None => labeled
+      case Some(universe) =>
+        val idCol = universe.columns.head
+        universe.select(col(idCol).as("node")).distinct()
+          .join(labeled.withColumnRenamed("node", "__gn"),
+            col("node") === col("__gn"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component"))
+    }
+  }
+
+  /** PageRank in EXACT integer arithmetic — bit-portable across
+    * engines, partitionings, and re-runs.
+    *
+    * Ranks live on a fixed 1e-12 grid as `Long` micro-units
+    * (`Scale` = 10¹²). Each of the `iters` rounds is
+    *
+    *   r'(v) = (15·(Scale div N)) div 100
+    *         + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+    *
+    * — damping 0.85 expressed as integer 85/100, every division a
+    * truncating integer `div`. All values are non-negative, so
+    * truncation behaves identically in Spark (`div`) and DuckDB
+    * (`//`), making the fixed point EXACTLY reproducible: no float
+    * summation order, no libm, no decimal-scale inference divergence.
+    * The truncations shed at most 1e-12 per edge per round — a
+    * deterministic variant of real-valued PageRank whose values sit
+    * within ~E·1e-12 of the float fixed point, far below any ranking
+    * use's tolerance.
+    *
+    * Scale shape: per round, ONE equi-join of the rank frame (2 longs
+    * per vertex) against the degree-annotated edge frame and ONE
+    * map-side-combined sum per destination. The edge frame is
+    * partitioned once by source and reused every round (persisted);
+    * rank frames are checkpointed per round so round k never replays
+    * rounds 1..k-1. The graph is taken symmetric (undirected), so
+    * every vertex has degree ≥ 1 and the dangling-mass term vanishes
+    * by construction.
+    *
+    * @param edges undirected (a, b) edge frame; self-loops dropped
+    * @param iters fixed iteration count (unrolled; convergence-free so
+    *              the oracle can mirror it as chained CTEs)
+    * @return (node, rank_u) with rank_u in 1e-12 micro-units — callers
+    *         wanting a float divide by [[Scale]] at the edge
+    */
+  val Scale: Long = 1000000000000L
+
+  def pageRankInt(
+      edges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val sym = symmetric(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree-annotated edges: built once, reused every round
+    val ed = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    sym.unpersist(false)
+    // N and the uniform/teleport bases are scalars derived from the
+    // vertex set; computed once driver-side (vertex-count-sized agg)
+    val n = ed.select(countDistinct(col("src"))).first().getLong(0)
+    require(n > 0, "pageRankInt needs a non-empty edge set")
+    val init = Scale / n
+    val base = (15L * init) / 100L
+    var ranks = ed.select(col("src").as("node")).distinct()
+      .withColumn("rank_u", lit(init))
+      .localCheckpoint()
+    var prev: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val next = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("rank_u div deg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(base) + expr(s"(85 * s) div 100")).as("rank_u"))
+        .localCheckpoint()
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph-operator faces over a real derived graph: parts co-ordered in
+  * the same basket (the lineitem self-join on order key) form an
+  * undirected product graph — sparse at support ≥ 3 (components +
+  * isolated-node stitching exercised), denser at support ≥ 2 (a
+  * non-trivial PageRank mass distribution).
+  *
+  * Oracle strategy: connected components are SQL-expressible as a
+  * recursive min-reachability CTE (DuckDB WITH RECURSIVE; UNION
+  * dedupes so the fixpoint terminates); the integer PageRank unrolls
+  * its fixed iteration count as chained CTEs computing EXACTLY the
+  * same truncating integer arithmetic — both engines agree bit-for-bit
+  * (no float summation, no libm; see [[graft.ops.Graph.pageRankInt]]).
+  */
+object GraphQueries {
+  import QueryDef.sql
+
+  /** Shared edge derivation: co-ordered part pairs at `sup`port. */
+  private def edgeSql(sup: Int) =
+    s"""SELECT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey
+       |   AND l1.l_partkey < l2.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $sup""".stripMargin
+
+  private def edges(s: org.apache.spark.sql.SparkSession, d: String,
+      sup: Int): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= sup)
+      .select(col("a"), col("b"))
+  }
+
+  /** The PageRank oracle: the same integer fixed point, unrolled. */
+  private def pageRankOracle(sup: Int, iters: Int): String = {
+    val scale = graft.ops.Graph.Scale
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, sum(r.rank_u // d.deg)::BIGINT AS s
+         |  FROM sym e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT node,
+         |    ((15 * ($scale // (SELECT nv FROM n))) // 100
+         |     + (85 * s) // 100)::BIGINT AS rank_u
+         |  FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |${edgeSql(sup)}),
+       |sym AS (SELECT a AS src, b AS dst FROM e0
+       |        UNION SELECT b, a FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |n AS (SELECT count(*) AS nv FROM deg),
+       |r0 AS (SELECT src AS node,
+       |         ($scale // (SELECT nv FROM n))::BIGINT AS rank_u
+       |       FROM deg),
+       |$iterCtes
+       |SELECT node, rank_u FROM r$iters""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- connected components over the sparse (support ≥ 3)
+    //      co-purchase graph, every part in the universe labeled:
+    //      isolated parts come back as singletons. Large-star/
+    //      small-star in the engine; min-reachability recursion in
+    //      the oracle — same fixpoint ----
+    sql(
+      "q_connected_components",
+      s"""WITH RECURSIVE e0 AS (
+         |${edgeSql(3)}),
+         |sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |nodes AS (SELECT DISTINCT l_partkey AS v FROM lineitem),
+         |cc AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT s.b AS v, cc.m FROM sym s JOIN cc ON s.a = cc.v)
+         |SELECT v AS node, min(m) AS component FROM cc
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Graph.connectedComponents(
+        edges(s, d, 3),
+        nodes = Some(Tables.lineitem(s, d).select(col("l_partkey")).distinct()))
+    },
+
+    // ---- integer PageRank, 5 rounds, damping 85/100, on the denser
+    //      (support ≥ 2) co-purchase graph — ranks in 1e-12 micro-
+    //      units, bit-identical in both engines by construction ----
+    sql(
+      "q_pagerank",
+      pageRankOracle(sup = 2, iters = 5)) { (s, d) =>
+      graft.ops.Graph.pageRankInt(edges(s, d, 2), iters = 5)
+    })
+}

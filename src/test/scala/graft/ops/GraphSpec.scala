@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)],
+      nodes: Option[Seq[Long]] = None): Map[Long, Long] =
+    Graph.connectedComponents(
+        edges.toDF("a", "b"),
+        nodes.map(_.toDF("id")))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain graph collapses to one component (the label-prop worst case)") {
+    // a path 0-1-2-...-63: diameter 63, the shape where min-label
+    // propagation needs one round per hop; large-star/small-star must
+    // still converge inside its default iteration budget
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size == 64 && got.values.toSet == Set(0L))
+  }
+
+  test("cliques, isolated universe nodes, self-loops, reversed edges") {
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), // clique A -> min 10
+      (5L, 3L),                           // reversed pair   -> min 3
+      (7L, 7L))                           // self-loop: no edge
+    val got = cc(edges, nodes = Some(Seq(3L, 5L, 7L, 10L, 11L, 12L, 99L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 10L -> 10L,
+      11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("empty edge set labels every universe node a singleton") {
+    val got = cc(Seq.empty, nodes = Some(Seq(1L, 2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("random graphs agree with Dedup.clusterLabels (differential)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = (1 to 50).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val universe = (0L until n.toLong)
+      val viaStars = cc(edges, Some(universe))
+      val viaLabels = Dedup.clusterLabels(
+          universe.toDF("id"), edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaLabels, s"trial $trial diverged")
+    }
+  }
+
+  test("pageRankInt is deterministic under repartitioning and " +
+    "distributes mass by connectivity") {
+    // star: hub 0 + leaves 1..8, plus a detached 2-cycle (9,10)
+    val edges = ((1L to 8L).map(l => (0L, l)) ++ Seq((9L, 10L))).toDF("a", "b")
+    val r1 = Graph.pageRankInt(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val r2 = Graph.pageRankInt(edges.repartition(7), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2, "integer PageRank must be partition-independent")
+    // the hub out-ranks every leaf; the 2-cycle nodes tie exactly
+    assert((1L to 8L).forall(l => r1(0L) > r1(l)))
+    assert(r1(9L) == r1(10L))
+    // leaves are symmetric: all equal
+    assert((1L to 8L).map(r1).toSet.size == 1)
+  }
+
+  test("pageRankInt mass stays within truncation loss of the scale") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("a", "b")
+    val total = Graph.pageRankInt(edges, iters = 5)
+      .agg(sum("rank_u")).as[Long].first()
+    // each truncating div sheds < 1 micro-unit; with E edges and k
+    // rounds the loss is < (E*2 + 2) * k + N micro-units — assert the
+    // conserved-mass property that makes ranks comparable across runs
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale - 1000L, s"mass leaked too far: $total")
+  }
+}
