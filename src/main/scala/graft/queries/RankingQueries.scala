@@ -190,5 +190,87 @@ object RankingQueries {
           groupCols = Seq("a"), score = "pmi", tie = "__tb", k = 3)
         .select(col("a"), col("b"), col("n_ab"), col("pmi"),
           col("rank").cast("long").as("rank"))
+    },
+
+    // ---- bigram-LM perplexity scoring (ops/LangModel): train on the
+    //      corpus, score each doc's mean negative log-likelihood.
+    //      Every 0.5 literal is ::DOUBLE in the oracle (DuckDB parses
+    //      bare decimals as DECIMAL and its decimal division rounds
+    //      differently than IEEE — the measured q_bm25 trap); per-
+    //      bigram ln on the 9-grid, then an EXACT decimal sum, so the
+    //      doc score is partition-order independent in both engines ----
+    sql(
+      "q_perplexity",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i+1] AS a, ws[i+2] AS b
+         |  FROM toks, UNNEST(range(len(ws)-1)) AS t(i)),
+         |bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT a, sum(n_ab) AS n_a FROM bc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS V FROM (
+         |        SELECT a AS t FROM bc UNION ALL SELECT b FROM bc)),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |    round(ln((COALESCE(bc.n_ab, 0) + 0.5::DOUBLE)
+         |             / (COALESCE(ctx.n_a, 0) + 0.5::DOUBLE * v.V)), 9)
+         |      ::DECIMAL(28,9) AS lnp
+         |  FROM bg g LEFT JOIN bc USING (a, b)
+         |  LEFT JOIN ctx USING (a), v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-(sum(lnp)::DOUBLE) / count(*), 9) AS avg_nll
+         |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = Text.words(Text.normalize(col("text")))
+      val lm = graft.ops.LangModel.train(docs, "doc_id", toks)
+      graft.ops.LangModel.scoreNll(docs, "doc_id", toks, lm, k = 0.5)
+    },
+
+    // ---- inverted index: term → document frequency + sorted postings.
+    //      Per-document dedup happens MAP-SIDE (array_distinct before
+    //      the explode), so the shuffle carries each (term, doc) once —
+    //      at 100 TB the postings build is one aggregation whose only
+    //      skew is true stopword df; shard those by (term, bucket) when
+    //      a single posting list outgrows a task (documented, not
+    //      needed at gate scale) ----
+    sql(
+      "q_postings",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(string_split($NormSql, ' '))) AS term
+         |  FROM documents)
+         |SELECT term, count(*)::BIGINT AS df,
+         |  list_sort(list(doc_id)) AS postings
+         |FROM toks GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.words(Text.normalize(col("text")))))
+            .as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+    },
+
+    // ---- stable vocabulary ids: frequency-ranked dense token ids via
+    //      the range-partitioned global ranker (no single-partition
+    //      window) — the word2id table every tokenizer/embedding
+    //      pipeline pins; (n DESC, token) is a total order so ids are
+    //      reproducible run over run ----
+    sql(
+      "q_vocab",
+      s"""WITH tf AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS token
+         |  FROM documents)
+         |SELECT token, count(*)::BIGINT AS n,
+         |  row_number() OVER (ORDER BY count(*) DESC, token) AS id
+         |FROM tf GROUP BY token""".stripMargin) { (s, d) =>
+      graft.ops.Layout.globalRowNumber(
+        Tables.documents(s, d)
+          .select(explode(Text.words(Text.normalize(col("text"))))
+            .as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n")),
+        Seq(col("n").desc, col("token").asc),
+        numPartitions = 32, as = "id")
     })
 }

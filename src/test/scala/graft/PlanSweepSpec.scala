@@ -27,7 +27,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_bloom_novel" -> "bitset rides a ONE-row broadcast frame (crossJoin by construction)",
     "q_bloom_join" -> "same one-row broadcast bitset gate before the equi-join",
     "q_pmi" -> "grand-total N rides a ONE-row broadcast carrier into the score",
-    "q_collocations" -> "embeds q_pmi's one-row grand-total carrier")
+    "q_collocations" -> "embeds q_pmi's one-row grand-total carrier",
+    "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
