@@ -76,6 +76,7 @@ object Graph {
     var cur = symmetric(edges)
       .filter(col("src") > col("dst"))
       .localCheckpoint()
+    var curCount = cur.count()
     var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
@@ -103,13 +104,15 @@ object Graph {
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint() // eager: materialize before prev is released
-      // fixpoint test over two materialized frames — a count plus an
-      // anti-join on frames already in block storage, no recompute
-      converged = small.count() == cur.count() &&
-        small.except(cur).isEmpty
+      // fixpoint test over two materialized frames — one count job per
+      // round (the previous round's count is carried in `curCount`),
+      // plus an anti-join only when the counts already agree
+      val smallCount = small.count()
+      converged = smallCount == curCount && small.except(cur).isEmpty
       prev.foreach(_.unpersist(false))
       prev = Some(small)
       cur = small
+      curCount = smallCount
       i += 1
     }
     // at the fixpoint `cur` is a star forest: (member, componentMin).
@@ -184,21 +187,26 @@ object Graph {
     require(n > 0, "pageRankInt needs a non-empty edge set")
     val init = Scale / n
     val base = (15L * init) / 100L
+    // The rank chain is LINEAR — each round's frame is consumed exactly
+    // once, by the next round — so the whole unrolled fixed-point is one
+    // lazy plan and one job. Checkpoints are only a lineage/codegen
+    // relief valve for deep unrolls, taken every few rounds rather than
+    // every round (measured: per-round eager checkpoints tripled the
+    // wall time at bench scale on pure job-scheduling overhead).
+    val checkpointEvery = 8
     var ranks = ed.select(col("src").as("node")).distinct()
       .withColumn("rank_u", lit(init))
-      .localCheckpoint()
-    var prev: Option[DataFrame] = None
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val next = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank_u div deg").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
         .select(col("node"),
           (lit(base) + expr(s"(85 * s) div 100")).as("rank_u"))
-        .localCheckpoint()
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
-      ranks = next
+      ranks =
+        if (i % checkpointEvery == 0 && i < iters)
+          graft.core.LazyCheckpoint(next)
+        else next
     }
     ranks
   }

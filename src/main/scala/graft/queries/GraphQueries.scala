@@ -27,17 +27,34 @@ object GraphQueries {
        |   AND l1.l_partkey < l2.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= $sup""".stripMargin
 
+  /** Engine-side edge derivation: ONE basket shuffle + map-side pair
+    * expansion — not the oracle's self-join (two fact exchanges + a
+    * join). Baskets are order-sized (bounded small), so the collected
+    * list and the |basket|² pair fan-out are per-row constants; over
+    * all index pairs i<j the (least, greatest) emission count equals
+    * the self-join's row-pair count exactly (na·nb per value pair),
+    * so both derivations agree including within-basket multiplicity.
+    */
   private def edges(s: org.apache.spark.sql.SparkSession, d: String,
-      sup: Int): org.apache.spark.sql.DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      sup: Int): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(
+          slice(col("ps"), i + lit(2), size(col("ps"))),
+          p => struct(
+            least(element_at(col("ps"), (i + 1).cast("int")), p).as("a"),
+            greatest(element_at(col("ps"), (i + 1).cast("int")), p).as("b"))))))
+        .as("e"))
+      .select(col("e.a"), col("e.b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= sup)
       .select(col("a"), col("b"))
-  }
 
   /** The PageRank oracle: the same integer fixed point, unrolled. */
   private def pageRankOracle(sup: Int, iters: Int): String = {
