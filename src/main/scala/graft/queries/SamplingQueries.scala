@@ -170,5 +170,33 @@ object SamplingQueries {
           Tables.documents(s, d), Seq("lang"), col("doc_id"),
           col("n_chars"), budget = 20000L)
         .select("doc_id", "lang", "n_chars")
+    },
+
+    // ---- leakage-safe split: the draw keys on the GROUP (source
+    //      domain), not the row, so every document from one source
+    //      lands in the same split — near-duplicates within a site can
+    //      never straddle train/test (the C4/RefinedWeb practice:
+    //      contamination via intra-domain duplication is the measured
+    //      failure of row-keyed splits). Map-side like every draw
+    //      here; swap the group column for a near-dup cluster label
+    //      (Graph.connectedComponents over collision pairs) when
+    //      splitting must respect content clusters instead of
+    //      provenance. Exact membership is hash-checked. ----
+    sql(
+      "q_leakage_safe_split",
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substr(md5('grp' || source), 1,
+         |         ${Sampling.PrefixHexLen})
+         |         < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |       WHEN substr(md5('grp' || source), 1,
+         |         ${Sampling.PrefixHexLen})
+         |         < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Sampling.splitAssign(col("source"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "grp").as("split"))
     })
 }

@@ -301,5 +301,30 @@ object SimilarityQueries {
           e.unionByName(copies), "vec_id", "embedding",
           threshold = 0.99, numCentroids = 8)
         .select("vec_id", "label")
+    },
+
+    // ---- Johnson-Lindenstrauss ±1 random projection 64→16
+    //      (ops/Projection): sign matrix from md5 (computed by the JVM
+    //      driver-side AND by the oracle's range×range CTE — same
+    //      digest), components snapped to 1e-9-grid BIGINT micro-units
+    //      so every projected coordinate is an exact integer sum.
+    //      Map-side, shuffle-free; membership + values hash-checked ----
+    sql(
+      "q_random_projection",
+      """WITH s AS (
+        |  SELECT i, j,
+        |    CASE WHEN strpos('02468ace',
+        |           substr(md5('jl:' || i || ':' || j), 1, 1)) > 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM range(64) t(i), range(16) u(j)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id, s.j,
+        |  CAST(sum(CAST(round(e.v[s.i + 1] * 1000000000) AS BIGINT)
+        |           * s.sgn) AS BIGINT) AS proj_u
+        |FROM e, s
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Projection.randomProject(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        inDim = 64, outDim = 16, salt = "jl")
     })
 }

@@ -28,7 +28,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_bloom_join" -> "same one-row broadcast bitset gate before the equi-join",
     "q_pmi" -> "grand-total N rides a ONE-row broadcast carrier into the score",
     "q_collocations" -> "embeds q_pmi's one-row grand-total carrier",
-    "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score")
+    "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score",
+    "q_covariance" -> "row count n rides a ONE-row broadcast carrier into the moments",
+    "q_pca_project" -> "embeds q_covariance's one-row n carrier")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
