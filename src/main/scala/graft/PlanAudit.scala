@@ -26,7 +26,12 @@ object PlanAudit {
         // round 6b: new operator families
         "q_containment", "q_pmi", "q_collocations", "q_gap_fill",
         "q_chunk_overlap", "q_outliers", "q_weighted_sample",
-        "q_media_phash")) {
+        "q_media_phash",
+        // round 7: graph / LM / linalg / density families
+        "q_connected_components", "q_pagerank", "q_perplexity",
+        "q_postings", "q_vocab", "q_random_projection",
+        "q_covariance", "q_pca_project", "q_dbscan",
+        "q_leakage_safe_split")) {
       val qe = SparkEntry.queries(q)(spark, d).queryExecution
       // EXECUTE this queryExecution before printing: an unexecuted
       // AdaptiveSparkPlanExec prints its initial plan with no

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DensitySpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  /** Brute-force reference: core/border/noise + min-core-id clusters
+    * with the same deterministic min-attachment border rule. */
+  private def reference(
+      pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int)
+      : Map[Long, (Option[Long], String)] = {
+    val eps2 = BigInt(eps) * BigInt(eps)
+    def near(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+      val (dx, dy) = (BigInt(a._2 - b._2), BigInt(a._3 - b._3))
+      dx * dx + dy * dy <= eps2
+    }
+    val nbrs = pts.map(p =>
+      p._1 -> pts.filter(q => q._1 != p._1 && near(p, q)).map(_._1)).toMap
+    val core = pts.map(_._1).filter(id => nbrs(id).size + 1 >= minPts).toSet
+    // min-label propagation over core-core edges until fixpoint
+    var label = core.map(id => id -> id).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      core.foreach { id =>
+        val m = (nbrs(id).filter(core).map(label) :+ label(id)).min
+        if (m < label(id)) { label += id -> m; changed = true }
+      }
+    }
+    pts.map { p =>
+      val id = p._1
+      if (core(id)) id -> (Some(label(id)), "core")
+      else {
+        val coreNbrs = nbrs(id).filter(core)
+        if (coreNbrs.nonEmpty) id -> (Some(coreNbrs.map(label).min), "border")
+        else id -> (None, "noise")
+      }
+    }.toMap
+  }
+
+  private def run(pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int) =
+    Density.dbscan(pts.toDF("id", "x", "y"), "id", "x", "y", eps, minPts)
+      .as[(Long, Option[Long], String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("random layouts equal brute-force DBSCAN (differential, 3 trials)") {
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      // mixed scale, negative coords, grid-boundary values included
+      val pts = (1L to 120L).map(i =>
+        (i, rnd.between(-50L, 50L) * 100L + rnd.between(-99L, 100L),
+          rnd.between(-50L, 50L) * 100L + rnd.between(-99L, 100L)))
+      val got = run(pts, eps = 300L, minPts = 4)
+      val exp = reference(pts, eps = 300L, minPts = 4)
+      assert(got == exp, s"trial $trial diverged")
+    }
+  }
+
+  test("textbook shapes: two blobs, a bridge border point, far noise") {
+    val blobA = (1L to 5L).map(i => (i, i, 0L))          // tight line at y=0
+    val blobB = (11L to 15L).map(i => (i, 1000L + i, 0L))
+    val bridge = Seq((20L, 9L, 0L))   // one in-range neighbor (5,0): not core
+    val noise = Seq((30L, 500L, 500L))
+    val got = run(blobA ++ blobB ++ bridge ++ noise, eps = 4L, minPts = 3)
+    assert(got(1L) == (Some(1L), "core"))
+    assert(got(12L) == (Some(11L), "core"))
+    assert(got(20L) == (Some(1L), "border")) // near 5,4 — not core itself
+    assert(got(30L) == (None, "noise"))
+    // the two blobs never merge
+    assert(got.filter(_._2._2 == "core").values.map(_._1).toSet ==
+      Set(Some(1L), Some(11L)))
+  }
+
+  test("result is partition-independent") {
+    val rnd = new scala.util.Random(43)
+    val pts = (1L to 80L).map(i =>
+      (i, rnd.between(-2000L, 2000L), rnd.between(-2000L, 2000L)))
+    val df = pts.toDF("id", "x", "y")
+    val a = Density.dbscan(df, "id", "x", "y", 500L, 4)
+      .as[(Long, Option[Long], String)].collect().toSet
+    val b = Density.dbscan(df.repartition(13), "id", "x", "y", 500L, 4)
+      .as[(Long, Option[Long], String)].collect().toSet
+    assert(a == b)
+  }
+}
