@@ -53,6 +53,13 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Nudge the ContextCleaner BEFORE the clock starts: earlier
+      // queries' localCheckpoint/persist blocks are reclaimed on GC,
+      // and without this a later query pays its predecessors' memory
+      // pressure inside its own timing (measured as a uniform drift
+      // across a 150+-query single-JVM run; the gc itself is outside
+      // the timed window so totals stay honest)
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

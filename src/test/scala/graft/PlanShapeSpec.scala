@@ -220,4 +220,40 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-type moments must broadcast")
     assert(count(p, "SortMergeJoin") == 0)
   }
+
+  test("LM scoring: train folds ONE checkpointed count frame; at most " +
+      "the score pass re-reads the corpus") {
+    // train's count frame feeds three consumers (bigram join, context
+    // margin, vocab) — unchecked, each would re-scan documents and
+    // re-generate every pair (the measured Cooccurrence trap). The
+    // score pass legitimately scans the corpus once more for its own
+    // bigram stream: ≤ 2 total, with the checkpoint visible
+    val p = plan("q_perplexity")
+    assert(count(p, "documents.parquet") <= 2,
+      s"LM train must not re-scan per consumer:\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"),
+      "bigram count frame is no longer checkpointed")
+  }
+
+  test("covariance: ONE corpus pass through the typed moment kernel") {
+    val p = plan("q_covariance")
+    assert(count(p, "embeddings.parquet") <= 1,
+      s"moment kernel must scan the corpus once:\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"),
+      "moment cells frame is no longer checkpointed")
+    // the only join inputs are dim-sized partials — never a sort-merge
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("random projection and pca projection stay shuffle-free " +
+      "(map-side scan stages)") {
+    val pj = plan("q_random_projection")
+    assert(count(pj, "Exchange") == 0,
+      s"JL projection must not shuffle:\n${pj.take(1500)}")
+    val pc = plan("q_pca_project")
+    // the axis is a driver-computed literal; the projection plan is a
+    // single scan + project (the gram/power stages ran at build time)
+    assert(count(pc, "Exchange") == 0,
+      s"pca projection must not shuffle:\n${pc.take(1500)}")
+  }
 }
