@@ -203,6 +203,67 @@ object Text {
       .distinct()
   }
 
+  /** Entity resolution: collapse records whose `strCol` mentions are
+    * transitively within unit edit distance into golden records — the
+    * classic match→cluster→merge pipeline (Fellegi-Sunter linkage +
+    * transitive closure), composed from this engine's own parts:
+    * [[editDistance1Pairs]] (complete deletion-neighborhood banding)
+    * for match and [[Graph.connectedComponents]] (large-star/
+    * small-star) for cluster, so resolution inherits both operators'
+    * scale contracts.
+    *
+    * Scale shape, in order:
+    *  1. EXACT collapse first: `groupBy(strCol)` → (string, rep =
+    *     min id, multiplicity). Real corpora repeat mentions; running
+    *     the pair join on raw rows would emit every dist-0 pair —
+    *     quadratic in duplicate-group size (31 copies of a name at
+    *     sf0.01 is already 465 pairs; 100 TB makes it fatal). After
+    *     the collapse, candidate volume is quadratic only in DISTINCT
+    *     near-neighborhoods.
+    *  2. [[editDistance1Pairs]] over distinct strings only.
+    *  3. CC over the rep graph — dim-sized (|distinct strings|), with
+    *     every rep in the universe so unmatched strings come back as
+    *     their own golden record.
+    *  4. Map labels back to member rows through the string — one
+    *     equi-join; the label frame is dim-sized, broadcast-eligible.
+    *
+    * Because rep = min member id per string and component = min rep,
+    * the component label IS the minimum member id of the cluster —
+    * the canonical record, whose attributes are joined back without
+    * any extra ranking pass.
+    *
+    * Output: (id, canonical, canonical_<strCol>, n_members) — one row
+    * per input row; `canonical` the min id in the cluster,
+    * `canonical_<strCol>` that record's mention, `n_members` the
+    * cluster's total row count. Deterministic; ids must be non-null
+    * and unique.
+    */
+  def resolveEntities(
+      df: DataFrame, id: String, strCol: String): DataFrame = {
+    val canonCol = s"canonical_$strCol"
+    val reps = df.groupBy(col(strCol).as("__str"))
+      .agg(min(col(id)).as("__rep"), count(lit(1)).as("__mult"))
+    val pairs = editDistance1Pairs(
+      reps.select(col("__rep"), col("__str")), "__rep", "__str")
+      .select(col("a"), col("b"))
+    val labels = Graph.connectedComponents(
+      pairs, nodes = Some(reps.select(col("__rep"))))
+      .withColumnRenamed("node", "__rep")
+      .withColumnRenamed("component", "canonical")
+    // dim-sized: (string, rep, multiplicity, canonical)
+    val strLab = reps.join(labels, "__rep")
+    val sizes = strLab.groupBy(col("canonical"))
+      .agg(sum(col("__mult")).as("n_members"))
+    val canon = df.select(col(id).as("__cid"), col(strCol).as(canonCol))
+    val dim = strLab.join(sizes, "canonical")
+      .join(canon, col("canonical") === col("__cid"))
+      .select(col("__str"), col("canonical"), col(canonCol),
+        col("n_members"))
+    df.select(col(id), col(strCol).as("__str"))
+      .join(dim, "__str")
+      .select(col(id), col("canonical"), col(canonCol), col("n_members"))
+  }
+
   /** Exact repeated-substring SPAN removal — the span-level sibling of
     * document dedup (Lee et al. 2022, arXiv:2107.06499: duplicated
     * training substrings are memorized disproportionately; removing

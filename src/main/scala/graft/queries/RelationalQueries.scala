@@ -284,6 +284,44 @@ object RelationalQueries {
           Tables.customer(s, d), "c_custkey", "c_name")
     },
 
+    // ---- entity resolution: ED1 banding over DISTINCT mentions →
+    //      connected components → golden record (min id + its
+    //      attributes + cluster size). The part fixture has 64
+    //      distinct names over 2000 rows — exact-duplicate mentions
+    //      plus real unit-distance variants ("cold rod"/"old rod") —
+    //      so exact collapse, fuzzy clustering, and label fan-back
+    //      all do real work. Oracle: brute-force levenshtein graph
+    //      over distinct names + recursive min-reachability ----
+    sql(
+      "q_entity_resolve",
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name, min(p_partkey) AS rep FROM part GROUP BY 1),
+        |e0 AS (
+        |  SELECT a.rep AS a, b.rep AS b FROM names a JOIN names b
+        |  ON a.rep < b.rep AND levenshtein(a.p_name, b.p_name) <= 1),
+        |sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |cc AS (
+        |  SELECT rep AS v, rep AS m FROM names
+        |  UNION
+        |  SELECT s.b AS v, cc.m FROM sym s JOIN cc ON s.a = cc.v),
+        |lab AS (SELECT v, min(m) AS canonical FROM cc GROUP BY 1),
+        |rows_lab AS (
+        |  SELECT p.p_partkey, lab.canonical
+        |  FROM part p JOIN names n ON p.p_name = n.p_name
+        |  JOIN lab ON lab.v = n.rep),
+        |sizes AS (
+        |  SELECT canonical, count(*) AS n_members
+        |  FROM rows_lab GROUP BY 1)
+        |SELECT r.p_partkey, r.canonical,
+        |  c.p_name AS canonical_p_name, s.n_members
+        |FROM rows_lab r
+        |JOIN part c ON c.p_partkey = r.canonical
+        |JOIN sizes s ON s.canonical = r.canonical""".stripMargin) {
+      (s, d) =>
+        graft.ops.Text.resolveEntities(
+          Tables.part(s, d), "p_partkey", "p_name")
+    },
+
     // ---- bloom-pruned join: explicit semi-join pushdown; zero false
     //      negatives make it byte-identical to the plain join ----
     sql(

@@ -163,4 +163,30 @@ class TextSpec extends AnyFunSuite with WithSpark {
     assert(parts("https://x.org/a?b=c#frag")
       == ("https", "x.org", "/a", "b=c", "x.org"))
   }
+
+  test("resolveEntities: exact dups + ED1 variants collapse to the " +
+      "min-id golden record; unmatched rows stay singletons") {
+    val df = Seq(
+      (10L, "acme corp"), // cluster {10,11,12,13}: dup + ED1 chain
+      (11L, "acme corp"),
+      (12L, "acme corpx"),
+      (13L, "acme cor"),
+      (20L, "zenith"), // singleton
+      (30L, "beta"), (31L, "betta"), // cluster {30,31}
+      (40L, "wholly unrelated name")).toDF("id", "mention")
+    val got = Text.resolveEntities(df, "id", "mention")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got.size == 8)
+    for (i <- Seq(10L, 11L, 12L, 13L))
+      assert(got(i) == ((10L, "acme corp", 4L)), s"row $i")
+    assert(got(20L) == ((20L, "zenith", 1L)))
+    assert(got(30L) == ((30L, "beta", 2L)))
+    assert(got(31L) == ((30L, "beta", 2L)))
+    assert(got(40L) == ((40L, "wholly unrelated name", 1L)))
+    // partition-independence: same labeling from a different layout
+    val re = Text.resolveEntities(df.repartition(7), "id", "mention")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(re == got.map { case (k, v) => (k, v._1) })
+  }
 }
