@@ -101,4 +101,55 @@ object TimeSeries {
         last(col("value"), ignoreNulls = true).over(w).as("filled"),
         col("value").isNotNull.as("observed"))
   }
+
+  /** Batch sessionization: split each key's event stream wherever the
+    * gap to the previous event exceeds `gapSeconds`, and aggregate the
+    * runs into session rows — the batch sibling of the engine's
+    * streaming `session_window`/`mapGroupsWithState` faces
+    * (`streaming/EventStream.scala`), for backfills and historical
+    * replays where the corpus is already at rest.
+    *
+    * Shape: ONE shuffle, on the key. Both windows (the lag probe and
+    * the running boundary sum) and the final groupBy share the same
+    * (key) partitioning, so Catalyst plans a single exchange and the
+    * session aggregation is partition-local. Per-task memory is one
+    * window row at a time (running frame), never a buffered session.
+    * At 100 TB the only knob that matters is key cardinality — a
+    * single hot key serializes its own timeline (inherent to the
+    * semantics: session boundaries are a sequential scan of that
+    * key's history).
+    *
+    * Determinism: ordering ties on `tsCol` are broken by `idCol`; a
+    * tie's gap is 0 ≤ gapSeconds, so boundaries — and therefore every
+    * output row — are independent of the tie order and of
+    * partitioning. Gap comparison is exact integer microseconds.
+    *
+    * @return one row per session: (key, session_idx — 1-based per
+    *         key in time order, session_start, session_end, n_events)
+    */
+  def sessionize(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
+    for (c <- Seq(key, tsCol, idCol))
+      require(events.columns.contains(c), s"missing column '$c'")
+    val order = Window.partitionBy(col(key)).orderBy(col(tsCol), col(idCol))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    val boundary = when(
+      lag(us, 1).over(order).isNull ||
+        us - lag(us, 1).over(order) > gapSeconds * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    events
+      .select(col(key), col(tsCol), col(idCol))
+      .withColumn("session_idx", sum(boundary).over(run))
+      .groupBy(col(key), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

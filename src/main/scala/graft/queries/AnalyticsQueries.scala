@@ -475,6 +475,36 @@ object AnalyticsQueries {
         .select("user_id", "first_view", "first_click", "first_purchase")
     },
 
+    // ---- batch sessionization: 30-min-gap session split, one
+    //      key-partitioned exchange shared by lag probe, boundary
+    //      running sum, and session aggregation; gaps compared in
+    //      exact integer microseconds, ties broken by event_id (a
+    //      tie's gap is 0, so boundaries are tie-order independent) ----
+    sql(
+      "q_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM o)
+        |SELECT user_id, session_idx,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.TimeSeries.sessionize(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        gapSeconds = 1800L)
+    },
+
     // ---- per-group min-max normalization (feature scaling): the
     //      bounds frame is |groups|-sized and broadcasts; min/max are
     //      exact selections and (v-lo)/(hi-lo) is the same IEEE ops on

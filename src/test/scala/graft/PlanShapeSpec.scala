@@ -256,4 +256,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(pc, "Exchange") == 0,
       s"pca projection must not shuffle:\n${pc.take(1500)}")
   }
+
+  test("sessionize: ONE exchange — lag probe, boundary sum, and " +
+      "session aggregation all share the key partitioning") {
+    // the groupBy key (user, session_idx) is a superset of the window
+    // partition key, so its clustering is satisfied without a second
+    // shuffle; a regression here doubles the op's cost at 100 TB
+    val p = plan("q_sessionize")
+    assert(count(p, "Exchange") == 1,
+      s"sessionize must shuffle exactly once:\n${p.take(2000)}")
+  }
 }

@@ -89,4 +89,40 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
     // observed bucket
     assert(filled.filter(col("filled").isNull).count() == 0)
   }
+
+  test("sessionize splits on gap > threshold, 1-based per key, " +
+      "boundaries exact at the threshold") {
+    val ev = Seq(
+      // user 1: 3 events within 10 min, then a 61-min gap, then 1 more
+      (1L, ts("2024-01-01 00:00:00"), 100L),
+      (1L, ts("2024-01-01 00:05:00"), 101L),
+      (1L, ts("2024-01-01 00:10:00"), 102L),
+      (1L, ts("2024-01-01 01:11:00"), 103L),
+      // user 2: gap EXACTLY the threshold — same session (> not >=)
+      (2L, ts("2024-01-01 00:00:00"), 200L),
+      (2L, ts("2024-01-01 01:00:00"), 201L),
+      // user 3: tied timestamps — one session, tie order irrelevant
+      (3L, ts("2024-01-01 09:00:00"), 301L),
+      (3L, ts("2024-01-01 09:00:00"), 300L)
+    ).toDF("u", "t", "eid")
+    val got = TimeSeries.sessionize(ev, "u", "t", "eid", gapSeconds = 3600L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))).toMap
+    assert(got.size == 4)
+    assert(got((1L, 1L)) ==
+      ((ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 3L)))
+    assert(got((1L, 2L)) ==
+      ((ts("2024-01-01 01:11:00"), ts("2024-01-01 01:11:00"), 1L)))
+    assert(got((2L, 1L)) ==
+      ((ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 2L)))
+    assert(got((3L, 1L)) ==
+      ((ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 2L)))
+    // partition-independence
+    val re = TimeSeries.sessionize(
+      ev.repartition(5), "u", "t", "eid", gapSeconds = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(re.toSeq == got.keys.toSeq.sorted.map(k =>
+      (k._1, k._2, got(k)._3)))
+  }
 }
