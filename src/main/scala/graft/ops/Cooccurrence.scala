@@ -34,13 +34,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Cooccurrence {
 
-  def pmi(
+  /** Directed within-window co-occurrence counts: (a, b, n_ab) where
+    * `b` follows `a` within `window` positions. Pair generation is
+    * map-side array HOFs (no self-join); one count shuffle. The
+    * building block under [[pmi]] and the TextRank token graph. */
+  def pairCounts(
       docs: DataFrame,
       tokens: Column,
-      window: Int,
-      minCount: Long = 1L): DataFrame = {
+      window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
-    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val toks = docs.select(tokens.as("__t")).filter(size(col("__t")) >= 2)
     // positions 0..n-2 (1-based element i+1); partners are the slice
     // (i+2 .. i+1+window), clipped at the array end by slice itself
@@ -51,13 +53,21 @@ object Cooccurrence {
         b => struct(element_at(col("__t"), (i + 1).cast("int")).as("a"),
           b.as("b")))))).as("p"))
       .select(col("p.a"), col("p.b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+  }
+
+  def pmi(
+      docs: DataFrame,
+      tokens: Column,
+      window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     // the pair-count frame feeds FOUR consumers (margins ×2, total,
     // output join); without a materialization each one re-scans the
     // corpus and re-generates every pair — Catalyst does not reuse the
     // aggregate exchange across the branches (measured: 6 corpus scans
     // unchecked, 1 with the checkpoint; PlanShapeSpec pins it)
-    val cnt = graft.core.LazyCheckpoint(
-      pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab")))
+    val cnt = graft.core.LazyCheckpoint(pairCounts(docs, tokens, window))
     val ma = cnt.groupBy("a").agg(sum("n_ab").as("n_a"))
     val mb = cnt.groupBy("b").agg(sum("n_ab").as("n_b"))
     val total = cnt.agg(sum("n_ab").as("n"))

@@ -56,8 +56,13 @@ object GraphQueries {
       .filter(col("n") >= sup)
       .select(col("a"), col("b"))
 
-  /** The PageRank oracle: the same integer fixed point, unrolled. */
-  private def pageRankOracle(sup: Int, iters: Int): String = {
+  /** The PageRank oracle: the same integer fixed point, unrolled.
+    * `e0Ctes` is any CTE chain whose last member defines
+    * `e0 (a, b)` — the directed edge candidates (self-loops are
+    * dropped by the symmetric closure here, mirroring the engine's
+    * [[graft.ops.Graph]] `symmetric`). Shared with the TextRank face
+    * in [[RankingQueries]]. */
+  private[queries] def pageRankOracle(e0Ctes: String, iters: Int): String = {
     val scale = graft.ops.Graph.Scale
     val iterCtes = (1 to iters).map { k =>
       s"""c$k AS (
@@ -71,10 +76,9 @@ object GraphQueries {
          |     + (85 * s) // 100)::BIGINT AS rank_u
          |  FROM c$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
-       |${edgeSql(sup)}),
-       |sym AS (SELECT a AS src, b AS dst FROM e0
-       |        UNION SELECT b, a FROM e0),
+    s"""WITH $e0Ctes,
+       |sym AS (SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+       |        UNION SELECT b, a FROM e0 WHERE a <> b),
        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
        |n AS (SELECT count(*) AS nv FROM deg),
        |r0 AS (SELECT src AS node,
@@ -113,7 +117,7 @@ object GraphQueries {
     //      units, bit-identical in both engines by construction ----
     sql(
       "q_pagerank",
-      pageRankOracle(sup = 2, iters = 5)) { (s, d) =>
+      pageRankOracle(s"e0 AS (\n${edgeSql(2)})", iters = 5)) { (s, d) =>
       graft.ops.Graph.pageRankInt(edges(s, d, 2), iters = 5)
     })
 }

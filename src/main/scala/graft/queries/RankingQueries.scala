@@ -192,6 +192,38 @@ object RankingQueries {
           col("rank").cast("long").as("rank"))
     },
 
+    // ---- TextRank (Mihalcea & Tarau 2004): corpus keyword centrality
+    //      = PageRank over the token co-occurrence graph. Composes the
+    //      engine's own parts — pairCounts for the edge derivation,
+    //      integer pageRankInt for the fixed point — so ranks are
+    //      bit-identical in both engines (same truncating arithmetic;
+    //      the oracle unrolls the rounds over the SAME token edges).
+    //      Edge frame is checkpointed: the symmetric closure reads it
+    //      twice, and pair generation must not run twice ----
+    sql(
+      "q_textrank",
+      GraphQueries.pageRankOracle(
+        s"""toks AS (
+           |  SELECT string_split($NormSql, ' ') AS ws
+           |  FROM documents),
+           |p AS (
+           |  SELECT ws[i+1] AS a, ws[i+1+j] AS b
+           |  FROM toks, UNNEST(range(len(ws)-1)) AS t(i),
+           |    UNNEST(range(1, 4)) AS s(j)
+           |  WHERE i + j < len(ws)),
+           |e0 AS (SELECT a, b FROM p GROUP BY 1, 2
+           |       HAVING count(*) >= 5)""".stripMargin,
+        iters = 5)) { (s, d) =>
+      val edges = graft.core.LazyCheckpoint(
+        graft.ops.Cooccurrence.pairCounts(
+            Tables.documents(s, d),
+            tokens = Text.words(Text.normalize(col("text"))),
+            window = 3)
+          .filter(col("n_ab") >= 5)
+          .select(col("a"), col("b")))
+      graft.ops.Graph.pageRankInt(edges, iters = 5)
+    },
+
     // ---- bigram-LM perplexity scoring (ops/LangModel): train on the
     //      corpus, score each doc's mean negative log-likelihood.
     //      Every 0.5 literal is ::DOUBLE in the oracle (DuckDB parses

@@ -45,4 +45,19 @@ class CooccurrenceSpec extends AnyFunSuite with WithSpark {
     // n_p• = 3, n_•q = 3, N = 5 → ln(3·5/9)
     assert(math.abs(p - math.log(15.0 / 9.0)) < 1e-8)
   }
+
+  test("textrank composition: pageRankInt over pairCounts ranks the " +
+      "co-occurrence hub highest") {
+    // star graph: hub co-occurs with every spoke, spokes only with hub
+    val df = Seq("a hub", "b hub", "c hub", "d hub", "e hub").toDF("text")
+    val edges = Cooccurrence.pairCounts(
+        df, tokens = split(col("text"), " "), window = 1)
+      .select("a", "b")
+    val ranks = Graph.pageRankInt(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(ranks.size == 6)
+    val hub = ranks("hub")
+    for (s <- Seq("a", "b", "c", "d", "e"))
+      assert(hub > ranks(s), s"hub must outrank spoke $s")
+  }
 }
