@@ -491,9 +491,9 @@ object AnalyticsQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_idx
+        |      AS BIGINT) AS session_idx
         |  FROM o)
         |SELECT user_id, session_idx,
         |  CAST(min(ts) AS TIMESTAMP) AS session_start,

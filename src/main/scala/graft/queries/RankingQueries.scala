@@ -273,7 +273,7 @@ object RankingQueries {
          |    unnest(list_distinct(string_split($NormSql, ' '))) AS term
          |  FROM documents)
          |SELECT term, count(*)::BIGINT AS df,
-         |  list_sort(list(doc_id)) AS postings
+         |  to_json(list_sort(list(doc_id))) AS postings_json
          |FROM toks GROUP BY 1""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -281,7 +281,8 @@ object RankingQueries {
             .as("term"))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          Canon.js(sort_array(collect_list(col("doc_id"))))
+            .as("postings_json"))
     },
 
     // ---- stable vocabulary ids: frequency-ranked dense token ids via
