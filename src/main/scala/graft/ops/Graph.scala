@@ -115,6 +115,16 @@ object Graph {
       curCount = smallCount
       i += 1
     }
+    // Loud contract: a truncated run would return partially-merged
+    // labels that LOOK valid (every node labeled, labels ≤ node ids)
+    // but are wrong — callers cannot distinguish fixpoint from budget
+    // exhaustion downstream, so the only safe failure is here. The
+    // O(log² n) bound makes 30 rounds ample for any real graph; hitting
+    // it means the input (or a bug) needs attention, not a silent
+    // best-effort answer.
+    require(converged,
+      s"connectedComponents did not reach a fixpoint in $maxIters " +
+        "rounds; labels would be partially merged. Raise maxIters.")
     // at the fixpoint `cur` is a star forest: (member, componentMin).
     // Re-attach each component's root and any isolated universe nodes.
     val roots = cur.select(col("dst").as("node"), col("dst").as("component"))
@@ -203,6 +213,90 @@ object Graph {
         .agg(sum(col("c")).as("s"))
         .select(col("node"),
           (lit(base) + expr(s"(85 * s) div 100")).as("rank_u"))
+      ranks =
+        if (i % checkpointEvery == 0 && i < iters)
+          graft.core.LazyCheckpoint(next)
+        else next
+    }
+    ranks
+  }
+
+  /** DIRECTED PageRank with dangling-mass redistribution — the face
+    * [[pageRankInt]] cannot express: host-graph centrality (the Common
+    * Crawl use this file's doc cites) runs on a DIRECTED link graph
+    * where sink pages have no out-links, and symmetrizing changes the
+    * ranking (a page with many in-links but no out-links must absorb
+    * and redistribute, not reflect). Same exact-integer convention as
+    * [[pageRankInt]] (1e-12 grid, truncating `div`, 85/100 damping) so
+    * the fixed point is bit-portable across engines.
+    *
+    * Per round, for D = Σ_{dangling u} r(u) (one scalar aggregate,
+    * carried as a ONE-ROW broadcast frame — never a driver action):
+    *
+    *   r'(v) = (15·(Scale div N)) div 100
+    *         + (85 · (Σ_{u→v} (r(u) div outdeg(u)) + D div N)) div 100
+    *
+    * The D div N term hands every vertex an equal share of the rank
+    * that flowed into sinks, the standard dangling-node treatment
+    * (Page et al. 1999 §2.7); without it rank mass drains monotonically
+    * and ranks decay toward the teleport floor.
+    *
+    * Scale shape: identical to [[pageRankInt]] — per round ONE
+    * equi-join + ONE map-side-combined sum — plus one vertex-frame
+    * semi-join (the dangling subset, dim-sized) and one single-row
+    * cross carrier. The vertex universe is src ∪ dst (a vertex with no
+    * in-links still holds base + dangling share), built once and
+    * checkpointed.
+    *
+    * @param edges directed (a, b) = a→b edge frame; self-loops and
+    *              duplicate edges dropped
+    * @param iters fixed iteration count (unrolled; oracle mirrors it
+    *              as chained CTEs including the dangling term)
+    * @return (node, rank_u) in 1e-12 micro-units
+    */
+  def pageRankIntDirected(
+      edges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    e.unpersist(false)
+    val n = verts.count()
+    require(n > 0, "pageRankIntDirected needs a non-empty edge set")
+    val init = Scale / n
+    val base = (15L * init) / 100L
+    // dangling = vertices with no out-edge (dim-sized, fixed per run)
+    val dangling = verts
+      .join(ed.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .localCheckpoint()
+    val checkpointEvery = 8
+    var ranks = verts.withColumn("rank_u", lit(init))
+    (1 to iters).foreach { i =>
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("rank_u div deg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+      // one-row dangling-mass carrier: lazy, broadcast, no collect
+      val dmass = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("d"))
+      val next = verts
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dmass))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(85 * (coalesce(s, 0L) + (d div ${n}L))) div 100"))
+            .as("rank_u"))
       ranks =
         if (i % checkpointEvery == 0 && i < iters)
           graft.core.LazyCheckpoint(next)
