@@ -51,6 +51,7 @@ object Bench {
         None
       }
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    val maxes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Nudge the ContextCleaner BEFORE the clock starts: earlier
@@ -66,7 +67,11 @@ object Bench {
       // numbers for ~20 unchanged queries; steady-state QTime showed no
       // regression). The minimum of two back-to-back runs is the
       // honest per-query engine cost; the first rep also serves as the
-      // query's own plan/codegen warmup.
+      // query's own plan/codegen warmup. BOTH reps are published
+      // (`queries` = min, `queries_max` = max): a near-zero rep-2
+      // against a large rep-1 would mean some amortized cache was not
+      // populated by warm() and the min is understating real cost —
+      // visible in the JSON instead of silently flattering the engine.
       try {
         val reps = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -74,6 +79,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         timings(name) = Some(reps.min)
+        maxes(name) = reps.max
       } catch {
         case e: Throwable =>
           timings(name) = None
@@ -85,12 +91,14 @@ object Bench {
       case (k, Some(v)) => s"\"$k\":$v"
       case (k, None)    => s"\"$k\":null"
     }.mkString("{", ",", "}")
+    val qsMax = maxes.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = timings.values.flatten.sum
     val buildJson = buildSecs.map(_.toString).getOrElse("null")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

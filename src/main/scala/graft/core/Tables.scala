@@ -25,18 +25,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark 4 refuses
-    * by default; sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * at build time (Bench/Verify/WithSpark all do). The raw nanos arrive
-    * as a long (`ts_ns`); a microsecond-truncated proper timestamp is
-    * exposed as `ts`.
+  /** events.parquet has shipped `ts` under two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) (read as a raw long when
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which Bench/Verify/
+    * WithSpark all set) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Normalize both to the same surface: a session-TZ
+    * `ts` timestamp plus the raw epoch nanos as `ts_ns`, so every query
+    * downstream is encoding-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = load(s, d, "events")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // proper timestamp (micros, NTZ or LTZ); sessions run in UTC
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   *
   * @param eps    radius in the coordinate's integer units (> 0)
   * @param minPts core test: |N_eps(p)| ≥ minPts, self included
+  * @param ccMaxIters round budget for the core-graph connected-
+  *         components pass ([[Graph.connectedComponents]] fails loudly
+  *         rather than returning partial labels; raise for graphs that
+  *         need more than the default 30 star rounds)
   * @return (id, cluster, role): role core|border|noise; cluster is the
   *         component's minimum point id, null for noise
   */
@@ -42,7 +46,7 @@ object Density {
 
   def dbscan(
       points: DataFrame, id: String, x: String, y: String,
-      eps: Long, minPts: Int): DataFrame = {
+      eps: Long, minPts: Int, ccMaxIters: Int = 30): DataFrame = {
     require(eps > 0, s"eps must be positive: $eps")
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
     val pts = graft.core.LazyCheckpoint(points.select(
@@ -77,7 +81,8 @@ object Density {
       .join(core.select(col("coreid").as("qid")), Seq("qid"))
       .join(core.select(col("coreid").as("pid")), Seq("pid"))
       .select(col("qid").as("a"), col("pid").as("b"))
-    val labeled = Graph.connectedComponents(coreEdges, nodes = Some(core))
+    val labeled = Graph.connectedComponents(coreEdges, nodes = Some(core),
+        maxIters = ccMaxIters)
       .select(col("node").as("pid"), col("component").as("cluster"))
     // border: non-core with a core neighbor — minimum neighboring
     // core component (deterministic; vanilla DBSCAN is order-dependent)

@@ -280,7 +280,6 @@ object Graph {
       .join(ed.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
       .localCheckpoint()
-    val checkpointEvery = 8
     var ranks = verts.withColumn("rank_u", lit(init))
     (1 to iters).foreach { i =>
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
@@ -297,10 +296,14 @@ object Graph {
           (lit(base) +
             expr(s"(85 * (coalesce(s, 0L) + (d div ${n}L))) div 100"))
             .as("rank_u"))
-      ranks =
-        if (i % checkpointEvery == 0 && i < iters)
-          graft.core.LazyCheckpoint(next)
-        else next
+      // Unlike pageRankInt's LINEAR chain, each round here consumes
+      // `ranks` TWICE (the contrib join and the dangling-mass
+      // aggregate), so leaving the unroll lazy doubles the plan per
+      // round — 2^k duplicated subtrees by round k unless exchange
+      // reuse happens to dedupe them. Materialize every round: both
+      // branches of round i+1 then read round i's cached blocks, and
+      // total work stays linear in `iters`.
+      ranks = if (i < iters) graft.core.LazyCheckpoint(next) else next
     }
     ranks
   }

@@ -236,10 +236,14 @@ object Text {
     * per input row; `canonical` the min id in the cluster,
     * `canonical_<strCol>` that record's mention, `n_members` the
     * cluster's total row count. Deterministic; ids must be non-null
-    * and unique.
+    * and unique. `ccMaxIters` is the round budget for the component
+    * pass ([[Graph.connectedComponents]] fails loudly rather than
+    * returning partial clusters; raise it for pathological mention
+    * graphs instead of editing library code).
     */
   def resolveEntities(
-      df: DataFrame, id: String, strCol: String): DataFrame = {
+      df: DataFrame, id: String, strCol: String,
+      ccMaxIters: Int = 30): DataFrame = {
     val canonCol = s"canonical_$strCol"
     val reps = df.groupBy(col(strCol).as("__str"))
       .agg(min(col(id)).as("__rep"), count(lit(1)).as("__mult"))
@@ -247,7 +251,8 @@ object Text {
       reps.select(col("__rep"), col("__str")), "__rep", "__str")
       .select(col("a"), col("b"))
     val labels = Graph.connectedComponents(
-      pairs, nodes = Some(reps.select(col("__rep"))))
+      pairs, nodes = Some(reps.select(col("__rep"))),
+      maxIters = ccMaxIters)
       .withColumnRenamed("node", "__rep")
       .withColumnRenamed("component", "canonical")
     // dim-sized: (string, rep, multiplicity, canonical)

@@ -88,6 +88,47 @@ object GraphQueries {
        |SELECT node, rank_u FROM r$iters""".stripMargin
   }
 
+  /** The DIRECTED PageRank oracle: [[graft.ops.Graph.pageRankIntDirected]]'s
+    * exact integer fixed point unrolled as chained CTEs, INCLUDING the
+    * dangling-mass redistribution term. `e0Ctes`' last member defines
+    * `e0 (a, b)` = directed a→b candidates; dedup/self-loop drop here
+    * mirrors the engine. All sums cast ::BIGINT (DuckDB sum(BIGINT) is
+    * HUGEINT — the r7 q_sessionize hash-type lesson). */
+  private[queries] def pageRankDirectedOracle(
+      e0Ctes: String, iters: Int): String = {
+    val scale = graft.ops.Graph.Scale
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, sum(r.rank_u // d.deg)::BIGINT AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN outdeg d ON d.src = e.src
+         |  GROUP BY 1),
+         |d$k AS (
+         |  SELECT coalesce(sum(r.rank_u), 0)::BIGINT AS dm
+         |  FROM r${k - 1} r JOIN dang g ON r.node = g.node),
+         |r$k AS (
+         |  SELECT v.node,
+         |    ((15 * ($scale // (SELECT nv FROM n))) // 100
+         |     + (85 * (coalesce(c.s, 0)
+         |              + ((SELECT dm FROM d$k) // (SELECT nv FROM n)))) // 100
+         |    )::BIGINT AS rank_u
+         |  FROM verts v LEFT JOIN c$k c ON v.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $e0Ctes,
+       |e AS (SELECT DISTINCT a AS src, b AS dst FROM e0 WHERE a <> b),
+       |outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT count(*) AS nv FROM verts),
+       |dang AS (SELECT v.node FROM verts v
+       |         LEFT JOIN outdeg o ON v.node = o.src
+       |         WHERE o.src IS NULL),
+       |r0 AS (SELECT node,
+       |         ($scale // (SELECT nv FROM n))::BIGINT AS rank_u
+       |       FROM verts),
+       |$iterCtes
+       |SELECT node, rank_u FROM r$iters""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- connected components over the sparse (support ≥ 3)
@@ -119,5 +160,18 @@ object GraphQueries {
       "q_pagerank",
       pageRankOracle(s"e0 AS (\n${edgeSql(2)})", iters = 5)) { (s, d) =>
       graft.ops.Graph.pageRankInt(edges(s, d, 2), iters = 5)
+    },
+
+    // ---- DIRECTED integer PageRank with dangling-mass
+    //      redistribution on the same co-purchase pairs taken as
+    //      directed low→high edges: parts that are never the smaller
+    //      member of a pair have no out-edge and become genuine
+    //      dangling sinks, so the D div N term is exercised for real.
+    //      Bit-identical across engines like q_pagerank ----
+    sql(
+      "q_pagerank_directed",
+      pageRankDirectedOracle(s"e0 AS (\n${edgeSql(2)})", iters = 5)) {
+      (s, d) =>
+      graft.ops.Graph.pageRankIntDirected(edges(s, d, 2), iters = 5)
     })
 }

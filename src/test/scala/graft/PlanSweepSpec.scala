@@ -30,7 +30,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_collocations" -> "embeds q_pmi's one-row grand-total carrier",
     "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score",
     "q_covariance" -> "row count n rides a ONE-row broadcast carrier into the moments",
-    "q_pca_project" -> "embeds q_covariance's one-row n carrier")
+    "q_pca_project" -> "embeds q_covariance's one-row n carrier",
+    "q_pagerank_directed" ->
+      "dangling mass D rides a ONE-row broadcast carrier into each round")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

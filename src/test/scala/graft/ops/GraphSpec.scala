@@ -70,6 +70,46 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert((1L to 8L).map(r1).toSet.size == 1)
   }
 
+  test("pageRankIntDirected is deterministic under repartitioning and " +
+    "ranks an in-link sink above its feeders") {
+    // feeders 1..8 each point at 0; 0 has no out-edge (pure sink), so
+    // every round its inflow returns to the pool as dangling mass
+    val edges = (1L to 8L).map(l => (l, 0L)).toDF("a", "b")
+    val r1 = Graph.pageRankIntDirected(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val r2 = Graph.pageRankIntDirected(edges.repartition(7), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2, "directed integer PageRank must be partition-independent")
+    assert(r1.size == 9)
+    assert((1L to 8L).forall(l => r1(0L) > r1(l)), "sink must out-rank feeders")
+    // feeders are symmetric: identical ranks
+    assert((1L to 8L).map(r1).toSet.size == 1)
+  }
+
+  test("pageRankIntDirected conserves mass including a sink-only vertex") {
+    // cycle 0→1→2→0 plus 2→3 with 3 a dangling sink: without the
+    // D div N redistribution the total would drain toward the teleport
+    // floor; with it the mass stays within truncation loss of Scale
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("a", "b")
+    val total = Graph.pageRankIntDirected(edges, iters = 5)
+      .agg(sum("rank_u")).as[Long].first()
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale - 1000L, s"mass leaked too far: $total")
+  }
+
+  test("pageRankIntDirected on a symmetric edge set equals pageRankInt") {
+    // feeding both orientations of each undirected edge: no vertex is
+    // dangling, outdeg = degree, so the directed recurrence reduces
+    // exactly to the undirected one — bit-for-bit
+    val und = ((1L to 5L).map(l => (0L, l)) ++ Seq((6L, 7L), (5L, 6L)))
+    val dir = (und ++ und.map(_.swap)).toDF("a", "b")
+    val viaDirected = Graph.pageRankIntDirected(dir, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val viaUndirected = Graph.pageRankInt(und.toDF("a", "b"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDirected == viaUndirected)
+  }
+
   test("pageRankInt mass stays within truncation loss of the scale") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("a", "b")
     val total = Graph.pageRankInt(edges, iters = 5)
