@@ -97,8 +97,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.flatten.sum
     val buildJson = buildSecs.map(_.toString).getOrElse("null")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness that records bench output keeps only a short TAIL of
+    // stdout, so the full per-query line above has never survived
+    // capture intact (BENCH_r01..r08 all show parsed:null with the
+    // line truncated mid-map). Persist the full record to a file and
+    // ALSO print a compact summary line LAST — small enough to survive
+    // any tail capture whole: total, build, failure count, and the
+    // slowest queries (the part of the distribution a reviewer needs
+    // first).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
+    val slowest = timings.toSeq
+      .collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s"""\"$k\":${math.round(v * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_failed":${errors.size},"build_s":$buildJson,"slowest":$slowest,"full":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
