@@ -16,7 +16,8 @@ object SparkEntry {
       IndexQueries.defs ++ MediaQueries.defs ++ StreamQueries.defs ++
       AnalyticsQueries.defs ++ SamplingQueries.defs ++
       PackingQueries.defs ++ RankingQueries.defs ++ CdcQueries.defs ++
-      GraphQueries.defs ++ LinalgQueries.defs ++ DensityQueries.defs
+      GraphQueries.defs ++ LinalgQueries.defs ++ DensityQueries.defs ++
+      DriftQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between two dataset slices — the
+  * Population Stability Index over a shared bin key.
+  *
+  * Not in the reference's inventory (its pipelines transform a fixed
+  * snapshot — SURVEY.md §2); a continuously-ingesting training-data
+  * pipeline needs drift gates: a new crawl batch whose length /
+  * quality-score / language distribution shifts against the corpus
+  * reference is the standard trigger for re-sampling or quarantine,
+  * and PSI is the conventional score for it (Σ (p−q)·ln(p/q); < 0.1
+  * stable, 0.1–0.25 moderate, > 0.25 drifted).
+  *
+  * Scale shape: ONE map-side-combined count shuffle per side (each
+  * keyed by the bin — cardinality is bins, not rows), one full-outer
+  * join of the two dimension-sized count frames, and the scalar
+  * totals (n_ref, n_cur, B) fold from the joined bin frame itself as
+  * a ONE-row broadcast carrier — the pattern q_pmi / q_perplexity
+  * established. Nothing downstream of the two count aggregates ever
+  * touches a fact row again, so the op costs two fact scans at 100 TB
+  * and the reference side's counts can be persisted and reused across
+  * batches.
+  *
+  * Cross-engine exactness: proportions use Laplace smoothing
+  * p = (c+1)/(n+B) — counts are exact integers < 2^53, the double
+  * division is a single correctly-rounded IEEE op, so both engines
+  * compute bit-identical p, q. The only libm term, ln(p/q), lands on
+  * the project's 9-decimal grid (PMI convention); per-bin terms are
+  * then EXACT DECIMAL(38,9) values whose sum is associative — the
+  * total PSI cannot depend on partitioning or summation order.
+  */
+object Drift {
+
+  /** Fixed-width integer binning with floor semantics, negative-safe
+    * and engine-portable: `(v - pmod(v, w)) div w` (the same form
+    * [[Density.dbscan]] uses for eps-cells; DuckDB's `%` on
+    * non-negative pmod output agrees bit-for-bit).
+    */
+  def binOf(v: Column, width: Long): Column = {
+    require(width > 0, s"bin width must be positive: $width")
+    ((v - pmod(v, lit(width))) / lit(width)).cast("long")
+  }
+
+  /** Per-bin PSI terms between a reference slice and a current slice.
+    *
+    * Input frames each expose the bin key under `bin` (any integral /
+    * string column — numeric binning is an upstream `select` via
+    * [[binOf]]). Output: one row per bin in ref ∪ cur —
+    * (bin, c_ref, c_cur, psi_term) with
+    *
+    *   q = (c_ref + 1) / (n_ref + B),   p = (c_cur + 1) / (n_cur + B)
+    *   psi_term = round((p − q) · ln(p / q), 9)
+    *
+    * B = |ref bins ∪ cur bins|. Laplace smoothing keeps empty bins
+    * finite (a bin present in only one slice contributes its honest
+    * penalty instead of ±∞) and makes every term well-defined without
+    * an epsilon knob. Σ psi_term (exact, as DECIMAL(38,9)) is the PSI.
+    */
+  def psiBinned(ref: DataFrame, cur: DataFrame, bin: String): DataFrame = {
+    val rc = ref.groupBy(col(bin)).agg(count(lit(1)).as("c_ref"))
+    val cc = cur.groupBy(col(bin)).agg(count(lit(1)).as("c_cur"))
+    val bins = rc.join(cc, Seq(bin), "full_outer")
+      .select(col(bin),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    // scalar totals fold from the dim-sized bin frame — one tiny agg,
+    // carried back in as a one-row broadcast (never a driver action)
+    val totals = bins.agg(
+      sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"),
+      count(lit(1)).as("b"))
+    bins.crossJoin(broadcast(totals))
+      .select(col(bin), col("c_ref"), col("c_cur"),
+        round(
+          (((col("c_cur") + 1).cast("double") / (col("n_cur") + col("b")))
+            - ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("b"))))
+            * log(
+              ((col("c_cur") + 1).cast("double") / (col("n_cur") + col("b")))
+                / ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("b")))),
+          9).as("psi_term"))
+  }
+}

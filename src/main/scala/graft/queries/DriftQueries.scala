@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Drift
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift faces ([[graft.ops.Drift]]): PSI between two
+  * dataset slices, numeric (fixed-width integer bins over the events
+  * value, cents grid) and categorical (document language frequencies).
+  *
+  * Oracle strategy: the whole PSI pipeline is relational — two
+  * grouped counts, a full-outer join, scalar totals, one smoothed
+  * log-ratio term per bin — so DuckDB replays it exactly. The only
+  * libm call (ln) lands on the shared 9-decimal grid (the q_pmi
+  * convention); the total sums those grid points as DECIMAL(38,9),
+  * which is associative, so neither engine's partitioning or
+  * summation order can move the result.
+  */
+object DriftQueries {
+  import QueryDef.sql
+
+  /** Oracle body shared by the per-bin and total faces: per-bin PSI
+    * terms between two event-type slices of `events`, value binned at
+    * `width` cents. Mirrors [[Drift.psiBinned]] term for term. */
+  private def psiBinsSql(ref: String, cur: String, width: Long): String =
+    s"""r0 AS (SELECT ((iv - iv % $width) // $width) AS bin
+       |      FROM (SELECT CAST(round(value * 100) AS BIGINT) AS iv
+       |            FROM events WHERE event_type = '$ref')),
+       |c0 AS (SELECT ((iv - iv % $width) // $width) AS bin
+       |      FROM (SELECT CAST(round(value * 100) AS BIGINT) AS iv
+       |            FROM events WHERE event_type = '$cur')),
+       |rc AS (SELECT bin, count(*) AS c_ref FROM r0 GROUP BY 1),
+       |cc AS (SELECT bin, count(*) AS c_cur FROM c0 GROUP BY 1),
+       |bins AS (
+       |  SELECT coalesce(rc.bin, cc.bin) AS bin,
+       |    coalesce(c_ref, 0)::BIGINT AS c_ref,
+       |    coalesce(c_cur, 0)::BIGINT AS c_cur
+       |  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+       |t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur,
+       |             count(*)::BIGINT AS b FROM bins),
+       |terms AS (
+       |  SELECT bin, c_ref, c_cur,
+       |    round(((c_cur + 1) / CAST(n_cur + b AS DOUBLE)
+       |            - (c_ref + 1) / CAST(n_ref + b AS DOUBLE))
+       |          * ln(((c_cur + 1) / CAST(n_cur + b AS DOUBLE))
+       |               / ((c_ref + 1) / CAST(n_ref + b AS DOUBLE))), 9)
+       |      AS psi_term
+       |  FROM bins, t)""".stripMargin
+
+  /** Engine side of the same slice pair. */
+  private def psiBins(s: org.apache.spark.sql.SparkSession, d: String,
+      ref: String, cur: String, width: Long): org.apache.spark.sql.DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("iv"))
+    def slice(t: String) = e.filter(col("event_type") === t)
+      .select(Drift.binOf(col("iv"), width).as("bin"))
+    Drift.psiBinned(slice(ref), slice(cur), "bin")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-bin PSI terms, view → purchase, $20 bins: every bin's
+    //      count pair and smoothed term hash-checked ----
+    sql(
+      "q_drift_psi",
+      s"""WITH ${psiBinsSql("view", "purchase", 2000L)}
+         |SELECT bin, c_ref, c_cur, psi_term FROM terms""".stripMargin) {
+      (s, d) => psiBins(s, d, "view", "purchase", 2000L)
+    },
+
+    // ---- the scalar gate: PSI = Σ terms summed EXACTLY as
+    //      DECIMAL(38,9) (order-free), plus the bin count ----
+    sql(
+      "q_drift_total",
+      s"""WITH ${psiBinsSql("view", "purchase", 2000L)}
+         |SELECT count(*)::BIGINT AS n_bins,
+         |  CAST(sum(CAST(psi_term AS DECIMAL(38,9))) AS DOUBLE) AS psi
+         |FROM terms""".stripMargin) { (s, d) =>
+      psiBins(s, d, "view", "purchase", 2000L)
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("psi_term").cast("decimal(38,9)")).cast("double").as("psi"))
+    },
+
+    // ---- categorical PSI: language distribution of an even/odd
+    //      doc_id split of the documents corpus — the "new batch vs
+    //      corpus reference" shape with string bins ----
+    sql(
+      "q_drift_lang",
+      """WITH rc AS (SELECT lang AS bin, count(*) AS c_ref
+        |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cc AS (SELECT lang AS bin, count(*) AS c_cur
+        |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |bins AS (
+        |  SELECT coalesce(rc.bin, cc.bin) AS bin,
+        |    coalesce(c_ref, 0)::BIGINT AS c_ref,
+        |    coalesce(c_cur, 0)::BIGINT AS c_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+        |t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur,
+        |             count(*)::BIGINT AS b FROM bins)
+        |SELECT bin, c_ref, c_cur,
+        |  round(((c_cur + 1) / CAST(n_cur + b AS DOUBLE)
+        |          - (c_ref + 1) / CAST(n_ref + b AS DOUBLE))
+        |        * ln(((c_cur + 1) / CAST(n_cur + b AS DOUBLE))
+        |             / ((c_ref + 1) / CAST(n_ref + b AS DOUBLE))), 9)
+        |    AS psi_term
+        |FROM bins, t""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Drift.psiBinned(
+        docs.filter(col("doc_id") % 2 === 0).select(col("lang").as("bin")),
+        docs.filter(col("doc_id") % 2 === 1).select(col("lang").as("bin")),
+        "bin")
+    })
+}

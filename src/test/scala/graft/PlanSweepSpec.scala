@@ -32,7 +32,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_covariance" -> "row count n rides a ONE-row broadcast carrier into the moments",
     "q_pca_project" -> "embeds q_covariance's one-row n carrier",
     "q_pagerank_directed" ->
-      "dangling mass D rides a ONE-row broadcast carrier into each round")
+      "dangling mass D rides a ONE-row broadcast carrier into each round",
+    "q_drift_psi" -> "PSI totals (n_ref, n_cur, B) ride a ONE-row broadcast carrier",
+    "q_drift_total" -> "embeds q_drift_psi's one-row totals carrier",
+    "q_drift_lang" -> "same one-row PSI totals carrier over string bins")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

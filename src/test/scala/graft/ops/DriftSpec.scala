@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def psi(ref: Seq[String], cur: Seq[String]): Double =
+    Drift.psiBinned(ref.toDF("bin"), cur.toDF("bin"), "bin")
+      .agg(sum(col("psi_term").cast("decimal(38,9)")).cast("double"))
+      .as[Double].first()
+
+  test("identical distributions score (near) zero") {
+    val xs = Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c")
+    // smoothing keeps p == q exactly when counts AND totals agree
+    assert(psi(xs, xs) == 0.0)
+  }
+
+  test("drift is positive and grows with the shift") {
+    val ref = Seq.fill(50)("a") ++ Seq.fill(50)("b")
+    val mild = Seq.fill(60)("a") ++ Seq.fill(40)("b")
+    val wild = Seq.fill(95)("a") ++ Seq.fill(5)("b")
+    val (m, w) = (psi(ref, mild), psi(ref, wild))
+    assert(m > 0.0 && w > m, s"expected 0 < $m < $w")
+  }
+
+  test("a bin present on only one side stays finite and penalized") {
+    val ref = Seq.fill(50)("a") ++ Seq.fill(50)("b")
+    val cur = Seq.fill(50)("a") ++ Seq.fill(50)("zz") // b vanished, zz new
+    val terms = Drift.psiBinned(ref.toDF("bin"), cur.toDF("bin"), "bin")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(terms.keySet == Set("a", "b", "zz"))
+    assert(terms("b") > 0.0 && terms("zz") > 0.0,
+      "vanished and novel bins must both contribute positive penalty")
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("result is partition-independent") {
+    val rnd = new scala.util.Random(11)
+    val ref = Seq.fill(200)(s"k${rnd.nextInt(7)}")
+    val cur = Seq.fill(150)(s"k${rnd.nextInt(5)}")
+    val a = psi(ref, cur)
+    val b = Drift.psiBinned(
+        ref.toDF("bin").repartition(13), cur.toDF("bin").repartition(3), "bin")
+      .agg(sum(col("psi_term").cast("decimal(38,9)")).cast("double"))
+      .as[Double].first()
+    assert(a == b, "decimal-grid term sum must not depend on partitioning")
+  }
+
+  test("binOf floors onto the width grid, negative-safe") {
+    val got = Seq(-2001L, -2000L, -1L, 0L, 1999L, 2000L, 4001L)
+      .toDF("v").select(Drift.binOf(col("v"), 2000L).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L, 2L))
+  }
+}
