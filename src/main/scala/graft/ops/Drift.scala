@@ -44,6 +44,36 @@ object Drift {
     ((v - pmod(v, lit(width))) / lit(width)).cast("long")
   }
 
+  /** Global equi-depth (quantile) discretization: every row gets a bin
+    * in [0, k) with bin sizes equal to within one row — feature
+    * bucketing for model inputs and the natural bin source for
+    * [[psiBinned]] when a fixed width fits the data badly (heavy
+    * tails). bin = ((rank − 1) · k) div n over the EXACT global rank
+    * in `sortCols`' total order.
+    *
+    * Scale shape: the rank comes from [[Layout.globalRowNumber]] (one
+    * range exchange + in-partition sort, never the single-partition
+    * window funnel); n folds from an unshuffled scan into a one-row
+    * broadcast carrier; the bin arithmetic is map-side truncating
+    * BIGINT, bit-portable.
+    *
+    * @param sortCols a TOTAL order (append a unique tiebreak) — the
+    *                 same contract as the SQL row_number window
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      k: Int,
+      numPartitions: Int,
+      as: String = "bin"): DataFrame = {
+    require(k >= 1, s"bin count must be positive: $k")
+    val ranked = Layout.globalRowNumber(df, sortCols, numPartitions, "__rn")
+    val n = df.groupBy().agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(df.columns.map(col) :+
+        expr(s"((__rn - 1) * $k) div __n").as(as): _*)
+  }
+
   /** Per-bin PSI terms between a reference slice and a current slice.
     *
     * Input frames each expose the bin key under `bin` (any integral /

@@ -68,4 +68,43 @@ object Projection {
       .select(col(id), col("pos").cast("long").as("j"),
         col("col").as("proj_u"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * memory cut (float32 → int8 + one scale per vector) that makes a
+    * 100 TB embedding corpus's ANN shortlist scan cache-resident.
+    * Dequantize as q_i · m / (127 · 1e9).
+    *
+    * Per vector: components snap to 1e-9-grid BIGINT micro-units
+    * (the [[randomProject]] device), m = max |component| (floored at
+    * 1 so a zero vector quantizes to zeros instead of dividing by
+    * zero), and q_i = sign(x_i) · (|x_i| · 127) div m — the division
+    * runs on NON-NEGATIVE operands only (sign split), so Spark's
+    * truncating `div` and DuckDB's flooring `//` cannot diverge and
+    * q_i is bit-portable. |x_i| ≤ m gives |q_i| ≤ 127 by
+    * construction.
+    *
+    * Scale shape: entirely map-side array HOFs — no shuffle, no
+    * UDF; fuses into the scan that reads the vectors.
+    *
+    * @return (id, scale_u = m in 1e-9 micro-units, q = int8 codes as
+    *         array<int>)
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    // exact integer floor-div for non-negative operands via the
+    // (a - pmod(a,b))/b identity: the subtraction makes an exact
+    // multiple, whose double division is exact below 2^53
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val vu = transform(col(vec),
+      x => round(x.cast("double") * lit(1000000000L)).cast("long"))
+    df.select(col(id), vu.as("__vu"))
+      .select(col(id),
+        greatest(array_max(transform(col("__vu"), x => abs(x))), lit(1L))
+          .as("scale_u"),
+        col("__vu"))
+      .select(col(id), col("scale_u"),
+        transform(col("__vu"), x =>
+          when(x < 0, -idiv(-x * 127, col("scale_u")))
+            .otherwise(idiv(x * 127, col("scale_u"))).cast("int")).as("q"))
+  }
 }

@@ -109,5 +109,24 @@ object DriftQueries {
         docs.filter(col("doc_id") % 2 === 0).select(col("lang").as("bin")),
         docs.filter(col("doc_id") % 2 === 1).select(col("lang").as("bin")),
         "bin")
+    },
+
+    // ---- global equi-depth discretization: 8 near-equal buckets of
+    //      orders by total price, exact global rank arithmetic — the
+    //      oracle's row_number window replays the same total order ----
+    sql(
+      "q_equidepth",
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT o_orderkey, (((rn - 1) * 8) // n)::BIGINT AS bin
+        |FROM r""".stripMargin) { (s, d) =>
+      Drift.equiDepthBins(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+          k = 8, numPartitions = 32)
+        .select(col("o_orderkey"), col("bin"))
     })
 }

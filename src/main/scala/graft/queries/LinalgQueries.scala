@@ -88,5 +88,31 @@ object LinalgQueries {
          |GROUP BY 1""".stripMargin) { (s, d) =>
       graft.ops.Linalg.pca(
         Tables.embeddings(s, d), "vec_id", "embedding", Dim, Iters)
+    },
+
+    // ---- symmetric int8 quantization of the embedding corpus:
+    //      per-vector micro-unit max + sign-split integer division,
+    //      codes hash-checked element-for-element through the json
+    //      canon. The oracle replays snap/max/divide relationally ----
+    sql(
+      "q_embed_quantize",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |u AS (SELECT vec_id, i,
+         |        CAST(round(v[i+1] * 1000000000) AS BIGINT) AS xu
+         |      FROM e, range($Dim) t(i)),
+         |m AS (SELECT vec_id, greatest(max(abs(xu)), 1) AS m
+         |      FROM u GROUP BY 1),
+         |q AS (SELECT u.vec_id, u.i,
+         |        (CASE WHEN xu < 0 THEN -1 ELSE 1 END)
+         |          * ((abs(xu) * 127) // m.m) AS qi
+         |      FROM u JOIN m ON u.vec_id = m.vec_id)
+         |SELECT q.vec_id, m.m::BIGINT AS scale_u,
+         |  to_json(list(qi ORDER BY q.i)) AS q_json
+         |FROM q JOIN m ON q.vec_id = m.vec_id
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Projection.quantizeInt8(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale_u"),
+          Canon.js(col("q")).as("q_json"))
     })
 }

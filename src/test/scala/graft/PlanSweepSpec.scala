@@ -35,7 +35,8 @@ class PlanSweepSpec extends AnyFunSuite {
       "dangling mass D rides a ONE-row broadcast carrier into each round",
     "q_drift_psi" -> "PSI totals (n_ref, n_cur, B) ride a ONE-row broadcast carrier",
     "q_drift_total" -> "embeds q_drift_psi's one-row totals carrier",
-    "q_drift_lang" -> "same one-row PSI totals carrier over string bins")
+    "q_drift_lang" -> "same one-row PSI totals carrier over string bins",
+    "q_equidepth" -> "row count n rides a ONE-row broadcast carrier into the bin arithmetic")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

@@ -50,6 +50,23 @@ class DriftSpec extends AnyFunSuite with WithSpark {
     assert(a == b, "decimal-grid term sum must not depend on partitioning")
   }
 
+  test("equiDepthBins: near-equal buckets, exact rank arithmetic, " +
+    "partition-independent") {
+    val df = (1L to 103L).map(i => (i, (i * 37) % 103)).toDF("id", "v")
+    val got = Drift.equiDepthBins(
+        df, Seq(col("v").asc, col("id").asc), k = 4, numPartitions = 5)
+      .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.values.toSet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"buckets must be equal within one row: $sizes")
+    val again = Drift.equiDepthBins(
+        df.repartition(11), Seq(col("v").asc, col("id").asc),
+        k = 4, numPartitions = 3)
+      .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+    assert(got == again, "bin assignment must not depend on partitioning")
+  }
+
   test("binOf floors onto the width grid, negative-safe") {
     val got = Seq(-2001L, -2000L, -1L, 0L, 1999L, 2000L, 4001L)
       .toDF("v").select(Drift.binOf(col("v"), 2000L).as("b"))

@@ -72,4 +72,37 @@ class ProjectionSpec extends AnyFunSuite with WithSpark {
       s"cluster separation lost: max within ${within.max} vs " +
         s"min between ${between.min}")
   }
+
+  test("quantizeInt8: codes bounded, dequant error bounded, " +
+    "zero vector safe, partition-independent") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (41L, Array.fill(16)(0.0f))
+    val df = rows.toDF("id", "v")
+    val got = Projection.quantizeInt8(df, "id", "v")
+      .as[(Long, Long, Array[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 41)
+    // |q| <= 127 by construction; the max-|component| slot hits ±127
+    got.foreach { case (id, (m, q)) =>
+      assert(q.forall(c => c.abs <= 127), s"code out of range for $id")
+      assert(m >= 1L)
+    }
+    assert(got(41L)._2.forall(_ == 0), "zero vector must quantize to zeros")
+    got.filterNot(_._1 == 41L).foreach { case (id, (m, q)) =>
+      assert(q.map(_.abs).max == 127,
+        s"the max component of $id must saturate the int8 range")
+      // dequantization error: |x - q*m/127| <= m/127 (one code step)
+      val orig = rows.find(_._1 == id).get._2
+      q.zip(orig).foreach { case (c, x) =>
+        val err = math.abs(x.toDouble - c.toDouble * m / (127.0 * 1e9))
+        assert(err <= m / (127.0 * 1e9) + 1e-9, s"dequant err $err for $id")
+      }
+    }
+    val again = Projection.quantizeInt8(df.repartition(7), "id", "v")
+      .as[(Long, Long, Array[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3.toSeq)).toMap
+    assert(again == got.view.mapValues { case (m, q) => (m, q.toSeq) }.toMap)
+  }
 }
