@@ -70,6 +70,47 @@ object Similarity {
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
+  /** Approximate top-k retrieval over SYMMETRIC INT8 codes
+    * ([[Projection.quantizeInt8]]) — the compressed-scan face: the
+    * corpus side reads 1/4 the bytes of the float path, which is what
+    * makes a shortlist scan cache-resident at corpus scale (compose
+    * with the IVF faces for candidate pruning exactly like the PQ/ADC
+    * path).
+    *
+    * Score = (Σ_i qa_i·qb_i) · ma · mb — the dequantized dot product
+    * up to the constant 127²·10¹⁸, so ranking matches dot-product
+    * retrieval on the dequantized vectors. The code dot is an EXACT
+    * integer (|Σ| ≤ dim·127²); the two scale factors then multiply in
+    * double, left-associated, each operand < 2⁵³ — the oracle runs
+    * the identical IEEE ops, so scores (not just ranks) are
+    * bit-comparable and the whole face hash-checks with no golden.
+    *
+    * Scale shape: quantized queries broadcast; the corpus side is one
+    * map-side zip_with/aggregate fold per pair; ranked by the
+    * bounded-heap [[graft.plans.TopKPerGroup]] (map-side heaps below
+    * the exchange — a constant query never funnels the corpus through
+    * one task).
+    */
+  def int8TopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val qc = broadcast(Projection.quantizeInt8(queries, id, vec)
+      .select(col(id).as("query_id"), col("scale_u").as("__qm"),
+        col("q").as("__qq")))
+    val cc = Projection.quantizeInt8(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("scale_u").as("__cm"),
+        col("q").as("__cq"))
+    val codeDot = aggregate(
+      zip_with(col("__qq"), col("__cq"), (a, b) => a.cast("long") * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = cc.join(qc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (codeDot.cast("double") * col("__qm").cast("double")
+          * col("__cm").cast("double")).as("score"))
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "score", "neighbor_id", k)
+  }
+
   /** ColBERT-style late-interaction scoring (Khattab & Zaharia,
     * SIGIR'20): query and document are SETS of token vectors;
     * maxsim(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d) — each query token

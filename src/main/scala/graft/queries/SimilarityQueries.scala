@@ -100,6 +100,45 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- compressed int8 retrieval: the quantized corpus actually
+    //      serving queries — code dot exact BIGINT, scales multiplied
+    //      back in identical left-associated IEEE doubles, so scores
+    //      AND ranks hash-check against a full relational replay (no
+    //      golden) ----
+    sql(
+      "q_knn_int8",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, i,
+        |        CAST(round(v[i+1] * 1000000000) AS BIGINT) AS xu
+        |      FROM e, range(64) t(i)),
+        |m AS (SELECT vec_id, greatest(max(abs(xu)), 1) AS m
+        |      FROM u GROUP BY 1),
+        |q AS (SELECT u.vec_id, u.i,
+        |        (CASE WHEN xu < 0 THEN -1 ELSE 1 END)
+        |          * ((abs(xu) * 127) // m.m) AS qi
+        |      FROM u JOIN m ON u.vec_id = m.vec_id),
+        |dd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         sum(a.qi * b.qi)::BIGINT AS cd
+        |       FROM q a JOIN q b ON a.i = b.i
+        |       WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |s AS (SELECT query_id, neighbor_id,
+        |        CAST(cd AS DOUBLE) * CAST(ma.m AS DOUBLE)
+        |          * CAST(mb.m AS DOUBLE) AS score
+        |      FROM dd JOIN m ma ON ma.vec_id = query_id
+        |      JOIN m mb ON mb.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, rank, score
+        |FROM (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.int8TopK(
+        corpus = e, queries = e.filter(col("vec_id") < 10),
+        id = "vec_id", vec = "embedding", k = 5)
+    },
+
     // ---- embedding-cosine near-dup pairs (exact baseline) ----
     sql(
       "q_embed_neardup",

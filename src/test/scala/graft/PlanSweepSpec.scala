@@ -21,6 +21,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_study_index" -> "embeds the study summary lattice",
     "q_embed_neardup" -> "documented exact all-pairs baseline, block-partitioned",
     "q_knn_topk" -> "brute-force baseline: corpus x broadcast(query batch)",
+    "q_knn_int8" -> "compressed int8 scan: corpus x broadcast(query batch)",
     "q_maxsim" -> "late-interaction scan: corpus x broadcast(query batch)",
     "q_knn_pq" -> "compressed ADC scan: code table x broadcast(query batch)",
     "q_knn_ivfpq" -> "one-row broadcast tables frame (data, not plan literals)",

@@ -95,6 +95,33 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(derived == pinned)
   }
 
+  test("int8TopK recall vs exact dot-product retrieval, and " +
+    "partition independence") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val all = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val exact = (0L until 5L).flatMap { qid =>
+      val qv = all(qid).map(_.toDouble)
+      all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, qv.zip(v).map { case (a, b) => a * b.toDouble }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val approx = Similarity.int8TopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"int8 recall=$recall")
+    // int8 quantization error is ~1/127 per component — the top-5 set
+    // should survive nearly intact on clustered data
+    assert(recall >= 0.8, s"int8 recall $recall too low")
+    val again = Similarity.int8TopK(
+        e.repartition(7), q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == approx, "int8 ranking must be partition-independent")
+  }
+
   test("ivfTopK recall vs brute force on clustered real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
