@@ -74,6 +74,41 @@ object Drift {
         expr(s"((__rn - 1) * $k) div __n").as(as): _*)
   }
 
+  /** k-quantile cutpoints of a REFERENCE frame, as one row holding the
+    * ascending (k−1) bin lower bounds — the train-side artifact that
+    * [[applyCutpoints]] stamps onto serving/current data so both sides
+    * share one bin definition (the feature-store pattern; feeding those
+    * bins to [[psiBinned]] is the production drift gate).
+    *
+    * Determinism: bins come from [[equiDepthBins]] over the value's
+    * sort order. Ranks within duplicate values are arbitrary, but the
+    * value sequence per rank position is not, so min-value-per-bin —
+    * the cutpoint — is deterministic regardless of partitioning.
+    *
+    * Scale shape: one range-exchange sort of the reference + a k-row
+    * aggregate; the output is a one-row, (k−1)-element frame — plan a
+    * `broadcast` at the consumer.
+    */
+  def refCutpoints(
+      ref: DataFrame, value: Column, k: Int, numPartitions: Int): DataFrame =
+    equiDepthBins(ref.select(value.as("__v")), Seq(col("__v").asc),
+        k, numPartitions)
+      .groupBy(col("bin")).agg(min(col("__v")).as("__cut"))
+      .filter(col("bin") >= 1)
+      .groupBy()
+      .agg(sort_array(collect_list(col("__cut"))).as("cuts"))
+
+  /** Stamp reference cutpoints onto a frame: bin = #cuts ≤ value, a
+    * map-side HOF against the broadcast one-row cuts frame — rows
+    * below the first cut get bin 0, above the last get k−1. */
+  def applyCutpoints(
+      df: DataFrame, value: Column, cuts: DataFrame,
+      as: String = "bin"): DataFrame =
+    df.crossJoin(broadcast(cuts))
+      .withColumn(as,
+        size(filter(col("cuts"), c => c <= value)).cast("long"))
+      .drop("cuts")
+
   /** Per-bin PSI terms between a reference slice and a current slice.
     *
     * Input frames each expose the bin key under `bin` (any integral /

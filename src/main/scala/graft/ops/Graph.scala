@@ -300,10 +300,15 @@ object Graph {
       // `ranks` TWICE (the contrib join and the dangling-mass
       // aggregate), so leaving the unroll lazy doubles the plan per
       // round — 2^k duplicated subtrees by round k unless exchange
-      // reuse happens to dedupe them. Materialize every round: both
-      // branches of round i+1 then read round i's cached blocks, and
-      // total work stays linear in `iters`.
-      ranks = if (i < iters) graft.core.LazyCheckpoint(next) else next
+      // reuse happens to dedupe them. Cache every round (lazy persist:
+      // no job until the caller's action; the first consumer computes
+      // the round once, the second reads blocks — work stays linear in
+      // `iters`, and unlike a localCheckpoint the cached subtree keeps
+      // AQE). Blocks are vertex-frame-sized × iters until the
+      // ContextCleaner reclaims the unreferenced frames.
+      if (i < iters)
+        next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranks = next
     }
     ranks
   }
