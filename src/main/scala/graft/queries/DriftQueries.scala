@@ -128,5 +128,32 @@ object DriftQueries {
           Seq(col("o_totalprice").asc, col("o_orderkey").asc),
           k = 8, numPartitions = 32)
         .select(col("o_orderkey"), col("bin"))
+    },
+
+    // ---- train-side cutpoints stamped onto serving data: quantile
+    //      bounds from the even-keyed half of orders, applied map-side
+    //      (broadcast one-row cuts + HOF count) to the odd-keyed half
+    //      — the feature-store binning pattern whose output bins feed
+    //      psiBinned as the production drift gate ----
+    sql(
+      "q_cutpoint_binning",
+      """WITH r AS (SELECT o_totalprice AS v FROM orders
+        |           WHERE o_orderkey % 2 = 0),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |         count(*) OVER () AS n FROM r),
+        |b AS (SELECT ((rn - 1) * 8) // n AS bin, min(v) AS cut
+        |      FROM rk GROUP BY 1),
+        |cuts AS (SELECT list(cut ORDER BY cut) AS cs FROM b WHERE bin >= 1)
+        |SELECT o_orderkey,
+        |  len(list_filter((SELECT cs FROM cuts),
+        |                  c -> c <= o_totalprice))::BIGINT AS bin
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val cuts = Drift.refCutpoints(
+        o.filter(col("o_orderkey") % 2 === 0), col("o_totalprice"),
+        k = 8, numPartitions = 32)
+      Drift.applyCutpoints(
+          o.filter(col("o_orderkey") % 2 === 1), col("o_totalprice"), cuts)
+        .select(col("o_orderkey"), col("bin"))
     })
 }

@@ -37,7 +37,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_drift_psi" -> "PSI totals (n_ref, n_cur, B) ride a ONE-row broadcast carrier",
     "q_drift_total" -> "embeds q_drift_psi's one-row totals carrier",
     "q_drift_lang" -> "same one-row PSI totals carrier over string bins",
-    "q_equidepth" -> "row count n rides a ONE-row broadcast carrier into the bin arithmetic")
+    "q_equidepth" -> "row count n rides a ONE-row broadcast carrier into the bin arithmetic",
+    "q_cutpoint_binning" ->
+      "reference cutpoints ride a ONE-row broadcast frame into the map-side stamp")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

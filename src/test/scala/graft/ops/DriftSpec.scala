@@ -67,6 +67,30 @@ class DriftSpec extends AnyFunSuite with WithSpark {
     assert(got == again, "bin assignment must not depend on partitioning")
   }
 
+  test("refCutpoints + applyCutpoints: train bins stamp serving data, " +
+    "duplicate-heavy reference stays deterministic") {
+    val ref = (1L to 100L).map(v => Tuple1(v.toDouble)).toDF("v")
+    val cuts = Drift.refCutpoints(ref, col("v"), k = 4, numPartitions = 3)
+      .as[Seq[Double]].first()
+    assert(cuts == Seq(26.0, 51.0, 76.0))
+    val serve = Seq(0.5, 25.9, 26.0, 50.0, 51.0, 99.0, 5000.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Drift.applyCutpoints(serve, col("v"), cuts = Drift.refCutpoints(
+        ref, col("v"), k = 4, numPartitions = 3))
+      .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L))
+    // ranks within duplicates are arbitrary, cut VALUES are not: a
+    // reference that is 90% one value yields the same cuts at any
+    // partitioning
+    val dup = (Seq.fill(90)(7.0) ++ Seq(1.0, 2.0, 3.0, 4.0, 8.0, 9.0,
+      10.0, 11.0, 12.0, 13.0)).map(Tuple1(_)).toDF("v")
+    val c1 = Drift.refCutpoints(dup, col("v"), 4, 2).as[Seq[Double]].first()
+    val c2 = Drift.refCutpoints(dup.repartition(9), col("v"), 4, 5)
+      .as[Seq[Double]].first()
+    assert(c1 == c2, s"cutpoints must be partition-independent: $c1 vs $c2")
+  }
+
   test("binOf floors onto the width grid, negative-safe") {
     val got = Seq(-2001L, -2000L, -1L, 0L, 1999L, 2000L, 4001L)
       .toDF("v").select(Drift.binOf(col("v"), 2000L).as("b"))
