@@ -242,6 +242,40 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("Drift.psiBinned gates micro-batches against a static reference " +
+      "and matches the batch-mode score") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // the ingest drift gate: each arriving batch is PSI-scored against
+    // the corpus reference inside foreachBatch (psiBinned's full-outer
+    // join + one-row carrier derive from the batch, so foreachBatch is
+    // the contract, as for the near-dup gate above)
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("bin")
+    def score(df: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Drift.psiBinned(ref, df, "bin")
+        .agg(sum(col("psi_term").cast("decimal(38,9)")).cast("double"))
+        .as[Double].first()
+    val input = MemoryStream[String](spark)
+    val scores = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val query = input.toDF().toDF("bin").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        scores.put(id, score(batch)); ()
+      }
+      .start()
+    try {
+      input.addData(Seq.fill(30)("a") ++ Seq.fill(70)("b"): _*)
+      query.processAllAvailable()
+      input.addData(Seq.fill(50)("a") ++ Seq.fill(50)("b"): _*)
+      query.processAllAvailable()
+      // a shifted batch scores positive; a matching batch scores zero
+      assert(scores.get(0L) > 0.0)
+      assert(scores.get(1L) == 0.0)
+      // stream == batch: the gate behind readStream IS the batch op
+      val batchPsi = score((Seq.fill(30)("a") ++ Seq.fill(70)("b")).toDF("bin"))
+      assert(scores.get(0L) == batchPsi,
+        "streaming PSI diverged from the batch-mode score")
+    } finally query.stop()
+  }
+
   test("idempotentParquetSink: re-delivered batches replace, not duplicate") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files
