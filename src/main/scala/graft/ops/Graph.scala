@@ -57,7 +57,18 @@ object Graph {
     * count reads the materialized frame; the superseded round's blocks
     * are released immediately, so at most two edge frames are ever
     * held. Convergence = the oriented edge set reached a fixpoint
-    * (count + except, both over the checkpointed frames).
+    * (count + except, both over the checkpointed frames). The
+    * checkpoint must be a PLAN-TRUNCATING device, not a cache: `sym`
+    * references the round frame twice (both orientations), so an
+    * un-truncated plan doubles textually per round — 2^rounds
+    * analyzer nodes, an OOM in treeString long before execution
+    * (measured; a persist-only variant aborted the suite). The EAGER
+    * form is deliberate: it executes under AQE, whose runtime
+    * coalescing collapses the per-round shuffles of dim-sized edge
+    * frames (near-dup collisions, DBSCAN core graphs) to a task or
+    * two — measured faster end-to-end than a one-job-per-round lazy
+    * checkpoint, which plans without AQE and pays a full
+    * shuffle-partition fan-out every round.
     *
     * @param edges  undirected edges as columns (a, b); self-loops
     *               ignored; node ids must be non-null
@@ -304,11 +315,21 @@ object Graph {
       // no job until the caller's action; the first consumer computes
       // the round once, the second reads blocks — work stays linear in
       // `iters`, and unlike a localCheckpoint the cached subtree keeps
-      // AQE). Blocks are vertex-frame-sized × iters until the
-      // ContextCleaner reclaims the unreferenced frames.
-      if (i < iters)
-        next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranks = next
+      // AQE; measured ~20% faster than per-round checkpoints). Persist
+      // does NOT truncate the plan TEXT, which still doubles per
+      // round, so every 6th round a plan-truncating LazyCheckpoint
+      // caps the analyzer tree at 2^6 cached-read subtrees (deep
+      // unrolls near the iters=50 bound would otherwise OOM treeString
+      // — the failure the connectedComponents doc records). Blocks are
+      // vertex-frame-sized × iters until the ContextCleaner reclaims
+      // the unreferenced frames.
+      ranks =
+        if (i == iters) next
+        else if (i % 6 == 0) graft.core.LazyCheckpoint(next)
+        else {
+          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next
+        }
     }
     ranks
   }

@@ -97,6 +97,18 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert(total > Graph.Scale - 1000L, s"mass leaked too far: $total")
   }
 
+  test("pageRankIntDirected deep unroll (20 rounds) plans and conserves") {
+    // the plan-text cap (periodic truncating checkpoint over the
+    // twice-consumed rank frame) is what makes deep unrolls plannable
+    // at all — this pins that a 20-round run neither OOMs the analyzer
+    // nor leaks mass
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("a", "b")
+    val total = Graph.pageRankIntDirected(edges, iters = 20)
+      .agg(sum("rank_u")).as[Long].first()
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale - 5000L, s"mass leaked too far: $total")
+  }
+
   test("pageRankIntDirected on a symmetric edge set equals pageRankInt") {
     // feeding both orientations of each undirected edge: no vertex is
     // dangling, outdeg = degree, so the directed recurrence reduces
