@@ -130,6 +130,45 @@ object DriftQueries {
         .select(col("o_orderkey"), col("bin"))
     },
 
+    // ---- exact-integer Kolmogorov–Smirnov drift over the same slice
+    //      pair: per-bin cross-multiplied CDF-gap numerators, NO libm
+    //      and NO rounding grid — decimals rendered as strings (the
+    //      q_covariance HUGEINT/decimal device) ----
+    sql(
+      "q_drift_ks",
+      """WITH r0 AS (SELECT ((iv - iv % 2000) // 2000) AS bin
+        |      FROM (SELECT CAST(round(value * 100) AS BIGINT) AS iv
+        |            FROM events WHERE event_type = 'view')),
+        |c0 AS (SELECT ((iv - iv % 2000) // 2000) AS bin
+        |      FROM (SELECT CAST(round(value * 100) AS BIGINT) AS iv
+        |            FROM events WHERE event_type = 'purchase')),
+        |rc AS (SELECT bin, count(*) AS c_ref FROM r0 GROUP BY 1),
+        |cc AS (SELECT bin, count(*) AS c_cur FROM c0 GROUP BY 1),
+        |bins AS (
+        |  SELECT coalesce(rc.bin, cc.bin) AS bin,
+        |    coalesce(c_ref, 0)::BIGINT AS c_ref,
+        |    coalesce(c_cur, 0)::BIGINT AS c_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+        |cum AS (SELECT bin, c_ref, c_cur,
+        |          sum(c_ref) OVER (ORDER BY bin) AS cumref,
+        |          sum(c_cur) OVER (ORDER BY bin) AS cumcur
+        |        FROM bins),
+        |t AS (SELECT sum(c_ref)::BIGINT AS n_ref,
+        |             sum(c_cur)::BIGINT AS n_cur FROM bins)
+        |SELECT bin, c_ref, c_cur,
+        |  abs(cumref::DECIMAL(38,0) * n_cur
+        |      - cumcur::DECIMAL(38,0) * n_ref)::DECIMAL(38,0)::VARCHAR
+        |    AS d_u
+        |FROM cum, t""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("iv"))
+      def slice(t: String) = e.filter(col("event_type") === t)
+        .select(Drift.binOf(col("iv"), 2000L).as("bin"))
+      Drift.ksBinned(slice("view"), slice("purchase"), "bin")
+        .select(col("bin"), col("c_ref"), col("c_cur"),
+          col("d_u").cast("string").as("d_u"))
+    },
+
     // ---- train-side cutpoints stamped onto serving data: quantile
     //      bounds from the even-keyed half of orders, applied map-side
     //      (broadcast one-row cuts + HOF count) to the odd-keyed half

@@ -39,7 +39,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_drift_lang" -> "same one-row PSI totals carrier over string bins",
     "q_equidepth" -> "row count n rides a ONE-row broadcast carrier into the bin arithmetic",
     "q_cutpoint_binning" ->
-      "reference cutpoints ride a ONE-row broadcast frame into the map-side stamp")
+      "reference cutpoints ride a ONE-row broadcast frame into the map-side stamp",
+    "q_drift_ks" -> "KS totals (n_ref, n_cur) ride a ONE-row broadcast carrier")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

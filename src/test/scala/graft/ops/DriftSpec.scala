@@ -91,6 +91,26 @@ class DriftSpec extends AnyFunSuite with WithSpark {
     assert(c1 == c2, s"cutpoints must be partition-independent: $c1 vs $c2")
   }
 
+  test("ksBinned: exact cross-multiplied CDF gaps, zero on identical, " +
+    "detects a location shift PSI-equivalent mass moves would hide") {
+    import java.math.{BigDecimal => JBD}
+    def ks(ref: Seq[Long], cur: Seq[Long]): Map[Long, JBD] =
+      Drift.ksBinned(ref.toDF("bin"), cur.toDF("bin"), "bin")
+        .select(col("bin"), col("d_u"))
+        .as[(Long, JBD)].collect().toMap
+    // hand-computed: ref {0:3, 1:1}, cur {0:1, 1:3} -> d = |3*4-1*4|=8
+    // at bin 0, |4*4-4*4|=0 at bin 1; D = 8/(4*4) = 0.5, the true KS
+    val got = ks(Seq(0L, 0L, 0L, 1L), Seq(0L, 1L, 1L, 1L))
+    assert(got.view.mapValues(_.longValueExact()).toMap ==
+      Map(0L -> 8L, 1L -> 0L))
+    // identical distributions: every gap is exactly zero
+    val same = ks(Seq(0L, 0L, 1L, 2L), Seq(0L, 0L, 1L, 2L))
+    assert(same.values.forall(_.longValueExact() == 0L))
+    // a pure location shift maximizes the mid-CDF gap
+    val shifted = ks((1L to 100L).map(_ % 10), (1L to 100L).map(v => v % 10 + 5))
+    assert(shifted.values.map(_.longValueExact()).max > 0L)
+  }
+
   test("binOf floors onto the width grid, negative-safe") {
     val got = Seq(-2001L, -2000L, -1L, 0L, 1999L, 2000L, 4001L)
       .toDF("v").select(Drift.binOf(col("v"), 2000L).as("b"))
