@@ -109,6 +109,44 @@ object Drift {
         size(filter(col("cuts"), c => c <= value)).cast("long"))
       .drop("cuts")
 
+  /** Per-GROUP PSI terms — [[psiBinned]] fanned out over a slice key
+    * (source domain, event type, shard): the production monitoring
+    * shape, where one pass scores every domain's drift instead of one
+    * job per domain.
+    *
+    * Same smoothing and 9-grid/decimal conventions as [[psiBinned]];
+    * the difference is scale plumbing: totals are PER GROUP, so
+    * instead of a one-row broadcast carrier they aggregate from the
+    * (group, bin) frame (dim-sized) and equi-join back on the group —
+    * group count never bounds parallelism, and a hot group is a
+    * bigger shuffle bucket, never a bigger task.
+    *
+    * @return (group, bin, c_ref, c_cur, psi_term) — Σ psi_term per
+    *         group (as DECIMAL(38,9)) is that group's PSI
+    */
+  def psiBinnedBy(
+      ref: DataFrame, cur: DataFrame, group: String, bin: String): DataFrame = {
+    val rc = ref.groupBy(col(group), col(bin)).agg(count(lit(1)).as("c_ref"))
+    val cc = cur.groupBy(col(group), col(bin)).agg(count(lit(1)).as("c_cur"))
+    val bins = rc.join(cc, Seq(group, bin), "full_outer")
+      .select(col(group), col(bin),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val totals = bins.groupBy(col(group)).agg(
+      sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"),
+      count(lit(1)).as("b"))
+    bins.join(totals, Seq(group))
+      .select(col(group), col(bin), col("c_ref"), col("c_cur"),
+        round(
+          (((col("c_cur") + 1).cast("double") / (col("n_cur") + col("b")))
+            - ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("b"))))
+            * log(
+              ((col("c_cur") + 1).cast("double") / (col("n_cur") + col("b")))
+                / ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("b")))),
+          9).as("psi_term"))
+  }
+
   /** Per-bin Kolmogorov–Smirnov numerators between a reference slice
     * and a current slice over an ORDERED (numeric) bin key — the
     * drift metric for when PSI's log-ratio weighting is the wrong

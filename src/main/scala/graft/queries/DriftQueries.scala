@@ -130,6 +130,47 @@ object DriftQueries {
         .select(col("o_orderkey"), col("bin"))
     },
 
+    // ---- per-group PSI in ONE pass: every event type's even/odd-user
+    //      value-distribution drift scored together — per-group totals
+    //      equi-join back on the group (no one-row carrier, no
+    //      per-domain jobs) ----
+    sql(
+      "q_drift_by_type",
+      """WITH base AS (SELECT event_type AS grp,
+        |         CAST(round(value * 100) AS BIGINT) AS iv,
+        |         user_id % 2 AS side FROM events),
+        |r0 AS (SELECT grp, ((iv - iv % 2000) // 2000) AS bin
+        |       FROM base WHERE side = 0),
+        |c0 AS (SELECT grp, ((iv - iv % 2000) // 2000) AS bin
+        |       FROM base WHERE side = 1),
+        |rc AS (SELECT grp, bin, count(*) AS c_ref FROM r0 GROUP BY 1, 2),
+        |cc AS (SELECT grp, bin, count(*) AS c_cur FROM c0 GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT coalesce(rc.grp, cc.grp) AS grp,
+        |    coalesce(rc.bin, cc.bin) AS bin,
+        |    coalesce(c_ref, 0)::BIGINT AS c_ref,
+        |    coalesce(c_cur, 0)::BIGINT AS c_cur
+        |  FROM rc FULL OUTER JOIN cc
+        |    ON rc.grp = cc.grp AND rc.bin = cc.bin),
+        |t AS (SELECT grp, sum(c_ref)::BIGINT AS n_ref,
+        |        sum(c_cur)::BIGINT AS n_cur, count(*)::BIGINT AS b
+        |      FROM bins GROUP BY 1)
+        |SELECT bins.grp, bin, c_ref, c_cur,
+        |  round(((c_cur + 1) / CAST(n_cur + b AS DOUBLE)
+        |          - (c_ref + 1) / CAST(n_ref + b AS DOUBLE))
+        |        * ln(((c_cur + 1) / CAST(n_cur + b AS DOUBLE))
+        |             / ((c_ref + 1) / CAST(n_ref + b AS DOUBLE))), 9)
+        |    AS psi_term
+        |FROM bins JOIN t ON bins.grp = t.grp""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("event_type").as("grp"),
+        round(col("value") * 100).cast("long").as("iv"),
+        (col("user_id") % 2).as("side"))
+      def half(v: Int) = e.filter(col("side") === v)
+        .select(col("grp"), Drift.binOf(col("iv"), 2000L).as("bin"))
+      Drift.psiBinnedBy(half(0), half(1), "grp", "bin")
+    },
+
     // ---- exact-integer Kolmogorov–Smirnov drift over the same slice
     //      pair: per-bin cross-multiplied CDF-gap numerators, NO libm
     //      and NO rounding grid — decimals rendered as strings (the

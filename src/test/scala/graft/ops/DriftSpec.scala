@@ -91,6 +91,28 @@ class DriftSpec extends AnyFunSuite with WithSpark {
     assert(c1 == c2, s"cutpoints must be partition-independent: $c1 vs $c2")
   }
 
+  test("psiBinnedBy equals per-group psiBinned run independently") {
+    val rnd = new scala.util.Random(23)
+    val groups = Seq("g1", "g2", "g3")
+    val ref = groups.flatMap(g =>
+      Seq.fill(120)((g, s"k${rnd.nextInt(6)}")))
+    val cur = groups.flatMap(g =>
+      Seq.fill(80)((g, s"k${rnd.nextInt(4)}")))
+    val fanned = Drift.psiBinnedBy(
+        ref.toDF("grp", "bin"), cur.toDF("grp", "bin"), "grp", "bin")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val solo = groups.flatMap { g =>
+      Drift.psiBinned(
+          ref.filter(_._1 == g).map(_._2).toDF("bin"),
+          cur.filter(_._1 == g).map(_._2).toDF("bin"), "bin")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => (g, r._1) -> (r._2, r._3, r._4))
+    }.toMap
+    assert(fanned == solo,
+      "one-pass fan-out must reproduce each group's standalone PSI terms")
+  }
+
   test("ksBinned: exact cross-multiplied CDF gaps, zero on identical, " +
     "detects a location shift PSI-equivalent mass moves would hide") {
     import java.math.{BigDecimal => JBD}
