@@ -31,7 +31,11 @@ object PlanAudit {
         "q_connected_components", "q_pagerank", "q_perplexity",
         "q_postings", "q_vocab", "q_random_projection",
         "q_covariance", "q_pca_project", "q_dbscan",
-        "q_leakage_safe_split")) {
+        "q_leakage_safe_split",
+        // round 9: drift / binning / compressed retrieval
+        "q_pagerank_directed", "q_drift_psi", "q_drift_by_type",
+        "q_drift_ks", "q_equidepth", "q_cutpoint_binning",
+        "q_embed_quantize", "q_knn_int8")) {
       val qe = SparkEntry.queries(q)(spark, d).queryExecution
       // EXECUTE this queryExecution before printing: an unexecuted
       // AdaptiveSparkPlanExec prints its initial plan with no
