@@ -70,17 +70,33 @@ object Graph {
     * checkpoint, which plans without AQE and pays a full
     * shuffle-partition fan-out every round.
     *
+    * Dim-sized graphs take a DRIVER kernel instead: when the oriented
+    * edge count (already paid for by the pinning count) is at most
+    * `smallGraphEdges`, the edges collect to the driver and a
+    * union-find labels them — codebook-class state (≤ ~8 MB at the
+    * default bound), the same license the IVF centroid table and the
+    * PCA power iteration already use. The iterative star loop exists
+    * for fact-scale graphs; spending 5+ scheduled rounds on a
+    * 2000-edge DBSCAN core graph was pure overhead (measured ~2×
+    * on the DBSCAN face). Labels are IDENTICAL by construction
+    * (component = min reachable id, pinned by a both-paths
+    * differential spec), so the threshold can never change a result,
+    * only a plan.
+    *
     * @param edges  undirected edges as columns (a, b); self-loops
     *               ignored; node ids must be non-null
     * @param nodes  optional single-column universe; nodes with no edge
     *               come back as their own singleton component (the
     *               edge-frame vertices alone otherwise)
+    * @param smallGraphEdges oriented-edge-count bound for the driver
+    *               union-find kernel; 0 forces the distributed loop
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
       edges: DataFrame,
       nodes: Option[DataFrame] = None,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     // orient big→small so small-star's grouping key is well-defined;
     // the checkpoint pins the (possibly expensive) upstream pipeline
     // that produced the edge list
@@ -88,6 +104,8 @@ object Graph {
       .filter(col("src") > col("dst"))
       .localCheckpoint()
     var curCount = cur.count()
+    if (curCount <= smallGraphEdges)
+      return smallGraphLabels(edges.sparkSession, cur, nodes)
     var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
@@ -148,6 +166,51 @@ object Graph {
         val idCol = universe.columns.head
         universe.select(col(idCol).as("node")).distinct()
           .join(labeled.withColumnRenamed("node", "__gn"),
+            col("node") === col("__gn"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component"))
+    }
+  }
+
+  /** Driver union-find for dim-sized graphs: exact min-label
+    * components over a collected edge array (path-compressed, roots
+    * kept at the component minimum so find() IS the label). Shares
+    * the universe-stitch semantics with the distributed loop; the
+    * both-paths differential in GraphSpec pins equality.
+    */
+  private def smallGraphLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      orientedEdges: DataFrame,
+      nodes: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val es: Array[(Long, Long)] = orientedEdges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // keep the MIN id as the root, so the root IS the label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labeled = parent.keys.toSeq.map(n => (n, find(n)))
+      .toDF("node", "component")
+    nodes match {
+      case None => labeled
+      case Some(universe) =>
+        val idCol = universe.columns.head
+        universe.select(col(idCol).as("node")).distinct()
+          .join(broadcast(labeled.withColumnRenamed("node", "__gn")),
             col("node") === col("__gn"), "left")
           .select(col("node"),
             coalesce(col("component"), col("node")).as("component"))

@@ -8,19 +8,37 @@ class GraphSpec extends AnyFunSuite with WithSpark {
   import spark.implicits._
 
   private def cc(edges: Seq[(Long, Long)],
-      nodes: Option[Seq[Long]] = None): Map[Long, Long] =
+      nodes: Option[Seq[Long]] = None,
+      smallGraphEdges: Long = 500000L): Map[Long, Long] =
     Graph.connectedComponents(
         edges.toDF("a", "b"),
-        nodes.map(_.toDF("id")))
+        nodes.map(_.toDF("id")),
+        smallGraphEdges = smallGraphEdges)
       .as[(Long, Long)].collect().toMap
 
   test("chain graph collapses to one component (the label-prop worst case)") {
     // a path 0-1-2-...-63: diameter 63, the shape where min-label
     // propagation needs one round per hop; large-star/small-star must
-    // still converge inside its default iteration budget
+    // still converge inside its default iteration budget — force the
+    // DISTRIBUTED loop (smallGraphEdges = 0), since convergence is the
+    // property under test
     val chain = (0L until 63L).map(i => (i, i + 1))
-    val got = cc(chain)
+    val got = cc(chain, smallGraphEdges = 0L)
     assert(got.size == 64 && got.values.toSet == Set(0L))
+  }
+
+  test("driver union-find kernel equals the distributed star loop") {
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      val n = 80
+      val edges = (1 to 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val universe = Some(0L until n.toLong)
+      val viaDriver = cc(edges, universe.map(_.toSeq))
+      val viaStars = cc(edges, universe.map(_.toSeq), smallGraphEdges = 0L)
+      assert(viaDriver == viaStars, s"trial $trial: paths diverged")
+    }
   }
 
   test("cliques, isolated universe nodes, self-loops, reversed edges") {
@@ -46,7 +64,7 @@ class GraphSpec extends AnyFunSuite with WithSpark {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val universe = (0L until n.toLong)
-      val viaStars = cc(edges, Some(universe))
+      val viaStars = cc(edges, Some(universe), smallGraphEdges = 0L)
       val viaLabels = Dedup.clusterLabels(
           universe.toDF("id"), edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
