@@ -266,4 +266,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1,
       s"sessionize must shuffle exactly once:\n${p.take(2000)}")
   }
+
+  test("int8 quantization is a pure fused scan stage (no exchange)") {
+    // the 4x compression only pays if it rides the vector scan — a
+    // shuffle appearing here means the codes stopped fusing into the
+    // consumer and the corpus is being rewritten for nothing
+    val p = plan("q_embed_quantize")
+    assert(count(p, "Exchange") == 0,
+      s"quantizeInt8 must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("drift gates: fact rows aggregate to bin cardinality before " +
+      "any join (map-side partial counts, filters pushed)") {
+    val p = plan("q_drift_psi")
+    // both slice counts are partial before their exchange — the only
+    // row-scale work is two map-side-combined aggregations
+    assert(count(p, "partial_count") >= 2,
+      s"PSI slice counts must map-side combine:\n${p.take(2000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "slice predicate must reach the parquet scan")
+  }
 }
