@@ -210,6 +210,29 @@ object DriftQueries {
           col("d_u").cast("string").as("d_u"))
     },
 
+    // ---- robust MAD outlier gate: the z-score gate's 50%-breakdown
+    //      complement, exact on the cents grid (dyadic medians — no
+    //      rounding anywhere) ----
+    sql(
+      "q_mad_outliers",
+      """WITH e AS (SELECT event_id, event_type,
+        |        CAST(round(value * 100) AS BIGINT) AS iv FROM events),
+        |m AS (SELECT event_type, quantile_cont(iv, 0.5) AS med
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.iv, m.med,
+        |        abs(e.iv - m.med) AS dev
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type, iv
+        |FROM d JOIN md USING (event_type)
+        |WHERE dev > 5 * mad""".stripMargin) { (s, d) =>
+      graft.ops.Robust.madOutliers(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("iv")),
+        group = "event_type", value = "iv", k = 5)
+    },
+
     // ---- train-side cutpoints stamped onto serving data: quantile
     //      bounds from the even-keyed half of orders, applied map-side
     //      (broadcast one-row cuts + HOF count) to the odd-keyed half
