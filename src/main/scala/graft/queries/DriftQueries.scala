@@ -210,6 +210,52 @@ object DriftQueries {
           col("d_u").cast("string").as("d_u"))
     },
 
+    // ---- the textbook PSI procedure end to end: 10 equal-population
+    //      bins from the REFERENCE's own quantiles, stamped on both
+    //      sides, then PSI — refCutpoints ∘ applyCutpoints ∘ psiBinned
+    //      in one plan ----
+    sql(
+      "q_drift_quantile",
+      """WITH r AS (SELECT o_totalprice AS v FROM orders
+        |           WHERE o_orderkey % 2 = 0),
+        |c AS (SELECT o_totalprice AS v FROM orders
+        |      WHERE o_orderkey % 2 = 1),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |         count(*) OVER () AS n FROM r),
+        |b AS (SELECT ((rn - 1) * 10) // n AS bin, min(v) AS cut
+        |      FROM rk GROUP BY 1),
+        |cuts AS (SELECT list(cut ORDER BY cut) AS cs FROM b WHERE bin >= 1),
+        |rb AS (SELECT len(list_filter((SELECT cs FROM cuts),
+        |                x -> x <= v))::BIGINT AS bin FROM r),
+        |cb AS (SELECT len(list_filter((SELECT cs FROM cuts),
+        |                x -> x <= v))::BIGINT AS bin FROM c),
+        |rc AS (SELECT bin, count(*) AS c_ref FROM rb GROUP BY 1),
+        |cc AS (SELECT bin, count(*) AS c_cur FROM cb GROUP BY 1),
+        |bins AS (
+        |  SELECT coalesce(rc.bin, cc.bin) AS bin,
+        |    coalesce(c_ref, 0)::BIGINT AS c_ref,
+        |    coalesce(c_cur, 0)::BIGINT AS c_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+        |t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur,
+        |             count(*)::BIGINT AS b FROM bins)
+        |SELECT bin, c_ref, c_cur,
+        |  round(((c_cur + 1) / CAST(n_cur + b AS DOUBLE)
+        |          - (c_ref + 1) / CAST(n_ref + b AS DOUBLE))
+        |        * ln(((c_cur + 1) / CAST(n_cur + b AS DOUBLE))
+        |             / ((c_ref + 1) / CAST(n_ref + b AS DOUBLE))), 9)
+        |    AS psi_term
+        |FROM bins, t""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").as("v"))
+      val refSide = o.filter(col("o_orderkey") % 2 === 0).select(col("v"))
+      val curSide = o.filter(col("o_orderkey") % 2 === 1).select(col("v"))
+      val cuts = Drift.refCutpoints(refSide, col("v"), k = 10,
+        numPartitions = 32)
+      def binned(df: org.apache.spark.sql.DataFrame) =
+        Drift.applyCutpoints(df, col("v"), cuts).select(col("bin"))
+      Drift.psiBinned(binned(refSide), binned(curSide), "bin")
+    },
+
     // ---- robust MAD outlier gate: the z-score gate's 50%-breakdown
     //      complement, exact on the cents grid (dyadic medians — no
     //      rounding anywhere) ----

@@ -40,7 +40,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_equidepth" -> "row count n rides a ONE-row broadcast carrier into the bin arithmetic",
     "q_cutpoint_binning" ->
       "reference cutpoints ride a ONE-row broadcast frame into the map-side stamp",
-    "q_drift_ks" -> "KS totals (n_ref, n_cur) ride a ONE-row broadcast carrier")
+    "q_drift_ks" -> "KS totals (n_ref, n_cur) ride a ONE-row broadcast carrier",
+    "q_drift_quantile" ->
+      "cutpoints + PSI totals each ride ONE-row broadcast carriers")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
