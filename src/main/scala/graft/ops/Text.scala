@@ -22,6 +22,43 @@ object Text {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Homoglyph map for [[confusableSkeleton]]: common Cyrillic/Greek
+    * Latin lookalikes plus typographic punctuation, each a single BMP
+    * codepoint (both engines' `translate` walk codepoints; non-BMP
+    * pairs would desynchronize Spark's UTF-16 walk). Curated subset of
+    * Unicode TR39 confusables — extend per corpus, the mechanism is
+    * the point. */
+  val ConfusablePairs: Seq[(Char, Char)] = Seq(
+    // Cyrillic → Latin
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p', 'с' -> 'c',
+    'х' -> 'x', 'у' -> 'y', 'і' -> 'i', 'ѕ' -> 's', 'ј' -> 'j',
+    'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K', 'М' -> 'M',
+    'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P', 'С' -> 'C', 'Т' -> 'T',
+    'Х' -> 'X',
+    // Greek → Latin
+    'ο' -> 'o', 'ν' -> 'v', 'α' -> 'a', 'Α' -> 'A', 'Β' -> 'B',
+    'Ε' -> 'E', 'Ζ' -> 'Z', 'Η' -> 'H', 'Ι' -> 'I', 'Κ' -> 'K',
+    'Μ' -> 'M', 'Ν' -> 'N', 'Ο' -> 'O', 'Ρ' -> 'P', 'Τ' -> 'T',
+    'Υ' -> 'Y', 'Χ' -> 'X',
+    // typographic punctuation → ASCII
+    '’' -> '\'', '‘' -> '\'', '“' -> '"', '”' -> '"',
+    '–' -> '-', '—' -> '-', '×' -> 'x')
+  private[graft] val ConfusablesFrom = ConfusablePairs.map(_._1).mkString
+  private[graft] val ConfusablesTo = ConfusablePairs.map(_._2).mkString
+  /** Zero-width / BOM codepoints stripped outright (dedup-evasion
+    * padding that `translate` can't delete). */
+  private[graft] val ZeroWidth = "\u200B\u200C\u200D\uFEFF"
+
+  /** Confusable skeleton — the anti-evasion dedup key: strip
+    * zero-width characters, fold homoglyphs onto their Latin
+    * skeletons. A document re-posted with Cyrillic 'о' for Latin 'o'
+    * (the classic spam/plagiarism trick) then hashes identically.
+    * Two codegen'd builtins (regexp_replace + translate), map-side;
+    * compose with [[normalize]]/[[fingerprintMd5]] downstream. */
+  def confusableSkeleton(text: Column): Column =
+    translate(regexp_replace(text, s"[$ZeroWidth]", ""),
+      ConfusablesFrom, ConfusablesTo)
+
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(text, "\\s+")
 

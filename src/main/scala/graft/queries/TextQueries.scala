@@ -571,6 +571,23 @@ object TextQueries {
         col("doc_id"), Text.redactPii(col("text")).as("clean_text"))
     },
 
+    // ---- anti-evasion dedup keys: zero-width strip + homoglyph fold
+    //      (confusable skeleton), then the standard normalize+md5 —
+    //      the oracle's translate/regexp args are GENERATED from the
+    //      same pair table, so the two faces cannot drift ----
+    sql(
+      "q_confusable_fp", {
+        def sq(s: String) = s.replace("'", "''")
+        val skel = s"translate(regexp_replace(text, '[${Text.ZeroWidth}]'," +
+          s" '', 'g'), '${sq(Text.ConfusablesFrom)}'," +
+          s" '${sq(Text.ConfusablesTo)}')"
+        s"""SELECT doc_id, md5(${normSqlOf(skel)}) AS fp
+           |FROM documents""".stripMargin
+      }) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(Text.normalize(Text.confusableSkeleton(col("text")))).as("fp"))
+    },
+
     // ---- URL decomposition over deterministically constructed crawl
     //      urls (documents carries no raw url column; the parser is
     //      the operator under test, byte-checked against DuckDB's RE2

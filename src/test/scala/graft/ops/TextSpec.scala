@@ -127,6 +127,29 @@ class TextSpec extends AnyFunSuite with WithSpark {
     assert(r1 == r2 && r1 != r3) // order-sensitive, punctuation-invariant
   }
 
+  test("confusableSkeleton folds homoglyphs and strips zero-width " +
+    "so evasive re-posts fingerprint identically") {
+    def skel(s: String) =
+      one(Text.confusableSkeleton(col("t")), s).asInstanceOf[String]
+    // Cyrillic 'о','е','а' for Latin — the classic dedup-evasion trick
+    assert(skel("hеllо wоrld") == "hello world")
+    // Greek omicron + zero-width joiner padding
+    assert(skel("w​οrd‍") == "word")
+    // typographic punctuation folds to ASCII
+    assert(skel("it’s — “fine”") == "it's - \"fine\"")
+    // plain ASCII is a fixed point
+    assert(skel("already clean 123") == "already clean 123")
+    // end-to-end: the evasive copy hashes like the original
+    val a = one(md5(Text.normalize(Text.confusableSkeleton(col("t")))),
+      "The quick brown fox")
+    val b = one(md5(Text.normalize(Text.confusableSkeleton(col("t")))),
+      "Thе quick brоwn fоx​") // Cyrillic е/о + zero-width tail
+    assert(a == b)
+    // the from/to tables must stay codepoint-aligned
+    assert(Text.ConfusablePairs.map(_._1).mkString.length ==
+      Text.ConfusablePairs.map(_._2).mkString.length)
+  }
+
   test("redactPii scrubs emails, IPs, phones, and long ids in order") {
     def red(s: String): String =
       one(Text.redactPii(col("t")), s).asInstanceOf[String]
