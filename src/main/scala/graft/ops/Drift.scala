@@ -109,6 +109,45 @@ object Drift {
         size(filter(col("cuts"), c => c <= value)).cast("long"))
       .drop("cuts")
 
+  /** Embedding-space drift — per-dimension centroid shift between a
+    * reference and a current vector slice, in EXACT integer
+    * arithmetic: the ML-monitoring gate for "the new batch's
+    * embedding distribution moved" (encoder drift, topic shift,
+    * pipeline regressions that perturb vectors).
+    *
+    * Components snap to 1e-9-grid micro-units (the
+    * [[Projection.randomProject]] device); per-dimension sums and
+    * counts are exact BIGINTs, and the mean gap cross-multiplies
+    * away its divisions (the [[ksBinned]] trick):
+    *
+    *   d(j) = |s_ref(j)·n_cur − s_cur(j)·n_ref|   (DECIMAL(38,0))
+    *
+    * mean gap = d / (n_ref·n_cur·10⁹) at the caller's edge. No libm,
+    * no rounding grid — engine-portable bit-for-bit.
+    *
+    * Scale shape: one posexplode + map-side-combined sum per side
+    * (the shuffle carries dim·partitions partial rows, not
+    * dim·vectors), one dim-sized equi-join.
+    *
+    * @return (j, s_ref, n_ref, s_cur, n_cur, d_u) — one row per
+    *         dimension
+    */
+  def embeddingShift(
+      ref: DataFrame, cur: DataFrame, vec: String): DataFrame = {
+    def dimSums(df: DataFrame, s: String, n: String) = df
+      .select(posexplode(transform(col(vec),
+        x => round(x.cast("double") * lit(1000000000L)).cast("long"))))
+      .groupBy(col("pos").cast("long").as("j"))
+      .agg(sum(col("col")).as(s), count(lit(1)).as(n))
+    dimSums(ref, "s_ref", "n_ref")
+      .join(dimSums(cur, "s_cur", "n_cur"), Seq("j"))
+      .select(col("j"), col("s_ref"), col("n_ref"),
+        col("s_cur"), col("n_cur"),
+        abs(col("s_ref").cast("decimal(38,0)") * col("n_cur")
+          - col("s_cur").cast("decimal(38,0)") * col("n_ref"))
+          .cast("decimal(38,0)").as("d_u"))
+  }
+
   /** Per-GROUP PSI terms — [[psiBinned]] fanned out over a slice key
     * (source domain, event type, shard): the production monitoring
     * shape, where one pass scores every domain's drift instead of one

@@ -256,6 +256,33 @@ object DriftQueries {
       Drift.psiBinned(binned(refSide), binned(curSide), "bin")
     },
 
+    // ---- embedding-space drift: per-dimension centroid shift
+    //      between even- and odd-labeled vector slices, exact integer
+    //      micro-units, divisions cross-multiplied away ----
+    sql(
+      "q_drift_embedding",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, label, i,
+        |        CAST(round(v[i+1] * 1000000000) AS BIGINT) AS xu
+        |      FROM e, range(64) t(i)),
+        |r AS (SELECT i, sum(xu)::BIGINT AS s_ref, count(*)::BIGINT AS n_ref
+        |      FROM u WHERE label % 2 = 0 GROUP BY 1),
+        |c AS (SELECT i, sum(xu)::BIGINT AS s_cur, count(*)::BIGINT AS n_cur
+        |      FROM u WHERE label % 2 = 1 GROUP BY 1)
+        |SELECT r.i::BIGINT AS j, s_ref, n_ref, s_cur, n_cur,
+        |  abs(s_ref::DECIMAL(38,0) * n_cur
+        |      - s_cur::DECIMAL(38,0) * n_ref)::DECIMAL(38,0)::VARCHAR AS d_u
+        |FROM r JOIN c ON r.i = c.i""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      graft.ops.Drift.embeddingShift(
+          e.filter(col("label") % 2 === 0),
+          e.filter(col("label") % 2 === 1), "embedding")
+        .select(col("j"), col("s_ref"), col("n_ref"),
+          col("s_cur"), col("n_cur"),
+          col("d_u").cast("string").as("d_u"))
+    },
+
     // ---- robust MAD outlier gate: the z-score gate's 50%-breakdown
     //      complement, exact on the cents grid (dyadic medians — no
     //      rounding anywhere) ----

@@ -91,6 +91,29 @@ class DriftSpec extends AnyFunSuite with WithSpark {
     assert(c1 == c2, s"cutpoints must be partition-independent: $c1 vs $c2")
   }
 
+  test("embeddingShift: zero on identical slices, exact gap on a " +
+    "planted shift, partition-independent") {
+    import java.math.{BigDecimal => JBD}
+    val base = (1L to 20L).map(i =>
+      (i, Array(0.25f, -0.5f, 1.0f))).toDF("id", "v")
+    val same = Drift.embeddingShift(base, base, "v")
+      .select(col("d_u")).as[JBD].collect()
+    assert(same.forall(_.longValueExact() == 0L))
+    // shift dim 0 by exactly +0.1: s_cur(0) = s_ref(0) + 20*1e8;
+    // d(0) = |s_ref*20 - (s_ref + 2e9)*20| = 4e10; other dims 0
+    val shifted = (1L to 20L).map(i =>
+      (i, Array(0.35f, -0.5f, 1.0f))).toDF("id", "v")
+    val got = Drift.embeddingShift(base, shifted, "v")
+      .select(col("j"), col("d_u")).as[(Long, JBD)].collect()
+      .map { case (j, d) => j -> d.longValueExact() }.toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+    assert(got(0L) == 20L * 20L * math.round(0.35f.toDouble * 1e9 - 0.25f.toDouble * 1e9))
+    val again = Drift.embeddingShift(base.repartition(7), shifted, "v")
+      .select(col("j"), col("d_u")).as[(Long, JBD)].collect()
+      .map { case (j, d) => j -> d.longValueExact() }.toMap
+    assert(again == got)
+  }
+
   test("psiBinnedBy equals per-group psiBinned run independently") {
     val rnd = new scala.util.Random(23)
     val groups = Seq("g1", "g2", "g3")
