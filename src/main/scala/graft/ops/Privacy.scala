@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Laplace-mechanism seam for privacy-noised aggregate releases — the
+  * reference's domain (clinical research data) publishes summary
+  * counts (SURVEY.md §2.4's studySummary matrices), and governed
+  * deployments release such counts Laplace-noised: count + Lap(Δ/ε),
+  * sensitivity Δ = 1 for per-group row counts.
+  *
+  * HONESTY NOTE on the privacy claim: this implements the MECHANISM
+  * with the engine's deterministic md5 draw keyed on (salt, group).
+  * With a salt derived from public inputs the release is reproducible
+  * — which is what makes it testable and DuckDB-oracle-checkable —
+  * but NOT differentially private, because the noise is a function of
+  * the data. Production use must pass a secret, per-release salt
+  * (then each release is a proper draw from the Laplace distribution
+  * and the ε accounting applies). The seam is the contract; the salt
+  * policy is the deployment's.
+  *
+  * Determinism/exactness: u = (md5-prefix + 0.5)/2³² is an exact
+  * dyadic in (0,1) (the [[Sampling]] device), the inverse-CDF
+  *   noise = −(Δ/ε)·sgn(u−½)·ln(1−2|u−½|)
+  * has exactly one libm call, rounded on the project's 9-decimal
+  * grid, so both engines release identical values. u can never hit
+  * ½ (the +0.5 offset keeps it off every dyadic of that rank) and
+  * 1−2|u−½| ≥ 2⁻³², so the ln argument is never 0.
+  *
+  * Scale shape: one map-side-combined count shuffle; the noise is a
+  * scalar expression over the dim-sized group frame. Zero extra
+  * passes over facts.
+  */
+object Privacy {
+
+  /** Per-group counts with deterministic-draw Laplace noise.
+    *
+    * @param df      fact frame
+    * @param group   grouping column name
+    * @param epsilon privacy budget ε (> 0); noise scale b = 1/ε
+    * @param salt    draw decorrelator — MUST be secret and fresh per
+    *                release for any real privacy guarantee (see the
+    *                honesty note above)
+    * @return (group, n, noisy_n) — noisy_n = n + noise on the
+    *         9-decimal grid; NOT clamped (negative releases are the
+    *         mechanism's honest output; clamp downstream if the
+    *         consumer requires nonnegative counts)
+    */
+  def laplaceNoisyCounts(
+      df: DataFrame, group: String, epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val b = 1.0 / epsilon
+    val u = (conv(Sampling.unitDraw(col(group), salt), 16, 10)
+      .cast("double") + 0.5) / math.pow(16.0, Sampling.PrefixHexLen)
+    val centered = u - 0.5
+    val noise = round(
+      lit(-b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)),
+      9)
+    df.groupBy(col(group)).agg(count(lit(1)).as("n"))
+      .select(col(group), col("n"),
+        (col("n") + noise).as("noisy_n"))
+  }
+}

@@ -306,6 +306,27 @@ object DriftQueries {
         group = "event_type", value = "iv", k = 5)
     },
 
+    // ---- Laplace-mechanism release seam: per-group counts + inverse-
+    //      CDF Laplace noise from the deterministic md5 draw (salt is
+    //      the privacy lever — see ops/Privacy honesty note) ----
+    sql(
+      "q_dp_counts",
+      s"""WITH g AS (SELECT l_returnflag AS grp, count(*) AS n
+         |           FROM lineitem GROUP BY 1),
+         |u AS (SELECT grp, n,
+         |        (CAST('0x' || substr(md5('dp9' || grp), 1,
+         |           ${graft.ops.Sampling.PrefixHexLen}) AS BIGINT) + 0.5)
+         |          / 4294967296.0 AS uu
+         |      FROM g)
+         |SELECT grp, n,
+         |  n + round(-2.0 * sign(uu - 0.5)
+         |            * ln(1 - 2 * abs(uu - 0.5)), 9) AS noisy_n
+         |FROM u""".stripMargin) { (s, d) =>
+      graft.ops.Privacy.laplaceNoisyCounts(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("grp")),
+        group = "grp", epsilon = 0.5, salt = "dp9")
+    },
+
     // ---- train-side cutpoints stamped onto serving data: quantile
     //      bounds from the even-keyed half of orders, applied map-side
     //      (broadcast one-row cuts + HOF count) to the odd-keyed half

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PrivacySpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private val rows = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("id", "g")
+
+  test("noise is Laplace-shaped: zero-mean-ish, scale tracks 1/epsilon") {
+    // across many groups the draw is uniform; |noise| quantiles must
+    // scale with b = 1/eps (Laplace median |noise| = b ln 2)
+    val many = (1L to 4000L).map(i => (i, s"k$i")).toDF("id", "g")
+    def absNoise(eps: Double) = Privacy.laplaceNoisyCounts(many, "g", eps,
+        salt = "s1")
+      .select(abs(col("noisy_n") - col("n"))).as[Double].collect().sorted
+    val n1 = absNoise(1.0)
+    val n4 = absNoise(4.0)
+    val med1 = n1(n1.length / 2)
+    val med4 = n4(n4.length / 2)
+    assert(math.abs(med1 / (math.log(2.0)) - 1.0) < 0.15,
+      s"eps=1 median |noise| ${med1} should be ~ln2")
+    assert(math.abs(med1 / med4 - 4.0) < 0.8,
+      s"scale must track 1/eps: $med1 vs $med4")
+  }
+
+  test("deterministic per (group, salt); decorrelated across salts; " +
+    "partition-independent") {
+    def release(salt: String, df: org.apache.spark.sql.DataFrame) =
+      Privacy.laplaceNoisyCounts(df, "g", 0.5, salt)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val a = release("r1", rows)
+    val b = release("r1", rows.repartition(13))
+    assert(a == b, "same salt + data must reproduce the release exactly")
+    val c = release("r2", rows)
+    assert(a.keys == c.keys &&
+      a.exists { case (k, v) => c(k) != v },
+      "a fresh salt must redraw the noise")
+    // true counts are 100 per group; releases differ from truth
+    assert(a.values.forall(_._1 == 100L))
+  }
+
+  test("noise is finite for every possible draw bucket edge") {
+    // the +0.5 offset keeps u off 1/2 exactly and the ln argument
+    // >= 2^-32 — no infinities however the md5 lands
+    val vals = Privacy.laplaceNoisyCounts(rows, "g", 0.1, "edge")
+      .select(col("noisy_n")).as[Double].collect()
+    assert(vals.forall(v => !v.isNaN && !v.isInfinite))
+  }
+}
