@@ -61,4 +61,31 @@ object Privacy {
       .select(col(group), col("n"),
         (col("n") + noise).as("noisy_n"))
   }
+
+  /** k-anonymity suppression: drop every row whose quasi-identifier
+    * combination is shared by fewer than `k` rows — the release
+    * pre-filter for row-level clinical/user data (a combination seen
+    * once re-identifies its person; k ≥ some floor is the standard
+    * publishing bar).
+    *
+    * Scale shape: one map-side-combined count over the quasi columns
+    * + one equi-join of the dim-sized qualifying-combination frame
+    * back onto the facts (broadcast-eligible; Catalyst picks). Rows
+    * with NULL in any quasi column count as their own combination
+    * (null-safe grouping), matching SQL GROUP BY semantics in both
+    * engines.
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1: $k")
+    val ok = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .drop("__n")
+    // null-safe equality: a NULL quasi value is a combination like any
+    // other (grouping already treats it so; a plain equi-join would
+    // silently drop those rows however large their group)
+    val cond = quasi.map(c => df(c) <=> ok(c)).reduce(_ && _)
+    df.join(ok, cond, "left_semi")
+  }
 }

@@ -327,6 +327,23 @@ object DriftQueries {
         group = "grp", epsilon = 0.5, salt = "dp9")
     },
 
+    // ---- k-anonymity suppression: customers whose (nation, mktsegment)
+    //      combination has fewer than 10 members are withheld from the
+    //      release ----
+    sql(
+      "q_k_anonymity",
+      """SELECT c_custkey, c_nationkey, c_mktsegment
+        |FROM customer
+        |WHERE (c_nationkey, c_mktsegment) IN (
+        |  SELECT (c_nationkey, c_mktsegment)
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment
+        |  HAVING count(*) >= 10)""".stripMargin) { (s, d) =>
+      graft.ops.Privacy.kAnonymize(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        quasi = Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    },
+
     // ---- train-side cutpoints stamped onto serving data: quantile
     //      bounds from the even-keyed half of orders, applied map-side
     //      (broadcast one-row cuts + HOF count) to the odd-keyed half

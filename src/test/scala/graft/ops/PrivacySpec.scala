@@ -43,6 +43,19 @@ class PrivacySpec extends AnyFunSuite with WithSpark {
     assert(a.values.forall(_._1 == 100L))
   }
 
+  test("kAnonymize suppresses rare combinations, keeps common ones, " +
+    "and treats NULL as a combination") {
+    val df = Seq(
+      (1L, Option("a"), "x"), (2L, Option("a"), "x"), (3L, Option("a"), "x"),
+      (4L, Option("b"), "x"), // singleton combination -> suppressed
+      (5L, None, "y"), (6L, None, "y"), (7L, None, "y") // null group, n=3
+    ).toDF("id", "q1", "q2")
+    val got = Privacy.kAnonymize(df, Seq("q1", "q2"), k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 5L, 6L, 7L),
+      "n>=3 combinations survive, including the NULL one; singletons drop")
+  }
+
   test("noise is finite for every possible draw bucket edge") {
     // the +0.5 offset keeps u off 1/2 exactly and the ln argument
     // >= 2^-32 — no infinities however the md5 lands
