@@ -88,4 +88,30 @@ object Privacy {
     val cond = quasi.map(c => df(c) <=> ok(c)).reduce(_ && _)
     df.join(ok, cond, "left_semi")
   }
+
+  /** l-diversity suppression — [[kAnonymize]]'s complement: a large
+    * group whose SENSITIVE attribute is uniform still discloses it
+    * (everyone in the k=500 (nation, segment) cell has the same
+    * diagnosis → membership alone reveals it). Keep only rows whose
+    * quasi combination carries at least `l` distinct sensitive
+    * values.
+    *
+    * Scale shape: one countDistinct aggregate over the quasi columns
+    * (two-phase partial under the hood) + the same null-safe
+    * dim-sized left-semi join as [[kAnonymize]]. NULL sensitive
+    * values do not count toward the l distinct (count distinct skips
+    * nulls in both engines — SQL semantics).
+    */
+  def lDiversify(
+      df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1: $l")
+    val ok = df.groupBy(quasi.map(col): _*)
+      .agg(countDistinct(col(sensitive)).as("__d"))
+      .filter(col("__d") >= l)
+      .drop("__d")
+    val cond = quasi.map(c => df(c) <=> ok(c)).reduce(_ && _)
+    df.join(ok, cond, "left_semi")
+  }
 }

@@ -344,6 +344,32 @@ object DriftQueries {
         quasi = Seq("c_nationkey", "c_mktsegment"), k = 10L)
     },
 
+    // ---- l-diversity: (nation, segment) cells must carry at least 3
+    //      distinct order priorities among their customers' orders —
+    //      the uniform-sensitive-value leak k-anonymity misses ----
+    sql(
+      "q_l_diversity",
+      """WITH j AS (
+        |  SELECT o_orderkey, c_nationkey, c_mktsegment, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |ok AS (
+        |  SELECT c_nationkey, c_mktsegment
+        |  FROM j GROUP BY 1, 2
+        |  HAVING count(DISTINCT o_orderpriority) >= 3)
+        |SELECT o_orderkey, c_nationkey, c_mktsegment, o_orderpriority
+        |FROM j
+        |WHERE (c_nationkey, c_mktsegment) IN (SELECT (c_nationkey,
+        |  c_mktsegment) FROM ok)""".stripMargin) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"),
+          col("c_mktsegment"), col("o_orderpriority"))
+      graft.ops.Privacy.lDiversify(
+        j, quasi = Seq("c_nationkey", "c_mktsegment"),
+        sensitive = "o_orderpriority", l = 3L)
+    },
+
     // ---- train-side cutpoints stamped onto serving data: quantile
     //      bounds from the even-keyed half of orders, applied map-side
     //      (broadcast one-row cuts + HOF count) to the odd-keyed half

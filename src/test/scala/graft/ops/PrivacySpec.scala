@@ -56,6 +56,21 @@ class PrivacySpec extends AnyFunSuite with WithSpark {
       "n>=3 combinations survive, including the NULL one; singletons drop")
   }
 
+  test("lDiversify keeps cells with >= l distinct sensitive values; " +
+    "a big uniform cell is suppressed; null sensitive doesn't count") {
+    val df = Seq(
+      // big cell, but everyone shares one diagnosis -> suppressed at l=2
+      (1L, "a", "flu"), (2L, "a", "flu"), (3L, "a", "flu"), (4L, "a", "flu"),
+      // small cell with two distinct values -> kept
+      (5L, "b", "flu"), (6L, "b", "cold"),
+      // nulls don't count toward diversity: effectively 1 distinct
+      (7L, "c", "flu"), (8L, "c", null)
+    ).toDF("id", "q", "dx")
+    val got = Privacy.lDiversify(df, Seq("q"), "dx", l = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(5L, 6L))
+  }
+
   test("noise is finite for every possible draw bucket edge") {
     // the +0.5 offset keeps u off 1/2 exactly and the ln argument
     // >= 2^-32 — no infinities however the md5 lands
