@@ -286,5 +286,52 @@ object SourceQueries {
       c.drop(c.columns.filterNot(
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
           .contains).toIndexedSeq: _*)
+    },
+
+    // ---- bucketed co-located join: both sides written bucketBy(16)
+    //      on the customer key once per JVM (the layout's real
+    //      contract — pay one shuffle at write, join exchange-free
+    //      forever after; BucketingSpec pins the no-Exchange plan),
+    //      then a segment revenue rollup whose oracle is the PLAIN
+    //      join over the raw parquet — bucketing must never change a
+    //      result, only a plan. Decimal sums: float addition order
+    //      would differ between the bucketed and plain plans ----
+    sql(
+      "q_bucketed_join",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2)::VARCHAR
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val (to, tc) = bucketedPair(s, d)
+      graft.sources.Bucketing.readBucketed(s, to)
+        .join(graft.sources.Bucketing.readBucketed(s, tc),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("string").as("revenue"))
+    })
+
+  /** Bucketed (orders, customer) tables, written ONCE per JVM per sf
+    * dir into the session catalog (bucket metadata cannot ride plain
+    * parquet paths). Deterministic content — caching cannot change
+    * results, only skip the rewrite. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedPair(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    bucketedCache.computeIfAbsent(d, _ => {
+      val tag = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(d.hashCode))
+      val to = s"b_orders_$tag"
+      val tc = s"b_customer_$tag"
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        to, Seq("o_custkey"), numBuckets = 16)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        tc, Seq("c_custkey"), numBuckets = 16)
+      (to, tc)
     })
 }

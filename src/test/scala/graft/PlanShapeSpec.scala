@@ -267,6 +267,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sessionize must shuffle exactly once:\n${p.take(2000)}")
   }
 
+  test("bucketed join: the only exchange is the final rollup's — " +
+      "neither join side shuffles") {
+    // both tables are bucketBy(16) on the join key, so the join reads
+    // bucket n against bucket n directly (at fixture scale Catalyst
+    // rightly broadcasts the dim side instead — a BroadcastExchange is
+    // fine; a SHUFFLE of either input is not); a second hash exchange
+    // appearing here means bucket metadata stopped lining up and the
+    // layout's one-time write shuffle bought nothing
+    val p = plan("q_bucketed_join")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"bucketed join must not shuffle its inputs:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"),
+      "both scans must read bucket metadata")
+  }
+
   test("int8 quantization is a pure fused scan stage (no exchange)") {
     // the 4x compression only pays if it rides the vector scan — a
     // shuffle appearing here means the codes stopped fusing into the
