@@ -45,7 +45,7 @@ object Tables {
       case _ => // proper timestamp (micros, NTZ or LTZ); sessions run in UTC
         raw
           .withColumn("ts", col("ts").cast(TimestampType))
-          .withColumn("ts_ns", expr("unix_micros(ts) * 1000000L"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
