@@ -45,6 +45,7 @@ object Bench {
         graft.queries.SimilarityQueries.warm(spark, sfDir)
         graft.queries.IndexQueries.warm(spark)
         graft.queries.TextQueries.warm(spark, sfDir)
+        graft.queries.SourceQueries.warm(spark, sfDir)
         Some((System.nanoTime() - b0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] artifact warmup failed: ${e.getMessage}")

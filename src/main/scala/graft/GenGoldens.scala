@@ -129,6 +129,26 @@ object GenGoldens {
     writeTsv(phashes.map(p => s"${p._1}\t${p._2}").toSeq,
       "media_id\tphash", "golden_media_phash.tsv")
 
+    // q_media_phash_real / q_media_neardup_real goldens: REAL pixels —
+    // javax.imageio decode over the deterministic synthetic-PNG corpus
+    // (integer-only patterns; PNG is lossless, so decoded pixels are
+    // identical even if PNG encoder bytes differ across JDKs).
+    // MultimodalSpec asserts the semantic contract (planted dups within
+    // Hamming 3, distinct bases apart) independently of the snapshot.
+    locally {
+      val corpus = graft.queries.MediaQueries.realMediaCorpus(spark)
+      val feats = Multimodal.extractFeatures(
+        corpus, graft.ops.ImageIo.ImageIoDecoder, dim = 65)
+      val realHashes = Multimodal.perceptualHashes(feats).toDF()
+        .orderBy("media_id").as[(Long, Long)].collect()
+      writeTsv(realHashes.map(p => s"${p._1}\t${p._2}").toSeq,
+        "media_id\tphash", "golden_media_phash_real.tsv")
+      val realPairs = Multimodal.phashNearDups(feats, maxHamming = 3, bands = 4)
+        .orderBy("a", "b").as[(Long, Long, Int)].collect()
+      writeTsv(realPairs.map(p => s"${p._1}\t${p._2}\t${p._3}").toSeq,
+        "a\tb\thamming", "golden_media_pairs_real.tsv")
+    }
+
     // q_maxsim_ivf golden: the ANN-shortlist → maxsim-rescore scale
     // path at the correctness SF — deterministic end to end
     // (decimal-mean Lloyd + exact maxsim on the 9-grid)

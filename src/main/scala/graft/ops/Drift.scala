@@ -100,13 +100,18 @@ object Drift {
 
   /** Stamp reference cutpoints onto a frame: bin = #cuts ≤ value, a
     * map-side HOF against the broadcast one-row cuts frame — rows
-    * below the first cut get bin 0, above the last get k−1. */
+    * below the first cut get bin 0, above the last get k−1. A NULL
+    * value yields a NULL bin (the array filter would silently drop
+    * the null comparison and merge nulls into bin 0 — a skew source
+    * for psiBinned consumers; propagate instead so the caller decides
+    * whether nulls are their own drift bucket or excluded). */
   def applyCutpoints(
       df: DataFrame, value: Column, cuts: DataFrame,
       as: String = "bin"): DataFrame =
     df.crossJoin(broadcast(cuts))
       .withColumn(as,
-        size(filter(col("cuts"), c => c <= value)).cast("long"))
+        when(value.isNull, lit(null).cast("long"))
+          .otherwise(size(filter(col("cuts"), c => c <= value)).cast("long")))
       .drop("cuts")
 
   /** Embedding-space drift — per-dimension centroid shift between a

@@ -183,27 +183,64 @@ object Graph {
       orientedEdges: DataFrame,
       nodes: Option[DataFrame]): DataFrame = {
     import spark.implicits._
-    val es: Array[(Long, Long)] = orientedEdges
+    // Primitive-array footprint by construction: edges land in two
+    // long arrays (16 B/edge — 8 MB at the 500k gate), node ids dense-
+    // index through one open-addressing long→int probe table (no boxed
+    // tuples, no HashMap entry objects — ≤ 36 B/node vs ~100+ B/node
+    // boxed), and the union-find itself is one int array. Worst case
+    // at the gate (1M distinct nodes): ~50 MB transient driver heap,
+    // released when the method returns.
+    val rows = orientedEdges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      // path compression
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
+      .collect()
+    val m = rows.length
+    val srcA = new Array[Long](m)
+    val dstA = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      srcA(i) = rows(i).getLong(0); dstA(i) = rows(i).getLong(1); i += 1
     }
-    es.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) {
-        // keep the MIN id as the root, so the root IS the label
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+    // open-addressing long→dense-int map (linear probing, power-of-two
+    // capacity ≥ 2× max nodes; 0 sentinel handled via a dedicated slot)
+    val maxNodes = math.max(2, 2 * m)
+    var cap = java.lang.Integer.highestOneBit(maxNodes * 2 - 1) << 1
+    if (cap < 16) cap = 16
+    val keys = new Array[Long](cap)
+    val vals = new Array[Int](cap)
+    java.util.Arrays.fill(keys, Long.MinValue) // empty sentinel
+    val ids = new Array[Long](maxNodes)
+    var nNodes = 0
+    def indexOf(k: Long): Int = {
+      var h = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (keys(h) != Long.MinValue && keys(h) != k) h = (h + 1) & (cap - 1)
+      if (keys(h) == k) vals(h)
+      else {
+        keys(h) = k; vals(h) = nNodes; ids(nNodes) = k; nNodes += 1; vals(h)
       }
     }
-    val labeled = parent.keys.toSeq.map(n => (n, find(n)))
+    val parent = new Array[Int](maxNodes)
+    i = 0
+    while (i < m) { indexOf(srcA(i)); indexOf(dstA(i)); i += 1 } // populate
+    i = 0
+    while (i < nNodes) { parent(i) = i; i += 1 }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    i = 0
+    while (i < m) {
+      val ra = find(indexOf(srcA(i)))
+      val rb = find(indexOf(dstA(i)))
+      if (ra != rb) {
+        // keep the MIN node id as the root, so the root IS the label
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+      i += 1
+    }
+    val labeled = (0 until nNodes).map(n => (ids(n), ids(find(n))))
       .toDF("node", "component")
     nodes match {
       case None => labeled
@@ -355,6 +392,7 @@ object Graph {
         Seq("node"), "left_anti")
       .localCheckpoint()
     var ranks = verts.withColumn("rank_u", lit(init))
+    var prevRound: Option[DataFrame] = None
     (1 to iters).foreach { i =>
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank_u div deg").as("c"))
@@ -372,27 +410,29 @@ object Graph {
             .as("rank_u"))
       // Unlike pageRankInt's LINEAR chain, each round here consumes
       // `ranks` TWICE (the contrib join and the dangling-mass
-      // aggregate), so leaving the unroll lazy doubles the plan per
-      // round — 2^k duplicated subtrees by round k unless exchange
-      // reuse happens to dedupe them. Cache every round (lazy persist:
-      // no job until the caller's action; the first consumer computes
-      // the round once, the second reads blocks — work stays linear in
-      // `iters`, and unlike a localCheckpoint the cached subtree keeps
-      // AQE; measured ~20% faster than per-round checkpoints). Persist
-      // does NOT truncate the plan TEXT, which still doubles per
-      // round, so every 6th round a plan-truncating LazyCheckpoint
-      // caps the analyzer tree at 2^6 cached-read subtrees (deep
-      // unrolls near the iters=50 bound would otherwise OOM treeString
-      // — the failure the connectedComponents doc records). Blocks are
-      // vertex-frame-sized × iters until the ContextCleaner reclaims
-      // the unreferenced frames.
-      ranks =
-        if (i == iters) next
-        else if (i % 6 == 0) graft.core.LazyCheckpoint(next)
-        else {
-          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next
-        }
+      // aggregate), so every round is persisted and MATERIALIZED
+      // eagerly (one count job per round — the round must be computed
+      // exactly once regardless, so total work stays linear in
+      // `iters`), which lets the superseded round's blocks be released
+      // immediately: executor storage stays O(1) vertex frames instead
+      // of O(iters) cached copies waiting on the ContextCleaner —
+      // unbounded storage pressure on large graphs. Persist does NOT
+      // truncate the plan TEXT, which still doubles per round (the
+      // cached subtree appears under both consumers), so every 6th
+      // round a plan-truncating LazyCheckpoint caps the analyzer tree
+      // (deep unrolls near the iters=50 bound would otherwise OOM
+      // treeString — the failure the connectedComponents doc records).
+      // Checkpoint rounds (1-in-6) stay resident until the
+      // ContextCleaner reclaims them — DataFrame.unpersist is a no-op
+      // on checkpoint blocks — bounding the residual leak at ~iters/6
+      // vertex frames; the final round stays cached for the caller.
+      val cached =
+        if (i % 6 == 0) graft.core.LazyCheckpoint(next)
+        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      prevRound.foreach(_.unpersist(false))
+      prevRound = Some(cached)
+      ranks = cached
     }
     ranks
   }

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * metadata struct; decode / feature-extraction runs per-partition in
   * explicit batches (the Scala analog of Arrow-batched `mapInPandas`).
   *
-  * STUB NOTE: this container ships no image/audio codecs, so the
-  * default [[Multimodal.FakeDecoder]] is a clearly-marked
-  * deterministic fake (pseudo-samples derived from the payload hash).
-  * The Spark-side plumbing — schema, encoder types, batch shape,
-  * partition balancing — is real and tested; binding a real codec
-  * means implementing one [[Multimodal.Decoder]].
+  * Decoder bindings: [[graft.ops.ImageIo.ImageIoDecoder]] is a REAL
+  * image codec (JDK `javax.imageio` — PNG/JPEG/BMP/GIF, hermetic) used
+  * by the `q_media_phash_real` / `q_media_neardup_real` faces; the
+  * default [[Multimodal.FakeDecoder]] remains as the clearly-marked
+  * deterministic stand-in for modalities this container has no codec
+  * for (audio/video). The Spark-side plumbing — schema, encoder types,
+  * batch shape, partition balancing — is shared by both.
   *
   * Scale notes: payloads dominate partition bytes, so balance
   * partitions by BYTES not row count ([[rebalanceByBytes]]); feature
@@ -44,8 +45,9 @@ object Multimodal {
     def decode(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float]
   }
 
-  /** STUB decoder: deterministic fake standing in for a real codec
-    * (none available in this environment). Features are derived from
+  /** STUB decoder: deterministic fake standing in for codecs this
+    * environment lacks (audio/video — images have the real
+    * [[graft.ops.ImageIo.ImageIoDecoder]]). Features are derived from
     * a rolling hash of the payload bytes — stable across runs, so
     * tests and downstream plumbing behave exactly as with a real
     * decoder, just without meaningful pixel/sample values. */
@@ -149,8 +151,8 @@ object Multimodal {
       perceptualHashes(features).toDF().localCheckpoint(),
       "media_id", "phash", maxHamming, bands)
 
-  /** Per-batch resize hook — the seam where a real image library
-    * binds (none in this environment). */
+  /** Per-batch resize hook — [[graft.ops.ImageIo.ImageIoResizer]] is
+    * the real image binding; the fake below covers non-image media. */
   trait Resizer extends Serializable {
     def resize(payload: Array[Byte], meta: MediaMeta,
         w: Int, h: Int): Array[Byte]

@@ -18,9 +18,26 @@ import org.apache.spark.sql.functions._
 object DensityQueries {
   import QueryDef.sql
 
-  private val Eps = 1000000000L
-  private val MinPts = 4
+  private[graft] val Eps = 1000000000L
+  private[graft] val MinPts = 4
   private val Shift = 8000000000L
+
+  /** The face's point derivation (JL-project to exact-integer 2-D +
+    * label-band shift), shared with the scale-rehearsal harness. */
+  private[graft] def projectedPoints(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.ops.Projection.randomProject(
+        emb, "vec_id", "embedding", inDim = 64, outDim = 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("j") === 0, col("proj_u"))).as("x0"),
+        max(when(col("j") === 1, col("proj_u"))).as("y0"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"),
+        (col("x0") + col("label") * lit(Shift)).as("px"),
+        col("y0").as("py"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     sql(
@@ -81,16 +98,7 @@ object DensityQueries {
          |       ELSE 'noise' END AS role
          |FROM pt LEFT JOIN lab ON pt.pid = lab.pid
          |LEFT JOIN bord ON pt.pid = bord.pid""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val pts = graft.ops.Projection.randomProject(
-          emb, "vec_id", "embedding", inDim = 64, outDim = 2)
-        .groupBy(col("vec_id"))
-        .agg(max(when(col("j") === 0, col("proj_u"))).as("x0"),
-          max(when(col("j") === 1, col("proj_u"))).as("y0"))
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-        .select(col("vec_id"),
-          (col("x0") + col("label") * lit(Shift)).as("px"),
-          col("y0").as("py"))
-      graft.ops.Density.dbscan(pts, "vec_id", "px", "py", Eps, MinPts)
+      graft.ops.Density.dbscan(
+        projectedPoints(s, d), "vec_id", "px", "py", Eps, MinPts)
     })
 }

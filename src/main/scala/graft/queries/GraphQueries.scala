@@ -35,7 +35,7 @@ object GraphQueries {
     * the self-join's row-pair count exactly (na·nb per value pair),
     * so both derivations agree including within-basket multiplicity.
     */
-  private def edges(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def edges(s: org.apache.spark.sql.SparkSession, d: String,
       sup: Int): org.apache.spark.sql.DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))

@@ -384,14 +384,46 @@ object IndexQueries {
     },
 
     // ---- donor-product refresh == full rebuild (same oracle as
-    //      q_donor_index); file-product sibling is spec-covered ----
+    //      q_donor_index) ----
     sql("q_donor_refresh", IndexOracles.donorIndexSql) { (s, _) =>
       val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       Canon.flattenNested(
         Indexes.refreshDonorIndex(staleDonorPrior(s), in, Seq("GS001"), meta))
+    },
+
+    // ---- file-product refresh == full rebuild (same oracle as
+    //      q_file_index): the stored prior predates DO002's files, so
+    //      refreshing GS001 must reintroduce them byte-for-byte ----
+    sql("q_file_refresh", IndexOracles.fileIndexSql) { (s, _) =>
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      Canon.flattenNested(
+        Indexes.refreshFileIndex(staleFilePrior(s), in, Seq("GS001"), meta))
     })
+
+  /** File-product incremental refresh's stored prior — GS001 before
+    * donor DO002's files landed, stored parquet like [[stalePrior]]. */
+  private val filePriorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def staleFilePrior(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val path = filePriorCache.computeIfAbsent("stale_file_prior", _ => {
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val stale = in.copy(file = in.file.filter(
+        !(col("study_id") === "GS001" &&
+          col("submitter_donor_id") === "DO002")))
+      val dir = graft.core.Scratch.dir("stale_file_prior_index")
+      Indexes.fileIndex(stale, meta)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+  }
 
   /** Donor-product incremental refresh against the full-rebuild
     * oracle — the stale prior (GS001 before its phenotypes landed) is
@@ -446,5 +478,6 @@ object IndexQueries {
   def warm(s: org.apache.spark.sql.SparkSession): Unit = {
     stalePrior(s)
     staleDonorPrior(s)
+    staleFilePrior(s)
   }
 }

@@ -19,7 +19,60 @@ object MediaQueries {
   import QueryDef.sql
   import SourceQueries.FixtureDir
 
+  /** Deterministic REAL-pixel corpus for the javax.imageio faces: 48
+    * distinct synthetic PNGs (integer-only patterns — bit-identical on
+    * every JVM) plus three planted near-duplicates (`jitter = 1`
+    * perturbs every 16th pixel's luminance by +1 — perceptually
+    * invisible, so the pHash must land within banding distance).
+    * Driver-side generation is 48 tiny PNGs (~1 KB each) — fixture
+    * cost, not data-path cost; at scale the payloads arrive from a
+    * binary source ([[graft.sources.Sources]] raw-file reader).
+    */
+  def realMediaCorpus(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    import graft.ops.ImageIo
+    def meta = Multimodal.MediaMeta("image", "png", 64, 48, 0, 0L)
+    val base = (0L until 48L).map(i =>
+      Multimodal.MediaRow(i, ImageIo.syntheticPng(i), meta))
+    val dups = Seq(5L, 17L, 29L).map(i =>
+      Multimodal.MediaRow(1000L + i, ImageIo.syntheticPng(i, jitter = 1), meta))
+    s.createDataset(base ++ dups).repartition(4)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- REAL pixels end to end: javax.imageio decode → box-average
+    // luma grid → DCT pHash. The committed golden locks the full real
+    // pipeline; MultimodalSpec independently asserts the semantic
+    // properties (planted dups within Hamming 3 of their base, distinct
+    // bases far apart) so a kernel regression can't be silently
+    // re-snapshotted.
+    sql(
+      "q_media_phash_real",
+      s"""SELECT media_id::BIGINT AS media_id, phash::BIGINT AS phash
+         |FROM read_csv('$FixtureDir/golden_media_phash_real.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Multimodal.perceptualHashes(
+          Multimodal.extractFeatures(
+            realMediaCorpus(s), graft.ops.ImageIo.ImageIoDecoder, dim = 65))
+          .toDF()
+    },
+
+    // The crawl-scale image-dedup composition over real pixels: decode →
+    // pHash (map-side) → pigeonhole-banded self-join (never all-pairs).
+    sql(
+      "q_media_neardup_real",
+      s"""SELECT a::BIGINT AS a, b::BIGINT AS b, hamming::INT AS hamming
+         |FROM read_csv('$FixtureDir/golden_media_pairs_real.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Multimodal.phashNearDups(
+          Multimodal.extractFeatures(
+            realMediaCorpus(s), graft.ops.ImageIo.ImageIoDecoder, dim = 65),
+          maxHamming = 3, bands = 4)
+    },
 
     sql(
       "q_media_features",

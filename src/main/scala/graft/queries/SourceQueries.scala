@@ -313,6 +313,13 @@ object SourceQueries {
             .cast("decimal(38,2)").cast("string").as("revenue"))
     })
 
+  /** Pre-build the bucketed tables so Bench's `build_s` owns their
+    * one-time write cost — like the ANN index artifacts, the layout is
+    * amortized by contract, and letting it land inside q_bucketed_join's
+    * first timed rep reported build+join as join. */
+  def warm(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    bucketedPair(s, d)
+
   /** Bucketed (orders, customer) tables, written ONCE per JVM per sf
     * dir into the session catalog (bucket metadata cannot ride plain
     * parquet paths). Deterministic content — caching cannot change

@@ -91,6 +91,18 @@ class DriftSpec extends AnyFunSuite with WithSpark {
     assert(c1 == c2, s"cutpoints must be partition-independent: $c1 vs $c2")
   }
 
+  test("applyCutpoints propagates NULL values to a NULL bin instead of " +
+    "merging them into bin 0") {
+    val ref = (1L to 100L).map(v => Tuple1(v.toDouble)).toDF("v")
+    val cuts = Drift.refCutpoints(ref, col("v"), k = 4, numPartitions = 3)
+    val serve = Seq((1L, Some(0.5)), (2L, None), (3L, Some(99.0)))
+      .toDF("id", "v")
+    val got = Drift.applyCutpoints(serve, col("v"), cuts)
+      .select(col("id"), col("bin")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(0L), 2L -> None, 3L -> Some(3L)))
+  }
+
   test("embeddingShift: zero on identical slices, exact gap on a " +
     "planted shift, partition-independent") {
     import java.math.{BigDecimal => JBD}

@@ -27,6 +27,27 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert(got.size == 64 && got.values.toSet == Set(0L))
   }
 
+  test("gate boundary: a path graph of 500,001 oriented edges takes the " +
+    "distributed loop and converges; 499,999 takes the kernel — labels agree") {
+    // adversarial shape (maximum diameter) sitting one edge either side
+    // of the smallGraphEdges gate. Guards the gate constant against
+    // silent drift: the big path MUST clear the distributed loop's
+    // convergence contract (require(converged) fails the test loudly if
+    // the O(log² n) budget ever stops covering a 500k-node diameter),
+    // and the just-under path exercises the primitive-array kernel at
+    // its capacity bound. Both are a single component rooted at 0.
+    def path(nodes: Long) = spark.range(nodes - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val big = Graph.connectedComponents(path(500002L)) // 500,001 edges
+    assert(big.count() == 500002L)
+    assert(big.filter(col("component") =!= 0L).count() == 0L,
+      "distributed loop must collapse the over-gate path to component 0")
+    val small = Graph.connectedComponents(path(500000L)) // 499,999 edges
+    assert(small.count() == 500000L)
+    assert(small.filter(col("component") =!= 0L).count() == 0L,
+      "kernel must collapse the under-gate path to component 0")
+  }
+
   test("driver union-find kernel equals the distributed star loop") {
     val rnd = new scala.util.Random(31)
     (1 to 3).foreach { trial =>

@@ -115,4 +115,85 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
     assert(got == brute)
     assert(brute.nonEmpty, "fixture planted no near pairs - test is vacuous")
   }
+
+  // ---- real javax.imageio decoder on the same seam ----
+
+  test("ImageIoDecoder decodes real PNG pixels: gradient luminance is " +
+      "monotonic and deterministic") {
+    val png = ImageIo.syntheticPng(0L) // fx=1, fy=1, pure gradient + blocks
+    val f1 = ImageIo.ImageIoDecoder.decode(
+      png, MediaMeta("image", "png", 64, 48, 0, 0L), 16)
+    val f2 = ImageIo.ImageIoDecoder.decode(
+      png, MediaMeta("image", "png", 64, 48, 0, 0L), 16)
+    assert(f1.toSeq == f2.toSeq, "decode must be bit-deterministic")
+    assert(f1.forall(v => v >= 0f && v <= 1f), "luma must be normalized")
+    // the id-0 pattern brightens left→right and top→bottom; on the 4×4
+    // grid the last cell must outshine the first
+    assert(f1(15) > f1(0), s"gradient lost: ${f1.toSeq}")
+    // an undecodable payload must fail loudly, not produce garbage
+    intercept[IllegalArgumentException] {
+      ImageIo.ImageIoDecoder.decode(
+        Array[Byte](1, 2, 3), MediaMeta("image", "png", 0, 0, 0, 0L), 4)
+    }
+  }
+
+  test("ImageIoDecoder and FakeDecoder share the extractFeatures " +
+      "plumbing: same schema, ids, byte counts — only features differ") {
+    import graft.queries.MediaQueries
+    val corpus = MediaQueries.realMediaCorpus(spark)
+    val real = extractFeatures(corpus, ImageIo.ImageIoDecoder, dim = 65)
+      .collect().sortBy(_.media_id)
+    val fake = extractFeatures(corpus, FakeDecoder, dim = 65)
+      .collect().sortBy(_.media_id)
+    assert(real.map(_.media_id).toSeq == fake.map(_.media_id).toSeq)
+    assert(real.map(_.n_bytes).toSeq == fake.map(_.n_bytes).toSeq)
+    assert(real.map(_.fingerprint).toSeq == fake.map(_.fingerprint).toSeq)
+    assert(real.forall(_.features.length == 65))
+  }
+
+  test("real-pixel pHash semantics: planted jittered dups land within " +
+      "banding distance; distinct bases stay apart") {
+    import graft.queries.MediaQueries
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hashes = Multimodal.perceptualHashes(
+        extractFeatures(MediaQueries.realMediaCorpus(spark),
+          ImageIo.ImageIoDecoder, dim = 65))
+      .collect().map(h => h.media_id -> h.phash).toMap
+    // each planted near-duplicate (jitter=1 on every 16th pixel) must
+    // hash within the pigeonhole gate of its base
+    for (i <- Seq(5L, 17L, 29L)) {
+      assert(ham(hashes(i), hashes(1000L + i)) <= 3,
+        s"planted dup $i drifted: hamming ${ham(hashes(i), hashes(1000L + i))}")
+    }
+    // distinct bases are perceptually different: median pairwise hamming
+    // across all base pairs must be far above the gate
+    val bases = (0L until 48L).map(hashes)
+    val dists = for (i <- bases.indices; j <- bases.indices if i < j)
+      yield ham(bases(i), bases(j))
+    assert(dists.sorted.apply(dists.size / 2) > 10,
+      s"bases collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
+  }
+
+  test("ImageIoResizer re-encodes a real downsample whose pixels still " +
+      "carry the source gradient") {
+    val meta = MediaMeta("image", "png", 64, 48, 0, 0L)
+    val small = ImageIo.ImageIoResizer.resize(
+      ImageIo.syntheticPng(0L), meta, 8, 6)
+    // output is a real decodable PNG at the target size
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+    // grayscale: r == g == b everywhere
+    val px = for (y <- 0 until 6; x <- 0 until 8) yield img.getRGB(x, y)
+    assert(px.forall(p =>
+      ((p >> 16) & 0xff) == ((p >> 8) & 0xff) && ((p >> 8) & 0xff) == (p & 0xff)))
+    // id-0 gradient survives the downsample: bottom-right > top-left
+    assert((img.getRGB(7, 5) & 0xff) > (img.getRGB(0, 0) & 0xff))
+    // resizeAll plumbing works with the real resizer and rewrites meta
+    val rows = Seq(MediaRow(1L, ImageIo.syntheticPng(3L), meta)).toDS()
+    val out = resizeAll(rows, w = 8, h = 6, ImageIo.ImageIoResizer).collect()
+    assert(out.head.meta.width == 8 && out.head.meta.height == 6)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.head.payload)).getWidth == 8)
+  }
 }

@@ -43,6 +43,46 @@ class PrivacySpec extends AnyFunSuite with WithSpark {
     assert(a.values.forall(_._1 == 100L))
   }
 
+  test("secret-salt mode: independently drawn releases are statistically " +
+    "decorrelated; public-salt mode stays byte-reproducible") {
+    // the deployment contract from the scaladoc honesty note: a PUBLIC
+    // (input-derived) salt gives a reproducible, oracle-checkable
+    // release; a SECRET fresh-per-release salt gives proper independent
+    // Laplace draws. Prove both behaviors on the same data.
+    val many = (1L to 3000L).map(i => (i, s"k$i")).toDF("id", "g")
+    def noises(salt: String): Map[String, Double] =
+      Privacy.laplaceNoisyCounts(many, "g", 1.0, salt)
+        .select(col("g"), (col("noisy_n") - col("n")).as("e"))
+        .as[(String, Double)].collect().toMap
+    // secret-salt path: two fresh secrets (SecureRandom — what a real
+    // release would mint)
+    val rnd = new java.security.SecureRandom()
+    def freshSecret() = new java.math.BigInteger(128, rnd).toString(16)
+    val r1 = noises(freshSecret())
+    val r2 = noises(freshSecret())
+    val keys = r1.keys.toSeq
+    // sign agreement ≈ 50% for independent symmetric draws
+    val agree = keys.count(k => math.signum(r1(k)) == math.signum(r2(k)))
+    assert(math.abs(agree.toDouble / keys.size - 0.5) < 0.05,
+      s"independent releases must decorrelate: sign agreement $agree/${keys.size}")
+    // Pearson correlation ≈ 0
+    val (m1, m2) = (r1.values.sum / keys.size, r2.values.sum / keys.size)
+    val cov = keys.map(k => (r1(k) - m1) * (r2(k) - m2)).sum
+    val v1 = keys.map(k => math.pow(r1(k) - m1, 2)).sum
+    val v2 = keys.map(k => math.pow(r2(k) - m2, 2)).sum
+    val corr = cov / math.sqrt(v1 * v2)
+    assert(math.abs(corr) < 0.06,
+      s"independent releases must be uncorrelated: r=$corr")
+    // public-salt path: same salt reproduces the release exactly, at
+    // any partitioning
+    val pub = "release-2026-08-14" // derived from public metadata
+    assert(noises(pub) == Privacy.laplaceNoisyCounts(
+        many.repartition(11), "g", 1.0, pub)
+      .select(col("g"), (col("noisy_n") - col("n")).as("e"))
+      .as[(String, Double)].collect().toMap,
+      "public-salt releases must be byte-reproducible")
+  }
+
   test("kAnonymize suppresses rare combinations, keeps common ones, " +
     "and treats NULL as a combination") {
     val df = Seq(
