@@ -486,6 +486,21 @@ object Indexes {
     * parquet read) or a materialized frame — a lazily recomputed
     * build would run once per consumer.
     */
+  /** The distinct (kind, key) summary-category universe carried by a
+    * study-index frame, extracted in ONE scan: both matrix fields
+    * unpivot through a single generator instead of one scan per field
+    * — at 100 TB the prior snapshot is corpus-sized, so the per-field
+    * formulation paid |SummaryFields| full passes over it. */
+  private def summaryUniverse(index: DataFrame): DataFrame =
+    index.select(explode(flatten(array(SummaryFields.map(f =>
+        coalesce(
+          transform(col(s"summary.$f"),
+            s => struct(lit(f).as("kind"), s.getField("key").as("key"))),
+          array().cast("array<struct<kind:string,key:string>>"))): _*)))
+      .as("__u"))
+      .select(col("__u.kind").as("kind"), col("__u.key").as("key"))
+      .distinct()
+
   def refreshStudyIndex(
       prior: DataFrame,
       in: ClinicalInputs,
@@ -493,10 +508,17 @@ object Indexes {
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
     require(changed.nonEmpty, "refreshStudyIndex needs at least one changed study")
     val changedIn = filterStudies(in, changed)
-    val priorUniverse = SummaryFields.map { f =>
-      prior.select(explode(col(s"summary.$f")).as("__s"))
-        .select(lit(f).as("kind"), col("__s.key").as("key"))
-    }.reduce(_.unionByName(_)).distinct()
+    // the prior's category universe has TWO consumers (the rebuild's
+    // lattice zero-fill and the full-universe union below); it is
+    // dictionary-dim-sized by construction, so collect it ONCE —
+    // leaving it as a lazy frame would scan the corpus-sized prior
+    // snapshot once per consumer (the single universe scan + the
+    // unchanged pass-through are then the only prior reads)
+    val priorUniverseRows: Seq[(String, String)] = summaryUniverse(prior)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val spark = prior.sparkSession
+    import spark.implicits._
+    val priorUniverse = priorUniverseRows.toDF("kind", "key")
     // lazy checkpoint: the rebuilt docs have two readers (the universe
     // extraction below and the output union) — materialize the
     // changed-slice build once instead of running it per reader
@@ -506,15 +528,14 @@ object Indexes {
     // own matrices already carry prior ∪ introduced (their lattice
     // zero-filled against extraCatKeys), so extracting from them
     // needs no second donor⋈file scan of the changed slice.
-    // Dimension-sized driver collect (the dictionary-rows envelope).
-    val fullUniverse: Map[String, Seq[String]] = SummaryFields.map { f =>
-      rebuilt.select(explode(col(s"summary.$f")).as("__s"))
-        .select(lit(f).as("kind"), col("__s.key").as("key"))
-    }.reduce(_.unionByName(_)).distinct()
-      .unionByName(priorUniverse).distinct()
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rows) => k -> rows.map(_.getString(1)).toSeq.sorted }
+    // Dimension-sized driver union (the dictionary-rows envelope).
+    val fullUniverse: Map[String, Seq[String]] =
+      (summaryUniverse(rebuilt)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        ++ priorUniverseRows)
+      .distinct
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(_._2).toSeq.sorted }
     val unchanged = prior.filter(!col("study_id").isin(changed: _*))
     // zero rows for keys this doc's matrix lacks — but ONLY for docs
     // whose matrix is non-empty: a study with no donor⋈file rows has
