@@ -149,6 +149,18 @@ object GenGoldens {
         "a\tb\thamming", "golden_media_pairs_real.tsv")
     }
 
+    // q_audio_phash_real golden: REAL PCM decode (javax.sound) over the
+    // deterministic synthetic-WAV corpus — integer-exact end to end.
+    locally {
+      val audio = graft.queries.MediaQueries.realAudioCorpus(spark)
+      val hashes = Multimodal.perceptualHashes(
+          Multimodal.extractFeatures(
+            audio, graft.ops.AudioIo.WavDecoder, dim = 65)).toDF()
+        .orderBy("media_id").as[(Long, Long)].collect()
+      writeTsv(hashes.map(p => s"${p._1}\t${p._2}").toSeq,
+        "media_id\tphash", "golden_audio_phash_real.tsv")
+    }
+
     // q_maxsim_ivf golden: the ANN-shortlist → maxsim-rescore scale
     // path at the correctness SF — deterministic end to end
     // (decimal-mean Lloyd + exact maxsim on the 9-grid)

@@ -40,7 +40,39 @@ object MediaQueries {
     s.createDataset(base ++ dups).repartition(4)
   }
 
+  /** Deterministic REAL-audio corpus for the javax.sound faces: 32
+    * distinct PCM16 WAV clips (integer-only triangle carrier × AM
+    * envelope) plus three planted near-duplicates (`jitter = 2` LSBs
+    * on every 16th sample — inaudible). */
+  def realAudioCorpus(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    import graft.ops.AudioIo
+    def meta = Multimodal.MediaMeta("audio", "wav", 0, 0, 8000, 1000L)
+    val base = (0L until 32L).map(i =>
+      Multimodal.MediaRow(i, AudioIo.syntheticWav(i), meta))
+    val dups = Seq(3L, 11L, 23L).map(i =>
+      Multimodal.MediaRow(1000L + i, AudioIo.syntheticWav(i, jitter = 2), meta))
+    s.createDataset(base ++ dups).repartition(4)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- REAL audio end to end: javax.sound PCM decode → envelope
+    // features → DCT pHash = Hamming-bandable audio fingerprints. Same
+    // snapshot/spec split as the image faces: the golden locks the
+    // full real pipeline, MultimodalSpec asserts the semantics.
+    sql(
+      "q_audio_phash_real",
+      s"""SELECT media_id::BIGINT AS media_id, phash::BIGINT AS phash
+         |FROM read_csv('$FixtureDir/golden_audio_phash_real.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Multimodal.perceptualHashes(
+          Multimodal.extractFeatures(
+            realAudioCorpus(s), graft.ops.AudioIo.WavDecoder, dim = 65))
+          .toDF()
+    },
 
     // ---- REAL pixels end to end: javax.imageio decode → box-average
     // luma grid → DCT pHash. The committed golden locks the full real

@@ -174,6 +174,45 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
       s"bases collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
   }
 
+  test("WavDecoder decodes real PCM: envelope tracks the planted AM " +
+      "pattern, deterministic, loud on non-audio payloads") {
+    val meta = MediaMeta("audio", "wav", 0, 0, 8000, 1000L)
+    val wav = AudioIo.syntheticWav(0L) // envelope period 900 samples
+    val f1 = AudioIo.WavDecoder.decode(wav, meta, 16)
+    val f2 = AudioIo.WavDecoder.decode(wav, meta, 16)
+    assert(f1.toSeq == f2.toSeq, "decode must be bit-deterministic")
+    assert(f1.forall(v => v >= 0f && v <= 1f), "envelope must normalize")
+    // the id-0 AM envelope (period 1800 samples over 8000) rises and
+    // falls — the feature boxes must NOT be flat
+    assert(f1.max - f1.min > 0.1f, s"AM envelope lost: ${f1.toSeq}")
+    // sniffFormat sees the RIFF magic natively
+    val fmt = Seq(Tuple1(wav)).toDF("payload")
+      .select(sniffFormat($"payload")).as[String].head()
+    assert(fmt == "riff")
+    // a non-audio payload fails loudly
+    intercept[Exception] {
+      AudioIo.WavDecoder.decode(Array[Byte](1, 2, 3, 4), meta, 4)
+    }
+  }
+
+  test("real-audio fingerprints: planted jittered clips land within " +
+      "banding distance; distinct clips stay apart") {
+    import graft.queries.MediaQueries
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hashes = Multimodal.perceptualHashes(
+        extractFeatures(MediaQueries.realAudioCorpus(spark),
+          AudioIo.WavDecoder, dim = 65))
+      .collect().map(h => h.media_id -> h.phash).toMap
+    for (i <- Seq(3L, 11L, 23L))
+      assert(ham(hashes(i), hashes(1000L + i)) <= 3,
+        s"planted dup $i drifted: ${ham(hashes(i), hashes(1000L + i))}")
+    val bases = (0L until 32L).map(hashes)
+    val dists = for (i <- bases.indices; j <- bases.indices if i < j)
+      yield ham(bases(i), bases(j))
+    assert(dists.sorted.apply(dists.size / 2) > 10,
+      s"clips collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
+  }
+
   test("ImageIoResizer re-encodes a real downsample whose pixels still " +
       "carry the source gradient") {
     val meta = MediaMeta("image", "png", 64, 48, 0, 0L)
