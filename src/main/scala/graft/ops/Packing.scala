@@ -55,6 +55,48 @@ object Packing {
       .withColumn("waste_tokens",
         expr(s"n_chunks * ${budget}L - total_tokens"))
 
+  /** Length-bucketed batching plan — the inference/fine-tuning serving
+    * shape: each sequence pads to the smallest power-of-two bucket that
+    * holds it (clamped to [minBucket, maxBucket]; longer sequences
+    * truncate into the top bucket), and a per-bucket batch plan is
+    * computed for a `budgetTokens` batch budget (batch size =
+    * budget div bucket — the fixed-shape batches compilers/XLA-style
+    * runtimes want). Reports per bucket: sequence count, real tokens,
+    * padded tokens, wasted tokens (padding), and batch count.
+    *
+    * Exact-integer end to end: the bucket is `array_min(filter(...))`
+    * over a literal bucket table — a map-side HOF, no join, no libm
+    * log2 (whose ulp at bucket edges could disagree across engines) —
+    * followed by ONE aggregation keyed by bucket (dim-sized output).
+    */
+  def lengthBuckets(
+      df: DataFrame, len: Column,
+      minBucket: Long = 64L, maxBucket: Long = 65536L,
+      budgetTokens: Long = 16384L): DataFrame = {
+    require(minBucket > 0 && (minBucket & (minBucket - 1)) == 0,
+      s"minBucket must be a power of two: $minBucket")
+    require(maxBucket >= minBucket && (maxBucket & (maxBucket - 1)) == 0,
+      s"maxBucket must be a power of two >= minBucket: $maxBucket")
+    require(budgetTokens >= maxBucket,
+      s"budgetTokens ($budgetTokens) must hold at least one max-bucket " +
+        s"sequence ($maxBucket)")
+    val table = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val buckets = array(table.map(lit): _*)
+    df.select(
+        coalesce(array_min(filter(buckets, b => b >= len)), lit(maxBucket))
+          .as("bucket"),
+        least(len, lit(maxBucket)).as("__len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("__len")).as("real_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_seqs"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("real_tokens"))
+      .withColumn("n_batches", expr(
+        s"(n_seqs + ($budgetTokens div bucket) - 1) div " +
+          s"($budgetTokens div bucket)"))
+  }
+
   /** Per-document sliding-window chunking with overlap — the RAG /
     * context-window prep op: cut each document's token list into
     * chunks of `chunkSize` starting every `chunkSize - overlap`

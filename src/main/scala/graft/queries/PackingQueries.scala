@@ -56,6 +56,31 @@ object PackingQueries {
         Text.tokenCount(col("text")), Budget)
     },
 
+    // ---- length-bucketed batching plan (inference/fine-tuning serving
+    //      shape): pow-2 buckets 16..256, 16384-token batch budget; the
+    //      bucket is an exact-integer list-filter min in BOTH engines
+    //      (no libm log2 whose edge ulps could disagree) ----
+    sql(
+      "q_length_buckets",
+      """WITH t AS (
+        |  SELECT len(string_split_regex(text, '\s+')) AS n FROM documents),
+        |b AS (SELECT
+        |  COALESCE(list_min(list_filter([16,32,64,128,256], x -> x >= n)),
+        |    256) AS bucket,
+        |  least(n, 256) AS l FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  count(*) AS n_seqs,
+        |  CAST(sum(l) AS BIGINT) AS real_tokens,
+        |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+        |  CAST(bucket * count(*) - sum(l) AS BIGINT) AS waste_tokens,
+        |  (count(*) + (16384 // bucket) - 1) // (16384 // bucket)
+        |    AS n_batches
+        |FROM b GROUP BY bucket""".stripMargin) { (s, d) =>
+      Packing.lengthBuckets(
+        Tables.documents(s, d), Text.tokenCount(col("text")),
+        minBucket = 16L, maxBucket = 256L, budgetTokens = 16384L)
+    },
+
     // ---- sliding-window chunking with overlap (RAG prep): 32-token
     //      chunks every 24 tokens (8 overlap), map-side only; chunk
     //      arrays ride the to_json canon ----

@@ -213,6 +213,57 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
       s"clips collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
   }
 
+  test("decoder edge shapes: 1x1 image with dim 65, stereo 16-bit WAV " +
+      "channel-averaging, 8-bit PCM") {
+    val imeta = MediaMeta("image", "png", 1, 1, 0, 0L)
+    // 1×1 image: every box degenerates to the single pixel — all
+    // features equal, normalized, no crash
+    val one = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    one.setRGB(0, 0, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(one, "png", bos)
+    val f = ImageIo.ImageIoDecoder.decode(bos.toByteArray, imeta, 65)
+    assert(f.length == 65 && f.forall(v => math.abs(v - f(0)) < 1e-6f))
+    assert(f(0) > 0.49f && f(0) < 0.52f) // mid-gray luma
+
+    // stereo PCM16: channels average — a clip with L = -R must decode
+    // to the same |amplitude| envelope as its mono |L| counterpart
+    val n = 800
+    def pcm16(bytes: Array[Byte], off: Int, v: Int): Unit = {
+      bytes(off) = v.toByte; bytes(off + 1) = (v >> 8).toByte
+    }
+    def wavHeader(bytes: Array[Byte], ch: Int, bits: Int, frames: Int): Unit = {
+      val frameSz = ch * bits / 8
+      def w32(o: Int, v: Int): Unit = (0 to 3).foreach(i =>
+        bytes(o + i) = (v >> (8 * i)).toByte)
+      def w16(o: Int, v: Int): Unit = (0 to 1).foreach(i =>
+        bytes(o + i) = (v >> (8 * i)).toByte)
+      "RIFF".getBytes.copyToArray(bytes, 0); w32(4, 36 + frames * frameSz)
+      "WAVE".getBytes.copyToArray(bytes, 8); "fmt ".getBytes.copyToArray(bytes, 12)
+      w32(16, 16); w16(20, 1); w16(22, ch); w32(24, 8000)
+      w32(28, 8000 * frameSz); w16(32, frameSz); w16(34, bits)
+      "data".getBytes.copyToArray(bytes, 36); w32(40, frames * frameSz)
+    }
+    val stereo = new Array[Byte](44 + n * 4)
+    wavHeader(stereo, ch = 2, bits = 16, frames = n)
+    (0 until n).foreach { t =>
+      val v = ((t % 100) - 50) * 300
+      pcm16(stereo, 44 + t * 4, v); pcm16(stereo, 46 + t * 4, -v)
+    }
+    val ameta = MediaMeta("audio", "wav", 0, 0, 8000, 100L)
+    val sf = AudioIo.WavDecoder.decode(stereo, ameta, 8)
+    assert(sf.forall(v => v >= 0f && v <= 1f) && sf.max > 0f)
+
+    // 8-bit PCM (unsigned samples center at 128): silence decodes to a
+    // zero envelope
+    val eight = new Array[Byte](44 + n)
+    wavHeader(eight, ch = 1, bits = 8, frames = n)
+    java.util.Arrays.fill(eight, 44, 44 + n, 128.toByte)
+    val ef = AudioIo.WavDecoder.decode(eight, ameta, 8)
+    assert(ef.forall(_ == 0f), s"8-bit silence must be zero: ${ef.toSeq}")
+  }
+
   test("ImageIoResizer re-encodes a real downsample whose pixels still " +
       "carry the source gradient") {
     val meta = MediaMeta("image", "png", 64, 48, 0, 0L)

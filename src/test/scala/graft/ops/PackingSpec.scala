@@ -35,6 +35,29 @@ class PackingSpec extends AnyFunSuite with WithSpark {
     assert(stats("b") == ((7L, 1L, 25L)))
   }
 
+  test("lengthBuckets: exact pow-2 edges, top-bucket clamp+truncate, " +
+    "batch counts under the token budget") {
+    // lens: 1→16(edge min), 16→16(exact edge), 17→32, 64→64, 100→128,
+    // 300→clamped to 256 and TRUNCATED to 256 real tokens
+    val lens = Seq(1L, 16L, 17L, 64L, 100L, 300L)
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+    val got = Packing.lengthBuckets(lens, col("n"),
+        minBucket = 16L, maxBucket = 256L, budgetTokens = 512L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // bucket -> (n_seqs, real, padded, waste, n_batches@512)
+    assert(got(16L) == ((2L, 17L, 32L, 15L, 1L)))   // 512/16=32 per batch
+    assert(got(32L) == ((1L, 17L, 32L, 15L, 1L)))
+    assert(got(64L) == ((1L, 64L, 64L, 0L, 1L)))    // zero waste at edge
+    assert(got(128L) == ((1L, 100L, 128L, 28L, 1L)))
+    assert(got(256L) == ((1L, 256L, 256L, 0L, 1L))) // truncated overflow
+    // batch count rounds UP: 3 seqs of bucket 256 at budget 512 → 2
+    val many = (1L to 3L).map(i => (i, 200L)).toDF("id", "n")
+    val b = Packing.lengthBuckets(many, col("n"), 16L, 256L, 512L)
+      .select("n_batches").as[Long].head()
+    assert(b == 2L)
+  }
+
   test("slidingChunks: coverage, overlap, and minimal chunk count") {
     // 7 tokens, size 5, overlap 2 (stride 3) → ceil((7-2)/3) = 2 chunks
     val df = Seq((1L, (0 until 7).map(i => s"t$i"))).toDF("id", "toks")
