@@ -149,6 +149,29 @@ object GenGoldens {
         "a\tb\thamming", "golden_media_pairs_real.tsv")
     }
 
+    // q_bpe_vocab / q_bpe_tokens goldens at the correctness SF: the
+    // distributed BPE trainer is deterministic (lexicographic pair
+    // tie-breaks), so the committed snapshot hash-checks the full
+    // learn → tokenize pipeline; BpeSpec pins the hand-computed
+    // Sennrich-example merge sequence independently.
+    locally {
+      val docsPath = "/root/testdata/sf0.01/documents.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+        val sfDocs = spark.read.parquet(docsPath)
+        val merges = graft.ops.Bpe.learnMerges(
+          graft.ops.Bpe.wordCounts(sfDocs, col("text")), numMerges = 20)
+        writeTsv(merges.zipWithIndex
+            .map { case ((a, b), r) => s"$r\t$a\t$b" },
+          "rank\ta\tb", "golden_bpe_vocab.tsv")
+        val toks = graft.ops.Bpe.tokenize(sfDocs, "doc_id", col("text"), merges)
+          .select(col("doc_id"), col("n_tok"),
+            md5(concat_ws("", col("tokens"))).as("tok_md5"))
+          .orderBy("doc_id").as[(Long, Long, String)].collect()
+        writeTsv(toks.map(t => s"${t._1}\t${t._2}\t${t._3}").toSeq,
+          "doc_id\tn_tok\ttok_md5", "golden_bpe_tokens.tsv")
+      } else println(s"skipped golden_bpe_*.tsv ($docsPath missing)")
+    }
+
     // q_audio_phash_real golden: REAL PCM decode (javax.sound) over the
     // deterministic synthetic-WAV corpus — integer-exact end to end.
     locally {

@@ -44,9 +44,26 @@ object TextQueries {
 
   /** Pre-build the stored band state outside any timed region
     * (Bench warmup). */
-  def warm(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+  def warm(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     bandState(s, d)
+    learnedMerges(s, d)
+  }
   import QueryDef.{noOracle, sql}
+
+  /** BPE merges learned once per JVM per sf dir — train-time artifact
+    * by contract (the ANN-index amortization convention): Bench's
+    * warm() populates it so `build_s` owns the learning cost and the
+    * q_bpe_* faces time vocab materialization / tokenization. 20 merge
+    * rounds: one corpus pass for the word table + 20 vocabulary-sized
+    * aggregations ([[graft.ops.Bpe.learnMerges]] scale notes). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+  private[queries] def learnedMerges(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, String)] =
+    bpeCache.computeIfAbsent(d, _ =>
+      graft.ops.Bpe.learnMerges(
+        graft.ops.Bpe.wordCounts(Tables.documents(s, d), col("text")),
+        numMerges = 20))
 
   /** DuckDB equivalent of [[Text.normalize]] over any column expr —
     * shared with every query module whose oracle replays the
@@ -762,5 +779,39 @@ object TextQueries {
             s, s"${SourceQueries.FixtureDir}/docs_planted.tsv")
           .select(col("doc_id").cast("long").as("doc_id"),
             Text.fingerprintRolling(col("text")).as("fingerprint"))
+    },
+
+    // ---- distributed BPE: the learned merge table over the sf
+    //      documents corpus (deterministic — lexicographic tie-breaks
+    //      — so the committed GenGoldens snapshot hash-checks the full
+    //      trainer; BpeSpec pins the hand-computed Sennrich-example
+    //      sequence independently) ----
+    sql(
+      "q_bpe_vocab",
+      s"""SELECT rank::INT AS rank, a, b
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_bpe_vocab.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        learnedMerges(s, d).zipWithIndex
+          .map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "a", "b")
+    },
+
+    // ---- BPE tokenization under the learned merges: map-side with a
+    //      broadcast rank map; per-doc token count + an md5 over the
+    //      token sequence (golden-snapshot — DuckDB cannot replay the
+    //      merge loop) ----
+    sql(
+      "q_bpe_tokens",
+      s"""SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok, tok_md5
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_bpe_tokens.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        graft.ops.Bpe.tokenize(
+            Tables.documents(s, d), "doc_id", col("text"),
+            learnedMerges(s, d))
+          .select(col("doc_id"), col("n_tok"),
+            md5(concat_ws("\u0001", col("tokens"))).as("tok_md5"))
     })
 }
