@@ -172,6 +172,20 @@ object GenGoldens {
       } else println(s"skipped golden_bpe_*.tsv ($docsPath missing)")
     }
 
+    // q_video_phash_real golden: RIFF/AVI walk + real JPEG frame decode
+    // → temporal luminance signature → pHash. JPEG decode is
+    // deterministic for fixed bytes on this JDK (the same environment
+    // pin every ANN golden carries).
+    locally {
+      val video = graft.queries.MediaQueries.realVideoCorpus(spark)
+      val hashes = Multimodal.perceptualHashes(
+          Multimodal.extractFeatures(
+            video, graft.ops.VideoIo.MjpegDecoder, dim = 65)).toDF()
+        .orderBy("media_id").as[(Long, Long)].collect()
+      writeTsv(hashes.map(p => s"${p._1}\t${p._2}").toSeq,
+        "media_id\tphash", "golden_video_phash_real.tsv")
+    }
+
     // q_audio_phash_real golden: REAL PCM decode (javax.sound) over the
     // deterministic synthetic-WAV corpus — integer-exact end to end.
     locally {

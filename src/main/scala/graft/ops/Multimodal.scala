@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * metadata struct; decode / feature-extraction runs per-partition in
   * explicit batches (the Scala analog of Arrow-batched `mapInPandas`).
   *
-  * Decoder bindings: [[graft.ops.ImageIo.ImageIoDecoder]] is a REAL
-  * image codec (JDK `javax.imageio` — PNG/JPEG/BMP/GIF, hermetic) used
-  * by the `q_media_phash_real` / `q_media_neardup_real` faces; the
-  * default [[Multimodal.FakeDecoder]] remains as the clearly-marked
-  * deterministic stand-in for modalities this container has no codec
-  * for (audio/video). The Spark-side plumbing — schema, encoder types,
-  * batch shape, partition balancing — is shared by both.
+  * Decoder bindings — all REAL JDK codecs, no external deps:
+  * [[graft.ops.ImageIo.ImageIoDecoder]] (javax.imageio PNG/JPEG/BMP/GIF
+  * — `q_media_phash_real`/`q_media_neardup_real`),
+  * [[graft.ops.AudioIo.WavDecoder]] (javax.sound PCM/WAV —
+  * `q_audio_phash_real`), and [[graft.ops.VideoIo.MjpegDecoder]]
+  * (RIFF/AVI chunk walk + per-frame javax.imageio JPEG —
+  * `q_video_phash_real`). The default [[Multimodal.FakeDecoder]]
+  * remains as the clearly-marked deterministic stand-in for codecs the
+  * JDK lacks (H.264/VP9-class video, compressed audio). The Spark-side
+  * plumbing — schema, encoder types, batch shape, partition balancing —
+  * is shared by every binding.
   *
   * Scale notes: payloads dominate partition bytes, so balance
   * partitions by BYTES not row count ([[rebalanceByBytes]]); feature

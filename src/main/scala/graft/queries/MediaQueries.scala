@@ -56,7 +56,39 @@ object MediaQueries {
     s.createDataset(base ++ dups).repartition(4)
   }
 
+  /** Deterministic REAL-video corpus for the MJPEG/AVI faces: 24
+    * distinct clips (real javax.imageio JPEG frames, integer-only
+    * brightness-ramp schedules, wrapped in minimal RIFF/AVI) plus
+    * three planted near-duplicates (`jitter = 2` — a uniform +2 luma
+    * shift the DC-dropping pHash must be invariant to). */
+  def realVideoCorpus(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    import graft.ops.VideoIo
+    def meta = Multimodal.MediaMeta("video", "avi", 32, 24, 0, 1000L)
+    val base = (0L until 24L).map(i =>
+      Multimodal.MediaRow(i, VideoIo.syntheticAvi(i), meta))
+    val dups = Seq(2L, 9L, 21L).map(i =>
+      Multimodal.MediaRow(1000L + i, VideoIo.syntheticAvi(i, jitter = 2), meta))
+    s.createDataset(base ++ dups).repartition(4)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- REAL video end to end: RIFF/AVI chunk walk → real JPEG
+    // frame decode → temporal luminance signature → DCT pHash =
+    // Hamming-bandable video fingerprints (TV-dedup-style) ----
+    sql(
+      "q_video_phash_real",
+      s"""SELECT media_id::BIGINT AS media_id, phash::BIGINT AS phash
+         |FROM read_csv('$FixtureDir/golden_video_phash_real.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        Multimodal.perceptualHashes(
+          Multimodal.extractFeatures(
+            realVideoCorpus(s), graft.ops.VideoIo.MjpegDecoder, dim = 65))
+          .toDF()
+    },
 
     // ---- REAL audio end to end: javax.sound PCM decode → envelope
     // features → DCT pHash = Hamming-bandable audio fingerprints. Same

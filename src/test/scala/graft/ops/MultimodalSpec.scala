@@ -213,6 +213,54 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
       s"clips collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
   }
 
+  test("MjpegDecoder walks RIFF/AVI and decodes real JPEG frames into a " +
+      "temporal signature; DC-invariant to uniform brightness shifts") {
+    val meta = MediaMeta("video", "avi", 32, 24, 0, 1000L)
+    val avi = VideoIo.syntheticAvi(0L, nFrames = 24)
+    assert(VideoIo.aviFrames(avi).size == 24, "frame walk must find all frames")
+    // every frame chunk is a real JPEG javax.imageio can decode
+    val f0 = VideoIo.aviFrames(avi).next()
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f0)) != null)
+    val feats = VideoIo.MjpegDecoder.decode(avi, meta, 16)
+    assert(feats.toSeq == VideoIo.MjpegDecoder.decode(avi, meta, 16).toSeq)
+    assert(feats.forall(v => v >= 0f && v <= 1f))
+    assert(feats.max - feats.min > 0.05f,
+      s"brightness ramp lost: ${feats.toSeq}")
+    // the uniform +2 luma jitter must leave the DC-dropping pHash at
+    // Hamming ~0 (brightness invariance of the fingerprint)
+    def ph(b: Array[Byte]) =
+      phashOf(VideoIo.MjpegDecoder.decode(b, meta, 65))
+    val d = java.lang.Long.bitCount(
+      ph(avi) ^ ph(VideoIo.syntheticAvi(0L, jitter = 2)))
+    assert(d <= 3, s"uniform brightness shift moved the fingerprint: $d")
+    // loud on garbage
+    intercept[IllegalArgumentException] {
+      VideoIo.MjpegDecoder.decode(Array[Byte](1, 2, 3), meta, 4)
+    }
+    intercept[IllegalArgumentException] {
+      VideoIo.aviFrames("RIFFxxxxWAVE".getBytes).toList
+    }
+  }
+
+  test("real-video fingerprints: planted near-dups within banding " +
+      "distance; distinct clips apart") {
+    import graft.queries.MediaQueries
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hashes = Multimodal.perceptualHashes(
+        extractFeatures(MediaQueries.realVideoCorpus(spark),
+          VideoIo.MjpegDecoder, dim = 65))
+      .collect().map(h => h.media_id -> h.phash).toMap
+    for (i <- Seq(2L, 9L, 21L))
+      assert(ham(hashes(i), hashes(1000L + i)) <= 3,
+        s"planted dup $i drifted: ${ham(hashes(i), hashes(1000L + i))}")
+    val bases = (0L until 24L).map(hashes)
+    val dists = for (i <- bases.indices; j <- bases.indices if i < j)
+      yield ham(bases(i), bases(j))
+    assert(dists.sorted.apply(dists.size / 2) > 8,
+      s"clips collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
+  }
+
   test("decoder edge shapes: 1x1 image with dim 65, stereo 16-bit WAV " +
       "channel-averaging, 8-bit PCM") {
     val imeta = MediaMeta("image", "png", 1, 1, 0, 0L)
