@@ -184,6 +184,18 @@ object GenGoldens {
         .orderBy("media_id").as[(Long, Long)].collect()
       writeTsv(hashes.map(p => s"${p._1}\t${p._2}").toSeq,
         "media_id\tphash", "golden_video_phash_real.tsv")
+      // q_video_shared_frames golden: exact frame-fingerprint matches
+      val frames = graft.ops.VideoIo.explodeFrames(video)
+        .select(col("media_id"), md5(col("frame")).as("fp"))
+        .localCheckpoint()
+      val shared = frames.select(col("media_id").as("va"), col("fp"))
+        .join(frames.select(col("media_id").as("vb"), col("fp")), Seq("fp"))
+        .filter(col("va") < col("vb"))
+        .groupBy(col("va"), col("vb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("va", "vb").as[(Long, Long, Long)].collect()
+      writeTsv(shared.map(t => s"${t._1}\t${t._2}\t${t._3}").toSeq,
+        "va\tvb\tn_shared", "golden_video_shared.tsv")
     }
 
     // q_audio_phash_real golden: REAL PCM decode (javax.sound) over the

@@ -101,39 +101,40 @@ object VideoIo {
     }
   }
 
-  /** Deterministic synthetic MJPEG/AVI fixture: `nFrames` JPEG frames
-    * (real javax.imageio JPEG encode of the integer-pattern
-    * [[ImageIo.syntheticPng]] imagery, brightness-ramped per frame on a
-    * per-id schedule) wrapped in a minimal RIFF AVI — avih + strh
-    * headers plus the movi frame list. `jitter` shifts every frame's
-    * pattern by +jitter luma (invisible; plants a temporal-signature
-    * near-duplicate). */
-  def syntheticAvi(id: Long, nFrames: Int = 24, w: Int = 32, h: Int = 24,
-      jitter: Int = 0): Array[Byte] = {
-    val frames = (0 until nFrames).map { f =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      // per-frame brightness ramp with per-id phase/period — the
-      // temporal signature; integer-only
-      val period = 6 + (id % 5).toInt
-      val ramp = math.abs((f + (id % 7).toInt) % (2 * period) - period) *
-        200 / period
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val grad = (x * 255 / w + y * 255 / h) / 2
-          val v = math.min(255, (grad + ramp) / 2 + jitter)
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
+  /** One deterministic JPEG frame of clip `id`: per-id SPATIAL
+    * frequencies (so frames of different clips differ in content, not
+    * just brightness) under a per-frame brightness ramp with per-id
+    * period/phase (the temporal signature). Real javax.imageio JPEG
+    * encode; integer-only pattern math. */
+  private[ops] def frameJpeg(id: Long, f: Int, w: Int, h: Int,
+      jitter: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 1 + (id % 7).toInt
+    val fy = 1 + (id % 5).toInt
+    val period = 6 + (id % 5).toInt
+    val ramp = math.abs((f + (id % 7).toInt) % (2 * period) - period) *
+      200 / period
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val grad = (x * fx * 255 / w + y * fy * 255 / h) % 256 / 2
+        val v = math.min(255, (grad + ramp) / 2 + jitter)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
       }
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      y += 1
     }
-    // minimal AVI: RIFF('AVI ' LIST('hdrl' 'avih'(56B)) LIST('movi' 00dc*))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Wrap pre-encoded frames in a minimal RIFF AVI (avih header + movi
+    * frame list). */
+  private[ops] def wrapAvi(frames: Seq[Array[Byte]], w: Int, h: Int)
+      : Array[Byte] = {
     def le32(v: Int): Array[Byte] =
       Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     val avih = new ByteArrayOutputStream()
@@ -160,5 +161,38 @@ object VideoIo {
     out.write("RIFF".getBytes("US-ASCII")); out.write(le32(4 + lists.size()))
     out.write("AVI ".getBytes("US-ASCII")); out.write(lists.toByteArray)
     out.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG/AVI fixture: `nFrames` real JPEG
+    * frames ([[frameJpeg]]) in a minimal RIFF AVI. `jitter` shifts
+    * every frame's luma uniformly by +jitter (invisible; plants a
+    * temporal-signature near-duplicate the DC-dropping pHash must
+    * land on). */
+  def syntheticAvi(id: Long, nFrames: Int = 24, w: Int = 32, h: Int = 24,
+      jitter: Int = 0): Array[Byte] =
+    wrapAvi((0 until nFrames).map(f => frameJpeg(id, f, w, h, jitter)), w, h)
+
+  /** A spliced clip: the first `take` frames of each source clip,
+    * concatenated — byte-identical frames shared with the sources (the
+    * re-posted/compilation-content scenario frame-level dedup must
+    * catch). */
+  def syntheticAviSplice(ids: Seq[Long], take: Int, w: Int = 32,
+      h: Int = 24): Array[Byte] =
+    wrapAvi(
+      ids.flatMap(id => (0 until take).map(f => frameJpeg(id, f, w, h, 0))),
+      w, h)
+
+  /** Fan a video corpus out to one row per frame: (media_id,
+    * frame_idx, frame) — the layout frame-level ops (per-frame
+    * fingerprints, shot detection, cross-video shared-frame dedup) run
+    * on. A flatMap: zero shuffle, frames stream out of the chunk walk
+    * without the clip ever being held decoded. */
+  def explodeFrames(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+      : org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => aviFrames(r.payload).zipWithIndex.map {
+        case (fb, i) => (r.media_id, i, fb)
+      })
+      .toDF("media_id", "frame_idx", "frame")
   }
 }

@@ -70,7 +70,11 @@ object MediaQueries {
       Multimodal.MediaRow(i, VideoIo.syntheticAvi(i), meta))
     val dups = Seq(2L, 9L, 21L).map(i =>
       Multimodal.MediaRow(1000L + i, VideoIo.syntheticAvi(i, jitter = 2), meta))
-    s.createDataset(base ++ dups).repartition(4)
+    // a spliced compilation clip sharing byte-identical frames with
+    // clips 2 and 9 — the shared-frame dedup face's plant
+    val splice = Multimodal.MediaRow(
+      2000L, VideoIo.syntheticAviSplice(Seq(2L, 9L), take = 12), meta)
+    s.createDataset(base ++ dups :+ splice).repartition(4)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -88,6 +92,28 @@ object MediaQueries {
           Multimodal.extractFeatures(
             realVideoCorpus(s), graft.ops.VideoIo.MjpegDecoder, dim = 65))
           .toDF()
+    },
+
+    // ---- cross-video shared-frame detection: frame fan-out to rows
+    // (zero shuffle), exact frame fingerprints, one equi-join on the
+    // fingerprint — the re-posted/compilation-content dedup a video
+    // corpus runs at frame granularity. The planted splice clip must
+    // surface against exactly its two source clips. ----
+    sql(
+      "q_video_shared_frames",
+      s"""SELECT va::BIGINT AS va, vb::BIGINT AS vb,
+         |  n_shared::BIGINT AS n_shared
+         |FROM read_csv('$FixtureDir/golden_video_shared.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, _) =>
+        val frames = graft.ops.VideoIo.explodeFrames(realVideoCorpus(s))
+          .select(col("media_id"), md5(col("frame")).as("fp"))
+          .localCheckpoint() // both join sides read the decoded walk once
+        frames.select(col("media_id").as("va"), col("fp"))
+          .join(frames.select(col("media_id").as("vb"), col("fp")), Seq("fp"))
+          .filter(col("va") < col("vb"))
+          .groupBy(col("va"), col("vb"))
+          .agg(count(lit(1)).as("n_shared"))
     },
 
     // ---- REAL audio end to end: javax.sound PCM decode → envelope

@@ -261,6 +261,26 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
       s"clips collapsed: median hamming ${dists.sorted.apply(dists.size / 2)}")
   }
 
+  test("cross-video shared frames: the spliced clip surfaces against " +
+      "exactly its two source clips; jittered dups do NOT byte-match") {
+    import graft.queries.MediaQueries
+    val frames = VideoIo.explodeFrames(MediaQueries.realVideoCorpus(spark))
+      .select(col("media_id"), md5(col("frame")).as("fp"))
+      .localCheckpoint()
+    val pairs = frames.select(col("media_id").as("va"), col("fp"))
+      .join(frames.select(col("media_id").as("vb"), col("fp")), Seq("fp"))
+      .filter(col("va") < col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.keySet == Set((2L, 2000L), (9L, 2000L)),
+      s"unexpected shared-frame pairs: ${pairs.keySet}")
+    // each splice half carries 12 source frames; within-clip periodic
+    // repeats can only raise the pair-match count
+    assert(pairs((2L, 2000L)) >= 12L && pairs((9L, 2000L)) >= 12L)
+  }
+
   test("decoder edge shapes: 1x1 image with dim 65, stereo 16-bit WAV " +
       "channel-averaging, 8-bit PCM") {
     val imeta = MediaMeta("image", "png", 1, 1, 0, 0L)
