@@ -56,6 +56,39 @@ object PackingQueries {
         Text.tokenCount(col("text")), Budget)
     },
 
+    // ---- tokenizer-aware packing: chunk assignment driven by REAL
+    //      BPE token counts (the learned-merges tokenizer) instead of
+    //      the whitespace proxy. The oracle reads the committed BPE
+    //      golden for n_tok (DuckDB cannot replay the merge loop) and
+    //      replays the window cumsum + integer division relationally —
+    //      the mixed golden+relational oracle pattern. ----
+    sql(
+      "q_pack_bpe",
+      s"""WITH nt AS (
+         |  SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok
+         |  FROM read_csv(
+         |    '${SourceQueries.FixtureDir}/golden_bpe_tokens.tsv',
+         |    delim='\\t', header=true, all_varchar=true)),
+         |d AS (
+         |  SELECT doc.doc_id, doc.source, nt.n_tok
+         |  FROM documents doc JOIN nt USING (doc_id))
+         |SELECT doc_id, source, start_tok,
+         |  start_tok // $Budget AS first_chunk,
+         |  (start_tok + n_tok - 1) // $Budget AS last_chunk
+         |FROM (
+         |  SELECT doc_id, source, n_tok, $StartSql AS start_tok
+         |  FROM d)""".stripMargin) { (s, d) =>
+      val toks = graft.ops.Bpe.tokenize(
+          Tables.documents(s, d), "doc_id", col("text"),
+          TextQueries.learnedMerges(s, d))
+        .select(col("doc_id"), col("n_tok"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Packing.packChunks(toks, col("source"), col("doc_id"),
+          col("n_tok"), Budget)
+        .select("doc_id", "source", "start_tok", "first_chunk", "last_chunk")
+    },
+
     // ---- length-bucketed batching plan (inference/fine-tuning serving
     //      shape): pow-2 buckets 16..256, 16384-token batch budget; the
     //      bucket is an exact-integer list-filter min in BOTH engines
