@@ -325,6 +325,35 @@ object Dedup {
         "left_semi")
   }
 
+  /** Near-dup collapse keeping each cluster's BEST row (max `score`,
+    * ties to the smaller id) instead of [[dropNearDups]]'s min-id —
+    * the representative selection real pipelines run (keep the
+    * longest / highest-quality page of a near-dup family, not the one
+    * that happened to crawl first).
+    *
+    * Scale shape: identical to [[dropNearDups]] (pair graph → O(log²)
+    * components) plus ONE extra aggregation over the label frame: the
+    * per-cluster argmax rides a lexicographic struct max — max(score,
+    * −id) — one map-side-combined shuffle keyed by cluster, then a
+    * semi-join back. No window function, no per-cluster sort.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      id: String,
+      score: Column,
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val labels = clusterLabels(docs.select(col(id)), pairs, maxIters)
+    val scored = docs.select(col(id).as("__kid"), score.as("__score"))
+      .join(labels, col("__kid") === col("node"))
+    val best = scored
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("__score"), (-col("__kid")).as("__negid")))
+        .as("__m"))
+      .select((-col("__m.__negid")).as("__keep"))
+    docs.join(best, docs(id) === col("__keep"), "left_semi")
+  }
+
   /** The persistent LSH state for incremental ingest: the corpus as
     * (id, band, bucket) rows — what [[candidatePairs]] builds
     * internally, exposed so a long-lived pipeline can persist it

@@ -563,6 +563,51 @@ object TextQueries {
       Dedup.clusterLabels(docs.select("doc_id"), pairs)
     },
 
+    // ---- near-dup collapse keeping the BEST representative (longest
+    //      doc, ties to the smaller id) — the selection real pipelines
+    //      run instead of keep-first. Oracle: same pair graph +
+    //      two-round label propagation as q_dedup_near, then a QUALIFY
+    //      argmax per cluster ----
+    sql(
+      "q_dedup_keep_best",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |l1 AS (
+         |  SELECT d.doc_id AS node,
+         |    least(d.doc_id, coalesce(min(e.dst), d.doc_id)) AS l
+         |  FROM documents d LEFT JOIN e ON d.doc_id = e.src
+         |  GROUP BY d.doc_id),
+         |l2 AS (
+         |  SELECT l1.node, least(l1.l, coalesce(min(nl.l), l1.l)) AS cluster
+         |  FROM l1
+         |  LEFT JOIN e ON l1.node = e.src
+         |  LEFT JOIN l1 nl ON e.dst = nl.node
+         |  GROUP BY l1.node, l1.l)
+         |SELECT d.doc_id
+         |FROM documents d JOIN l2 ON d.doc_id = l2.node
+         |QUALIFY row_number() OVER (PARTITION BY l2.cluster
+         |  ORDER BY d.n_chars DESC, d.doc_id ASC) = 1""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .withColumn("sh", Text.shingles(col("text"), 3))
+        val pairs = Dedup.nearDupPairs(
+          docs, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
+        Dedup.keepBestPerCluster(docs, "doc_id", col("n_chars"), pairs)
+          .select("doc_id")
+    },
+
     // ---- BPE-ish regex token count (RE2-compatible pattern) ----
     sql(
       "q_regex_tokens",

@@ -258,4 +258,20 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L), s"got $kept")
   }
+
+  test("keepBestPerCluster keeps the max-score row per cluster, " +
+    "tie-breaks to the smaller id, passes singletons through") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: tie 2 vs 3 → 2
+      (4L, 5.0), (5L, 50.0),              // cluster {4,5} → 5
+      (9L, 1.0))                          // singleton → kept
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val kept = Dedup.keepBestPerCluster(docs, "id", col("score"), pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 9L), s"got $kept")
+    // min-id companion (dropNearDups semantics) would keep 1 and 4 —
+    // the two selections must genuinely differ on this fixture
+    assert(!kept.contains(1L) && !kept.contains(4L))
+  }
 }
