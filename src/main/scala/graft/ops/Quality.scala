@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation gates — the Deequ-style "verify the batch
+  * before it enters the corpus" step every 100 TB ingest needs (no
+  * reference counterpart; SURVEY.md §8 extension surface).
+  *
+  * Output is long-format, one row per declared check:
+  * `(check, n_rows, n_bad, passed)` — a machine-readable gate report a
+  * pipeline can join against its promotion decision.
+  *
+  * Scale shape: every ROW-LEVEL check (not-null, in-set, in-range,
+  * regex, uniqueness) fuses into ONE aggregation over ONE scan of the
+  * table — `sum(when(violation, 1))` columns inside a single `agg` —
+  * so adding a tenth check costs arithmetic, not another 100 TB pass.
+  * Uniqueness rides the same pass as `count - countDistinct(struct)`
+  * (the struct wrapper keeps NULL-bearing keys countable, matching
+  * DuckDB's `count(DISTINCT (a, b))` row semantics). Referential
+  * checks ([[fkOrphans]]) are the one genuinely relational case: a
+  * LEFT ANTI join against the parent key set (broadcast when the
+  * parent is dim-sized) reduced to a single count — still one scan of
+  * the child plus one of the parent key column.
+  *
+  * NULL semantics (documented contract): [[Check.NotNull]] is the only
+  * check that counts NULLs as violations; `InSet` / `InRange` /
+  * `Matches` pass NULL values through (SQL-style), so the checks
+  * compose instead of double-counting the same missing cell.
+  */
+object Quality {
+
+  sealed trait Check {
+    def name: String
+    /** 1 when this row violates the check, else 0. */
+    private[ops] def violation: Column
+  }
+
+  object Check {
+    final case class NotNull(c: String) extends Check {
+      val name = s"not_null:$c"
+      private[ops] def violation = when(col(c).isNull, 1L).otherwise(0L)
+    }
+    final case class InSet(c: String, allowed: Seq[String]) extends Check {
+      val name = s"in_set:$c"
+      private[ops] def violation =
+        when(col(c).isNotNull && !col(c).cast("string")
+          .isin(allowed: _*), 1L).otherwise(0L)
+    }
+    final case class InRange(c: String, lo: Double, hi: Double)
+        extends Check {
+      val name = s"in_range:$c"
+      private[ops] def violation =
+        when(col(c).isNotNull &&
+          (col(c) < lit(lo) || col(c) > lit(hi)), 1L).otherwise(0L)
+    }
+    final case class Matches(c: String, regex: String) extends Check {
+      val name = s"matches:$c"
+      private[ops] def violation =
+        when(col(c).isNotNull && !col(c).rlike(regex), 1L).otherwise(0L)
+    }
+    /** Key-tuple uniqueness; n_bad = surplus rows beyond one per key. */
+    final case class Unique(cols: Seq[String]) extends Check {
+      val name = s"unique:${cols.mkString(",")}"
+      private[ops] def violation = lit(0L) // aggregated, not row-level
+    }
+  }
+
+  /** Evaluate all `checks` over `df` in one aggregation pass.
+    * Returns `(check, n_rows, n_bad, passed)`, one row per check. */
+  def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "expectations needs at least one check")
+    val aggs = checks.zipWithIndex.map {
+      case (Check.Unique(cols), i) =>
+        (count(lit(1)) - countDistinct(struct(cols.map(col): _*)))
+          .as(s"__bad_$i")
+      case (c, i) => sum(c.violation).as(s"__bad_$i")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).as("check"),
+        col("__n").as("n_rows"),
+        coalesce(col(s"__bad_$i"), lit(0L)).as("n_bad"),
+        (coalesce(col(s"__bad_$i"), lit(0L)) === 0L).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Referential-integrity gate: rows of `child` whose `childKeys`
+    * tuple has no match in `parent`'s `parentKeys`. Same report
+    * schema as [[expectations]]. NULL child keys never match (SQL
+    * join semantics) and so count as orphans — the usual FK reading.
+    *
+    * Plan: LEFT ANTI join child→distinct parent keys (Catalyst
+    * broadcasts the parent side when it is small), reduced to one
+    * count; the `n_rows` total shares the child scan via the same
+    * two-aggregate union trick (both sides are one-row frames, so the
+    * final crossJoin is a broadcast nested loop over 1×1 rows).
+    */
+  def fkOrphans(
+      child: DataFrame, childKeys: Seq[String],
+      parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.length == parentKeys.length && childKeys.nonEmpty,
+      "fkOrphans needs matching non-empty key lists")
+    val name = s"fk:${childKeys.mkString(",")}->${parentKeys.mkString(",")}"
+    val p = parent.select(parentKeys.map(col): _*).distinct()
+    val cond = childKeys.zip(parentKeys)
+      .map { case (ck, pk) => child(ck) === p(pk) }
+      .reduce(_ && _)
+    val orphans = child.join(p, cond, "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    val total = child.agg(count(lit(1)).as("n_rows"))
+    total.crossJoin(orphans).select(
+      lit(name).as("check"), col("n_rows"), col("n_bad"),
+      (col("n_bad") === 0L).as("passed"))
+  }
+}

@@ -352,6 +352,48 @@ object Text {
           " ").as("clean"))
   }
 
+  /** CCNet/RefinedWeb-style boilerplate removal: a LINE that recurs
+    * across ≥ `minDocs` distinct documents of the same `group`
+    * (domain, source crawl, template family) is navigation / cookie
+    * banner / footer chrome, not content — strip it from every doc in
+    * that group while preserving the order of the surviving lines.
+    *
+    * Output: (id, clean, n_removed) — the reassembled document plus
+    * how many of its lines were dropped (the usual per-domain
+    * boilerplate-rate monitoring signal).
+    *
+    * Scale shape: explode to (doc, pos, line) rows once; the
+    * boilerplate set is a grouped `countDistinct(doc)` over
+    * (group, line) — map-side partial aggregation eats the heavy
+    * repetition (the whole point: boilerplate lines are the most
+    * duplicated values in the shuffle, so combiners collapse them
+    * before the wire). Reassembly is one `collect_list` back to doc
+    * grain. A 100 TB corpus pays two shuffles keyed by values whose
+    * cardinality the dedup itself bounds. No driver state.
+    */
+  def boilerplateLines(
+      docs: DataFrame, id: String, group: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(id).as("__id"), col(group).as("__g"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+    val bp = lines.groupBy("__g", "__line")
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__g"), col("__line"), lit(true).as("__bp"))
+    lines.join(bp, Seq("__g", "__line"), "left")
+      .groupBy("__id")
+      .agg(
+        array_join(transform(
+          filter(sort_array(collect_list(struct(col("__pos"),
+            col("__line"), coalesce(col("__bp"), lit(false)).as("__bp")))),
+            x => !x.getField("__bp")),
+          x => x.getField("__line")), sep).as("clean"),
+        sum(when(col("__bp"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col("__id").as(id), col("clean"), col("n_removed"))
+  }
+
   // ---- repetition features (Gopher-style duplicate-fraction rules) ----
 
   /** Fraction of word tokens that are repeats of an earlier token:

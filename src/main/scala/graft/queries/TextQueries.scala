@@ -858,5 +858,48 @@ object TextQueries {
             learnedMerges(s, d))
           .select(col("doc_id"), col("n_tok"),
             md5(concat_ws("\u0001", col("tokens"))).as("tok_md5"))
+    },
+
+    // ---- CCNet/RefinedWeb boilerplate-line removal: lines recurring
+    //      across >= 5 docs of the same source are chrome, strip them
+    //      and reassemble. The face PLANTS the boilerplate from the
+    //      table itself (per-source NAV header + (c) footer around
+    //      each text — the q_confusable_fp device), so DuckDB replays
+    //      the whole strip-and-reassemble relationally and the clean
+    //      text byte-checks ----
+    sql(
+      "q_boilerplate",
+      """WITH pages AS (
+        |  SELECT doc_id, source,
+        |    'NAV ' || source || chr(10) || text || chr(10)
+        |      || '(c) ' || source || ' footer' AS page
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, source, string_split(page, chr(10)) AS ls
+        |       FROM pages),
+        |lines AS (
+        |  SELECT doc_id, source, unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM l0),
+        |bp AS (
+        |  SELECT source, line
+        |  FROM (SELECT source, line, count(DISTINCT doc_id) AS c
+        |        FROM lines GROUP BY 1, 2)
+        |  WHERE c >= 5),
+        |marked AS (
+        |  SELECT l.doc_id, l.pos, l.line, (bp.line IS NOT NULL) AS is_bp
+        |  FROM lines l
+        |  LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+        |                      chr(10) ORDER BY pos), '') AS clean,
+        |  sum(CASE WHEN is_bp THEN 1 ELSE 0 END)::BIGINT AS n_removed
+        |FROM marked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pages = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat_ws("\n", concat(lit("NAV "), col("source")), col("text"),
+          concat(lit("(c) "), col("source"), lit(" footer"))).as("page"))
+      graft.ops.Text.boilerplateLines(
+          pages, "doc_id", "source", "page", minDocs = 5)
+        .orderBy("doc_id")
     })
 }

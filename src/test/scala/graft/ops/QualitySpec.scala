@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.WithSpark
+import graft.ops.Quality.Check._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def report(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+  test("row-level checks fuse into one pass and honor NULL semantics: " +
+    "only not_null counts NULLs as violations") {
+    val df = Seq(
+      (Some("a"), Some("X"), Some(5.0)),
+      (None, Some("Y"), Some(100.0)), // null id; Y not allowed; 100 > hi
+      (Some("c"), None, None) // nulls PASS in_set / in_range
+    ).toDF("id", "flag", "qty")
+    val r = report(Quality.expectations(df, Seq(
+      NotNull("id"), InSet("flag", Seq("X")), InRange("qty", 0, 50),
+      Matches("id", "^[a-z]$"))))
+    assert(r("not_null:id") == ((3L, 1L, false)))
+    assert(r("in_set:flag") == ((3L, 1L, false)))
+    assert(r("in_range:qty") == ((3L, 1L, false)))
+    assert(r("matches:id") == ((3L, 0L, true)))
+  }
+
+  test("unique counts surplus rows per key tuple, including NULL keys") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 1))
+      .toDF("k1", "k2")
+    val r = report(Quality.expectations(df, Seq(Unique(Seq("k1", "k2")))))
+    // 6 rows, 3 distinct tuples -> 3 surplus
+    assert(r("unique:k1,k2") == ((6L, 3L, false)))
+    // struct-wrapped keys keep NULL-bearing tuples countable
+    val withNull = Seq((Option.empty[String], 1), (None, 1), (Some("x"), 1))
+      .toDF("k1", "k2")
+    val rn = report(Quality.expectations(withNull, Seq(Unique(Seq("k1", "k2")))))
+    assert(rn("unique:k1,k2") == ((3L, 1L, false)))
+  }
+
+  test("empty frame: zero rows, zero violations, all checks pass") {
+    val df = Seq.empty[(String, Double)].toDF("id", "qty")
+    val r = report(Quality.expectations(df,
+      Seq(NotNull("id"), InRange("qty", 0, 1), Unique(Seq("id")))))
+    assert(r.values.forall(_ == ((0L, 0L, true))))
+  }
+
+  test("fkOrphans: unmatched and NULL child keys are orphans; " +
+    "clean FK passes") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = report(Quality.fkOrphans(child, Seq("ck"), parent, Seq("pk")))
+    assert(r("fk:ck->pk") == ((4L, 2L, false)))
+    val clean = Seq(1L, 2L).toDF("ck")
+    val rc = report(Quality.fkOrphans(clean, Seq("ck"), parent, Seq("pk")))
+    assert(rc("fk:ck->pk") == ((2L, 0L, true)))
+  }
+
+  test("single-scan plan shape: the fused report reads its input once " +
+    "(one scan leaf) regardless of check count") {
+    val df = spark.range(1000).selectExpr("id", "cast(id % 7 as double) v",
+      "cast(id % 3 as string) s")
+    val plan = Quality.expectations(df, Seq(
+      NotNull("id"), InRange("v", 0, 5), InSet("s", Seq("0", "1", "2")),
+      Matches("s", "^[0-9]+$"), Unique(Seq("id"))))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if l.children.isEmpty => l
+    }
+    assert(scans.length == 1, s"expected one scan leaf, got:\n$plan")
+  }
+}

@@ -212,4 +212,36 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(re == got.map { case (k, v) => (k, v._1) })
   }
+
+  test("boilerplateLines strips lines shared by >= minDocs docs of the " +
+    "SAME group only, preserves order, and counts removals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "HEADER\nalpha\nFOOTER"),
+      (2L, "g1", "HEADER\nbeta\nFOOTER"),
+      (3L, "g1", "HEADER\ngamma\nHEADER\nFOOTER"), // repeated in-doc line
+      // g2 shares the HEADER string but has only 2 docs < minDocs
+      (4L, "g2", "HEADER\ndelta"),
+      (5L, "g2", "HEADER\nepsilon")).toDF("id", "grp", "text")
+    val got = Text.boilerplateLines(docs, "id", "grp", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("alpha", 2L)))
+    assert(got(2L) == (("beta", 2L)))
+    // both HEADER occurrences in doc 3 are removed (3 removals total)
+    assert(got(3L) == (("gamma", 3L)))
+    // g2 is below threshold: untouched
+    assert(got(4L) == (("HEADER\ndelta", 0L)))
+    assert(got(5L) == (("HEADER\nepsilon", 0L)))
+  }
+
+  test("boilerplateLines: a fully-boilerplate doc reassembles to the " +
+    "empty string, not null") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(i => (i, "g", "SAME")).toDF("id", "grp", "text")
+    val got = Text.boilerplateLines(docs, "id", "grp", "text", minDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.values.forall(_ == (("", 1L))))
+  }
 }
