@@ -846,6 +846,54 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
   }
 
+  /** Incrementally append a batch of vectors to a persisted IVF index
+    * ([[ivfBuild]]) — the production maintenance path: centroids are
+    * TRAINED ONCE and frozen (retraining is a separate, rarer rebuild
+    * decision driven by drift monitoring), each new ingest batch is
+    * assigned against the stored codebook and appended into the
+    * centroid-partitioned lists.
+    *
+    * Scale shape: one scan of the new batch, map-side assignment
+    * against driver-sized broadcast centroids, dynamic-partition
+    * APPEND — existing list files are never read or rewritten, so the
+    * cost is ∝ batch, not ∝ index. Because assignment is the same
+    * codegen'd expression as [[ivfBuild]]'s, an index built as
+    * init + N appends is query-identical to a single build over the
+    * union (pinned in SimilaritySpec).
+    */
+  def ivfAppend(
+      batch: DataFrame, dir: String, id: String, vec: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids: Array[(Int, Array[Double])] = spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    batch
+      .select(col(id).as("neighbor_id"),
+        col(vec).cast("array<double>").as("vector"))
+      .withColumn("cid",
+        rankedCentroids(col("vector"), centroids).getItem(0).getField("cid"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+  }
+
+  /** Initialize an EMPTY IVF index at `dstDir` reusing the codebook of
+    * an existing index — the "frozen centroids, fresh lists" starting
+    * point for [[ivfAppend]]-only maintenance (e.g. a per-tenant or
+    * per-day index family sharing one trained codebook). Centroid
+    * doubles round-trip parquet bit-exactly, so the clone assigns
+    * identically to its source. */
+  def ivfInitFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/centroids")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dstDir/centroids")
+    // no lists yet: ivfQuery's lists read handles the first append
+    // creating the directory
+  }
+
   /** Query a persisted IVF index ([[ivfBuild]]). The probe set —
     * ≤ queries × nProbe centroid ids, driver-bounded because a query
     * batch is human/request-sized — becomes a static IN filter on the

@@ -68,10 +68,31 @@ object SimilarityQueries {
     * (BENCH_r05 overstated q_knn_pq/q_knn_ivfpq ~7×). Bench calls
     * this during warmup; results are unchanged (the caches are keyed
     * and deterministic). */
+  /** Build-once cache for the APPEND-maintained IVF face: clone the
+    * trained codebook ([[graft.ops.Similarity.ivfInitFrom]]), then
+    * ingest the corpus as two frozen-centroid append batches
+    * (even/odd vec_ids). Query-identical to the single-build index —
+    * q_knn_ivf_append shares golden_knn_ivf.tsv. */
+  private val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfAppendDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfAppendCache.computeIfAbsent(d, _ => {
+      val dir = s"$indexScratch/ivfapp_${math.abs(d.hashCode)}"
+      Similarity.ivfInitFrom(s, ivfDir(s, d), dir)
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfAppend(
+        e.filter(col("vec_id") % 2 === 0), dir, "vec_id", "embedding")
+      Similarity.ivfAppend(
+        e.filter(col("vec_id") % 2 === 1), dir, "vec_id", "embedding")
+      dir
+    })
+
   def warm(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     pqBooks(s, d)
     ivfPqDir(s, d)
     ivfDir(s, d)
+    ivfAppendDir(s, d)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -272,6 +293,25 @@ object SimilarityQueries {
       (s, d) =>
         val e = Tables.embeddings(s, d)
         Similarity.ivfQuery(e.filter(col("vec_id") < 10), ivfDir(s, d),
+            "vec_id", "embedding", k = 5, nProbe = 8)
+          .withColumn("cosine", round(col("cosine"), 6))
+    },
+
+    // ---- incremental index maintenance: frozen-codebook clone + two
+    //      append batches must serve queries identically to the
+    //      single-build index (appends only ever ADD files under the
+    //      centroid partitions — cost ∝ batch, not index), so this
+    //      face shares golden_knn_ivf.tsv with q_knn_ivf_index ----
+    sql(
+      "q_knn_ivf_append",
+      s"""SELECT query_id::BIGINT AS query_id,
+         |  neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank,
+         |  cosine::DOUBLE AS cosine
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivf.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfQuery(e.filter(col("vec_id") < 10), ivfAppendDir(s, d),
             "vec_id", "embedding", k = 5, nProbe = 8)
           .withColumn("cosine", round(col("cosine"), 6))
     },

@@ -229,6 +229,23 @@ object SourceQueries {
       s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
     },
 
+    // ---- XML sink/scan round-trip (Spark 4's built-in xml source):
+    //      write suppliers as <supplier> elements, read back with a
+    //      pinned schema, hash against the parquet-backed oracle —
+    //      DuckDB never needs to parse XML itself ----
+    sql(
+      "q_xml_roundtrip",
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier") { (s, d) =>
+      val out = s"$sinkScratch/graft_sink_xml"
+      graft.sources.Sinks.xml(
+        Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey"),
+        out, rowTag = "supplier")
+      s.read.option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey bigint")
+        .format("xml").load(out)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    },
+
     // ---- CSV sink round-trip (interchange format for BI/spreadsheet
     //      consumers; header-ful, partition-owner writes) ----
     sql(

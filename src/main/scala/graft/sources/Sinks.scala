@@ -57,6 +57,23 @@ object Sinks {
       .partitionBy(partitionBy: _*)
       .orc(path)
 
+  /** XML sink (Spark 4's built-in xml source, the spark-xml donation)
+    * — the interchange boundary for registry/LIMS consumers that still
+    * speak XML. Same partition-owner write discipline as the other
+    * text sinks; `rowTag` names the per-row element. */
+  def xml(
+      df: DataFrame,
+      path: String,
+      rowTag: String,
+      partitionBy: Seq[String] = Seq.empty,
+      singleFile: Boolean = false): Unit =
+    arrange(df, partitionBy, singleFile).write
+      .mode(SaveMode.Overwrite)
+      .option("rowTag", rowTag)
+      .partitionBy(partitionBy: _*)
+      .format("xml")
+      .save(path)
+
   /** Header-ful CSV sink with the same partition-owner write
     * discipline as [[partitionedJson]] — the interchange format for
     * spreadsheet/BI consumers of metadata-sized outputs. */

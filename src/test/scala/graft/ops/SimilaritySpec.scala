@@ -4,6 +4,8 @@ import graft.WithSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 class SimilaritySpec extends AnyFunSuite with WithSpark {
   import spark.implicits._
 
@@ -164,6 +166,47 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(plan.contains("PartitionFilters: [cid#") ||
       plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid.*"),
       s"no partition pruning in:\n${plan.take(2000)}")
+  }
+
+  test("frozen-codebook append maintenance: init + N ivfAppend batches " +
+      "serves queries identically to one ivfBuild over the union, and " +
+      "appends never rewrite existing list files") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
+    val app = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString
+    Similarity.ivfBuild(e, "vec_id", "embedding", full, numCentroids = 16)
+    Similarity.ivfInitFrom(spark, full, app)
+    Similarity.ivfAppend(
+      e.filter(col("vec_id") % 3 === 0), app, "vec_id", "embedding")
+    // capture list files after batch 1; they must survive batch 2+3
+    def listFiles(dir: String): Set[String] = {
+      val root = java.nio.file.Paths.get(s"$dir/lists")
+      if (!java.nio.file.Files.exists(root)) Set.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString).toSet
+        finally s.close()
+      }
+    }
+    val afterB1 = listFiles(app)
+    Similarity.ivfAppend(
+      e.filter(col("vec_id") % 3 === 1), app, "vec_id", "embedding")
+    Similarity.ivfAppend(
+      e.filter(col("vec_id") % 3 === 2), app, "vec_id", "embedding")
+    assert(afterB1.subsetOf(listFiles(app)),
+      "an append rewrote or removed a previously-written list file")
+    val fromApp = Similarity.ivfQuery(
+        q, app, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val fromFull = Similarity.ivfQuery(
+        q, full, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromApp == fromFull)
   }
 
   test("lshTopK recall vs brute force on clustered real embeddings") {
