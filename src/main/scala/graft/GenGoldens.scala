@@ -280,6 +280,33 @@ object GenGoldens {
         "query_id\tneighbor_id\trank\tcosine", "golden_knn_ivfpq.tsv")
     } else println(s"skipped golden_knn_*.tsv ($embPath missing)")
 
+    // q_stream_ingest golden: accepted doc_ids after replaying the
+    // documents corpus through the streaming near-dup ingest sink as
+    // three micro-batches (doc_id % 3). Deterministic: xxhash64
+    // banding + min-id-greedy drop rule over static data. The
+    // EventStreamSpec restart/replay cases guard the sink's semantics
+    // independently of this snapshot.
+    locally {
+      val docsPath = "/root/testdata/sf0.01/documents.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("golden_ingest").toString
+        val sfDocs = spark.read.parquet(docsPath)
+          .withColumn("sh", Text.shingles(col("text"), 3))
+          .select("doc_id", "sh")
+        (0 until 3).foreach { b =>
+          graft.streaming.EventStream.nearDupIngestSink(
+            dir, "doc_id", "sh")(
+            sfDocs.filter(col("doc_id") % 3 === b), b.toLong)
+        }
+        val accepted = graft.streaming.EventStream
+          .readAccepted(spark, dir)
+          .select("doc_id").orderBy("doc_id").as[Long].collect()
+        writeTsv(accepted.map(_.toString).toSeq, "doc_id",
+          "golden_stream_ingest.tsv")
+      } else println(s"skipped golden_stream_ingest.tsv ($docsPath missing)")
+    }
+
     // StudiesExpected-style field-for-field golden of the FULL study
     // document over the clinical fixtures (the reference's
     // ClassGenerator snapshot device, StudiesExpected.scala:8-209):

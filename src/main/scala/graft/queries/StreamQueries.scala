@@ -106,5 +106,43 @@ object StreamQueries {
         |  count(*) AS n_events
         |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, d) =>
       EventStream.sessionStats(Tables.events(s, d), "30 minutes")
+    },
+
+    // ---- streaming near-dup-aware ingest: the documents corpus
+    //      arrives as three micro-batches (doc_id % 3); each batch is
+    //      MinHash-banded, screened against the accumulated accepted
+    //      band state, survivors appended. Deterministic hash chains
+    //      over static data -> committed GenGoldens snapshot over the
+    //      correctness SF (DuckDB cannot replay minhash banding) ----
+    sql(
+      "q_stream_ingest",
+      s"""SELECT doc_id::BIGINT AS doc_id
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_stream_ingest.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        EventStream.readAccepted(s, ingestDir(s, d)).select("doc_id")
+    })
+
+  /** Build-once cache for the streaming-ingest face: replay the three
+    * micro-batches through [[EventStream.nearDupIngestSink]] into a
+    * per-JVM scratch state dir. Deterministic: banding is xxhash64
+    * chains, the drop rule is min-id-greedy, batch membership is
+    * doc_id % 3 — so the accepted set is a pure function of the
+    * corpus, safe to golden-snapshot. */
+  private val ingestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def ingestDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ingestCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_ingest")}/${math.abs(d.hashCode)}"
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+        .select("doc_id", "sh")
+      (0 until 3).foreach { b =>
+        EventStream.nearDupIngestSink(dir, "doc_id", "sh")(
+          docs.filter(col("doc_id") % 3 === b), b.toLong)
+      }
+      dir
     })
 }

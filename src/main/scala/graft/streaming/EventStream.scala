@@ -437,6 +437,76 @@ object EventStream {
         s"no cms state in $stateDir"))
   }
 
+  /** Streaming near-dup-aware corpus ingest — the continuous version
+    * of the batch incremental dedup ([[graft.ops.Dedup
+    * .incrementalCandidates]]): each micro-batch is MinHash-banded,
+    * checked against the accumulated accepted-corpus band state, and
+    * only novel documents (plus their bands) are appended. The state
+    * a 100 TB corpus accretes is the compact (id, band, bucket) table
+    * — never the documents themselves.
+    *
+    * Drop rule (deterministic, one pass): a new document is rejected
+    * if any of its LSH buckets collides with (i) an already-accepted
+    * document or (ii) a smaller-id document of the same batch. This
+    * is bucket-granularity dedup — the standard streaming trade
+    * (collision probability follows the banding parameters; rescore
+    * offline with [[graft.ops.Dedup.jaccard]] if exactness matters,
+    * fetching just the collided docs).
+    *
+    * Layout & exactly-once: survivors land in `docs/batch_id=N`,
+    * their bands in `bands/batch_id=N` — both written with per-batch
+    * OVERWRITE, so a re-delivered batch replaces its own previous
+    * (possibly partial) output instead of duplicating it
+    * ([[idempotentParquetSink]]'s discipline). The state read
+    * partition-prunes the replayed batch's own directory out, so the
+    * replay decides against exactly the state the failed attempt saw.
+    *
+    * Per-batch cost: one LSH pass over the batch + one equi-join of
+    * batch bands against state bands (shuffle bounded by collisions;
+    * the state side is a compact columnar scan) — O(batch) work,
+    * never O(corpus) rewrite.
+    */
+  def nearDupIngestSink(
+      dir: String, id: String, shingleCol: String,
+      numHashes: Int = 64, bands: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val bandsRoot = s"$dir/bands"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newBanded = graft.ops.Dedup.bandedBuckets(
+        batch, id, col(shingleCol), numHashes, bands)
+      .localCheckpoint() // consumed by 2-3 joins below
+    val dupVsState: Option[DataFrame] =
+      if (fs.exists(new Path(bandsRoot))) {
+        val state = spark.read.option("basePath", bandsRoot)
+          .parquet(bandsRoot)
+          .filter(col("batch_id") =!= batchId) // replay sees prior state only
+        Some(newBanded
+          .join(state.select(col(id).as("__sid"), col("band"),
+            col("bucket")), Seq("band", "bucket"))
+          .filter(col(id) =!= col("__sid"))
+          .select(id))
+      } else None
+    val dupInBatch = newBanded.select(col(id).as("__a"), col("band"),
+        col("bucket"))
+      .join(newBanded.select(col(id).as("__b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__b").as(id))
+    val dropIds = dupVsState.fold(dupInBatch)(dupInBatch.unionByName(_))
+      .distinct().localCheckpoint()
+    val kept = batch.join(dropIds, Seq(id), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$dir/docs/batch_id=$batchId")
+    newBanded.join(dropIds, Seq(id), "left_anti")
+      .write.mode("overwrite").parquet(s"$bandsRoot/batch_id=$batchId")
+  }
+
+  /** The corpus accepted so far by [[nearDupIngestSink]]. */
+  def readAccepted(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", s"$dir/docs").parquet(s"$dir/docs")
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

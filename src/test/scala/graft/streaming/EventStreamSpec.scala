@@ -300,6 +300,62 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("nearDupIngestSink: in-batch and cross-batch collisions drop, " +
+    "novel docs accrete, re-delivered batches are idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ndingest").toString
+    def doc(id: Long, words: String*) = (id, words)
+    def df(rows: (Long, Seq[String])*) = rows.toDF("doc_id", "sh")
+    val sink = EventStream.nearDupIngestSink(dir, "doc_id", "sh") _
+    // batch 0: doc 3 duplicates doc 1 (identical shingles) -> in-batch
+    // drop keeps the smaller id
+    sink(df(
+      doc(1L, "alpha beta", "beta gamma"),
+      doc(2L, "delta epsilon", "epsilon zeta"),
+      doc(3L, "alpha beta", "beta gamma")), 0L)
+    def accepted(): Seq[Long] = EventStream.readAccepted(spark, dir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(accepted() == Seq(1L, 2L))
+    // batch 1: doc 4 duplicates accepted doc 2 -> cross-batch drop;
+    // doc 5 is novel -> kept
+    val b1 = df(
+      doc(4L, "delta epsilon", "epsilon zeta"),
+      doc(5L, "eta theta", "theta iota"))
+    sink(b1, 1L)
+    assert(accepted() == Seq(1L, 2L, 5L))
+    // failure re-delivery of batch 1 with the same payload: the state
+    // read must exclude the replayed batch's own partial output, so
+    // doc 5 is NOT self-rejected and the state is unchanged
+    sink(b1, 1L)
+    assert(accepted() == Seq(1L, 2L, 5L), "replay must be idempotent")
+    // batch 2 still screens against everything accepted so far
+    sink(df(doc(6L, "eta theta", "theta iota"),
+      doc(7L, "kappa lambda", "lambda mu")), 2L)
+    assert(accepted() == Seq(1L, 2L, 5L, 7L))
+  }
+
+  test("nearDupIngestSink behind a MemoryStream accretes exactly the " +
+    "batch-face state") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ndingest_s").toString
+    val input = MemoryStream[(Long, Seq[String])](spark)
+    val query = input.toDS().toDF("doc_id", "sh").writeStream
+      .foreachBatch(EventStream.nearDupIngestSink(dir, "doc_id", "sh") _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, Seq("a b", "b c")), (2L, Seq("d e", "e f")))
+      query.processAllAvailable()
+      input.addData((3L, Seq("a b", "b c")), (4L, Seq("g h", "h i")))
+      query.processAllAvailable()
+      val got = EventStream.readAccepted(spark, dir)
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 4L))
+    } finally query.stop()
+  }
+
   test("upsertSink folds a changelog stream into a keyed snapshot") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_upsert").toString
