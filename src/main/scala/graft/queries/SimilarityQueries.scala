@@ -297,6 +297,56 @@ object SimilarityQueries {
           .withColumn("cosine", round(col("cosine"), 6))
     },
 
+    // ---- ANN evaluation harness as a first-class face: recall@5 of
+    //      the IVF path against exact brute force, per query. The
+    //      oracle recomputes brute force relationally and reads the
+    //      committed IVF golden — so the recall numbers themselves are
+    //      hash-checked, not just eyeballed in a spec ----
+    sql(
+      "q_ann_recall",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, e.v)
+         |      / (sqrt(list_dot_product(q.v, q.v))
+         |         * sqrt(list_dot_product(e.v, e.v))) AS cosine
+         |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY cosine DESC, neighbor_id)
+         |            AS rank
+         |        FROM s)
+         |  WHERE rank <= 5),
+         |ivf AS (
+         |  SELECT query_id::BIGINT AS query_id,
+         |    neighbor_id::BIGINT AS neighbor_id
+         |  FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivf.tsv',
+         |    delim='\\t', header=true, all_varchar=true))
+         |SELECT b.query_id, count(i.neighbor_id)::BIGINT AS n_hit,
+         |  count(i.neighbor_id) / 5.0 AS recall
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(
+          corpus = e, queries = q, id = "vec_id", vec = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(
+          corpus = e, queries = q, id = "vec_id", vec = "embedding",
+          k = 5, numCentroids = 16, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id").as("__ivf_n"))
+      brute.join(ivf,
+          brute("query_id") === ivf("query_id") &&
+            col("neighbor_id") === col("__ivf_n"), "left")
+        .groupBy(brute("query_id"))
+        .agg(count(col("__ivf_n")).as("n_hit"),
+          (count(col("__ivf_n")) / 5.0).as("recall"))
+    },
+
     // ---- incremental index maintenance: frozen-codebook clone + two
     //      append batches must serve queries identically to the
     //      single-build index (appends only ever ADD files under the

@@ -229,6 +229,26 @@ object SourceQueries {
       s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
     },
 
+    // ---- versioned publish / rollback: promote two snapshot versions
+    //      of a supplier aggregate, roll back, read current — the
+    //      oracle recomputes what v1 must contain, so the pointer
+    //      discipline (not just the parquet write) is what's checked ----
+    sql(
+      "q_publish_rollback",
+      """SELECT s_nationkey, count(*)::BIGINT AS n
+        |FROM supplier WHERE s_suppkey <= 50
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val root = s"$sinkScratch/graft_versioned"
+      val sup = Tables.supplier(s, d)
+      graft.sources.Versioned.publish(
+        sup.filter(col("s_suppkey") <= 50)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n")), root)
+      graft.sources.Versioned.publish(
+        sup.groupBy("s_nationkey").agg(count(lit(1)).as("n")), root)
+      graft.sources.Versioned.rollback(s, root)
+      graft.sources.Versioned.readCurrent(s, root)
+    },
+
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):
     //      write suppliers as <supplier> elements, read back with a
     //      pinned schema, hash against the parquet-backed oracle —
