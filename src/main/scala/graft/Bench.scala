@@ -54,7 +54,13 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     val maxes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // local-dev subsetting only (the driver never sets it): regex over
+    // query names to time a few faces without the full 190-query run
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        nameFilter.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       // Nudge the ContextCleaner BEFORE the clock starts: earlier
       // queries' localCheckpoint/persist blocks are reclaimed on GC,
       // and without this a later query pays its predecessors' memory
@@ -109,10 +115,12 @@ object Bench {
     // any tail capture whole: total, build, failure count, and the
     // slowest queries (the part of the distribution a reviewer needs
     // first).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    if (nameFilter.isEmpty) { // a subset run must not shadow the record
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
     }
     val slowest = timings.toSeq
       .collect { case (k, Some(v)) => (k, v) }
