@@ -217,4 +217,57 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__draw", "__key", "__cum")
   }
+
+  /** The draw as an unsigned 32-bit integer (for modular bucketing —
+    * both engines parse the same 8 hex chars). */
+  private def drawInt(key: Column, salt: String): Column =
+    conv(unitDraw(key, salt), 16, 10).cast("long")
+
+  /** Deterministic NEGATIVE sampling for contrastive-training pairs:
+    * k "random" corpus documents per anchor, with replacement across
+    * probes, never the anchor itself. The naive formulation (rank all
+    * corpus docs per anchor by a joint hash) is an |anchors|×|corpus|
+    * blow-up; this one is O(|corpus| + |anchors|·k):
+    *
+    *  1. every corpus doc hashes into one of `buckets` buckets; each
+    *     bucket elects ONE representative (lexicographic min on a
+    *     second independent draw) — a buckets-sized dim frame,
+    *     broadcast below;
+    *  2. each anchor probes k buckets via indexed draws
+    *     hash(anchor, i); the probed bucket's representative is the
+    *     i-th negative.
+    *
+    * Uniformity comes from the bucket hash (bucket occupancies are
+    * binomial); determinism and engine-portability from the md5 draw
+    * convention shared with every sampler above — DuckDB replays the
+    * exact negative ids byte-for-byte. Self-collisions (an anchor
+    * probing the bucket it represents) are filtered, so an anchor can
+    * yield k-1 rows occasionally; repeated probes of one bucket keep
+    * both rows (sampling WITH replacement — the standard contrastive
+    * setup; `distinct` downstream if without-replacement is wanted).
+    * Output: (anchor_id, probe, negative_id), one row per surviving
+    * probe.
+    */
+  def negativeSamples(
+      anchors: DataFrame, anchorKey: String,
+      corpus: DataFrame, corpusKey: String,
+      k: Int, buckets: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val reps = corpus.select(col(corpusKey).as("negative_id"),
+        (drawInt(col(corpusKey), s"$salt#b") % buckets).as("__bkt"),
+        unitDraw(col(corpusKey), s"$salt#r").as("__d"))
+      .groupBy("__bkt")
+      .agg(min(struct(col("__d"), col("negative_id"))).as("__m"))
+      .select(col("__bkt"), col("__m.negative_id").as("negative_id"))
+    val probes = anchors
+      .select(col(anchorKey).as("anchor_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("probe"))
+      .withColumn("__bkt",
+        drawInt(concat(col("anchor_id").cast("string"), lit("#"),
+          col("probe").cast("string")), s"$salt#a") % buckets)
+    probes.join(broadcast(reps), Seq("__bkt"))
+      .filter(col("negative_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("probe"), col("negative_id"))
+  }
 }

@@ -198,5 +198,43 @@ object SamplingQueries {
           Sampling.splitAssign(col("source"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
             salt = "grp").as("split"))
+    },
+
+    // ---- deterministic negative sampling for contrastive pairs:
+    //      k=4 bucket-hashed negatives per anchor from a 64-bucket
+    //      corpus election — O(corpus + anchors*k), never the
+    //      |anchors|x|corpus| rank blow-up. The md5 draw convention
+    //      lets DuckDB replay the exact negative ids ----
+    sql(
+      "q_negative_sample",
+      s"""WITH b AS (
+         |  SELECT doc_id AS negative_id,
+         |    CAST('0x' || substr(md5('neg#b' || CAST(doc_id AS VARCHAR)),
+         |      1, ${Sampling.PrefixHexLen}) AS BIGINT) % 64 AS bkt,
+         |    substr(md5('neg#r' || CAST(doc_id AS VARCHAR)),
+         |      1, ${Sampling.PrefixHexLen}) AS d
+         |  FROM documents),
+         |reps AS (
+         |  SELECT bkt, negative_id FROM (
+         |    SELECT bkt, negative_id,
+         |      row_number() OVER (PARTITION BY bkt
+         |        ORDER BY d, negative_id) AS rn
+         |    FROM b) WHERE rn = 1),
+         |probes AS (
+         |  SELECT a.doc_id AS anchor_id, i.probe,
+         |    CAST('0x' || substr(md5('neg#a' || CAST(a.doc_id AS VARCHAR)
+         |        || '#' || CAST(i.probe AS VARCHAR)),
+         |      1, ${Sampling.PrefixHexLen}) AS BIGINT) % 64 AS bkt
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 20) a,
+         |       (SELECT unnest(range(4)) AS probe) i)
+         |SELECT p.anchor_id, p.probe::INT AS probe, r.negative_id
+         |FROM probes p JOIN reps r USING (bkt)
+         |WHERE r.negative_id <> p.anchor_id
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Sampling.negativeSamples(
+          docs.filter(col("doc_id") < 20), "doc_id",
+          docs, "doc_id", k = 4, buckets = 64, salt = "neg")
+        .orderBy("anchor_id", "probe")
     })
 }

@@ -229,6 +229,31 @@ object SourceQueries {
       s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
     },
 
+    // ---- schema-evolution-tolerant scan: two parquet generations of
+    //      the same table (a column added mid-corpus) read as ONE
+    //      frame via mergeSchema, old rows null-padded — the 100 TB
+    //      reality where rewriting history for every added column is
+    //      not an option ----
+    sql(
+      "q_schema_merge",
+      """SELECT o_orderkey, o_custkey, NULL AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, d) =>
+      val out = s"$sinkScratch/graft_schema_merge"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen=1", s"$out/gen=2")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    },
+
     // ---- versioned publish / rollback: promote two snapshot versions
     //      of a supplier aggregate, roll back, read current — the
     //      oracle recomputes what v1 must contain, so the pointer

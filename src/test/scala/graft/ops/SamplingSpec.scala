@@ -173,4 +173,29 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
     }
     assert(hits >= 18, s"heavy row sampled only $hits/25 times")
   }
+
+  test("negativeSamples: k probes per anchor (minus self-collisions), " +
+    "negatives from the corpus, never the anchor itself, deterministic " +
+    "and partition-independent") {
+    val corpus = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "t")
+    val anchors = corpus.filter(col("id") <= 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSamples(anchors, "id", c, "id",
+          k = 4, buckets = 32, salt = "t")
+        .select("anchor_id", "probe", "negative_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val got = run(corpus)
+    assert(got == run(corpus.repartition(13)), "layout changed the sample")
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == (1L to 10L).toSet)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.size >= 3 && rows.size <= 4,
+        s"anchor $a got ${rows.size} negatives (k=4, <=1 self-collision)")
+      assert(rows.forall(_._3 != a), s"anchor $a sampled itself")
+      assert(rows.forall(r => r._3 >= 1L && r._3 <= 200L))
+    }
+    // distribution sanity: across anchors the negatives are spread,
+    // not one bucket's representative repeated everywhere
+    assert(got.map(_._3).size >= 8, "negatives collapsed to few docs")
+  }
 }
