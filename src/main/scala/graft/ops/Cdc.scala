@@ -210,4 +210,46 @@ object Cdc {
       .select(col("__r.*"))
     closed.unionByName(merged)
   }
+
+  /** Incremental maintenance of a grouped COUNT/SUM rollup — the
+    * materialized-view refresh path: fold one arriving batch into the
+    * persisted per-key state without re-scanning the corpus. count and
+    * sum are associative+commutative, so
+    * `aggRefresh(aggRefresh(state, b1), b2) == aggState(b1 ∪ b2)`
+    * for ANY batch split (property-spec'd); avg/rates derive from the
+    * pair downstream. Cost per refresh: one map-side-combined
+    * aggregation of the BATCH plus a key-sized outer fold — O(batch +
+    * |keys|), never O(corpus). Corrections arrive as retraction rows
+    * with `weight = -1` (count folds the weight, sum folds
+    * weight·value), so an upstream fix is two rows — retract old,
+    * assert new — the standard changelog convention.
+    *
+    * State schema: (keys..., n, total). Empty groups (n = 0 after
+    * retractions) are dropped so the state never accretes dead keys.
+    */
+  def aggRefresh(
+      state: DataFrame, batch: DataFrame, keys: Seq[String],
+      valueCol: String, weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    val delta = batch.groupBy(keys.map(col): _*)
+      .agg(sum(w).as("__dn"),
+        sum(w * col(valueCol)).as("__dt"))
+    val s = prefixed(state, keys :+ "n" :+ "total", "__s_")
+    val joinCond = keys.map(k => col(s"__s_$k") <=> col(k)).reduce(_ && _)
+    s.join(delta, joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(k), col(s"__s_$k")).as(k)) :+
+          (coalesce(col("__s_n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+            .as("n") :+
+          (coalesce(col("__s_total"), lit(0L)) +
+            coalesce(col("__dt"), lit(0L))).as("total"): _*)
+      .filter(col("n") =!= 0L)
+  }
+
+  /** Bootstrap the [[aggRefresh]] state from a first batch. */
+  def aggState(
+      batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).cast("long").as("total"))
 }

@@ -134,5 +134,27 @@ object CdcQueries {
           expr("TIMESTAMP '1998-12-31 00:00:00'").as("effective_at"))
       Cdc.scd2Merge(closed.unionByName(current), batch,
         keys = Seq("o_orderkey"), attrs = Seq("status"))
+    },
+
+    // ---- incremental rollup maintenance: the per-source (count, sum)
+    //      state bootstrapped from the first third of the corpus and
+    //      folded forward with two batch refreshes must EQUAL the
+    //      one-shot aggregate over everything — associativity is the
+    //      whole contract, and the oracle recomputes the one-shot side ----
+    sql(
+      "q_agg_refresh",
+      """SELECT source, count(*)::BIGINT AS n,
+        |  sum(n_chars)::BIGINT AS total
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val state0 = Cdc.aggState(
+        docs.filter(col("doc_id") < 170), Seq("source"), "n_chars")
+      val state1 = Cdc.aggRefresh(state0,
+        docs.filter(col("doc_id") >= 170 && col("doc_id") < 340),
+        Seq("source"), "n_chars")
+      Cdc.aggRefresh(state1,
+          docs.filter(col("doc_id") >= 340), Seq("source"), "n_chars")
+        .orderBy("source")
     })
 }

@@ -122,4 +122,35 @@ class CdcSpec extends AnyFunSuite with WithSpark {
       (3L, "z1", "2020-09-01", None),               // untouched
       (9L, "n1", "2022-01-01", None)))              // new key opens
   }
+
+  test("aggRefresh: any batch split folds to the one-shot aggregate; " +
+    "retractions subtract; emptied keys leave the state") {
+    import spark.implicits._
+    val rows = (1L to 90L).map(i => (s"k${i % 7}", i)).toDF("k", "v")
+    val oneShot = Cdc.aggState(rows, Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    // fold in three uneven batches
+    val b = (n: Int) => rows.filter(col("v") % 3 === n)
+    val folded = Cdc.aggRefresh(
+        Cdc.aggRefresh(Cdc.aggState(b(0), Seq("k"), "v"),
+          b(1), Seq("k"), "v"),
+        b(2), Seq("k"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(folded == oneShot)
+    // retraction: remove one row of k1 via weight -1, then re-assert a
+    // corrected value — n is back, total moved by the delta
+    val retract = Seq(("k1", 8L, -1L), ("k1", 11L, 1L))
+      .toDF("k", "v", "w")
+    val corrected = Cdc.aggRefresh(Cdc.aggState(rows, Seq("k"), "v"),
+        retract, Seq("k"), "v", weightCol = Some("w"))
+      .filter(col("k") === "k1").as[(String, Long, Long)].collect().head
+    val before = oneShot.find(_._1 == "k1").get
+    assert(corrected == (("k1", before._2, before._3 + 3L)))
+    // a key fully retracted leaves the state (no dead zero rows)
+    val solo = Seq(("only", 5L)).toDF("k", "v")
+    val gone = Cdc.aggRefresh(Cdc.aggState(solo, Seq("k"), "v"),
+      Seq(("only", 5L, -1L)).toDF("k", "v", "w"),
+      Seq("k"), "v", weightCol = Some("w"))
+    assert(gone.count() == 0L)
+  }
 }
