@@ -111,7 +111,7 @@ object Quality {
     val orphans = child.join(p, cond, "left_anti")
       .agg(count(lit(1)).as("n_bad"))
     val total = child.agg(count(lit(1)).as("n_rows"))
-    total.crossJoin(orphans).select(
+    total.crossJoin(broadcast(orphans)).select(
       lit(name).as("check"), col("n_rows"), col("n_bad"),
       (col("n_bad") === 0L).as("passed"))
   }

@@ -219,6 +219,122 @@ object SimilarityQueries {
           round(col("maxsim"), 6).as("maxsim"))
     },
 
+    // ---- two-stage retrieval cascade, fully ORACLE-checked (the
+    //      golden-checked q_maxsim_ivf is the ANN-pruned sibling):
+    //      stage 1 retrieves top-20 by cheap pooled cosine, stage 2
+    //      re-ranks ONLY those pairs with the expensive late-
+    //      interaction maxsim — rescore cost is shortlist-sized,
+    //      never corpus-sized. DuckDB replays both stages ----
+    sql(
+      "q_rerank", {
+        def cosSql(a: String, b: String) =
+          s"""(list_dot_product($a, $b)
+             |      / (sqrt(list_dot_product($a, $a))
+             |         * sqrt(list_dot_product($b, $b))))""".stripMargin
+        def maxSql(i: Int) =
+          s"greatest(${(1 to 4).map(j => cosSql(s"q.vs[$i]", s"e.vs[$j]"))
+            .mkString(",\n    ")})"
+        s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |            FROM embeddings),
+           |qv AS (SELECT vec_id, v FROM ev WHERE vec_id < 5),
+           |sl AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.v", "e.v")} DESC, e.vec_id) AS r
+           |    FROM qv q JOIN ev e ON e.vec_id <> q.vec_id)
+           |  WHERE r <= 20),
+           |mv AS (
+           |  SELECT vec_id, [v[1:16], v[17:32], v[33:48], v[49:64]] AS vs
+           |  FROM ev),
+           |rescored AS (
+           |  SELECT sl.query_id, sl.neighbor_id,
+           |    round(${(1 to 4).map(maxSql).mkString("\n  + ")}, 9)
+           |      AS maxsim
+           |  FROM sl
+           |  JOIN mv q ON q.vec_id = sl.query_id
+           |  JOIN mv e ON e.vec_id = sl.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, round(maxsim, 6) AS maxsim
+           |FROM (SELECT query_id, neighbor_id, maxsim,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY maxsim DESC, neighbor_id) AS rank
+           |      FROM rescored)
+           |WHERE rank <= 5""".stripMargin
+      }) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val v = col("embedding").cast("array<double>")
+      val mv = e.select(col("vec_id"),
+        array(slice(v, 1, 16), slice(v, 17, 16),
+          slice(v, 33, 16), slice(v, 49, 16)).as("vs"))
+      val shortlist = Similarity.bruteForceTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 5),
+          id = "vec_id", vec = "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val rescored = shortlist
+        .join(mv.select(col("vec_id").as("query_id"),
+          col("vs").as("__qvs")), Seq("query_id"))
+        .join(mv.select(col("vec_id").as("neighbor_id"),
+          col("vs").as("__cvs")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(aggregate(col("__qvs"), lit(0.0d),
+            (acc, qv) => acc +
+              array_max(transform(col("__cvs"),
+                dv => nanvl(Similarity.cosine(qv, dv), lit(-1.0d))))), 9)
+            .as("maxsim"))
+      graft.plans.TopKPerGroup.topK(
+          rescored, Seq("query_id"), "maxsim", "neighbor_id", k = 5)
+        .withColumn("maxsim", round(col("maxsim"), 6))
+    },
+
+    // ---- MRR@5 of the IVF path: reciprocal rank of the FIRST
+    //      exact-top-5 member in the approximate ranking — the
+    //      second standard retrieval-quality number next to
+    //      q_ann_recall, same oracle device (relational brute force
+    //      joined to the committed IVF golden) ----
+    sql(
+      "q_ann_mrr",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, e.v)
+         |      / (sqrt(list_dot_product(q.v, q.v))
+         |         * sqrt(list_dot_product(e.v, e.v))) AS cosine
+         |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY cosine DESC, neighbor_id)
+         |            AS rank
+         |        FROM s)
+         |  WHERE rank <= 5),
+         |ivf AS (
+         |  SELECT query_id::BIGINT AS query_id,
+         |    neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank
+         |  FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivf.tsv',
+         |    delim='\\t', header=true, all_varchar=true))
+         |SELECT i.query_id,
+         |  coalesce(1.0 / min(CASE WHEN b.neighbor_id IS NOT NULL
+         |                          THEN i.rank END), 0.0) AS rr
+         |FROM ivf i LEFT JOIN brute b
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY i.query_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(
+          corpus = e, queries = q, id = "vec_id", vec = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__rel"))
+      val ivf = Similarity.ivfTopK(
+          corpus = e, queries = q, id = "vec_id", vec = "embedding",
+          k = 5, numCentroids = 16, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(lit(1.0) /
+          min(when(col("__rel") === 1, col("rank"))), lit(0.0)).as("rr"))
+    },
+
     // ---- approximate top-k faces: approximate vs BRUTE FORCE (recall
     //      guarded in SimilaritySpec), but deterministic end to end —
     //      seeded hyperplanes, decimal-mean Lloyd centroids, tie-broken

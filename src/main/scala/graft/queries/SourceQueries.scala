@@ -274,6 +274,30 @@ object SourceQueries {
       graft.sources.Versioned.readCurrent(s, root)
     },
 
+    // ---- publish-time integrity manifest: one row of (version,
+    //      n_rows, checksum) written inside the promoted snapshot —
+    //      the order-independent md5-sum checksum is recomputed
+    //      relationally by the oracle, so a torn or wrong-version
+    //      publish cannot hash-match ----
+    sql(
+      "q_publish_manifest",
+      """SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_rows,
+        |  sum(CAST('0x' || substr(md5(CAST(s_nationkey AS VARCHAR)
+        |      || chr(1) || CAST(n AS VARCHAR)), 1, 8) AS BIGINT))::BIGINT
+        |    AS checksum
+        |FROM (SELECT s_nationkey, count(*)::BIGINT AS n
+        |      FROM supplier GROUP BY 1)""".stripMargin) { (s, d) =>
+      val root = s"$sinkScratch/graft_manifest"
+      // fresh root per JVM: version is deterministically 1
+      if (graft.sources.Versioned.currentVersion(s, root).isEmpty) {
+        graft.sources.Versioned.publish(
+          Tables.supplier(s, d).groupBy("s_nationkey")
+            .agg(count(lit(1)).as("n")),
+          root, manifestCols = Seq("s_nationkey", "n"))
+      }
+      graft.sources.Versioned.readManifest(s, root)
+    },
+
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):
     //      write suppliers as <supplier> elements, read back with a
     //      pinned schema, hash against the parquet-backed oracle —

@@ -36,8 +36,21 @@ object Versioned {
   private val Pointer = "_CURRENT"
 
   /** Write `df` as the next version under `root` and atomically
-    * promote it. Returns the published version number. */
-  def publish(df: DataFrame, root: String, keep: Int = 3): Long = {
+    * promote it. Returns the published version number.
+    *
+    * `manifestCols` non-empty additionally writes an integrity
+    * manifest INSIDE the snapshot (`v_<n>/_manifest` — the leading
+    * underscore hides it from the snapshot's own parquet readers):
+    * one row of (version, n_rows, checksum) where the checksum is the
+    * order-independent sum of a 32-bit md5 draw over each row's
+    * canonical string — engine-portable (DuckDB recomputes it
+    * byte-for-byte), associative (partitioning cannot move it), and
+    * cheap (one extra aggregation of the frame being written). A
+    * consumer verifies a 100 TB publish by re-aggregating the
+    * snapshot and comparing two longs — the partial-write /
+    * wrong-version check object stores cannot give you. */
+  def publish(df: DataFrame, root: String, keep: Int = 3,
+      manifestCols: Seq[String] = Seq.empty): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
@@ -48,9 +61,40 @@ object Versioned {
     val next = (resolve(fs, root).toSeq ++ versions(fs, root))
       .foldLeft(0L)(math.max) + 1L
     df.write.mode("overwrite").parquet(s"$root/v_$next")
+    if (manifestCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, lit}
+      manifest(spark.read.parquet(s"$root/v_$next"), manifestCols)
+        .select(lit(next).as("version"), col("n_rows"), col("checksum"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/v_$next/_manifest")
+    }
     commit(fs, root, next)
     prune(fs, root, keep)
     next
+  }
+
+  /** One-row (n_rows, checksum) integrity summary of `df` over
+    * `cols`: checksum = Σ rows uint32(md5 prefix of the -joined
+    * canonical string). Sum is associative/commutative, so layout and
+    * row order cannot move it; both engines compute the identical
+    * value. NULL fields are skipped by concat_ws in BOTH engines —
+    * callers needing null-position sensitivity coalesce upstream. */
+  def manifest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    import org.apache.spark.sql.functions._
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(conv(substring(md5(
+          concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+            .cast("binary")), 1, 8), 16, 10).cast("long")), lit(0L))
+        .as("checksum"))
+  }
+
+  /** The promoted snapshot's manifest (written by [[publish]] with
+    * `manifestCols`). */
+  def readManifest(spark: SparkSession, root: String): DataFrame = {
+    val v = resolve(fsOf(spark, root), root).getOrElse(
+      throw new java.io.FileNotFoundException(s"nothing published in $root"))
+    spark.read.parquet(s"$root/v_$v/_manifest")
   }
 
   /** Flip the pointer back to the newest surviving version below the

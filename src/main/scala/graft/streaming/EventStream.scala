@@ -507,6 +507,63 @@ object EventStream {
   def readAccepted(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("basePath", s"$dir/docs").parquet(s"$dir/docs")
 
+  /** Per-source token-budget quota enforcement on the MODERN arbitrary-
+    * state API (`transformWithState`, Spark 4 / RocksDB state store) —
+    * the streaming face of [[graft.ops.Sampling.takeTokenBudget]]: a
+    * continuously-ingesting corpus stops accepting a source's
+    * documents once that source's running token sum would exceed
+    * `budget`, forever (the state survives across micro-batches and
+    * restarts via the checkpoint).
+    *
+    * Input rows are (source, doc_id, tokens) — keyed by source, so
+    * each key holds ONE long of state (the spent budget), the smallest
+    * possible state footprint; a 100 TB stream carries
+    * |sources| × 8 bytes. Rows within a micro-batch fold in doc_id
+    * order (the iterator's arrival order is partition-dependent, so
+    * the fold sorts first — determinism over layout, the engine-wide
+    * contract). A document that would cross the budget is dropped but
+    * later smaller documents may still fit — greedy by id order, the
+    * same rule as the batch face's running-sum window.
+    */
+  class TokenQuotaProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long)] {
+    @transient private var used:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      used = getHandle.getValueState[Long]("used",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long)] = {
+      var u = if (used.exists()) used.get() else 0L
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, toks) =>
+        if (u + toks <= budget) { u += toks; kept += ((key, id)) }
+      }
+      used.update(u)
+      kept.iterator
+    }
+  }
+
+  /** Run the quota gate over a (source, doc_id, tokens) stream.
+    * Requires the RocksDB state store provider (transformWithState's
+    * backend): set `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` on the session. */
+  def tokenQuotaFilter(
+      docs: Dataset[(String, Long, Long)],
+      budget: Long): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1)
+      .transformWithState(new TokenQuotaProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** One user session: bounded event run with < `gap` between events. */
   final case class Session(
       user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)

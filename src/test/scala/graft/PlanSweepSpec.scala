@@ -42,7 +42,16 @@ class PlanSweepSpec extends AnyFunSuite {
       "reference cutpoints ride a ONE-row broadcast frame into the map-side stamp",
     "q_drift_ks" -> "KS totals (n_ref, n_cur) ride a ONE-row broadcast carrier",
     "q_drift_quantile" ->
-      "cutpoints + PSI totals each ride ONE-row broadcast carriers")
+      "cutpoints + PSI totals each ride ONE-row broadcast carriers",
+    "q_expectations" ->
+      ("n_rows and the FK orphan count are both ONE-row aggregates " +
+        "crossed into the report row"),
+    "q_ann_recall" ->
+      "embeds the brute-force ideal set: corpus x broadcast(query batch)",
+    "q_ann_mrr" ->
+      "embeds the brute-force ideal set: corpus x broadcast(query batch)",
+    "q_rerank" ->
+      "stage-1 shortlist is the brute-force scan: corpus x broadcast(queries)")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

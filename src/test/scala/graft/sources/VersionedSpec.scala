@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.WithSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class VersionedSpec extends AnyFunSuite with WithSpark {
@@ -43,6 +44,35 @@ class VersionedSpec extends AnyFunSuite with WithSpark {
       .filter(_.startsWith("v_")).sorted.toSeq
     assert(left == Seq("v_4", "v_5"))
     assert(vals(Versioned.readCurrent(spark, root)) == Seq(5L))
+  }
+
+  test("manifest round-trip: re-aggregating the published snapshot " +
+    "reproduces (n_rows, checksum); content changes move the checksum") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val v = Versioned.publish(df, root, manifestCols = Seq("k", "s"))
+    val m = Versioned.readManifest(spark, root)
+      .select("version", "n_rows", "checksum")
+      .as[(Long, Long, Long)].collect().head
+    assert(m._1 == v && m._2 == 3L)
+    val recomputed = Versioned.manifest(
+        Versioned.readCurrent(spark, root), Seq("k", "s"))
+      .as[(Long, Long)].collect().head
+    assert(recomputed == ((m._2, m._3)), "snapshot no longer matches")
+    // the manifest dir is invisible to snapshot readers
+    assert(Versioned.readCurrent(spark, root).count() == 3L)
+    // sensitivity: dropping a row or editing a value moves the checksum
+    val less = Versioned.manifest(
+        Versioned.readCurrent(spark, root).filter(col("k") =!= 2L),
+        Seq("k", "s"))
+      .as[(Long, Long)].collect().head
+    assert(less._2 != m._3)
+    val edited = Versioned.manifest(
+        Versioned.readCurrent(spark, root)
+          .withColumn("s", concat(col("s"), lit("x"))),
+        Seq("k", "s"))
+      .as[(Long, Long)].collect().head
+    assert(edited._2 != m._3)
   }
 
   test("interrupted pointer commit heals on resolve: a complete tmp is " +

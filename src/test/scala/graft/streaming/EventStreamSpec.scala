@@ -356,6 +356,37 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("tokenQuotaFilter (transformWithState / RocksDB): per-source " +
+    "budget enforced ACROSS micro-batches, greedy by doc id") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val query = EventStream.tokenQuotaFilter(input.toDS(), budget = 10L)
+        .toDF("source", "doc_id").writeStream
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("quota_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L),
+          ("b", 10L, 9L))
+        query.processAllAvailable()
+        input.addData(("a", 4L, 2L), ("a", 5L, 1L), ("b", 11L, 2L))
+        query.processAllAvailable()
+        val got = spark.table("quota_out")
+          .as[(String, Long)].collect().toSet
+        // a: 4+4 accepted, third 4 would hit 12 > 10; next batch the
+        // 2-token doc still fits (10), the 1-token one no longer does.
+        // b: 9 accepted; the later 2 would cross.
+        assert(got == Set(("a", 1L), ("a", 2L), ("a", 4L), ("b", 10L)))
+      } finally query.stop()
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("upsertSink folds a changelog stream into a keyed snapshot") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_upsert").toString
