@@ -87,6 +87,30 @@ object Quality {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** The ZERO-EXTRA-PASS variant of [[expectations]]: attach the
+    * row-level checks as OBSERVED metrics (`Dataset.observe`) so they
+    * materialize as a side channel of whatever action the caller was
+    * already running — at 100 TB the gate rides the production write
+    * itself instead of costing a second scan. After the action,
+    * `observation.get` yields `n_rows` plus one `bad:<check>` entry
+    * per check.
+    *
+    * Only row-level checks qualify: observed metrics cannot contain
+    * DISTINCT aggregates (a Spark restriction), so [[Check.Unique]] —
+    * which needs the shuffle pass anyway — stays with
+    * [[expectations]]. */
+  def observedChecks(
+      df: DataFrame, checks: Seq[Check])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "observedChecks needs at least one check")
+    require(!checks.exists(_.isInstanceOf[Check.Unique]),
+      "Unique needs a distinct aggregate, which observed metrics " +
+        "cannot carry; run it through expectations()")
+    val obs = org.apache.spark.sql.Observation("graft_quality")
+    val aggs = checks.map(c => sum(c.violation).as(s"bad:${c.name}"))
+    (df.observe(obs, count(lit(1)).as("n_rows"), aggs: _*), obs)
+  }
+
   /** Referential-integrity gate: rows of `child` whose `childKeys`
     * tuple has no match in `parent`'s `parentKeys`. Same report
     * schema as [[expectations]]. NULL child keys never match (SQL

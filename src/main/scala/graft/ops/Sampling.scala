@@ -253,7 +253,11 @@ object Sampling {
       corpus: DataFrame, corpusKey: String,
       k: Int, buckets: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // the representative table is buckets-sized AND broadcast — keep it
+    // a dimension (a few MB), not a fact; more buckets than ~16M means
+    // the caller wants a join-based sampler, not a broadcast one
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, ${1 << 24}], got $buckets")
     val reps = corpus.select(col(corpusKey).as("negative_id"),
         (drawInt(col(corpusKey), s"$salt#b") % buckets).as("__bkt"),
         unitDraw(col(corpusKey), s"$salt#r").as("__d"))

@@ -17,7 +17,43 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import QueryDef.sql
 
+  /** The raw-SQL front door faces: ONE dialect-intersection string
+    * runs through BOTH `spark.sql` (over [[graft.core.Sql]]'s temp
+    * views) and the DuckDB oracle — parser-level compatibility, not
+    * just two hand-written plans agreeing. */
+  private def sharedSql(name: String, text: String): QueryDef =
+    sql(name, text) { (s, d) =>
+      graft.core.Sql.registerAll(s, d)
+      s.sql(text)
+    }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- raw-SQL entry: aggregation, window, and join faces whose
+    //      Spark side IS the oracle string ----
+    sharedSql(
+      "q_sql_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    sharedSql(
+      "q_sql_window",
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 2""".stripMargin),
+    sharedSql(
+      "q_sql_join",
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin),
 
     // ---- A1/A9/A3: grouped aggregation (TPC-H Q1 flavor) ----
     sql(

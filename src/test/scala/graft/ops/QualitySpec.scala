@@ -58,6 +58,27 @@ class QualitySpec extends AnyFunSuite with WithSpark {
     assert(rc("fk:ck->pk") == ((2L, 0L, true)))
   }
 
+  test("observedChecks: the gate rides an unrelated action as observed " +
+    "metrics — same numbers as expectations(), no second scan") {
+    val df = Seq(
+      (Some("a"), Some(5.0)), (None, Some(100.0)), (Some("c"), None))
+      .toDF("id", "qty")
+    val checks = Seq(NotNull("id"), InRange("qty", 0, 50))
+    val (observed, obs) = Quality.observedChecks(df, checks)
+    // the caller's OWN action — here a write to a scratch dir — is the
+    // only job that runs
+    observed.write.mode("overwrite").parquet(
+      java.nio.file.Files.createTempDirectory("graft_obs").toString + "/p")
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("bad:not_null:id") == 1L)
+    assert(m("bad:in_range:qty") == 1L)
+    // Unique is rejected loudly (observed metrics cannot be distinct)
+    intercept[IllegalArgumentException] {
+      Quality.observedChecks(df, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("single-scan plan shape: the fused report reads its input once " +
     "(one scan leaf) regardless of check count") {
     val df = spark.range(1000).selectExpr("id", "cast(id % 7 as double) v",
