@@ -325,9 +325,9 @@ object SimilarityQueries {
       val brute = Similarity.bruteForceTopK(
           corpus = e, queries = q, id = "vec_id", vec = "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__rel"))
-      val ivf = Similarity.ivfTopK(
-          corpus = e, queries = q, id = "vec_id", vec = "embedding",
-          k = 5, numCentroids = 16, nProbe = 8)
+      // stored-index query path, identical results to inline ivfTopK
+      val ivf = Similarity.ivfQuery(q, ivfDir(s, d),
+          "vec_id", "embedding", k = 5, nProbe = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
       ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
@@ -451,9 +451,11 @@ object SimilarityQueries {
       val brute = Similarity.bruteForceTopK(
           corpus = e, queries = q, id = "vec_id", vec = "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopK(
-          corpus = e, queries = q, id = "vec_id", vec = "embedding",
-          k = 5, numCentroids = 16, nProbe = 8)
+      // the PRODUCTION query path (stored index, partition-pruned
+      // probes) — spec'd identical to inline ivfTopK, so it shares
+      // the golden-backed oracle
+      val ivf = Similarity.ivfQuery(q, ivfDir(s, d),
+          "vec_id", "embedding", k = 5, nProbe = 8)
         .select(col("query_id"), col("neighbor_id").as("__ivf_n"))
       brute.join(ivf,
           brute("query_id") === ivf("query_id") &&

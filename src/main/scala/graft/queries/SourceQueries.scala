@@ -229,6 +229,30 @@ object SourceQueries {
       s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
     },
 
+    // ---- corrupt-record routing: a JSONL drop with malformed lines
+    //      ingests WITHOUT failing the job — clean rows parse, corrupt
+    //      lines route to _corrupt_record (PERMISSIVE mode) for a
+    //      quarantine path instead of a 100 TB job abort. The oracle
+    //      reads the same file with ignore_errors and agrees on the
+    //      clean/corrupt split ----
+    sql(
+      "q_corrupt_routing",
+      s"""SELECT count(id)::BIGINT AS n_clean,
+         |  (count(*) - count(id))::BIGINT AS n_corrupt,
+         |  coalesce(sum(id), 0)::BIGINT AS id_sum
+         |FROM read_json('${SourceQueries.FixtureDir}/corrupt.jsonl',
+         |  format='newline_delimited', ignore_errors=true)""".stripMargin) {
+      (s, _) =>
+        s.read
+          .schema("id bigint, val string, _corrupt_record string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"${SourceQueries.FixtureDir}/corrupt.jsonl")
+          .agg(count(col("id")).as("n_clean"),
+            (count(lit(1)) - count(col("id"))).as("n_corrupt"),
+            coalesce(sum(col("id")), lit(0L)).as("id_sum"))
+    },
+
     // ---- schema-evolution-tolerant scan: two parquet generations of
     //      the same table (a column added mid-corpus) read as ONE
     //      frame via mergeSchema, old rows null-padded — the 100 TB

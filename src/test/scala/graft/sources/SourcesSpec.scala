@@ -159,4 +159,23 @@ class SourcesSpec extends AnyFunSuite with WithSpark {
     assert(read.select("k", "v").as[(String, Long)].collect().toSeq
       == Seq(("b", 3L)))
   }
+
+  test("PERMISSIVE JSONL ingest routes malformed lines to " +
+    "_corrupt_record verbatim — the quarantine path, not a job abort") {
+    // Spark disallows queries touching ONLY the corrupt column on the
+    // raw file (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented
+    // pattern is to parse once into a cached/saved frame, then route
+    val df = spark.read
+      .schema("id bigint, val string, _corrupt_record string")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json("src/test/resources/clinical/corrupt.jsonl")
+      .cache()
+    val corrupt = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().sorted.toSeq
+    assert(corrupt == Seq("not json at all", "{\"id\": 3, \"val\": \"c\""))
+    val clean = df.filter(col("_corrupt_record").isNull)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(1L, 2L, 4L, 5L))
+  }
 }
