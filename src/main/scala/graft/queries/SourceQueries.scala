@@ -229,6 +229,33 @@ object SourceQueries {
       s.read.orc(out).select("o_orderkey", "o_custkey", "o_orderstatus")
     },
 
+    // ---- dynamic-partition overwrite: re-publish ONE region's slice
+    //      of a partitioned table; the other partitions must survive.
+    //      The face bakes a wrong row into the target partition first,
+    //      so a static (whole-table) overwrite OR a failed swap would
+    //      both hash-mismatch ----
+    sql(
+      "q_partition_overwrite",
+      """SELECT n_regionkey, n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val out = s"$sinkScratch/graft_dynpart"
+      val n = Tables.nation(s, d)
+        .select("n_regionkey", "n_nationkey", "n_name")
+      // seed: region 2 holds a BAD row that only a dynamic overwrite
+      // of exactly that partition repairs
+      graft.sources.Sinks.parquet(
+        n.withColumn("n_name",
+          when(col("n_regionkey") === 2, lit("WRONG"))
+            .otherwise(col("n_name"))),
+        out, partitionBy = Seq("n_regionkey"))
+      graft.sources.Sinks.overwritePartitions(
+        n.filter(col("n_regionkey") === 2), out, Seq("n_regionkey"))
+      s.read.parquet(out)
+        .select(col("n_regionkey").cast("long").as("n_regionkey"),
+          col("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+    },
+
     // ---- corrupt-record routing: a JSONL drop with malformed lines
     //      ingests WITHOUT failing the job — clean rows parse, corrupt
     //      lines route to _corrupt_record (PERMISSIVE mode) for a

