@@ -103,8 +103,32 @@ object ScaleRehearsal {
     val ir1 = refreshSecs(1, "index_refresh 1x")
     val ir10 = refreshSecs(10, "index_refresh 10x (corpus)")
 
+    // ---- q_boilerplate: 10 salted-doc replicas per SOURCE (the
+    // group key unchanged) — every (source, line) count grows ×10, so
+    // this stresses exactly the countDistinct shuffle whose map-side
+    // combiners are supposed to eat the duplication ----
+    val docs1 = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", concat(lit("NAV "), col("source")), col("text"),
+          concat(lit("(c) "), col("source"), lit(" footer"))).as("page"))
+      .localCheckpoint()
+    val nDocs = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val docs10 = (0 until 10).map(k =>
+        docs1.select((col("doc_id") + lit(k * nDocs)).as("doc_id"),
+          col("source"), col("page")))
+      .reduce(_.unionByName(_)).localCheckpoint()
+    val bp1 = timed("boilerplate 1x") {
+      graft.ops.Text.boilerplateLines(
+        docs1, "doc_id", "source", "page", minDocs = 5).count()
+    }
+    val bp10 = timed("boilerplate 10x") {
+      graft.ops.Text.boilerplateLines(
+        docs10, "doc_id", "source", "page", minDocs = 5).count()
+    }
+
     println(f"[rehearsal] growth: pagerank_directed ${pr10 / pr1}%.2fx, " +
-      f"dbscan ${db10 / db1}%.2fx, index_refresh ${ir10 / ir1}%.2fx " +
+      f"dbscan ${db10 / db1}%.2fx, index_refresh ${ir10 / ir1}%.2fx, " +
+      f"boilerplate ${bp10 / bp1}%.2fx " +
       "(inputs x10; pass = ~linear or below)")
     spark.stop()
   }
