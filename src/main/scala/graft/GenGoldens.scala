@@ -307,6 +307,23 @@ object GenGoldens {
       } else println(s"skipped golden_stream_ingest.tsv ($docsPath missing)")
     }
 
+    // q_pack_ffd golden: per-source FFD bin assignment over the
+    // correctness-SF documents (deterministic: total-order sort +
+    // sequential first-fit per shard). PackingSpec pins the textbook
+    // example + capacity/waste properties independently.
+    locally {
+      val docsPath = "/root/testdata/sf0.01/documents.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+        val rows = graft.ops.Packing.binPackFFD(
+            spark.read.parquet(docsPath), "source", "doc_id", "n_chars",
+            maxTokens = 400)
+          .orderBy("shard", "doc_id")
+          .as[(String, Long, Long, Long)].collect()
+        writeTsv(rows.map(r => s"${r._1}\t${r._2}\t${r._3}\t${r._4}").toSeq,
+          "shard\tdoc_id\tn_tok\tbin", "golden_pack_ffd.tsv")
+      } else println(s"skipped golden_pack_ffd.tsv ($docsPath missing)")
+    }
+
     // StudiesExpected-style field-for-field golden of the FULL study
     // document over the clinical fixtures (the reference's
     // ClassGenerator snapshot device, StudiesExpected.scala:8-209):

@@ -135,4 +135,49 @@ object Packing {
       // empty chunk ("never empty" contract)
       .where(size(col("chunk")) > 0)
   }
+
+  /** First-fit-decreasing bin packing per shard — the NO-SPLIT packing
+    * variant ([[packChunks]] splits documents across chunk
+    * boundaries; many pretraining recipes must not, so each document
+    * lands whole in exactly one bin of capacity `maxTokens`). FFD is
+    * the classic 11/9·OPT+1 heuristic: sort the shard's documents by
+    * token count descending (id ascending tie — total order, so the
+    * packing is deterministic and layout-independent), drop each into
+    * the first bin it fits.
+    *
+    * Scale shape: one shuffle on the shard key, then a per-shard
+    * in-memory pass (`flatMapGroups`). The SHARD is the memory/
+    * parallelism contract, exactly as [[packStats]] and
+    * `takeTokenBudget`: pick shards at file/source granularity so
+    * 1000 executors stay busy and a shard's (id, tokens) pairs — 16
+    * bytes each, NOT the documents — fit in a task comfortably.
+    * Bin ids are shard-local (bin 0, 1, …), stable across runs.
+    * A document larger than `maxTokens` gets a bin of its own
+    * (oversize = the caller chunks it first with [[packChunks]]).
+    */
+  def binPackFFD(
+      docs: DataFrame, shardCol: String, id: String, tokens: String,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(shardCol).cast("string").as("shard"),
+        col(id).cast("long").as("doc_id"),
+        col(tokens).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, rows) =>
+        val items = rows.map { case (_, i, t) => (i, t) }.toArray
+          .sortBy { case (i, t) => (-t, i) }
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (i, t) =>
+          var b = 0
+          while (b < fill.length && fill(b) + t > maxTokens) b += 1
+          if (b == fill.length) fill += 0L
+          fill(b) += t
+          (shard, i, t, b.toLong)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tok", "bin")
+  }
 }

@@ -137,5 +137,25 @@ object PackingQueries {
           tokens = col("__toks"), chunkSize = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_id"),
           Canon.js(col("chunk")).as("chunk_json"))
+    },
+
+    // ---- no-split bin packing (first-fit decreasing) per source:
+    //      each doc lands whole in one bin — the packing variant
+    //      pretraining recipes use when documents must not straddle
+    //      sequences. FFD's first-fit walk is inherently sequential
+    //      per shard (DuckDB cannot replay it relationally), but it
+    //      is a deterministic total-order function of the corpus ->
+    //      committed GenGoldens snapshot ----
+    sql(
+      "q_pack_ffd",
+      s"""SELECT shard, doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok,
+         |  bin::BIGINT AS bin
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_pack_ffd.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        Packing.binPackFFD(
+            Tables.documents(s, d), "source", "doc_id", "n_chars",
+            maxTokens = 400)
+          .orderBy("shard", "doc_id")
     })
 }

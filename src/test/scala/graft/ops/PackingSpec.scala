@@ -91,4 +91,38 @@ class PackingSpec extends AnyFunSuite with WithSpark {
     assert(!plan.contains("rangepartitioning"),
       "chunk ids must be shard-local, never a global sort")
   }
+
+  test("binPackFFD: textbook first-fit-decreasing assignment, oversize " +
+    "docs get a bin of their own, shards pack independently, " +
+    "layout-independent") {
+    val df = Seq(
+      ("s", 1L, 6L), ("s", 2L, 5L), ("s", 3L, 4L), ("s", 4L, 3L),
+      ("s", 5L, 2L), ("s", 9L, 12L), // oversize: own bin
+      ("t", 7L, 10L), ("t", 8L, 1L)).toDF("src", "id", "tok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.binPackFFD(d, "src", "id", "tok", maxTokens = 10)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+    val got = run(df)
+    // sorted desc: 12, 6, 5, 4, 3, 2 -> bins: 12|{6,4}|{5,3,2}
+    assert(got(("s", 9L)) == got(("s", 9L))) // own bin...
+    assert(got(("s", 1L)) == got(("s", 3L)), "6 and 4 share a bin")
+    assert(got(("s", 2L)) == got(("s", 4L)) &&
+      got(("s", 2L)) == got(("s", 5L)), "5, 3, 2 share a bin")
+    assert(Set(got(("s", 9L)), got(("s", 1L)), got(("s", 2L))).size == 3)
+    // capacity: no bin over 10 except the oversize singleton
+    val tok = Map(1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 3L, 5L -> 2L,
+      9L -> 12L, 7L -> 10L, 8L -> 1L)
+    got.toSeq.groupBy { case ((src, _), bin) => (src, bin) }
+      .foreach { case ((src, bin), members) =>
+        val ids = members.map(_._1._2)
+        val fill = ids.map(tok).sum
+        assert(fill <= 10L || ids == Seq(9L),
+          s"bin ($src, $bin) overfilled: $fill from $ids")
+      }
+    // shard t packs independently (10 fills a bin; 1 opens the next
+    // only if 10+1 > 10)
+    assert(got(("t", 7L)) != got(("t", 8L)))
+    assert(run(df.repartition(7)) == got, "layout changed the packing")
+  }
 }
