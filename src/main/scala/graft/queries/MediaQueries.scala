@@ -247,5 +247,32 @@ object MediaQueries {
         Multimodal.sniffFormat(col("text").cast("binary")).as("format"),
         explode(Multimodal.frameOffsets(
           (col("n_chars") * 10).cast("long"), 1000)).as("frame_ms"))
+    },
+
+    // ---- metadata scrub (privacy): plant a tEXt "gps" chunk in each
+    //      real PNG, strip it at the byte level, prove the decoded
+    //      pixels are untouched. The byte DELTA is exactly the
+    //      planted chunk's size (12 header/crc + 7 'gps id=' + the
+    //      id's digits), so DuckDB computes the expected shrinkage
+    //      RELATIONALLY — no golden needed for byte surgery ----
+    sql(
+      "q_media_strip",
+      """WITH ids AS (SELECT unnest(range(48)) AS media_id
+        |             UNION ALL SELECT unnest([1005, 1017, 1029]))
+        |SELECT media_id::BIGINT AS media_id,
+        |  (19 + length(CAST(media_id AS VARCHAR)))::BIGINT AS delta,
+        |  true AS pixels_equal
+        |FROM ids ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.ops.ImageIo
+      realMediaCorpus(s).map { r =>
+        val tainted =
+          ImageIo.pngWithText(r.payload, "gps", s"id=${r.media_id}")
+        val stripped = ImageIo.stripMetadata(tainted)
+        val f1 = ImageIo.ImageIoDecoder.decode(tainted, r.meta, 64)
+        val f2 = ImageIo.ImageIoDecoder.decode(stripped, r.meta, 64)
+        (r.media_id, (tainted.length - stripped.length).toLong,
+          java.util.Arrays.equals(f1, f2))
+      }.toDF("media_id", "delta", "pixels_equal").orderBy("media_id")
     })
 }

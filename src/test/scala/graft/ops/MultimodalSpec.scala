@@ -354,4 +354,46 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
     assert(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out.head.payload)).getWidth == 8)
   }
+
+  test("stripMetadata: PNG tEXt chunk removed at the byte level, IDAT " +
+    "untouched so decoded pixels are bit-identical; JPEG APP1/COM " +
+    "dropped, scan preserved; unknown bytes pass through") {
+    val meta = Multimodal.MediaMeta("image", "png", 64, 48, 0, 0L)
+    val clean = ImageIo.syntheticPng(7L)
+    val tainted = ImageIo.pngWithText(clean, "gps", "45.50,-73.57")
+    def contains(hay: Array[Byte], needle: String): Boolean =
+      new String(hay, "ISO-8859-1").contains(needle)
+    assert(contains(tainted, "tEXt") && contains(tainted, "45.50,-73.57"))
+    val stripped = ImageIo.stripMetadata(tainted)
+    assert(!contains(stripped, "tEXt") && !contains(stripped, "45.50"))
+    // pixel fidelity: full-res luma features identical
+    val f1 = ImageIo.ImageIoDecoder.decode(clean, meta, 64)
+    val f2 = ImageIo.ImageIoDecoder.decode(stripped, meta, 64)
+    assert(java.util.Arrays.equals(f1, f2))
+    // JPEG: encode, inject an APP1 EXIF segment after SOI, strip it
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(clean))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpg = jbos.toByteArray
+    val exif = "Exif  secret-camera-serial".getBytes("ISO-8859-1")
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((exif.length + 2) >> 8) & 0xff).toByte,
+      ((exif.length + 2) & 0xff).toByte) ++ exif
+    val jTainted = jpg.take(2) ++ seg ++ jpg.drop(2)
+    val jStripped = ImageIo.stripMetadata(jTainted)
+    assert(contains(jTainted, "secret-camera-serial"))
+    assert(!contains(jStripped, "secret-camera-serial"))
+    val d1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    val d2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jStripped))
+    assert(d2 != null && d2.getWidth == d1.getWidth)
+    val same = (0 until d1.getHeight).forall(y =>
+      (0 until d1.getWidth).forall(x => d1.getRGB(x, y) == d2.getRGB(x, y)))
+    assert(same, "JPEG scan bytes must decode identically after the strip")
+    // unknown format: untouched
+    val blob = Array[Byte](1, 2, 3, 4, 5)
+    assert(ImageIo.stripMetadata(blob).toSeq == blob.toSeq)
+  }
 }
