@@ -83,6 +83,63 @@ object AudioIo {
     * every JVM. `jitter > 0` perturbs every 16th sample by +jitter
     * LSBs, an inaudible change that makes a planted fingerprint
     * near-duplicate. */
+  /** Trim leading/trailing silence from a PCM16 mono WAV at the BYTE
+    * level — the standard audio-corpus normalization (padding from
+    * recording equipment wastes tokens/storage and skews duration
+    * features). A sample is "silence" when |s| <= `threshold`; the
+    * kept span runs from the first to the last loud sample, header
+    * sizes rewritten, sample bytes COPIED verbatim (no resynthesis —
+    * the audible content is bit-identical). All-silent clips collapse
+    * to zero samples. Non-WAV/compressed payloads pass through
+    * unchanged (same contract as the image scrub). Pure byte surgery:
+    * deterministic, map-side.
+    */
+  def wavTrimSilence(payload: Array[Byte], threshold: Int): Array[Byte] = {
+    if (payload.length < 44 ||
+      new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(payload, 8, 4, "US-ASCII") != "WAVE") return payload
+    // fixture-layout WAV: fmt at 12, data chunk header at 36 (the
+    // corpus convention this library's decoder also assumes)
+    if (new String(payload, 36, 4, "US-ASCII") != "data") return payload
+    val n = (payload.length - 44) / 2
+    def sample(i: Int): Int =
+      ((payload(44 + i * 2) & 0xff) |
+        (payload(45 + i * 2) << 8)).toShort.toInt
+    var first = 0
+    while (first < n && math.abs(sample(first)) <= threshold) first += 1
+    var last = n - 1
+    while (last >= first && math.abs(sample(last)) <= threshold) last -= 1
+    val kept = math.max(0, last - first + 1)
+    val out = new Array[Byte](44 + kept * 2)
+    System.arraycopy(payload, 0, out, 0, 44)
+    System.arraycopy(payload, 44 + first * 2, out, 44, kept * 2)
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    w32(4, 36 + kept * 2)
+    w32(40, kept * 2)
+    out
+  }
+
+  /** Re-pad a fixture WAV with exact silent samples on both ends
+    * (spec/face helper — the planted padding [[wavTrimSilence]] must
+    * remove). */
+  def wavWithPadding(wav: Array[Byte], pad: Int): Array[Byte] = {
+    val n = (wav.length - 44) / 2
+    val out = new Array[Byte](44 + (n + 2 * pad) * 2)
+    System.arraycopy(wav, 0, out, 0, 44)
+    // leading/trailing pads are already zero bytes (silence)
+    System.arraycopy(wav, 44, out, 44 + pad * 2, n * 2)
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    w32(4, 36 + (n + 2 * pad) * 2)
+    w32(40, (n + 2 * pad) * 2)
+    out
+  }
+
   def syntheticWav(id: Long, nSamples: Int = 8000, sampleRate: Int = 8000,
       jitter: Int = 0): Array[Byte] = {
     def tri(t: Int, p: Int): Long = { // triangle in [-p/2, p/2], period 2p

@@ -249,6 +249,37 @@ object MediaQueries {
           (col("n_chars") * 10).cast("long"), 1000)).as("frame_ms"))
     },
 
+    // ---- silence trim: pad each real WAV clip with (100 + id % 50)
+    //      silent samples per side, pin both endpoints loud, trim at
+    //      threshold 0 — the byte delta is exactly the planted
+    //      padding (4 bytes per padded sample), relationally
+    //      computable, and the kept samples must be byte-identical ----
+    sql(
+      "q_audio_trim",
+      """WITH ids AS (SELECT unnest(range(32)) AS media_id
+        |             UNION ALL SELECT unnest([1003, 1011, 1023]))
+        |SELECT media_id::BIGINT AS media_id,
+        |  (4 * (100 + media_id % 50))::BIGINT AS delta,
+        |  true AS audio_equal
+        |FROM ids ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.ops.AudioIo
+      realAudioCorpus(s).map { r =>
+        // pin first/last sample loud so trim removes EXACTLY the pads
+        val clip = r.payload.clone()
+        val n = (clip.length - 44) / 2
+        def loud(i: Int): Unit = {
+          clip(44 + i * 2) = 0xe8.toByte; clip(45 + i * 2) = 0x03 // 1000
+        }
+        loud(0); loud(n - 1)
+        val pad = (100 + r.media_id % 50).toInt
+        val padded = AudioIo.wavWithPadding(clip, pad)
+        val trimmed = AudioIo.wavTrimSilence(padded, threshold = 0)
+        (r.media_id, (padded.length - trimmed.length).toLong,
+          java.util.Arrays.equals(trimmed, clip))
+      }.toDF("media_id", "delta", "audio_equal").orderBy("media_id")
+    },
+
     // ---- metadata scrub (privacy): plant a tEXt "gps" chunk in each
     //      real PNG, strip it at the byte level, prove the decoded
     //      pixels are untouched. The byte DELTA is exactly the

@@ -396,4 +396,29 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
     val blob = Array[Byte](1, 2, 3, 4, 5)
     assert(ImageIo.stripMetadata(blob).toSeq == blob.toSeq)
   }
+
+  test("wavTrimSilence: planted pads removed exactly, kept samples " +
+    "byte-identical; all-silent clip collapses; non-WAV passes through") {
+    val clip = AudioIo.syntheticWav(4L, nSamples = 500)
+    // pin endpoints loud so the trim boundary is exactly the pads
+    val n = 500
+    clip(44) = 0xe8.toByte; clip(45) = 0x03
+    clip(44 + (n - 1) * 2) = 0xe8.toByte; clip(45 + (n - 1) * 2) = 0x03
+    val padded = AudioIo.wavWithPadding(clip, pad = 37)
+    assert(padded.length == clip.length + 4 * 37)
+    val trimmed = AudioIo.wavTrimSilence(padded, threshold = 0)
+    assert(java.util.Arrays.equals(trimmed, clip),
+      "trim must return exactly the loud span, headers rewritten")
+    // the trimmed clip still decodes through the real WavDecoder
+    val meta = Multimodal.MediaMeta("audio", "wav", 0, 0, 8000, 0L)
+    val f = AudioIo.WavDecoder.decode(trimmed, meta, 16)
+    assert(f.length == 16 && f.exists(_ != 0f))
+    // an all-silent clip collapses to zero samples
+    val silent = AudioIo.wavWithPadding(
+      AudioIo.syntheticWav(0L, nSamples = 0), pad = 20)
+    assert(AudioIo.wavTrimSilence(silent, 0).length == 44)
+    // non-WAV: untouched
+    val blob = Array[Byte](9, 9, 9)
+    assert(AudioIo.wavTrimSilence(blob, 0).toSeq == blob.toSeq)
+  }
 }
