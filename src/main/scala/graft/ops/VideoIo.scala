@@ -64,6 +64,74 @@ object VideoIo {
   /** Decode an MJPEG/AVI payload into `dim` temporal mean-luma
     * features: per frame, exact-integer mean BT.601 luma over all
     * pixels; across frames, box-average into `dim` time cells. */
+  /** Mean BT.601 luma of one decoded frame, in [0, 1]. */
+  private[ops] def frameLuma(fb: Array[Byte]): Double = {
+    val img = ImageIO.read(new ByteArrayInputStream(fb))
+    require(img != null, "frame chunk is not decodable by javax.imageio")
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (img.getWidth.toLong * img.getHeight * 1000L * 255L)
+  }
+
+  /** Shot/scene-cut detection over real decoded frames: a cut is a
+    * frame whose mean luma jumps more than `threshold` from its
+    * predecessor — the classic hard-cut detector, the segmentation
+    * step before per-shot sampling/dedup of video training corpora.
+    * One flatMap per clip (frames stream out of the RIFF walk, one
+    * decoded frame in memory at a time; the luma trace is 8 B/frame),
+    * zero shuffle. Output: (media_id, cut_idx) — frame indexes that
+    * OPEN a new shot. */
+  def sceneCuts(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      var prev = Double.NaN
+      aviFrames(r.payload).zipWithIndex.flatMap { case (fb, i) =>
+        val l = frameLuma(fb)
+        val cut = i > 0 && math.abs(l - prev) > threshold
+        prev = l
+        if (cut) Some((r.media_id, i.toLong)) else None
+      }
+    }.toDF("media_id", "cut_idx")
+  }
+
+  /** Deterministic multi-scene fixture: each scene is `framesPerScene`
+    * FLAT frames at its own brightness — within-scene luma deltas are
+    * JPEG-quantization noise, across-scene deltas are the planted
+    * jumps, so expected cuts are a pure function of the scene layout
+    * (the relational-oracle device of the image/audio fixtures). */
+  def syntheticAviScenes(sceneLumas: Seq[Int], framesPerScene: Int,
+      w: Int = 32, h: Int = 24): Array[Byte] =
+    wrapAvi(
+      sceneLumas.flatMap(b => Seq.fill(framesPerScene)(flatFrameJpeg(b, w, h))),
+      w, h)
+
+  private def flatFrameJpeg(v: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   object MjpegDecoder extends Decoder {
     override def decode(
         payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
@@ -71,23 +139,7 @@ object VideoIo {
       val counts = new Array[Int](dim)
       // two passes would need the frame count up front; instead collect
       // per-frame lumas first (8 B/frame — dim-sized, never pixel-sized)
-      val lumas = aviFrames(payload).map { fb =>
-        val img = ImageIO.read(new ByteArrayInputStream(fb))
-        require(img != null, "frame chunk is not decodable by javax.imageio")
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-              114L * (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        sum.toDouble / (img.getWidth.toLong * img.getHeight * 1000L * 255L)
-      }.toArray
+      val lumas = aviFrames(payload).map(frameLuma).toArray
       require(lumas.nonEmpty, "AVI payload contains no video frames")
       var f = 0
       while (f < lumas.length) {

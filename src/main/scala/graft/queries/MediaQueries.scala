@@ -249,6 +249,31 @@ object MediaQueries {
           (col("n_chars") * 10).cast("long"), 1000)).as("frame_ms"))
     },
 
+    // ---- scene-cut detection: 6 programs of (2 + id % 3) flat-luma
+    //      scenes x 5 frames; cuts must fire at EXACTLY the scene
+    //      boundaries (multiples of 5), a pure function of the layout
+    //      — relational oracle over real JPEG-decoded frames ----
+    sql(
+      "q_video_scenes",
+      """WITH p AS (SELECT unnest(range(6)) AS media_id),
+        |c AS (SELECT media_id, unnest(range(1, 2 + media_id % 3)) AS k
+        |      FROM p)
+        |SELECT media_id::BIGINT AS media_id, (5 * k)::BIGINT AS cut_idx
+        |FROM c ORDER BY 1, 2""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.ops.VideoIo
+      def meta = Multimodal.MediaMeta("video", "avi", 32, 24, 0, 0L)
+      val programs = (0L until 6L).map { p =>
+        val scenes = (2 + p % 3).toInt
+        val lumas = (0 until scenes).map(sc => 40 + 50 * sc + 7 * p.toInt)
+        Multimodal.MediaRow(p,
+          VideoIo.syntheticAviScenes(lumas, framesPerScene = 5), meta)
+      }
+      VideoIo.sceneCuts(s.createDataset(programs).repartition(3),
+          threshold = 0.05)
+        .orderBy("media_id", "cut_idx")
+    },
+
     // ---- silence trim: pad each real WAV clip with (100 + id % 50)
     //      silent samples per side, pin both endpoints loud, trim at
     //      threshold 0 — the byte delta is exactly the planted

@@ -397,6 +397,23 @@ class MultimodalSpec extends AnyFunSuite with WithSpark {
     assert(ImageIo.stripMetadata(blob).toSeq == blob.toSeq)
   }
 
+  test("sceneCuts: fires exactly at flat-scene boundaries, silent on " +
+    "single-scene clips, deterministic under repartition") {
+    val meta = Multimodal.MediaMeta("video", "avi", 32, 24, 0, 0L)
+    val rows = Seq(
+      Multimodal.MediaRow(1L,
+        VideoIo.syntheticAviScenes(Seq(40, 120, 200), 5), meta),
+      Multimodal.MediaRow(2L,
+        VideoIo.syntheticAviScenes(Seq(90), 8), meta)).toDS()
+    def cuts(d: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+      VideoIo.sceneCuts(d, threshold = 0.05)
+        .as[(Long, Long)].collect().toSet
+    val got = cuts(rows)
+    assert(got == Set((1L, 5L), (1L, 10L)),
+      s"expected cuts at the two scene boundaries, got $got")
+    assert(cuts(rows.repartition(5)) == got)
+  }
+
   test("wavTrimSilence: planted pads removed exactly, kept samples " +
     "byte-identical; all-silent clip collapses; non-WAV passes through") {
     val clip = AudioIo.syntheticWav(4L, nSamples = 500)
