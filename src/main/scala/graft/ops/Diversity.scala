@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Diversity-aware selection over embeddings — Maximal Marginal
+  * Relevance (Carbonell & Goldstein, SIGIR'98): pick k items that are
+  * RELEVANT to a query but not redundant with each other. The
+  * data-curation face of retrieval: "give me k exemplar documents per
+  * topic" / "diversify the RAG shortlist before the context window"
+  * (no reference counterpart — SURVEY.md §8 extension surface).
+  *
+  *   pick_r = argmax_{d ∉ S} [ λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) ]
+  *
+  * Determinism contract: vector components snap to the 1e-6 grid
+  * ([[GridScale]], the Projection/Linalg micro-unit device), so every
+  * relevance and pairwise similarity is an EXACT integer (|component|
+  * ≲ 1e6 ⇒ |term| ≲ 1e12, ×dim ≪ 2^53 — exact in IEEE double AND in
+  * BIGINT, associative, partition-order independent). λ enters as the
+  * rational `lambdaNum/lambdaDen`, so scores are exact integers too:
+  * `mmr_u = lambdaNum·rel_u − (lambdaDen−lambdaNum)·maxsim_u`. Ties
+  * break by candidate id ascending at every step. The DuckDB oracle
+  * replays shortlist, pair sims, and each greedy round as unrolled
+  * CTEs bit-for-bit.
+  *
+  * Scale shape: relevance scoring is a broadcast-join map-side scan
+  * (queries broadcast; at corpus scale feed the shortlist from
+  * [[Similarity.ivfTopK]] instead — the greedy stage only sees
+  * `shortlist` rows per query either way). The shortlist ranks through
+  * the bounded-heap [[graft.plans.TopKPerGroup]] (map-side heaps under
+  * the exchange — a hot query never funnels the corpus through one
+  * task). The greedy itself runs per query group over AT MOST
+  * `shortlist` candidates — O(k·shortlist·dim) work and
+  * O(shortlist·dim) state per group, bounded by construction; query
+  * groups spread across executors, so 10^6 queries = 10^6 independent
+  * bounded tasks, never an all-pairs blow-up.
+  */
+object Diversity {
+
+  /** 1e-6 snap grid: exact-integer dots for ≤ 1e3-magnitude
+    * components at dim ≤ 512 (headroom to 2^53). */
+  val GridScale = 1000000L
+
+  /** Components snapped to the grid, kept as integer-valued doubles
+    * (what both `list_dot_product` and [[graft.plans.DotProduct]] sum
+    * exactly). */
+  def snapMicro(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(GridScale.toDouble)))
+
+  /** MMR-select `k` of the top-`shortlist` corpus items per query.
+    *
+    * @return (query_id, rank, neighbor_id, mmr_u) — `mmr_u` the exact
+    *         integer score at selection time (rank 1 pays no
+    *         redundancy penalty: `mmr_u = lambdaNum·rel_u`).
+    */
+  def mmrSelect(
+      corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      shortlist: Int, k: Int,
+      lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
+    require(shortlist >= k && k >= 1, s"need shortlist >= k >= 1")
+    require(lambdaDen >= lambdaNum && lambdaNum >= 0,
+      s"lambda = $lambdaNum/$lambdaDen must lie in [0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val q = broadcast(queries.select(
+      col(id).cast("long").as("query_id"), snapMicro(col(vec)).as("__qv")))
+    val c = corpus.select(
+      col(id).cast("long").as("neighbor_id"), snapMicro(col(vec)).as("__cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.DotProduct.dot(col("__qv"), col("__cv")).as("rel_d"),
+        col("__cv"))
+    val short = graft.plans.TopKPerGroup.topK(
+        scored, Seq("query_id"), "rel_d", "neighbor_id", shortlist)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rel_d").cast("long").as("rel_u"),
+        col("__cv").cast("array<double>").as("__cv"))
+
+    val penNum = lambdaDen - lambdaNum
+    short.as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val cand = rows.map { case (_, did, rel, v) =>
+          (did, rel, v.map(_.toLong).toArray)
+        }.toArray.sortBy { case (did, rel, _) => (-rel, did) }
+        val n = cand.length
+        val used = new Array[Boolean](n)
+        // max sim to the selected set; meaningless until a pick exists
+        val maxSim = Array.fill(n)(Long.MinValue)
+        val out = Seq.newBuilder[(Long, Int, Long, Long)]
+        var r = 1
+        while (r <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val pen = if (r == 1) 0L else maxSim(i)
+              val sc = lambdaNum * cand(i)._2 - penNum * pen
+              if (best < 0 || sc > bestScore ||
+                  (sc == bestScore && cand(i)._1 < cand(best)._1)) {
+                best = i; bestScore = sc
+              }
+            }
+            i += 1
+          }
+          used(best) = true
+          out += ((qid, r, cand(best)._1, bestScore))
+          val bv = cand(best)._3
+          i = 0
+          while (i < n) {
+            if (!used(i)) {
+              var s = 0L
+              var j = 0
+              val av = cand(i)._3
+              while (j < av.length) { s += av(j) * bv(j); j += 1 }
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "mmr_u")
+  }
+}

@@ -573,5 +573,76 @@ object SimilarityQueries {
       graft.ops.Projection.randomProject(
         Tables.embeddings(s, d), "vec_id", "embedding",
         inDim = 64, outDim = 16, salt = "jl")
+    },
+
+    // ---- MMR diversity selection: greedy λ·rel − (1−λ)·maxsim over
+    //      the top-8 shortlist, k=3 picks per query — every relevance
+    //      and pair sim an exact 1e-6-grid integer, so the oracle
+    //      replays shortlist + pair sims + each greedy round as
+    //      unrolled CTEs and scores AND picks hash-check ----
+    sql("q_mmr_select", mmrOracle(nQueries = 4, shortlist = 8, k = 3)) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        graft.ops.Diversity.mmrSelect(
+          corpus = e, queries = e.filter(col("vec_id") < 4),
+          id = "vec_id", vec = "embedding", shortlist = 8, k = 3)
     })
+
+  /** DuckDB replay of [[graft.ops.Diversity.mmrSelect]] with
+    * λ = 7/10: round r's candidate scores (`c_r`) read the max pair
+    * sim against the selected set `sel_{r-1}`, the pick (`p_r`) is
+    * argmax (score DESC, did ASC) — the same total order the JVM
+    * greedy walks. */
+  private def mmrOracle(nQueries: Int, shortlist: Int, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS (SELECT s.qid, s.did, 7 * s.rel_u - 3 * m.mx AS sc
+         |  FROM short s
+         |  JOIN (SELECT sim.qid, sim.a AS did, max(sim.sim_u) AS mx
+         |        FROM sim JOIN sel${r - 1} w
+         |          ON w.qid = sim.qid AND w.did = sim.b
+         |        GROUP BY sim.qid, sim.a) m
+         |    ON m.qid = s.qid AND m.did = s.did
+         |  LEFT JOIN sel${r - 1} x ON x.qid = s.qid AND x.did = s.did
+         |  WHERE x.did IS NULL),
+         |p$r AS (SELECT qid, did, CAST(sc AS BIGINT) AS mmr_u FROM (
+         |  SELECT qid, did, sc,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY sc DESC, did) AS rn
+         |  FROM c$r) WHERE rn = 1),
+         |sel$r AS (SELECT qid, did FROM sel${r - 1}
+         |  UNION ALL SELECT qid, did FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to k).map { r =>
+      s"UNION ALL SELECT qid, $r, did, mmr_u FROM p$r"
+    }.mkString("\n")
+    s"""WITH eu AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |                   x -> round(x * 1000000.0)) AS v
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, v FROM eu WHERE vec_id < $nQueries),
+       |rel AS (SELECT qs.qid, e.vec_id AS did,
+       |    CAST(list_dot_product(qs.v, e.v) AS BIGINT) AS rel_u
+       |  FROM qs JOIN eu e ON e.vec_id <> qs.qid),
+       |short AS (SELECT qid, did, rel_u FROM (
+       |    SELECT qid, did, rel_u,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY rel_u DESC, did) AS rn
+       |    FROM rel) WHERE rn <= $shortlist),
+       |sim AS (SELECT s1.qid, s1.did AS a, s2.did AS b,
+       |    CAST(list_dot_product(e1.v, e2.v) AS BIGINT) AS sim_u
+       |  FROM short s1
+       |  JOIN short s2 ON s2.qid = s1.qid AND s2.did <> s1.did
+       |  JOIN eu e1 ON e1.vec_id = s1.did
+       |  JOIN eu e2 ON e2.vec_id = s2.did),
+       |p1 AS (SELECT qid, did, CAST(7 * rel_u AS BIGINT) AS mmr_u FROM (
+       |    SELECT qid, did, rel_u,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY rel_u DESC, did) AS rn
+       |    FROM short) WHERE rn = 1),
+       |sel1 AS (SELECT qid, did FROM p1),
+       |$rounds
+       |SELECT qid AS query_id, 1 AS rank, did AS neighbor_id, mmr_u
+       |FROM p1
+       |$unions""".stripMargin
+  }
 }

@@ -51,7 +51,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_ann_mrr" ->
       "embeds the brute-force ideal set: corpus x broadcast(query batch)",
     "q_rerank" ->
-      "stage-1 shortlist is the brute-force scan: corpus x broadcast(queries)")
+      "stage-1 shortlist is the brute-force scan: corpus x broadcast(queries)",
+    "q_mmr_select" ->
+      ("relevance stage is the brute-force scan: corpus x " +
+        "broadcast(query batch); feed from ivfTopK at corpus scale"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DiversitySpec extends AnyFunSuite with WithSpark {
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // query 0 looks along +x; 1 is the top pick, 2 its near-twin
+  // (dot(2,1) = 0.888 exceeds rel(2) = 0.88, so the λ=1/2 margin goes
+  // negative), 3 is less relevant but diverse (dot(3,1) = 0.6 leaves a
+  // +0.1 margin), 4 weak
+  private def planted = vecs(
+    0L -> Seq(1.0, 0.0, 0.0),
+    1L -> Seq(0.9, 0.3, 0.0),
+    2L -> Seq(0.88, 0.32, 0.0),
+    3L -> Seq(0.7, -0.1, 0.0),
+    4L -> Seq(0.2, 0.0, 0.1))
+
+  test("lambda = 1 reduces to pure relevance top-k") {
+    val e = planted
+    val got = Diversity.mmrSelect(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", shortlist = 4, k = 3,
+        lambdaNum = 1L, lambdaDen = 1L)
+      .orderBy("rank").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    // pure relevance order: 0.9 > 0.88 > 0.7
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("diversity penalty demotes the near-duplicate") {
+    val e = planted
+    val got = Diversity.mmrSelect(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", shortlist = 4, k = 2,
+        lambdaNum = 5L, lambdaDen = 10L)
+      .orderBy("rank").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSeq
+    // rank 1 = highest relevance (1); rank 2 must skip its near-twin 2
+    // (sim(1,2) huge) in favor of the orthogonal 3
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("result is partition-layout independent and deterministic") {
+    import spark.implicits._
+    val base = (0L until 200L).map { i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 13.7 + j * 0.91))
+    }
+    val a = Diversity.mmrSelect(
+      base.toDF("vec_id", "embedding").repartition(1),
+      base.take(3).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", shortlist = 10, k = 4)
+    val b = Diversity.mmrSelect(
+      base.toDF("vec_id", "embedding").repartition(32),
+      base.take(3).toDF("vec_id", "embedding").repartition(2),
+      "vec_id", "embedding", shortlist = 10, k = 4)
+    assert(a.orderBy("query_id", "rank").collect().toSeq ==
+      b.orderBy("query_id", "rank").collect().toSeq)
+    assert(a.count() == 12)
+  }
+
+  test("fewer candidates than k returns all candidates ranked") {
+    val e = vecs(0L -> Seq(1.0, 0.0), 1L -> Seq(0.5, 0.5))
+    val got = Diversity.mmrSelect(e, e.filter(col("vec_id") === 0),
+      "vec_id", "embedding", shortlist = 8, k = 8)
+    assert(got.count() == 1) // only one non-self candidate
+  }
+}
