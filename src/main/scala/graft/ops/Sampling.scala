@@ -193,6 +193,50 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Temperature-scaled domain mixing (α = 1/2): sampling rates derive
+    * from the OBSERVED domain sizes — p_d ∝ √n_d — so head domains are
+    * downweighted toward uniform and the tail keeps its mass (the
+    * multilingual-corpus rebalancing recipe; α = 0.5 is its common
+    * setting). Each domain's keep-rate targets `targetRows` total:
+    * rate_d = min(1, targetRows·√n_d / (Σ_e √n_e) / n_d), membership by
+    * the deterministic per-row draw.
+    *
+    * Unlike [[weightedMix]] (caller-supplied rates), the rates here are
+    * DATA-derived, which is where cross-engine float drift would creep
+    * in: a float Σ√n depends on summation order. So the weights snap to
+    * the 1e-3 grid as BIGINTs (√ is IEEE-correctly-rounded in every
+    * engine, floor is unambiguous), the total is an exact integer sum,
+    * and each domain's draw threshold is one integer division on
+    * DECIMAL(38,0) — `(min(T·w_d, tot·n_d) · 2^32) div (tot·n_d)` —
+    * so thresholds and hence MEMBERSHIP are bit-identical in any
+    * engine (α ≠ 1/2 would need libm `pow`, which IEEE does not pin —
+    * that is why the exponent is fixed at the sqrt point).
+    *
+    * Scale shape: one dim-sized count aggregate, the scalar total on a
+    * one-row broadcast carrier, rates broadcast back onto the corpus —
+    * the corpus itself is scanned once, filtered map-side, never
+    * shuffled. NULL domains keep their own group (null-safe join).
+    */
+  def temperatureMix(
+      df: DataFrame, domain: String, key: Column, targetRows: Long,
+      salt: String = ""): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val counts = df.groupBy(col(domain).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wu",
+        floor(sqrt(col("__n").cast("double")) * 1000.0).cast("long"))
+    val tot = counts.agg(sum("__wu").as("__tot"))
+    val rates = broadcast(counts.crossJoin(broadcast(tot))
+      .withColumn("__thr", expr(
+        s"""(least(CAST($targetRows AS DECIMAL(38,0)) * __wu,
+           |       CAST(__tot AS DECIMAL(38,0)) * __n) * 4294967296)
+           |div (CAST(__tot AS DECIMAL(38,0)) * __n)""".stripMargin))
+      .select("__dom", "__thr"))
+    df.join(rates, col(domain) <=> col("__dom"), "left")
+      .filter(drawInt(key, salt) < col("__thr"))
+      .drop("__dom", "__thr")
+  }
+
   /** Deterministic token-budget slice: rows ordered by their hash draw
     * (a reproducible "random" corpus order — no RNG, no layout
     * dependence), kept while the running `tokens` sum stays within

@@ -236,5 +236,32 @@ object SamplingQueries {
           docs.filter(col("doc_id") < 20), "doc_id",
           docs, "doc_id", k = 4, buckets = 64, salt = "neg")
         .orderBy("anchor_id", "probe")
+    },
+
+    // ---- temperature-scaled (α = 1/2) domain rebalancing: keep-rates
+    //      derive from the observed lang sizes, √-flattened toward
+    //      uniform; integer draw thresholds, so MEMBERSHIP (not just
+    //      counts) hash-checks against the DuckDB replay ----
+    sql(
+      "q_temperature_mix",
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+         |           GROUP BY lang),
+         |w AS (SELECT lang, n,
+         |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wu
+         |  FROM c),
+         |t AS (SELECT CAST(sum(wu) AS HUGEINT) AS tot FROM w),
+         |r AS (SELECT lang,
+         |    (least(CAST(250 AS HUGEINT) * wu, (SELECT tot FROM t) * n)
+         |     * 4294967296) // ((SELECT tot FROM t) * n) AS thr
+         |  FROM w)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN r ON r.lang = d.lang
+         |WHERE CAST('0x' || substr(md5('tmix' ||
+         |    CAST(d.doc_id AS VARCHAR)), 1, ${Sampling.PrefixHexLen})
+         |  AS BIGINT) < r.thr""".stripMargin) { (s, d) =>
+      Sampling.temperatureMix(
+          Tables.documents(s, d), "lang", col("doc_id"),
+          targetRows = 250, salt = "tmix")
+        .select("doc_id", "lang")
     })
 }

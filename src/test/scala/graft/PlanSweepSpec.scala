@@ -54,7 +54,9 @@ class PlanSweepSpec extends AnyFunSuite {
       "stage-1 shortlist is the brute-force scan: corpus x broadcast(queries)",
     "q_mmr_select" ->
       ("relevance stage is the brute-force scan: corpus x " +
-        "broadcast(query batch); feed from ivfTopK at corpus scale"))
+        "broadcast(query batch); feed from ivfTopK at corpus scale"),
+    "q_temperature_mix" ->
+      "weight total rides a ONE-row broadcast carrier into the rates")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

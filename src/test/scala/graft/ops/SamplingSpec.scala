@@ -198,4 +198,38 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
     // not one bucket's representative repeated everywhere
     assert(got.map(_._3).size >= 8, "negatives collapsed to few docs")
   }
+
+  test("temperatureMix flattens head domains toward uniform") {
+    // head domain 800 rows, tail 50: α=1/2 rates rebalance the mix
+    val rows = (0L until 800L).map(i => (i, "head")) ++
+      (800L until 850L).map(i => (i, "tail"))
+    val df = rows.toDF("id", "dom")
+    val kept = Sampling.temperatureMix(df, "dom", col("id"),
+        targetRows = 200, salt = "t")
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (h, t) = (kept.getOrElse("head", 0L), kept.getOrElse("tail", 0L))
+    // input ratio 16:1; √-flattened target ratio is 4:1 — the head
+    // must be well under its input share and the tail oversampled
+    assert(h + t > 140 && h + t < 260, s"total $h+$t far from target 200")
+    assert(h.toDouble / t < 8.0, s"head/tail $h/$t not flattened")
+    assert(t > 20, s"tail undersampled: $t")
+  }
+
+  test("temperatureMix is layout-independent and keeps null domains") {
+    val rows = (0L until 300L).map { i =>
+      (i, if (i % 7 == 0) null else s"d${i % 3}")
+    }
+    val df = rows.toDF("id", "dom")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(d, "dom", col("id"), 150, "s")
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    assert(a == ids(df.repartition(17)), "layout changed membership")
+    // the null group participates with its own rate rather than
+    // silently dropping (the null-safe join contract)
+    val keptNull = Sampling.temperatureMix(df, "dom", col("id"), 150, "s")
+      .filter(col("dom").isNull).count()
+    assert(keptNull > 0, "null-domain rows were dropped wholesale")
+  }
 }
