@@ -354,6 +354,30 @@ object Dedup {
     docs.join(best, docs(id) === col("__keep"), "left_semi")
   }
 
+  /** Provenance-preserving collapse: one row per near-dup cluster
+    * carrying the representative (min id), the SORTED member-id array,
+    * and the member count — the lineage record a curation pipeline
+    * must keep when it drops duplicates (dataset cards, takedown /
+    * opt-out propagation: removing one member means re-checking its
+    * whole cluster; pure [[dropNearDups]] discards that trace).
+    *
+    * Scale shape: the CC label frame (2 longs per collided node)
+    * aggregates once on the cluster key with map-side combine. The
+    * member ARRAY is cluster-sized by construction — bound pathological
+    * boilerplate clusters upstream with [[candidatePairs]]'
+    * bucket-size cap, exactly as the collapse ops do; the count column
+    * is the cheap signal consumers should filter on first.
+    */
+  def collapseProvenance(
+      docs: DataFrame,
+      id: String,
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame =
+    clusterLabels(docs.select(col(id)), pairs, maxIters)
+      .groupBy(col("cluster").as("rep_id"))
+      .agg(sort_array(collect_list(col("node"))).as("members"),
+        count(lit(1)).as("n_members"))
+
   /** The persistent LSH state for incremental ingest: the corpus as
     * (id, band, bucket) rows — what [[candidatePairs]] builds
     * internally, exposed so a long-lived pipeline can persist it

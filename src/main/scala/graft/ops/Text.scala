@@ -415,6 +415,32 @@ object Text {
         size(sh).cast(DoubleType))
   }
 
+  /** CORPUS-level n-gram diversity per slice (the self-repetition /
+    * memorization-risk gate the per-document ratios above can't see:
+    * a corpus of individually-clean documents that all share the same
+    * template has low cross-document diversity). Per `slice` value:
+    * total n-gram occurrences and distinct n-gram types — the
+    * type-token ratio's numerator and denominator as exact BIGINTs
+    * (the consumer picks its own ratio/threshold; no float leaves
+    * this op).
+    *
+    * Scale shape: one map-side shingle explode, then ONE two-level
+    * aggregation — (slice, gram) with map-side combine (the dedup
+    * happens in the partial aggregate, so the shuffle carries each
+    * distinct gram once per partition, not once per occurrence),
+    * folded to per-slice totals on dim-sized data. Never
+    * `countDistinct` over the raw explode (whose expand-mode plan
+    * shuffles every occurrence).
+    */
+  def ngramDiversity(
+      docs: org.apache.spark.sql.DataFrame, slice: String,
+      text: Column, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(slice), explode(shingles(text, n)).as("__g"))
+      .groupBy(col(slice), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(slice))
+      .agg(sum("__c").as("n_grams"), count(lit(1)).as("n_distinct"))
+
   /** Deflate compression ratio per document: compressed_bytes /
     * raw_bytes — the standard boilerplate/noise signal the native
     * repetition ratios approximate (highly repetitive or low-entropy

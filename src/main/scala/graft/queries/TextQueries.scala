@@ -901,5 +901,64 @@ object TextQueries {
       graft.ops.Text.boilerplateLines(
           pages, "doc_id", "source", "page", minDocs = 5)
         .orderBy("doc_id")
+    },
+
+    // ---- corpus-level trigram diversity per language slice: the
+    //      type/token counts behind the cross-document repetition
+    //      gate, exact BIGINTs both sides ----
+    sql(
+      "q_ngram_diversity",
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    unnest(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+         |  FROM (SELECT lang, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3)
+         |SELECT lang, count(*) AS n_grams,
+         |  count(DISTINCT g) AS n_distinct
+         |FROM g GROUP BY lang""".stripMargin) { (s, d) =>
+      graft.ops.Text.ngramDiversity(
+        Tables.documents(s, d), "lang", col("text"), 3)
+    },
+
+    // ---- provenance-preserving collapse: one row per near-dup
+    //      cluster with representative + sorted member array + count
+    //      (same pair graph + 2-hop label CTEs as q_dedup_near) ----
+    sql(
+      "q_dedup_provenance",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |l1 AS (
+         |  SELECT d.doc_id AS node,
+         |    least(d.doc_id, coalesce(min(e.dst), d.doc_id)) AS l
+         |  FROM documents d LEFT JOIN e ON d.doc_id = e.src
+         |  GROUP BY d.doc_id),
+         |l2 AS (
+         |  SELECT l1.node, least(l1.l, coalesce(min(nl.l), l1.l)) AS cluster
+         |  FROM l1
+         |  LEFT JOIN e ON l1.node = e.src
+         |  LEFT JOIN l1 nl ON e.dst = nl.node
+         |  GROUP BY l1.node, l1.l)
+         |SELECT cluster AS rep_id, list_sort(list(node)) AS members,
+         |  count(*) AS n_members
+         |FROM l2 GROUP BY cluster""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", Text.shingles(col("text"), 3))
+      val pairs = Dedup.nearDupPairs(
+        docs, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
+      Dedup.collapseProvenance(docs, "doc_id", pairs)
     })
 }

@@ -274,4 +274,22 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     // the two selections must genuinely differ on this fixture
     assert(!kept.contains(1L) && !kept.contains(4L))
   }
+
+  test("collapseProvenance: sorted member arrays per cluster, " +
+      "singletons kept, chain clusters fully merged") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // 1-2-3 is a CHAIN (diameter 2), 4-5 a pair, 9 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.collapseProvenance(docs, "id", pairs)
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((List(1L, 2L, 3L), 3L)),
+      4L -> ((List(4L, 5L), 2L)),
+      9L -> ((List(9L), 1L))))
+    // every doc appears exactly once across all member arrays
+    assert(got.values.flatMap(_._1).toList.sorted ==
+      List(1L, 2L, 3L, 4L, 5L, 9L))
+  }
 }

@@ -244,4 +244,25 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .toMap
     assert(got.values.forall(_ == (("", 1L))))
   }
+
+  test("ngramDiversity: exact type/token counts per slice, no Expand") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c a b c"),   // grams: abc bca cab abc -> 4 tot, 3 types
+      (2L, "en", "a b c"),         // abc -> dup of type above
+      (3L, "de", "x y"),           // too short: no grams
+      (4L, "de", "x y z")          // xyz
+    ).toDF("doc_id", "lang", "text")
+    val got = Text.ngramDiversity(docs, "lang", col("text"), 3)
+    val m = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("en") == ((5L, 3L)))
+    assert(m("de") == ((1L, 1L)))
+    // scale contract: the distinct count comes from the two-level
+    // aggregation, not a countDistinct Expand over raw occurrences
+    assert(!got.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(got.count() ==
+      Text.ngramDiversity(docs.repartition(7), "lang", col("text"), 3)
+        .count())
+  }
 }
