@@ -441,6 +441,39 @@ object Text {
       .groupBy(col(slice))
       .agg(sum("__c").as("n_grams"), count(lit(1)).as("n_distinct"))
 
+  /** Cross-slice n-gram contamination matrix: for every pair of
+    * slices (train/test/benchmark splits, source domains), how many
+    * distinct n-gram TYPES they share. The audit face of
+    * decontamination — "which benchmark leaks into which training
+    * slice, and how badly" — where the decontaminate op then removes
+    * the offenders.
+    *
+    * Scale shape: one shingle pass (per-doc dedup map-side via
+    * `array_distinct` before the explode), one distinct on
+    * (slice, gram), then grams fold to their SORTED slice set (≤
+    * #slices entries — dim-bounded however hot the gram) and the
+    * pair expansion is a map-side HOF over that tiny array. The
+    * output is (#slices choose 2) rows. No gram ever meets the
+    * corpus again: cost is one pass + two gram-keyed shuffles.
+    */
+  def overlapMatrix(
+      docs: org.apache.spark.sql.DataFrame, sliceCol: String,
+      text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    val gs = docs
+      .select(col(sliceCol).as("__s"),
+        explode(array_distinct(shingles(text, n))).as("__g"))
+      .distinct()
+    val pairs = gs.groupBy("__g")
+      .agg(sort_array(collect_set(col("__s"))).as("__ss"))
+      .select(explode(flatten(transform(col("__ss"), (x, i) =>
+        transform(
+          slice(col("__ss"), i + lit(2),
+            greatest(size(col("__ss")) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+    pairs.groupBy(col("__p.a").as("slice_a"), col("__p.b").as("slice_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deflate compression ratio per document: compressed_bytes /
     * raw_bytes — the standard boilerplate/noise signal the native
     * repetition ratios approximate (highly repetitive or low-entropy

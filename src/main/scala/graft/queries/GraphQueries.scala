@@ -173,5 +173,23 @@ object GraphQueries {
       pageRankDirectedOracle(s"e0 AS (\n${edgeSql(2)})", iters = 5)) {
       (s, d) =>
       graft.ops.Graph.pageRankIntDirected(edges(s, d, 2), iters = 5)
+    },
+
+    // ---- exact triangle count on the co-purchase graph
+    //      (community-density signal). Engine orients by (degree, id)
+    //      — the O(√m) out-neighborhood bound — while the oracle
+    //      replays in plain id order: the count is
+    //      orientation-invariant, so agreement checks BOTH the wedge
+    //      enumeration and that invariance ----
+    sql(
+      "q_triangles",
+      s"""WITH ed AS (
+         |${edgeSql(2)})
+         |SELECT count(*) AS n_triangles
+         |FROM ed e1
+         |JOIN ed e2 ON e2.a = e1.b
+         |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) {
+      (s, d) =>
+      graft.ops.Graph.triangleCount(edges(s, d, 2))
     })
 }

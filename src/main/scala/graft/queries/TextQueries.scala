@@ -960,5 +960,26 @@ object TextQueries {
       val pairs = Dedup.nearDupPairs(
         docs, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
       Dedup.collapseProvenance(docs, "doc_id", pairs)
+    },
+
+    // ---- cross-slice contamination matrix: distinct trigram TYPES
+    //      shared by each lang pair — the audit face whose offenders
+    //      q_decontaminate then removes. Engine folds each gram to
+    //      its dim-bounded slice set and pair-expands map-side; the
+    //      oracle replays with a plain gram self-join ----
+    sql(
+      "q_overlap_matrix",
+      s"""WITH g AS (
+         |  SELECT DISTINCT lang AS s,
+         |    unnest(list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS g
+         |  FROM (SELECT lang, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3)
+         |SELECT x.s AS slice_a, y.s AS slice_b, count(*) AS n_shared
+         |FROM g x JOIN g y ON x.g = y.g AND x.s < y.s
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Text.overlapMatrix(
+        Tables.documents(s, d), "lang", col("text"), 3)
     })
 }

@@ -171,4 +171,37 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert(total <= Graph.Scale)
     assert(total > Graph.Scale - 1000L, s"mass leaked too far: $total")
   }
+
+  test("triangleCount: textbook shapes") {
+    import spark.implicits._
+    def count(es: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(es.toDF("a", "b")).as[Long].first()
+    // K4 has C(4,3) = 4 triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(count(k4) == 4L)
+    // a path has none; a single triangle has one; self-loops,
+    // duplicates, and reversed duplicates don't inflate the count
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L), (2L, 1L), (1L, 2L))) == 1L)
+    assert(count(Seq.empty) == 0L)
+  }
+
+  test("triangleCount matches brute force on a pseudo-random graph " +
+      "with a hub (degree-order invariance)") {
+    import spark.implicits._
+    // hub node 0 touches everyone; plus deterministic sparse edges
+    val n = 40L
+    val edges = ((1L until n).map(i => (0L, i)) ++
+      (for (i <- 1L until n; j <- (i + 1) until n
+            if (i * 31 + j * 17) % 11 == 0) yield (i, j))).toSeq
+    val got = Graph.triangleCount(edges.toDF("a", "b")).as[Long].first()
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSet
+    val brute = (for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield 1).size
+    assert(got == brute.toLong, s"got $got, brute $brute")
+  }
 }

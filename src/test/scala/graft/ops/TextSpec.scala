@@ -265,4 +265,21 @@ class TextSpec extends AnyFunSuite with WithSpark {
       Text.ngramDiversity(docs.repartition(7), "lang", col("text"), 3)
         .count())
   }
+
+  test("overlapMatrix: shared gram types per slice pair, a < b") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "train", "alpha beta gamma delta"), // grams: abg, bgd
+      (2L, "test", "alpha beta gamma"),        // abg  -> shared w/ train
+      (3L, "test", "beta gamma delta"),        // bgd  -> shared w/ train
+      (4L, "bench", "zeta eta theta"),         // disjoint
+      (5L, "train", "alpha beta gamma")        // dup type, must not double
+    ).toDF("doc_id", "split", "text")
+    val got = Text.overlapMatrix(docs, "split", col("text"), 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // only the (test, train) pair overlaps: 2 shared TYPES, counted
+    // once however many docs carry them; keys are sorted a < b
+    assert(got == Map(("test", "train") -> 2L))
+  }
 }
