@@ -53,6 +53,18 @@ object SimilarityQueries {
     * cached index yields bit-identical results. */
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** 1/log2(i+1) for rank i = 1..5 on the 1e-9 grid — computed ONCE
+    * JVM-side and interpolated into both the Spark plan and the oracle
+    * SQL as integer literals, so neither engine evaluates a log and
+    * the DCG sum is exact integer arithmetic. */
+  private val NdcgDiscountsU: Seq[Long] =
+    (1 to 5).map(i => math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG@5 (graded rel 5..1 against the sorted discounts), same
+    * 1e-9 units. */
+  private val NdcgIdealU: Long =
+    NdcgDiscountsU.zipWithIndex.map { case (u, i) => (5L - i) * u }.sum
+
   private def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     ivfCache.computeIfAbsent(d, _ => {
       val dir = s"$indexScratch/ivf_${math.abs(d.hashCode)}"
@@ -333,6 +345,64 @@ object SimilarityQueries {
         .groupBy("query_id")
         .agg(coalesce(lit(1.0) /
           min(when(col("__rel") === 1, col("rank"))), lit(0.0)).as("rr"))
+    },
+
+    // ---- nDCG@5 of the IVF path: graded relevance = exact-rank
+    //      position (rel = 6 − exact_rank), discounts 1/log2(i+1)
+    //      BAKED AS 1e-9-grid integer literals shared by both engines
+    //      (no cross-engine libm anywhere): DCG sums exact BIGINTs,
+    //      the single final division runs on identical operands ----
+    sql(
+      "q_ann_ndcg", {
+        val dU = NdcgDiscountsU.zipWithIndex.map { case (u, i) =>
+          s"WHEN ${i + 1} THEN $u" }.mkString(" ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |           FROM embeddings),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+           |s AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, e.v)
+           |      / (sqrt(list_dot_product(q.v, q.v))
+           |         * sqrt(list_dot_product(e.v, e.v))) AS cosine
+           |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+           |brute AS (
+           |  SELECT query_id, neighbor_id, 6 - rank AS rel
+           |  FROM (SELECT query_id, neighbor_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |                             ORDER BY cosine DESC, neighbor_id)
+           |            AS rank
+           |        FROM s)
+           |  WHERE rank <= 5),
+           |ivf AS (
+           |  SELECT query_id::BIGINT AS query_id,
+           |    neighbor_id::BIGINT AS neighbor_id, rank::INT AS rank
+           |  FROM read_csv('${SourceQueries.FixtureDir}/golden_knn_ivf.tsv',
+           |    delim='\\t', header=true, all_varchar=true))
+           |SELECT i.query_id,
+           |  round(CAST(sum(coalesce(b.rel, 0)
+           |                 * (CASE i.rank $dU END)) AS DOUBLE)
+           |        / $NdcgIdealU, 6) AS ndcg
+           |FROM ivf i LEFT JOIN brute b
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY i.query_id""".stripMargin
+      }) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(
+          corpus = e, queries = q, id = "vec_id", vec = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(6) - col("rank")).cast("long").as("__rel"))
+      val ivf = Similarity.ivfQuery(q, ivfDir(s, d),
+          "vec_id", "embedding", k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val disc = NdcgDiscountsU.zipWithIndex
+        .foldLeft(lit(0L)) { case (acc, (u, i)) =>
+          when(col("rank") === (i + 1), lit(u)).otherwise(acc) }
+      ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(
+          sum(coalesce(col("__rel"), lit(0L)) * disc).cast("double") /
+            lit(NdcgIdealU.toDouble), 6).as("ndcg"))
     },
 
     // ---- approximate top-k faces: approximate vs BRUTE FORCE (recall

@@ -56,7 +56,9 @@ class PlanSweepSpec extends AnyFunSuite {
       ("relevance stage is the brute-force scan: corpus x " +
         "broadcast(query batch); feed from ivfTopK at corpus scale"),
     "q_temperature_mix" ->
-      "weight total rides a ONE-row broadcast carrier into the rates")
+      "weight total rides a ONE-row broadcast carrier into the rates",
+    "q_ann_ndcg" ->
+      "embeds the brute-force ideal set: corpus x broadcast(query batch)")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
