@@ -258,6 +258,21 @@ object GenGoldens {
           id = "vec_id", vec = "embedding", k = 5,
           numCentroids = 16, nProbe = 8)),
         "query_id\tneighbor_id\trank\tcosine", "golden_knn_ivf.tsv")
+      // q_mmr_ivf: MMR-diversified IVF shortlist (deterministic like
+      // the shortlist itself; parameters match the query face)
+      writeTsv(
+        graft.ops.Diversity.mmrRescore(
+            Similarity.ivfTopK(
+                corpus = e, queries = e.filter(col("vec_id") < 10),
+                id = "vec_id", vec = "embedding", k = 20,
+                numCentroids = 16, nProbe = 8)
+              .select(col("query_id"), col("neighbor_id")),
+            corpus = e, queries = e.filter(col("vec_id") < 10),
+            id = "vec_id", vec = "embedding", k = 5)
+          .orderBy("query_id", "rank")
+          .as[(Long, Int, Long, Long)].collect()
+          .map(p => s"${p._1}\t${p._2}\t${p._3}\t${p._4}").toSeq,
+        "query_id\trank\tneighbor_id\tmmr_u", "golden_mmr_ivf.tsv")
       // q_knn_pq: deterministic like the others (L2-argmin codes with
       // cid tie-break over decimal-mean codebooks); parameters match
       // the query face and the SimilaritySpec recall guard

@@ -60,9 +60,6 @@ object Diversity {
     require(shortlist >= k && k >= 1, s"need shortlist >= k >= 1")
     require(lambdaDen >= lambdaNum && lambdaNum >= 0,
       s"lambda = $lambdaNum/$lambdaDen must lie in [0, 1]")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val q = broadcast(queries.select(
       col(id).cast("long").as("query_id"), snapMicro(col(vec)).as("__qv")))
     val c = corpus.select(
@@ -77,6 +74,45 @@ object Diversity {
         col("rel_d").cast("long").as("rel_u"),
         col("__cv").cast("array<double>").as("__cv"))
 
+    mmrGreedy(short, k, lambdaNum, lambdaDen)
+  }
+
+  /** Diversify an EXISTING shortlist — the composition point for the
+    * ANN index faces: feed (query_id, neighbor_id) pairs from
+    * [[Similarity.ivfQuery]] (or any retrieval stage) and re-rank them
+    * MMR-greedily. Vectors re-fetch through one equi-join against the
+    * corpus (shortlist-sized probe side), relevance recomputes as the
+    * exact snapped-integer dot, so the greedy is bit-identical whether
+    * the shortlist came from brute force or an index.
+    */
+  def mmrRescore(
+      pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      lambdaNum: Long = 7L, lambdaDen: Long = 10L): DataFrame = {
+    val q = broadcast(queries.select(
+      col(id).cast("long").as("query_id"), snapMicro(col(vec)).as("__qv")))
+    val c = corpus.select(
+      col(id).cast("long").as("neighbor_id"), snapMicro(col(vec)).as("__cv"))
+    val short = pairs
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(c, "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.DotProduct.dot(col("__qv"), col("__cv"))
+          .cast("long").as("rel_u"),
+        col("__cv").cast("array<double>").as("__cv"))
+    mmrGreedy(short, k, lambdaNum, lambdaDen)
+  }
+
+  /** The greedy stage over a prepared shortlist frame
+    * (query_id, neighbor_id, rel_u, __cv snapped): per query group —
+    * bounded state, integer arithmetic, ties by id. */
+  private def mmrGreedy(
+      short: DataFrame, k: Int,
+      lambdaNum: Long, lambdaDen: Long): DataFrame = {
+    val spark = short.sparkSession
+    import spark.implicits._
     val penNum = lambdaDen - lambdaNum
     short.as[(Long, Long, Long, Seq[Double])]
       .groupByKey(_._1)

@@ -656,6 +656,27 @@ object SimilarityQueries {
         graft.ops.Diversity.mmrSelect(
           corpus = e, queries = e.filter(col("vec_id") < 4),
           id = "vec_id", vec = "embedding", shortlist = 8, k = 3)
+    },
+
+    // ---- the corpus-scale MMR shape: shortlist from the STORED IVF
+    //      index (partition-pruned probes), then the same integer
+    //      greedy — deterministic end to end, so the committed golden
+    //      hash-checks reproducibility exactly like q_knn_ivf ----
+    sql(
+      "q_mmr_ivf",
+      s"""SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+         |  neighbor_id::BIGINT AS neighbor_id, mmr_u::BIGINT AS mmr_u
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_mmr_ivf.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+        val pairs = Similarity.ivfQuery(q, ivfDir(s, d),
+            "vec_id", "embedding", k = 20, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Diversity.mmrRescore(
+          pairs, corpus = e, queries = q,
+          id = "vec_id", vec = "embedding", k = 5)
     })
 
   /** DuckDB replay of [[graft.ops.Diversity.mmrSelect]] with

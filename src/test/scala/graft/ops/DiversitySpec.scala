@@ -63,6 +63,33 @@ class DiversitySpec extends AnyFunSuite with WithSpark {
     assert(a.count() == 12)
   }
 
+  test("mmrRescore over the brute-force shortlist reproduces " +
+      "mmrSelect exactly (shared greedy)") {
+    import spark.implicits._
+    val base = (0L until 100L).map { i =>
+      i -> Seq.tabulate(6)(j => math.cos(i * 7.3 + j * 1.17))
+    }
+    val e = base.toDF("vec_id", "embedding")
+    val q = base.take(2).toDF("vec_id", "embedding")
+    val direct = Diversity.mmrSelect(e, q, "vec_id", "embedding",
+      shortlist = 12, k = 4)
+    val pairs = graft.plans.TopKPerGroup.topK(
+      e.select(col("vec_id").as("neighbor_id"),
+          Diversity.snapMicro(col("embedding")).as("__cv"))
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          Diversity.snapMicro(col("embedding")).as("__qv"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.plans.DotProduct.dot(col("__qv"), col("__cv"))
+            .as("rel_d")),
+      Seq("query_id"), "rel_d", "neighbor_id", 12)
+    val rescored = Diversity.mmrRescore(
+      pairs.select("query_id", "neighbor_id"), e, q,
+      "vec_id", "embedding", k = 4)
+    assert(direct.orderBy("query_id", "rank").collect().toSeq ==
+      rescored.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("fewer candidates than k returns all candidates ranked") {
     val e = vecs(0L -> Seq(1.0, 0.0), 1L -> Seq(0.5, 0.5))
     val got = Diversity.mmrSelect(e, e.filter(col("vec_id") === 0),
