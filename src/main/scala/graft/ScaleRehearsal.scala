@@ -126,9 +126,25 @@ object ScaleRehearsal {
         docs10, "doc_id", "source", "page", minDocs = 5).count()
     }
 
+    // ---- q_triangles: 10 disjoint salted replicas of the co-order
+    // graph (the pagerank device). m grows ×10 with structure held;
+    // the compact-forward wedge join is O(m^1.5) WORST-case, but on
+    // disjoint replicas the expected growth is ~linear — catching a
+    // super-linear regression (e.g. a lost degree bound) is exactly
+    // what this face is for ----
+    val tr1 = timed("triangles 1x") {
+      graft.ops.Graph.triangleCount(e1)
+        .head().getLong(0)
+    }
+    val tr10 = timed("triangles 10x") {
+      graft.ops.Graph.triangleCount(e10)
+        .head().getLong(0)
+    }
+
     println(f"[rehearsal] growth: pagerank_directed ${pr10 / pr1}%.2fx, " +
       f"dbscan ${db10 / db1}%.2fx, index_refresh ${ir10 / ir1}%.2fx, " +
-      f"boilerplate ${bp10 / bp1}%.2fx " +
+      f"boilerplate ${bp10 / bp1}%.2fx, " +
+      f"triangles ${tr10 / tr1}%.2fx (n=$tr1 -> $tr10) " +
       "(inputs x10; pass = ~linear or below)")
     spark.stop()
   }

@@ -147,4 +147,55 @@ object Profile {
       }
     }(enc)
   }
+
+  /** Cumulative Poisson(1) CDF thresholds on the 2^32 draw grid for
+    * weights 0..6 (weight 7 takes the ~8e-5 tail) — computed once
+    * JVM-side and injected as integer literals into BOTH the Spark
+    * plan and any oracle SQL, so no engine evaluates exp/factorial. */
+  val PoissonCdfU: Seq[Long] = {
+    val invE = math.exp(-1.0)
+    val pmf = Iterator.iterate((invE, 1)) { case (p, k) =>
+      (p / k, k + 1) }.map(_._1).take(7).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Deterministic Poisson bootstrap over an integral metric: `b`
+    * resamples of `df`, each row entering resample i with weight
+    * ~Poisson(1) drawn from the md5 convention (so membership — hence
+    * every resampled statistic — is reproducible across engines, runs,
+    * and layouts; the standard streaming bootstrap, e.g. Chamandy et
+    * al., "Estimating uncertainty for massive data streams", 2012).
+    * Returns per-resample (b, n_eff, sum_val, mean_val): exact BIGINT
+    * sums plus the one double division on identical operands. Feed the
+    * B means to a quantile for the confidence interval — that's the
+    * error bar on any corpus-level metric (mean quality, mean length)
+    * without a second pass over the data.
+    *
+    * Scale shape: the ×B fan-out is a map-side `explode(sequence)`
+    * immediately consumed by a partial aggregate — the shuffle carries
+    * B rows per PARTITION (map-side combine), not B per row; output is
+    * B rows. `value` must be integral (snap to a cents/micro grid
+    * first) so sums stay exact.
+    */
+  def poissonBootstrap(
+      df: DataFrame, key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, b: Int,
+      salt: String = "bs"): DataFrame = {
+    require(b >= 1, s"resample count must be >= 1, got $b")
+    val rows = df.select(
+      explode(sequence(lit(0), lit(b - 1))).as("b"),
+      key.cast("string").as("__k"), value.cast("long").as("__v"))
+    val draw = conv(Sampling.unitDraw(
+      concat(col("b").cast("string"), lit("#"), col("__k")), salt),
+      16, 10).cast("long")
+    val w = PoissonCdfU.zipWithIndex.reverse.foldLeft(
+        lit(PoissonCdfU.length): org.apache.spark.sql.Column) {
+      case (acc, (t, k)) => when(draw < t, lit(k)).otherwise(acc)
+    }.cast("long")
+    rows.groupBy("b")
+      .agg(sum(w).as("n_eff"), sum(w * col("__v")).as("sum_val"))
+      .withColumn("mean_val",
+        round(col("sum_val").cast("double") / col("n_eff"), 6))
+  }
 }

@@ -152,4 +152,41 @@ object TimeSeries {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Per-group OLS trend slope over INTEGRAL (x, y) — "is this
+    * domain's quality drifting, and which way": the direction/rate
+    * complement to the PSI magnitude gates. Cancellation-free
+    * cross-multiplied form (the exact-PCA device):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), numerator and
+    * denominator kept as exact DECIMAL(38,0) — bit-portable across
+    * engines/layouts — with one final division on identical operands.
+    * Caller snaps x/y to integer grids (days, cents); groups where x
+    * never varies (den = 0) are dropped rather than emitting ±inf.
+    *
+    * Scale shape: ONE map-side-combined aggregation over one scan —
+    * five running sums per group, dim-sized output; nothing else.
+    */
+  def trendSlopes(
+      df: DataFrame, group: String, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = df
+      .select(col(group), x.cast(dec).as("__x"), y.cast(dec).as("__y"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    agg
+      .select(col(group), col("__n").cast("long").as("n"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(dec).as("__num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(dec).as("__den"))
+      .filter(col("__den") =!= 0)
+      .select(col(group), col("n"),
+        col("__num").cast("string").as("num"),
+        col("__den").cast("string").as("den"),
+        round(col("__num").cast("double") / col("__den").cast("double"),
+          9).as("slope"))
+  }
 }

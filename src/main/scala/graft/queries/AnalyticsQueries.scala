@@ -603,5 +603,61 @@ object AnalyticsQueries {
             when(col("value") < col("lo"), col("lo"))
               .when(col("value") > col("hi"), col("hi"))
               .otherwise(col("value")).as("clipped"))
+    },
+
+    // ---- deterministic Poisson bootstrap: 16 resamples of the mean
+    //      document length — the error bar on a corpus metric in ONE
+    //      pass. Weights come from md5 draws against Poisson(1) CDF
+    //      thresholds baked as shared integer literals, so membership
+    //      and every exact sum hash-check across engines ----
+    sql(
+      "q_bootstrap_ci", {
+        val cases = graft.ops.Profile.PoissonCdfU.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        s"""WITH r AS (
+           |  SELECT b.b, d.n_chars,
+           |    CAST('0x' || substr(md5('bs' || b.b || '#' || d.doc_id),
+           |      1, 8) AS BIGINT) AS u
+           |  FROM documents d
+           |  CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+           |w AS (SELECT b, n_chars,
+           |        CASE $cases
+           |          ELSE ${graft.ops.Profile.PoissonCdfU.length} END AS w
+           |      FROM r)
+           |SELECT b::INT AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+           |  CAST(sum(w * n_chars) AS BIGINT) AS sum_val,
+           |  round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6)
+           |    AS mean_val
+           |FROM w GROUP BY b""".stripMargin
+      }) { (s, d) =>
+      graft.ops.Profile.poissonBootstrap(
+        Tables.documents(s, d), col("doc_id"), col("n_chars"), b = 16)
+    },
+
+    // ---- per-event-type OLS trend of value over time (drift
+    //      DIRECTION next to the PSI magnitude gates): exact
+    //      cross-multiplied numerator/denominator as DECIMAL(38,0)
+    //      strings, one final division on identical operands ----
+    sql(
+      "q_trend_slope",
+      """WITH p AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n,
+        |  (n * sxy - sx * sy)::VARCHAR AS num,
+        |  (n * sxx - sx * sx)::VARCHAR AS den,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope
+        |FROM a
+        |WHERE n * sxx - sx * sx <> 0""".stripMargin) { (s, d) =>
+      graft.ops.TimeSeries.trendSlopes(
+        Tables.events(s, d), "event_type",
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
+        round(col("value") * 100).cast("long"))
     })
 }

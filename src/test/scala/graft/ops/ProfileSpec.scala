@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.WithSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class ProfileSpec extends AnyFunSuite with WithSpark {
@@ -88,5 +89,26 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
       .queryExecution.executedPlan.toString
     assert("Expand".r.findAllIn(plan).length == 1)
     assert(!plan.contains("Join"), "profiling must not self-join")
+  }
+
+  test("poissonBootstrap: weights ~Poisson(1), exact and layout-free") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, 10L + i % 5)).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.poissonBootstrap(d, col("id"), col("v"), b = 8)
+        .collect().map(r => (r.getInt(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val a = run(df)
+    assert(a == run(df.repartition(13)), "layout changed the resamples")
+    assert(a.keySet == (0 until 8).toSet)
+    // each resample's effective n concentrates near the corpus size
+    // (Poisson(1) mean weight 1; sd of the sum ~ sqrt(n) = 45)
+    a.values.foreach { case (nEff, sumV, mean) =>
+      assert(math.abs(nEff - 2000L) < 300, s"n_eff $nEff far from 2000")
+      assert(mean > 11.0 && mean < 13.0, s"mean $mean off (true 12)")
+      assert(sumV > 0)
+    }
+    // resamples genuinely differ (different draws per b)
+    assert(a.values.map(_._1).toSet.size > 1)
   }
 }

@@ -125,4 +125,22 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
     assert(re.toSeq == got.keys.toSeq.sorted.map(k =>
       (k._1, k._2, got(k)._3)))
   }
+
+  test("trendSlopes: exact slope on planted linear data; " +
+      "constant-x groups dropped") {
+    import spark.implicits._
+    // y = 3x + 7 exactly -> num/den = 3; one group with constant x
+    val rows = (0L until 50L).map(x => ("lin", x, 3 * x + 7)) ++
+      (0L until 10L).map(i => ("flat", 5L, i))
+    val df = rows.toDF("g", "x", "y")
+    val got = TimeSeries.trendSlopes(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set("lin"), "flat group must drop, not emit inf")
+    val (n, num, den, slope) = got("lin")
+    assert(n == 50L)
+    assert(BigInt(num) == BigInt(den) * 3, s"num $num != 3*den $den")
+    assert(slope == 3.0)
+  }
 }
