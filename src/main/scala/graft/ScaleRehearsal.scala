@@ -144,7 +144,7 @@ object ScaleRehearsal {
     println(f"[rehearsal] growth: pagerank_directed ${pr10 / pr1}%.2fx, " +
       f"dbscan ${db10 / db1}%.2fx, index_refresh ${ir10 / ir1}%.2fx, " +
       f"boilerplate ${bp10 / bp1}%.2fx, " +
-      f"triangles ${tr10 / tr1}%.2fx (n=$tr1 -> $tr10) " +
+      f"triangles ${tr10 / tr1}%.2fx " +
       "(inputs x10; pass = ~linear or below)")
     spark.stop()
   }
