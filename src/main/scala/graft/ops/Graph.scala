@@ -460,11 +460,18 @@ object Graph {
     * (`n_triangles`).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // Materialize the canonical edge list ONCE: it feeds the degree
+    // aggregate (both union branches), the orientation join, and —
+    // through `o` — three wedge-join consumers. Without the pin the
+    // whole upstream edge derivation (for the co-purchase face: a
+    // basket shuffle + pair explode) re-executes per consumer
+    // (the clusterLabels device).
     val und = edges
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("u").as("n"))
       .union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -473,9 +480,12 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // 2 longs per edge, read by three join sides — pin it too so the
+    // degree joins run once, not three times.
     val o = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
       when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
     o.as("x")
       .join(o.as("y"), col("x.t") === col("y.s"))
       .join(o.as("z"),
