@@ -225,8 +225,12 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__wu",
         floor(sqrt(col("__n").cast("double")) * 1000.0).cast("long"))
-    val tot = counts.agg(sum("__wu").as("__tot"))
-    val rates = broadcast(counts.crossJoin(broadcast(tot))
+    // the weight total folds over the DIM-SIZED count frame via an
+    // unpartitioned window — a single-partition pass over #domains
+    // rows, NOT a corpus re-scan (a separate agg + crossJoin would
+    // recompute the count subtree: one extra 100 TB scan)
+    val rates = broadcast(counts
+      .withColumn("__tot", sum("__wu").over(Window.partitionBy()))
       .withColumn("__thr", expr(
         s"""(least(CAST($targetRows AS DECIMAL(38,0)) * __wu,
            |       CAST(__tot AS DECIMAL(38,0)) * __n) * 4294967296)

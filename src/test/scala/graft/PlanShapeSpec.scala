@@ -330,4 +330,48 @@ class PlanShapeSpec extends AnyFunSuite {
       conf.set("spark.sql.parquet.aggregatePushdown", prevPd)
     }
   }
+
+  test("temperature mix: corpus scanned once for the filter; " +
+      "rates broadcast back") {
+    val p = plan("q_temperature_mix")
+    // documents appears once for the rate aggregate and once for the
+    // filtered read — never a third time
+    assert(count(p, "documents.parquet") <= 2,
+      "temperatureMix re-scans the corpus")
+    assert(count(p, "BroadcastHashJoin") >= 1, "rates must broadcast")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("ngram diversity: two-level aggregate, no Expand, no join") {
+    val p = plan("q_ngram_diversity")
+    assert(!p.contains("Expand"), "countDistinct Expand crept in")
+    assert(!p.contains("Join"), "diversity counts must not join")
+    assert(count(p, "documents.parquet") == 1)
+  }
+
+  test("overlap matrix: one corpus scan; grams never re-join it") {
+    val p = plan("q_overlap_matrix")
+    assert(count(p, "documents.parquet") == 1,
+      "contamination matrix must fold slice sets, not self-join grams")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no join should appear at all")
+  }
+
+  test("mmr shortlist ranks on the bounded heap, not a window sort") {
+    val p = plan("q_mmr_select")
+    assert(p.contains("TopKPerGroup"), "shortlist lost the bounded heap")
+    assert(!p.contains("Window"), "a window sort crept into the shortlist")
+  }
+
+  test("bootstrap resamples aggregate map-side (partial before the " +
+      "exchange), one corpus scan") {
+    val p = plan("q_bootstrap_ci")
+    assert(count(p, "documents.parquet") == 1)
+    // partial HashAggregate under the exchange = B rows per partition
+    // on the wire, the op's scale contract
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstEx = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstEx >= 0)
+    assert(count(p, "HashAggregate") >= 2, "partial aggregate missing")
+  }
 }
