@@ -427,6 +427,38 @@ object Dedup {
   /** Exact Jaccard similarity of two shingle-set columns:
     * |A ∩ B| / (|A| + |B| - |A ∩ B|), on distinct shingles.
     */
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo,
+    * SIGMOD'95): rank the corpus by a blocking key, compare each row
+    * only against the next `window` rows in that order. The classic
+    * complement to LSH blocking — catches near-dups whose PREFIX
+    * agrees (title/lead-sentence clones, id-adjacent exports) at cost
+    * O(n·window) regardless of how hot any key value is, where a
+    * key-equality block would square on a heavy key.
+    *
+    * Scale shape: the global rank comes from the range-partitioned
+    * ranker ([[Layout.globalRowNumber]] — never a single-partition
+    * window); the window expansion is a map-side `explode` of the
+    * `window` offsets followed by ONE rank equi-join. Emits (a, b)
+    * with a the earlier row in sort order; rescore with [[jaccard]].
+    * Total order (key, id) makes the pair set deterministic and
+    * layout-independent.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, id: String, sortKey: Column, window: Int,
+      numPartitions: Int = 32): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = Layout.globalRowNumber(
+        docs.select(col(id).as("__sid"), sortKey.as("__key")),
+        Seq(col("__key").asc, col("__sid").asc), numPartitions,
+        as = "__rn")
+      .localCheckpoint() // two consumers: probe side + build side
+    val probes = ranked
+      .withColumn("__o", explode(sequence(lit(1), lit(window))))
+      .select(col("__sid").as("a"), (col("__rn") + col("__o")).as("__rn2"))
+    val build = ranked.select(col("__sid").as("b"), col("__rn").as("__rn2"))
+    probes.join(build, "__rn2").select(col("a"), col("b"))
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)

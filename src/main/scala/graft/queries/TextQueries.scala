@@ -981,5 +981,53 @@ object TextQueries {
          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       graft.ops.Text.overlapMatrix(
         Tables.documents(s, d), "lang", col("text"), 3)
+    },
+
+    // ---- sorted-neighborhood blocking (Hernández-Stolfo): prefix-key
+    //      sort order + window-4 candidate pairs + exact-Jaccard
+    //      rescore — the LSH complement for prefix-agreeing clones;
+    //      the oracle replays rank, window join, and Jaccard ----
+    sql(
+      "q_snm_dedup",
+      s"""WITH base AS (
+         |  SELECT doc_id, $NormSql AS nt FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM base)
+         |  WHERE len(ws) >= 3),
+         |r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY substr(nt, 1, 12), doc_id) AS rn
+         |  FROM base),
+         |p AS (
+         |  SELECT r1.doc_id AS a, r2.doc_id AS b
+         |  FROM r r1 JOIN r r2
+         |    ON r2.rn BETWEEN r1.rn + 1 AND r1.rn + 4),
+         |j AS (
+         |  SELECT p.a, p.b,
+         |    round(len(list_intersect(x.s, y.s))::DOUBLE
+         |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))),
+         |      6) AS jac
+         |  FROM p JOIN sh x ON x.doc_id = p.a
+         |         JOIN sh y ON y.doc_id = p.b)
+         |SELECT a, b, jac FROM j WHERE jac >= 0.8""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val keyed = docs.select(col("doc_id"),
+          substring(Text.normalize(col("text")), 1, 12).as("__k"))
+        val pairs = Dedup.sortedNeighborhoodPairs(
+          keyed, "doc_id", col("__k"), window = 4)
+        val sh = docs.select(col("doc_id"),
+          Text.shingles(col("text"), 3).as("__sh"))
+        pairs
+          .join(sh.select(col("doc_id").as("a"), col("__sh").as("__sa")),
+            "a")
+          .join(sh.select(col("doc_id").as("b"), col("__sh").as("__sb")),
+            "b")
+          .select(col("a"), col("b"),
+            round(Dedup.jaccard(col("__sa"), col("__sb")), 6).as("jac"))
+          .filter(col("jac") >= 0.8)
     })
 }

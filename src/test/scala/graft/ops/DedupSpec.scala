@@ -292,4 +292,21 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     assert(got.values.flatMap(_._1).toList.sorted ==
       List(1L, 2L, 3L, 4L, 5L, 9L))
   }
+
+  test("sortedNeighborhoodPairs: exactly the next-w pairs in key " +
+      "order, layout-independent") {
+    import spark.implicits._
+    // keys sort as d10 (id 3), d20 (1), d30 (4), d40 (2), d50 (5)
+    val docs = Seq((3L, "d10"), (1L, "d20"), (4L, "d30"),
+      (2L, "d40"), (5L, "d50")).toDF("id", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhoodPairs(d, "id", col("k"), window = 2,
+          numPartitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run(docs)
+    // rank order 3,1,4,2,5: each row pairs with the next two
+    assert(got == Set((3L, 1L), (3L, 4L), (1L, 4L), (1L, 2L),
+      (4L, 2L), (4L, 5L), (2L, 5L)))
+    assert(got == run(docs.repartition(7)), "layout changed the pairs")
+  }
 }
