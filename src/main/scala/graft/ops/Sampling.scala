@@ -241,6 +241,48 @@ object Sampling {
       .drop("__dom", "__thr")
   }
 
+  /** Calibrated domain mixing: downsample so the OUTPUT matches
+    * explicit target shares ("40% en / 30% zh / 30% code", matching a
+    * benchmark or deployment distribution) at ~`targetRows` total —
+    * the prescriptive complement to [[temperatureMix]]'s derived
+    * rates. rate_d = min(1, targetRows·share_d / n_d); a domain too
+    * small to fill its share keeps everything (rate clamps at 1) and
+    * the output share shifts accordingly rather than oversampling.
+    *
+    * Shares snap to 1e-6-grid integer literals JVM-side; the
+    * threshold is the same single DECIMAL(38,0) division as
+    * [[temperatureMix]], so membership is engine/layout-invariant.
+    * Domains absent from `targetShares` (and NULL domains) drop —
+    * calibration is also a whitelist. Same scale shape: one dim-sized
+    * count, rates broadcast, corpus scanned once, filtered map-side.
+    */
+  def calibrateMix(
+      df: DataFrame, domain: String, key: Column,
+      targetShares: Map[String, Double], targetRows: Long,
+      salt: String = ""): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    require(targetShares.nonEmpty &&
+      targetShares.values.forall(s => s >= 0 && s <= 1),
+      "shares must lie in [0, 1]")
+    val shareU = targetShares.map { case (k, v) =>
+      k -> math.round(v * 1000000.0) }
+    val shares = broadcast(
+      df.sparkSession.createDataFrame(
+        shareU.toSeq.map(t => (t._1, t._2))).toDF("__dom", "__su"))
+    val counts = df.groupBy(col(domain).as("__dom2"))
+      .agg(count(lit(1)).as("__n"))
+    val rates = broadcast(counts
+      .join(shares, col("__dom2") === col("__dom"))
+      .withColumn("__thr", expr(
+        s"""(least(CAST($targetRows AS DECIMAL(38,0)) * __su,
+           |       CAST(1000000 AS DECIMAL(38,0)) * __n) * 4294967296)
+           |div (CAST(1000000 AS DECIMAL(38,0)) * __n)""".stripMargin))
+      .select(col("__dom"), col("__thr")))
+    df.join(rates, col(domain) === col("__dom"))
+      .filter(drawInt(key, salt) < col("__thr"))
+      .drop("__dom", "__thr")
+  }
+
   /** Deterministic token-budget slice: rows ordered by their hash draw
     * (a reproducible "random" corpus order — no RNG, no layout
     * dependence), kept while the running `tokens` sum stays within

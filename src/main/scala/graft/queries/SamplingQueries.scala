@@ -263,5 +263,31 @@ object SamplingQueries {
           Tables.documents(s, d), "lang", col("doc_id"),
           targetRows = 250, salt = "tmix")
         .select("doc_id", "lang")
+    },
+
+    // ---- calibrated mixing to EXPLICIT target shares (the
+    //      prescriptive face: match a benchmark distribution);
+    //      unlisted langs drop — calibration doubles as a whitelist.
+    //      Same integer thresholds, membership hash-checked ----
+    sql(
+      "q_calibrate_mix",
+      s"""WITH sh AS (SELECT * FROM (VALUES ('en', 400000),
+         |    ('zh', 300000), ('de', 300000)) AS t(dom, su)),
+         |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |r AS (SELECT sh.dom,
+         |    (least(CAST(200 AS HUGEINT) * su,
+         |           CAST(1000000 AS HUGEINT) * n) * 4294967296)
+         |    // (CAST(1000000 AS HUGEINT) * n) AS thr
+         |  FROM sh JOIN c ON c.lang = sh.dom)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN r ON r.dom = d.lang
+         |WHERE CAST('0x' || substr(md5('cal' ||
+         |    CAST(d.doc_id AS VARCHAR)), 1, ${Sampling.PrefixHexLen})
+         |  AS BIGINT) < r.thr""".stripMargin) { (s, d) =>
+      Sampling.calibrateMix(
+          Tables.documents(s, d), "lang", col("doc_id"),
+          targetShares = Map("en" -> 0.4, "zh" -> 0.3, "de" -> 0.3),
+          targetRows = 200, salt = "cal")
+        .select("doc_id", "lang")
     })
 }

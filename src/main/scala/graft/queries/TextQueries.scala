@@ -1029,5 +1029,60 @@ object TextQueries {
           .select(col("a"), col("b"),
             round(Dedup.jaccard(col("__sa"), col("__sb")), 6).as("jac"))
           .filter(col("jac") >= 0.8)
+    },
+
+    // ---- blocking-quality evaluation: pair completeness (recall) of
+    //      the window-4 SNM blocker against the EXACT all-pairs truth
+    //      at Jaccard 0.8 — the number that tells a pipeline whether
+    //      its cheap blocker is leaving true duplicates behind ----
+    sql(
+      "q_blocking_recall",
+      s"""WITH base AS (
+         |  SELECT doc_id, $NormSql AS nt FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM base)
+         |  WHERE len(ws) >= 3),
+         |truth AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+         |    >= 0.8),
+         |r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY substr(nt, 1, 12), doc_id) AS rn
+         |  FROM base),
+         |cand AS (
+         |  SELECT DISTINCT least(r1.doc_id, r2.doc_id) AS a,
+         |    greatest(r1.doc_id, r2.doc_id) AS b
+         |  FROM r r1 JOIN r r2
+         |    ON r2.rn BETWEEN r1.rn + 1 AND r1.rn + 4),
+         |m AS (
+         |  SELECT CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b)
+         |SELECT count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_caught,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM m""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("__sh", Text.shingles(col("text"), 3))
+      val truth = Dedup.exactNearDupPairs(
+          docs, id = "doc_id", shingles = col("__sh"), threshold = 0.8)
+        .select("a", "b")
+      val keyed = docs.select(col("doc_id"),
+        substring(Text.normalize(col("text")), 1, 12).as("__k"))
+      val cand = Dedup.sortedNeighborhoodPairs(
+          keyed, "doc_id", col("__k"), window = 4)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      truth
+        .join(cand.withColumn("__hit", lit(1)), Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_caught"))
+        .withColumn("recall",
+          round(col("n_caught").cast("double") / col("n_true"), 6))
     })
 }

@@ -216,6 +216,27 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
     assert(t > 20, s"tail undersampled: $t")
   }
 
+  test("calibrateMix hits explicit target shares; unlisted and null " +
+      "domains drop; small domains clamp at keep-all") {
+    val rows = (0L until 1000L).map { i =>
+      val dom = if (i % 11 == 0) null
+        else if (i < 700) "web" else if (i < 950) "code" else "tiny"
+      (i, dom)
+    }
+    val df = rows.toDF("id", "dom")
+    val kept = Sampling.calibrateMix(df, "dom", col("id"),
+        Map("web" -> 0.5, "tiny" -> 0.5), targetRows = 80, salt = "c")
+      .groupBy("dom").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1))
+      .toMap
+    // code (unlisted) and null must vanish entirely
+    assert(!kept.contains("code") && !kept.contains("NULL"), s"got $kept")
+    // web targets 40 of ~636 rows; tiny targets 40 but only has ~45
+    // non-null rows -> clamps near keep-all
+    assert(kept("web") > 20 && kept("web") < 65, s"web ${kept("web")}")
+    assert(kept("tiny") > 30, s"tiny clamp failed: ${kept("tiny")}")
+  }
+
   test("temperatureMix is layout-independent and keeps null domains") {
     val rows = (0L until 300L).map { i =>
       (i, if (i % 7 == 0) null else s"d${i % 3}")
