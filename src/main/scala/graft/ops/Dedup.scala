@@ -424,9 +424,6 @@ object Dedup {
       newBanded)
   }
 
-  /** Exact Jaccard similarity of two shingle-set columns:
-    * |A ∩ B| / (|A| + |B| - |A ∩ B|), on distinct shingles.
-    */
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo,
     * SIGMOD'95): rank the corpus by a blocking key, compare each row
     * only against the next `window` rows in that order. The classic
@@ -459,6 +456,11 @@ object Dedup {
     probes.join(build, "__rn2").select(col("a"), col("b"))
   }
 
+  /** Exact Jaccard similarity of two shingle-set columns:
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|), on distinct shingles. NaN when
+    * both sets are empty (0/0) — callers comparing against a
+    * threshold must exclude empty-shingle rows first.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)

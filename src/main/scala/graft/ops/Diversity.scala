@@ -37,8 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object Diversity {
 
-  /** 1e-6 snap grid: exact-integer dots for ≤ 1e3-magnitude
-    * components at dim ≤ 512 (headroom to 2^53). */
+  /** 1e-6 snap grid: exact-integer dots for UNIT-SCALE components
+    * (|x| ≲ 1 ⇒ snapped ≲ 1e6 ⇒ per-term product ≲ 1e12) up to
+    * dim ≤ 512 with wide headroom under both 2^53 and Long.MaxValue.
+    * Larger-magnitude embeddings must be normalized first — a 1e3
+    * component would overflow both envelopes. */
   val GridScale = 1000000L
 
   /** Components snapped to the grid, kept as integer-valued doubles
@@ -48,6 +51,12 @@ object Diversity {
     transform(vec, x => round(x.cast("double") * lit(GridScale.toDouble)))
 
   /** MMR-select `k` of the top-`shortlist` corpus items per query.
+    *
+    * Contract: queries are identified by the SAME id space as the
+    * corpus — the self-pair exclusion is `query_id =!= neighbor_id`,
+    * so an external query frame whose ids collide with unrelated
+    * corpus ids would silently drop those candidates. Re-key external
+    * queries into a disjoint range (e.g. negative ids) first.
     *
     * @return (query_id, rank, neighbor_id, mmr_u) — `mmr_u` the exact
     *         integer score at selection time (rank 1 pays no
@@ -96,6 +105,10 @@ object Diversity {
     val short = pairs
       .select(col("query_id").cast("long").as("query_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
+      // a retrieval stage that unions probe lists may repeat a pair;
+      // a duplicate candidate pays no redundancy penalty against its
+      // own copy, so it would be selected at two ranks — dedupe here
+      .distinct()
       .join(c, "neighbor_id")
       .join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),

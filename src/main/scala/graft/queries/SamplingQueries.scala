@@ -255,7 +255,7 @@ object SamplingQueries {
          |     * 4294967296) // ((SELECT tot FROM t) * n) AS thr
          |  FROM w)
          |SELECT d.doc_id, d.lang FROM documents d
-         |JOIN r ON r.lang = d.lang
+         |JOIN r ON r.lang IS NOT DISTINCT FROM d.lang
          |WHERE CAST('0x' || substr(md5('tmix' ||
          |    CAST(d.doc_id AS VARCHAR)), 1, ${Sampling.PrefixHexLen})
          |  AS BIGINT) < r.thr""".stripMargin) { (s, d) =>

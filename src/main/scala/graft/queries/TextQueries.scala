@@ -1019,8 +1019,12 @@ object TextQueries {
           substring(Text.normalize(col("text")), 1, 12).as("__k"))
         val pairs = Dedup.sortedNeighborhoodPairs(
           keyed, "doc_id", col("__k"), window = 4)
+        // sub-3-token docs carry no shingles: exclude them BEFORE the
+        // threshold compare (NaN-Jaccard from 0/0 would pass Spark's
+        // NaN-ordering `>=` while the oracle's sh CTE drops the pair)
         val sh = docs.select(col("doc_id"),
-          Text.shingles(col("text"), 3).as("__sh"))
+            Text.shingles(col("text"), 3).as("__sh"))
+          .filter(size(col("__sh")) > 0)
         pairs
           .join(sh.select(col("doc_id").as("a"), col("__sh").as("__sa")),
             "a")

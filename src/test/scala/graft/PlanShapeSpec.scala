@@ -368,10 +368,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_bootstrap_ci")
     assert(count(p, "documents.parquet") == 1)
     // partial HashAggregate under the exchange = B rows per partition
-    // on the wire, the op's scale contract
+    // on the wire, the op's scale contract. The plan prints root
+    // first, so "under the exchange" = the final aggregate appears
+    // BEFORE the exchange line and a partial aggregate AFTER it.
     val firstAgg = p.indexOf("HashAggregate")
     val firstEx = p.indexOf("Exchange")
     assert(firstAgg >= 0 && firstEx >= 0)
     assert(count(p, "HashAggregate") >= 2, "partial aggregate missing")
+    assert(firstAgg < firstEx, "final aggregate not above the exchange")
+    assert(p.indexOf("HashAggregate", firstEx) > firstEx,
+      "no partial aggregate below the exchange — B rows ship per " +
+        "input row instead of per partition")
   }
 }

@@ -55,8 +55,6 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_mmr_select" ->
       ("relevance stage is the brute-force scan: corpus x " +
         "broadcast(query batch); feed from ivfTopK at corpus scale"),
-    "q_temperature_mix" ->
-      "weight total rides a ONE-row broadcast carrier into the rates",
     "q_ann_ndcg" ->
       "embeds the brute-force ideal set: corpus x broadcast(query batch)")
 
