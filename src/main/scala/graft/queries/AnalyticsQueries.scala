@@ -659,5 +659,27 @@ object AnalyticsQueries {
         Tables.events(s, d), "event_type",
         datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
         round(col("value") * 100).cast("long"))
+    },
+
+    // ---- per-group MODE (modal imputation's lookup table): the
+    //      count aggregate is corpus-scale with map-side combine; the
+    //      argmax window runs over the DIM-SIZED (group × value)
+    //      count frame only, ties to the smaller value ----
+    sql(
+      "q_mode",
+      """SELECT source, lang AS mode_lang, n FROM (
+        |  SELECT source, lang, count(*) AS n,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY count(*) DESC, lang) AS rn
+        |  FROM documents GROUP BY source, lang)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n").desc, col("lang").asc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("mode_lang"), col("n"))
     })
 }
