@@ -952,7 +952,8 @@ object TextQueries {
          |  LEFT JOIN e ON l1.node = e.src
          |  LEFT JOIN l1 nl ON e.dst = nl.node
          |  GROUP BY l1.node, l1.l)
-         |SELECT cluster AS rep_id, list_sort(list(node)) AS members,
+         |SELECT cluster AS rep_id,
+         |  to_json(list_sort(list(node))) AS members_json,
          |  count(*) AS n_members
          |FROM l2 GROUP BY cluster""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -960,6 +961,8 @@ object TextQueries {
       val pairs = Dedup.nearDupPairs(
         docs, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
       Dedup.collapseProvenance(docs, "doc_id", pairs)
+        .select(col("rep_id"), Canon.js(col("members")).as("members_json"),
+          col("n_members"))
     },
 
     // ---- cross-slice contamination matrix: distinct trigram TYPES
