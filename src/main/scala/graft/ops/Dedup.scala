@@ -438,7 +438,9 @@ object Dedup {
     * `window` offsets followed by ONE rank equi-join. Emits (a, b)
     * with a the earlier row in sort order; rescore with [[jaccard]].
     * Total order (key, id) makes the pair set deterministic and
-    * layout-independent.
+    * layout-independent. Null keys rank LAST (Spark's ASC default is
+    * NULLS FIRST; pinned to NULLS LAST here so the rank agrees with
+    * ANSI/DuckDB default ordering when the blocking key is null).
     */
   def sortedNeighborhoodPairs(
       docs: DataFrame, id: String, sortKey: Column, window: Int,
@@ -446,7 +448,7 @@ object Dedup {
     require(window >= 1, s"window must be >= 1, got $window")
     val ranked = Layout.globalRowNumber(
         docs.select(col(id).as("__sid"), sortKey.as("__key")),
-        Seq(col("__key").asc, col("__sid").asc), numPartitions,
+        Seq(col("__key").asc_nulls_last, col("__sid").asc), numPartitions,
         as = "__rn")
       .localCheckpoint() // two consumers: probe side + build side
     val probes = ranked

@@ -109,6 +109,10 @@ object Diversity {
       // a duplicate candidate pays no redundancy penalty against its
       // own copy, so it would be selected at two ranks — dedupe here
       .distinct()
+      // self-retrieval keeps the query as its own top hit; mmrSelect
+      // never generates self-pairs, so drop them here too to keep the
+      // two entry points' greedy results identical for that input class
+      .filter(col("query_id") =!= col("neighbor_id"))
       .join(c, "neighbor_id")
       .join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),

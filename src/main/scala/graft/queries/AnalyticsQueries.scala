@@ -670,7 +670,7 @@ object AnalyticsQueries {
       """SELECT source, lang AS mode_lang, n FROM (
         |  SELECT source, lang, count(*) AS n,
         |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY count(*) DESC, lang) AS rn
+        |                       ORDER BY count(*) DESC, lang NULLS LAST) AS rn
         |  FROM documents GROUP BY source, lang)
         |WHERE rn = 1""".stripMargin) { (s, d) =>
       val counts = Tables.documents(s, d)
@@ -678,7 +678,9 @@ object AnalyticsQueries {
       counts
         .withColumn("rn", row_number().over(
           Window.partitionBy("source")
-            .orderBy(col("n").desc, col("lang").asc)))
+            // Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — pin
+            // explicitly on both sides so a null lang can't diverge
+            .orderBy(col("n").desc, col("lang").asc_nulls_last)))
         .filter(col("rn") === 1)
         .select(col("source"), col("lang").as("mode_lang"), col("n"))
     })
