@@ -57,7 +57,16 @@ object Bench {
     // local-dev subsetting only (the driver never sets it): regex over
     // query names to time a few faces without the full 190-query run
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Fixed-seed shuffled execution order, published in the JSON:
+    // alphabetical order made round-over-round per-query diffs chase
+    // scheduler/cache-neighborhood noise (±50% swings on unchanged
+    // faces). A deterministic shuffle keeps the order stable across
+    // runs of the same suite (same seed, same names) while decoupling
+    // it from name-adjacency; the order is recorded so any future
+    // order-sensitivity question can be answered from the artifact.
+    val ordered = new scala.util.Random(42).shuffle(
+      SparkEntry.queries.toSeq.sortBy(_._1))
+    ordered
       .filter { case (n, _) =>
         nameFilter.forall(_.findFirstIn(n).isDefined) }
       .foreach { case (name, fn) =>
@@ -104,8 +113,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.flatten.sum
     val buildJson = buildSecs.map(_.toString).getOrElse("null")
+    // execution order (= timings insertion order), explicit in the JSON
+    val orderJson = timings.keys.map(k => s"\"$k\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"order":$orderJson,"build_s":$buildJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(fullLine)
     // The harness that records bench output keeps only a short TAIL of
     // stdout, so the full per-query line above has never survived

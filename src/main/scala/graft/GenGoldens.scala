@@ -355,6 +355,28 @@ object GenGoldens {
     java.nio.file.Files.writeString(sp, studyDoc.mkString("", "\n", "\n"))
     println(s"wrote $sp (${studyDoc.size} rows)")
 
+    // Same ClassGenerator device for the DONOR and FILE documents
+    // (reference shapes: DonorIndex.scala:21-113, FileIndex.scala:19-77)
+    // — the relational IndexOracles recomputations check the values,
+    // these lock the full assembled document byte-for-byte.
+    val clinMeta = Seq("dictionary_version" -> "9.9",
+      "study_version" -> "v42")
+    val clinIn = graft.etl.Indexes.ClinicalInputs.fromDir(spark, Dir)
+    val donorDoc = graft.queries.Canon.flattenNested(
+        graft.etl.Indexes.donorIndex(clinIn, meta = clinMeta))
+      .orderBy("study_id", "submitter_donor_id")
+      .toJSON.collect().toSeq
+    val dp = java.nio.file.Paths.get(s"$Dir/golden_donor_index.jsonl")
+    java.nio.file.Files.writeString(dp, donorDoc.mkString("", "\n", "\n"))
+    println(s"wrote $dp (${donorDoc.size} rows)")
+    val fileDoc = graft.queries.Canon.flattenNested(
+        graft.etl.Indexes.fileIndex(clinIn, meta = clinMeta))
+      .orderBy("study_id", "file_name")
+      .toJSON.collect().toSeq
+    val fp = java.nio.file.Paths.get(s"$Dir/golden_file_index.jsonl")
+    java.nio.file.Files.writeString(fp, fileDoc.mkString("", "\n", "\n"))
+    println(s"wrote $fp (${fileDoc.size} rows)")
+
     spark.stop()
   }
 }

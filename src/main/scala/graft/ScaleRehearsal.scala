@@ -9,15 +9,28 @@ import org.apache.spark.sql.functions._
   * inputs — no new testdata needed) and prints wall-time growth
   * factors. The point is to catch super-linear behavior sf0.1 cannot
   * see — a growth factor ≲ 10 for data-proportional operators (dbscan,
-  * pagerank) and ≪ 10 for O(changed)-contract operators (the
-  * incremental index refresh) is a pass; results are recorded in
+  * pagerank, the dedup family) and ≪ 10 for O(changed)/O(batch)
+  * contract operators (the incremental index refresh, the streaming
+  * ingest sink against grown state) is a pass; results are recorded in
   * SCALING.md.
   *
-  * Run: `sbt "runMain graft.ScaleRehearsal [sfDir]"`.
+  * Dedup-family replicas are TOKEN-salted (`regexp_replace(text,
+  * "(\\S+)", "$1rK")` — every token gets a per-replica alphanumeric
+  * suffix that survives [[graft.ops.Text.normalize]]), so replicas are
+  * disjoint in shingle space: within-replica duplicate structure is
+  * preserved exactly while cross-replica Jaccard is 0. A plain id-salt
+  * replica of identical TEXT would make every cross-replica pair a
+  * true duplicate — pair count ×100, a quadratic blowup by data
+  * construction rather than by plan, which is not what the rehearsal
+  * measures.
+  *
+  * Run: `sbt "runMain graft.ScaleRehearsal [sfDir] [faceRegex]"`.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sel = args.lift(1).map(_.r)
+    def on(name: String): Boolean = sel.forall(_.findFirstIn(name).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,94 +49,131 @@ object ScaleRehearsal {
       println(f"[rehearsal] $label%-28s ${secs}%8.2f s  ($n rows)")
       secs
     }
+    val growth = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def pair(name: String)(one: => Double)(ten: => Double): Unit =
+      if (on(name)) {
+        val a = one; val b = ten
+        growth(name) = b / a
+      }
+
+    // ---- shared inputs ----
+    lazy val e1 = graft.queries.GraphQueries.edges(spark, sfDir, 2)
+      .localCheckpoint() // pin the (shared) derivation outside timing
+    lazy val e10 = {
+      val maxId = e1.agg(max(greatest(col("a"), col("b")))).head().getLong(0)
+      val off = maxId + 1
+      (0 until 10).map(k =>
+          e1.select((col("a") + lit(k * off)).as("a"),
+            (col("b") + lit(k * off)).as("b")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+    }
+    // token-salted document replicas: disjoint shingle spaces, intact
+    // within-replica duplicate structure (see scaladoc)
+    lazy val tdocs1 = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .localCheckpoint()
+    lazy val nTd = tdocs1.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def saltedDocs(copies: Int): DataFrame =
+      (0 until copies).map { k =>
+        if (k == 0) tdocs1
+        else tdocs1.select((col("doc_id") + lit(k * nTd)).as("doc_id"),
+          col("source"), col("n_chars"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1r$k").as("text"))
+      }.reduce(_.unionByName(_))
+    lazy val tdocs10 = saltedDocs(10).localCheckpoint()
 
     // ---- q_pagerank_directed: 10 disjoint salted replicas of the
     // co-order graph — vertex/edge count ×10, identical structure ----
-    val e1 = graft.queries.GraphQueries.edges(spark, sfDir, 2)
-      .localCheckpoint() // pin the (shared) derivation outside timing
-    val maxId = e1.agg(max(greatest(col("a"), col("b")))).head().getLong(0)
-    val off = maxId + 1
-    val e10 = (0 until 10).map(k =>
-        e1.select((col("a") + lit(k * off)).as("a"),
-          (col("b") + lit(k * off)).as("b")))
-      .reduce(_.unionByName(_)).localCheckpoint()
-    val pr1 = timed("pagerank_directed 1x") {
-      graft.ops.Graph.pageRankIntDirected(e1, iters = 5).count()
-    }
-    val pr10 = timed("pagerank_directed 10x") {
-      graft.ops.Graph.pageRankIntDirected(e10, iters = 5).count()
+    pair("pagerank_directed") {
+      timed("pagerank_directed 1x") {
+        graft.ops.Graph.pageRankIntDirected(e1, iters = 5).count()
+      }
+    } {
+      timed("pagerank_directed 10x") {
+        graft.ops.Graph.pageRankIntDirected(e10, iters = 5).count()
+      }
     }
 
     // ---- q_dbscan: 10 spatially-translated replicas (x shifted far
     // past the band structure) — same density profile per replica ----
-    val pts1 = graft.queries.DensityQueries.projectedPoints(spark, sfDir)
-      .localCheckpoint()
-    val nVec = pts1.agg(max(col("vec_id"))).head().getLong(0) + 1
-    val span = 200000000000L // 200e9 ≫ the 10-band × 8e9 layout
-    val pts10 = (0 until 10).map(k =>
-        pts1.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
-          (col("px") + lit(k * span)).as("px"), col("py")))
-      .reduce(_.unionByName(_)).localCheckpoint()
-    import graft.queries.DensityQueries.{Eps, MinPts}
-    val db1 = timed("dbscan 1x") {
-      graft.ops.Density.dbscan(pts1, "vec_id", "px", "py", Eps, MinPts).count()
-    }
-    val db10 = timed("dbscan 10x") {
-      graft.ops.Density.dbscan(pts10, "vec_id", "px", "py", Eps, MinPts).count()
+    if (on("dbscan")) {
+      val pts1 = graft.queries.DensityQueries.projectedPoints(spark, sfDir)
+        .localCheckpoint()
+      val nVec = pts1.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val span = 200000000000L // 200e9 ≫ the 10-band × 8e9 layout
+      val pts10 = (0 until 10).map(k =>
+          pts1.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
+            (col("px") + lit(k * span)).as("px"), col("py")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      import graft.queries.DensityQueries.{Eps, MinPts}
+      val db1 = timed("dbscan 1x") {
+        graft.ops.Density.dbscan(pts1, "vec_id", "px", "py", Eps, MinPts).count()
+      }
+      val db10 = timed("dbscan 10x") {
+        graft.ops.Density.dbscan(pts10, "vec_id", "px", "py", Eps, MinPts).count()
+      }
+      growth("dbscan") = db10 / db1
     }
 
     // ---- q_index_refresh: corpus ×10 (salted study replicas), changed
     // slice CONSTANT (one study) — the O(changed) contract says the
     // growth factor should be far below 10 ----
-    val fixtures = "/root/repo/src/test/resources/clinical"
-    val meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
-    def replicate(in: Indexes.ClinicalInputs, copies: Int): Indexes.ClinicalInputs = {
-      def rep(df: DataFrame): DataFrame = (0 until copies).map { k =>
-        if (k == 0) df
-        else df.withColumn("study_id", concat(col("study_id"), lit(s"_S$k")))
-      }.reduce(_.unionByName(_))
-      in.copy(donor = rep(in.donor), study = rep(in.study),
-        phenotype = rep(in.phenotype), file = rep(in.file),
-        biospecimen = rep(in.biospecimen), samples = rep(in.samples),
-        diagnosis = rep(in.diagnosis), treatment = rep(in.treatment),
-        followUp = rep(in.followUp), exposure = rep(in.exposure),
-        family = rep(in.family), familyHistory = rep(in.familyHistory))
-    }
-    def refreshSecs(copies: Int, label: String): Double = {
-      val in = replicate(
-        Indexes.ClinicalInputs.fromDir(spark, fixtures), copies)
-      // stored prior (untimed — scenario scaffolding, as in Bench)
-      val dir = graft.core.Scratch.dir(s"rehearsal_prior_$copies")
-      Indexes.studyIndex(in, meta).write.mode("overwrite").parquet(dir)
-      val prior = spark.read.parquet(dir)
-      timed(label) {
-        Indexes.refreshStudyIndex(prior, in, Seq("GS001"), meta).count()
+    if (on("index_refresh")) {
+      val fixtures = "/root/repo/src/test/resources/clinical"
+      val meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      def replicate(in: Indexes.ClinicalInputs, copies: Int): Indexes.ClinicalInputs = {
+        def rep(df: DataFrame): DataFrame = (0 until copies).map { k =>
+          if (k == 0) df
+          else df.withColumn("study_id", concat(col("study_id"), lit(s"_S$k")))
+        }.reduce(_.unionByName(_))
+        in.copy(donor = rep(in.donor), study = rep(in.study),
+          phenotype = rep(in.phenotype), file = rep(in.file),
+          biospecimen = rep(in.biospecimen), samples = rep(in.samples),
+          diagnosis = rep(in.diagnosis), treatment = rep(in.treatment),
+          followUp = rep(in.followUp), exposure = rep(in.exposure),
+          family = rep(in.family), familyHistory = rep(in.familyHistory))
       }
+      def refreshSecs(copies: Int, label: String): Double = {
+        val in = replicate(
+          Indexes.ClinicalInputs.fromDir(spark, fixtures), copies)
+        // stored prior (untimed — scenario scaffolding, as in Bench)
+        val dir = graft.core.Scratch.dir(s"rehearsal_prior_$copies")
+        Indexes.studyIndex(in, meta).write.mode("overwrite").parquet(dir)
+        val prior = spark.read.parquet(dir)
+        timed(label) {
+          Indexes.refreshStudyIndex(prior, in, Seq("GS001"), meta).count()
+        }
+      }
+      val ir1 = refreshSecs(1, "index_refresh 1x")
+      val ir10 = refreshSecs(10, "index_refresh 10x (corpus)")
+      growth("index_refresh") = ir10 / ir1
     }
-    val ir1 = refreshSecs(1, "index_refresh 1x")
-    val ir10 = refreshSecs(10, "index_refresh 10x (corpus)")
 
     // ---- q_boilerplate: 10 salted-doc replicas per SOURCE (the
     // group key unchanged) — every (source, line) count grows ×10, so
     // this stresses exactly the countDistinct shuffle whose map-side
     // combiners are supposed to eat the duplication ----
-    val docs1 = graft.core.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        concat_ws("\n", concat(lit("NAV "), col("source")), col("text"),
-          concat(lit("(c) "), col("source"), lit(" footer"))).as("page"))
-      .localCheckpoint()
-    val nDocs = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
-    val docs10 = (0 until 10).map(k =>
-        docs1.select((col("doc_id") + lit(k * nDocs)).as("doc_id"),
-          col("source"), col("page")))
-      .reduce(_.unionByName(_)).localCheckpoint()
-    val bp1 = timed("boilerplate 1x") {
-      graft.ops.Text.boilerplateLines(
-        docs1, "doc_id", "source", "page", minDocs = 5).count()
-    }
-    val bp10 = timed("boilerplate 10x") {
-      graft.ops.Text.boilerplateLines(
-        docs10, "doc_id", "source", "page", minDocs = 5).count()
+    if (on("boilerplate")) {
+      def pages(docs: DataFrame): DataFrame = docs
+        .select(col("doc_id"), col("source"),
+          concat_ws("\n", concat(lit("NAV "), col("source")), col("text"),
+            concat(lit("(c) "), col("source"), lit(" footer"))).as("page"))
+      // boilerplate keeps the ORIGINAL text ×10 (not token-salted):
+      // the duplicated (source, line) mass is the load under test
+      val docs1 = pages(tdocs1).localCheckpoint()
+      val docs10 = (0 until 10).map(k =>
+          docs1.select((col("doc_id") + lit(k * nTd)).as("doc_id"),
+            col("source"), col("page")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val bp1 = timed("boilerplate 1x") {
+        graft.ops.Text.boilerplateLines(
+          docs1, "doc_id", "source", "page", minDocs = 5).count()
+      }
+      val bp10 = timed("boilerplate 10x") {
+        graft.ops.Text.boilerplateLines(
+          docs10, "doc_id", "source", "page", minDocs = 5).count()
+      }
+      growth("boilerplate") = bp10 / bp1
     }
 
     // ---- q_triangles: 10 disjoint salted replicas of the co-order
@@ -132,20 +182,118 @@ object ScaleRehearsal {
     // disjoint replicas the expected growth is ~linear — catching a
     // super-linear regression (e.g. a lost degree bound) is exactly
     // what this face is for ----
-    val tr1 = timed("triangles 1x") {
-      graft.ops.Graph.triangleCount(e1)
-        .head().getLong(0)
-    }
-    val tr10 = timed("triangles 10x") {
-      graft.ops.Graph.triangleCount(e10)
-        .head().getLong(0)
+    pair("triangles") {
+      timed("triangles 1x") {
+        graft.ops.Graph.triangleCount(e1).head().getLong(0)
+      }
+    } {
+      timed("triangles 10x") {
+        graft.ops.Graph.triangleCount(e10).head().getLong(0)
+      }
     }
 
-    println(f"[rehearsal] growth: pagerank_directed ${pr10 / pr1}%.2fx, " +
-      f"dbscan ${db10 / db1}%.2fx, index_refresh ${ir10 / ir1}%.2fx, " +
-      f"boilerplate ${bp10 / bp1}%.2fx, " +
-      f"triangles ${tr10 / tr1}%.2fx " +
-      "(inputs x10; pass = ~linear or below)")
+    // ---- q_snm_dedup: sorted-neighborhood pairs + exact rescore over
+    // token-salted replicas — O(n·w) contract, expect ~linear ----
+    if (on("snm_dedup")) {
+      def snm(docs: DataFrame): Long = {
+        val keyed = docs.select(col("doc_id"),
+          substring(graft.ops.Text.normalize(col("text")), 1, 12).as("__k"))
+        val pairs = graft.ops.Dedup.sortedNeighborhoodPairs(
+          keyed, "doc_id", col("__k"), window = 4)
+        val sh = docs.select(col("doc_id"),
+            graft.ops.Text.shingles(col("text"), 3).as("__sh"))
+          .filter(size(col("__sh")) > 0)
+        pairs
+          .join(sh.select(col("doc_id").as("a"), col("__sh").as("__sa")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("__sh").as("__sb")), "b")
+          .filter(graft.ops.Dedup.jaccard(col("__sa"), col("__sb")) >= 0.8)
+          .count()
+      }
+      val s1 = timed("snm_dedup 1x") { snm(tdocs1) }
+      val s10 = timed("snm_dedup 10x") { snm(tdocs10) }
+      growth("snm_dedup") = s10 / s1
+    }
+
+    // ---- q_dedup_keep_best: LSH banding + CC labels + per-cluster
+    // argmax over token-salted replicas — band buckets stay
+    // replica-local, expect ~linear ----
+    if (on("dedup_keep_best")) {
+      def keepBest(docs: DataFrame): Long = {
+        val sh = docs.withColumn("sh",
+          graft.ops.Text.shingles(col("text"), 3))
+        val pairs = graft.ops.Dedup.nearDupPairs(
+          sh, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
+        graft.ops.Dedup.keepBestPerCluster(
+          sh, "doc_id", col("n_chars"), pairs).count()
+      }
+      val k1 = timed("dedup_keep_best 1x") { keepBest(tdocs1) }
+      val k10 = timed("dedup_keep_best 10x") { keepBest(tdocs10) }
+      growth("dedup_keep_best") = k10 / k1
+    }
+
+    // ---- q_blocking_recall: exact AllPairs truth (prefix filter) vs
+    // the SNM blocker, both over token-salted replicas. Prefix-filter
+    // candidate count is Σ_rare df² per disjoint vocabulary — expect
+    // ~linear, catching a lost length/positional prune ----
+    if (on("blocking_recall")) {
+      def recall(docs: DataFrame): Long = {
+        val sh = docs.withColumn("__sh",
+          graft.ops.Text.shingles(col("text"), 3))
+        val truth = graft.ops.Dedup.exactNearDupPairs(
+            sh, id = "doc_id", shingles = col("__sh"), threshold = 0.8)
+          .select("a", "b")
+        val keyed = docs.select(col("doc_id"),
+          substring(graft.ops.Text.normalize(col("text")), 1, 12).as("__k"))
+        val cand = graft.ops.Dedup.sortedNeighborhoodPairs(
+            keyed, "doc_id", col("__k"), window = 4)
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct()
+        truth.join(cand, Seq("a", "b"), "left").count()
+      }
+      val r1 = timed("blocking_recall 1x") { recall(tdocs1) }
+      val r10 = timed("blocking_recall 10x") { recall(tdocs10) }
+      growth("blocking_recall") = r10 / r1
+    }
+
+    // ---- q_stream_ingest: the O(batch) contract under GROWN state —
+    // accrete band state from 1× vs 10× corpora (untimed scaffolding),
+    // then ingest the SAME constant fresh batch against each. The
+    // timed cost is one LSH pass over the batch + the batch-vs-state
+    // band join; growth ≪ 10 shows the accumulated corpus never
+    // re-pays per batch ----
+    if (on("stream_ingest")) {
+      def ingestSecs(copies: Int, label: String): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_ingest_$copies")
+        val corpus = saltedDocs(copies)
+          .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+          .select("doc_id", "sh")
+        (0 until 3).foreach { b =>
+          graft.streaming.EventStream.nearDupIngestSink(dir, "doc_id", "sh")(
+            corpus.filter(col("doc_id") % 3 === b), b.toLong)
+        }
+        // constant fresh batch: new ids, its own disjoint vocabulary
+        val batch = tdocs1.filter(col("doc_id") < 2000)
+          .select((col("doc_id") + lit(100L * nTd)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1zq").as("text"))
+          .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+          .select("doc_id", "sh")
+          .localCheckpoint()
+        timed(label) {
+          graft.streaming.EventStream.nearDupIngestSink(dir, "doc_id", "sh")(
+            batch, 3L)
+          graft.streaming.EventStream.readAccepted(spark, dir)
+            .filter(col("batch_id") === 3).count()
+        }
+      }
+      val si1 = ingestSecs(1, "stream_ingest 1x (state)")
+      val si10 = ingestSecs(10, "stream_ingest 10x (state)")
+      growth("stream_ingest") = si10 / si1
+    }
+
+    println("[rehearsal] growth: " + growth.map { case (k, v) =>
+      f"$k $v%.2fx" }.mkString(", ") +
+      " (inputs x10; pass = ~linear or below)")
     spark.stop()
   }
 }
