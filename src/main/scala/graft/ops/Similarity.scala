@@ -854,28 +854,85 @@ object Similarity {
     * centroid-partitioned lists.
     *
     * Scale shape: one scan of the new batch, map-side assignment
-    * against driver-sized broadcast centroids, dynamic-partition
-    * APPEND — existing list files are never read or rewritten, so the
-    * cost is ∝ batch, not ∝ index. Because assignment is the same
-    * codegen'd expression as [[ivfBuild]]'s, an index built as
-    * init + N appends is query-identical to a single build over the
-    * union (pinned in SimilaritySpec).
+    * against driver-sized broadcast centroids, and a STAGED publish —
+    * existing list files are never read or rewritten, so the cost is
+    * ∝ batch, not ∝ index. Because assignment is the same codegen'd
+    * expression as [[ivfBuild]]'s, an index built as init + N appends
+    * is query-identical to a single build over the union (pinned in
+    * SimilaritySpec).
+    *
+    * Crash discipline (the [[graft.sources.Versioned]] recipe): the
+    * batch's lists are fully written under `dir/.staging/<token>`,
+    * then published by ONE atomic directory rename to
+    * `dir/appends/<token>` — readers ([[ivfQuery]]) only ever see
+    * complete batches, so a kill anywhere inside the append leaves
+    * the pre-append index answering correctly. The token is a
+    * content-derived checksum of the batch's id column
+    * ([[graft.sources.Versioned.manifest]]'s order-independent md5
+    * sum), so a RETRY of a crashed append recomputes the same token:
+    * crash-before-rename → the retry sweeps the torn staging dir and
+    * republishes; crash-after-rename → the retry sees the published
+    * dir and no-ops. A plain dynamic-partition `mode("append")` has
+    * neither property — a kill during its job commit can leave a
+    * half-visible batch that a retry then duplicates. (Directory
+    * rename is atomic on HDFS/local; on S3-style object stores route
+    * the publish through a committer or [[graft.sources.Versioned]].)
     */
   def ivfAppend(
       batch: DataFrame, dir: String, id: String, vec: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val centroids: Array[(Int, Array[Double])] = spark.read
       .parquet(s"$dir/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    val m = graft.sources.Versioned.manifest(
+      batch.select(col(id).cast("string").as("__id")), Seq("__id")).head()
+    val token = s"b_${m.getLong(0)}_${java.lang.Long.toHexString(m.getLong(1))}"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"$dir/appends/$token")
+    if (fs.exists(target)) return // already published (idempotent retry)
+    val staging = new Path(s"$dir/.staging/$token")
+    if (fs.exists(staging)) fs.delete(staging, true) // torn earlier attempt
     batch
       .select(col(id).as("neighbor_id"),
         col(vec).cast("array<double>").as("vector"))
       .withColumn("cid",
         rankedCentroids(col("vector"), centroids).getItem(0).getField("cid"))
       .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+      .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"ivfAppend publish: rename $staging -> $target failed")
+  }
+
+  /** The complete lists of an IVF index: the base build plus every
+    * PUBLISHED append batch — torn staging dirs are invisible by
+    * construction. Each branch keeps `cid` as its own partition
+    * column, so a probe-set filter statically prunes files in every
+    * branch. Append-dir count grows one per batch; compaction (when a
+    * long-lived index accretes thousands) is an [[ivfBuild]] rebuild
+    * over the union — the rarer maintenance decision, as with any
+    * LSM-ish layout. */
+  private def ivfLists(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(s"$dir/lists")
+    val appendRoot = new Path(s"$dir/appends")
+    val appendDirs =
+      if (fs.exists(appendRoot))
+        fs.listStatus(appendRoot).filter(_.isDirectory)
+          .map(_.getPath.toString).sorted.toSeq
+      else Seq.empty
+    val paths =
+      (if (fs.exists(base)) Seq(base.toString) else Seq.empty) ++ appendDirs
+    require(paths.nonEmpty, s"no IVF lists under $dir")
+    paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
   }
 
   /** Initialize an EMPTY IVF index at `dstDir` reusing the codebook of
@@ -890,8 +947,8 @@ object Similarity {
     spark.read.parquet(s"$srcDir/centroids")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dstDir/centroids")
-    // no lists yet: ivfQuery's lists read handles the first append
-    // creating the directory
+    // no lists yet: ivfQuery reads base + published appends, so the
+    // first ivfAppend's atomic publish brings the index live
   }
 
   /** Query a persisted IVF index ([[ivfBuild]]). The probe set —
@@ -919,7 +976,7 @@ object Similarity {
         1, nProbe)))
     val probed = q.select("__cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = ivfLists(spark, dir)
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
     val scored = lists
       .join(broadcast(q), col("cid") === col("__cid"))

@@ -180,17 +180,19 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     Similarity.ivfAppend(
       e.filter(col("vec_id") % 3 === 0), app, "vec_id", "embedding")
     // capture list files after batch 1; they must survive batch 2+3
-    def listFiles(dir: String): Set[String] = {
-      val root = java.nio.file.Paths.get(s"$dir/lists")
-      if (!java.nio.file.Files.exists(root)) Set.empty
-      else {
-        val s = java.nio.file.Files.walk(root)
-        try s.iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet"))
-          .map(_.toString).toSet
-        finally s.close()
-      }
-    }
+    // (base build lives in lists/, published append batches in appends/)
+    def listFiles(dir: String): Set[String] =
+      Seq(s"$dir/lists", s"$dir/appends").flatMap { r =>
+        val root = java.nio.file.Paths.get(r)
+        if (!java.nio.file.Files.exists(root)) Set.empty[String]
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(_.toString).toSet
+          finally s.close()
+        }
+      }.toSet
     val afterB1 = listFiles(app)
     Similarity.ivfAppend(
       e.filter(col("vec_id") % 3 === 1), app, "vec_id", "embedding")
@@ -207,6 +209,60 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(fromApp == fromFull)
+  }
+
+  test("interrupted ivfAppend: a kill inside the append window leaves " +
+      "ivfQuery answering from the pre-append index, and the retry " +
+      "heals — atomically, without duplicates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-cf").toString
+    val app = java.nio.file.Files.createTempDirectory("graft-ivf-cw").toString
+    Similarity.ivfBuild(e, "vec_id", "embedding", full, numCentroids = 16)
+    Similarity.ivfInitFrom(spark, full, app)
+    val b1 = e.filter(col("vec_id") % 2 === 0)
+    val b2 = e.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfAppend(b1, app, "vec_id", "embedding")
+    def answers(dir: String): Set[(Long, Long, Int)] =
+      Similarity.ivfQuery(q, dir, "vec_id", "embedding", k = 5, nProbe = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val preAppend = answers(app)
+    // simulate the crash window: b2's append dies BETWEEN the staged
+    // lists write and the atomic publish rename — a torn (partial)
+    // staging dir under the very token the retry will recompute
+    val m = graft.sources.Versioned.manifest(
+      b2.select(col("vec_id").cast("string").as("__id")), Seq("__id")).head()
+    val token = s"b_${m.getLong(0)}_${java.lang.Long.toHexString(m.getLong(1))}"
+    b2.limit(7)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("vector"))
+      .withColumn("cid", lit(3))
+      .write.partitionBy("cid").parquet(s"$app/.staging/$token")
+    // window state: readers see ONLY complete batches — the torn
+    // staging (even a fully-written one) is invisible until renamed
+    assert(answers(app) == preAppend,
+      "a torn staging dir leaked into ivfQuery results")
+    // the retry sweeps the torn attempt, rewrites, and publishes
+    Similarity.ivfAppend(b2, app, "vec_id", "embedding")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$app/.staging/$token")),
+      "retry left the torn staging dir behind")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$app/appends/$token")),
+      "retry did not publish the batch")
+    // healed: b1+b2 = the whole corpus, so the appended index must
+    // answer exactly like the single full build
+    val healed = answers(app)
+    assert(healed == answers(full))
+    // and the publish is idempotent: re-delivering the same batch
+    // (crash-after-rename retry) is a no-op — same answers, no
+    // duplicate list rows for any probed neighbor
+    Similarity.ivfAppend(b2, app, "vec_id", "embedding")
+    assert(answers(app) == healed)
+    val appendBatches = new java.io.File(s"$app/appends").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(appendBatches.count(_ == token) == 1)
   }
 
   test("lshTopK recall vs brute force on clustered real embeddings") {
