@@ -459,6 +459,62 @@ object Graph {
     * no driver data path, no iteration. Returns one row
     * (`n_triangles`).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) —
+    * community detection, the graph family's complement to
+    * [[connectedComponents]] (which finds REACHABILITY classes; LPA
+    * finds DENSITY classes inside them — near-duplicate "galaxies",
+    * topic clusters in a citation/co-purchase graph).
+    *
+    * Determinism (the engine-wide contract; async/random LPA is
+    * neither portable nor replayable): all vertices update together
+    * each round from the PREVIOUS round's labels; each takes the
+    * label most frequent among its neighbors PLUS ITS OWN (the
+    * self-vote is what kills synchronous LPA's classic bipartite
+    * oscillation — a star/bipartite graph otherwise swaps label sets
+    * forever), ties broken by the smaller label; label ids start as
+    * vertex ids; a fixed `iters` rounds (the oracle mirrors them as
+    * chained CTEs). A vertex with no neighbors keeps its label.
+    *
+    * Scale shape per round: ONE equi-join (labels onto the symmetric
+    * edge frame, shuffle on the edge key) + ONE map-side-combined
+    * (vertex, label) count + ONE vertex-partitioned argmax window
+    * over that count frame (group size = a vertex's distinct
+    * neighbor-label count — bounded by degree, never corpus-wide).
+    * No driver action in the loop; lineage relief every 2 rounds via
+    * the lazy checkpoint (windows stack deeper than pagerank's
+    * linear aggregates).
+    *
+    * @return (node, community) — community = converged-or-iters label
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val sym = symmetric(edges).localCheckpoint() // reused every round
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to iters).foreach { i =>
+      val votes = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst"), col("label"))
+        .unionByName(labels.select(col("node").as("dst"), col("label")))
+      val counts = votes
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val mode = counts
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("n").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("__node"), col("label").as("__new"))
+      val next = labels.join(mode, labels("node") === col("__node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+      labels =
+        if (i % 2 == 0 && i < iters) graft.core.LazyCheckpoint(next)
+        else next
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // Materialize the canonical edge list ONCE: it feeds the degree
     // aggregate (both union branches), the orientation join, and —

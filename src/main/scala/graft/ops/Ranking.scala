@@ -116,4 +116,136 @@ object Ranking {
         lit(0.0),
         (acc, x) => acc + x.getField("__contrib")).as("bm25"))
   }
+
+  /** The POSITIONAL inverted index: one (id, pos, term) row per token
+    * occurrence. This is the persisted search artifact — build it
+    * once (parquet, sorted/bucketed by term so a query's predicate
+    * pushdown prunes to its own terms' row groups), query it many
+    * times with [[phraseMatches]]. At 100 TB the index is what makes
+    * phrase search affordable: query cost is the matched terms'
+    * postings, never a corpus text rescan.
+    */
+  def positionalPostings(
+      docs: DataFrame, id: String,
+      tokens: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col(id), posexplode(tokens).as(Seq("pos", "term")))
+
+  /** Exact phrase matching over a positional postings index
+    * ([[positionalPostings]]): docs containing `phrase` as CONSECUTIVE
+    * tokens, with the number of occurrences. The classic adjacency
+    * intersection: anchor on the first term's postings, then for each
+    * later term equi-join on (doc, start-aligned position) — term i
+    * at position p matches a start at p − i.
+    *
+    * Scale shape: each join side is ONE term's postings (the `term =`
+    * filter reaches the index scan as predicate pushdown), so the
+    * L−1 joins move Σ postings(termᵢ) rows — for any phrase worth
+    * searching, orders of magnitude under the corpus. Rarest-first
+    * reordering is a further prune the caller can apply by passing
+    * the phrase's df-sorted permutation; adjacency offsets make the
+    * result order-independent so any permutation is correct.
+    *
+    * @return (id, n_matches) — one row per doc containing the phrase
+    */
+  def phraseMatches(
+      postings: DataFrame, id: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val anchor = postings.filter(col("term") === phrase.head)
+      .select(col(id), col("pos").as("__start"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(
+        postings.filter(col("term") === t)
+          .select(col(id), (col("pos") - i).as("__start")),
+        Seq(id, "__start"))
+    }
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Integer-exact lexical ranking by tf-weighted query-term overlap:
+    * score(q, d) = Σ_{t ∈ distinct(q)} tf_d(t) — the coordination-
+    * match baseline (BM25 without the floating idf/length terms),
+    * kept integer so hybrid fusion downstream ([[rrfFuse]]) stays
+    * exact end-to-end. Use [[bm25]] when graded lexical relevance is
+    * the product; use this when the ranking feeds a rank-level fusion
+    * where only ORDER survives anyway.
+    *
+    * Scale shape: one postings aggregation over the corpus, one
+    * broadcast join against the (request-sized) query term table, one
+    * map-side-combined sum, top-k via the heap operator — no window
+    * over the corpus. Self-matches (query doc retrieving itself) are
+    * excluded, mirroring the dense rankers.
+    *
+    * @param queries (qid, tokens) — tokenized query docs, request-sized
+    * @return (query_id, neighbor_id, overlap, rank), rank 1..k by
+    *         (overlap desc, neighbor_id asc)
+    */
+  def lexicalOverlapTopK(
+      docs: DataFrame, id: String, tokens: org.apache.spark.sql.Column,
+      queries: DataFrame, qid: String,
+      qtokens: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(id).as("neighbor_id"), explode(tokens).as("term"))
+      .groupBy(col("neighbor_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qt = broadcast(queries
+      .select(col(qid).as("query_id"),
+        explode(array_distinct(qtokens)).as("term")))
+    val scored = tf.join(qt, "term")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("tf")).as("overlap"))
+      // the heap operator orders Double keys; long→double is exact
+      // far past any real overlap sum (< 2^53)
+      .withColumn("__score", col("overlap").cast("double"))
+    graft.plans.TopKPerGroup.topK(
+        scored, Seq("query_id"), "__score", "neighbor_id", k)
+      .select("query_id", "neighbor_id", "overlap", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of N ranked
+    * lists — the production hybrid-retrieval combiner (lexical ⊕
+    * dense): rrf(q, d) = Σ_lists 1/(c + rank_i(q, d)), docs missing
+    * from a list contribute nothing. Fusion happens at RANK level, so
+    * incomparable score scales (BM25 floats vs cosine) never touch.
+    *
+    * EXACT arithmetic: the score is a rational with denominator
+    * Π(c + rᵢ); both are computed as integers (`rrf_num`, `rrf_den`)
+    * and only the final ordering divides them (two longs → the same
+    * IEEE double on every engine). Overflow bound: Π(c+rᵢ) must fit a
+    * long — fine for any sane (lists ≤ 8, c + k ≤ 10⁶) configuration.
+    *
+    * Scale shape: inputs are top-k lists (request × k rows); the
+    * fusion is one union + one map-side-combined aggregation + the
+    * heap top-k. Nothing here touches the corpus.
+    *
+    * @param lists each (query_id, neighbor_id, rank) — rank ≥ 1
+    * @return (query_id, neighbor_id, rrf_num, rrf_den, fused_rank),
+    *         fused_rank 1..k by (num/den desc, neighbor_id asc)
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val u = lists
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        (col("rank").cast("long") + lit(c)).as("__t")))
+      .reduce(_.unionByName(_))
+    val fused = u
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(col("__t"))).as("__ts"))
+      .withColumn("rrf_den",
+        aggregate(col("__ts"), lit(1L), (a, x) => a * x))
+      .withColumn("rrf_num",
+        // x divides den exactly, and den < 2^53 by the overflow bound
+        // above, so the double division is exact before the cast back
+        aggregate(col("__ts"), lit(0L),
+          (a, x) => a + (col("rrf_den") / x).cast("long")))
+      .withColumn("__score",
+        col("rrf_num").cast("double") / col("rrf_den"))
+    graft.plans.TopKPerGroup.topK(
+        fused, Seq("query_id"), "__score", "neighbor_id", k)
+      .withColumnRenamed("rank", "fused_rank")
+      .select("query_id", "neighbor_id", "rrf_num", "rrf_den",
+        "fused_rank")
+  }
 }

@@ -153,6 +153,41 @@ object GraphQueries {
         nodes = Some(Tables.lineitem(s, d).select(col("l_partkey")).distinct()))
     },
 
+    // ---- synchronous label propagation (4 rounds, neighbor-mode
+    //      labels, ties to the smaller label) — community detection
+    //      on the support-3 co-purchase graph; the oracle unrolls the
+    //      rounds as chained mode CTEs ----
+    sql(
+      "q_label_prop", {
+        val iterCtes = (1 to 4).map { k =>
+          s"""c$k AS (
+             |  SELECT dst, label, count(*) AS n FROM (
+             |    SELECT s.dst, l.label
+             |    FROM sym s JOIN l${k - 1} l ON s.src = l.node
+             |    UNION ALL SELECT node, label FROM l${k - 1})
+             |  GROUP BY 1, 2),
+             |m$k AS (
+             |  SELECT dst, label FROM (
+             |    SELECT dst, label,
+             |      row_number() OVER (PARTITION BY dst
+             |                         ORDER BY n DESC, label) AS rn
+             |    FROM c$k) WHERE rn = 1),
+             |l$k AS (
+             |  SELECT l.node, coalesce(m.label, l.label) AS label
+             |  FROM l${k - 1} l LEFT JOIN m$k m ON m.dst = l.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |${edgeSql(3)}),
+           |sym AS (SELECT a AS src, b AS dst FROM e0
+           |        UNION SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+           |$iterCtes
+           |SELECT node, label AS community FROM l4""".stripMargin
+      }) { (s, d) =>
+      graft.ops.Graph.labelPropagation(edges(s, d, 3), iters = 4)
+    },
+
     // ---- integer PageRank, 5 rounds, damping 85/100, on the denser
     //      (support ≥ 2) co-purchase graph — ranks in 1e-12 micro-
     //      units, bit-identical in both engines by construction ----

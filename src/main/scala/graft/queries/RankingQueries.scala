@@ -305,5 +305,118 @@ object RankingQueries {
           .groupBy(col("token")).agg(count(lit(1)).as("n")),
         Seq(col("n").desc, col("token").asc),
         numPartitions = 32, as = "id")
+    },
+
+    // ---- exact phrase search over the POSITIONAL postings index:
+    //      adjacency-intersected per-term postings (each join side is
+    //      one term's postings — predicate pushdown, never a corpus
+    //      text rescan); the oracle replays with a positional
+    //      list_filter over the token array ----
+    sql(
+      "q_phrase_search",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(list_filter(range(len(ws) - 1),
+         |    i -> ws[i+1] = 'hash' AND ws[i+2] = 'join'))::BIGINT
+         |    AS n_matches
+         |FROM t
+         |WHERE len(list_filter(range(len(ws) - 1),
+         |  i -> ws[i+1] = 'hash' AND ws[i+2] = 'join')) > 0"""
+        .stripMargin) { (s, d) =>
+      val postings = Ranking.positionalPostings(
+        Tables.documents(s, d), "doc_id",
+        Text.words(Text.normalize(col("text"))))
+      Ranking.phraseMatches(postings, "doc_id", Seq("hash", "join"))
+    },
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the lexical
+    //      (tf-overlap) and dense (snapped-integer dot) top-20 lists
+    //      for 4 query docs — exact end-to-end: integer overlap,
+    //      integer dot, integer rrf numerator/denominator; only the
+    //      final ordering divides ----
+    sql(
+      "q_rrf_fusion",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+         |    SELECT doc_id, unnest(ws) AS term FROM toks)
+         |  GROUP BY 1, 2),
+         |qt AS (
+         |  SELECT doc_id AS qid, unnest(list_distinct(ws)) AS term
+         |  FROM toks WHERE doc_id < 4),
+         |lex AS (
+         |  SELECT qt.qid, tf.doc_id AS did, sum(tf.tf)::BIGINT AS ov
+         |  FROM tf JOIN qt USING (term)
+         |  WHERE tf.doc_id <> qt.qid
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT qid, did, r FROM (
+         |    SELECT qid, did,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY ov DESC, did) AS r
+         |    FROM lex) WHERE r <= 20),
+         |eu AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |                   x -> round(x * 1000000.0)) AS v
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, v FROM eu WHERE vec_id < 4),
+         |dot AS (
+         |  SELECT qs.qid, e.vec_id AS did,
+         |    CAST(list_dot_product(qs.v, e.v) AS BIGINT) AS du
+         |  FROM qs JOIN eu e ON e.vec_id <> qs.qid),
+         |denr AS (
+         |  SELECT qid, did, r FROM (
+         |    SELECT qid, did,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY du DESC, did) AS r
+         |    FROM dot) WHERE r <= 20),
+         |f AS (
+         |  SELECT coalesce(l.qid, d.qid) AS query_id,
+         |    coalesce(l.did, d.did) AS neighbor_id,
+         |    CASE WHEN l.r IS NOT NULL AND d.r IS NOT NULL
+         |         THEN (60 + l.r) + (60 + d.r) ELSE 1 END AS rrf_num,
+         |    CASE WHEN l.r IS NOT NULL AND d.r IS NOT NULL
+         |           THEN (60 + l.r) * (60 + d.r)
+         |         WHEN l.r IS NOT NULL THEN 60 + l.r
+         |         ELSE 60 + d.r END AS rrf_den
+         |  FROM lexr l FULL JOIN denr d
+         |    ON l.qid = d.qid AND l.did = d.did)
+         |SELECT query_id, neighbor_id, rrf_num, rrf_den, fused_rank
+         |FROM (
+         |  SELECT query_id, neighbor_id, rrf_num, rrf_den,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_num::DOUBLE / rrf_den DESC, neighbor_id)
+         |      AS fused_rank
+         |  FROM f)
+         |WHERE fused_rank <= 10""".stripMargin) { (s, d) =>
+      // tokenize ONCE; the lexical ranker scans it as corpus and
+      // (filtered) as the query batch
+      val docs = graft.core.LazyCheckpoint(Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.words(Text.normalize(col("text"))).as("__toks")))
+      val lex = Ranking.lexicalOverlapTopK(
+          docs, "doc_id", col("__toks"),
+          docs.filter(col("doc_id") < 4), "doc_id", col("__toks"),
+          k = 20)
+        .select("query_id", "neighbor_id", "rank")
+      val eu = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.ops.Diversity.snapMicro(col("embedding")).as("__v"))
+      val q = broadcast(eu.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("__v").as("__qv")))
+      val dense = graft.plans.TopKPerGroup.topK(
+          eu.select(col("vec_id").as("neighbor_id"), col("__v"))
+            .join(q, col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.plans.DotProduct.dot(col("__qv"), col("__v"))
+                .cast("double").as("__score")),
+          Seq("query_id"), "__score", "neighbor_id", k = 20)
+        .select("query_id", "neighbor_id", "rank")
+      Ranking.rrfFuse(Seq(lex, dense), k = 10)
     })
 }

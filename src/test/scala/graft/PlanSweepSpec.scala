@@ -56,7 +56,11 @@ class PlanSweepSpec extends AnyFunSuite {
       ("relevance stage is the brute-force scan: corpus x " +
         "broadcast(query batch); feed from ivfTopK at corpus scale"),
     "q_ann_ndcg" ->
-      "embeds the brute-force ideal set: corpus x broadcast(query batch)")
+      "embeds the brute-force ideal set: corpus x broadcast(query batch)",
+    "q_rrf_fusion" ->
+      ("dense arm is the brute-force scan: corpus x broadcast(query " +
+        "batch); feed from ivfTopK at corpus scale — the fusion itself " +
+        "only touches top-k lists"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

@@ -204,4 +204,40 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     } yield 1).size
     assert(got == brute.toLong, s"got $got, brute $brute")
   }
+
+  test("labelPropagation: two cliques joined by one bridge edge " +
+      "separate into two communities; CC would merge them") {
+    // K4 {0,1,2,3} — K4 {10,11,12,13}, bridged 3–10: within each
+    // clique every vertex sees ≥2 votes for the clique minimum; the
+    // bridge carries only 1 vote each way, so the mode never crosses
+    def k4(base: Long): Seq[(Long, Long)] =
+      (for { i <- 0 until 4; j <- (i + 1) until 4 }
+        yield (base + i, base + j)).toSeq
+    val edges = (k4(0) ++ k4(10) :+ (3L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 8)
+    assert((0L to 3L).map(got).toSet.size == 1, "left clique split")
+    assert((10L to 13L).map(got).toSet.size == 1, "right clique split")
+    assert(got(0L) != got(10L), "bridge merged the cliques")
+    // reachability, by contrast, is ONE class
+    assert(cc(k4(0) ++ k4(10) :+ (3L, 10L)).values.toSet.size == 1)
+  }
+
+  test("labelPropagation is deterministic under repartitioning, breaks " +
+      "vote ties to the smaller label, and the self-vote prevents the " +
+      "star/bipartite oscillation") {
+    // star: center 5 with leaves 1,2,3. WITHOUT the self-vote sync LPA
+    // oscillates forever (leaves↔center swap label sets each round);
+    // with it, round 1 ties every vertex to the min label 1 and the
+    // graph converges to one community
+    val star = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("a", "b")
+    val r1 = Graph.labelPropagation(star, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L),
+      s"star must converge to the min label, got $r1")
+    val r2 = Graph.labelPropagation(star.repartition(13), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2, "layout changed the converged labels")
+  }
 }

@@ -63,4 +63,72 @@ class RankingSpec extends AnyFunSuite with WithSpark {
       java.lang.Double.doubleToLongBits(b(k)) ==
         java.lang.Double.doubleToLongBits(v) })
   }
+
+  test("phraseMatches: adjacency intersection counts overlapping and " +
+      "repeated occurrences, any phrase length") {
+    val corpus = Seq(
+      (1L, "a b c a b c"),     // "a b c" twice
+      (2L, "a a a a"),         // "a a a" twice (overlapping starts)
+      (3L, "a b x c"),         // no "a b c"
+      (4L, "c b a"))           // reversed — no match
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.words(col("text")))
+    val postings = Ranking.positionalPostings(corpus, "doc_id", col("toks"))
+    def matches(ph: Seq[String]): Map[Long, Long] =
+      Ranking.phraseMatches(postings, "doc_id", ph)
+        .as[(Long, Long)].collect().toMap
+    assert(matches(Seq("a", "b", "c")) == Map(1L -> 2L))
+    assert(matches(Seq("a", "a", "a")) == Map(2L -> 2L))
+    assert(matches(Seq("a")) == Map(1L -> 2L, 2L -> 4L, 3L -> 1L, 4L -> 1L))
+    // postings-join result == per-doc positional rescan (the oracle
+    // formulation) on the corpus face's own phrase
+    val rescan = corpus.select(col("doc_id"),
+        size(filter(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => element_at(col("toks"), (i + 1).cast("int")) === "a" &&
+            element_at(col("toks"), (i + 2).cast("int")) === "b"))
+          .cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long)].collect().toMap
+    assert(matches(Seq("a", "b")) == rescan)
+  }
+
+  test("lexicalOverlapTopK: tf-weighted overlap, self excluded, " +
+      "deterministic ties") {
+    val corpus = Seq(
+      (1L, "spark join join"),   // the query doc
+      (2L, "join join join"),    // overlap 3 on "join"
+      (3L, "spark scan"),        // overlap 1 on "spark"
+      (4L, "spark join"),        // overlap 2
+      (5L, "scan sort"))         // no overlap — absent
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.words(col("text")))
+    val got = Ranking.lexicalOverlapTopK(
+        corpus, "doc_id", col("toks"),
+        corpus.filter(col("doc_id") === 1), "doc_id", col("toks"), k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    assert(got == Seq(
+      (1L, 2L, 3L, 1), (1L, 4L, 2L, 2), (1L, 3L, 1L, 3)))
+  }
+
+  test("rrfFuse: exact rational fusion of two lists, missing entries " +
+      "contribute nothing, ordering by num/den") {
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val dense = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Ranking.rrfFuse(Seq(lex, dense), k = 10)
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq.sortBy(_._5)
+    // doc 11: both lists (ranks 2, 1) → num=(62)+(61)=123, den=62*61
+    // doc 10: lex rank 1 → 1/61; doc 13: dense rank 2 → 1/62;
+    // doc 12: lex rank 3 → 1/63
+    assert(got == Seq(
+      (0L, 11L, 123L, 3782L, 1),
+      (0L, 10L, 1L, 61L, 2),
+      (0L, 13L, 1L, 62L, 3),
+      (0L, 12L, 1L, 63L, 4)))
+    // 1/(61) + 1/(62) really is 123/3782 — the fraction is exact,
+    // not an approximation artifact
+    assert(math.abs(123.0 / 3782.0 - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+  }
 }
