@@ -114,4 +114,60 @@ object Privacy {
     val cond = quasi.map(c => df(c) <=> ok(c)).reduce(_ && _)
     df.join(ok, cond, "left_semi")
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third leg of the release-audit trio: [[kAnonymize]] bounds group
+    * size, [[lDiversify]] bounds sensitive-value VARIETY, and
+    * t-closeness bounds how far a group's sensitive-value
+    * DISTRIBUTION may sit from the corpus-wide one (a group can pass
+    * both k and l yet still leak "90% of this cell has condition X
+    * vs 5% globally" — exactly what t-closeness catches).
+    *
+    * Distance = total variation: TVD(g) = ½ Σ_v |p_g(v) − p(v)| (the
+    * paper's EMD under uniform ground distance, i.e. categorical
+    * sensitive attributes). EXACT arithmetic: |n_gv·N − n_v·n_g| is
+    * an integer, so TVD(g) = tvd_num / tvd_den with
+    * tvd_num = Σ_v |n_gv·N − n_v·n_g| and tvd_den = 2·n_g·N — the
+    * breach verdict (tvd > tNum/tDen) cross-multiplies, never
+    * dividing, so it is bit-portable across engines and layouts.
+    * Overflow bound: n_g·N·tDen must fit a long — fine to ~10⁹ rows
+    * at tDen ≤ 10; shard larger corpora by partition or lift to
+    * DECIMAL(38,0).
+    *
+    * Scale shape: ONE scan of the fact frame into the
+    * (quasi × sensitive) count; everything after runs on that
+    * dim-sized frame — the (group × value) lattice is a broadcast
+    * cross of two aggregates of it (missing cells must still
+    * contribute |0 − n_v·n_g|), and N rides a one-row broadcast
+    * carrier.
+    *
+    * @return one row per quasi group: quasi…, n_g, tvd_num, tvd_den,
+    *         breaches (tvd > tNum/tDen)
+    */
+  def tCloseness(
+      df: DataFrame, quasi: Seq[String], sensitive: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 0 && tDen >= 1, s"bad threshold $tNum/$tDen")
+    val cnt = df
+      .groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint() // three consumers: ng, nv, and the lattice join
+    val ng = cnt.groupBy(quasi.map(col): _*)
+      .agg(sum(col("n_gv")).as("n_g"))
+    val nv = cnt.groupBy(col(sensitive))
+      .agg(sum(col("n_gv")).as("n_v"))
+    val tot = nv.agg(sum(col("n_v")).as("__N"))
+    ng.crossJoin(broadcast(nv))
+      .join(cnt, quasi :+ sensitive, "left")
+      .withColumn("n_gv", coalesce(col("n_gv"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term",
+        abs(col("n_gv") * col("__N") - col("n_v") * col("n_g")))
+      .groupBy((quasi.map(col) :+ col("n_g")): _*)
+      .agg(sum(col("__term")).as("tvd_num"),
+        (lit(2L) * col("n_g") * max(col("__N"))).as("tvd_den"))
+      .withColumn("breaches",
+        lit(tDen) * col("tvd_num") > lit(tNum) * col("tvd_den"))
+  }
 }

@@ -198,4 +198,51 @@ object Profile {
       .withColumn("mean_val",
         round(col("sum_val").cast("double") / col("n_eff"), 6))
   }
+
+  /** Deterministic paired sign-flip permutation test — "is metric A
+    * really better than metric B on this corpus, or is the mean
+    * difference noise?" The eval-pipeline companion to
+    * [[poissonBootstrap]]'s error bars: under H₀ (no difference) each
+    * per-item difference dᵢ = aᵢ − bᵢ is symmetric around 0, so its
+    * sign is exchangeable; the test compares the observed Σdᵢ against
+    * `resamples` sign-flipped sums whose flips come from the md5 draw
+    * convention — fully reproducible across engines, runs, and
+    * layouts. p = (#{|Σ±dᵢ| ≥ |Σdᵢ|} + 1) / (resamples + 1) (the
+    * add-one keeps p valid, Phipson & Smyth 2010), emitted as the
+    * exact integers p_num/p_den plus one rounded division.
+    *
+    * Scale shape: identical to the bootstrap — the ×B fan-out is a
+    * map-side explode consumed by a partial aggregate (shuffle
+    * carries B rows per partition); the observed sum rides a ONE-row
+    * broadcast carrier into the exceedance count. Metrics must be
+    * integral (snap to a grid first) so every sum is exact.
+    */
+  def signFlipTest(
+      df: DataFrame, key: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      resamples: Int = 200, salt: String = "pt"): DataFrame = {
+    require(resamples >= 1, s"resamples must be >= 1, got $resamples")
+    val rows = df.select(key.cast("string").as("__k"),
+      (a.cast("long") - b.cast("long")).as("__d"))
+    val obs = rows.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__d")), lit(0L)).as("obs_diff"))
+    val flips = rows.select(
+      explode(sequence(lit(0), lit(resamples - 1))).as("b"),
+      col("__k"), col("__d"))
+    val draw = conv(Sampling.unitDraw(
+      concat(col("b").cast("string"), lit("#"), col("__k")), salt),
+      16, 10).cast("long")
+    val sgn = when(draw % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    flips.groupBy("b")
+      .agg(sum(sgn * col("__d")).as("__s"))
+      .crossJoin(broadcast(obs))
+      .groupBy(col("n"), col("obs_diff"))
+      .agg(sum(when(abs(col("__s")) >= abs(col("obs_diff")), 1L)
+        .otherwise(0L)).as("b_exceed"))
+      .select(col("n"), col("obs_diff"), col("b_exceed"),
+        (col("b_exceed") + 1L).as("p_num"),
+        lit(resamples + 1L).as("p_den"),
+        round((col("b_exceed") + 1L).cast("double") /
+          lit((resamples + 1).toDouble), 6).as("p_value"))
+  }
 }

@@ -364,4 +364,53 @@ object Sampling {
       .filter(col("negative_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("probe"), col("negative_id"))
   }
+
+  /** Per-domain EPOCH plan for a token budget — the training-run
+    * planning table behind every mixing decision ([[temperatureMix]]
+    * decides per-document KEEP rates; this decides per-domain REPEAT
+    * factors): balancing |S| domains inside a budget of B tokens
+    * gives each domain B/|S| tokens, i.e. epochs(s) = B / (|S|·T_s)
+    * passes over its T_s tokens. Domains with epochs > 1 must be
+    * repeated (upsampled) to hold their share — exactly the
+    * small-high-quality-corpus case (Wikipedia in every LLM mix) —
+    * and repeating past `cap` epochs is where memorization outpaces
+    * value (the 4-epoch rule of thumb, Muennighoff et al. 2023), so
+    * the plan also emits the capped effective allocation.
+    *
+    * EXACT arithmetic: epochs is the integer rational epoch_num /
+    * epoch_den = B / (|S|·T_s); the cap compares and clamps on the
+    * SAME denominator (min(num, cap·den)/den), so verdicts and
+    * effective token counts are bit-portable; the only doubles are
+    * final divisions on identical operands.
+    *
+    * Scale shape: one map-side-combined aggregation of the corpus;
+    * everything after runs on the |S|-row table with |S| riding a
+    * ONE-row broadcast carrier.
+    *
+    * @return per domain: group, tokens, epoch_num, epoch_den, epochs
+    *         (round 9), capped_epochs, planned_tokens (round 6)
+    */
+  def epochPlan(
+      df: DataFrame, group: String,
+      tokens: org.apache.spark.sql.Column,
+      budget: Long, cap: Long = 4L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val t = df.groupBy(col(group))
+      .agg(sum(tokens.cast("long")).as("tokens"))
+    val s = t.agg(count(lit(1)).as("__ns"))
+    t.crossJoin(broadcast(s))
+      .select(col(group), col("tokens"),
+        lit(budget).as("epoch_num"),
+        (col("__ns") * col("tokens")).as("epoch_den"))
+      .withColumn("epochs",
+        round(col("epoch_num").cast("double") / col("epoch_den"), 9))
+      .withColumn("capped_epochs",
+        round(least(col("epoch_num"), lit(cap) * col("epoch_den"))
+          .cast("double") / col("epoch_den"), 9))
+      .withColumn("planned_tokens",
+        round(col("tokens").cast("double") *
+          least(col("epoch_num"), lit(cap) * col("epoch_den"))
+            .cast("double") / col("epoch_den"), 6))
+  }
 }

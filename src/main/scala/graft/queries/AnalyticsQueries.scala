@@ -634,6 +634,42 @@ object AnalyticsQueries {
         Tables.documents(s, d), col("doc_id"), col("n_chars"), b = 16)
     },
 
+    // ---- deterministic paired sign-flip permutation test: is the
+    //      per-doc difference between two length metrics (chars vs
+    //      6·tokens) centered on zero? 200 md5-seeded flips, p as
+    //      exact integers p_num/p_den + one rounded division ----
+    sql(
+      "q_perm_test",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    n_chars - 6 * len(string_split(${TextQueries.NormSql}, ' ')) AS dd
+         |  FROM documents),
+         |o AS (SELECT count(*)::BIGINT AS n,
+         |        sum(dd)::BIGINT AS obs_diff FROM d),
+         |f AS (
+         |  SELECT b.b, dd,
+         |    CASE WHEN CAST('0x' ||
+         |        substr(md5('pt' || b.b || '#' || d.doc_id), 1, 8)
+         |        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM d CROSS JOIN (SELECT unnest(range(200)) AS b) b),
+         |s AS (SELECT b, sum(sgn * dd)::BIGINT AS sb FROM f GROUP BY 1)
+         |SELECT o.n, o.obs_diff,
+         |  sum(CASE WHEN abs(sb) >= abs(o.obs_diff)
+         |      THEN 1 ELSE 0 END)::BIGINT AS b_exceed,
+         |  (sum(CASE WHEN abs(sb) >= abs(o.obs_diff)
+         |      THEN 1 ELSE 0 END) + 1)::BIGINT AS p_num,
+         |  201::BIGINT AS p_den,
+         |  round((sum(CASE WHEN abs(sb) >= abs(o.obs_diff)
+         |      THEN 1 ELSE 0 END) + 1)::DOUBLE / 201.0, 6) AS p_value
+         |FROM s, o GROUP BY o.n, o.obs_diff""".stripMargin) { (s, d) =>
+      graft.ops.Profile.signFlipTest(
+        Tables.documents(s, d), col("doc_id"),
+        a = col("n_chars"),
+        b = lit(6) * size(graft.ops.Text.words(
+          graft.ops.Text.normalize(col("text")))),
+        resamples = 200)
+    },
+
     // ---- per-event-type OLS trend of value over time (drift
     //      DIRECTION next to the PSI magnitude gates): exact
     //      cross-multiplied numerator/denominator as DECIMAL(38,0)

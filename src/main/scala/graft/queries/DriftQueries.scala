@@ -370,6 +370,48 @@ object DriftQueries {
         sensitive = "o_orderpriority", l = 3L)
     },
 
+    // ---- t-closeness: the distribution-distance leak k and l both
+    //      miss — per (nation, segment) cell, total-variation distance
+    //      of the order-priority distribution from the corpus-wide
+    //      one, exact integer num/den, breach at t = 1/5 ----
+    sql(
+      "q_t_closeness",
+      """WITH j AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cnt AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority,
+        |    count(*)::BIGINT AS n_gv
+        |  FROM j GROUP BY 1, 2, 3),
+        |ng AS (SELECT c_nationkey, c_mktsegment,
+        |         sum(n_gv)::BIGINT AS n_g FROM cnt GROUP BY 1, 2),
+        |nv AS (SELECT o_orderpriority, sum(n_gv)::BIGINT AS n_v
+        |       FROM cnt GROUP BY 1),
+        |tot AS (SELECT sum(n_v)::BIGINT AS nn FROM nv),
+        |t AS (
+        |  SELECT l.c_nationkey, l.c_mktsegment, l.n_g,
+        |    abs(coalesce(c.n_gv, 0) * (SELECT nn FROM tot)
+        |        - l.n_v * l.n_g) AS term
+        |  FROM (SELECT * FROM ng CROSS JOIN nv) l
+        |  LEFT JOIN cnt c
+        |    ON c.c_nationkey = l.c_nationkey
+        |   AND c.c_mktsegment = l.c_mktsegment
+        |   AND c.o_orderpriority = l.o_orderpriority)
+        |SELECT c_nationkey, c_mktsegment, n_g,
+        |  sum(term)::BIGINT AS tvd_num,
+        |  (2 * n_g * (SELECT nn FROM tot))::BIGINT AS tvd_den,
+        |  5 * sum(term) > 2 * n_g * (SELECT nn FROM tot) AS breaches
+        |FROM t GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+      graft.ops.Privacy.tCloseness(
+        j, quasi = Seq("c_nationkey", "c_mktsegment"),
+        sensitive = "o_orderpriority", tNum = 1L, tDen = 5L)
+    },
+
     // ---- train-side cutpoints stamped onto serving data: quantile
     //      bounds from the even-keyed half of orders, applied map-side
     //      (broadcast one-row cuts + HOF count) to the odd-keyed half

@@ -265,6 +265,29 @@ object SamplingQueries {
         .select("doc_id", "lang")
     },
 
+    // ---- per-domain EPOCH plan for a token budget: balancing |S|
+    //      domains inside B tokens gives epochs(s) = B / (|S|·T_s),
+    //      capped at 4 (the repeat-past-here-and-memorize rule);
+    //      exact integer num/den, divisions on identical operands ----
+    sql(
+      "q_epoch_plan",
+      """WITH t AS (SELECT source, sum(n_chars)::BIGINT AS tokens
+        |           FROM documents GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS ns FROM t)
+        |SELECT source, tokens,
+        |  600000::BIGINT AS epoch_num,
+        |  (ns * tokens)::BIGINT AS epoch_den,
+        |  round(600000::DOUBLE / (ns * tokens), 9) AS epochs,
+        |  round(least(600000, 4 * ns * tokens)::DOUBLE
+        |        / (ns * tokens), 9) AS capped_epochs,
+        |  round(tokens::DOUBLE * least(600000, 4 * ns * tokens)::DOUBLE
+        |        / (ns * tokens), 6) AS planned_tokens
+        |FROM t, s""".stripMargin) { (s, d) =>
+      Sampling.epochPlan(
+        Tables.documents(s, d), "source", col("n_chars"),
+        budget = 600000L, cap = 4L)
+    },
+
     // ---- calibrated mixing to EXPLICIT target shares (the
     //      prescriptive face: match a benchmark distribution);
     //      unlisted langs drop — calibration doubles as a whitelist.

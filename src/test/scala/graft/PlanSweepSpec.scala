@@ -60,7 +60,15 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_rrf_fusion" ->
       ("dense arm is the brute-force scan: corpus x broadcast(query " +
         "batch); feed from ivfTopK at corpus scale — the fusion itself " +
-        "only touches top-k lists"))
+        "only touches top-k lists"),
+    "q_t_closeness" ->
+      ("the (group x value) lattice is dim-sized aggregates crossed " +
+        "(missing cells must still contribute); corpus total N rides a " +
+        "ONE-row broadcast carrier"),
+    "q_perm_test" ->
+      "the observed sum rides a ONE-row broadcast carrier into the exceedance count",
+    "q_epoch_plan" ->
+      "domain count |S| rides a ONE-row broadcast carrier into the per-domain arithmetic")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

@@ -111,6 +111,40 @@ class PrivacySpec extends AnyFunSuite with WithSpark {
     assert(got == Set(5L, 6L))
   }
 
+  test("tCloseness: skewed cells breach, representative cells pass, " +
+      "missing values still contribute distance") {
+    // corpus: 8 flu, 8 cold (p = 1/2 each). Group a mirrors the
+    // corpus (TVD 0); group b is all-flu (TVD 1/2 > 1/5 — breach);
+    // group c has NO cold rows, so the missing cell must contribute
+    // |0 - n_v·n_g| or its TVD would read 0
+    val df = (
+      (1 to 4).map(i => (i.toLong, "a", "flu")) ++
+      (5 to 8).map(i => (i.toLong, "a", "cold")) ++
+      (9 to 12).map(i => (i.toLong, "b", "flu")) ++
+      (13 to 16).map(i => (i.toLong, "c", "cold"))
+    ).toDF("id", "q", "dx")
+    val got = Privacy.tCloseness(df, Seq("q"), "dx", tNum = 1, tDen = 5)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // N = 16, flu total 8, cold total 8
+    // a: n_g=8, cells (4,4): |4·16−8·8| = 0 twice → tvd 0/256 — pass
+    assert(got("a") == ("a", 8L, 0L, 256L, false))
+    // b: n_g=4, flu |4·16−8·4|=32, cold |0−8·4|=32 → 64/128 = 1/2 — breach
+    assert(got("b") == ("b", 4L, 64L, 128L, true))
+    // c: all-cold — symmetric to b, must also breach via the zero cell
+    assert(got("c") == ("c", 4L, 64L, 128L, true))
+  }
+
+  test("tCloseness is layout-independent") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, s"g${i % 3}", s"v${i % 5}")).toDF("id", "q", "dx")
+    val a = Privacy.tCloseness(df, Seq("q"), "dx", 1, 5)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    val b = Privacy.tCloseness(df.repartition(17), Seq("q"), "dx", 1, 5)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(a == b)
+  }
+
   test("noise is finite for every possible draw bucket edge") {
     // the +0.5 offset keeps u off 1/2 exactly and the ln argument
     // >= 2^-32 — no infinities however the md5 lands

@@ -111,4 +111,30 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
     // resamples genuinely differ (different draws per b)
     assert(a.values.map(_._1).toSet.size > 1)
   }
+
+  test("signFlipTest: symmetric data gives p ~ 1, one-sided data gives " +
+      "small p, resamples deterministic under layout") {
+    import org.apache.spark.sql.functions._
+    // perfectly antisymmetric differences: obs_diff = 0 -> every
+    // flipped sum satisfies |s_b| >= 0 -> p = 1 exactly
+    val sym = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) 5L else 0L,
+        if (i % 2 == 0) 0L else 5L)).toDF("id", "a", "b")
+    val p1 = Profile.signFlipTest(sym, col("id"), col("a"), col("b"), 200)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(p1 == ((100L, 0L, 200L, 201L, 201L, 1.0)))
+    // strongly one-sided: a = b + 10 on every row -> no sign-flipped
+    // sum of +-10s plausibly reaches 100*10 -> b_exceed 0, p = 1/201
+    val oneSided = (1 to 100).map(i => (i.toLong, 20L, 10L))
+      .toDF("id", "a", "b")
+    val p2 = Profile.signFlipTest(
+        oneSided, col("id"), col("a"), col("b"), 200)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(p2._2 == 1000L && p2._3 == 0L && p2._4 == 1L && p2._5 == 201L)
+    // layout independence
+    val p3 = Profile.signFlipTest(
+        oneSided.repartition(13), col("id"), col("a"), col("b"), 200)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(p2 == p3)
+  }
 }

@@ -253,4 +253,23 @@ class SamplingSpec extends AnyFunSuite with WithSpark {
       .filter(col("dom").isNull).count()
     assert(keptNull > 0, "null-domain rows were dropped wholesale")
   }
+
+  test("epochPlan: exact rationals, cap binds only past `cap` epochs, " +
+      "planned tokens follow the capped allocation") {
+    import org.apache.spark.sql.functions._
+    // two domains, tokens 100 and 1000; budget 4000 over |S| = 2
+    // gives 2000 tokens each: small domain -> 20 epochs (capped at 4),
+    // big domain -> 2 epochs (uncapped)
+    val df = ((1 to 1).map(i => (s"s$i", "small", 100L)) ++
+      (1 to 1).map(i => (s"b$i", "big", 1000L)))
+      .toDF("id", "dom", "tok")
+    val got = Sampling.epochPlan(df, "dom", col("tok"),
+        budget = 4000L, cap = 4L)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // small: 4000 / (2*100) = 20 epochs -> capped 4 -> 400 tokens
+    assert(got("small") == (("small", 100L, 4000L, 200L, 20.0, 4.0, 400.0)))
+    // big: 4000 / (2*1000) = 2 epochs -> uncapped -> 2000 tokens
+    assert(got("big") == (("big", 1000L, 4000L, 2000L, 2.0, 2.0, 2000.0)))
+  }
 }
