@@ -459,6 +459,129 @@ object Graph {
     * no driver data path, no iteration. Returns one row
     * (`n_triangles`).
     */
+  /** PERSONALIZED PageRank — [[pageRankInt]] with the teleport
+    * restricted to a seed set (Page et al. 1999 §6; the "expand from
+    * trusted seeds" primitive behind seed-based corpus curation:
+    * score a crawl graph by proximity to known-good domains, keep the
+    * mass). Same exact-integer convention as [[pageRankInt]]
+    * (1e-12 grid via `Scale div |S|`, truncating `div`, 85/100
+    * damping) so the fixed point is bit-portable across engines and
+    * partitionings:
+    *
+    *   r₀(v)  = (Scale div |S|)·[v ∈ S]
+    *   r'(v)  = ((15·(Scale div |S|)) div 100)·[v ∈ S]
+    *          + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+    *
+    * Mass concentrates near the seeds instead of spreading uniformly;
+    * rank 0 is reachable (and meaningful: farther than `iters` hops
+    * from every seed).
+    *
+    * Scale shape: identical to [[pageRankInt]] — per round ONE
+    * equi-join + ONE map-side-combined sum — plus a broadcast
+    * seed-membership join (seed sets are request-sized by nature).
+    * Seeds outside the vertex universe are ignored; |S| counts only
+    * seeds IN the graph, so the injected mass is exactly what the
+    * graph can circulate.
+    */
+  def personalizedPageRankInt(
+      edges: DataFrame, seeds: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val sym = symmetric(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    sym.unpersist(false)
+    val verts = ed.select(col("src").as("node")).distinct()
+    val seedFlag = broadcast(
+      verts.join(seeds.select(col("node")).distinct(), Seq("node"))
+        .withColumn("__seed", lit(true))
+        .localCheckpoint()) // reused in r0 and every round's base term
+    val nS = seedFlag.count()
+    require(nS > 0, "no seed is a vertex of the graph")
+    val init = Scale / nS
+    val base = (15L * init) / 100L
+    val checkpointEvery = 8
+    var ranks = verts.join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank_u"))
+    (1 to iters).foreach { i =>
+      val next = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("rank_u div deg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .join(seedFlag, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"(85 * s) div 100")).as("rank_u"))
+      ranks =
+        if (i % checkpointEvery == 0 && i < iters)
+          graft.core.LazyCheckpoint(next)
+        else next
+    }
+    ranks
+  }
+
+  /** INCREMENTAL connected components — the O(batch) maintenance path
+    * for a persisted clustering (the graph analogue of
+    * [[graft.ops.Dedup]]'s incremental band-state dedup): given the
+    * PRIOR (node, component) labeling and a batch of NEW edges, merge
+    * only what the batch touches instead of re-running CC over the
+    * accumulated 100 TB edge set.
+    *
+    * The algebra: components are closed under union, so the new
+    * labeling is CC of the COMPONENT-quotient graph — map each new
+    * edge's endpoints to their prior components (unseen nodes are
+    * their own), run CC over those (component, component) edges (a
+    * batch-bounded graph, usually tiny — it takes
+    * [[connectedComponents]]' driver kernel), and re-map prior labels
+    * through the resulting merge table. Labels stay canonical min-ids
+    * because prior labels are min-ids and the quotient CC again takes
+    * minima — an incremental result is IDENTICAL to a full rebuild
+    * over the union (spec'd, and the oracle face recomputes the full
+    * graph relationally).
+    *
+    * Scale shape: one equi-join of the batch against the prior label
+    * table (shuffle ∝ batch; the label table side is partition-pruned
+    * by the join when stored bucketed by node), the quotient CC on a
+    * batch-sized graph, and one broadcast-merge-table map over the
+    * prior labels — the only full pass is the final relabel, which is
+    * map-side against a broadcast table bounded by the batch's
+    * component count.
+    */
+  def incrementalComponents(
+      prior: DataFrame, newEdges: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val labels = prior.select(col("node"), col("component"))
+      .localCheckpoint() // consumed by two endpoint joins + the relabel
+    def mapTo(side: String): DataFrame =
+      newEdges.select(col(side).as("__n"))
+        .join(labels, col("__n") === col("node"), "left")
+        .select(col("__n"),
+          coalesce(col("component"), col("__n")).as(s"__c$side"))
+    val quot = newEdges
+      .join(mapTo("a").withColumnRenamed("__n", "a"), Seq("a"))
+      .join(mapTo("b").withColumnRenamed("__n", "b"), Seq("b"))
+      .select(col("__ca").as("a"), col("__cb").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val merges = connectedComponents(quot, maxIters = maxIters)
+      .select(col("node").as("__old"), col("component").as("__new"))
+    // unseen endpoints enter the universe labeled with their own id
+    // (= their quotient label), then remap through the merge table
+    // like every prior row
+    val newNodes = newEdges.select(col("a").as("node"))
+      .union(newEdges.select(col("b").as("node")))
+      .distinct()
+      .join(labels, Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    labels.unionByName(newNodes)
+      .join(broadcast(merges), col("component") === col("__old"), "left")
+      .select(col("node"),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) —
     * community detection, the graph family's complement to
     * [[connectedComponents]] (which finds REACHABILITY classes; LPA

@@ -197,6 +197,75 @@ object GraphQueries {
       graft.ops.Graph.pageRankInt(edges(s, d, 2), iters = 5)
     },
 
+    // ---- PERSONALIZED PageRank: teleport restricted to the id%7==0
+    //      seed vertices — proximity-to-trusted-seeds scoring, same
+    //      exact-integer fixed point, seed-conditional base term
+    //      unrolled in the oracle ----
+    sql(
+      "q_pagerank_seeded", {
+        val scale = graft.ops.Graph.Scale
+        val iterCtes = (1 to 5).map { k =>
+          s"""c$k AS (
+             |  SELECT e.dst AS node, sum(r.rank_u // d.deg)::BIGINT AS s
+             |  FROM sym e JOIN r${k - 1} r ON e.src = r.node
+             |  JOIN deg d ON d.src = e.src
+             |  GROUP BY 1),
+             |r$k AS (
+             |  SELECT c.node,
+             |    (CASE WHEN sd.node IS NOT NULL
+             |       THEN (15 * ($scale // (SELECT n FROM ns))) // 100
+             |       ELSE 0 END
+             |     + (85 * c.s) // 100)::BIGINT AS rank_u
+             |  FROM c$k c LEFT JOIN seeds sd ON c.node = sd.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |${edgeSql(2)}),
+           |sym AS (SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+           |        UNION SELECT b, a FROM e0 WHERE a <> b),
+           |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+           |seeds AS (SELECT src AS node FROM deg WHERE src % 7 = 0),
+           |ns AS (SELECT count(*) AS n FROM seeds),
+           |r0 AS (
+           |  SELECT d.src AS node,
+           |    (CASE WHEN sd.node IS NOT NULL
+           |       THEN $scale // (SELECT n FROM ns)
+           |       ELSE 0 END)::BIGINT AS rank_u
+           |  FROM deg d LEFT JOIN seeds sd ON d.src = sd.node),
+           |$iterCtes
+           |SELECT node, rank_u FROM r5""".stripMargin
+      }) { (s, d) =>
+      val e = edges(s, d, 2).localCheckpoint() // seeds derive from it too
+      val seeds = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .distinct()
+        .filter(col("node") % 7 === 0)
+      graft.ops.Graph.personalizedPageRankInt(e, seeds, iters = 5)
+    },
+
+    // ---- INCREMENTAL connected components: prior labeling of the
+    //      (a+b)%5!=0 edge subset + the remaining edges as the new
+    //      batch — must equal the full rebuild, which is exactly what
+    //      the oracle recomputes over ALL edges ----
+    sql(
+      "q_cc_incremental",
+      s"""WITH RECURSIVE e0 AS (
+         |${edgeSql(3)}),
+         |sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |nodes AS (SELECT DISTINCT a AS v FROM sym),
+         |cc AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT s.b AS v, cc.m FROM sym s JOIN cc ON s.a = cc.v)
+         |SELECT v AS node, min(m) AS component FROM cc
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val all = edges(s, d, 3).localCheckpoint() // split consumes twice
+      val old = all.filter((col("a") + col("b")) % 5 =!= 0)
+      val nw = all.filter((col("a") + col("b")) % 5 === 0)
+      val prior = graft.ops.Graph.connectedComponents(old)
+      graft.ops.Graph.incrementalComponents(prior, nw)
+    },
+
     // ---- DIRECTED integer PageRank with dangling-mass
     //      redistribution on the same co-purchase pairs taken as
     //      directed low→high edges: parts that are never the smaller

@@ -205,6 +205,63 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert(got == brute.toLong, s"got $got, brute $brute")
   }
 
+  test("incrementalComponents equals a full rebuild on random graphs, " +
+      "merges prior components, and admits brand-new nodes") {
+    val rnd = new scala.util.Random(47)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val all = (1 to 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val (old, nw) = all.partition(e => (e._1 + e._2) % 3 != 0)
+      val prior = Graph.connectedComponents(old.toDF("a", "b"))
+      val inc = Graph.incrementalComponents(prior, nw.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val full = cc(all)
+      assert(inc == full, s"trial $trial: incremental != full rebuild")
+    }
+    // one new edge merges two prior components; a disjoint new pair
+    // enters with its own min label
+    val prior = Graph.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
+    val inc = Graph.incrementalComponents(
+        prior, Seq((2L, 10L), (100L, 101L)).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      100L -> 100L, 101L -> 100L))
+  }
+
+  test("personalizedPageRankInt: seeded mass stays near the seeds, " +
+      "all-vertices seeding degenerates to plain pagerank, " +
+      "deterministic under repartitioning") {
+    // barbell: K4 {0..3} — path — K4 {10..13}; seed the left clique
+    val edges = ((for { i <- 0 until 4; j <- (i + 1) until 4 }
+      yield (i.toLong, j.toLong)) ++
+      (for { i <- 0 until 4; j <- (i + 1) until 4 }
+        yield (10L + i, 10L + j)) ++
+      Seq((3L, 6L), (6L, 10L))).toDF("a", "b")
+    val seeds = Seq(0L, 1L).toDF("node")
+    val ppr = Graph.personalizedPageRankInt(edges, seeds, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // seeds hold the most rank; the far clique's interior holds least
+    assert(ppr(0L) > ppr(3L) && ppr(3L) > ppr(11L),
+      s"rank must decay with seed distance: $ppr")
+    assert(ppr(0L) > 0 && ppr(11L) >= 0)
+    // seeding EVERY vertex reproduces the uniform-teleport fixed point
+    val verts = (0L to 3L) ++ Seq(6L) ++ (10L to 13L)
+    val allSeeded = Graph.personalizedPageRankInt(
+        edges, verts.toDF("node"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRankInt(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(allSeeded == plain)
+    // layout independence
+    val ppr2 = Graph.personalizedPageRankInt(
+        edges.repartition(11), seeds, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == ppr2)
+  }
+
   test("labelPropagation: two cliques joined by one bridge edge " +
       "separate into two communities; CC would merge them") {
     // K4 {0,1,2,3} — K4 {10,11,12,13}, bridged 3–10: within each
