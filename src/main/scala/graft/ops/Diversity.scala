@@ -178,4 +178,65 @@ object Diversity {
       }
       .toDF("query_id", "rank", "neighbor_id", "mmr_u")
   }
+
+  /** Farthest-first (k-center greedy, Gonzalez 1985) coreset
+    * selection over an embedding column — the QUERY-FREE complement
+    * to [[mmrSelect]]: pick k documents that together COVER the
+    * corpus in embedding space (diverse exemplars for annotation,
+    * eval-set seeding, per-cluster prototypes). The greedy 2-approx
+    * of the k-center objective: start from the smallest id, then
+    * repeatedly take the point FARTHEST from everything selected.
+    *
+    * Determinism: squared L2 on 1e-6-snapped components is an exact
+    * integer (≤ 4e12 per term, ×dim ≪ 2^53), computed as
+    * d²(a,b) = a·a − 2a·b + b·b from three exact dots; ties break to
+    * the smaller id. The emitted `radius_sq` (the chosen point's
+    * distance from the prior centers) is the k-center coverage radius
+    * curve — how well k centers cover the corpus, exact.
+    *
+    * Scale shape: per round ONE map-side pass (distance to the single
+    * new center, a LITERAL vector in the plan — no join) updating the
+    * running min-distance column, then ONE bounded-heap argmax
+    * ([[graft.plans.TopKPerGroup]] with its partial/final pair, so
+    * the constant group never funnels the corpus through one task).
+    * The driver holds k rows total (the centers) — dictionary-sized
+    * by construction. k rounds = k passes; the running-min column is
+    * checkpointed each round so lineage stays flat.
+    */
+  def kCenterGreedy(
+      corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(col(id).cast("long").as("__id"), snapMicro(col(vec)).as("__v"))
+      .localCheckpoint()
+    def d2To(center: Array[Double]): Column = {
+      val c = typedlit(center.toSeq)
+      val dot = graft.plans.DotProduct.dot _
+      dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), c) +
+        lit(center.map(x => x * x).sum)
+    }
+    val first = base.orderBy(col("__id").asc).limit(1)
+      .select(col("__id"), col("__v").cast("array<double>"))
+      .as[(Long, Seq[Double])].head()
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1, first._1, 0L)) // (rank, center_id, radius_sq)
+    var cur = base.withColumn("__md", d2To(first._2.toArray).cast("long"))
+    (2 to k).foreach { r =>
+      val far = graft.plans.TopKPerGroup.topK(
+          cur.withColumn("__s", col("__md").cast("double"))
+            .withColumn("__g", lit(1)),
+          Seq("__g"), "__s", "__id", 1)
+        .select(col("__id"), col("__md"), col("__v").cast("array<double>"))
+        .as[(Long, Long, Seq[Double])].head()
+      picks += ((r, far._1, far._2))
+      if (r < k)
+        cur = cur
+          .withColumn("__md",
+            least(col("__md"), d2To(far._3.toArray).cast("long")))
+          .localCheckpoint()
+    }
+    picks.toSeq.toDF("rank", "center_id", "radius_sq")
+  }
 }

@@ -658,6 +658,47 @@ object SimilarityQueries {
           id = "vec_id", vec = "embedding", shortlist = 8, k = 3)
     },
 
+    // ---- farthest-first k-center coreset (Gonzalez 1985): 6 diverse
+    //      exemplars + the exact coverage-radius curve; every squared
+    //      L2 an exact snapped integer, greedy rounds unrolled in the
+    //      oracle with DESC/id tie order ----
+    sql("q_kcenter", {
+      val rounds = (2 to 6).map { r =>
+        s"""c$r AS (SELECT vec_id, v, nn, md FROM m${r - 1}
+           |        ORDER BY md DESC, vec_id LIMIT 1),
+           |m$r AS (
+           |  SELECT m.vec_id, m.v, m.nn,
+           |    least(m.md, m.nn
+           |      - 2 * CAST(list_dot_product(m.v, c.v) AS BIGINT)
+           |      + c.nn) AS md
+           |  FROM m${r - 1} m, c$r c)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 6).map { r =>
+        s"UNION ALL SELECT $r AS rank, vec_id AS center_id, md FROM c$r"
+      }.mkString("\n")
+      s"""WITH eu AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |                   x -> round(x * 1000000.0)) AS v
+         |  FROM embeddings),
+         |n2 AS (SELECT vec_id, v,
+         |         CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM eu),
+         |c1 AS (SELECT vec_id, v, nn FROM n2
+         |       WHERE vec_id = (SELECT min(vec_id) FROM n2)),
+         |m1 AS (
+         |  SELECT e.vec_id, e.v, e.nn,
+         |    (e.nn - 2 * CAST(list_dot_product(e.v, c.v) AS BIGINT)
+         |     + c.nn) AS md
+         |  FROM n2 e, c1 c),
+         |$rounds
+         |SELECT 1 AS rank, (SELECT vec_id FROM c1) AS center_id,
+         |  0::BIGINT AS radius_sq
+         |$unions""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Diversity.kCenterGreedy(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 6)
+    },
+
     // ---- the corpus-scale MMR shape: shortlist from the STORED IVF
     //      index (partition-pruned probes), then the same integer
     //      greedy — deterministic end to end, so the committed golden

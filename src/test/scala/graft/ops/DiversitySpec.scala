@@ -96,4 +96,35 @@ class DiversitySpec extends AnyFunSuite with WithSpark {
       "vec_id", "embedding", shortlist = 8, k = 8)
     assert(got.count() == 1) // only one non-self candidate
   }
+
+  test("kCenterGreedy: farthest-first picks the known sequence, the " +
+      "radius curve is non-increasing past round 2, ties go to the " +
+      "smaller id, layout-independent") {
+    import spark.implicits._
+    // 1-D line: 0 at x=0, 1 at x=0.1 (near 0), 2 at x=1.0, 3 at x=0.5
+    // start = min id 0; round 2 -> farthest is 2 (d²=1.0);
+    // round 3 -> 3 (min-dist 0.25); round 4 -> 1 (0.01)
+    val e = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.0),
+      2L -> Seq(1.0, 0.0), 3L -> Seq(0.5, 0.0))
+    val got = Diversity.kCenterGreedy(e, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    val G = 1000000L
+    assert(got == Seq((1, 0L, 0L), (2, 2L, G * G),
+      (3, 3L, G / 2 * (G / 2)), (4, 1L, G / 10 * (G / 10))))
+    // radii non-increasing from round 2 on (greedy coverage property)
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+    // equidistant tie: 0 at origin, 1 and 2 both at distance 1 on
+    // opposite axes — round 2 must take id 1
+    val tie = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(0.0, 1.0))
+    val t = Diversity.kCenterGreedy(tie, "vec_id", "embedding", k = 2)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(t(1)._2 == 1L, s"tie must pick the smaller id: $t")
+    // layout independence
+    val a = Diversity.kCenterGreedy(
+        e.repartition(7), "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(a == got)
+  }
 }
