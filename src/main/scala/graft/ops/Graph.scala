@@ -459,6 +459,52 @@ object Graph {
     * no driver data path, no iteration. Returns one row
     * (`n_triangles`).
     */
+  /** k-core extraction by fixed-round peeling (Seidman 1983): the
+    * maximal subgraph where every vertex keeps degree ≥ k INSIDE the
+    * subgraph — the graph family's density gate (spam-farm and
+    * boilerplate-ring detection in link/near-dup graphs: a clique of
+    * templated pages survives peeling; organically-linked pages fall
+    * out). Each round drops every vertex whose current degree is
+    * below k and re-filters the edge set to survivors; the true
+    * k-core is the fixpoint.
+    *
+    * Determinism/parity contract: EXACTLY `rounds` peels run — the
+    * result is a pure function of (edges, k, rounds) at any scale,
+    * and the oracle unrolls the same rounds as CTEs. Peeling is
+    * monotone (the survivor set only shrinks), so if round `rounds`
+    * changes nothing the result IS the k-core — assert convergence
+    * with a spec on the target graph (GraphSpec does for the face's),
+    * or raise `rounds`; a non-converged run is still a valid
+    * OVER-approximation that contains the k-core.
+    *
+    * Scale shape per round: one map-side-combined degree count + two
+    * semi-join filters of the edge set against the survivor vertex
+    * frame — all shuffle-bound, no driver state, lineage checkpointed
+    * every 3 rounds. Hot vertices are bigger shuffle buckets, never
+    * task state.
+    *
+    * @return (node, core_deg) — survivors with their degree inside
+    *         the peeled subgraph
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    var e = symmetric(edges).localCheckpoint()
+    (1 to rounds).foreach { r =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("src").as("__k"))
+      val next = e
+        .join(keep.withColumnRenamed("__k", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__k", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      e = if (r % 3 == 0 && r < rounds) graft.core.LazyCheckpoint(next)
+      else next
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
   /** PERSONALIZED PageRank — [[pageRankInt]] with the teleport
     * restricted to a seed set (Page et al. 1999 §6; the "expand from
     * trusted seeds" primitive behind seed-based corpus curation:

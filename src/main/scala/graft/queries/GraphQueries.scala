@@ -243,6 +243,36 @@ object GraphQueries {
       graft.ops.Graph.personalizedPageRankInt(e, seeds, iters = 5)
     },
 
+    // ---- 3-core of the support-2 co-purchase graph: 8 fixed peeling
+    //      rounds (convergence on this graph spec'd in GraphSpec),
+    //      unrolled as degree/filter CTE chains in the oracle ----
+    sql(
+      "q_kcore", {
+        // MATERIALIZED is load-bearing: each round references the
+        // previous round's edge set multiple times, and DuckDB
+        // inlines plain CTEs per reference — 8 rounds would re-expand
+        // the base scan exponentially (observed as fd exhaustion)
+        val rounds = (1 to 8).map { r =>
+          s"""kv$r AS MATERIALIZED (
+             |  SELECT src FROM e${r - 1} GROUP BY src
+             |  HAVING count(*) >= 3),
+             |e$r AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e${r - 1} e
+             |  JOIN kv$r a ON e.src = a.src
+             |  JOIN kv$r b ON e.dst = b.src)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e00 AS MATERIALIZED (
+           |${edgeSql(2)}),
+           |e0 AS MATERIALIZED (
+           |       SELECT a AS src, b AS dst FROM e00 WHERE a <> b
+           |       UNION SELECT b, a FROM e00 WHERE a <> b),
+           |$rounds
+           |SELECT src AS node, count(*)::BIGINT AS core_deg
+           |FROM e8 GROUP BY 1""".stripMargin
+      }) { (s, d) =>
+      graft.ops.Graph.kCore(edges(s, d, 2), k = 3, rounds = 8)
+    },
+
     // ---- INCREMENTAL connected components: prior labeling of the
     //      (a+b)%5!=0 edge subset + the remaining edges as the new
     //      batch — must equal the full rebuild, which is exactly what

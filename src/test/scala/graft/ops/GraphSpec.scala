@@ -205,6 +205,30 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert(got == brute.toLong, s"got $got, brute $brute")
   }
 
+  test("kCore: peeling cascades (pendant chains fall even when their " +
+      "anchor starts at degree >= k), the clique survives, and the " +
+      "face's round budget converges on its graph") {
+    // K4 {0..3} with a pendant chain 3-4-5: after dropping 5 (deg 1),
+    // 4 drops, then 3 still has 3 clique neighbors — 3-core = K4.
+    // One round is NOT enough (4 starts at degree 2, 3 at degree 4) —
+    // the cascade is the property under test
+    val k4 = for { i <- 0 until 4; j <- (i + 1) until 4 }
+      yield (i.toLong, j.toLong)
+    val g = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("a", "b")
+    val core = Graph.kCore(g, k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a pure chain has no 2-core at all
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graph.kCore(chain, k = 2, rounds = 10).count() == 0)
+    // the q_kcore face's budget (8 rounds, k=3) is a converged
+    // fixpoint on its co-purchase graph: one more round changes nothing
+    val e = graft.queries.GraphQueries.edges(spark, "/root/testdata/sf0.001", 2)
+    val r8 = Graph.kCore(e, 3, rounds = 8).as[(Long, Long)].collect().toSet
+    val r9 = Graph.kCore(e, 3, rounds = 9).as[(Long, Long)].collect().toSet
+    assert(r8 == r9, "q_kcore's 8-round budget has not converged")
+  }
+
   test("incrementalComponents equals a full rebuild on random graphs, " +
       "merges prior components, and admits brand-new nodes") {
     val rnd = new scala.util.Random(47)
