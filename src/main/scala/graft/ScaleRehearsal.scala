@@ -291,6 +291,48 @@ object ScaleRehearsal {
       growth("stream_ingest") = si10 / si1
     }
 
+    // ---- q_label_prop: 10 disjoint graph replicas — per-round join +
+    // count + degree-bounded argmax window should stay ~linear ----
+    pair("label_prop") {
+      timed("label_prop 1x") {
+        graft.ops.Graph.labelPropagation(e1, iters = 4).count()
+      }
+    } {
+      timed("label_prop 10x") {
+        graft.ops.Graph.labelPropagation(e10, iters = 4).count()
+      }
+    }
+
+    // ---- q_kcore: 10 disjoint replicas — per-round degree count +
+    // two semi-joins, peeling is structure-local so ~linear ----
+    pair("kcore") {
+      timed("kcore 1x") { graft.ops.Graph.kCore(e1, 3, rounds = 8).count() }
+    } {
+      timed("kcore 10x") { graft.ops.Graph.kCore(e10, 3, rounds = 8).count() }
+    }
+
+    // ---- q_cc_incremental: PRIOR labeling ×10 (disjoint replicas),
+    // new-edge batch CONSTANT (replica 0's slice) — the O(batch)
+    // contract modulo the one unavoidable map-side relabel pass over
+    // the grown label table ----
+    if (on("cc_incremental")) {
+      def ccInc(prior: DataFrame, batch: DataFrame, label: String): Double = {
+        val p = prior.localCheckpoint() // scenario scaffolding, untimed
+        timed(label) {
+          graft.ops.Graph.incrementalComponents(p, batch).count()
+        }
+      }
+      val old1 = e1.filter((col("a") + col("b")) % 5 =!= 0)
+      val old10 = e10.filter((col("a") + col("b")) % 5 =!= 0)
+      val batch = e1.filter((col("a") + col("b")) % 5 === 0)
+        .localCheckpoint()
+      val ci1 = ccInc(graft.ops.Graph.connectedComponents(old1), batch,
+        "cc_incremental 1x")
+      val ci10 = ccInc(graft.ops.Graph.connectedComponents(old10), batch,
+        "cc_incremental 10x (prior)")
+      growth("cc_incremental") = ci10 / ci1
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")

@@ -697,6 +697,59 @@ object AnalyticsQueries {
         round(col("value") * 100).cast("long"))
     },
 
+    // ---- per-source DATASET CARD: the publication artifact every
+    //      corpus release ships — size, token mass, length, language
+    //      mix, dominant language, exact-dup count — one corpus scan
+    //      per statistic family, dim-sized everything after ----
+    sql(
+      "q_data_card",
+      s"""WITH base AS (
+         |  SELECT source, lang, n_chars,
+         |    len(string_split(${TextQueries.NormSql}, ' ')) AS toks,
+         |    md5(text) AS h
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source,
+         |    count(*)::BIGINT AS n_docs,
+         |    sum(toks)::BIGINT AS n_tokens,
+         |    round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
+         |    count(DISTINCT lang)::BIGINT AS n_langs,
+         |    (count(*) - count(DISTINCT h))::BIGINT AS dup_docs
+         |  FROM base GROUP BY source),
+         |m AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY count(*) DESC, lang NULLS LAST) AS rn
+         |    FROM base GROUP BY source, lang) WHERE rn = 1)
+         |SELECT a.source, n_docs, n_tokens, mean_chars, n_langs,
+         |  top_lang, dup_docs
+         |FROM agg a JOIN m ON m.source = a.source""".stripMargin) {
+      (s, d) =>
+        val base = Tables.documents(s, d).select(
+          col("source"), col("lang"), col("n_chars"),
+          size(graft.ops.Text.words(graft.ops.Text.normalize(col("text"))))
+            .cast("long").as("toks"),
+          md5(col("text").cast("binary")).as("h"))
+        val agg = base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("mean_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("dup_docs"))
+        val mode = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("__n").desc, col("lang").asc_nulls_last)))
+          .filter(col("__rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        agg.join(mode, "source")
+          .select("source", "n_docs", "n_tokens", "mean_chars",
+            "n_langs", "top_lang", "dup_docs")
+    },
+
     // ---- per-group MODE (modal imputation's lookup table): the
     //      count aggregate is corpus-scale with map-side combine; the
     //      argmax window runs over the DIM-SIZED (group × value)

@@ -121,6 +121,50 @@ object StreamQueries {
          |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
       (s, d) =>
         EventStream.readAccepted(s, ingestDir(s, d)).select("doc_id")
+    },
+
+    // ---- streaming clustering maintenance: the co-purchase edge set
+    //      arrives as three micro-batches ((a+b)%3) folded through
+    //      componentSink's incremental-CC + atomic snapshot publish;
+    //      the final state must equal ONE full CC over the union —
+    //      which is exactly what the oracle recomputes ----
+    sql(
+      "q_stream_components",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |   AND l1.l_partkey < l2.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |nodes AS (SELECT DISTINCT a AS v FROM sym),
+         |cc AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT s.b AS v, cc.m FROM sym s JOIN cc ON s.a = cc.v)
+         |SELECT v AS node, min(m) AS component FROM cc
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      EventStream.readSnapshot(s, componentsDir(s, d))
+    })
+
+  /** Build-once cache for the streaming-components face: replay the
+    * support-3 co-purchase edges as three micro-batches through
+    * [[EventStream.componentSink]] into per-JVM scratch. Deterministic
+    * (min-id labels are a pure function of the edge set), so the
+    * folded state is oracle-checkable. */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def componentsDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    componentsCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_cc")}/${math.abs(d.hashCode)}"
+      val edges = graft.queries.GraphQueries.edges(s, d, 3).localCheckpoint()
+      (0 until 3).foreach { b =>
+        EventStream.componentSink(dir)(
+          edges.filter((col("a") + col("b")) % 3 === b), b.toLong)
+      }
+      dir
     })
 
   /** Build-once cache for the streaming-ingest face: replay the three

@@ -315,6 +315,64 @@ object EventStream {
     }
   }
 
+  /** Streaming CONNECTED-COMPONENTS maintenance — a continuously-
+    * ingesting edge stream (near-dup pairs, citation links, entity
+    * co-references) folded into a persisted (node, component)
+    * clustering, one micro-batch at a time, through
+    * [[graft.ops.Graph.incrementalComponents]]: per batch the work is
+    * the batch-bounded quotient CC plus one map-side relabel — the
+    * accumulated 100 TB edge history is NEVER re-clustered.
+    *
+    * Same exactly-once discipline as [[upsertSink]] (snapshot write →
+    * atomic pointer flip → prune): a re-delivered batch sees the
+    * pointer at-or-past its id and no-ops; a crash between snapshot
+    * and pointer leaves the old clustering current and the replay
+    * redoes the batch against exactly the state the failed attempt
+    * saw. Labels are canonical min-ids, so the folded state after N
+    * batches is IDENTICAL to one full CC over the union (the
+    * q_stream_components face's oracle recomputes exactly that).
+    */
+  def componentSink(dir: String, maxIters: Int = 30)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = recoverPointer(fs, dir)
+    if (committed.exists(_ >= batchId)) return // replayed, already folded
+    val merged = committed match {
+      case Some(v) =>
+        graft.ops.Graph.incrementalComponents(
+          spark.read.parquet(s"$dir/snapshot_v$v"), batch, maxIters)
+      case None =>
+        graft.ops.Graph.connectedComponents(batch, maxIters = maxIters)
+    }
+    merged.write.mode("overwrite").parquet(s"$dir/snapshot_v$batchId")
+    val pointer = new Path(dir, PointerFileName)
+    val tmp = new Path(dir, s"._current_$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.writeLong(batchId) finally out.close()
+    if (fs.exists(pointer) && !fs.delete(pointer, false))
+      throw new java.io.IOException(
+        s"componentSink: failed to clear previous pointer $pointer")
+    if (!fs.rename(tmp, pointer)) {
+      val healed = fs.exists(pointer) && {
+        val in = fs.open(pointer)
+        try in.readLong() == batchId finally in.close()
+      }
+      if (!healed)
+        throw new java.io.IOException(
+          s"componentSink: rename $tmp -> $pointer failed; re-deliver")
+    }
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val v = p.getName.stripPrefix("snapshot_v")
+        p.getName.startsWith("snapshot_v") &&
+          v.nonEmpty && v.forall(_.isDigit) && v.toLong != batchId
+      }
+      .foreach(p => fs.delete(p, true))
+  }
+
   /** Read the current upsert snapshot maintained by [[upsertSink]],
     * completing an interrupted pointer commit if one is pending. */
   def readSnapshot(spark: SparkSession, dir: String): DataFrame = {

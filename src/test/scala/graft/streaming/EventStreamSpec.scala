@@ -723,4 +723,36 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
       assert(got.get(2L).contains(1L))
     } finally query.stop()
   }
+
+  test("componentSink folds an edge stream into the SAME clustering a " +
+      "full CC over the union would produce; replay is a no-op") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cc_sink").toString
+    val input = MemoryStream[(Long, Long)](spark)
+    val query = input.toDF().toDF("a", "b").writeStream
+      .foreachBatch(EventStream.componentSink(out) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 0: two separate chains; batch 1: merge them + a new pair;
+      // batch 2: an edge inside an existing component (no-op merge)
+      input.addData((1L, 2L), (10L, 11L)); query.processAllAvailable()
+      input.addData((2L, 10L), (20L, 21L)); query.processAllAvailable()
+      input.addData((10L, 11L)); query.processAllAvailable()
+      val snap = EventStream.readSnapshot(spark, out)
+        .as[(Long, Long)].collect().toMap
+      val full = graft.ops.Graph.connectedComponents(
+          Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L))
+            .toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(snap == full, "streamed fold diverged from the full CC")
+      assert(snap(11L) == 1L && snap(20L) == 20L)
+      // re-delivery with a different payload must not refold
+      EventStream.componentSink(out)(
+        Seq((99L, 100L)).toDF("a", "b"), batchId = 1L)
+      val after = EventStream.readSnapshot(spark, out)
+        .as[(Long, Long)].collect().toMap
+      assert(after == snap, "replayed batch must not refold")
+    } finally query.stop()
+  }
 }
