@@ -98,4 +98,73 @@ object Density {
       .select(col("pid").as(id), col("cluster"),
         coalesce(col("role"), lit("noise")).as("role"))
   }
+
+  /** EXACT external clustering evaluation — purity and the Adjusted
+    * Rand Index (Hubert & Arabie 1985) of a predicted assignment
+    * against ground-truth labels, the quality gate any clustering
+    * stage ([[dbscan]], the IVF coarse quantizer, near-dup
+    * collapse-by-cluster) should report before its output feeds
+    * training:
+    *
+    *   purity = (Σ_c max_l n_cl) / N
+    *   ARI    = (P·I − ΣA·ΣB) / (P·(ΣA+ΣB)/2 − ΣA·ΣB)
+    *            with I = Σ C(n_cl,2), ΣA = Σ C(a_c,2),
+    *            ΣB = Σ C(b_l,2), P = C(N,2)
+    *
+    * EXACT arithmetic: every term is an integer; the ARI fraction is
+    * emitted doubled (`ari_num = 2(P·I − ΣA·ΣB)`,
+    * `ari_den = P·(ΣA+ΣB) − 2·ΣA·ΣB`) so no division truncates, as
+    * DECIMAL(38,0) strings (the q_trend_slope device — products reach
+    * N⁴/8, past a long at ~10⁵ rows); the one double division runs on
+    * identical operands in both engines. Rows whose assignment is
+    * NULL (dbscan noise) are excluded by the inner join — report
+    * `n_eval` next to the scores rather than silently scoring noise.
+    *
+    * Scale shape: one inner equi-join of the two label frames, one
+    * (cluster, label) count with map-side combine, then everything is
+    * contingency-table-sized; the four scalar aggregates ride one-row
+    * broadcast carriers into the single output row.
+    */
+  def clusterEval(
+      assign: DataFrame, id: String, cluster: String,
+      truth: DataFrame, label: String): DataFrame = {
+    val cont = assign
+      .filter(col(cluster).isNotNull)
+      .select(col(id), col(cluster).as("__c"))
+      .join(truth.select(col(id), col(label).as("__l")), id)
+      .groupBy(col("__c"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // four aggregate consumers below
+    def c2(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(38,0)") * (c - 1)) / 2
+    val tot = cont.agg(sum(col("__n")).as("__N"),
+      sum(c2(col("__n"))).cast("decimal(38,0)").as("__I"),
+      countDistinct(col("__c")).as("n_clusters"),
+      countDistinct(col("__l")).as("n_labels"))
+    val pa = cont.groupBy(col("__c")).agg(sum(col("__n")).as("__a"),
+        max(col("__n")).as("__m"))
+      .agg(sum(c2(col("__a"))).cast("decimal(38,0)").as("__SA"),
+        sum(col("__m")).as("purity_num"))
+    val pb = cont.groupBy(col("__l")).agg(sum(col("__n")).as("__b"))
+      .agg(sum(c2(col("__b"))).cast("decimal(38,0)").as("__SB"))
+    tot.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+      .withColumn("__P", c2(col("__N")).cast("decimal(38,0)"))
+      .select(
+        col("__N").as("n_eval"), col("n_clusters"), col("n_labels"),
+        col("purity_num"),
+        round(col("purity_num").cast("double") / col("__N"), 6)
+          .as("purity"),
+        (lit(2) * (col("__P") * col("__I") - col("__SA") * col("__SB")))
+          .cast("decimal(38,0)").cast("string").as("ari_num"),
+        (col("__P") * (col("__SA") + col("__SB")) -
+          lit(2) * col("__SA") * col("__SB"))
+          .cast("decimal(38,0)").cast("string").as("ari_den"))
+      // both-partitions-trivial degenerate (e.g. one cluster, one
+      // label): num = den = 0 and ARI is undefined — emit NULL rather
+      // than invent a score; the num/den strings still show the case
+      .withColumn("ari",
+        when(col("ari_den").cast("double") =!= 0.0,
+          round(col("ari_num").cast("double") /
+            col("ari_den").cast("double"), 9)))
+  }
 }

@@ -39,10 +39,11 @@ object DensityQueries {
         col("y0").as("py"))
   }
 
-  val defs: Seq[QueryDef] = Seq(
-    sql(
-      "q_dbscan",
-      s"""WITH RECURSIVE sg AS (
+  /** The full integer-exact dbscan replay as a CTE chain (shared by
+    * the assignment face and the evaluation face): ends with `pt`,
+    * `lab` (core clusters), `bord` (border attachment). */
+  private def dbscanCtes: String =
+    s"""WITH RECURSIVE sg AS (
          |  SELECT i, j,
          |    CASE WHEN strpos('02468ace',
          |           substr(md5('jl:' || i || ':' || j), 1, 1)) > 0
@@ -90,7 +91,12 @@ object DensityQueries {
          |  SELECT pr.qid AS pid, min(lab.cluster) AS cluster
          |  FROM pr JOIN lab ON pr.pid = lab.pid
          |  WHERE pr.qid NOT IN (SELECT cid FROM core)
-         |  GROUP BY 1)
+         |  GROUP BY 1)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    sql(
+      "q_dbscan",
+      s"""$dbscanCtes
          |SELECT pt.pid AS vec_id,
          |  COALESCE(lab.cluster, bord.cluster) AS cluster,
          |  CASE WHEN lab.pid IS NOT NULL THEN 'core'
@@ -100,5 +106,55 @@ object DensityQueries {
          |LEFT JOIN bord ON pt.pid = bord.pid""".stripMargin) { (s, d) =>
       graft.ops.Density.dbscan(
         projectedPoints(s, d), "vec_id", "px", "py", Eps, MinPts)
+    },
+
+    // ---- EXACT external clustering evaluation: purity + Adjusted
+    //      Rand Index of the dbscan assignment against the planted
+    //      labels — clustered points only (noise excluded, n_eval
+    //      reported); contingency arithmetic in HUGEINT/DECIMAL(38)
+    //      with the doubled-fraction ARI so nothing divides ----
+    sql(
+      "q_cluster_eval",
+      s"""$dbscanCtes,
+         |asg AS (
+         |  SELECT pt.pid,
+         |    COALESCE(lab.cluster, bord.cluster) AS c
+         |  FROM pt LEFT JOIN lab ON pt.pid = lab.pid
+         |  LEFT JOIN bord ON pt.pid = bord.pid),
+         |cont AS (
+         |  SELECT a.c, e.label AS l, count(*)::BIGINT AS n
+         |  FROM asg a JOIN e ON e.vec_id = a.pid
+         |  WHERE a.c IS NOT NULL
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT sum(n)::BIGINT AS nn,
+         |         sum(n::HUGEINT * (n - 1) // 2)::HUGEINT AS ii,
+         |         count(DISTINCT c)::BIGINT AS n_clusters,
+         |         count(DISTINCT l)::BIGINT AS n_labels
+         |       FROM cont),
+         |pa AS (SELECT sum(a::HUGEINT * (a - 1) // 2)::HUGEINT AS sa,
+         |         sum(m)::BIGINT AS purity_num
+         |       FROM (SELECT c, sum(n)::HUGEINT AS a, max(n) AS m
+         |             FROM cont GROUP BY c)),
+         |pb AS (SELECT sum(b::HUGEINT * (b - 1) // 2)::HUGEINT AS sb
+         |       FROM (SELECT l, sum(n)::HUGEINT AS b
+         |             FROM cont GROUP BY l)),
+         |f AS (
+         |  SELECT nn, n_clusters, n_labels, purity_num, ii, sa, sb,
+         |    (nn::HUGEINT * (nn - 1) // 2) AS p
+         |  FROM tt, pa, pb)
+         |SELECT nn AS n_eval, n_clusters, n_labels, purity_num,
+         |  round(purity_num::DOUBLE / nn, 6) AS purity,
+         |  (2 * (p * ii - sa * sb))::VARCHAR AS ari_num,
+         |  (p * (sa + sb) - 2 * sa * sb)::VARCHAR AS ari_den,
+         |  CASE WHEN p * (sa + sb) - 2 * sa * sb <> 0
+         |    THEN round((2 * (p * ii - sa * sb))::DOUBLE
+         |         / (p * (sa + sb) - 2 * sa * sb)::DOUBLE, 9)
+         |  END AS ari
+         |FROM f""".stripMargin) { (s, d) =>
+      val assign = graft.ops.Density.dbscan(
+        projectedPoints(s, d), "vec_id", "px", "py", Eps, MinPts)
+      graft.ops.Density.clusterEval(
+        assign, "vec_id", "cluster",
+        Tables.embeddings(s, d), "label")
     })
 }

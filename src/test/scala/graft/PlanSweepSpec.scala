@@ -68,7 +68,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_perm_test" ->
       "the observed sum rides a ONE-row broadcast carrier into the exceedance count",
     "q_epoch_plan" ->
-      "domain count |S| rides a ONE-row broadcast carrier into the per-domain arithmetic")
+      "domain count |S| rides a ONE-row broadcast carrier into the per-domain arithmetic",
+    "q_cluster_eval" ->
+      ("the four scalar aggregates of the contingency table (totals, " +
+        "per-cluster, per-label) ride ONE-row broadcast carriers into " +
+        "the single score row"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

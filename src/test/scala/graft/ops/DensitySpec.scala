@@ -85,4 +85,35 @@ class DensitySpec extends AnyFunSuite with WithSpark {
       .as[(Long, Option[Long], String)].collect().toSet
     assert(a == b)
   }
+
+  test("clusterEval: perfect partition scores purity 1 / ARI 1, the " +
+      "one-cluster degenerate scores ARI 0, noise rows are excluded") {
+    def eval(asg: Seq[(Long, Option[Long])], lab: Seq[(Long, Int)]) =
+      Density.clusterEval(
+          asg.toDF("id", "cluster"), "id", "cluster",
+          lab.toDF("id", "label"), "label")
+        .as[(Long, Long, Long, Long, Double, String, String,
+          Option[Double])]
+        .collect().head
+    // perfect: clusters exactly reproduce the labels
+    val perfect = eval(
+      Seq(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(20L), 4L -> Some(20L)),
+      Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    assert(perfect._5 == 1.0, s"purity: $perfect")
+    assert(perfect._6 == perfect._7 && perfect._8.contains(1.0), s"ARI: $perfect")
+    // degenerate: everything in ONE cluster over two labels — index
+    // equals its expectation, ARI = 0 exactly
+    val one = eval(
+      Seq(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(10L), 4L -> Some(10L)),
+      Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    assert(one._6 == "0" && one._8.contains(0.0), s"degenerate ARI: $one")
+    // noise (null cluster) drops out of the evaluation
+    val noisy = eval(
+      Seq(1L -> Some(10L), 2L -> Some(10L), 3L -> None),
+      Seq(1L -> 0, 2L -> 0, 3L -> 1))
+    assert(noisy._1 == 2L && noisy._5 == 1.0, s"noise handling: $noisy")
+    // and the both-trivial degenerate (one cluster, one label after
+    // noise removal) yields NULL ARI, not a crash or an invented score
+    assert(noisy._8.isEmpty, s"trivial-partition ARI must be NULL: $noisy")
+  }
 }
