@@ -62,6 +62,45 @@ object Privacy {
         (col("n") + noise).as("noisy_n"))
   }
 
+  /** Laplace-mechanism SUM release with per-user contribution
+    * bounding — the companion to [[laplaceNoisyCounts]] and the shape
+    * real DP aggregate releases take (Dwork et al. 2006): an
+    * unbounded per-user total has unbounded sensitivity, so each
+    * user's within-group contribution is first CLAMPED to [0, clip]
+    * and the noise scale becomes clip/ε. Same deterministic
+    * inverse-CDF draw convention and the same honesty note as the
+    * count release: a public salt is reproducible/testable but NOT
+    * DP; a secret per-release salt is the proper mechanism.
+    *
+    * Scale shape: one (group, user) aggregation with map-side
+    * combine (the clamp is per aggregated row, not per fact), one
+    * group-level aggregation; noise is map-side arithmetic on the
+    * dim-sized result. `value` must be integral (cents/micro grid)
+    * so the clipped sums are exact.
+    */
+  def laplaceNoisySums(
+      df: DataFrame, group: String, user: String,
+      value: org.apache.spark.sql.Column, clip: Long,
+      epsilon: Double, salt: String): DataFrame = {
+    require(clip > 0, s"clip must be positive: $clip")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val b = clip / epsilon
+    val per = df.groupBy(col(group), col(user))
+      .agg(sum(value.cast("long")).as("__s"))
+      .select(col(group),
+        least(greatest(col("__s"), lit(0L)), lit(clip)).as("__c"))
+    val u = (conv(Sampling.unitDraw(col(group), salt), 16, 10)
+      .cast("double") + 0.5) / math.pow(16.0, Sampling.PrefixHexLen)
+    val centered = u - 0.5
+    val noise = round(
+      lit(-b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)),
+      9)
+    per.groupBy(col(group))
+      .agg(count(lit(1)).as("n_users"), sum(col("__c")).as("clipped_sum"))
+      .select(col(group), col("n_users"), col("clipped_sum"),
+        (col("clipped_sum") + noise).as("noisy_sum"))
+  }
+
   /** k-anonymity suppression: drop every row whose quasi-identifier
     * combination is shared by fewer than `k` rows — the release
     * pre-filter for row-level clinical/user data (a combination seen

@@ -593,4 +593,42 @@ object Text {
     regexp_extract(
       regexp_extract(urlHost(url), "^([^:]*)", 1),
       "([^.]+\\.[^.]+)$", 1)
+
+  /** The hashing trick (Weinberger et al., ICML'09) — fixed-width
+    * sparse feature vectors from unbounded vocabularies, the feature
+    * prep for any linear/logistic stage ([[graft.queries]]'
+    * model-scoring seam) that cannot ship a vocabulary table: each
+    * token hashes to one of `numBuckets` via the engine-portable md5
+    * draw, per-doc counts aggregate per bucket, and the sparse vector
+    * is the (bucket, count) pairs sorted by bucket.
+    *
+    * No vocabulary state, no OOV problem, no dictionary broadcast —
+    * exactly why production pipelines hash: a new token on day N
+    * lands in a bucket deterministically without re-fitting anything.
+    * Collisions are the accepted trade (document the bucket count
+    * next to any model trained on these).
+    *
+    * Scale shape: one explode + one (doc, bucket) map-side-combined
+    * count + one per-doc re-nest; output rows are docs, each carrying
+    * ≤ numBuckets entries. Emits `features` as a sorted
+    * array<struct<b,n>> — project through [[graft.queries.Canon]] at
+    * a registration boundary.
+    */
+  def featureHash(
+      docs: org.apache.spark.sql.DataFrame, id: String, tokens: Column,
+      numBuckets: Int, salt: String = "fh")
+      : org.apache.spark.sql.DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    docs
+      .select(col(id), explode(tokens).as("__t"))
+      .select(col(id),
+        pmod(conv(Sampling.unitDraw(col("__t"), salt), 16, 10)
+          .cast("long"), lit(numBuckets.toLong)).as("b"))
+      .groupBy(col(id), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("b"), col("n"))))
+        .as("features"),
+        count(lit(1)).as("n_nonzero"))
+  }
 }

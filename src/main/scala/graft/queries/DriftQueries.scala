@@ -327,6 +327,38 @@ object DriftQueries {
         group = "grp", epsilon = 0.5, salt = "dp9")
     },
 
+    // ---- DP SUM release with per-user clipping: each customer's
+    //      within-priority order total clamps to $500k (cents grid)
+    //      before the Laplace(clip/eps) noise — the bounded-
+    //      sensitivity companion to q_dp_counts ----
+    sql(
+      "q_dp_sum", {
+        val b = 50000000L / 0.5 // clip/eps, shared literal
+        s"""WITH per AS (
+           |  SELECT o_orderpriority AS grp, o_custkey,
+           |    least(greatest(sum(CAST(round(o_totalprice * 100)
+           |      AS BIGINT)), 0), 50000000) AS c
+           |  FROM orders GROUP BY 1, 2),
+           |g AS (SELECT grp, count(*)::BIGINT AS n_users,
+           |        sum(c)::BIGINT AS clipped_sum FROM per GROUP BY 1),
+           |u AS (SELECT grp, n_users, clipped_sum,
+           |        (CAST('0x' || substr(md5('dps' || grp), 1,
+           |           ${graft.ops.Sampling.PrefixHexLen}) AS BIGINT) + 0.5)
+           |          / 4294967296.0 AS uu
+           |      FROM g)
+           |SELECT grp, n_users, clipped_sum,
+           |  clipped_sum + round(-$b * sign(uu - 0.5)
+           |            * ln(1 - 2 * abs(uu - 0.5)), 9) AS noisy_sum
+           |FROM u""".stripMargin
+      }) { (s, d) =>
+      graft.ops.Privacy.laplaceNoisySums(
+        Tables.orders(s, d).select(
+          col("o_orderpriority").as("grp"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        group = "grp", user = "o_custkey", value = col("cents"),
+        clip = 50000000L, epsilon = 0.5, salt = "dps")
+    },
+
     // ---- k-anonymity suppression: customers whose (nation, mktsegment)
     //      combination has fewer than 10 members are withheld from the
     //      release ----

@@ -922,6 +922,35 @@ object TextQueries {
         Tables.documents(s, d), "lang", col("text"), 3)
     },
 
+    // ---- hashing-trick sparse features: fixed 64-bucket vectors
+    //      from the unbounded token space via the md5 draw — no
+    //      vocabulary state, deterministic OOV placement; sorted
+    //      (bucket, count) pairs through the Canon boundary ----
+    sql(
+      "q_feature_hash",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('fh' || tok), 1,
+         |      ${graft.ops.Sampling.PrefixHexLen}) AS BIGINT) % 64 AS b
+         |  FROM t),
+         |c AS (SELECT doc_id, b, count(*)::BIGINT AS n
+         |      FROM b GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  to_json(list_sort(list(struct_pack(b := b, n := n))))
+         |    AS features_json,
+         |  count(*)::BIGINT AS n_nonzero
+         |FROM c GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Text.featureHash(
+          Tables.documents(s, d), "doc_id",
+          Text.words(Text.normalize(col("text"))), numBuckets = 64)
+        .select(col("doc_id"),
+          Canon.js(col("features")).as("features_json"),
+          col("n_nonzero"))
+    },
+
     // ---- provenance-preserving collapse: one row per near-dup
     //      cluster with representative + sorted member array + count
     //      (same pair graph + 2-hop label CTEs as q_dedup_near) ----

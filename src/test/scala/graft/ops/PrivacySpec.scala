@@ -145,6 +145,35 @@ class PrivacySpec extends AnyFunSuite with WithSpark {
     assert(a == b)
   }
 
+  test("laplaceNoisySums: the clip binds per user inside a group, the " +
+      "noise is the count-release mechanism scaled by clip/eps") {
+    // group g: user 1 contributes 80 (clipped to 50), user 2 raw 30
+    val df = Seq(
+      ("g", 1L, 50L), ("g", 1L, 30L), ("g", 2L, 30L),
+      ("h", 3L, 10L)).toDF("grp", "u", "v")
+    val got = Privacy.laplaceNoisySums(
+        df, "grp", "u", col("v"), clip = 50L, epsilon = 0.5, "s1")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g")._2 == 2L && got("g")._3 == 80L,
+      s"clip must bound user 1 at 50: ${got("g")}")
+    assert(got("h")._3 == 10L)
+    // the noise equals the count mechanism's draw scaled by clip/eps
+    val cnt = Privacy.laplaceNoisyCounts(
+        df.select(col("grp")), "grp", epsilon = 1.0, "s1")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._3 - r._2)).toMap
+    val sumNoise = got("g")._4 - got("g")._3
+    assert(math.abs(sumNoise - 100.0 * cnt("g")) < 2e-7,
+      s"sum noise $sumNoise vs scaled count noise ${100.0 * cnt("g")}")
+    // deterministic across layouts
+    val again = Privacy.laplaceNoisySums(
+        df.repartition(7), "grp", "u", col("v"), 50L, 0.5, "s1")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("noise is finite for every possible draw bucket edge") {
     // the +0.5 offset keeps u off 1/2 exactly and the ln argument
     // >= 2^-32 — no infinities however the md5 lands

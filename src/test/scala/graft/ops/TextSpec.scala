@@ -282,4 +282,29 @@ class TextSpec extends AnyFunSuite with WithSpark {
     // once however many docs carry them; keys are sorted a < b
     assert(got == Map(("test", "train") -> 2L))
   }
+
+  test("featureHash: bucket counts conserve the token mass, placement " +
+      "is deterministic across layouts and stable for unseen tokens") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, "zzz-novel token"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.words(Text.normalize(col("text"))))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Text.featureHash(d, "doc_id", col("toks"), numBuckets = 8)
+        .as[(Long, Seq[(Long, Long)], Long)].collect()
+        .map(r => r._1 -> r).toMap
+    val got = run(docs)
+    // mass conservation: per-doc bucket counts sum to the token count
+    assert(got(1L)._2.map(_._2).sum == 4L)
+    assert(got(2L)._2.map(_._2).sum == 2L && got(2L)._3 == 1L)
+    // the same token hashes identically wherever it appears: doc 2's
+    // only bucket must be one of doc 1's ("b" appears in both)
+    assert(got(1L)._2.map(_._1).contains(got(2L)._2.head._1))
+    // buckets are sorted and within range
+    got.values.foreach { r =>
+      val bs = r._2.map(_._1)
+      assert(bs == bs.sorted && bs.forall(b => b >= 0 && b < 8))
+    }
+    // a token never seen before still lands deterministically
+    assert(run(docs.repartition(5)) == got)
+  }
 }
