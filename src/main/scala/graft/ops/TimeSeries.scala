@@ -189,4 +189,47 @@ object TimeSeries {
         round(col("__num").cast("double") / col("__den").cast("double"),
           9).as("slope"))
   }
+
+  /** One-sided CUSUM changepoint/anomaly detection (Page 1954) per
+    * key — the sequential complement to the PSI/KS DISTRIBUTION gates
+    * ([[graft.ops.Drift]]): those compare two slices after the fact;
+    * CUSUM watches a stream of per-event values and flags the moment
+    * a persistent upward shift begins, where a fixed threshold on
+    * single values would either false-alarm on noise or miss a slow
+    * drift.
+    *
+    *   S_t = max(0, S_{t-1} + (x_t − k))      (drift allowance k)
+    *   alarm when S_t > h
+    *
+    * The recursion has the classic CLOSED FORM
+    * `S_t = cs_t − min(0, min_{j≤t} cs_j)` over the cumulative sum
+    * cs of (x − k) — two ordered windows (running sum, running min),
+    * NO recursion, so it runs as ordinary per-key window aggregation
+    * AND replays exactly in any SQL engine. `value` must be integral
+    * (cents grid): every S_t is then an exact BIGINT, and alarms are
+    * bit-portable.
+    *
+    * Determinism: `order` must be a TOTAL order within each key
+    * (e.g. (ts, event_id)) — ties would make the running min
+    * layout-dependent.
+    *
+    * Scale shape: ONE shuffle on the key, two window passes over
+    * each key's ordered run. A hot key is a bigger sorted run, never
+    * driver state; at 100 TB partition further by (key, day) and
+    * carry S across boundaries with the same closed form if runs
+    * outgrow a task.
+    */
+  def cusum(
+      df: DataFrame, key: String, order: Seq[Column],
+      value: Column, drift: Long, threshold: Long): DataFrame = {
+    require(order.nonEmpty, "cusum needs an ordering")
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = sum(value.cast("long") - lit(drift)).over(w)
+    df.withColumn("__cs", cs)
+      .withColumn("s_u",
+        col("__cs") - least(min(col("__cs")).over(w), lit(0L)))
+      .withColumn("alarm", col("s_u") > lit(threshold))
+      .drop("__cs")
+  }
 }

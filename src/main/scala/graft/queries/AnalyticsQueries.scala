@@ -697,6 +697,38 @@ object AnalyticsQueries {
         round(col("value") * 100).cast("long"))
     },
 
+    // ---- one-sided CUSUM changepoint detection per event type: the
+    //      Page recursion via its closed form (cumsum + running min —
+    //      two windows, no recursion), exact BIGINT cents, alarms at
+    //      the shared integer threshold ----
+    sql(
+      "q_cusum",
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round(value * 100) AS BIGINT) - 6000 AS y
+        |  FROM events),
+        |c1 AS (
+        |  SELECT event_id, event_type, ts,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM v),
+        |c2 AS (
+        |  SELECT event_id, event_type, cs,
+        |    min(cs) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS smin
+        |  FROM c1)
+        |SELECT event_id, event_type,
+        |  (cs - least(smin, 0))::BIGINT AS s_u,
+        |  cs - least(smin, 0) > 50000 AS alarm
+        |FROM c2""".stripMargin) { (s, d) =>
+      graft.ops.TimeSeries.cusum(
+          Tables.events(s, d), "event_type",
+          Seq(col("ts"), col("event_id")),
+          round(col("value") * 100).cast("long"), drift = 6000L,
+          threshold = 50000L)
+        .select("event_id", "event_type", "s_u", "alarm")
+    },
+
     // ---- per-source DATASET CARD: the publication artifact every
     //      corpus release ships — size, token mass, length, language
     //      mix, dominant language, exact-dup count — one corpus scan

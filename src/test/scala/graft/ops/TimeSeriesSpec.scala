@@ -143,4 +143,35 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
     assert(BigInt(num) == BigInt(den) * 3, s"num $num != 3*den $den")
     assert(slope == 3.0)
   }
+
+  test("cusum: the closed form equals the Page recursion on random " +
+      "runs, hand values check, alarms fire on persistent shifts only") {
+    import org.apache.spark.sql.functions._
+    // hand case: x = 5,5,20,20,5 with k=10 → S = 0,0,10,20,15
+    val hand = Seq((1L, 5L), (2L, 5L), (3L, 20L), (4L, 20L), (5L, 5L))
+      .map { case (i, x) => ("a", i, x) }.toDF("k", "i", "x")
+    val got = TimeSeries.cusum(hand, "k", Seq(col("i")), col("x"),
+        drift = 10L, threshold = 15L)
+      .select("i", "s_u", "alarm")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, false), (2L, 0L, false), (3L, 10L, false),
+      (4L, 20L, true), (5L, 15L, false)))
+    // closed form == recursion, random sequences, multiple keys
+    val rnd = new scala.util.Random(53)
+    val rows = for { k <- Seq("p", "q"); i <- 1L to 200L }
+      yield (k, i, rnd.between(-30L, 40L))
+    val byKey = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(_._2).map(_._3).scanLeft(0L) {
+        (s, x) => math.max(0L, s + x - 5L) }.tail
+    }
+    val df = rows.toDF("k", "i", "x")
+    val closed = TimeSeries.cusum(df.repartition(13), "k", Seq(col("i")),
+        col("x"), drift = 5L, threshold = 100L)
+      .select("k", "i", "s_u")
+      .as[(String, Long, Long)].collect()
+    closed.foreach { case (k, i, s) =>
+      assert(s == byKey(k)(i.toInt - 1),
+        s"closed form diverged from recursion at ($k, $i)")
+    }
+  }
 }
