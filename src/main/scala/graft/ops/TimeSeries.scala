@@ -102,6 +102,54 @@ object TimeSeries {
         col("value").isNotNull.as("observed"))
   }
 
+  /** LINEAR-interpolation gap fill — the numeric companion to
+    * [[gapFill]]'s carry-forward: gaps between two observations take
+    * the straight line between them (sensor/metric series where LOCF
+    * fabricates plateaus). Because the spine is a UNIFORM grid, the
+    * interpolation weights are spine-row OFFSETS — exact integers —
+    * so with an integral `valueAgg` (cents grid) the interpolated
+    * value is the exact rational
+    * `(vp·(rn_next−rn_prev) + (vn−vp)·(rn−rn_prev)) / (rn_next−rn_prev)`
+    * and the one rounded division runs on identical operands in both
+    * engines. Leading and trailing edges (no observation on one side)
+    * stay NULL — interpolation only happens BETWEEN observations,
+    * extrapolation is the caller's explicit decision.
+    *
+    * Scale shape: [[gapFill]]'s one fact pass + spine, plus three
+    * ordered windows over each key's spine run (row index, last-
+    * non-null backward, first-non-null forward) sharing one
+    * partitioning — a single exchange.
+    */
+  def gapFillLinear(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      valueAgg: Column,
+      truncUnit: String = "hour"): DataFrame = {
+    val base = gapFill(events, key, ts, valueAgg, truncUnit)
+      .drop("filled")
+    val wAll = Window.partitionBy(key).orderBy("bucket")
+    val wBack = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rn = row_number().over(wAll)
+    val obsRn = when(col("value").isNotNull, col("__rn"))
+    base
+      .withColumn("__rn", rn)
+      .withColumn("__pv", last(col("value"), ignoreNulls = true).over(wBack))
+      .withColumn("__pr", last(obsRn, ignoreNulls = true).over(wBack))
+      .withColumn("__nv", first(col("value"), ignoreNulls = true).over(wFwd))
+      .withColumn("__nr", first(obsRn, ignoreNulls = true).over(wFwd))
+      .withColumn("interp",
+        when(col("observed"), col("value").cast("double"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            round(
+              (col("__pv") * (col("__nr") - col("__pr")) +
+                (col("__nv") - col("__pv")) * (col("__rn") - col("__pr")))
+                .cast("double") / (col("__nr") - col("__pr")), 6)))
+      .select(col(key), col("bucket"), col("value"), col("interp"),
+        col("observed"))
+  }
+
   /** Batch sessionization: split each key's event stream wherever the
     * gap to the previous event exceeds `gapSeconds`, and aggregate the
     * runs into session rows — the batch sibling of the engine's

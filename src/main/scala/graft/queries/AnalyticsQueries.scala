@@ -364,6 +364,54 @@ object AnalyticsQueries {
           col("observed"))
     },
 
+    // ---- LINEAR-interpolation gap fill: the numeric series variant
+    //      (LOCF fabricates plateaus) — uniform-spine row offsets make
+    //      the weights exact integers on the cents grid; edges stay
+    //      NULL (no extrapolation) ----
+    sql(
+      "q_gap_interp",
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        |  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |        FROM b GROUP BY 1)),
+        |j AS (SELECT sp.event_type, sp.bucket, b.v
+        |      FROM sp LEFT JOIN b USING (event_type, bucket)),
+        |w1 AS (SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |       FROM j),
+        |w2 AS (SELECT event_type, bucket, v, rn,
+        |  last_value(v IGNORE NULLS) OVER wb AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |    OVER wb AS pr,
+        |  first_value(v IGNORE NULLS) OVER wf AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |    OVER wf AS nr
+        |  FROM w1
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+        |  v AS value,
+        |  CASE WHEN v IS NOT NULL THEN v::DOUBLE
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         round((pv * (nr - pr) + (nv - pv) * (rn - pr))::DOUBLE
+        |               / (nr - pr), 6)
+        |  END AS interp,
+        |  v IS NOT NULL AS observed
+        |FROM w2""".stripMargin) { (s, d) =>
+      graft.ops.TimeSeries.gapFillLinear(
+        Tables.events(s, d), key = "event_type", ts = "ts",
+        valueAgg = sum(round(col("value") * 100).cast("long")),
+        truncUnit = "hour")
+    },
+
     // ---- rolling per-key stats (5-row trailing frame): decimal sum,
     //      exact min/max — the feature-engineering window shape ----
     sql(

@@ -144,6 +144,33 @@ class TimeSeriesSpec extends AnyFunSuite with WithSpark {
     assert(slope == 3.0)
   }
 
+  test("gapFillLinear: interior gaps take the straight line exactly, " +
+      "edges never extrapolate, observed buckets keep their value") {
+    import org.apache.spark.sql.functions._
+    // key a: observations at hours 0 (v=10) and 3 (v=40) — hours 1,2
+    // must interpolate to exactly 20, 30; a second observation run
+    // 5 (v=40) → 4 interpolates on the 3..5 segment (40..40 → 40)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(ts0.getTime + h * 3600000L)
+    val ev = Seq((1L, "a", at(0), 10L), (2L, "a", at(3), 40L),
+      (3L, "a", at(5), 40L)).toDF("id", "k", "ts", "v")
+    val got = TimeSeries.gapFillLinear(
+        ev, "k", "ts", sum(col("v")), "hour")
+      .select(col("bucket"), col("interp"), col("observed"))
+      .as[(java.sql.Timestamp, Option[Double], Boolean)].collect()
+      .sortBy(_._1.getTime).toSeq
+    assert(got.map(_._2) == Seq(Some(10.0), Some(20.0), Some(30.0),
+      Some(40.0), Some(40.0), Some(40.0)))
+    assert(got.map(_._3) == Seq(true, false, false, true, false, true))
+    // a key with ONE observation: its single bucket is observed; there
+    // is nothing to interpolate and nothing is invented
+    val single = Seq((1L, "b", at(2), 7L)).toDF("id", "k", "ts", "v")
+    val s = TimeSeries.gapFillLinear(single, "k", "ts", sum(col("v")), "hour")
+      .select("interp", "observed")
+      .as[(Option[Double], Boolean)].collect().toSeq
+    assert(s == Seq((Some(7.0), true)))
+  }
+
   test("cusum: the closed form equals the Page recursion on random " +
       "runs, hand values check, alarms fire on persistent shifts only") {
     import org.apache.spark.sql.functions._
