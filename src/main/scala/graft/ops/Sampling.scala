@@ -398,6 +398,8 @@ object Sampling {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val t = df.groupBy(col(group))
       .agg(sum(tokens.cast("long")).as("tokens"))
+      .localCheckpoint() // |S|-sized; two consumers (count + the plan)
+      // — unchecked, each re-aggregates the corpus (PlanShapeSpec pin)
     val s = t.agg(count(lit(1)).as("__ns"))
     t.crossJoin(broadcast(s))
       .select(col(group), col("tokens"),

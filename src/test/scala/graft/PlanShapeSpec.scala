@@ -380,4 +380,60 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial aggregate below the exchange — B rows ship per " +
         "input row instead of per partition")
   }
+
+  test("cusum: all windows share ONE exchange on the key") {
+    val p = plan("q_cusum")
+    // cumulative sum + running min + the closed-form arithmetic run
+    // over the same (key, order) partitioning — a second exchange
+    // would mean a window stopped sharing it
+    assert(count(p, "Exchange") == 1,
+      s"cusum must shuffle once:\n${p.take(1500)}")
+    assert(count(p, "events.parquet") <= 1)
+  }
+
+  test("gap interpolation still scans the fact table exactly once") {
+    val p = plan("q_gap_interp")
+    assert(count(p, "events.parquet") <= 1,
+      "gapFillLinear must reuse gapFill's checkpointed bucket aggregate")
+    assert(p.contains("ExistingRDD"))
+  }
+
+  test("t-closeness: the visible plan runs entirely on the " +
+      "checkpointed contingency (the one fact scan happened inside " +
+      "the eager checkpoint)") {
+    val p = plan("q_t_closeness")
+    assert(count(p, "orders.parquet") == 0,
+      s"a consumer re-scans the fact side past the checkpoint:\n${p.take(1500)}")
+    assert(p.contains("ExistingRDD"),
+      "contingency frame is no longer checkpointed")
+  }
+
+  test("phrase search: each adjacency join side is a filtered slice " +
+      "of the SAME tokenization (no per-term corpus rescan beyond " +
+      "the two postings branches)") {
+    val p = plan("q_phrase_search")
+    // a 2-term phrase = anchor + one adjacency join; the in-memory
+    // face derives postings twice (one branch per term) — a PERSISTED
+    // postings table collapses this to predicate-pushed index reads
+    assert(count(p, "documents.parquet") <= 2,
+      s"phrase search re-derives postings per term:\n${p.take(1500)}")
+    assert(p.contains("term")) // the per-term filter survived pushdown/codegen
+  }
+
+  test("rrf fusion: lexical arm reads the checkpointed tokenization; " +
+      "dense arm scans embeddings at most twice (corpus + broadcast " +
+      "query batch)") {
+    val p = plan("q_rrf_fusion")
+    assert(count(p, "documents.parquet") == 0,
+      "lexical arm must read the LazyCheckpoint, not re-scan documents")
+    assert(count(p, "embeddings.parquet") <= 2)
+  }
+
+  test("epoch plan: the corpus aggregates once into the checkpointed " +
+      "domain table (caught re-aggregating per consumer before the pin)") {
+    val p = plan("q_epoch_plan")
+    assert(count(p, "documents.parquet") == 0,
+      s"a consumer re-aggregates the corpus:\n${p.take(1200)}")
+    assert(p.contains("ExistingRDD"))
+  }
 }
