@@ -123,6 +123,34 @@ object StreamQueries {
         EventStream.readAccepted(s, ingestDir(s, d)).select("doc_id")
     },
 
+    // ---- streaming CUSUM: the events table replayed as three
+    //      time-ordered micro-batches with ONE long of carried state
+    //      per key — the fold must equal one batch CUSUM over the
+    //      whole history, which is exactly the oracle below ----
+    sql(
+      "q_stream_cusum",
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round(value * 100) AS BIGINT) - 6000 AS y
+        |  FROM events),
+        |c1 AS (
+        |  SELECT event_id, event_type, ts,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM v),
+        |c2 AS (
+        |  SELECT event_id, event_type, cs,
+        |    min(cs) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS smin
+        |  FROM c1)
+        |SELECT event_id, event_type,
+        |  (cs - least(smin, 0))::BIGINT AS s_u,
+        |  cs - least(smin, 0) > 50000 AS alarm
+        |FROM c2""".stripMargin) { (s, d) =>
+      EventStream.readCusumScored(s, cusumDir(s, d))
+        .select("event_id", "event_type", "s_u", "alarm")
+    },
+
     // ---- streaming clustering maintenance: the co-purchase edge set
     //      arrives as three micro-batches ((a+b)%3) folded through
     //      componentSink's incremental-CC + atomic snapshot publish;
@@ -145,6 +173,42 @@ object StreamQueries {
          |SELECT v AS node, min(m) AS component FROM cc
          |GROUP BY 1""".stripMargin) { (s, d) =>
       EventStream.readSnapshot(s, componentsDir(s, d))
+    })
+
+  /** Build-once cache for the streaming-CUSUM face: replay the events
+    * table as three time-ordered micro-batches through
+    * [[EventStream.cusumSink]]. The carried-state closed form makes
+    * the folded scores equal ONE batch CUSUM over the whole history —
+    * which is exactly what the oracle recomputes. */
+  private val cusumCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def cusumDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    cusumCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_cusum")}/${math.abs(d.hashCode)}"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      // time-ordered thirds: batches must respect event-time order
+      // per key (the sink's contract for append-only streams)
+      val bounds = ev.selectExpr(
+          "percentile(cast(ts as long), array(cast(1.0/3 as double), " +
+            "cast(2.0/3 as double))) as b")
+        .head().getSeq[Double](0)
+      val (c1, c2) = (bounds(0), bounds(1))
+      val batches = Seq(
+        ev.filter(col("ts").cast("long") <= c1),
+        ev.filter(col("ts").cast("long") > c1 &&
+          col("ts").cast("long") <= c2),
+        ev.filter(col("ts").cast("long") > c2))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        EventStream.cusumSink(dir, "event_type",
+          Seq("ts", "event_id"), col("cents"),
+          drift = 6000L, threshold = 50000L)(b, i.toLong)
+      }
+      dir
     })
 
   /** Build-once cache for the streaming-components face: replay the

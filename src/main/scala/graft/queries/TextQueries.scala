@@ -1120,5 +1120,74 @@ object TextQueries {
           sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_caught"))
         .withColumn("recall",
           round(col("n_caught").cast("double") / col("n_true"), 6))
+    },
+
+    // ---- MULTI-PASS sorted-neighborhood (the Hernández-Stolfo
+    //      production form): a single sort key misses duplicates
+    //      whose difference lands in the prefix, so a second pass
+    //      sorts by the REVERSED text (suffix blocking) and the
+    //      candidate sets union — recall against the same exact truth
+    //      must dominate the single-pass face ----
+    sql(
+      "q_snm_multipass",
+      s"""WITH base AS (
+         |  SELECT doc_id, $NormSql AS nt FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM base)
+         |  WHERE len(ws) >= 3),
+         |truth AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+         |    >= 0.8),
+         |r1 AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY substr(nt, 1, 12), doc_id) AS rn
+         |  FROM base),
+         |r2 AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY substr(reverse(nt), 1, 12),
+         |                       doc_id) AS rn
+         |  FROM base),
+         |cand AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+         |    greatest(x.doc_id, y.doc_id) AS b
+         |  FROM r1 x JOIN r1 y ON y.rn BETWEEN x.rn + 1 AND x.rn + 4
+         |  UNION
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id),
+         |    greatest(x.doc_id, y.doc_id)
+         |  FROM r2 x JOIN r2 y ON y.rn BETWEEN x.rn + 1 AND x.rn + 4),
+         |m AS (
+         |  SELECT CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b)
+         |SELECT count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_caught,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM m""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("__sh", Text.shingles(col("text"), 3))
+        .withColumn("__nt", Text.normalize(col("text")))
+        .localCheckpoint() // truth + two keyed passes read it
+      val truth = Dedup.exactNearDupPairs(
+          docs, id = "doc_id", shingles = col("__sh"), threshold = 0.8)
+        .select("a", "b")
+      def pass(key: org.apache.spark.sql.Column) = Dedup
+        .sortedNeighborhoodPairs(
+          docs.select(col("doc_id"), key.as("__k")),
+          "doc_id", col("__k"), window = 4)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+      val cand = pass(substring(col("__nt"), 1, 12))
+        .unionByName(pass(substring(reverse(col("__nt")), 1, 12)))
+        .distinct()
+      truth
+        .join(cand.withColumn("__hit", lit(1)), Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_caught"))
+        .withColumn("recall",
+          round(col("n_caught").cast("double") / col("n_true"), 6))
     })
 }

@@ -373,6 +373,98 @@ object EventStream {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** Streaming CUSUM ([[graft.ops.TimeSeries.cusum]] folded across
+    * micro-batches): the per-key Page statistic carries ONE long of
+    * state (S at the key's last seen row), and each batch resumes the
+    * recursion exactly via the carried-initial closed form
+    *
+    *   S_t = max(S₀ + cs_t, cs_t − min_{1≤j≤t} cs_j)
+    *
+    * (j = 0 is the carried S₀ branch; any later restart-to-zero is a
+    * j ≥ 1 term; all-negative runs hit the j = t floor of 0) — so the
+    * stream's alarms are IDENTICAL to one batch CUSUM over the
+    * concatenated history (spec'd), provided batches arrive in key
+    * order time (append-only event streams do).
+    *
+    * Layout & exactly-once: scored rows land in `out/batch_id=N`
+    * (per-batch overwrite), the state snapshot commits through the
+    * same atomic-pointer discipline as [[upsertSink]]; a re-delivered
+    * batch no-ops, a crash between snapshot and pointer replays
+    * against exactly the state the failed attempt saw.
+    *
+    * Per-batch cost: one shuffle on the key, two ordered windows, a
+    * broadcast-or-shuffle join against the |keys|-sized state.
+    */
+  def cusumSink(
+      dir: String, key: String, order: Seq[String],
+      value: org.apache.spark.sql.Column, drift: Long, threshold: Long)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = recoverPointer(fs, dir)
+    if (committed.exists(_ >= batchId)) return // replayed, already folded
+    val state = committed match {
+      case Some(v) => spark.read.parquet(s"$dir/snapshot_v$v")
+      case None => spark.emptyDataFrame
+        .withColumn(key, lit(null).cast(batch.schema(key).dataType))
+        .withColumn("s0", lit(0L))
+    }
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = batch
+      .join(broadcast(state.select(col(key), col("s0"))), Seq(key), "left")
+      .withColumn("__s0", coalesce(col("s0"), lit(0L))).drop("s0")
+      .withColumn("__cs", sum(value.cast("long") - lit(drift)).over(w))
+      .withColumn("s_u",
+        greatest(col("__s0") + col("__cs"),
+          col("__cs") - min(col("__cs")).over(w)))
+      .withColumn("alarm", col("s_u") > lit(threshold))
+      .drop("__cs", "__s0")
+      .localCheckpoint() // consumed by the output write AND the state fold
+    scored.write.mode("overwrite").parquet(s"$dir/out/batch_id=$batchId")
+    // new state: each key's S at its LAST row this batch, carried keys
+    // that were silent this batch survive unchanged
+    val lastS = scored
+      .groupBy(col(key))
+      .agg(max(struct((order.map(col) :+ col("s_u")): _*)).as("__m"))
+      .select(col(key), col("__m").getField("s_u").as("s0"))
+    val newState = state.select(col(key), col("s0"))
+      .join(lastS.select(col(key).as("__k")), col(key) === col("__k"),
+        "left_anti")
+      .unionByName(lastS)
+    newState.write.mode("overwrite").parquet(s"$dir/snapshot_v$batchId")
+    val pointer = new Path(dir, PointerFileName)
+    val tmp = new Path(dir, s"._current_$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.writeLong(batchId) finally out.close()
+    if (fs.exists(pointer) && !fs.delete(pointer, false))
+      throw new java.io.IOException(
+        s"cusumSink: failed to clear previous pointer $pointer")
+    if (!fs.rename(tmp, pointer)) {
+      val healed = fs.exists(pointer) && {
+        val in = fs.open(pointer)
+        try in.readLong() == batchId finally in.close()
+      }
+      if (!healed)
+        throw new java.io.IOException(
+          s"cusumSink: rename $tmp -> $pointer failed; re-deliver")
+    }
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val v = p.getName.stripPrefix("snapshot_v")
+        p.getName.startsWith("snapshot_v") &&
+          v.nonEmpty && v.forall(_.isDigit) && v.toLong != batchId
+      }
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** All rows scored by [[cusumSink]] so far. */
+  def readCusumScored(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", s"$dir/out").parquet(s"$dir/out")
+
   /** Read the current upsert snapshot maintained by [[upsertSink]],
     * completing an interrupted pointer commit if one is pending. */
   def readSnapshot(spark: SparkSession, dir: String): DataFrame = {

@@ -309,4 +309,35 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       (4L, 2L), (4L, 5L), (2L, 5L)))
     assert(got == run(docs.repartition(7)), "layout changed the pairs")
   }
+
+  test("multi-pass SNM: the reversed-key pass catches suffix-agreeing " +
+      "clones the prefix pass provably misses") {
+    import org.apache.spark.sql.functions._
+    // two clones differing only in their FIRST token, buried among
+    // filler whose prefixes interleave between them alphabetically —
+    // the prefix sort separates the clones by > window, the reversed
+    // (suffix) sort makes them adjacent
+    val clones = Seq(
+      (100L, "aardvark shared middle body ending tail"),
+      (101L, "zebra shared middle body ending tail"))
+    val filler = ('b' to 'y').zipWithIndex.map { case (c, i) =>
+      (i.toLong, s"$c$i unique filler document number $i")
+    }
+    val docs = (clones ++ filler).toDF("doc_id", "text")
+      .withColumn("__nt", Text.normalize(col("text")))
+    def pairs(key: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      Dedup.sortedNeighborhoodPairs(
+          docs.select(col("doc_id"), key.as("__k")),
+          "doc_id", col("__k"), window = 2)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .as[(Long, Long)].collect().toSet
+    val prefix = pairs(substring(col("__nt"), 1, 12))
+    val suffix = pairs(substring(reverse(col("__nt")), 1, 12))
+    assert(!prefix.contains((100L, 101L)),
+      "fixture broken: the prefix pass was supposed to miss the clones")
+    assert(suffix.contains((100L, 101L)),
+      "the reversed-key pass must make suffix twins adjacent")
+    assert((prefix ++ suffix).contains((100L, 101L)))
+  }
 }

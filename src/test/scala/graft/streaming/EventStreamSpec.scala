@@ -724,6 +724,51 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("cusumSink: the carried-state closed form makes streamed CUSUM " +
+      "identical to one batch CUSUM over the concatenated history; " +
+      "replay is a no-op") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cusum_sink").toString
+    // two keys, values crafted so alarms fire only with carried state:
+    // key p climbs +8 over drift each step across BOTH batches
+    val rows = (1L to 20L).map(i => ("p", i, 18L)) ++
+      (1L to 20L).map(i => ("q", i, if (i % 2 == 0) 25L else 0L))
+    val (b0, b1) = rows.partition(_._2 <= 10)
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val query = input.toDF().toDF("k", "i", "x").writeStream
+      .foreachBatch(EventStream.cusumSink(
+        out, "k", Seq("i"), col("x"), drift = 10L, threshold = 100L) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(b0: _*); query.processAllAvailable()
+      input.addData(b1: _*); query.processAllAvailable()
+      val streamed = EventStream.readCusumScored(spark, out)
+        .select("k", "i", "s_u", "alarm")
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val full = graft.ops.TimeSeries.cusum(
+          rows.toDF("k", "i", "x"), "k", Seq(col("i")), col("x"),
+          drift = 10L, threshold = 100L)
+        .select("k", "i", "s_u", "alarm")
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed == full,
+        "streamed fold diverged from the batch closed form")
+      // key p reaches S = 20*8 = 160 only because batch 2 RESUMED from
+      // the carried 80 — without state the alarm would never fire
+      assert(streamed(("p", 20L)) == ((160L, true)))
+      // q oscillates 0/25 around drift 10: net +5 per pair, S_20 = 60
+      assert(full(("q", 20L)) == ((60L, false))) // stays under threshold
+      // re-delivery with different payload must not refold
+      EventStream.cusumSink(out, "k", Seq("i"), col("x"), 10L, 100L)(
+        Seq(("p", 99L, 1000L)).toDF("k", "i", "x"), batchId = 1L)
+      assert(EventStream.readCusumScored(spark, out)
+        .filter(col("i") === 99L).count() == 0,
+        "replayed batch must not refold")
+    } finally query.stop()
+  }
+
   test("componentSink folds an edge stream into the SAME clustering a " +
       "full CC over the union would produce; replay is a no-op") {
     val out = java.nio.file.Files
