@@ -658,6 +658,67 @@ object SimilarityQueries {
           id = "vec_id", vec = "embedding", shortlist = 8, k = 3)
     },
 
+    // ---- matryoshka-style truncation curve: recall@5 of dot-product
+    //      retrieval on the first {8,16,32,64} dims against the full-
+    //      width ranking — the storage/compute-vs-quality table behind
+    //      any "ship the short embeddings" decision; exact snapped-
+    //      integer dots on BOTH sides, full relational replay ----
+    sql(
+      "q_ann_dim_curve", {
+        val dims = Seq(8, 16, 32, 64)
+        val branches = dims.map { dm =>
+          s"""SELECT $dm AS dim, query_id, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY CAST(list_dot_product(q.v[1:$dm], e.v[1:$dm])
+             |        AS BIGINT) DESC, e.vec_id) AS rnk
+             |  FROM qs q JOIN eu e ON e.vec_id <> q.vec_id)
+             |WHERE rnk <= 5""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH eu AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |                   x -> round(x * 1000000.0)) AS v
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id, v FROM eu WHERE vec_id < 10),
+           |t AS ($branches),
+           |f AS (SELECT query_id, neighbor_id FROM t WHERE dim = 64)
+           |SELECT t.dim,
+           |  sum(CASE WHEN f.neighbor_id IS NOT NULL
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           |  50::BIGINT AS n_ideal,
+           |  round(sum(CASE WHEN f.neighbor_id IS NOT NULL
+           |      THEN 1 ELSE 0 END)::DOUBLE / 50.0, 6) AS recall
+           |FROM t LEFT JOIN f
+           |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+           |GROUP BY t.dim""".stripMargin
+      }) { (s, d) =>
+      val eu = graft.core.LazyCheckpoint(Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.ops.Diversity.snapMicro(col("embedding")).as("__v")))
+      val q = broadcast(eu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("__v").as("__qv")))
+      def top5(dim: Int) = graft.plans.TopKPerGroup.topK(
+          eu.select(col("vec_id").as("neighbor_id"), col("__v"))
+            .join(q, col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.plans.DotProduct.dot(
+                slice(col("__qv"), 1, dim), slice(col("__v"), 1, dim))
+                .cast("double").as("__score")),
+          Seq("query_id"), "__score", "neighbor_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val full = top5(64).withColumn("__hit", lit(1))
+      Seq(8, 16, 32, 64).map { dm =>
+        top5(dm)
+          .join(full, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("__hit"), lit(0))).cast("long")
+            .as("n_hits"))
+          .select(lit(dm).as("dim"), col("n_hits"),
+            lit(50L).as("n_ideal"),
+            round(col("n_hits").cast("double") / 50.0, 6).as("recall"))
+      }.reduce(_.unionByName(_))
+    },
+
     // ---- farthest-first k-center coreset (Gonzalez 1985): 6 diverse
     //      exemplars + the exact coverage-radius curve; every squared
     //      L2 an exact snapped integer, greedy rounds unrolled in the

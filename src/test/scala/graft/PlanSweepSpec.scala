@@ -69,6 +69,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "the observed sum rides a ONE-row broadcast carrier into the exceedance count",
     "q_epoch_plan" ->
       "domain count |S| rides a ONE-row broadcast carrier into the per-domain arithmetic",
+    "q_ann_dim_curve" ->
+      ("four brute-force scans (one per truncation width): corpus x " +
+        "broadcast(query batch); at corpus scale feed per-dim IVF " +
+        "shortlists — the curve arithmetic is rank-level only"),
     "q_cluster_eval" ->
       ("the four scalar aggregates of the contingency table (totals, " +
         "per-cluster, per-label) ride ONE-row broadcast carriers into " +
