@@ -210,6 +210,28 @@ object NestedQueries {
         rootPredicate = anc => size(anc.getField("parents")) === 0)
     },
 
+    // ---- BUILDING the ancestor closure the reference ships
+    //      precomputed: transitive closure of a depth-11 binary-tree
+    //      hierarchy (parent(k) = k/2 over part keys) via ITERATIVE
+    //      DOUBLING — 4 self-join rounds where the oracle's recursive
+    //      CTE (and a naive loop) needs 11 chained rounds ----
+    sql(
+      "q_ontology_closure",
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS child, p_partkey // 2 AS anc
+        |  FROM part WHERE p_partkey >= 1),
+        |cl AS (
+        |  SELECT child, anc FROM e
+        |  UNION
+        |  SELECT cl.child, e.anc FROM cl JOIN e ON cl.anc = e.child)
+        |SELECT child, anc FROM cl""".stripMargin) { (s, d) =>
+      val edges = Tables.part(s, d)
+        .filter(col("p_partkey") >= 1)
+        .select(col("p_partkey").as("child"),
+          (col("p_partkey") / 2).cast("long").as("anc"))
+      Ontology.ancestorClosure(edges)
+    },
+
     // ---- §2.7 ontology ancestor expansion (nation→region closure) ----
     sql(
       "q_ontology_expand",

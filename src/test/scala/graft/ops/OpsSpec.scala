@@ -175,4 +175,31 @@ class OntologySpec extends AnyFunSuite with WithSpark {
     val d1Terms = got.collect()(0).getSeq[Row](2)
     assert(d1Terms.map(_.getString(0)) == Seq("HP:1", "HP:2", "HP:3"))
   }
+
+  test("ancestorClosure: diamond DAGs close completely, deep chains " +
+      "converge in log rounds, an insufficient round budget throws") {
+    import org.apache.spark.sql.functions.col
+    // diamond: 4→{2,3}, 2→1, 3→1 — 4's closure must hold 1 ONCE
+    val diamond = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("child", "anc")
+    val got = graft.ops.Ontology.ancestorClosure(diamond)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 2L), (4L, 3L), (4L, 1L), (2L, 1L), (3L, 1L)))
+    // depth-20 chain closes in 5 doublings (2^5 = 32 ≥ 20) plus the
+    // confirming round that observes no growth…
+    val chain = (1L to 20L).map(i => (i + 1, i)).toDF("child", "anc")
+    val cl = graft.ops.Ontology.ancestorClosure(chain, maxDoublings = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(cl.size == 20 * 21 / 2) // every (descendant, proper ancestor)
+    assert(cl((21L, 1L)))
+    // …and 4 doublings (paths ≤ 16 hops < 20) must fail LOUDLY, not
+    // return a partial closure
+    intercept[IllegalArgumentException] {
+      graft.ops.Ontology.ancestorClosure(chain, maxDoublings = 4)
+    }
+    // layout independence
+    val again = graft.ops.Ontology.ancestorClosure(diamond.repartition(7))
+      .as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }
