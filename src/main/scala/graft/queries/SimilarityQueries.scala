@@ -658,6 +658,52 @@ object SimilarityQueries {
           id = "vec_id", vec = "embedding", shortlist = 8, k = 3)
     },
 
+    // ---- FILTERED vector search (the metadata-constrained ANN every
+    //      production retrieval runs: "nearest neighbors WITH the same
+    //      label/tenant/language"): the predicate becomes the JOIN KEY
+    //      — an equi-join on label replaces the cross product, so
+    //      selectivity prunes candidates before any distance math ----
+    sql(
+      "q_knn_filtered",
+      """WITH eu AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |                   x -> round(x * 1000000.0)) AS v
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id, label, v FROM eu WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(q.v, e.v) AS BIGINT) AS du
+        |  FROM qs q JOIN eu e
+        |    ON e.label = q.label AND e.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, du, rnk AS rank FROM (
+        |  SELECT query_id, neighbor_id, du,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY du DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val eu = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          graft.ops.Diversity.snapMicro(col("embedding")).as("__v"))
+      val q = broadcast(eu.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("__v").as("__qv")))
+      graft.plans.TopKPerGroup.topK(
+          eu.select(col("vec_id").as("neighbor_id"), col("label"),
+              col("__v"))
+            .join(q, Seq("label"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.plans.DotProduct.dot(col("__qv"), col("__v"))
+                .cast("long").as("du"))
+            // exact snapped dots are ≪ 2^53: the double heap key
+            // preserves the integer order bit-for-bit
+            .withColumn("__score", col("du").cast("double")),
+          Seq("query_id"), "__score", "neighbor_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("du"),
+          col("rank"))
+    },
+
     // ---- matryoshka-style truncation curve: recall@5 of dot-product
     //      retrieval on the first {8,16,32,64} dims against the full-
     //      width ranking — the storage/compute-vs-quality table behind
