@@ -333,6 +333,54 @@ object ScaleRehearsal {
       growth("cc_incremental") = ci10 / ci1
     }
 
+    // ---- q_kcenter: 10 replicas translated apart in component 0 —
+    // 6 greedy passes over a 10× corpus should grow ~linearly ----
+    if (on("kcenter")) {
+      val emb1 = graft.core.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+        .localCheckpoint()
+      val nE = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val emb10 = (0 until 10).map(k =>
+          emb1.select((col("vec_id") + lit(k * nE)).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(k * 10.0)).otherwise(x))
+              .as("embedding")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val kc1 = timed("kcenter 1x") {
+        graft.ops.Diversity.kCenterGreedy(
+          emb1, "vec_id", "embedding", k = 6).count()
+      }
+      val kc10 = timed("kcenter 10x") {
+        graft.ops.Diversity.kCenterGreedy(
+          emb10, "vec_id", "embedding", k = 6).count()
+      }
+      growth("kcenter") = kc10 / kc1
+    }
+
+    // ---- q_ontology_closure: 10 disjoint salted trees — the round
+    // COUNT is depth-bound, not size-bound, so 10× nodes should cost
+    // ~10× per round with the same 4+confirm rounds ----
+    if (on("closure")) {
+      val e1 = graft.core.Tables.part(spark, sfDir)
+        .filter(col("p_partkey") >= 1)
+        .select(col("p_partkey").as("child"),
+          (col("p_partkey") / 2).cast("long").as("anc"))
+        .localCheckpoint()
+      val off = e1.agg(max(col("child"))).head().getLong(0) + 1
+      val e10 = (0 until 10).map(k =>
+          e1.select((col("child") + lit(k * off)).as("child"),
+            (col("anc") + lit(k * off)).as("anc")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val cl1 = timed("closure 1x") {
+        graft.ops.Ontology.ancestorClosure(e1).count()
+      }
+      val cl10 = timed("closure 10x") {
+        graft.ops.Ontology.ancestorClosure(e10).count()
+      }
+      growth("closure") = cl10 / cl1
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
