@@ -57,15 +57,22 @@ object Bench {
     // local-dev subsetting only (the driver never sets it): regex over
     // query names to time a few faces without the full 190-query run
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    // Fixed-seed shuffled execution order, published in the JSON:
-    // alphabetical order made round-over-round per-query diffs chase
-    // scheduler/cache-neighborhood noise (±50% swings on unchanged
-    // faces). A deterministic shuffle keeps the order stable across
-    // runs of the same suite (same seed, same names) while decoupling
-    // it from name-adjacency; the order is recorded so any future
+    // Hash-ordered execution (sort by md5(name)): alphabetical order
+    // made round-over-round per-query diffs chase scheduler/cache-
+    // neighborhood noise (±50% swings on unchanged faces). Round 11
+    // used a fixed-seed shuffle, but that reshuffles the ENTIRE suite
+    // whenever one query is added or removed, reintroducing the
+    // neighborhood noise exactly when rounds add faces. Sorting by a
+    // per-name hash decouples order from name-adjacency AND leaves the
+    // relative order of existing queries untouched when new ones are
+    // inserted; the order is still recorded in the JSON so any future
     // order-sensitivity question can be answered from the artifact.
-    val ordered = new scala.util.Random(42).shuffle(
-      SparkEntry.queries.toSeq.sortBy(_._1))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => md5hex(n) }
     ordered
       .filter { case (n, _) =>
         nameFilter.forall(_.findFirstIn(n).isDefined) }

@@ -162,9 +162,15 @@ object Ontology {
     * partial closure. Budget ⌈log₂ depth⌉ + 1 rounds — the last one
     * is the CONFIRMING round that observes no growth.
     *
-    * @param edges (child, anc) direct-parent rows; cycles hang the
-    *              fixpoint at the cap (DAGs only — the require fails
-    *              loudly rather than looping forever)
+    * @param edges (child, anc) direct-parent rows. DAGs only. A cycle
+    *              does NOT hang the fixpoint — a cyclic graph still
+    *              has a finite transitive closure (one that contains
+    *              reflexive child==anc rows), so the doubling loop
+    *              converges normally; cycles are instead detected
+    *              EXPLICITLY after convergence (any child==anc row in
+    *              the closure ⟺ the input had a cycle) and throw
+    *              rather than returning a closure whose reflexive
+    *              rows would silently poison [[expandTerms]]
     * @return (child, anc) — every proper ancestor of every node
     */
   def ancestorClosure(
@@ -192,7 +198,15 @@ object Ontology {
     }
     require(converged,
       s"ancestorClosure did not converge in $maxDoublings doublings " +
-        "(depth > 2^max, or the input has a cycle)")
+        s"(depth > 2^$maxDoublings)")
+    // Cycle detection: on a DAG no path returns to its origin, so any
+    // reflexive row in the converged closure proves a cycle. One
+    // count over the (already-checkpointed) closure — cheap, and the
+    // only way to fail loudly, since a cycle's closure is finite and
+    // the doubling loop above converges on it like any other input.
+    val cyclic = paths.filter(col("child") === col("anc")).limit(1).count()
+    require(cyclic == 0,
+      "ancestorClosure: input has a cycle (a node is its own ancestor)")
     paths
   }
 }

@@ -70,7 +70,13 @@ object Privacy {
     * and the noise scale becomes clip/ε. Same deterministic
     * inverse-CDF draw convention and the same honesty note as the
     * count release: a public salt is reproducible/testable but NOT
-    * DP; a secret per-release salt is the proper mechanism.
+    * DP; a secret per-release salt is the proper mechanism. SECOND
+    * honesty note: the output carries the EXACT `clipped_sum` and
+    * EXACT `n_users` next to `noisy_sum` — they are debug/test
+    * columns (the oracle replays them), and shipping them defeats
+    * the DP release entirely. A real release must project them away
+    * (or noise them independently) before publication; only
+    * `noisy_sum` is the released statistic.
     *
     * Scale shape: one (group, user) aggregation with map-side
     * combine (the clamp is per aggregated row, not per fact), one

@@ -867,9 +867,11 @@ object Similarity {
     * `dir/appends/<token>` — readers ([[ivfQuery]]) only ever see
     * complete batches, so a kill anywhere inside the append leaves
     * the pre-append index answering correctly. The token is a
-    * content-derived checksum of the batch's id column
+    * content-derived checksum of the batch's id AND vector columns
     * ([[graft.sources.Versioned.manifest]]'s order-independent md5
-    * sum), so a RETRY of a crashed append recomputes the same token:
+    * sum — id alone would make a re-embedding batch with the same id
+    * set collide with its predecessor and be silently dropped), so a
+    * RETRY of a crashed append recomputes the same token:
     * crash-before-rename → the retry sweeps the torn staging dir and
     * republishes; crash-after-rename → the retry sees the published
     * dir and no-ops. A plain dynamic-partition `mode("append")` has
@@ -888,12 +890,22 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val m = graft.sources.Versioned.manifest(
-      batch.select(col(id).cast("string").as("__id")), Seq("__id")).head()
+      batch.select(
+        concat_ws("|", col(id).cast("string"), col(vec).cast("string"))
+          .as("__row")),
+      Seq("__row")).head()
     val token = s"b_${m.getLong(0)}_${java.lang.Long.toHexString(m.getLong(1))}"
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(s"$dir/appends/$token")
-    if (fs.exists(target)) return // already published (idempotent retry)
+    if (fs.exists(target)) {
+      // Idempotent retry of an already-published batch: no-op, but say
+      // so — a silent return would make a genuinely-dropped append
+      // indistinguishable from a successful retry in the logs.
+      System.err.println(
+        s"[ivfAppend] batch token $token already published under $dir/appends — skipping (idempotent retry)")
+      return
+    }
     val staging = new Path(s"$dir/.staging/$token")
     if (fs.exists(staging)) fs.delete(staging, true) // torn earlier attempt
     batch

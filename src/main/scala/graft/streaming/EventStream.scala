@@ -394,10 +394,23 @@ object EventStream {
     *
     * Per-batch cost: one shuffle on the key, two ordered windows, a
     * broadcast-or-shuffle join against the |keys|-sized state.
+    *
+    * The state join is broadcast ONLY when the snapshot is small: the
+    * sink is generic over `key`, and while a metric-keyed stream's
+    * state is dim-sized, a per-user or per-document key makes the
+    * state corpus-keyed — an unconditional `broadcast(state)` there
+    * is a driver/executor OOM at scale. Same stats-gated-with-
+    * override contract as [[graft.ops.TemporalJoins]]'s binned range
+    * join: `broadcastState = Some(true)` forces the hint,
+    * `Some(false)` forces the shuffle join, `None` (default)
+    * broadcasts only when the snapshot's on-disk bytes × a 4×
+    * parquet-decode inflation allowance fit
+    * `spark.sql.autoBroadcastJoinThreshold`.
     */
   def cusumSink(
       dir: String, key: String, order: Seq[String],
-      value: org.apache.spark.sql.Column, drift: Long, threshold: Long)(
+      value: org.apache.spark.sql.Column, drift: Long, threshold: Long,
+      broadcastState: Option[Boolean] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.expressions.Window
@@ -406,16 +419,41 @@ object EventStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = recoverPointer(fs, dir)
     if (committed.exists(_ >= batchId)) return // replayed, already folded
+    // on-disk snapshot bytes — exact, and already at hand via the fs;
+    // 0 for the fresh-state (no snapshot yet) branch
+    val stateBytes = committed.map { v =>
+      fs.getContentSummary(new Path(s"$dir/snapshot_v$v")).getLength
+    }.getOrElse(0L)
     val state = committed match {
       case Some(v) => spark.read.parquet(s"$dir/snapshot_v$v")
       case None => spark.emptyDataFrame
         .withColumn(key, lit(null).cast(batch.schema(key).dataType))
         .withColumn("s0", lit(0L))
     }
+    val stateSel = state.select(col(key), col("s0"))
+    val stateCarrier = broadcastState match {
+      case Some(true) => broadcast(stateSel)
+      case Some(false) => stateSel.hint("merge")
+      case None =>
+        val raw = spark.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        val bcThreshold =
+          if (raw.trim.startsWith("-")) -1L
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        // ×4: parquet (key, s0) pairs are dictionary/RLE-compressed;
+        // decoded UnsafeRows run a few× larger. Conservative so a
+        // corpus-keyed state never sneaks under the bar.
+        if (bcThreshold > 0 && stateBytes * 4 <= bcThreshold)
+          broadcast(stateSel)
+        // declining the hint is not enough — force the shuffle join so
+        // the planner cannot auto-broadcast off its own (row-count-
+        // blind) snapshot estimate
+        else stateSel.hint("merge")
+    }
     val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = batch
-      .join(broadcast(state.select(col(key), col("s0"))), Seq(key), "left")
+      .join(stateCarrier, Seq(key), "left")
       .withColumn("__s0", coalesce(col("s0"), lit(0L))).drop("s0")
       .withColumn("__cs", sum(value.cast("long") - lit(drift)).over(w))
       .withColumn("s_u",

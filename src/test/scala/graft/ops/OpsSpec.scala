@@ -201,5 +201,13 @@ class OntologySpec extends AnyFunSuite with WithSpark {
     val again = graft.ops.Ontology.ancestorClosure(diamond.repartition(7))
       .as[(Long, Long)].collect().toSet
     assert(again == got)
+    // a CYCLE does not hang the fixpoint (its closure is finite, with
+    // reflexive rows) — it is detected after convergence and throws
+    // instead of silently returning child==anc rows
+    val cyclic = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "anc")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Ontology.ancestorClosure(cyclic)
+    }
+    assert(ex.getMessage.contains("cycle"))
   }
 }

@@ -232,7 +232,8 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     // lists write and the atomic publish rename — a torn (partial)
     // staging dir under the very token the retry will recompute
     val m = graft.sources.Versioned.manifest(
-      b2.select(col("vec_id").cast("string").as("__id")), Seq("__id")).head()
+      b2.select(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")).as("__row")), Seq("__row")).head()
     val token = s"b_${m.getLong(0)}_${java.lang.Long.toHexString(m.getLong(1))}"
     b2.limit(7)
       .select(col("vec_id").as("neighbor_id"),
@@ -263,6 +264,27 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     val appendBatches = new java.io.File(s"$app/appends").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
     assert(appendBatches.count(_ == token) == 1)
+  }
+
+  test("ivfAppend re-embedding batch: same id set with DIFFERENT vectors " +
+      "gets its own token and is published, not dropped as a duplicate") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-re").toString
+    val app = java.nio.file.Files.createTempDirectory("graft-ivf-ra").toString
+    Similarity.ivfBuild(e, "vec_id", "embedding", full, numCentroids = 16)
+    Similarity.ivfInitFrom(spark, full, app)
+    val b = e.filter(col("vec_id") % 5 === 0)
+    Similarity.ivfAppend(b, app, "vec_id", "embedding")
+    // a re-embedding run: identical id column, perturbed vectors — with
+    // an id-only manifest this batch would hash to the published token
+    // and be silently dropped
+    val reEmbedded = b.withColumn("embedding",
+      transform(col("embedding"), v => v * lit(0.5f)))
+    Similarity.ivfAppend(reEmbedded, app, "vec_id", "embedding")
+    val appendBatches = new java.io.File(s"$app/appends").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(appendBatches.size == 2,
+      s"re-embedded batch was dropped as a duplicate: $appendBatches")
   }
 
   test("lshTopK recall vs brute force on clustered real embeddings") {

@@ -769,6 +769,50 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("cusumSink wide key space: a corpus-keyed state takes the SHUFFLE " +
+      "join path (gate declines the broadcast under a small threshold) " +
+      "and the fold still equals the batch closed form") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cusum_wide").toString
+    // 3000 distinct keys — the per-user-keyed shape the gate exists for
+    val rows = for (k <- 1 to 3000; i <- 1L to 6L)
+      yield (s"u$k", i, (k % 7) * 5L)
+    val (b0, b1) = rows.partition(_._2 <= 3)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      EventStream.cusumSink(out, "k", Seq("i"), col("x"), 10L, 40L)(
+        b0.toDF("k", "i", "x"), batchId = 0L)
+      // batch 1 reads a >1 KiB snapshot: stateBytes*4 > 1024 → merge hint
+      EventStream.cusumSink(out, "k", Seq("i"), col("x"), 10L, 40L)(
+        b1.toDF("k", "i", "x"), batchId = 1L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val streamed = EventStream.readCusumScored(spark, out)
+      .select("k", "i", "s_u", "alarm")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val full = graft.ops.TimeSeries.cusum(
+        rows.toDF("k", "i", "x"), "k", Seq(col("i")), col("x"), 10L, 40L)
+      .select("k", "i", "s_u", "alarm")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(streamed == full,
+      "shuffle-path fold diverged from the batch closed form")
+    // and the forced-override contract: Some(false) on a fresh dir
+    // produces the same fold as the gated run
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_cusum_wide2").toString
+    EventStream.cusumSink(out2, "k", Seq("i"), col("x"), 10L, 40L,
+      broadcastState = Some(false))(b0.toDF("k", "i", "x"), 0L)
+    EventStream.cusumSink(out2, "k", Seq("i"), col("x"), 10L, 40L,
+      broadcastState = Some(false))(b1.toDF("k", "i", "x"), 1L)
+    val forced = EventStream.readCusumScored(spark, out2)
+      .select("k", "i", "s_u", "alarm")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(forced == full)
+  }
+
   test("componentSink folds an edge stream into the SAME clustering a " +
       "full CC over the union would produce; replay is a no-op") {
     val out = java.nio.file.Files
