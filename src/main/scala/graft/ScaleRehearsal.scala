@@ -381,6 +381,203 @@ object ScaleRehearsal {
       growth("closure") = cl10 / cl1
     }
 
+    // ---- q_blocking_recall_sampled: the FIXED-BUDGET anchored truth
+    // (Dedup.anchoredExactNearDupPairs) vs the same SNM blocker. The
+    // full exact truth above grows ≈ Σ df² (measured 4.33× at 10×);
+    // under a constant anchor budget the asymmetric join is
+    // (|S|/n)·Σ df² ≈ linear — this row is the evidence ----
+    if (on("blocking_recall_sampled")) {
+      def recallSampled(docs: DataFrame, budget: Double): Long = {
+        val nDocs = docs.count()
+        val thr = graft.ops.Sampling.hexThreshold(budget / nDocs)
+        val anchor =
+          graft.ops.Sampling.unitDraw(col("doc_id"), "br") < lit(thr)
+        val sh = docs.withColumn("__sh",
+          graft.ops.Text.shingles(col("text"), 3))
+        val truth = graft.ops.Dedup.anchoredExactNearDupPairs(
+            sh, id = "doc_id", shingles = col("__sh"), threshold = 0.8,
+            anchor = anchor)
+          .select("a", "b")
+        val keyed = docs.select(col("doc_id"),
+          substring(graft.ops.Text.normalize(col("text")), 1, 12).as("__k"))
+        val cand = graft.ops.Dedup.sortedNeighborhoodPairs(
+            keyed, "doc_id", col("__k"), window = 4)
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct()
+        truth.join(cand, Seq("a", "b"), "left").count()
+      }
+      def minOf2(label: String)(f: => Long): Double =
+        math.min(timed(s"$label rep1")(f), timed(s"$label rep2")(f))
+      val r1 = minOf2("blocking_recall_sampled 1x") {
+        recallSampled(tdocs1, 1500.0) }
+      val r10 = minOf2("blocking_recall_sampled 10x") {
+        recallSampled(tdocs10, 1500.0) }
+      growth("blocking_recall_sampled") = r10 / r1
+    }
+
+    // ---- truth-side isolation on SHARED-VOCABULARY replicas (plain
+    // id-salt, same TEXT): df grows ×copies, Σ df² ×copies² — the
+    // device where the exact truth join is quadratic BY CONSTRUCTION
+    // and the fixed-budget anchored truth stays linear. (The token-
+    // salted replicas above keep vocabularies disjoint, which makes
+    // BOTH variants ~linear and hides the difference; id-salt is the
+    // adversarial case a real growing corpus approaches.) ----
+    if (on("blocking_shared")) {
+      def minOf2(label: String)(f: => Long): Double =
+        math.min(timed(s"$label rep1")(f), timed(s"$label rep2")(f))
+      val sdocs10 = (0 until 10).map(k =>
+          tdocs1.select((col("doc_id") + lit(k * nTd)).as("doc_id"),
+            col("source"), col("n_chars"), col("text")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def exactTruth(docs: DataFrame): Long = {
+        val sh = docs.withColumn("__sh",
+          graft.ops.Text.shingles(col("text"), 3))
+        graft.ops.Dedup.exactNearDupPairs(
+          sh, "doc_id", col("__sh"), 0.8).count()
+      }
+      def sampledTruth(docs: DataFrame, budget: Double): Long = {
+        val nDocs = docs.count()
+        val thr = graft.ops.Sampling.hexThreshold(budget / nDocs)
+        val anchor =
+          graft.ops.Sampling.unitDraw(col("doc_id"), "br") < lit(thr)
+        val sh = docs.withColumn("__sh",
+          graft.ops.Text.shingles(col("text"), 3))
+        graft.ops.Dedup.anchoredExactNearDupPairs(
+          sh, "doc_id", col("__sh"), 0.8, anchor).count()
+      }
+      val te1 = minOf2("truth_exact shared 1x") { exactTruth(tdocs1) }
+      val te10 = minOf2("truth_exact shared 10x") { exactTruth(sdocs10) }
+      growth("truth_exact_shared") = te10 / te1
+      val ts1 = minOf2("truth_sampled shared 1x") {
+        sampledTruth(tdocs1, 1500.0) }
+      val ts10 = minOf2("truth_sampled shared 10x") {
+        sampledTruth(sdocs10, 1500.0) }
+      growth("truth_sampled_shared") = ts10 / ts1
+    }
+
+    // ---- 100× incremental-contract rehearsals (run with face regex
+    // "inc100"): the four O(batch)/O(changed) contracts measured at
+    // state ×10 AND ×100 with the batch/changed slice CONSTANT. The
+    // pass bar is the 100× number ≲2× the 10× number — i.e. the
+    // contract's state term stays sub-linear across two decades, the
+    // strongest local evidence that the 1000-executor/100 TB story
+    // holds. Scaffolding (prior labels, band state, prior snapshots)
+    // is built OUTSIDE the timed window, exactly as production would
+    // hold them as persisted artifacts. ----
+
+    // prior CC labels ×N by offset replication (disjoint replicas ⇒
+    // CC(union) = union of offset CC — no 100× CC scaffold run needed)
+    if (on("inc100_cc")) {
+      val old1 = e1.filter((col("a") + col("b")) % 5 =!= 0)
+      val batch = e1.filter((col("a") + col("b")) % 5 === 0)
+        .localCheckpoint()
+      val prior1 = graft.ops.Graph.connectedComponents(old1)
+        .localCheckpoint()
+      val maxId = e1.agg(max(greatest(col("a"), col("b"))))
+        .head().getLong(0)
+      val off = maxId + 1
+      def ccSecs(copies: Int, label: String): Double = {
+        val p = (0 until copies).map(k =>
+            prior1.select((col("node") + lit(k * off)).as("node"),
+              (col("component") + lit(k * off)).as("component")))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        timed(label) {
+          graft.ops.Graph.incrementalComponents(p, batch).count()
+        }
+      }
+      val c10 = ccSecs(10, "inc100 cc_incremental 10x")
+      val c100 = ccSecs(100, "inc100 cc_incremental 100x")
+      growth("inc100_cc (100x/10x)") = c100 / c10
+    }
+
+    // band state from an N× corpus (one untimed fold), constant fresh
+    // batch with its own disjoint vocabulary
+    if (on("inc100_stream")) {
+      def ingestSecs(copies: Int, label: String): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_inc100_ingest_$copies")
+        val corpus = saltedDocs(copies)
+          .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+          .select("doc_id", "sh")
+        graft.streaming.EventStream.nearDupIngestSink(dir, "doc_id", "sh")(
+          corpus, 0L)
+        val batch = tdocs1.filter(col("doc_id") < 2000)
+          .select((col("doc_id") + lit(1000L * nTd)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1zq").as("text"))
+          .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+          .select("doc_id", "sh")
+          .localCheckpoint()
+        timed(label) {
+          graft.streaming.EventStream.nearDupIngestSink(dir, "doc_id", "sh")(
+            batch, 1L)
+          graft.streaming.EventStream.readAccepted(spark, dir)
+            .filter(col("batch_id") === 1).count()
+        }
+      }
+      val s10 = ingestSecs(10, "inc100 stream_ingest 10x")
+      val s100 = ingestSecs(100, "inc100 stream_ingest 100x")
+      growth("inc100_stream (100x/10x)") = s100 / s10
+    }
+
+    // persisted banded state from an N× corpus, constant batch through
+    // incrementalCandidates — the q_dedup_incremental contract
+    if (on("inc100_dedup")) {
+      def dedupSecs(copies: Int, label: String): Double = {
+        val stateDir = graft.core.Scratch.dir(s"rehearsal_inc100_dedup_$copies")
+        graft.ops.Dedup.bandedBuckets(
+            saltedDocs(copies).withColumn("sh",
+              graft.ops.Text.shingles(col("text"), 3)),
+            "doc_id", col("sh"))
+          .write.mode("overwrite").parquet(stateDir)
+        val state = spark.read.parquet(stateDir)
+        val batch = tdocs1.filter(col("doc_id") < 2000)
+          .select((col("doc_id") + lit(2000L * nTd)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1zz").as("text"))
+          .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+          .localCheckpoint()
+        timed(label) {
+          val (cand, _) = graft.ops.Dedup.incrementalCandidates(
+            state, batch, "doc_id", col("sh"))
+          cand.count()
+        }
+      }
+      val d10 = dedupSecs(10, "inc100 dedup_incremental 10x")
+      val d100 = dedupSecs(100, "inc100 dedup_incremental 100x")
+      growth("inc100_dedup (100x/10x)") = d100 / d10
+    }
+
+    // clinical corpus ×N (salted study replicas), changed slice
+    // CONSTANT (one study) — the O(changed) refresh contract
+    if (on("inc100_index")) {
+      val fixtures = "/root/repo/src/test/resources/clinical"
+      val meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      def replicate(in: Indexes.ClinicalInputs, copies: Int): Indexes.ClinicalInputs = {
+        def rep(df: DataFrame): DataFrame = (0 until copies).map { k =>
+          if (k == 0) df
+          else df.withColumn("study_id", concat(col("study_id"), lit(s"_S$k")))
+        }.reduce(_.unionByName(_))
+        in.copy(donor = rep(in.donor), study = rep(in.study),
+          phenotype = rep(in.phenotype), file = rep(in.file),
+          biospecimen = rep(in.biospecimen), samples = rep(in.samples),
+          diagnosis = rep(in.diagnosis), treatment = rep(in.treatment),
+          followUp = rep(in.followUp), exposure = rep(in.exposure),
+          family = rep(in.family), familyHistory = rep(in.familyHistory))
+      }
+      def refreshSecs(copies: Int, label: String): Double = {
+        val in = replicate(
+          Indexes.ClinicalInputs.fromDir(spark, fixtures), copies)
+        val dir = graft.core.Scratch.dir(s"rehearsal_inc100_prior_$copies")
+        Indexes.studyIndex(in, meta).write.mode("overwrite").parquet(dir)
+        val prior = spark.read.parquet(dir)
+        timed(label) {
+          Indexes.refreshStudyIndex(prior, in, Seq("GS001"), meta).count()
+        }
+      }
+      val i10 = refreshSecs(10, "inc100 index_refresh 10x")
+      val i100 = refreshSecs(100, "inc100 index_refresh 100x")
+      growth("inc100_index (100x/10x)") = i100 / i10
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")

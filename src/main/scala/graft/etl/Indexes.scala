@@ -481,10 +481,22 @@ object Indexes {
     * or unchanged documents keep their old stamps (by design: pass-
     * through means pass-through).
     *
-    * `prior` is read by three consumers (universe extraction, the
-    * pass-through filter, the patch): hand it a STORED snapshot (a
-    * parquet read) or a materialized frame — a lazily recomputed
-    * build would run once per consumer.
+    * `prior` is read by two consumers (the universe extraction feeding
+    * the rebuild's lattice, and the pass-through filter): hand it a
+    * STORED snapshot (a parquet read) or a materialized frame — a
+    * lazily recomputed build would run once per consumer.
+    *
+    * Job-count shape: NO driver collects. Both universes ride the
+    * dataflow — the prior universe as a lazy dimension frame into the
+    * lattice's zero-fill union (its one consumer), the full universe
+    * as a ONE-ROW broadcast aggregated from the rebuilt docs' own
+    * matrices (which carry prior ∪ introduced by construction, having
+    * zero-filled against the prior universe). The refresh therefore
+    * schedules two actions' worth of jobs: the rebuilt slice's lazy
+    * checkpoint and the caller's output action. (The earlier
+    * formulation collected both universes to the driver — two extra
+    * scheduling round-trips per refresh that dominated the fixture-
+    * scale wall.)
     */
   /** The distinct (kind, key) summary-category universe carried by a
     * study-index frame, extracted in ONE scan: both matrix fields
@@ -508,34 +520,30 @@ object Indexes {
       meta: Seq[(String, String)] = Seq.empty): DataFrame = {
     require(changed.nonEmpty, "refreshStudyIndex needs at least one changed study")
     val changedIn = filterStudies(in, changed)
-    // the prior's category universe has TWO consumers (the rebuild's
-    // lattice zero-fill and the full-universe union below); it is
-    // dictionary-dim-sized by construction, so collect it ONCE —
-    // leaving it as a lazy frame would scan the corpus-sized prior
-    // snapshot once per consumer (the single universe scan + the
-    // unchanged pass-through are then the only prior reads)
-    val priorUniverseRows: Seq[(String, String)] = summaryUniverse(prior)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val spark = prior.sparkSession
-    import spark.implicits._
-    val priorUniverse = priorUniverseRows.toDF("kind", "key")
-    // lazy checkpoint: the rebuilt docs have two readers (the universe
-    // extraction below and the output union) — materialize the
-    // changed-slice build once instead of running it per reader
+    // the prior's category universe rides into the rebuild's lattice
+    // as a LAZY dimension frame — latticeUnpivot consumes extraKeys
+    // exactly once (the zero-fill union), so the prior snapshot is
+    // scanned once for it, inside the rebuild's own job, with no
+    // driver round-trip
+    val priorUniverse = summaryUniverse(prior)
+    // lazy checkpoint: the rebuilt docs have two readers (the
+    // full-universe aggregation below and the output union) —
+    // materialize the changed-slice build once instead of running it
+    // per reader
     val rebuilt = graft.core.LazyCheckpoint(studyIndex(changedIn, meta,
       shared = None, extraCatKeys = Some(priorUniverse)))
     // full universe for the unchanged-doc patch: the rebuilt docs'
     // own matrices already carry prior ∪ introduced (their lattice
-    // zero-filled against extraCatKeys), so extracting from them
-    // needs no second donor⋈file scan of the changed slice.
-    // Dimension-sized driver union (the dictionary-rows envelope).
-    val fullUniverse: Map[String, Seq[String]] =
-      (summaryUniverse(rebuilt)
-        .collect().map(r => (r.getString(0), r.getString(1)))
-        ++ priorUniverseRows)
-      .distinct
-      .groupBy(_._1)
-      .map { case (k, rows) => k -> rows.map(_._2).toSeq.sorted }
+    // zero-filled against extraCatKeys) — aggregated to ONE row of
+    // per-kind key arrays and broadcast into the patch, never
+    // collected. Edge case covered: a changed study with an EMPTY
+    // matrix introduces nothing, and unchanged docs already carry the
+    // full prior universe, so patching with only what non-empty
+    // rebuilt matrices show is exactly the old prior ∪ introduced.
+    val uniAggs = SummaryFields.map(f => collect_set(
+      when(col("kind") === f, col("key"))).as(s"__all_$f"))
+    val uniRow = summaryUniverse(rebuilt).groupBy()
+      .agg(uniAggs.head, uniAggs.tail: _*)
     val unchanged = prior.filter(!col("study_id").isin(changed: _*))
     // zero rows for keys this doc's matrix lacks — but ONLY for docs
     // whose matrix is non-empty: a study with no donor⋈file rows has
@@ -543,9 +551,8 @@ object Indexes {
     // and the patch must preserve that
     def patched(f: String): Column = {
       val m = col(s"summary.$f")
-      val allKeys = array(
-        fullUniverse.getOrElse(f, Seq.empty).map(lit): _*)
-        .cast("array<string>")
+      val allKeys = coalesce(col(s"__all_$f"),
+        array().cast("array<string>"))
       when(size(m) > 0,
         sort_array(concat(m,
           transform(
@@ -554,13 +561,16 @@ object Indexes {
               lit(0L).as("files"))))))
         .otherwise(m)
     }
-    val patchedUnchanged = unchanged.withColumn("summary", struct(
-      patched("data_category").as("data_category"),
-      patched("experimental_strategy").as("experimental_strategy"),
-      col("summary.clinical_data_available").as("clinical_data_available"),
-      col("summary.n_donors").as("n_donors"),
-      col("summary.n_files").as("n_files"),
-      col("summary.n_donors_with_files").as("n_donors_with_files")))
+    val patchedUnchanged = unchanged
+      .crossJoin(broadcast(uniRow)) // one row: the per-kind key arrays
+      .withColumn("summary", struct(
+        patched("data_category").as("data_category"),
+        patched("experimental_strategy").as("experimental_strategy"),
+        col("summary.clinical_data_available").as("clinical_data_available"),
+        col("summary.n_donors").as("n_donors"),
+        col("summary.n_files").as("n_files"),
+        col("summary.n_donors_with_files").as("n_donors_with_files")))
+      .drop(SummaryFields.map(f => s"__all_$f"): _*)
     patchedUnchanged.unionByName(rebuilt)
   }
 

@@ -564,6 +564,128 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[exactNearDupPairs]] restricted to pairs with AT LEAST ONE
+    * endpoint in an anchor set — the scale-safe truth side for
+    * blocker-quality evaluation (`q_blocking_recall_sampled`). The
+    * full exact join's candidate volume grows ≈ Σ_token df², which is
+    * super-linear in corpus size (round-11 rehearsal measured 4.33×
+    * wall at 10× data) and uncomputable at real corpus scale; recall
+    * however is a RATIO, and every unordered pair has the same
+    * probability of touching a fixed-rate anchor sample (1−(1−p)²),
+    * so the caught/true ratio over anchored pairs is a consistent
+    * estimator of pair completeness — with a bootstrap CI from
+    * [[graft.ops.Profile.poissonBootstrap]] over the pair-level hit
+    * indicators.
+    *
+    * Completeness over the anchored stratum is still EXACT, by a
+    * ONE-SIDED prefix argument: a qualifying pair (a anchored, b any)
+    * overlaps in ≥ ceil(t·|a|) tokens, while a has only
+    * ceil(t·|a|) − 1 tokens OUTSIDE its prefix — so at least one
+    * overlap token lies in a's prefix, and that token is somewhere in
+    * b. Joining the ANCHORS' prefixes against the corpus's plain
+    * postings therefore finds every qualifying pair with an anchored
+    * endpoint (both-anchored pairs arrive twice and collapse in the
+    * distinct). The one-sided positional filter still applies: common
+    * tokens cannot precede the pair's first shared token in a's
+    * canonical order, so overlap ≤ |a| − pos, which must reach the
+    * tight requirement ceil(t/(1+t)·(|a|+|b|)).
+    *
+    * Scale shape — and why the corpus side is deliberately NOT given
+    * the full AllPairs treatment: [[exactNearDupPairs]] pays two
+    * corpus-sized token shuffles (df join-back + the per-doc sorted-
+    * array build) before its join, which is exactly the machinery
+    * that dominates when the anchor budget keeps the join itself
+    * small. Here the corpus side is a MAP-SIDE postings frame
+    * (id, token-hash, set size) — no df join, no per-doc sort; only
+    * the budget-sized anchor set builds rarest-first prefix arrays
+    * (ordered by CORPUS df, one map-side-combined aggregation). The
+    * join costs Σ_token df_S,prefix(t)·df(t) ≤ (|S|/n)·Σ df² — under
+    * a FIXED anchor budget |S|, linear in corpus size where the
+    * symmetric join is quadratic; the one-sided prefix trades ~1/t
+    * more candidates for the removal of both corpus-sized shuffles,
+    * the right trade whenever |S| ≪ n.
+    *
+    * @param anchor boolean column over `docs` selecting the anchor
+    *               set — deterministic md5 draws
+    *               ([[graft.ops.Sampling.sampleByHash]]'s predicate)
+    *               keep it engine-replayable
+    * @return (a, b, jaccard) with a < b and a or b anchored
+    */
+  def anchoredExactNearDupPairs(
+      docs: DataFrame,
+      id: String,
+      shingles: Column,
+      threshold: Double,
+      anchor: Column): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sets = graft.core.LazyCheckpoint(docs
+      .select(col(id).as("__id"), array_distinct(shingles).as("__sh"),
+        anchor.as("__anc"))
+      .filter(size(col("__sh")) > 0))
+    // anchor token universe (budget-scaled): restricts the corpus df
+    // aggregation to tokens that can matter — counts are still GLOBAL
+    // occurrence counts of those tokens, and one-sided completeness
+    // needs only SOME total order per anchor doc, so dropping
+    // non-anchor tokens from the ordering input changes nothing
+    val anchorTokSet = sets.filter(col("__anc"))
+      .select(explode(col("__sh")).as("__tok"))
+      .select(xxhash64(col("__tok")).as("__th")).distinct()
+    val toks = sets
+      .select(col("__id"), explode(col("__sh")).as("__tok"))
+      .withColumn("__th", xxhash64(col("__tok")))
+    val dfreq = toks
+      .join(broadcast(anchorTokSet), Seq("__th"), "left_semi")
+      .groupBy("__th").agg(count(lit(1)).as("__df"))
+    // rarest-first sorted token arrays for the ANCHORS ONLY
+    val anchorOrd = sets.filter(col("__anc"))
+      .select(col("__id"), explode(col("__sh")).as("__tok"))
+      .withColumn("__th", xxhash64(col("__tok")))
+      .join(dfreq, "__th")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(
+        struct(col("__df"), col("__th"), col("__tok"))))
+        .getField("__th").as("__ord"))
+    // pinned: consumed by the prefix-token broadcast AND the join
+    val prefixed = graft.core.LazyCheckpoint(anchorOrd.select(
+      col("__id"),
+      size(col("__ord")).as("__n"),
+      posexplode(slice(col("__ord"), lit(1),
+        (size(col("__ord"))
+          - ceil(lit(threshold) * size(col("__ord")) - lit(1e-9)) + 1)
+          .cast("int")))
+        .as(Seq("__pos", "__tok"))))
+    // corpus postings, PRUNED MAP-SIDE to the anchors' prefix tokens
+    // before any exchange: the broadcast semi-join keeps only
+    // occurrences of the (rare, budget-scaled) prefix tokens, so the
+    // join shuffle carries ≈ the candidate volume, not the corpus's
+    // full token stream
+    val prefixTokSet = prefixed.select(col("__tok").as("__yth")).distinct()
+    val posts = sets.select(col("__id").as("__yid"),
+        size(col("__sh")).as("__yn"), explode(col("__sh")).as("__ytok"))
+      .select(col("__yid"), col("__yn"), xxhash64(col("__ytok")).as("__yth"))
+      .join(broadcast(prefixTokSet), Seq("__yth"), "left_semi")
+    val q = threshold / (1.0 + threshold)
+    val cand = prefixed.as("x")
+      .join(posts,
+        col("x.__tok") === col("__yth") &&
+          col("x.__id") =!= col("__yid") &&
+          col("__yn") >= ceil(lit(threshold) * col("x.__n") - lit(1e-9)) &&
+          col("x.__n") >= ceil(lit(threshold) * col("__yn") - lit(1e-9)) &&
+          (col("x.__n") - col("x.__pos"))
+            >= ceil(lit(q) * (col("x.__n") + col("__yn")) - lit(1e-9)))
+      .select(least(col("x.__id"), col("__yid")).as("a"),
+        greatest(col("x.__id"), col("__yid")).as("b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("a"), col("__sh").as("__sha")),
+        Seq("a"))
+      .join(sets.select(col("__id").as("b"), col("__sh").as("__shb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Shared AllPairs token pipeline over a (__id, __sh) set frame:
     * per-document canonical rarest-first token sequence, emitted as
     * xxhash64 LONGS. Tokens travel the df aggregation and the

@@ -646,18 +646,19 @@ object Graph {
     *
     * Scale shape per round: ONE equi-join (labels onto the symmetric
     * edge frame, shuffle on the edge key) + ONE map-side-combined
-    * (vertex, label) count + ONE vertex-partitioned argmax window
-    * over that count frame (group size = a vertex's distinct
-    * neighbor-label count — bounded by degree, never corpus-wide).
+    * (vertex, label) count + ONE map-side-combined `min_by` argmax
+    * per vertex over that count frame. The argmax is an AGGREGATE,
+    * not a window: a vertex-partitioned `row_number` window would
+    * pay an exchange AND a per-partition SORT every round, while
+    * `min_by(label, (-n, label))` rides a partial aggregation
+    * (degree-bounded group state, no sort) into the same exchange.
     * No driver action in the loop; lineage relief every 2 rounds via
-    * the lazy checkpoint (windows stack deeper than pagerank's
-    * linear aggregates).
+    * the lazy checkpoint.
     *
     * @return (node, community) — community = converged-or-iters label
     */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    import org.apache.spark.sql.expressions.Window
     val sym = symmetric(edges).localCheckpoint() // reused every round
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -668,12 +669,26 @@ object Graph {
       val counts = votes
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("n"))
+      // argmax(n desc, label asc) as a SORT-FREE aggregate. A struct
+      // ordering key would force min_by into SortAggregate (struct
+      // buffers aren't mutable), re-paying the sort the window had —
+      // so the lexicographic order (-n, label) packs into ONE
+      // fixed-width DECIMAL(38,0), a mutable buffer type that keeps
+      // the argmax in HashAggregate with map-side partial combine:
+      //   key = (label + 2^63) − n·2^64
+      // (label+2^63) ∈ [0, 2^64) for any long label, so distinct n
+      // never interleave and ties order by label. Headroom: |key| <
+      // n·2^64 + 2^64 ≈ 2^64·(n+1) — inside decimal(38) for any
+      // n < 10^18. (dst, label) rows are unique ⇒ the key is total,
+      // so ties are deterministic.
+      val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+      val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+      val ordKey = (col("label").cast("decimal(38,0)") + two63) -
+        col("n").cast("decimal(38,0)") * two64
       val mode = counts
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("dst"))
-            .orderBy(col("n").desc, col("label").asc)))
-        .filter(col("__rn") === 1)
-        .select(col("dst").as("__node"), col("label").as("__new"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("label"), ordKey).as("__new"))
+        .select(col("dst").as("__node"), col("__new"))
       val next = labels.join(mode, labels("node") === col("__node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))

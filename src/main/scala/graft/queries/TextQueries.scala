@@ -1122,6 +1122,133 @@ object TextQueries {
           round(col("n_caught").cast("double") / col("n_true"), 6))
     },
 
+    // ---- SAMPLED blocking recall — the 100-TB form of the face
+    //      above: the exact all-pairs truth is super-linear in corpus
+    //      size (Σ_token df² candidates; round-11 rehearsal measured
+    //      4.33× wall at 10× data), so at scale the truth side is
+    //      restricted to pairs touching a FIXED-BUDGET md5-drawn
+    //      anchor sample. Every unordered pair has the same anchor-
+    //      inclusion probability, so caught/true over the anchored
+    //      stratum estimates recall consistently; a 64-resample
+    //      Poisson bootstrap over the pair-level hit indicators gives
+    //      the deterministic 95% CI (order statistics 2 and 63). The
+    //      oracle replays the anchor draw, the anchored truth, the
+    //      blocker, and every bootstrap weight ----
+    sql(
+      "q_blocking_recall_sampled", {
+        val cases = Profile.PoissonCdfU.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        s"""WITH base AS (
+           |  SELECT doc_id, $NormSql AS nt FROM documents),
+           |thr AS (
+           |  SELECT CASE WHEN 150.0 / count(*) >= 1.0 THEN 'g'
+           |    ELSE printf('%08x', CAST(floor((150.0 / count(*))
+           |      * 4294967296.0) AS BIGINT)) END AS t
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(range(len(ws) - 2),
+           |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+           |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM base)
+           |  WHERE len(ws) >= 3),
+           |anch AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE substr(md5('br' || doc_id), 1, 8) < (SELECT t FROM thr)),
+           |truth AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b
+           |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+           |  WHERE (x.doc_id IN (SELECT doc_id FROM anch)
+           |      OR y.doc_id IN (SELECT doc_id FROM anch))
+           |    AND len(list_intersect(x.s, y.s))::DOUBLE
+           |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+           |      >= 0.8),
+           |r AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (ORDER BY substr(nt, 1, 12), doc_id) AS rn
+           |  FROM base),
+           |cand AS (
+           |  SELECT DISTINCT least(r1.doc_id, r2.doc_id) AS a,
+           |    greatest(r1.doc_id, r2.doc_id) AS b
+           |  FROM r r1 JOIN r r2
+           |    ON r2.rn BETWEEN r1.rn + 1 AND r1.rn + 4),
+           |m AS (
+           |  SELECT t.a, t.b,
+           |    CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b),
+           |est AS (
+           |  SELECT count(*) AS n_true_sample,
+           |    CAST(sum(hit) AS BIGINT) AS n_caught_sample,
+           |    round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall_hat
+           |  FROM m),
+           |rs AS (
+           |  SELECT bb.b, m.hit,
+           |    CAST('0x' || substr(md5('brci' || bb.b || '#'
+           |      || m.a || '~' || m.b), 1, 8) AS BIGINT) AS u
+           |  FROM m CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
+           |w AS (SELECT b, hit,
+           |        CASE $cases ELSE ${Profile.PoissonCdfU.length} END AS w
+           |      FROM rs),
+           |means AS (
+           |  SELECT b, round(CAST(sum(w * hit) AS DOUBLE) / sum(w), 6)
+           |    AS mean_val
+           |  FROM w GROUP BY b),
+           |ranked AS (
+           |  SELECT mean_val,
+           |    row_number() OVER (ORDER BY mean_val, b) AS rn
+           |  FROM means),
+           |ci AS (
+           |  SELECT max(CASE WHEN rn = 2 THEN mean_val END) AS ci_lo,
+           |    max(CASE WHEN rn = 63 THEN mean_val END) AS ci_hi
+           |  FROM ranked)
+           |SELECT n_true_sample, n_caught_sample, recall_hat, ci_lo, ci_hi
+           |FROM est CROSS JOIN ci""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // fixed anchor BUDGET, converted to a rate at runtime: at 10×
+      // the corpus the rate drops 10×, keeping the truth-side join
+      // linear (Σ df_S·df ≈ (|S|/n)·Σ df²). 150 anchors ≈ 51% pair
+      // inclusion at the 500-doc fixture
+      val nDocs = docs.count()
+      val thr = Sampling.hexThreshold(150.0 / nDocs)
+      val anchor = Sampling.unitDraw(col("doc_id"), "br") < lit(thr)
+      val shd = docs.withColumn("__sh", Text.shingles(col("text"), 3))
+      val truth = Dedup.anchoredExactNearDupPairs(
+          shd, id = "doc_id", shingles = col("__sh"), threshold = 0.8,
+          anchor = anchor)
+        .select("a", "b")
+      val keyed = docs.select(col("doc_id"),
+        substring(Text.normalize(col("text")), 1, 12).as("__k"))
+      val cand = Dedup.sortedNeighborhoodPairs(
+          keyed, "doc_id", col("__k"), window = 4)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      // hit-flagged anchored truth pairs feed the point estimate AND
+      // the bootstrap — pin once
+      val pairs = graft.core.LazyCheckpoint(
+        truth.join(cand.withColumn("__hit", lit(1)), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("__hit"), lit(0)).as("hit")))
+      val est = pairs.agg(
+          count(lit(1)).as("n_true_sample"),
+          sum(col("hit")).cast("long").as("n_caught_sample"))
+        .withColumn("recall_hat",
+          round(col("n_caught_sample").cast("double")
+            / col("n_true_sample"), 6))
+      val boot = Profile.poissonBootstrap(
+        pairs, concat_ws("~", col("a"), col("b")), col("hit"),
+        b = 64, salt = "brci")
+      // exact 95% CI: order statistics 2 and 63 of the 64 resample
+      // means (single-partition window over exactly 64 rows)
+      val ci = boot
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("mean_val").asc_nulls_last, col("b"))))
+        .agg(max(when(col("rn") === 2, col("mean_val"))).as("ci_lo"),
+          max(when(col("rn") === 63, col("mean_val"))).as("ci_hi"))
+      est.crossJoin(ci)
+    },
+
     // ---- MULTI-PASS sorted-neighborhood (the Hernández-Stolfo
     //      production form): a single sort key misses duplicates
     //      whose difference lands in the prefix, so a second pass

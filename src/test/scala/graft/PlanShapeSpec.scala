@@ -436,4 +436,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a consumer re-aggregates the corpus:\n${p.take(1200)}")
     assert(p.contains("ExistingRDD"))
   }
+
+  test("label propagation: the per-round argmax is a map-side-combined " +
+      "HASH aggregate — no Window, no SortAggregate in the plan") {
+    val p = plan("q_label_prop")
+    // the old row_number() form paid a per-partition SORT every round
+    // on top of the exchange; a struct-keyed min_by would fall to
+    // SortAggregate (immutable buffer) and re-pay it. The decimal-
+    // packed ordering keeps the argmax in HashAggregate with a
+    // partial (map-side) phase. Remaining Sort nodes belong to the
+    // node-keyed SortMergeJoins, which the window form paid too.
+    assert(count(p, "Window") == 0,
+      s"LPA argmax regressed to a window:\n${p.take(1500)}")
+    assert(count(p, "SortAggregate") == 0,
+      s"LPA argmax fell out of hash aggregation:\n${p.take(1500)}")
+    assert(p.contains("partial_min_by"),
+      "argmax lost its map-side partial combine")
+  }
 }

@@ -108,6 +108,43 @@ class DedupSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("anchoredExactNearDupPairs equals brute-force truth restricted " +
+      "to pairs touching the anchor set (one-sided prefix completeness)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 60L).map { i =>
+      val n = 6 + rnd.nextInt(10)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(col("text"), 2))
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(col("sh")).as("s"))
+    // anchor = every 3rd doc — arbitrary but deterministic
+    val anchor = col("doc_id") % 3 === 0
+    for (t <- Seq(0.4, 0.7, 0.9)) {
+      val brute = sets.as("x").join(sets.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.jaccard(col("x.s"), col("y.s")).as("j"))
+        .filter(col("j") >= t &&
+          (col("a") % 3 === 0 || col("b") % 3 === 0))
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val got = Dedup.anchoredExactNearDupPairs(
+          corpus, "doc_id", col("sh"), t, anchor)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"threshold $t")
+    }
+    // layout independence
+    val a1 = Dedup.anchoredExactNearDupPairs(
+        corpus.repartition(13), "doc_id", col("sh"), 0.4, anchor)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val a2 = Dedup.anchoredExactNearDupPairs(
+        corpus, "doc_id", col("sh"), 0.4, anchor)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(a1 == a2)
+  }
+
   test("containmentJoinExact finds a template inside a larger doc " +
       "where Jaccard misses it") {
     val tmpl = "one two three four five six"
