@@ -76,7 +76,15 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_cluster_eval" ->
       ("the four scalar aggregates of the contingency table (totals, " +
         "per-cluster, per-label) ride ONE-row broadcast carriers into " +
-        "the single score row"))
+        "the single score row"),
+    "q_blocking_recall_sampled" ->
+      ("the recall CI denominator rides a ONE-row broadcast aggregate " +
+        "(stratum totals collapsed to a single row) crossed into the " +
+        "per-resample estimates — both sides provably one row"),
+    "q_index_refresh" ->
+      ("the category universe rides a ONE-row broadcast aggregate " +
+        "(collect_set collapsed to one row) crossed into the changed-" +
+        "study summaries — replaces the former driver collect"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
