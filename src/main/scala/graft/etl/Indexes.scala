@@ -540,15 +540,29 @@ object Indexes {
     // matrix introduces nothing, and unchanged docs already carry the
     // full prior universe, so patching with only what non-empty
     // rebuilt matrices show is exactly the old prior ∪ introduced.
+    val uniRow = universeRow(summaryUniverse(rebuilt))
+    val unchanged = prior.filter(!col("study_id").isin(changed: _*))
+    patchSummaryTo(unchanged, uniRow).unionByName(rebuilt)
+  }
+
+  /** ONE row of per-kind key arrays from a (kind, key) universe frame
+    * — the broadcastable carrier [[patchSummaryTo]] consumes. */
+  private def universeRow(uni: DataFrame): DataFrame = {
     val uniAggs = SummaryFields.map(f => collect_set(
       when(col("kind") === f, col("key"))).as(s"__all_$f"))
-    val uniRow = summaryUniverse(rebuilt).groupBy()
-      .agg(uniAggs.head, uniAggs.tail: _*)
-    val unchanged = prior.filter(!col("study_id").isin(changed: _*))
-    // zero rows for keys this doc's matrix lacks — but ONLY for docs
-    // whose matrix is non-empty: a study with no donor⋈file rows has
-    // an EMPTY matrix in a full rebuild (it never enters the lattice),
-    // and the patch must preserve that
+    uni.groupBy().agg(uniAggs.head, uniAggs.tail: _*)
+  }
+
+  /** Patch every doc's summary matrices up to the universe carried by
+    * `uniRow`: zero rows are added for keys this doc's matrix lacks —
+    * but ONLY for docs whose matrix is non-empty: a study with no
+    * donor⋈file rows has an EMPTY matrix in a full rebuild (it never
+    * enters the lattice), and the patch must preserve that. Map-side:
+    * one ONE-row broadcast crossJoin + array transforms over
+    * document-sized data, no fact rescans. Docs already carrying the
+    * full universe pass through unchanged (array_except is empty), so
+    * the patch is idempotent. */
+  private def patchSummaryTo(docs: DataFrame, uniRow: DataFrame): DataFrame = {
     def patched(f: String): Column = {
       val m = col(s"summary.$f")
       val allKeys = coalesce(col(s"__all_$f"),
@@ -561,7 +575,7 @@ object Indexes {
               lit(0L).as("files"))))))
         .otherwise(m)
     }
-    val patchedUnchanged = unchanged
+    docs
       .crossJoin(broadcast(uniRow)) // one row: the per-kind key arrays
       .withColumn("summary", struct(
         patched("data_category").as("data_category"),
@@ -571,7 +585,101 @@ object Indexes {
         col("summary.n_files").as("n_files"),
         col("summary.n_donors_with_files").as("n_donors_with_files")))
       .drop(SummaryFields.map(f => s"__all_$f"): _*)
-    patchedUnchanged.unionByName(rebuilt)
+  }
+
+  /** STORED study-index snapshot with O(changed) refresh — the storage
+    * layer that makes [[refreshStudyIndex]]'s contract batch-bounded.
+    * The frame-level refresh is O(changed) in COMPUTE but its output
+    * is the whole corpus: any caller that persists it re-emits every
+    * unchanged document per refresh, and the universe patch gives the
+    * rewrite a reason to touch literally every doc (the round-12
+    * rehearsal measured 7.06× at state ×10→×100 with one changed
+    * study). Three devices fix the persisted contract:
+    *
+    *  - docs live Hive-partitioned by study (`__study_pt`, a derived
+    *    copy so the stored schema keeps `study_id` as a normal column
+    *    and read-back column order matches [[studyIndex]] exactly);
+    *    a refresh dynamic-overwrites ONLY the changed studies'
+    *    partitions — pass-through docs are never read or written;
+    *  - the summary-category universe lives in a dim-sized versioned
+    *    SIDE TABLE (`dir/universe`), so the refresh gets its prior
+    *    universe without scanning the corpus-sized prior snapshot
+    *    (the frame-level path's `summaryUniverse(prior)` full pass);
+    *  - the global zero-fill is VIRTUAL: stored matrices carry the
+    *    universe as of their own build, and [[readStudyIndexStore]]
+    *    patches them up to the CURRENT universe map-side at read time
+    *    (one one-row broadcast crossJoin) — introducing a category
+    *    re-publishes one dim-sized side table instead of rewriting
+    *    100 TB of documents.
+    *
+    * The read view equals a full [[studyIndex]] rebuild byte-for-byte
+    * (spec'd, and the `q_index_refresh_stored` face replays the full
+    * relational oracle against it): rebuilt docs zero-fill against
+    * prior ∪ own at build and the read patch adds nothing; unchanged
+    * docs carry their build-time universe and the patch adds exactly
+    * the categories introduced since. The universe stays append-only
+    * under refresh, as in the frame-level path.
+    *
+    * Crash / re-delivery: docs partitions commit first, then the
+    * universe publish ([[graft.sources.Versioned]], atomic). A crash
+    * between the two leaves readers on the old universe (rebuilt docs
+    * merely carry zero rows the patch would have added; unchanged
+    * docs miss the introduced categories) and re-delivering the
+    * refresh converges — the partition overwrite is idempotent and
+    * the universe union is monotone.
+    */
+  def writeStudyIndexStore(index: DataFrame, dir: String): Unit = {
+    index.withColumn("__study_pt", col("study_id"))
+      .repartition(col("__study_pt"))
+      .write.mode("overwrite").partitionBy("__study_pt")
+      .parquet(s"$dir/docs")
+    graft.sources.Versioned.publish(
+      summaryUniverse(index.sparkSession.read.parquet(s"$dir/docs")),
+      s"$dir/universe"): Unit
+  }
+
+  /** Refresh `changed` studies in the stored snapshot at `dir`.
+    * Per-refresh cost is O(changed): one dim-sized universe read, the
+    * changed slice's rebuild, a dynamic overwrite of the changed
+    * partitions, one changed-slice universe scan, one dim-sized
+    * publish. Returns the number of rebuilt documents. */
+  def refreshStudyIndexStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      in: ClinicalInputs, changed: Seq[String],
+      meta: Seq[(String, String)] = Seq.empty): Long = {
+    require(changed.nonEmpty,
+      "refreshStudyIndexStore needs at least one changed study")
+    val priorUniverse = graft.sources.Versioned
+      .readCurrent(spark, s"$dir/universe")
+    // two consumers (the partition overwrite and the universe scan)
+    // plus the returned count — build the changed slice once
+    val rebuilt = graft.core.LazyCheckpoint(studyIndex(
+      filterStudies(in, changed), meta,
+      shared = None, extraCatKeys = Some(priorUniverse)))
+    graft.sources.Sinks.overwritePartitions(
+      rebuilt.withColumn("__study_pt", col("study_id")),
+      s"$dir/docs", Seq("__study_pt"))
+    graft.sources.Versioned.publish(
+      priorUniverse.unionByName(summaryUniverse(rebuilt)).distinct(),
+      s"$dir/universe", keep = 2)
+    rebuilt.count()
+  }
+
+  /** The store's read view: stored docs patched up to the current
+    * universe — equals a full [[studyIndex]] rebuild. `studies`
+    * non-empty restricts the read to those studies' partitions
+    * (partition-pruned on `__study_pt` — the changed-slice read-back
+    * path never lists the corpus). */
+  def readStudyIndexStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      studies: Seq[String] = Seq.empty): DataFrame = {
+    val uniRow = universeRow(
+      graft.sources.Versioned.readCurrent(spark, s"$dir/universe"))
+    val docs = spark.read.parquet(s"$dir/docs")
+    val pruned =
+      if (studies.isEmpty) docs
+      else docs.filter(col("__study_pt").isin(studies: _*))
+    patchSummaryTo(pruned.drop("__study_pt"), uniRow)
   }
 
   def studyIndex(

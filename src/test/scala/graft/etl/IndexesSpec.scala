@@ -317,4 +317,44 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(names("GS002") == "SENTINEL", "unchanged doc was rebuilt")
     assert(names("GS001") != "SENTINEL")
   }
+
+  test("study-index STORE: refresh rewrites only changed partitions, " +
+      "read view equals the full rebuild, pruned read prunes") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(to_json(struct(df.columns.sorted.map(col): _*)))
+      .as[String].collect().sorted.toSeq
+    // prior built before DO002's files landed: GS001 stale AND the
+    // corpus universe missing Imaging/Histology/WXS (the hard case —
+    // the refresh must patch GS002's matrices at READ time, without
+    // touching its stored partition)
+    val stale = inputs.copy(file = inputs.file.filter(
+      !(col("study_id") === "GS001" &&
+        col("submitter_donor_id") === "DO002")))
+    val dir = graft.core.Scratch.dir("study_index_store")
+    Indexes.writeStudyIndexStore(Indexes.studyIndex(stale, stamps), dir)
+    def gs2Files: Map[String, Long] = {
+      val d = new java.io.File(s"$dir/docs/__study_pt=GS002")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = gs2Files
+    val n = Indexes.refreshStudyIndexStore(
+      spark, dir, inputs, Seq("GS001"), stamps)
+    assert(n == 1L)
+    // pass-through partition untouched on disk (same files, same mtime)
+    assert(gs2Files == before, "refresh rewrote an unchanged partition")
+    // read view == full rebuild byte-for-byte, incl. GS002's
+    // read-time-patched zero rows for the reintroduced categories
+    assert(canon(Indexes.readStudyIndexStore(spark, dir)) ==
+      canon(Indexes.studyIndex(inputs, stamps)))
+    // pruned read returns exactly the requested study's doc
+    val pruned = Indexes.readStudyIndexStore(spark, dir, Seq("GS001"))
+    assert(canon(pruned) ==
+      canon(Indexes.studyIndex(inputs, stamps)
+        .filter(col("study_id") === "GS001")))
+    // refresh is idempotent under re-delivery
+    Indexes.refreshStudyIndexStore(spark, dir, inputs, Seq("GS001"), stamps)
+    assert(canon(Indexes.readStudyIndexStore(spark, dir)) ==
+      canon(Indexes.studyIndex(inputs, stamps)))
+  }
 }
