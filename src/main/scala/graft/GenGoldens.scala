@@ -172,6 +172,31 @@ object GenGoldens {
       } else println(s"skipped golden_bpe_*.tsv ($docsPath missing)")
     }
 
+    // q_unigram_vocab / q_unigram_tokens goldens at the correctness
+    // SF: the Viterbi-EM trainer is deterministic (strictly-better
+    // updates over ascending split points; count-desc/piece-asc prune)
+    // and publishes exact integer counts, so the committed snapshot
+    // hash-checks the full seed → EM → prune → tokenize pipeline;
+    // UnigramSpec pins hand-computed Viterbi/EM behavior independently.
+    locally {
+      val docsPath = "/root/testdata/sf0.01/documents.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+        val sfDocs = spark.read.parquet(docsPath)
+        val vocab = graft.ops.Unigram.train(
+          graft.ops.Bpe.wordCounts(sfDocs, col("text")), vocabSize = 200)
+        writeTsv(vocab.zipWithIndex
+            .map { case ((p, c), r) => s"$r\t$p\t$c" },
+          "rank\tpiece\tcnt", "golden_unigram_vocab.tsv")
+        val toks = graft.ops.Unigram
+          .tokenize(sfDocs, "doc_id", col("text"), vocab)
+          .select(col("doc_id"), col("n_tok"),
+            md5(concat_ws("", col("tokens"))).as("tok_md5"))
+          .orderBy("doc_id").as[(Long, Long, String)].collect()
+        writeTsv(toks.map(t => s"${t._1}\t${t._2}\t${t._3}").toSeq,
+          "doc_id\tn_tok\ttok_md5", "golden_unigram_tokens.tsv")
+      } else println(s"skipped golden_unigram_*.tsv ($docsPath missing)")
+    }
+
     // q_video_phash_real golden: RIFF/AVI walk + real JPEG frame decode
     // → temporal luminance signature → pHash. JPEG decode is
     // deterministic for fixed bytes on this JDK (the same environment

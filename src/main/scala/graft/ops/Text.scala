@@ -65,6 +65,27 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text)).cast(LongType)
 
+  /** C4-practice blocklist hits: the distinct blocked words a doc's
+    * NORMALIZED text contains, sorted (C4 matches case-insensitively
+    * on word boundaries — normalization gives both). The blocklist is
+    * an in-plan ARRAY LITERAL: one codegen'd array_intersect per row,
+    * ONE corpus scan, no join, no UDF, nothing to broadcast-build —
+    * real blocklists are O(100–10k) words, far below any join
+    * threshold, and a literal keeps the filter inside
+    * whole-stage codegen (plan-pinned by the face's spec). */
+  def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklistHits needs a non-empty blocklist")
+    sort_array(array_intersect(
+      array_distinct(words(normalize(text))),
+      array(blocklist.map(lit): _*)))
+  }
+
+  /** Drop every doc whose text hits the blocklist (the C4 cleaning
+    * gate); single pass, map-side. */
+  def blocklistFilter(df: DataFrame, text: Column,
+      blocklist: Seq[String]): DataFrame =
+    df.filter(size(blocklistHits(text, blocklist)) === 0)
+
   /** BPE-ish regex tokenization: alphanumeric runs, or single
     * non-space symbols (GPT-2-style pretokenizer shape, public
     * pattern family). One codegen'd `regexp_extract_all` — the

@@ -383,6 +383,25 @@ object IndexQueries {
         Indexes.refreshStudyIndex(stalePrior(s), in, Seq("GS001"), meta))
     },
 
+    // ---- STORED-snapshot refresh == full rebuild (same oracle as
+    //      q_study_index): the store was written from the same stale
+    //      build (per-JVM scaffolding), the refresh dynamic-overwrites
+    //      ONLY GS001's partition + republishes the dim-sized
+    //      universe side table, and the read view's VIRTUAL zero-fill
+    //      must reproduce the full rebuild byte-for-byte — including
+    //      GS002's zero rows for the categories DO002's files
+    //      reintroduce, which the store patches at READ time instead
+    //      of rewriting GS002's partition. Refresh is idempotent
+    //      under re-delivery, so bench reps replay it safely ----
+    sql("q_index_refresh_stored", IndexOracles.studyIndexSql) { (s, _) =>
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val dir = stalePriorStore(s)
+      Indexes.refreshStudyIndexStore(s, dir, in, Seq("GS001"), meta)
+      Canon.flattenNested(Indexes.readStudyIndexStore(s, dir))
+    },
+
     // ---- donor-product refresh == full rebuild (same oracle as
     //      q_donor_index) ----
     sql("q_donor_refresh", IndexOracles.donorIndexSql) { (s, _) =>
@@ -470,6 +489,25 @@ object IndexQueries {
     s.read.parquet(path)
   }
 
+  /** The stored-snapshot refresh scenario's PRIOR STORE (per JVM):
+    * the same stale build as [[stalePrior]], written through
+    * [[Indexes.writeStudyIndexStore]] so `q_index_refresh_stored`
+    * times the partition-pruned refresh + read view, not the
+    * scaffold. */
+  private def stalePriorStore(
+      s: org.apache.spark.sql.SparkSession): String =
+    priorCache.computeIfAbsent("stale_prior_store", _ => {
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val stale = in.copy(file = in.file.filter(
+        !(col("study_id") === "GS001" &&
+          col("submitter_donor_id") === "DO002")))
+      val dir = graft.core.Scratch.dir("stale_prior_store")
+      Indexes.writeStudyIndexStore(Indexes.studyIndex(stale, meta), dir)
+      dir
+    })
+
   /** Materialize the per-JVM stored-prior snapshots OUTSIDE any timed
     * region — they are scenario scaffolding (the refresh operators'
     * contract reads a prior build from disk), not refresh cost. Bench
@@ -479,5 +517,6 @@ object IndexQueries {
     stalePrior(s)
     staleDonorPrior(s)
     staleFilePrior(s)
+    stalePriorStore(s): Unit
   }
 }

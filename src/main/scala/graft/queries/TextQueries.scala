@@ -47,6 +47,7 @@ object TextQueries {
   def warm(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     bandState(s, d)
     learnedMerges(s, d)
+    learnedUnigram(s, d): Unit
   }
   import QueryDef.{noOracle, sql}
 
@@ -64,6 +65,19 @@ object TextQueries {
       graft.ops.Bpe.learnMerges(
         graft.ops.Bpe.wordCounts(Tables.documents(s, d), col("text")),
         numMerges = 20))
+
+  /** Unigram-LM vocabulary learned once per JVM per sf dir — same
+    * train-time-artifact contract as [[learnedMerges]]: one corpus
+    * pass for the word table + 3 Viterbi-EM jobs over it
+    * ([[graft.ops.Unigram.train]] scale notes). */
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long)]]()
+  private[queries] def learnedUnigram(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, Long)] =
+    unigramCache.computeIfAbsent(d, _ =>
+      graft.ops.Unigram.train(
+        graft.ops.Bpe.wordCounts(Tables.documents(s, d), col("text")),
+        vocabSize = 200))
 
   /** DuckDB equivalent of [[Text.normalize]] over any column expr —
     * shared with every query module whose oracle replays the
@@ -858,6 +872,68 @@ object TextQueries {
             learnedMerges(s, d))
           .select(col("doc_id"), col("n_tok"),
             md5(concat_ws("\u0001", col("tokens"))).as("tok_md5"))
+    },
+
+    // ---- Unigram-LM (SentencePiece-style) vocabulary over the same
+    //      corpus: seed → Viterbi-EM → count-ranked prune, exact
+    //      integer counts end-to-end (deterministic — the committed
+    //      GenGoldens snapshot hash-checks the full trainer;
+    //      UnigramSpec pins hand-computed Viterbi/EM independently) ----
+    sql(
+      "q_unigram_vocab",
+      s"""SELECT rank::INT AS rank, piece, cnt::BIGINT AS cnt
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_unigram_vocab.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        learnedUnigram(s, d).zipWithIndex
+          .map { case ((p, c), r) => (r, p, c) }
+          .toDF("rank", "piece", "cnt")
+    },
+
+    // ---- Unigram tokenization under the learned vocabulary:
+    //      map-side Viterbi with a broadcast score map; per-doc token
+    //      count + md5 over the token sequence (golden-snapshot —
+    //      DuckDB cannot replay the EM/Viterbi loop) ----
+    sql(
+      "q_unigram_tokens",
+      s"""SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok, tok_md5
+         |FROM read_csv('${SourceQueries.FixtureDir}/golden_unigram_tokens.tsv',
+         |  delim='\\t', header=true, all_varchar=true)""".stripMargin) {
+      (s, d) =>
+        graft.ops.Unigram.tokenize(
+            Tables.documents(s, d), "doc_id", col("text"),
+            learnedUnigram(s, d))
+          .select(col("doc_id"), col("n_tok"),
+            md5(concat_ws("\u0001", col("tokens"))).as("tok_md5"))
+    },
+
+    // ---- C4-practice blocklist gate: the docs a word blocklist
+    //      would drop, with their distinct (sorted) hit terms — the
+    //      blocklist rides the plan as an ARRAY LITERAL, so the whole
+    //      face is ONE codegen'd corpus scan with zero joins
+    //      (plan-pinned in PlanShapeSpec); Text.blocklistFilter is
+    //      the complement (spec'd equal) ----
+    sql(
+      "q_blocklist",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_intersect(
+         |      string_split($NormSql, ' '),
+         |      ['hash', 'spark', 'vector']))) AS hits
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(hits, ' ') AS hit_terms,
+         |  len(hits)::BIGINT AS n_hits
+         |FROM toks WHERE len(hits) > 0""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.Text.blocklistHits(col("text"),
+            Seq("hash", "spark", "vector")).as("__hits"))
+        .filter(size(col("__hits")) > 0)
+        .select(col("doc_id"),
+          concat_ws(" ", col("__hits")).as("hit_terms"),
+          size(col("__hits")).cast("long").as("n_hits"))
     },
 
     // ---- CCNet/RefinedWeb boilerplate-line removal: lines recurring

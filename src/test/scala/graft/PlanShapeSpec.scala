@@ -453,4 +453,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min_by"),
       "argmax lost its map-side partial combine")
   }
+
+  test("blocklist gate is ONE codegen'd corpus scan: the blocklist " +
+      "is an in-plan array literal, no join, no exchange") {
+    val p = plan("q_blocklist")
+    assert(count(p, "documents.parquet") == 1,
+      s"expected exactly one corpus scan:\n${p.take(1200)}")
+    assert(count(p, "Join") == 0,
+      s"the broadcast-literal blocklist grew a join:\n${p.take(1200)}")
+    assert(count(p, "Exchange") == 0,
+      s"a map-side filter should not shuffle:\n${p.take(1200)}")
+  }
 }

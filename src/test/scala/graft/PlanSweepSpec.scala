@@ -84,7 +84,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_index_refresh" ->
       ("the category universe rides a ONE-row broadcast aggregate " +
         "(collect_set collapsed to one row) crossed into the changed-" +
-        "study summaries — replaces the former driver collect"))
+        "study summaries — replaces the former driver collect"),
+    "q_index_refresh_stored" ->
+      ("the store's read view patches docs against the dim-sized " +
+        "universe side table collapsed to a ONE-row broadcast " +
+        "aggregate — the virtual zero-fill carrier"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {

@@ -307,4 +307,26 @@ class TextSpec extends AnyFunSuite with WithSpark {
     // a token never seen before still lands deterministically
     assert(run(docs.repartition(5)) == got)
   }
+
+  test("blocklistHits / blocklistFilter: normalized word-boundary " +
+      "matching, sorted distinct hits, filter is the exact complement") {
+    val docs = Seq(
+      (1L, "Clean prose about tables"),
+      (2L, "BAD word here"),            // case-insensitive hit
+      (3L, "bad bad BAD and worse"),    // repeated hits dedupe + sort
+      (4L, "badge is not bad-ge"))      // substring must NOT match;
+                                        // punctuation splits -> "bad" "ge"
+    .toDF("doc_id", "text")
+    val bl = Seq("bad", "worse")
+    val hits = docs.select(col("doc_id"),
+        Text.blocklistHits(col("text"), bl).as("h"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(hits(1L).isEmpty)
+    assert(hits(2L) == Seq("bad"))
+    assert(hits(3L) == Seq("bad", "worse"))
+    assert(hits(4L) == Seq("bad")) // "badge" intact, "bad-ge" splits
+    val kept = Text.blocklistFilter(docs, col("text"), bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }
