@@ -889,11 +889,24 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // Token input: id and vector as SEPARATE manifest columns, so
+    // Versioned.manifest's \u0001 separator delimits them (a
+    // hand-rolled '|' pre-concat let '|' inside string ids forge
+    // collisions), and a null vector fails LOUDLY instead of
+    // degrading the row to id-only (concat_ws silently skips nulls —
+    // an embedding batch with null vectors is malformed input, not a
+    // weaker checksum). NOTE (one-time migration hazard, as with any
+    // token-format change): a batch published under an older token
+    // format and retried across this upgrade recomputes a different
+    // token and would republish — sweep or rename existing
+    // `appends/b_*` dirs when upgrading an index in place.
     val m = graft.sources.Versioned.manifest(
       batch.select(
-        concat_ws("|", col(id).cast("string"), col(vec).cast("string"))
-          .as("__row")),
-      Seq("__row")).head()
+        col(id).cast("string").as("__id"),
+        coalesce(col(vec).cast("string"),
+          raise_error(lit(s"ivfAppend: null $vec in batch — refusing " +
+            "to weaken the idempotency token"))).as("__vec")),
+      Seq("__id", "__vec")).head()
     val token = s"b_${m.getLong(0)}_${java.lang.Long.toHexString(m.getLong(1))}"
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

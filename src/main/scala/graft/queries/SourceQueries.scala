@@ -366,6 +366,26 @@ object SourceQueries {
         .select("s_suppkey", "s_name", "s_nationkey")
     },
 
+    // ---- Avro container round-trip (the row-format interchange
+    //      boundary — Kafka/Hive consumers): write one OCF per
+    //      partition executor-side, read back one task per container.
+    //      No spark-avro connector in this environment, so the
+    //      encode/decode rides the Avro core jar directly
+    //      (sources/AvroIo.scala); the oracle recomputes the original
+    //      columns relationally — only a faithful write→read cycle
+    //      hash-matches ----
+    sql(
+      "q_avro_roundtrip",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin) { (s, d) =>
+      val out = s"$sinkScratch/graft_sink_avro"
+      val cols = Seq("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      val src = Tables.customer(s, d).select(cols.map(col): _*)
+      graft.sources.AvroIo.write(src, out)
+      graft.sources.AvroIo.read(s, out, src.schema)
+    },
+
     // ---- CSV sink round-trip (interchange format for BI/spreadsheet
     //      consumers; header-ful, partition-owner writes) ----
     sql(

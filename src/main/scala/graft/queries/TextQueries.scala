@@ -1206,10 +1206,13 @@ object TextQueries {
     //      anchor sample. Every unordered pair has the same anchor-
     //      inclusion probability, so caught/true over the anchored
     //      stratum estimates recall consistently; a 64-resample
-    //      Poisson bootstrap over the pair-level hit indicators gives
-    //      the deterministic 95% CI (order statistics 2 and 63). The
-    //      oracle replays the anchor draw, the anchored truth, the
-    //      blocker, and every bootstrap weight ----
+    //      Poisson CLUSTER bootstrap at the anchor-doc level (one
+    //      weight per anchor, inherited by all its pairs — pairs
+    //      sharing an anchor are correlated, so a pair-level draw
+    //      would understate the variance) gives the deterministic
+    //      95% CI (order statistics 2 and 63). The oracle replays the
+    //      anchor draw, the anchored truth, the blocker, and every
+    //      bootstrap weight ----
     sql(
       "q_blocking_recall_sampled", {
         val cases = Profile.PoissonCdfU.zipWithIndex
@@ -1259,7 +1262,9 @@ object TextQueries {
            |rs AS (
            |  SELECT bb.b, m.hit,
            |    CAST('0x' || substr(md5('brci' || bb.b || '#'
-           |      || m.a || '~' || m.b), 1, 8) AS BIGINT) AS u
+           |      || (CASE WHEN substr(md5('br' || m.a), 1, 8)
+           |            < (SELECT t FROM thr) THEN m.a ELSE m.b END)),
+           |      1, 8) AS BIGINT) AS u
            |  FROM m CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
            |w AS (SELECT b, hit,
            |        CASE $cases ELSE ${Profile.PoissonCdfU.length} END AS w
@@ -1312,9 +1317,19 @@ object TextQueries {
         .withColumn("recall_hat",
           round(col("n_caught_sample").cast("double")
             / col("n_true_sample"), 6))
+      // CLUSTER bootstrap at the anchor-doc level: pairs sharing an
+      // anchor are a correlated cluster sample (one doc contributes
+      // all its near-dup pairs together), so each resample draws ONE
+      // Poisson weight per anchor doc and every pair of that anchor
+      // inherits it — a pair-level draw would understate the CI's
+      // true sampling variance. Cluster key = the pair's anchored
+      // side (a if anchored — a < b makes that deterministic when
+      // both are).
+      val cluster = when(
+        Sampling.unitDraw(col("a"), "br") < lit(thr), col("a"))
+        .otherwise(col("b"))
       val boot = Profile.poissonBootstrap(
-        pairs, concat_ws("~", col("a"), col("b")), col("hit"),
-        b = 64, salt = "brci")
+        pairs, cluster, col("hit"), b = 64, salt = "brci")
       // exact 95% CI: order statistics 2 and 63 of the 64 resample
       // means (single-partition window over exactly 64 rows)
       val ci = boot

@@ -232,8 +232,9 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     // lists write and the atomic publish rename — a torn (partial)
     // staging dir under the very token the retry will recompute
     val m = graft.sources.Versioned.manifest(
-      b2.select(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")).as("__row")), Seq("__row")).head()
+      b2.select(col("vec_id").cast("string").as("__id"),
+        col("embedding").cast("string").as("__vec")),
+      Seq("__id", "__vec")).head()
     val token = s"b_${m.getLong(0)}_${java.lang.Long.toHexString(m.getLong(1))}"
     b2.limit(7)
       .select(col("vec_id").as("neighbor_id"),
@@ -285,6 +286,19 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
       .filter(_.isDirectory).map(_.getName).toSeq
     assert(appendBatches.size == 2,
       s"re-embedded batch was dropped as a duplicate: $appendBatches")
+    // a null vector fails LOUDLY at token time (concat-style hashing
+    // would silently degrade the row to id-only and weaken the
+    // collision guarantee the token exists for)
+    val withNull = b.withColumn("embedding",
+      when(col("vec_id") === 0, lit(null)).otherwise(col("embedding")))
+    val err = intercept[Exception] {
+      Similarity.ivfAppend(withNull, app, "vec_id", "embedding")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("ivfAppend: null")),
+      s"expected the null-vector refusal, got: $err")
   }
 
   test("lshTopK recall vs brute force on clustered real embeddings") {
