@@ -373,6 +373,61 @@ object EventStream {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** [[componentSink]]'s BATCH-BOUNDED successor: folds each edge
+    * micro-batch into a persisted [[graft.ops.GraphStore]] instead of
+    * rewriting a full (node, component) snapshot per batch.
+    * [[componentSink]]'s per-batch WORK is batch-bounded (the quotient
+    * CC), but its per-batch WRITE is the whole state — at 100 TB of
+    * accumulated nodes that is a full-corpus rewrite per micro-batch.
+    * Here the per-batch write is the rebase side table (dim-sized) +
+    * only the buckets gaining new nodes; the accumulated labeling is
+    * never scanned or rewritten (the round-13 inc100_cc rehearsal row:
+    * 1.01× at state ×10→×100).
+    *
+    * Exactly-once: the same atomic batch-id pointer as the other
+    * sinks, but the STATE commit is the store's own discipline —
+    * rebase publish before append, both idempotent under replay
+    * (GraphStoreSpec) — so a crash ANYWHERE between state mutation and
+    * pointer commit is healed by re-delivering the batch: already-
+    * applied merges resolve to identity quotient edges and
+    * already-appended nodes are found, not duplicated. Read the folded
+    * labeling with [[graft.ops.GraphStore.read]]`(spark, s"$$dir/store")`.
+    */
+  def componentStoreSink(dir: String, maxIters: Int = 30)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = recoverPointer(fs, dir)
+    if (committed.exists(_ >= batchId)) return // replayed, already folded
+    committed match {
+      case Some(_) =>
+        graft.ops.GraphStore.applyBatch(
+          spark, s"$dir/store", batch, maxIters): Unit
+      case None =>
+        graft.ops.GraphStore.init(
+          graft.ops.Graph.connectedComponents(batch, maxIters = maxIters),
+          s"$dir/store")
+    }
+    val pointer = new Path(dir, PointerFileName)
+    val tmp = new Path(dir, s"._current_$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.writeLong(batchId) finally out.close()
+    if (fs.exists(pointer) && !fs.delete(pointer, false))
+      throw new java.io.IOException(
+        s"componentStoreSink: failed to clear previous pointer $pointer")
+    if (!fs.rename(tmp, pointer)) {
+      val healed = fs.exists(pointer) && {
+        val in = fs.open(pointer)
+        try in.readLong() == batchId finally in.close()
+      }
+      if (!healed)
+        throw new java.io.IOException(
+          s"componentStoreSink: rename $tmp -> $pointer failed; re-deliver")
+    }
+  }
+
   /** Streaming CUSUM ([[graft.ops.TimeSeries.cusum]] folded across
     * micro-batches): the per-key Page statistic carries ONE long of
     * state (S at the key's last seen row), and each batch resumes the

@@ -844,4 +844,51 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
       assert(after == snap, "replayed batch must not refold")
     } finally query.stop()
   }
+
+  test("componentStoreSink folds the same stream into a GraphStore: " +
+      "labeling equals the full CC, merges never rewrite member rows, " +
+      "replay and crash-window re-delivery are no-ops") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cc_storesink").toString
+    val input = MemoryStream[(Long, Long)](spark)
+    val query = input.toDF().toDF("a", "b").writeStream
+      .foreachBatch(EventStream.componentStoreSink(out) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, 2L), (10L, 11L)); query.processAllAvailable()
+      input.addData((2L, 10L), (20L, 21L)); query.processAllAvailable()
+      input.addData((10L, 11L)); query.processAllAvailable()
+      val got = graft.ops.GraphStore.read(spark, s"$out/store")
+        .as[(Long, Long)].collect().toMap
+      val full = graft.ops.Graph.connectedComponents(
+          Seq((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L))
+            .toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == full, "store fold diverged from the full CC")
+      // the batch-1 merge of {10,11} into component 1 rode the rebase
+      // table — the stored raw rows still carry the old label
+      val raw = spark.read.parquet(s"$out/store/labels")
+        .select(col("node"), col("component"))
+        .as[(Long, Long)].collect().toMap
+      assert(raw(10L) == 10L && raw(11L) == 10L,
+        "streamed merge rewrote pass-through member rows")
+      // pointer-gated replay with a different payload must not refold
+      EventStream.componentStoreSink(out)(
+        Seq((99L, 100L)).toDF("a", "b"), batchId = 1L)
+      assert(graft.ops.GraphStore.read(spark, s"$out/store")
+        .as[(Long, Long)].collect().toMap == got)
+      // crash window: state mutated but pointer never committed —
+      // re-delivering the SAME batch against already-applied state
+      // converges (idempotent applyBatch) and then commits
+      graft.ops.GraphStore.applyBatch(spark, s"$out/store",
+        Seq((21L, 1L)).toDF("a", "b")) // the "crashed" attempt's work
+      EventStream.componentStoreSink(out)(
+        Seq((21L, 1L)).toDF("a", "b"), batchId = 3L)
+      val healed = graft.ops.GraphStore.read(spark, s"$out/store")
+        .as[(Long, Long)].collect().toMap
+      assert(healed == full.keySet.map(_ -> 1L).toMap,
+        s"all prior nodes should land in component 1: $healed")
+    } finally query.stop()
+  }
 }
