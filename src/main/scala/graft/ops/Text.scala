@@ -86,6 +86,36 @@ object Text {
       blocklist: Seq[String]): DataFrame =
     df.filter(size(blocklistHits(text, blocklist)) === 0)
 
+  /** PHRASE-level blocklist hits — real C4-practice blocklists carry
+    * multi-word entries ("how to …") that word-set intersection
+    * cannot see. Each phrase matches on word boundaries against the
+    * space-padded normalized text via ONE higher-order `filter` over
+    * the same in-plan array literal as [[blocklistHits]]: still one
+    * corpus scan, no join, no UDF, codegen'd. Per-row cost is
+    * O(|blocklist| × |text|) substring scans — fine for the O(100s–
+    * few-1000s) entries production blocklists carry; a corpus-scale
+    * DICTIONARY of phrases (100k+) wants the broadcast-join shingle
+    * path instead ([[graft.ops.Ranking]]'s phrase postings), not this
+    * literal. Phrases are normalized JVM-side with the same rules as
+    * [[normalize]], so callers can pass raw entries. */
+  def phraseBlocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty,
+      "phraseBlocklistHits needs a non-empty blocklist")
+    val normed = blocklist.map(_.toLowerCase
+      .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty).distinct
+    require(normed.nonEmpty,
+      "phraseBlocklistHits: blocklist is empty after normalization")
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    sort_array(filter(array(normed.map(lit): _*),
+      p => padded.contains(concat(lit(" "), p, lit(" ")))))
+  }
+
+  /** Drop every doc whose text hits a phrase of the blocklist. */
+  def phraseBlocklistFilter(df: DataFrame, text: Column,
+      blocklist: Seq[String]): DataFrame =
+    df.filter(size(phraseBlocklistHits(text, blocklist)) === 0)
+
   /** BPE-ish regex tokenization: alphanumeric runs, or single
     * non-space symbols (GPT-2-style pretokenizer shape, public
     * pattern family). One codegen'd `regexp_extract_all` — the

@@ -173,6 +173,48 @@ object StreamQueries {
          |SELECT v AS node, min(m) AS component FROM cc
          |GROUP BY 1""".stripMargin) { (s, d) =>
       EventStream.readSnapshot(s, componentsDir(s, d))
+    },
+
+    // ---- the STORE-backed streaming clustering sink: the same three
+    //      micro-batches folded through componentStoreSink into a
+    //      GraphStore (per-batch writes = the dim-sized rebase table +
+    //      new-node buckets, never the accumulated snapshot); the
+    //      resolved read view must equal the SAME full-CC oracle ----
+    sql(
+      "q_stream_components_store",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |   AND l1.l_partkey < l2.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |nodes AS (SELECT DISTINCT a AS v FROM sym),
+         |cc AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT s.b AS v, cc.m FROM sym s JOIN cc ON s.a = cc.v)
+         |SELECT v AS node, min(m) AS component FROM cc
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.GraphStore.read(s, s"${componentsStoreDir(s, d)}/store")
+    })
+
+  /** Build-once cache for the store-backed streaming-components face:
+    * the same three micro-batches folded through
+    * [[EventStream.componentStoreSink]]. */
+  private val componentsStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def componentsStoreDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    componentsStoreCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_cc_store")}/${math.abs(d.hashCode)}"
+      val edges = graft.queries.GraphQueries.edges(s, d, 3).localCheckpoint()
+      (0 until 3).foreach { b =>
+        EventStream.componentStoreSink(dir)(
+          edges.filter((col("a") + col("b")) % 3 === b), b.toLong)
+      }
+      dir
     })
 
   /** Build-once cache for the streaming-CUSUM face: replay the events

@@ -454,14 +454,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "argmax lost its map-side partial combine")
   }
 
-  test("blocklist gate is ONE codegen'd corpus scan: the blocklist " +
-      "is an in-plan array literal, no join, no exchange") {
-    val p = plan("q_blocklist")
-    assert(count(p, "documents.parquet") == 1,
-      s"expected exactly one corpus scan:\n${p.take(1200)}")
-    assert(count(p, "Join") == 0,
-      s"the broadcast-literal blocklist grew a join:\n${p.take(1200)}")
-    assert(count(p, "Exchange") == 0,
-      s"a map-side filter should not shuffle:\n${p.take(1200)}")
+  test("blocklist gates are ONE codegen'd corpus scan each: the " +
+      "blocklist is an in-plan array literal, no join, no exchange") {
+    Seq("q_blocklist", "q_blocklist_phrases").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "documents.parquet") == 1,
+        s"$q: expected exactly one corpus scan:\n${p.take(1200)}")
+      assert(count(p, "Join") == 0,
+        s"$q: the broadcast-literal blocklist grew a join:\n${p.take(1200)}")
+      assert(count(p, "Exchange") == 0,
+        s"$q: a map-side filter should not shuffle:\n${p.take(1200)}")
+    }
   }
 }

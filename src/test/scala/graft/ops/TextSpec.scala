@@ -329,4 +329,26 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("phraseBlocklistHits: multi-word boundary matching, raw " +
+      "entries normalized, no substring false positives") {
+    val docs = Seq(
+      (1L, "run a big query today"),      // hit
+      (2L, "big queryx is not a phrase"), // boundary: no hit
+      (3L, "BIG, Query! punctuation"),    // normalization: hit
+      (4L, "the biggest query around"),   // substring: no hit
+      (5L, "slow scan and a big query"))  // two hits, sorted
+    .toDF("doc_id", "text")
+    val bl = Seq("Big Query!", "slow   scan") // raw entries normalize
+    val hits = docs.select(col("doc_id"),
+        Text.phraseBlocklistHits(col("text"), bl).as("h"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(hits(1L) == Seq("big query"))
+    assert(hits(2L).isEmpty)
+    assert(hits(3L) == Seq("big query"))
+    assert(hits(4L).isEmpty)
+    assert(hits(5L) == Seq("big query", "slow scan"))
+    assert(Text.phraseBlocklistFilter(docs, col("text"), bl)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+  }
 }
