@@ -60,6 +60,11 @@ object GraphStore {
 
   final case class Applied(merges: Long, newNodes: Long, buckets: Int)
 
+  /** Above this many touched buckets a literal IN pruning filter costs
+    * the planner more than it saves — fall back to full scans (the
+    * batch is corpus-scale by then anyway). */
+  private val PruneLiteralCap = 10000
+
   private def labelsDir(dir: String) = s"$dir/labels"
   private def rebaseRoot(dir: String) = s"$dir/rebase"
   private def metaRoot(dir: String) = s"$dir/meta"
@@ -77,7 +82,12 @@ object GraphStore {
     * sequential ids get narrow buckets; sparse 64-bit hash ids get
     * wide ones — rows-per-bucket lands near target either way
     * (assuming ids are roughly uniform over their span, which both
-    * regimes are). */
+    * regimes are; a heavily SKEWED id space — one dense pocket plus
+    * far outliers — overfills the pocket's bucket, and the skew-proof
+    * variant is approx-quantile boundary arrays instead of a fixed
+    * shift. The shift is kept here because uniform-or-hashed ids are
+    * what ingest pipelines mint, and a closed-form bucket fn needs no
+    * broadcast boundary table in every consumer). */
   def init(labels: DataFrame, dir: String,
       targetRowsPerBucket: Long = 1L << 18): Unit = {
     require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
@@ -123,8 +133,16 @@ object GraphStore {
       .localCheckpoint() // consumed by pts collect, lookup, quotient
     val pts = ep.select(bucketOf(col("node"), bits).as("__pt"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = spark.read.parquet(labelsDir(dir))
-      .filter(col("__pt").isin(pts: _*))
+    // a literal IN list prunes partitions driver-side; past ~10k
+    // literals the planner cost exceeds what pruning saves, and a
+    // batch touching that many buckets is reading a corpus-scale
+    // fraction anyway — fall back to the full scan (correctness
+    // unchanged; the batch-bounded guarantee is per-bucket cost ×
+    // touched buckets, which this batch has already forfeited)
+    def bucketPruned(df: DataFrame, ks: Seq[Long]): DataFrame =
+      if (ks.size <= PruneLiteralCap) df.filter(col("__pt").isin(ks: _*))
+      else df
+    val pruned = bucketPruned(spark.read.parquet(labelsDir(dir)), pts)
       .select(col("node"), col("component").as("__raw"))
     // resolved prior label (or own id for unseen endpoints), one hop
     // through the compressed rebase table
@@ -171,9 +189,10 @@ object GraphStore {
         .collect().map(_.getLong(0)).toSeq
       // sever lineage from labelsDir before overwriting it (Spark
       // refuses to overwrite a path the plan also reads); the pinned
-      // rows are bucket-pruned, i.e. batch-bounded
-      val keep = spark.read.parquet(labelsDir(dir))
-        .filter(col("__pt").isin(writePts: _*))
+      // rows are bucket-pruned, i.e. batch-bounded (past the literal
+      // cap the fallback re-reads and rewrites every bucket — correct,
+      // at the full-rewrite cost such a corpus-scale batch implies)
+      val keep = bucketPruned(spark.read.parquet(labelsDir(dir)), writePts)
         .select(col("node"), col("component"), col("__pt"))
         .unionByName(newNodes)
         .localCheckpoint()
@@ -192,6 +211,25 @@ object GraphStore {
       .join(broadcast(rebase), col("component") === col("__from"), "left")
       .select(col("node"),
         coalesce(col("__to"), col("component")).as("component"))
+  }
+
+  /** Rows in the current rebase side table — the store's compaction
+    * pressure gauge (grows with merge EVENTS since the last
+    * [[compact]], bounded per batch by the batch's component count). */
+  def rebaseSize(spark: SparkSession, dir: String): Long =
+    graft.sources.Versioned.readCurrent(spark, rebaseRoot(dir)).count()
+
+  /** The amortization policy in one call: [[compact]] iff the rebase
+    * table has outgrown `maxRebaseRows` (default 1M rows ≈ 16 MB —
+    * far below any broadcast-join threshold concern, reached only
+    * after ~that many component-merge events). Run it after
+    * [[applyBatch]] on whatever cadence the pipeline already has; the
+    * full-rewrite cost stays amortized across the batches that grew
+    * the table. Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxRebaseRows: Long = 1000000L): Boolean = {
+    val n = rebaseSize(spark, dir)
+    if (n > maxRebaseRows) { compact(spark, dir); true } else false
   }
 
   /** Fold the rebase table back into the stored rows (full rewrite —

@@ -70,6 +70,14 @@ class GraphStoreSpec extends AnyFunSuite with WithSpark {
     GraphStore.applyBatch(spark, dir, Seq((5001L, 1L)).toDF("a", "b"))
     assert(readMap(dir) ==
       expect.map { case (k, _) => k -> 1L })
+    // the amortization hook: the fold above re-grew the rebase table
+    // (5000-class merged under 1), so a zero threshold compacts and a
+    // generous one does not
+    assert(GraphStore.rebaseSize(spark, dir) > 0)
+    assert(!GraphStore.maybeCompact(spark, dir, maxRebaseRows = 100))
+    assert(GraphStore.maybeCompact(spark, dir, maxRebaseRows = 0))
+    assert(GraphStore.rebaseSize(spark, dir) == 0)
+    assert(readMap(dir) == expect.map { case (k, _) => k -> 1L })
   }
 
   test("chained merges across batches stay one-hop resolved " +
