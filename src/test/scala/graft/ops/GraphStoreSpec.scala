@@ -105,6 +105,16 @@ class GraphStoreSpec extends AnyFunSuite with WithSpark {
     assert(readMap(dir).values.toSet == Set(5L))
   }
 
+  test("an EMPTY batch is a no-op: no merges, no appends, state intact") {
+    val dir = graft.core.Scratch.dir("graphstore_empty")
+    GraphStore.init(
+      Graph.connectedComponents(Seq((1L, 2L)).toDF("a", "b")), dir)
+    val a = GraphStore.applyBatch(spark, dir,
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(a == GraphStore.Applied(0, 0, 0))
+    assert(readMap(dir) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("re-delivered batch converges (crash between rebase publish " +
       "and append replays to the same state)") {
     val dir = graft.core.Scratch.dir("graphstore_replay")
