@@ -454,6 +454,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "argmax lost its map-side partial combine")
   }
 
+  test("GraphStore read view: labels scan + BROADCAST rebase join — " +
+      "no shuffle, no sort-merge (the export path must not repartition " +
+      "corpus-scale state to resolve a dim-sized merge table)") {
+    Seq("q_cc_store", "q_stream_components_store").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "BroadcastHashJoin") >= 1,
+        s"$q: rebase resolve lost its broadcast:\n${p.take(1200)}")
+      assert(count(p, "SortMergeJoin") == 0,
+        s"$q: read view fell to a sort-merge join:\n${p.take(1200)}")
+      assert(count(p, "Exchange hashpartitioning") == 0,
+        s"$q: read view shuffles the state:\n${p.take(1200)}")
+    }
+  }
+
   test("blocklist gates are ONE codegen'd corpus scan each: the " +
       "blocklist is an in-plan array literal, no join, no exchange") {
     Seq("q_blocklist", "q_blocklist_phrases").foreach { q =>
