@@ -665,6 +665,45 @@ object Indexes {
     rebuilt.count()
   }
 
+  /** STORED donor/file-index snapshots — the O(changed) persistence
+    * for [[refreshDonorIndex]]/[[refreshFileIndex]]'s contracts.
+    * Unlike the study index there is NO global summary universe
+    * (donor/file documents are self-contained), so the store is just
+    * study-partitioned docs + a dynamic overwrite of the changed
+    * studies: pass-through documents are never read or written, and
+    * the read view is the stored rows verbatim. */
+  def writeDocIndexStore(index: DataFrame, dir: String): Unit =
+    index.withColumn("__study_pt", col("study_id"))
+      .repartition(col("__study_pt"))
+      .write.mode("overwrite").partitionBy("__study_pt")
+      .parquet(s"$dir/docs")
+
+  /** Rebuild `changed` studies' documents with `build` and swap ONLY
+    * their partitions. Returns the rebuilt-document count. */
+  def refreshDocIndexStore(dir: String,
+      build: ClinicalInputs => DataFrame,
+      in: ClinicalInputs, changed: Seq[String]): Long = {
+    require(changed.nonEmpty,
+      "refreshDocIndexStore needs at least one changed study")
+    val rebuilt = graft.core.LazyCheckpoint(build(filterStudies(in, changed)))
+    graft.sources.Sinks.overwritePartitions(
+      rebuilt.withColumn("__study_pt", col("study_id")),
+      s"$dir/docs", Seq("__study_pt"))
+    rebuilt.count()
+  }
+
+  /** The donor/file store's read view; `studies` non-empty
+    * partition-prunes to those studies. */
+  def readDocIndexStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      studies: Seq[String] = Seq.empty): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val pruned =
+      if (studies.isEmpty) docs
+      else docs.filter(col("__study_pt").isin(studies: _*))
+    pruned.drop("__study_pt")
+  }
+
   /** The store's read view: stored docs patched up to the current
     * universe — equals a full [[studyIndex]] rebuild. `studies`
     * non-empty restricts the read to those studies' partitions

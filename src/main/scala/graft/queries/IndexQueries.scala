@@ -421,6 +421,29 @@ object IndexQueries {
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       Canon.flattenNested(
         Indexes.refreshFileIndex(staleFilePrior(s), in, Seq("GS001"), meta))
+    },
+
+    // ---- STORED donor/file refreshes (the study store's siblings —
+    //      no universe patch, so the store is partition-swap only):
+    //      refresh GS001's partition, read view == full rebuild ----
+    sql("q_donor_refresh_stored", IndexOracles.donorIndexSql) { (s, _) =>
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val dir = staleDonorStore(s)
+      Indexes.refreshDocIndexStore(
+        dir, Indexes.donorIndex(_, meta), in, Seq("GS001"))
+      Canon.flattenNested(Indexes.readDocIndexStore(s, dir))
+    },
+
+    sql("q_file_refresh_stored", IndexOracles.fileIndexSql) { (s, _) =>
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val dir = staleFileStore(s)
+      Indexes.refreshDocIndexStore(
+        dir, Indexes.fileIndex(_, meta), in, Seq("GS001"))
+      Canon.flattenNested(Indexes.readDocIndexStore(s, dir))
     })
 
   /** File-product incremental refresh's stored prior — GS001 before
@@ -508,6 +531,36 @@ object IndexQueries {
       dir
     })
 
+  /** Donor/file-store siblings of [[stalePriorStore]]: the SAME stale
+    * scenarios as [[staleDonorPrior]]/[[staleFilePrior]], written
+    * through [[Indexes.writeDocIndexStore]]. */
+  private def staleDonorStore(
+      s: org.apache.spark.sql.SparkSession): String =
+    priorCache.computeIfAbsent("stale_donor_store", _ => {
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val stale = in.copy(phenotype = in.phenotype.filter(
+        col("study_id") =!= "GS001"))
+      val dir = graft.core.Scratch.dir("stale_donor_store")
+      Indexes.writeDocIndexStore(Indexes.donorIndex(stale, meta), dir)
+      dir
+    })
+
+  private def staleFileStore(
+      s: org.apache.spark.sql.SparkSession): String =
+    priorCache.computeIfAbsent("stale_file_store", _ => {
+      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val meta =
+        Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
+      val stale = in.copy(file = in.file.filter(
+        !(col("study_id") === "GS001" &&
+          col("submitter_donor_id") === "DO002")))
+      val dir = graft.core.Scratch.dir("stale_file_store")
+      Indexes.writeDocIndexStore(Indexes.fileIndex(stale, meta), dir)
+      dir
+    })
+
   /** Materialize the per-JVM stored-prior snapshots OUTSIDE any timed
     * region — they are scenario scaffolding (the refresh operators'
     * contract reads a prior build from disk), not refresh cost. Bench
@@ -517,6 +570,8 @@ object IndexQueries {
     stalePrior(s)
     staleDonorPrior(s)
     staleFilePrior(s)
-    stalePriorStore(s): Unit
+    stalePriorStore(s)
+    staleDonorStore(s)
+    staleFileStore(s): Unit
   }
 }

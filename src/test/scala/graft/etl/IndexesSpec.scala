@@ -357,4 +357,31 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
     assert(canon(Indexes.readStudyIndexStore(spark, dir)) ==
       canon(Indexes.studyIndex(inputs, stamps)))
   }
+
+  test("donor/file doc STORES: refresh swaps only changed partitions " +
+      "and the read view equals the full rebuild") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(to_json(struct(df.columns.sorted.map(col): _*)))
+      .as[String].collect().sorted.toSeq
+    val stale = inputs.copy(phenotype = inputs.phenotype.filter(
+      col("study_id") =!= "GS001"))
+    val dir = graft.core.Scratch.dir("donor_doc_store")
+    Indexes.writeDocIndexStore(Indexes.donorIndex(stale, stamps), dir)
+    def gs2Files: Map[String, Long] = {
+      val d = new java.io.File(s"$dir/docs/__study_pt=GS002")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = gs2Files
+    val n = Indexes.refreshDocIndexStore(
+      dir, Indexes.donorIndex(_, stamps), inputs, Seq("GS001"))
+    assert(n > 0)
+    assert(gs2Files == before, "refresh rewrote an unchanged partition")
+    assert(canon(Indexes.readDocIndexStore(spark, dir)) ==
+      canon(Indexes.donorIndex(inputs, stamps)))
+    // pruned read returns exactly the requested study's docs
+    assert(canon(Indexes.readDocIndexStore(spark, dir, Seq("GS001"))) ==
+      canon(Indexes.donorIndex(inputs, stamps)
+        .filter(col("study_id") === "GS001")))
+  }
 }
