@@ -47,6 +47,14 @@ import org.apache.spark.sql.functions._
   * [[applyBatch]] folds is IDENTICAL to one full
   * [[Graph.connectedComponents]] over the union of all edges (spec'd).
   *
+  * SINGLE-WRITER contract: batches must be applied serially (the
+  * streaming sink's micro-batch loop does this by construction; a
+  * workflow scheduler must too). Two concurrent [[applyBatch]] calls
+  * would each compose the rebase from the same prior version and the
+  * second publish would drop the first's merges — the classic
+  * read-modify-write race that optimistic-commit table formats solve
+  * with a conditional swap, which plain filesystems cannot express.
+  *
   * Crash / re-delivery discipline (callers tag batches, e.g.
   * [[graft.streaming.EventStream.componentStoreSink]]): the rebase
   * publish (atomic, [[graft.sources.Versioned]]) happens BEFORE the
