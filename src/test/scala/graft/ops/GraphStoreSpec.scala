@@ -131,6 +131,47 @@ class GraphStoreSpec extends AnyFunSuite with WithSpark {
     assert(readMap(dir) == once)
   }
 
+  test("operation-sequence fuzz: random batches interleaved with " +
+      "compacts, empty batches, and re-deliveries always equal one " +
+      "full CC over the union") {
+    val rnd = new scala.util.Random(223)
+    (1 to 3).foreach { trial =>
+      val n = 64
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val init = (1 to 12).map(_ =>
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      all ++= init
+      val dir = graft.core.Scratch.dir(s"graphstore_fuzz_$trial")
+      GraphStore.init(
+        Graph.connectedComponents(init.toDF("a", "b")), dir,
+        targetRowsPerBucket = 8)
+      var lastBatch: Seq[(Long, Long)] = init
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => GraphStore.compact(spark, dir)
+          case 1 => // empty batch
+            GraphStore.applyBatch(spark, dir,
+              Seq.empty[(Long, Long)].toDF("a", "b")): Unit
+          case 2 => // re-deliver the previous batch (crash replay)
+            GraphStore.applyBatch(spark, dir,
+              lastBatch.toDF("a", "b")): Unit
+          case _ =>
+            val b = (1 to 1 + rnd.nextInt(6)).map(_ =>
+                (rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
+              .filter(e => e._1 != e._2)
+            if (b.nonEmpty) {
+              all ++= b
+              lastBatch = b
+              GraphStore.applyBatch(spark, dir, b.toDF("a", "b")): Unit
+            }
+        }
+      }
+      assert(readMap(dir) == fullCC(all.toSeq),
+        s"trial $trial: fuzzed store != full rebuild")
+    }
+  }
+
   test("maintenance is bucket-pruned: a batch in one id region " +
       "reads and writes only that region's buckets") {
     val dir = graft.core.Scratch.dir("graphstore_pruned")
