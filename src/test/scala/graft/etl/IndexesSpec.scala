@@ -358,6 +358,33 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
       canon(Indexes.studyIndex(inputs, stamps)))
   }
 
+  test("study-index STORE sequences: successive refreshes of " +
+      "DIFFERENT studies carry the universe forward — each read view " +
+      "equals the full rebuild of the then-current inputs") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(to_json(struct(df.columns.sorted.map(col): _*)))
+      .as[String].collect().sorted.toSeq
+    val stale = inputs.copy(file = inputs.file.filter(
+      !(col("study_id") === "GS001" &&
+        col("submitter_donor_id") === "DO002")))
+    val dir = graft.core.Scratch.dir("study_index_store_seq")
+    Indexes.writeStudyIndexStore(Indexes.studyIndex(stale, stamps), dir)
+    // refresh 1: GS001's files land, INTRODUCING categories the
+    // stored GS002 doc has never seen (read-time patch covers it)
+    Indexes.refreshStudyIndexStore(spark, dir, inputs, Seq("GS001"), stamps)
+    assert(canon(Indexes.readStudyIndexStore(spark, dir)) ==
+      canon(Indexes.studyIndex(inputs, stamps)))
+    // refresh 2: GS002's study record changes (rename) — rebuilding
+    // ONLY GS002 must keep GS001's refreshed doc AND zero-fill the
+    // rebuilt GS002 against the full carried universe
+    val renamed = inputs.copy(study = inputs.study.withColumn("name",
+      when(col("study_id") === "GS002", lit("RENAMED"))
+        .otherwise(col("name"))))
+    Indexes.refreshStudyIndexStore(spark, dir, renamed, Seq("GS002"), stamps)
+    assert(canon(Indexes.readStudyIndexStore(spark, dir)) ==
+      canon(Indexes.studyIndex(renamed, stamps)))
+  }
+
   test("donor/file doc STORES: refresh swaps only changed partitions " +
       "and the read view equals the full rebuild") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
