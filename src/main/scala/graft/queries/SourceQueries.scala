@@ -386,6 +386,22 @@ object SourceQueries {
       graft.sources.AvroIo.read(s, out, src.schema)
     },
 
+    // ---- Avro logical-type round-trip (timestamp-micros on long):
+    //      the time-typed half of the interchange boundary, through
+    //      the same write→read-back cycle against the relational
+    //      oracle ----
+    sql(
+      "q_avro_timestamps",
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 = 0""".stripMargin) { (s, d) =>
+      val out = s"$sinkScratch/graft_sink_avro_ts"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.sources.AvroIo.write(src, out)
+      graft.sources.AvroIo.read(s, out, src.schema)
+    },
+
     // ---- CSV sink round-trip (interchange format for BI/spreadsheet
     //      consumers; header-ful, partition-owner writes) ----
     sql(

@@ -36,6 +36,14 @@ object AvroIo {
     case BooleanType => "boolean"
     case StringType => "string"
     case BinaryType => "bytes"
+    // Avro logical types, encoded exactly as the spec says consumers
+    // expect them: date = days since epoch on int, timestamp =
+    // microseconds since epoch on long
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case TimestampType =>
+      """{"type":"long","logicalType":"timestamp-micros"}"""
+    case TimestampNTZType =>
+      """{"type":"long","logicalType":"local-timestamp-micros"}"""
     case other =>
       throw new IllegalArgumentException(
         s"AvroIo: unsupported column type $other (flat interchange " +
@@ -46,7 +54,9 @@ object AvroIo {
     * nullable-union fields. */
   def avroSchemaJson(schema: StructType, name: String = "row"): String = {
     val fields = schema.fields.map { f =>
-      s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}"""
+      val t = avroType(f.dataType)
+      val tJson = if (t.startsWith("{")) t else s""""$t""""
+      s"""{"name":"${f.name}","type":["null",$tJson]}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","fields":[$fields]}"""
   }
@@ -83,6 +93,12 @@ object AvroIo {
             case null => null
             case s: String => new org.apache.avro.util.Utf8(s)
             case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+            case t: java.sql.Timestamp =>
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            case t: java.time.LocalDateTime =>
+              t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                t.getNano / 1000L
             case other => other
           }
           rec.put(i, v)
@@ -136,6 +152,20 @@ object AvroIo {
                   u.toString
                 case (b: java.nio.ByteBuffer, BinaryType) =>
                   val a = new Array[Byte](b.remaining()); b.get(a); a
+                case (v: java.lang.Integer, DateType) =>
+                  java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(v.longValue()))
+                case (v: java.lang.Long, TimestampType) =>
+                  val ts = new java.sql.Timestamp(
+                    Math.floorDiv(v.longValue(), 1000000L) * 1000L)
+                  ts.setNanos(
+                    (Math.floorMod(v.longValue(), 1000000L) * 1000L).toInt)
+                  ts
+                case (v: java.lang.Long, TimestampNTZType) =>
+                  java.time.LocalDateTime.ofEpochSecond(
+                    Math.floorDiv(v.longValue(), 1000000L),
+                    (Math.floorMod(v.longValue(), 1000000L) * 1000L).toInt,
+                    java.time.ZoneOffset.UTC)
                 case (v, _) => v
               }
               i += 1

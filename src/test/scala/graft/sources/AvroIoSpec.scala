@@ -40,6 +40,32 @@ class AvroIoSpec extends AnyFunSuite with WithSpark {
     assert(parts == 6)
   }
 
+  test("date/timestamp round-trip as Avro logical types " +
+      "(date on int days, timestamp-micros on long)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType),
+      StructField("t", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2026-03-01"), ts),
+      Row(2L, null, null),
+      Row(3L, java.sql.Date.valueOf("1969-12-31"), // pre-epoch
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = graft.core.Scratch.dir("avro_ltypes")
+    AvroIo.write(df, dir)
+    val back = AvroIo.read(spark, dir, schema)
+    assert(back.schema == schema)
+    def canon(d: org.apache.spark.sql.DataFrame): Set[String] = d
+      .select(to_json(struct(d.columns.map(col): _*)))
+      .as[String].collect().toSet
+    assert(canon(back) == canon(df))
+    // the embedded writer schema carries the logical-type annotations
+    assert(AvroIo.avroSchemaJson(schema).contains("timestamp-micros") &&
+      AvroIo.avroSchemaJson(schema).contains("\"logicalType\":\"date\""))
+  }
+
   test("schema json maps the interchange subset and rejects nested " +
       "columns loudly") {
     val j = AvroIo.avroSchemaJson(StructType(Seq(
