@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * The Avro schema travels as its canonical JSON string and is parsed
   * inside each task (cheap, and sidesteps closure-serialization of
   * Schema objects).
+  *
+  * Commit discipline: [[write]] is delete-then-write with NO staging
+  * commit of its own (unlike the Spark-committer sinks) — a crash
+  * mid-write leaves a partial directory. Publish through
+  * [[Versioned.publish]]-style promotion (write to a fresh dir, flip
+  * a pointer) when consumers must never observe a torn output.
   */
 object AvroIo {
 
