@@ -85,6 +85,40 @@ object GraphStore {
   private def bucketOf(node: Column, bits: Int): Column =
     shiftright(node, bits)
 
+  /** The store's bucket function, read from `dir/meta`: either the
+    * fixed-width shift (uniform/hashed id spaces) or quantile
+    * BOUNDARY ranks (skew-proof — see [[init]]'s `quantileBuckets`). */
+  private final case class Bucketing(bits: Int, bounds: Option[Array[Long]]) {
+    def of(node: Column): Column = bounds match {
+      case None => bucketOf(node, bits)
+      case Some(b) => boundaryRank(node, b)
+    }
+  }
+
+  /** rank(node) = #boundaries ≤ node, as a BRANCHLESS power-of-two
+    * binary-search Column over the MaxValue-padded sorted boundary
+    * literal — ⌈log₂ B⌉+1 chained conditionals, fully codegen'd, no
+    * UDF and no broadcast table: the boundaries ride the plan the way
+    * the blocklist literal does. Buckets are therefore equal-COUNT
+    * (not equal-width), immune to id-space skew. */
+  private def boundaryRank(node: Column, bounds: Array[Long]): Column = {
+    val b = bounds.length
+    if (b == 0) return lit(0L)
+    var size = Integer.highestOneBit(b)
+    if (size < b) size <<= 1
+    val arr = lit(bounds ++ Array.fill(size - b)(Long.MaxValue))
+    var pos: Column = lit(0)
+    var step = size
+    while (step >= 1) {
+      val cand = pos + lit(step)
+      pos = when(cand <= lit(size) &&
+          element_at(arr, cand.cast("int")) <= node, cand)
+        .otherwise(pos)
+      step >>= 1
+    }
+    least(pos.cast("long"), lit(b.toLong))
+  }
+
   /** Size `bits` so a bucket holds ~`targetRowsPerBucket` rows at the
     * OBSERVED id density: width = target / (n / span). Dense
     * sequential ids get narrow buckets; sparse 64-bit hash ids get
@@ -97,29 +131,54 @@ object GraphStore {
     * what ingest pipelines mint, and a closed-form bucket fn needs no
     * broadcast boundary table in every consumer). */
   def init(labels: DataFrame, dir: String,
-      targetRowsPerBucket: Long = 1L << 18): Unit = {
+      targetRowsPerBucket: Long = 1L << 18,
+      quantileBuckets: Boolean = false): Unit = {
     require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
     val spark = labels.sparkSession
     val st = labels.agg(count(lit(1)), min(col("node")), max(col("node")))
       .head()
     val n = st.getLong(0)
     require(n > 0, "GraphStore.init needs a non-empty labeling")
-    val span = math.max(1.0, st.getLong(2).toDouble - st.getLong(1).toDouble)
-    val width = targetRowsPerBucket.toDouble * span / n.toDouble
-    val bits = math.min(62, math.max(0,
-      math.round(math.log(math.max(1.0, width)) / math.log(2.0)).toInt))
+    val bk =
+      if (!quantileBuckets) {
+        val span =
+          math.max(1.0, st.getLong(2).toDouble - st.getLong(1).toDouble)
+        val width = targetRowsPerBucket.toDouble * span / n.toDouble
+        Bucketing(math.min(62, math.max(0,
+          math.round(math.log(math.max(1.0, width)) / math.log(2.0)).toInt)),
+          None)
+      } else {
+        // equal-count boundaries from the observed distribution: one
+        // approx-quantile pass at init, stored in meta — skew-proof
+        val nb = math.max(1L, (n + targetRowsPerBucket - 1)
+          / targetRowsPerBucket).toInt
+        val probs = (1 until nb).map(_.toDouble / nb).toArray
+        val bounds =
+          if (probs.isEmpty) Array.empty[Long]
+          else labels.stat
+            .approxQuantile("node", probs, 1e-4)
+            .map(_.toLong).distinct.sorted
+        Bucketing(0, Some(bounds))
+      }
     labels.select(col("node"), col("component"))
-      .withColumn("__pt", bucketOf(col("node"), bits))
+      .withColumn("__pt", bk.of(col("node")))
       .repartition(col("__pt"))
       .write.mode("overwrite").partitionBy("__pt").parquet(labelsDir(dir))
     graft.sources.Versioned.publish(
-      spark.range(1).select(lit(bits).as("bits")), metaRoot(dir))
+      spark.range(1).select(lit(bk.bits).as("bits"),
+        bk.bounds.map(bs => lit(bs)).getOrElse(
+          lit(null).cast("array<bigint>")).as("bounds")),
+      metaRoot(dir))
     graft.sources.Versioned.publish(emptyRebase(spark), rebaseRoot(dir)): Unit
   }
 
-  private def bitsOf(spark: SparkSession, dir: String): Int =
-    graft.sources.Versioned.readCurrent(spark, metaRoot(dir))
-      .head().getInt(0)
+  private def bucketingOf(spark: SparkSession, dir: String): Bucketing = {
+    val r = graft.sources.Versioned.readCurrent(spark, metaRoot(dir)).head()
+    val bounds =
+      if (r.length < 2 || r.isNullAt(1)) None
+      else Some(r.getSeq[Long](1).toArray)
+    Bucketing(r.getInt(0), bounds)
+  }
 
   /** Fold one batch of new edges (`a`, `b`) into the store.
     *
@@ -132,14 +191,14 @@ object GraphStore {
     */
   def applyBatch(spark: SparkSession, dir: String, newEdges: DataFrame,
       maxIters: Int = 30): Applied = {
-    val bits = bitsOf(spark, dir)
+    val bk = bucketingOf(spark, dir)
     val rebase = graft.sources.Versioned.readCurrent(spark, rebaseRoot(dir))
       .localCheckpoint() // two consumers: endpoint resolve + compose
     val ep = newEdges.select(col("a").as("node"))
       .unionByName(newEdges.select(col("b").as("node")))
       .distinct()
       .localCheckpoint() // consumed by pts collect, lookup, quotient
-    val pts = ep.select(bucketOf(col("node"), bits).as("__pt"))
+    val pts = ep.select(bk.of(col("node")).as("__pt"))
       .distinct().collect().map(_.getLong(0)).toSeq
     // a literal IN list prunes partitions driver-side; past ~10k
     // literals the planner cost exceeds what pruning saves, and a
@@ -189,7 +248,7 @@ object GraphStore {
       .join(broadcast(merges), col("comp") === col("__from"), "left")
       .select(col("node"),
         coalesce(col("__to"), col("comp")).as("component"))
-      .withColumn("__pt", bucketOf(col("node"), bits))
+      .withColumn("__pt", bk.of(col("node")))
       .localCheckpoint() // consumed by pts collect + the overwrite union
     val nNew = newNodes.count()
     if (nNew > 0) {
@@ -245,9 +304,9 @@ object GraphStore {
     * publish an empty rebase. Equivalent to re-[[init]] from
     * [[read]] with the stored bucket width. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val bits = bitsOf(spark, dir)
+    val bk = bucketingOf(spark, dir)
     val resolved = read(spark, dir)
-      .withColumn("__pt", bucketOf(col("node"), bits))
+      .withColumn("__pt", bk.of(col("node")))
       .localCheckpoint() // sever lineage from the dir being overwritten
     resolved.repartition(col("__pt"))
       .write.mode("overwrite").partitionBy("__pt").parquet(labelsDir(dir))

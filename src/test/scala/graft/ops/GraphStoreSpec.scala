@@ -131,6 +131,34 @@ class GraphStoreSpec extends AnyFunSuite with WithSpark {
     assert(readMap(dir) == once)
   }
 
+  test("quantile bucketing: a skewed id space (dense pocket + far " +
+      "outliers) still gets equal-count buckets, and folds stay exact") {
+    // fixed-width shift would land ~every row in one bucket here:
+    // span ≈ 2^55 forces the widest shift, but 2048 of 2052 nodes
+    // live in [0, 2048)
+    val pocket = (0L until 2048L by 2L).map(i => (i, i + 1))
+    val outliers = Seq((1L << 40, (1L << 40) + 1L),
+      (1L << 55, (1L << 55) + 1L))
+    val prior = pocket ++ outliers
+    val dir = graft.core.Scratch.dir("graphstore_quant")
+    GraphStore.init(Graph.connectedComponents(prior.toDF("a", "b")),
+      dir, targetRowsPerBucket = 256, quantileBuckets = true)
+    val counts = spark.read.parquet(s"$dir/labels")
+      .groupBy("__pt").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts.size >= 6, s"expected many buckets, got $counts")
+    assert(counts.values.max <= 600,
+      s"skew defeated the equal-count buckets: $counts")
+    // a pocket-local batch + a brand-new far node folds exactly
+    val batch = Seq((0L, 2L), (0L, 999999999999L))
+    val applied = GraphStore.applyBatch(spark, dir, batch.toDF("a", "b"))
+    assert(applied.newNodes == 1)
+    assert(readMap(dir) == fullCC(prior ++ batch))
+    // compact under quantile meta preserves the labeling
+    GraphStore.compact(spark, dir)
+    assert(readMap(dir) == fullCC(prior ++ batch))
+  }
+
   test("operation-sequence fuzz: random batches interleaved with " +
       "compacts, empty batches, and re-deliveries always equal one " +
       "full CC over the union") {
@@ -145,7 +173,8 @@ class GraphStoreSpec extends AnyFunSuite with WithSpark {
       val dir = graft.core.Scratch.dir(s"graphstore_fuzz_$trial")
       GraphStore.init(
         Graph.connectedComponents(init.toDF("a", "b")), dir,
-        targetRowsPerBucket = 8)
+        targetRowsPerBucket = 8,
+        quantileBuckets = trial == 2) // one trial under quantile meta
       var lastBatch: Seq[(Long, Long)] = init
       (1 to 8).foreach { _ =>
         rnd.nextInt(4) match {
