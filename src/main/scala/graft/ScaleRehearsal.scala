@@ -214,6 +214,26 @@ object ScaleRehearsal {
       growth("snm_dedup") = s10 / s1
     }
 
+    // ---- q_winnow_neardup: winnowing prints + df-capped candidate
+    // join over token-salted replicas (disjoint print spaces — the
+    // per-replica pair structure is preserved, and the MOSS df cap is
+    // corpus-relative so hot boilerplate prints still drop). The md5
+    // gram pass is the linear bulk; the join is bounded by the cap.
+    // Min-of-2 per scale (the convention for new rows) ----
+    if (on("winnow_neardup")) {
+      def winnow(docs: DataFrame, label: String): Double =
+        (1 to 2).map { rep =>
+          timed(s"$label rep$rep") {
+            graft.ops.Text.winnowNearDupCandidates(
+              docs, "doc_id", col("text"),
+              k = 8, w = 4, maxDf = 10, minShared = 2).count()
+          }
+        }.min
+      val w1 = winnow(tdocs1, "winnow_neardup 1x")
+      val w10 = winnow(tdocs10, "winnow_neardup 10x")
+      growth("winnow_neardup") = w10 / w1
+    }
+
     // ---- q_dedup_keep_best: LSH banding + CC labels + per-cluster
     // argmax over token-salted replicas — band buckets stay
     // replica-local, expect ~linear ----

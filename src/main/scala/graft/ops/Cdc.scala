@@ -211,6 +211,19 @@ object Cdc {
     closed.unionByName(merged)
   }
 
+  /** Point-in-time (time-travel) read of an SCD2 history: the single
+    * version of each key live at `at` — valid_from <= at < valid_to,
+    * with open versions carrying null valid_to. [[scd2Merge]]
+    * guarantees version intervals per key are disjoint, so the read
+    * returns at most one row per key (spec'd). Pure map-side filter —
+    * at 100 TB, store the history partitioned on a valid_to bucket
+    * (open vs year-closed) so a current-state read partition-prunes
+    * the closed bulk.
+    */
+  def scd2AsOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /** Incremental maintenance of a grouped COUNT/SUM rollup — the
     * materialized-view refresh path: fold one arriving batch into the
     * persisted per-key state without re-scanning the corpus. count and

@@ -110,4 +110,92 @@ object LangModel {
         round(-(sum(col("__lnp")).cast("double")) / count(lit(1)), 9)
           .as("avg_nll"))
   }
+
+  // ---- interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman
+  //      1999 §3) — the KenLM-standard smoothing real CCNet-style
+  //      filters actually ship. Add-k overrates tokens that are
+  //      frequent but occur after only one context ("Francisco"):
+  //      KN's backoff weighs a token by HOW MANY DISTINCT CONTEXTS it
+  //      follows (continuation count), not how often it occurs.
+
+  /** A trained KN bigram LM. `bigrams` (a, b, n_ab); `contexts`
+    * (a, n_a = Σ_b n_ab, d_a = N1+(a·) distinct successors — `counts`
+    * is distinct by (a,b), so d_a is a plain row count, no
+    * countDistinct); `continuation` (b, cont_b = N1+(·b) distinct
+    * predecessors); `totals` — ONE row (T = bigram types, V = token
+    * vocabulary). All four fold the same single count shuffle.
+    */
+  final case class KnBigramLm(
+      bigrams: DataFrame, contexts: DataFrame,
+      continuation: DataFrame, totals: DataFrame)
+
+  /** Train the KN tables: one pair projection + one count shuffle;
+    * margins, continuation counts, and totals fold the checkpointed
+    * count frame (four consumers — Catalyst would otherwise re-scan
+    * the corpus per consumer).
+    */
+  def trainKn(corpus: DataFrame, id: String, tokens: Column): KnBigramLm = {
+    val counts = graft.core.LazyCheckpoint(
+      bigrams(corpus, id, tokens)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+    val contexts = counts.groupBy(col("a"))
+      .agg(sum(col("n_ab")).cast("long").as("n_a"),
+        count(lit(1)).as("d_a"))
+    val continuation =
+      counts.groupBy(col("b")).agg(count(lit(1)).as("cont_b"))
+    // T and V in ONE job over the exploded token stream: each count
+    // row contributes exactly two tokens, so T = rows/2.
+    val totals = counts
+      .select(explode(array(col("a"), col("b"))).as("t"))
+      .agg((count(lit(1)) / lit(2)).cast("long").as("T"),
+        countDistinct(col("t")).as("V"))
+    KnBigramLm(counts, contexts, continuation, totals)
+  }
+
+  /** Per-document mean NLL under interpolated Kneser-Ney:
+    *
+    *   Pc(b)    = (N1+(·b) + k) / (T + k·V)        [continuation,
+    *              add-k interpolated so unseen tokens stay positive]
+    *   P(b | a) = (max(n_ab − d, 0) + d·N1+(a·)·Pc(b)) / n_a   [a seen]
+    *            = Pc(b)                                 [a unseen]
+    *
+    * with absolute discount d (0.75, the Chen-Goodman default — and
+    * binary-exact, like k = 0.5, so literals convert identically in
+    * both engines). The seen-context form is the textbook
+    * max(c−d,0)/n_a + λ(a)·Pc(b) with λ(a) = d·N1+(a·)/n_a written as
+    * one fraction so both engines share ONE association order. The
+    * add-k continuation is a deliberate, documented deviation from
+    * textbook KN (whose Pc(b) = N1+(·b)/T is zero on unseen tokens —
+    * unusable as a scorer); it shrinks Pc toward uniform by k mass.
+    *
+    * Determinism: per-bigram ln on the 9-decimal grid → exact decimal
+    * sum → one IEEE division, the [[scoreNll]] contract. Scale shape:
+    * three vocabulary-sized LEFT joins (AQE broadcasts when pruned
+    * tables fit) + one ONE-row totals carrier; the corpus is scanned
+    * once.
+    */
+  def scoreKn(
+      docs: DataFrame, id: String, tokens: Column,
+      lm: KnBigramLm, d: Double = 0.75, k: Double = 0.5): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1): $d")
+    require(k > 0, s"continuation smoothing k must be positive: $k")
+    val stream = bigrams(docs, id, tokens)
+    val pc = (coalesce(col("cont_b"), lit(0L)) + lit(k)) /
+      (col("T") + lit(k) * col("V"))
+    val p = when(col("n_a").isNotNull,
+        (greatest(coalesce(col("n_ab"), lit(0L)) - lit(d), lit(0.0)) +
+          lit(d) * col("d_a") * pc) / col("n_a"))
+      .otherwise(pc)
+    val lnp = round(log(p), 9).cast("decimal(28,9)")
+    stream
+      .join(lm.bigrams, Seq("a", "b"), "left")
+      .join(lm.contexts, Seq("a"), "left")
+      .join(lm.continuation, Seq("b"), "left")
+      .crossJoin(broadcast(lm.totals)) // one-row (T, V) carrier
+      .select(col(id), lnp.as("__lnp"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("__lnp")).cast("double")) / count(lit(1)), 9)
+          .as("avg_nll"))
+  }
 }

@@ -445,6 +445,59 @@ object Text {
       .select(col("__id").as(id), col("clean"), col("n_removed"))
   }
 
+  /** CCNet-style corpus-wide paragraph deduplication (Wenzek et al.
+    * 2020, arXiv:1911.00359 §3.2): every paragraph is hashed after
+    * normalization and only the FIRST occurrence corpus-wide survives
+    * — later copies (across documents AND repeats inside one
+    * document) are removed. "First" is deterministic: minimum
+    * (id, position) in column order, so the op is layout- and
+    * partitioning-independent. This differs from [[boilerplateLines]]
+    * on both sides: that op removes EVERY copy of a line once it
+    * recurs in ≥ k docs of a group; this one always keeps exactly one
+    * copy, globally.
+    *
+    * Paragraphs whose NORMALIZED form is empty (blank lines,
+    * punctuation-only) are exempt — deduping them would collapse
+    * every blank separator in the corpus onto one document.
+    *
+    * Output: (id, clean, n_removed) like [[boilerplateLines]].
+    *
+    * Scale shape: one posexplode pass; the first-occurrence table is
+    * ONE grouped `min(struct(id, pos))` keyed by the normalized
+    * paragraph — map-side partials collapse exactly the heavy
+    * duplicated paragraphs before the wire (the same argument as
+    * [[boilerplateLines]]); one equi-join back on that key; one
+    * collect_list reassembly at doc grain. At 100 TB swap the
+    * group/join key to xxhash64 of the normalized paragraph so the
+    * shuffle carries 8 bytes instead of the paragraph text (kept as
+    * the string here for the byte-exact DuckDB replay). No driver
+    * state.
+    */
+  def dedupParagraphs(
+      docs: DataFrame, id: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(id).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__p")))
+      .withColumn("__np", normalize(col("__p")))
+    val first = paras.filter(length(col("__np")) > 0)
+      .groupBy("__np")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    paras.join(first, Seq("__np"), "left")
+      .withColumn("__keep",
+        col("__first").isNull ||
+          (col("__first.__id") === col("__id") &&
+            col("__first.__pos") === col("__pos")))
+      .groupBy("__id")
+      .agg(
+        array_join(transform(
+          filter(sort_array(collect_list(struct(col("__pos"), col("__p"),
+            col("__keep")))), x => x.getField("__keep")),
+          x => x.getField("__p")), sep).as("clean"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+      .select(col("__id").as(id), col("clean"), col("n_removed"))
+  }
+
   // ---- repetition features (Gopher-style duplicate-fraction rules) ----
 
   /** Fraction of word tokens that are repeats of an earlier token:
@@ -568,6 +621,93 @@ object Text {
   /** Content fingerprint of the normalized text (md5 — stable across
     * engines, used as the exact-dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    * SIGMOD'03 — the MOSS plagiarism-detector sketch): hash every
+    * character k-gram of the normalized text, then keep the MINIMUM
+    * hash of each sliding window of w consecutive gram hashes.
+    * Guarantee (the paper's point, and what the spec pins): any
+    * shared substring of >= w + k − 1 characters contributes at least
+    * one SHARED selected fingerprint — a detection floor uniform
+    * sampling cannot give — while the expected density of selected
+    * prints is only 2/(w+1) of all grams, so the sketch is a bounded
+    * fraction of the document. Gram hashes are md5-prefix bigints
+    * (the engine's cross-engine draw device), so the whole selection
+    * replays byte-for-byte in a DuckDB oracle. Entirely map-side
+    * array HOFs — no shuffle, no UDF; near-dup CANDIDATES then come
+    * from an equi-join on the selected prints, never all-pairs.
+    * Shorter-than-k docs select nothing; docs with fewer than w grams
+    * select the single global minimum (the guarantee degenerates to
+    * exact containment at that length). Returns the sorted distinct
+    * fingerprint set.
+    */
+  def winnowFingerprints(
+      df: DataFrame, id: String, text: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2: $k")
+    require(w >= 1, s"window must be >= 1: $w")
+    // STAGED projections on purpose: each HOF lambda must reference a
+    // materialized ATTRIBUTE, never an expression tree — an outer
+    // expression inside a lambda body is re-evaluated PER ELEMENT
+    // (measured: normalize-inside-charShingles made this op O(len^2)
+    // regex work per document). CollapseProject leaves multi-use
+    // non-cheap attributes alone, so the stages stay one-pass. Grams
+    // come from ONE regexp_extract_all with a lookahead capture (the
+    // [[shingles]] device) — overlapping matches, normalize evaluated
+    // once.
+    val h = df
+      .select(col(id), normalize(text).as("__nt"))
+      .select(col(id),
+        regexp_extract_all(col("__nt"), lit(s"(?=(.{$k}))"), lit(1))
+          .as("__g"))
+      .select(col(id),
+        transform(col("__g"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+          .as("__h"))
+    h.select(col(id),
+      when(size(col("__h")) === 0, array().cast("array<long>"))
+        .otherwise(when(size(col("__h")) <= w, array(array_min(col("__h"))))
+          .otherwise(array_sort(array_distinct(transform(
+            sequence(lit(1), size(col("__h")) - (w - 1)),
+            i => array_min(slice(col("__h"), i, lit(w))))))))
+        .as("fingerprints"))
+  }
+
+  /** Winnowing near-dup candidates: pairs of documents sharing at
+    * least `minShared` selected prints, via ONE posting equi-join on
+    * the fingerprint — the MOSS match step, never all-pairs. Prints
+    * in more than `maxDf` documents are dropped first (the paper's
+    * "too common to be evidence" rule) — boilerplate prints carry no
+    * match signal AND would make the join quadratic in the hottest
+    * print's postings (measured on the sf corpus: hottest print in
+    * 328/500 docs; the cap cuts candidates 108k → 1.9k). The print
+    * frame is checkpointed: the df filter + self-join read it three
+    * times, and — measured — InferFiltersFromGenerate otherwise
+    * copies the whole fingerprint expression into an inferred
+    * size(...)>0 filter under the explode, where the window lambda
+    * re-evaluates the hash transform per element (O(len²) md5; one
+    * task burned 880 s CPU at sf0.1). Returns (a, b, n_shared).
+    */
+  def winnowNearDupCandidates(
+      df: DataFrame, id: String, text: Column,
+      k: Int = 8, w: Int = 4, maxDf: Int = 10, minShared: Int = 2)
+      : DataFrame = {
+    val fpsFrame = graft.core.LazyCheckpoint(
+      winnowFingerprints(df, id, text, k, w))
+    val prints = fpsFrame
+      .select(col(id), explode(col("fingerprints")).as("fp"))
+    val rare = prints.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val pruned = prints.join(rare, Seq("fp"), "left_semi")
+    pruned.as("x")
+      .join(pruned.as("y"),
+        col(s"x.fp") === col(s"y.fp") && col(s"x.$id") < col(s"y.$id"))
+      .groupBy(col(s"x.$id").as("a"), col(s"y.$id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** 64-bit rolling fingerprint over normalized-text words: the
     * accumulator is re-hashed with each word, h = xxhash64(h, word)

@@ -136,6 +136,60 @@ object CdcQueries {
         keys = Seq("o_orderkey"), attrs = Seq("status"))
     },
 
+    // ---- SCD2 point-in-time read: the q_scd2_merge history read
+    //      as-of 1995-06-01 — every key shows exactly the version live
+    //      then ('OLD' rows whose interval covers it, current rows
+    //      opened before it and not yet closed; the 'X' reopenings at
+    //      1998-12-31 are invisible). Oracle = the merge oracle wrapped
+    //      in the same interval filter ----
+    sql(
+      "q_scd2_asof",
+      """WITH hist AS (
+        |  SELECT o_orderkey, 'OLD' AS status,
+        |    TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+        |    o_orderdate AS valid_to
+        |  FROM orders WHERE o_orderkey % 17 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    o_orderdate AS valid_from,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |         THEN TIMESTAMP '1998-12-31 00:00:00' END AS valid_to
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X' AS status,
+        |    TIMESTAMP '1998-12-31 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderkey, status, valid_from, valid_to
+        |FROM hist
+        |WHERE valid_from <= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND (valid_to IS NULL
+        |       OR valid_to > TIMESTAMP '1995-06-01 00:00:00')"""
+        .stripMargin) { (s, d) =>
+      // the REAL composition: scd2Merge builds the history (exactly
+      // the q_scd2_merge construction), scd2AsOf reads it
+      val orders = Tables.orders(s, d)
+      val closed = orders.filter(col("o_orderkey") % 17 === 0).select(
+        col("o_orderkey"), lit("OLD").as("status"),
+        expr("TIMESTAMP '1990-01-01 00:00:00'").as("valid_from"),
+        col("o_orderdate").as("valid_to"))
+      val current = orders.select(
+        col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val batch = orders
+        .filter(col("o_orderkey") % 5 <= 1)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          expr("TIMESTAMP '1998-12-31 00:00:00'").as("effective_at"))
+      Cdc.scd2AsOf(
+        Cdc.scd2Merge(closed.unionByName(current), batch,
+          keys = Seq("o_orderkey"), attrs = Seq("status")),
+        expr("TIMESTAMP '1995-06-01 00:00:00'"))
+    },
+
     // ---- incremental rollup maintenance: the per-source (count, sum)
     //      state bootstrapped from the first third of the corpus and
     //      folded forward with two batch refreshes must EQUAL the

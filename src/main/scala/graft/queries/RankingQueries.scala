@@ -259,6 +259,125 @@ object RankingQueries {
       graft.ops.LangModel.scoreNll(docs, "doc_id", toks, lm, k = 0.5)
     },
 
+    // ---- interpolated Kneser-Ney perplexity (ops/LangModel.scoreKn):
+    //      the KenLM-standard smoothing next to the add-k face — the
+    //      backoff weighs a token by its CONTINUATION count (distinct
+    //      contexts it follows), not its frequency. Same determinism
+    //      contract as q_perplexity: per-bigram ln on the 9-grid, exact
+    //      decimal sum, literals (0.75, 0.5) binary-exact and ::DOUBLE
+    //      in the oracle; the seen-context probability is ONE fraction
+    //      so both engines share one association order. Self-scoring
+    //      never hits the unseen-context branch (spec'd separately) ----
+    sql(
+      "q_kn_perplexity",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i+1] AS a, ws[i+2] AS b
+         |  FROM toks, UNNEST(range(len(ws)-1)) AS t(i)),
+         |bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT a, sum(n_ab)::BIGINT AS n_a, count(*) AS d_a
+         |        FROM bc GROUP BY 1),
+         |cont AS (SELECT b, count(*) AS cont_b FROM bc GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS T,
+         |    (SELECT count(DISTINCT t) FROM (
+         |       SELECT a AS t FROM bc UNION ALL SELECT b FROM bc)) AS V
+         |  FROM bc),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |    round(ln(CASE WHEN ctx.n_a IS NOT NULL THEN
+         |        (greatest(COALESCE(bc.n_ab, 0) - 0.75::DOUBLE,
+         |                  0.0::DOUBLE)
+         |         + 0.75::DOUBLE * ctx.d_a
+         |           * ((COALESCE(cont.cont_b, 0) + 0.5::DOUBLE)
+         |              / (tot.T + 0.5::DOUBLE * tot.V))) / ctx.n_a
+         |      ELSE (COALESCE(cont.cont_b, 0) + 0.5::DOUBLE)
+         |           / (tot.T + 0.5::DOUBLE * tot.V) END), 9)
+         |      ::DECIMAL(28,9) AS lnp
+         |  FROM bg g LEFT JOIN bc USING (a, b)
+         |  LEFT JOIN ctx USING (a)
+         |  LEFT JOIN cont ON g.b = cont.b, tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-(sum(lnp)::DOUBLE) / count(*), 9) AS avg_nll
+         |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = Text.words(Text.normalize(col("text")))
+      val lm = graft.ops.LangModel.trainKn(docs, "doc_id", toks)
+      graft.ops.LangModel.scoreKn(docs, "doc_id", toks, lm)
+    },
+
+    // ---- DSIR-style importance data selection (Xie et al. 2023,
+    //      arXiv:2302.03169 — data selection for LMs via importance
+    //      resampling): score every doc under a TARGET n-gram LM
+    //      (here: the en slice) and the CORPUS LM; the importance
+    //      log-ratio log p_target − log p_corpus = corpus_nll −
+    //      target_nll ranks docs by target-likeness, and selected =
+    //      ratio > 0 is the keep gate. Composes two [[LangModel]]
+    //      train/score passes; both avg_nll values are already on the
+    //      9-grid, so their IEEE difference is bit-identical across
+    //      engines. The oracle replays BOTH LMs from the shared
+    //      bigram stream ----
+    sql(
+      "q_dsir_select",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i+1] AS a, ws[i+2] AS b
+         |  FROM toks, UNNEST(range(len(ws)-1)) AS t(i)),
+         |bgt AS (
+         |  SELECT g.* FROM bg g JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en'),
+         |tbc AS (SELECT a, b, count(*) AS n_ab FROM bgt GROUP BY 1, 2),
+         |tctx AS (SELECT a, sum(n_ab) AS n_a FROM tbc GROUP BY 1),
+         |tv AS (SELECT count(DISTINCT t) AS V FROM (
+         |         SELECT a AS t FROM tbc UNION ALL SELECT b FROM tbc)),
+         |tsc AS (
+         |  SELECT g.doc_id,
+         |    round(ln((COALESCE(tbc.n_ab, 0) + 0.5::DOUBLE)
+         |             / (COALESCE(tctx.n_a, 0) + 0.5::DOUBLE * tv.V)), 9)
+         |      ::DECIMAL(28,9) AS lnp
+         |  FROM bg g LEFT JOIN tbc USING (a, b)
+         |  LEFT JOIN tctx USING (a), tv),
+         |tnll AS (
+         |  SELECT doc_id, round(-(sum(lnp)::DOUBLE) / count(*), 9) AS tn
+         |  FROM tsc GROUP BY 1),
+         |cbc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |cctx AS (SELECT a, sum(n_ab) AS n_a FROM cbc GROUP BY 1),
+         |cv AS (SELECT count(DISTINCT t) AS V FROM (
+         |         SELECT a AS t FROM cbc UNION ALL SELECT b FROM cbc)),
+         |csc AS (
+         |  SELECT g.doc_id,
+         |    round(ln((COALESCE(cbc.n_ab, 0) + 0.5::DOUBLE)
+         |             / (COALESCE(cctx.n_a, 0) + 0.5::DOUBLE * cv.V)), 9)
+         |      ::DECIMAL(28,9) AS lnp
+         |  FROM bg g LEFT JOIN cbc USING (a, b)
+         |  LEFT JOIN cctx USING (a), cv),
+         |cnll AS (
+         |  SELECT doc_id, round(-(sum(lnp)::DOUBLE) / count(*), 9) AS cn
+         |  FROM csc GROUP BY 1)
+         |SELECT t.doc_id, d.lang, round(c.cn - t.tn, 9) AS log_ratio,
+         |  c.cn - t.tn > 0.0::DOUBLE AS selected
+         |FROM tnll t JOIN cnll c USING (doc_id)
+         |JOIN documents d USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = Text.words(Text.normalize(col("text")))
+      val lmT = graft.ops.LangModel.train(
+        docs.filter(col("lang") === "en"), "doc_id", toks)
+      val lmC = graft.ops.LangModel.train(docs, "doc_id", toks)
+      val tn = graft.ops.LangModel.scoreNll(docs, "doc_id", toks, lmT)
+        .select(col("doc_id"), col("avg_nll").as("__tn"))
+      val cn = graft.ops.LangModel.scoreNll(docs, "doc_id", toks, lmC)
+        .select(col("doc_id"), col("avg_nll").as("__cn"))
+      tn.join(cn, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          round(col("__cn") - col("__tn"), 9).as("log_ratio"),
+          (col("__cn") - col("__tn") > lit(0.0)).as("selected"))
+    },
+
     // ---- inverted index: term → document frequency + sorted postings.
     //      Per-document dedup happens MAP-SIDE (array_distinct before
     //      the explode), so the shuffle carries each (term, doc) once —

@@ -864,6 +864,83 @@ object TextQueries {
             Text.fingerprintRolling(col("text")).as("fingerprint"))
     },
 
+    // ---- winnowing fingerprints (Schleimer et al. SIGMOD'03, the
+    //      MOSS sketch): min-hash-per-window selection over char
+    //      8-grams, window 4 — any shared substring >= 11 chars shares
+    //      a print (spec'd). Gram hashes are md5-prefix bigints, so
+    //      DuckDB replays the entire selection list-for-list ----
+    sql(
+      "q_winnow_fp",
+      s"""WITH t AS (SELECT doc_id, $NormSql AS nt FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(nt) < 8 THEN []::BIGINT[]
+         |         ELSE list_transform(range(1, len(nt) - 6),
+         |           i -> CAST('0x' || substr(md5(substr(nt, i, 8)),
+         |                                    1, 15) AS BIGINT))
+         |    END AS hs
+         |  FROM t),
+         |sel AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |         WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |         ELSE list_sort(list_distinct(list_transform(
+         |           range(1, len(hs) - 2),
+         |           i -> list_min(hs[i:i+3]))))
+         |    END AS fps
+         |  FROM h)
+         |SELECT doc_id, len(fps)::BIGINT AS n_fp,
+         |  to_json(fps) AS fps_json
+         |FROM sel""".stripMargin) { (s, d) =>
+      Text.winnowFingerprints(
+          Tables.documents(s, d), "doc_id", col("text"), k = 8, w = 4)
+        .select(col("doc_id"),
+          size(col("fingerprints")).cast("long").as("n_fp"),
+          Canon.js(col("fingerprints")).as("fps_json"))
+    },
+
+    // ---- winnowing near-dup CANDIDATES: pairs sharing >= 2 selected
+    //      prints via ONE posting equi-join on the fingerprint — the
+    //      MOSS match step, never all-pairs (prints are distinct per
+    //      doc, so count(*) is the shared-print count). Prints in more
+    //      than 10 documents are DROPPED first — the MOSS "too common
+    //      to be evidence" rule, and the device that BOUNDS the join:
+    //      boilerplate prints (measured df up to 328/500 on this
+    //      corpus) would otherwise make candidates quadratic in the
+    //      hottest print's postings (108k pairs without the cap, 1.9k
+    //      with) ----
+    sql(
+      "q_winnow_neardup",
+      s"""WITH t AS (SELECT doc_id, $NormSql AS nt FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(nt) < 8 THEN []::BIGINT[]
+         |         ELSE list_transform(range(1, len(nt) - 6),
+         |           i -> CAST('0x' || substr(md5(substr(nt, i, 8)),
+         |                                    1, 15) AS BIGINT))
+         |    END AS hs
+         |  FROM t),
+         |sel AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |         WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |         ELSE list_sort(list_distinct(list_transform(
+         |           range(1, len(hs) - 2),
+         |           i -> list_min(hs[i:i+3]))))
+         |    END AS fps
+         |  FROM h),
+         |p AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |rare AS (SELECT fp FROM p GROUP BY fp HAVING count(*) <= 10),
+         |pr AS (SELECT doc_id, fp FROM p JOIN rare USING (fp))
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  count(*)::BIGINT AS n_shared
+         |FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, d) =>
+      Text.winnowNearDupCandidates(
+        Tables.documents(s, d), "doc_id", col("text"),
+        k = 8, w = 4, maxDf = 10, minShared = 2)
+    },
+
     // ---- distributed BPE: the learned merge table over the sf
     //      documents corpus (deterministic — lexicographic tie-breaks
     //      — so the committed GenGoldens snapshot hash-checks the full
@@ -1029,6 +1106,47 @@ object TextQueries {
       graft.ops.Text.boilerplateLines(
           pages, "doc_id", "source", "page", minDocs = 5)
         .orderBy("doc_id")
+    },
+
+    // ---- CCNet paragraph dedup (keep-FIRST, corpus-wide — the
+    //      actual CCNet dedup step, vs q_boilerplate's per-group
+    //      remove-all-copies rule): pages plant a per-lang promo
+    //      paragraph TWICE per doc (within-doc repeat) plus a
+    //      per-source footer — exactly one copy of each normalized
+    //      paragraph survives corpus-wide, owned by the minimum
+    //      (doc_id, pos); every doc's own text is unique and kept ----
+    sql(
+      "q_paragraph_dedup",
+      s"""WITH pages AS (
+         |  SELECT doc_id,
+         |    'promo ' || lang || chr(10) || text || chr(10) ||
+         |    'promo ' || lang || chr(10) || '(c) ' || source AS page
+         |  FROM documents),
+         |l0 AS (SELECT doc_id, string_split(page, chr(10)) AS ls
+         |       FROM pages),
+         |paras AS (
+         |  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+         |    unnest(ls) AS p
+         |  FROM l0),
+         |n AS (SELECT doc_id, pos, p, ${normSqlOf("p")} AS np
+         |      FROM paras),
+         |k AS (
+         |  SELECT doc_id, pos, p,
+         |    (len(np) = 0 OR row_number() OVER (
+         |       PARTITION BY np ORDER BY doc_id, pos) = 1) AS keep
+         |  FROM n)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep THEN p END,
+         |                      chr(10) ORDER BY pos), '') AS clean,
+         |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_removed
+         |FROM k GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("promo "), col("lang")), col("text"),
+          concat(lit("promo "), col("lang")),
+          concat(lit("(c) "), col("source"))).as("page"))
+      graft.ops.Text.dedupParagraphs(pages, "doc_id", "page")
     },
 
     // ---- corpus-level trigram diversity per language slice: the

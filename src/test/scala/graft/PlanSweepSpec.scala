@@ -30,6 +30,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_pmi" -> "grand-total N rides a ONE-row broadcast carrier into the score",
     "q_collocations" -> "embeds q_pmi's one-row grand-total carrier",
     "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score",
+    "q_kn_perplexity" ->
+      "bigram-type total T and vocab V ride a ONE-row broadcast carrier into the score",
+    "q_dsir_select" ->
+      "both LM scores carry q_perplexity's one-row vocab-size V broadcast carrier",
     "q_covariance" -> "row count n rides a ONE-row broadcast carrier into the moments",
     "q_pca_project" -> "embeds q_covariance's one-row n carrier",
     "q_pagerank_directed" ->

@@ -123,6 +123,44 @@ class CdcSpec extends AnyFunSuite with WithSpark {
       (9L, "n1", "2022-01-01", None)))              // new key opens
   }
 
+  test("scd2AsOf: point-in-time read returns exactly the version live " +
+      "at t, at most one per key") {
+    val history = Seq(
+      (1L, "v1", Some("2020-01-01"), Some("2021-01-01")),
+      (1L, "v2", Some("2021-01-01"), None),
+      (2L, "w1", Some("2020-06-01"), None),
+      (3L, "z1", Some("2022-03-01"), None) // opens after the mid probe
+    ).toDF("k", "v", "valid_from", "valid_to")
+      .select($"k", $"v",
+        to_timestamp($"valid_from").as("valid_from"),
+        to_timestamp($"valid_to").as("valid_to"))
+    def at(t: String): Seq[(Long, String)] =
+      Cdc.scd2AsOf(history, to_timestamp(lit(t)))
+        .select($"k", $"v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    // before anything existed
+    assert(at("2019-01-01").isEmpty)
+    // mid: k=1 still on v1 (2021-01-01 close is exclusive at the
+    // boundary the merge uses: valid_to > t), k=2 live, k=3 not yet
+    assert(at("2020-07-01") == Seq((1L, "v1"), (2L, "w1")))
+    // exactly AT a version boundary the new version is live
+    assert(at("2021-01-01") == Seq((1L, "v2"), (2L, "w1")))
+    // current state shows every open version
+    assert(at("2023-01-01") == Seq((1L, "v2"), (2L, "w1"), (3L, "z1")))
+    // composed with scd2Merge, any read is still <= one row per key
+    val merged = Cdc.scd2Merge(history,
+      Seq((1L, "v9", "2022-06-01")).toDF("k", "v", "effective_at")
+        .withColumn("effective_at", to_timestamp($"effective_at")),
+      Seq("k"), Seq("v"))
+    Seq("2019-01-01", "2020-07-01", "2022-01-01", "2023-01-01").foreach {
+      t =>
+        val perKey = Cdc.scd2AsOf(merged, to_timestamp(lit(t)))
+          .groupBy($"k").count()
+          .select(coalesce(max($"count"), lit(0L)))
+          .as[Long].first()
+        assert(perKey <= 1L, s"multiple live versions at $t")
+    }
+  }
+
   test("aggRefresh: any batch split folds to the one-shot aggregate; " +
     "retractions subtract; emptied keys leave the state") {
     import spark.implicits._

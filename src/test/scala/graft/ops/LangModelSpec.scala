@@ -69,6 +69,98 @@ class LangModelSpec extends AnyFunSuite with WithSpark {
     assert(a == b)
   }
 
+  // ---- interpolated Kneser-Ney ----
+
+  private lazy val kn = LangModel.trainKn(
+    Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", toks)
+
+  private def knNllOf(text: String): (Long, Double) =
+    LangModel.scoreKn(
+        Seq((9L, text)).toDF("doc_id", "text"), "doc_id", toks, kn)
+      .select(col("n_bigrams"), col("avg_nll"))
+      .as[(Long, Double)].first()
+
+  test("KN tables carry the textbook counts (margins, continuation, totals)") {
+    assert(kn.bigrams.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 2L), ("b", "a", 1L)))
+    assert(kn.contexts.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 1L), ("b", 1L, 1L)))
+    assert(kn.continuation.as[(String, Long)].collect().toSet ==
+      Set(("b", 1L), ("a", 1L)))
+    assert(kn.totals.as[(Long, Long)].first() == ((2L, 2L)))
+  }
+
+  test("KN self-score matches the hand computation bigram by bigram") {
+    // Pc(b)=Pc(a)=(1+.5)/(2+.5*2)=0.5; P(b|a)=(max(2-.75,0)+.75*1*.5)/2
+    // = 0.8125; P(a|b)=(0.25+0.375)/1=0.625
+    val (n, nll) = knNllOf("a b a b")
+    val expect =
+      -(round9(math.log(0.8125)) * 2 + round9(math.log(0.625))) / 3
+    assert(n == 3L)
+    assert(round9(nll) == expect.setScale(9, BigDecimal.RoundingMode.HALF_UP))
+  }
+
+  test("KN unseen bigram under a seen context keeps only the backoff mass") {
+    // P(a|a) = (max(0-.75,0) + .75*1*Pc(a))/2 = 0.375/2 = 0.1875
+    val (_, nll) = knNllOf("a a")
+    assert(round9(nll) == round9(-math.log(0.1875)))
+  }
+
+  test("KN wholly unseen context backs off to the continuation distribution") {
+    // P(c|c) = Pc(c) = (0+.5)/(2+.5*2) = 1/6
+    val (_, nll) = knNllOf("c c")
+    assert(round9(nll) == round9(math.log(6.0)))
+  }
+
+  test("KN weighs continuation count, not raw frequency (the Francisco case)") {
+    // 'the' and 'francisco' both occur 4x as successors, but 'the'
+    // follows 4 distinct contexts and 'francisco' only 1 — after an
+    // unseen context, KN must prefer 'the'; add-k treats them equally.
+    val docs = (Seq("a the", "b the", "c the", "d the") ++
+      Seq.fill(4)("e francisco")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val lmF = LangModel.trainKn(docs, "doc_id", toks)
+    val probe = Seq((100L, "zz the"), (101L, "zz francisco"))
+      .toDF("doc_id", "text")
+    val scores = LangModel.scoreKn(probe, "doc_id", toks, lmF)
+      .select(col("doc_id"), col("avg_nll")).as[(Long, Double)]
+      .collect().toMap
+    assert(scores(100L) < scores(101L),
+      s"equal-frequency tokens must rank by continuation count: $scores")
+  }
+
+  test("KN score is independent of partitioning (exact decimal sum)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to 50).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lm2 = LangModel.trainKn(docs, "doc_id", toks)
+    val a = LangModel.scoreKn(docs, "doc_id", toks, lm2)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LangModel.scoreKn(docs.repartition(13), "doc_id", toks, lm2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("DSIR composition: importance log-ratio (corpus_nll - target_nll) " +
+      "is positive for target-like docs, negative for off-target") {
+    val en = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val fr = (11L to 20L).map(i => (i, "le chat est sur le tapis"))
+    val docs = (en ++ fr).toDF("doc_id", "text")
+    val lmT = LangModel.train(docs.filter(col("doc_id") <= 10),
+      "doc_id", toks)
+    val lmC = LangModel.train(docs, "doc_id", toks)
+    val tn = LangModel.scoreNll(docs, "doc_id", toks, lmT)
+      .select(col("doc_id"), col("avg_nll").as("tn"))
+    val cn = LangModel.scoreNll(docs, "doc_id", toks, lmC)
+      .select(col("doc_id"), col("avg_nll").as("cn"))
+    val ratios = tn.join(cn, Seq("doc_id"))
+      .select(col("doc_id"), (col("cn") - col("tn")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(ratios(1L) > 0, s"target-like doc must be selected: $ratios")
+    assert(ratios(11L) < 0, s"off-target doc must be rejected: $ratios")
+  }
+
   test("out-of-distribution text scores a higher NLL than in-domain") {
     val clean = (1L to 30L).map(i => (i, "the cat sat on the mat"))
       .toDF("doc_id", "text")

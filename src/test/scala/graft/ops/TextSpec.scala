@@ -13,6 +13,60 @@ class TextSpec extends AnyFunSuite with WithSpark {
   private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
     Seq(text).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toSeq
 
+  // ---- winnowing fingerprints (Schleimer et al. SIGMOD'03) ----
+
+  private def winnowOf(text: String, k: Int = 8, w: Int = 4): Seq[Long] =
+    Text.winnowFingerprints(
+        Seq((1L, text)).toDF("id", "t"), "id", col("t"), k, w)
+      .select(col("fingerprints"))
+      .collect()(0).getSeq[Long](0).toSeq
+
+  /** Reference gram hash: first 15 hex chars of md5, base 16 → long
+    * (the engine's cross-engine draw device, recomputed independently). */
+  private def gramHash(g: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  test("winnowing guarantee: a shared substring of >= w+k-1 chars " +
+      "shares a fingerprint") {
+    // k=8, w=4 -> any 11-char shared run must contribute a shared print
+    val shared = "sharedrunofchars"
+    val a = winnowOf(s"xxxxxx $shared yyyy")
+    val b = winnowOf(s"qqq $shared zzzzzzzz")
+    assert(a.toSet.intersect(b.toSet).nonEmpty,
+      "docs sharing a long substring must share a selected fingerprint")
+  }
+
+  test("winnowing: no shared 8-gram, no shared fingerprint") {
+    val a = winnowOf("aaaaaaaaaaaaaaaa")
+    val b = winnowOf("bbbbbbbbbbbbbbbb")
+    assert(a.toSet.intersect(b.toSet).isEmpty)
+  }
+
+  test("winnowing edges: short docs select nothing; few-gram docs " +
+      "select the global minimum") {
+    assert(winnowOf("abcdefg").isEmpty) // 7 chars < k=8
+    // exactly one gram -> its hash is the single selected print
+    assert(winnowOf("abcdefgh") == Seq(gramHash("abcdefgh")))
+    // 3 grams (<= w=4) -> single global min
+    val grams = Seq("abcdefgh", "bcdefghi", "cdefghij")
+    assert(winnowOf("abcdefghij") == Seq(grams.map(gramHash).min))
+  }
+
+  test("winnowing selects a sorted distinct subset denser than 1 but " +
+      "sparser than all grams") {
+    val rnd = new scala.util.Random(11)
+    val doc = (1 to 60).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .grouped(6).map(_.mkString).mkString(" ")
+    val fps = winnowOf(doc)
+    val nGrams = doc.length - 7
+    assert(fps.nonEmpty && fps.length < nGrams)
+    assert(fps == fps.sorted && fps.distinct == fps)
+  }
+
   test("normalize lowercases, strips punctuation, collapses whitespace") {
     assert(one(Text.normalize(col("t")), "  Héllo,   WORLD!!  42 ")
       == "h llo world 42")
@@ -243,6 +297,41 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
       .toMap
     assert(got.values.forall(_ == (("", 1L))))
+  }
+
+  test("dedupParagraphs keeps exactly the FIRST occurrence corpus-wide " +
+    "(min (id, pos)), removes within-doc repeats, exempts blank lines") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 owns PROMO (pos 0) and its own text; repeats PROMO in-doc
+      (1L, "PROMO!\nalpha\n\nPROMO!"),
+      // doc 2's PROMO is a later copy (normalization folds the '!');
+      // blank line survives even though doc 1 also has one
+      (2L, "beta\n\npromo\ngamma"),
+      // doc 3 repeats doc 2's own text
+      (3L, "beta\ndelta")).toDF("id", "text")
+    val got = Text.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("PROMO!\nalpha\n", 1L)))     // in-doc repeat drops
+    assert(got(2L) == (("beta\n\ngamma", 1L)))       // later cross-doc copy
+    assert(got(3L) == (("delta", 1L)))               // doc 2 owns "beta"
+    // layout-independence: a repartition must not change ownership
+    val re = Text.dedupParagraphs(docs.repartition(7), "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(re == got)
+  }
+
+  test("dedupParagraphs: a doc that is entirely later copies " +
+    "reassembles to the empty string, not null") {
+    import spark.implicits._
+    val docs = Seq((1L, "SAME"), (2L, "SAME")).toDF("id", "text")
+    val got = Text.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("SAME", 0L)))
+    assert(got(2L) == (("", 1L)))
   }
 
   test("ngramDiversity: exact type/token counts per slice, no Expand") {
