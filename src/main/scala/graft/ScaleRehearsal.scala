@@ -176,6 +176,35 @@ object ScaleRehearsal {
       growth("boilerplate") = bp10 / bp1
     }
 
+    // ---- q_paragraph_dedup: keep-first corpus-wide paragraph dedup.
+    // Like boilerplate, replicas keep the ORIGINAL text (not
+    // token-salted): ×10 copies make every paragraph a 10-member
+    // duplicate group, which is exactly the load keep-first must
+    // absorb in its map-side-combined min(struct) — the pass criterion
+    // is that the heavy duplication collapses before the wire instead
+    // of exploding the shuffle. Min-of-2 per the new-row convention ----
+    if (on("paragraph_dedup")) {
+      def pages(docs: DataFrame): DataFrame = docs
+        .select(col("doc_id"),
+          concat_ws("\n", concat(lit("promo "), col("source")), col("text"),
+            concat(lit("promo "), col("source")),
+            concat(lit("(c) "), col("source"))).as("page"))
+      val pd1 = pages(tdocs1).localCheckpoint()
+      val pd10 = (0 until 10).map(k =>
+          pd1.select((col("doc_id") + lit(k * nTd)).as("doc_id"),
+            col("page")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def run(docs: DataFrame, label: String): Double =
+        (1 to 2).map { rep =>
+          timed(s"$label rep$rep") {
+            graft.ops.Text.dedupParagraphs(docs, "doc_id", "page").count()
+          }
+        }.min
+      val p1 = run(pd1, "paragraph_dedup 1x")
+      val p10 = run(pd10, "paragraph_dedup 10x")
+      growth("paragraph_dedup") = p10 / p1
+    }
+
     // ---- q_triangles: 10 disjoint salted replicas of the co-order
     // graph (the pagerank device). m grows ×10 with structure held;
     // the compact-forward wedge join is O(m^1.5) WORST-case, but on
