@@ -245,4 +245,53 @@ object Profile {
         round((col("b_exceed") + 1L).cast("double") /
           lit((resamples + 1).toDouble), 6).as("p_value"))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected inter-annotator
+    * agreement on paired categorical labels, the standard label-QUALITY
+    * gate for human- or model-annotated training data (raw percent
+    * agreement overstates quality whenever the label distribution is
+    * skewed: two annotators stamping "en" on 95% of a corpus agree 90%+
+    * by chance alone).
+    *
+    *   kappa = (p_o − p_e) / (1 − p_e),  p_o = agree/n,
+    *   p_e = Σ_k (n_aₖ/n)·(n_bₖ/n)
+    *
+    * kept EXACT until the last step: kappa_num = agree·n − Σ n_aₖ·n_bₖ
+    * and kappa_den = n² − Σ n_aₖ·n_bₖ are BIGINTs (one shared IEEE
+    * division on the 9-grid makes `kappa` bit-portable). The degenerate
+    * p_e = 1 case (both annotators constant, same label) reports
+    * kappa = 1 by convention instead of 0/0. Rows where either label is
+    * null are excluded (an abstention, not a judgment).
+    *
+    * Scale shape: ONE corpus-scan shuffle keyed by the (a, b) label
+    * pair — map-side partials collapse the scan to the label²-sized
+    * contingency cells, and every margin/total below is arithmetic on
+    * that tiny frame (the q_cluster_eval contingency device). The two
+    * one-row totals meet on a broadcast carrier.
+    */
+  def cohenKappa(
+      df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val na = cells.groupBy(col("__a")).agg(sum("__n").as("__na"))
+    val nb = cells.groupBy(col("__b")).agg(sum("__n").as("__nb"))
+    // labels absent from either margin contribute 0 to p_e: inner join
+    val peNum = na.join(nb, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("pe_num"))
+    val tot = cells.agg(
+      coalesce(sum("__n"), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("agree"))
+    tot.crossJoin(broadcast(peNum)) // two ONE-row aggregates meet here
+      .select(col("n"), col("agree"), col("pe_num"),
+        (col("agree") * col("n") - col("pe_num")).as("kappa_num"),
+        (col("n") * col("n") - col("pe_num")).as("kappa_den"),
+        when(col("n") * col("n") === col("pe_num"), lit(1.0))
+          .otherwise(round(
+            (col("agree") * col("n") - col("pe_num")).cast("double") /
+              (col("n") * col("n") - col("pe_num")).cast("double"), 9))
+          .as("kappa"))
+  }
 }

@@ -162,6 +162,59 @@ object TextQueries {
         col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
     },
 
+    // ---- Cohen's kappa between the gold lang label and the langId
+    //      heuristic: chance-corrected agreement (raw accuracy
+    //      overstates quality on this lang-skewed corpus). Exact
+    //      BIGINT numerator/denominator; ONE shared IEEE division on
+    //      the 9-grid; the degenerate p_e = 1 case is kappa = 1 by
+    //      convention in both engines ----
+    sql(
+      "q_kappa",
+      s"""WITH dw AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    len(list_intersect(w, ${seedsSql("de")})) AS h_de,
+         |    len(list_intersect(w, ${seedsSql("en")})) AS h_en,
+         |    len(list_intersect(w, ${seedsSql("es")})) AS h_es,
+         |    len(list_intersect(w, ${seedsSql("fr")})) AS h_fr,
+         |    len(list_intersect(w, ${seedsSql("zh")})) AS h_zh
+         |  FROM dw),
+         |p AS (
+         |  SELECT lang AS a,
+         |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         |         ELSE 'zh' END AS b
+         |  FROM h
+         |  WHERE lang IS NOT NULL),
+         |cells AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2),
+         |na AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+         |nb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(na * nb), 0) AS pe_num
+         |       FROM na JOIN nb ON na.a = nb.b),
+         |tot AS (
+         |  SELECT coalesce(sum(n), 0) AS n,
+         |    coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END), 0) AS agree
+         |  FROM cells)
+         |SELECT n::BIGINT AS n, agree::BIGINT AS agree,
+         |  pe_num::BIGINT AS pe_num,
+         |  (agree * n - pe_num)::BIGINT AS kappa_num,
+         |  (n * n - pe_num)::BIGINT AS kappa_den,
+         |  CASE WHEN n * n = pe_num THEN 1.0
+         |       ELSE round((agree * n - pe_num)::DOUBLE
+         |                  / (n * n - pe_num)::DOUBLE, 9) END AS kappa
+         |FROM tot, pe""".stripMargin) { (s, d) =>
+      graft.ops.Profile.cohenKappa(
+        Tables.documents(s, d).select(col("lang"),
+          Text.langId(col("text")).as("pred")),
+        col("lang"), col("pred"))
+    },
+
     // ---- quality scoring: Gopher/C4-style rule features ----
     sql(
       "q_quality_score",

@@ -30,6 +30,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_pmi" -> "grand-total N rides a ONE-row broadcast carrier into the score",
     "q_collocations" -> "embeds q_pmi's one-row grand-total carrier",
     "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score",
+    "q_kappa" ->
+      "two ONE-row aggregates (totals, pe_num) meet on a broadcast carrier",
     "q_kn_perplexity" ->
       "bigram-type total T and vocab V ride a ONE-row broadcast carrier into the score",
     "q_dsir_select" ->

@@ -137,4 +137,36 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
       .as[(Long, Long, Long, Long, Long, Double)].collect().head
     assert(p2 == p3)
   }
+
+  test("cohenKappa: textbook confusion matrix, chance-level, perfect, " +
+    "degenerate-constant, and null-exclusion cases") {
+    import spark.implicits._
+    def kappaOf(rows: Seq[(String, String)]): (Long, Long, Long, Long, Long, Double) =
+      Profile.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    // Cohen's canonical example: 20 yy, 5 yn, 10 ny, 15 nn ->
+    // n=50, agree=35, pe_num = 25*30 + 25*20 = 1250,
+    // kappa = (1750-1250)/(2500-1250) = 0.4
+    val textbook =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    assert(kappaOf(textbook) == ((50L, 35L, 1250L, 500L, 1250L, 0.4)))
+    // marginals independent -> kappa exactly 0 despite 50% raw agreement
+    assert(kappaOf(Seq(("y", "y"), ("y", "n"), ("n", "y"), ("n", "n")))._6
+      == 0.0)
+    // perfect agreement -> 1
+    assert(kappaOf(Seq(("y", "y"), ("n", "n"), ("z", "z")))._6 == 1.0)
+    // both annotators constant and equal: p_e = 1, kappa = 1 by
+    // convention (not 0/0)
+    assert(kappaOf(Seq(("y", "y"), ("y", "y")))._6 == 1.0)
+    // null labels are abstentions: dropped from every count
+    val withNulls: Seq[(String, String)] =
+      textbook ++ Seq((null, "y"), ("y", null), (null, null))
+    assert(kappaOf(withNulls) == kappaOf(textbook))
+    // layout independence
+    val re = Profile.cohenKappa(
+        textbook.toDF("a", "b").repartition(7), col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(re == kappaOf(textbook))
+  }
 }
