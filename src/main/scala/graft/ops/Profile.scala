@@ -294,4 +294,60 @@ object Profile {
               (col("n") * col("n") - col("pe_num")).cast("double"), 9))
           .as("kappa"))
   }
+
+  /** Reliability diagram bins for a probabilistic classifier — the
+    * calibration audit behind any score-thresholded keep/drop gate
+    * (Guo et al. 2017, arXiv:1706.04599: modern classifiers are
+    * systematically over-confident; a miscalibrated quality score
+    * silently shifts the kept-corpus mix). Scores are assumed in
+    * [0, 1] and already on the 9-decimal grid (the engine's
+    * model-score contract); equal-width bin = min(⌊score·bins⌋,
+    * bins−1) so score = 1.0 lands in the top bin.
+    *
+    * Per bin, everything stays EXACT: n and n_pos are BIGINTs,
+    * conf_sum is the exact DECIMAL(38,9) sum of the grid scores, and
+    * gap_num = |n_pos − conf_sum| is the bin's |accuracy − confidence|
+    * SCALED BY n — so ECE = Σ gap_num / N needs only one IEEE
+    * division ([[ece]]). acc/conf doubles are single divisions on the
+    * 9-grid, bit-portable.
+    *
+    * Scale shape: one corpus scan into ONE count shuffle keyed by the
+    * bin (≤ `bins` groups — map-side partials do all the work; a hot
+    * bin is a bigger combiner bucket, never a bigger task).
+    */
+  def calibrationBins(
+      df: DataFrame, score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    df.select(
+        least(floor(score * lit(bins)).cast("int"), lit(bins - 1))
+          .as("bin"),
+        score.cast("decimal(28,9)").as("__sd"),
+        when(label, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"),
+        sum(col("__sd")).cast("decimal(38,9)").as("conf_sum"),
+        // n_pos − conf_sum as ONE exact per-row decimal sum: the
+        // post-agg form bigint − decimal(38,9) exceeds precision 38
+        // and Spark's precision-loss rule silently drops to scale 8
+        // (measured: 4e-9 drift vs the oracle)
+        abs(sum(col("__p").cast("decimal(10,9)") - col("__sd")))
+          .cast("decimal(38,9)").as("gap_num"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_sum"),
+        col("gap_num"),
+        round(col("n_pos").cast("double") / col("n"), 9).as("acc"),
+        round(col("conf_sum").cast("double") / col("n"), 9).as("conf"))
+  }
+
+  /** Expected calibration error from [[calibrationBins]]:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| = (Σ_b gap_num_b) / N — the
+    * numerator an exact decimal sum over ≤ `bins` rows, then ONE IEEE
+    * division on the 9-grid. Returns one row (n, ece). */
+  def ece(
+      df: DataFrame, score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column, bins: Int = 10): DataFrame =
+    calibrationBins(df, score, label, bins)
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("gap_num")).cast("double") / sum(col("n")), 9)
+          .as("ece"))
 }

@@ -120,6 +120,18 @@ object TextQueries {
   private def seedsSql(lang: String): String =
     Text.StopwordSeeds(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared input of the calibration faces: the q_model_score logistic
+    * score on the 9-grid plus the (lang = 'en') binary target. */
+  private def scoredDocs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(
+      round(Text.linearModelScore(col("text"),
+        Map("n_tokens" -> 0.01, "mean_word_len" -> 0.2,
+          "punct_ratio" -> -3.0, "stopword_ratio" -> 2.5),
+        bias = -2.0), 9).as("score"),
+      (col("lang") === "en").as("y"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting (whitespace + normalized) ----
@@ -275,6 +287,88 @@ object TextQueries {
           Map("n_tokens" -> 0.01, "mean_word_len" -> 0.2,
             "punct_ratio" -> -3.0, "stopword_ratio" -> 2.5),
           bias = -2.0), 9).as("model_score"))
+    },
+
+    // ---- calibration audit of the model-score seam (Guo et al. 2017):
+    //      reliability bins of the logistic quality score against the
+    //      (lang = 'en') target — n / n_pos BIGINTs, conf_sum the exact
+    //      DECIMAL(38,9) sum of the 9-grid scores, gap_num the bin's
+    //      |acc − conf| scaled by n, acc/conf single divisions ----
+    sql(
+      "q_calibration",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |s AS (
+         |  SELECT round(1.0 / (1.0 + exp(-(-2.0 + 0.2 * mean_word_len
+         |      + 0.01 * n_tokens - 3.0 * punct_ratio
+         |      + 2.5 * stopword_ratio))), 9) AS score,
+         |    (lang = 'en') AS y
+         |  FROM f),
+         |b AS (
+         |  SELECT least(floor(score * 10)::INT, 9) AS bin,
+         |    score::DECIMAL(28,9) AS sd,
+         |    CASE WHEN y THEN 1 ELSE 0 END AS p
+         |  FROM s),
+         |g AS (
+         |  SELECT bin, count(*)::BIGINT AS n, sum(p)::BIGINT AS n_pos,
+         |    sum(sd)::DECIMAL(38,9) AS conf_sum
+         |  FROM b GROUP BY 1)
+         |SELECT bin, n, n_pos, conf_sum,
+         |  abs(n_pos - conf_sum)::DECIMAL(38,9) AS gap_num,
+         |  round(n_pos::DOUBLE / n, 9) AS acc,
+         |  round(conf_sum::DOUBLE / n, 9) AS conf
+         |FROM g""".stripMargin) { (s, d) =>
+      graft.ops.Profile.calibrationBins(
+        scoredDocs(s, d), col("score"), col("y"), bins = 10)
+    },
+
+    // ---- the ECE scalar over the same bins: exact decimal gap sum,
+    //      ONE IEEE division on the 9-grid ----
+    sql(
+      "q_ece",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |s AS (
+         |  SELECT round(1.0 / (1.0 + exp(-(-2.0 + 0.2 * mean_word_len
+         |      + 0.01 * n_tokens - 3.0 * punct_ratio
+         |      + 2.5 * stopword_ratio))), 9) AS score,
+         |    (lang = 'en') AS y
+         |  FROM f),
+         |b AS (
+         |  SELECT least(floor(score * 10)::INT, 9) AS bin,
+         |    score::DECIMAL(28,9) AS sd,
+         |    CASE WHEN y THEN 1 ELSE 0 END AS p
+         |  FROM s),
+         |g AS (
+         |  SELECT bin, count(*)::BIGINT AS n, sum(p)::BIGINT AS n_pos,
+         |    sum(sd)::DECIMAL(38,9) AS conf_sum
+         |  FROM b GROUP BY 1)
+         |SELECT sum(n)::BIGINT AS n,
+         |  round(sum(abs(n_pos - conf_sum)::DECIMAL(38,9))::DOUBLE
+         |        / sum(n), 9) AS ece
+         |FROM g""".stripMargin) { (s, d) =>
+      graft.ops.Profile.ece(
+        scoredDocs(s, d), col("score"), col("y"), bins = 10)
     },
 
     // ---- curriculum ordering: model score -> GLOBAL rank (the

@@ -169,4 +169,32 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
       .as[(Long, Long, Long, Long, Long, Double)].collect().head
     assert(re == kappaOf(textbook))
   }
+
+  test("calibrationBins/ece: hand-computed bins, top-bin edge at " +
+    "score=1.0, exact gap numerators") {
+    import spark.implicits._
+    // bin 1 [0.1,0.2): scores 0.1, 0.15 with labels (T, F):
+    //   n=2, n_pos=1, conf_sum=0.25, gap=|1-0.25|=0.75, acc=.5, conf=.125
+    // bin 9 (top, includes 1.0): scores 0.95, 1.0, labels (T, T):
+    //   n=2, n_pos=2, conf_sum=1.95, gap=0.05
+    val rows = Seq(
+      (0.1, true), (0.15, false), (0.95, true), (1.0, true))
+      .toDF("score", "y")
+    val bins = Profile.calibrationBins(rows, col("score"), col("y"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("gap_num").cast("double"), col("acc"), col("conf"))
+      .as[(Int, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(bins == Seq(
+      (1, 2L, 1L, 0.75, 0.5, 0.125),
+      (9, 2L, 2L, 0.05, 1.0, 0.975)))
+    // ECE = (0.75 + 0.05) / 4 = 0.2
+    val e = Profile.ece(rows, col("score"), col("y"))
+      .as[(Long, Double)].collect().head
+    assert(e == ((4L, 0.2)))
+    // a perfectly calibrated constant-score slice: score 0.5, half pos
+    val cal = Seq((0.5, true), (0.5, false)).toDF("score", "y")
+    assert(Profile.ece(cal, col("score"), col("y"))
+      .as[(Long, Double)].collect().head == ((2L, 0.0)))
+  }
 }
