@@ -476,18 +476,39 @@ object Text {
   def dedupParagraphs(
       docs: DataFrame, id: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val paras = docs.select(col(id).as("__id"),
+    val paras0 = docs.select(col(id).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__p")))
       .withColumn("__np", normalize(col("__p")))
-    val first = paras.filter(length(col("__np")) > 0)
+    // first-occurrence aggregate: min over (id, pos) IN COLUMN ORDER.
+    // For integral ids the pair is packed into ONE decimal ordering
+    // scalar (id·2³² + pos — pos is a posexplode int so the packing is
+    // order-preserving, negative ids included) because min over an
+    // atomic type keeps a mutable buffer and stays in HashAggregate;
+    // min(struct) has an immutable buffer and falls to SortAggregate,
+    // which pays a per-partition sort of every paragraph row (the LPA
+    // argmax device, plan-pinned on the face). Non-integral ids take
+    // the struct path — correct, just sort-aggregated.
+    val integralId = docs.schema(id).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val keyed =
+      if (integralId)
+        paras0.withColumn("__ord",
+          col("__id").cast("decimal(28,0)") * lit(4294967296L) +
+            col("__pos"))
+      else
+        paras0.withColumn("__ord", struct(col("__id"), col("__pos")))
+    val first = keyed.filter(length(col("__np")) > 0)
       .groupBy("__np")
-      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
-    paras.join(first, Seq("__np"), "left")
+      .agg(min(col("__ord")).as("__ford"))
+    keyed.join(first, Seq("__np"), "left")
       .withColumn("__keep",
-        col("__first").isNull ||
-          (col("__first.__id") === col("__id") &&
-            col("__first.__pos") === col("__pos")))
+        col("__ford").isNull || (col("__ord") === col("__ford")))
       .groupBy("__id")
       .agg(
         array_join(transform(

@@ -468,6 +468,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup's first-occurrence aggregate is a map-side-" +
+      "combined HASH aggregate on the packed ordering scalar — no " +
+      "Window, no SortAggregate (min(struct) has an immutable buffer " +
+      "and would sort every paragraph row per partition)") {
+    val p = plan("q_paragraph_dedup")
+    assert(count(p, "Window") == 0,
+      s"keep-first regressed to a window:\n${p.take(1500)}")
+    assert(count(p, "SortAggregate") == 0,
+      s"first-occurrence min fell out of hash aggregation:\n${p.take(1500)}")
+    assert(p.contains("partial_min"),
+      "first-occurrence min lost its map-side partial combine")
+  }
+
+  test("calibration bins are ONE hash-aggregate shuffle keyed by the " +
+      "bin; kappa reuses the contingency-cell exchange for both margins") {
+    val pc = plan("q_calibration")
+    assert(count(pc, "Exchange") == 1 && count(pc, "HashAggregate") >= 2,
+      s"calibration grew beyond one bin-keyed shuffle:\n${pc.take(1200)}")
+    // exchange reuse only materializes in the FINAL adaptive plan
+    // (the PlanAudit execute-first rule), so run the query before
+    // reading it
+    val kqe = SparkEntry.queries("q_kappa")(spark, d).queryExecution
+    kqe.toRdd.count()
+    val pk = kqe.executedPlan.toString
+    // the executed-plan string carries Final + Initial sections, so a
+    // raw scan count would double-count; the ReusedExchange pin alone
+    // proves both margins fold the one contingency-cell shuffle
+    assert(count(pk, "ReusedExchange") >= 2,
+      s"kappa margins re-shuffle the corpus instead of reusing the " +
+        s"cell exchange:\n${pk.take(1500)}")
+  }
+
   test("blocklist gates are ONE codegen'd corpus scan each: the " +
       "blocklist is an in-plan array literal, no join, no exchange") {
     Seq("q_blocklist", "q_blocklist_phrases").foreach { q =>

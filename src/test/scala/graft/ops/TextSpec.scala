@@ -321,6 +321,14 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
       .toMap
     assert(re == got)
+    // the non-integral-id (struct-min) fallback path agrees: string
+    // ids "1".."3" order the same way as the longs here
+    val sgot = Text.dedupParagraphs(
+        docs.select(col("id").cast("string").as("id"), $"text"),
+        "id", "text")
+      .collect().map(r => (r.getString(0).toLong,
+        (r.getString(1), r.getLong(2)))).toMap
+    assert(sgot == got)
   }
 
   test("dedupParagraphs: a doc that is entirely later copies " +
