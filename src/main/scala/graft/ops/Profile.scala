@@ -272,9 +272,20 @@ object Profile {
   def cohenKappa(
       df: DataFrame, a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): DataFrame = {
-    val cells = df.filter(a.isNotNull && b.isNotNull)
-      .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    // null exclusion happens on the label²-sized CELL frame, never on
+    // the corpus scan — and the cell frame is checkpointed BEFORE the
+    // filter, because Catalyst pushes a null check on grouping
+    // attributes back through the aggregate and the project all the
+    // way into the parquet scan's data filters, where an arbitrarily
+    // expensive label expression (a langId CASE here) is re-evaluated
+    // per row WITHOUT the subexpression elimination the projection
+    // gets (measured: 5.3 s vs 0.6 s at sf0.1). The checkpoint cuts
+    // the lineage so the corpus scan evaluates each label exactly
+    // once; it materializes only label² rows.
+    val cells = graft.core.LazyCheckpoint(df
+        .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n")))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
     val na = cells.groupBy(col("__a")).agg(sum("__n").as("__na"))
     val nb = cells.groupBy(col("__b")).agg(sum("__n").as("__nb"))
     // labels absent from either margin contribute 0 to p_e: inner join

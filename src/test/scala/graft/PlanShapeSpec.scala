@@ -486,18 +486,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val pc = plan("q_calibration")
     assert(count(pc, "Exchange") == 1 && count(pc, "HashAggregate") >= 2,
       s"calibration grew beyond one bin-keyed shuffle:\n${pc.take(1200)}")
-    // exchange reuse only materializes in the FINAL adaptive plan
-    // (the PlanAudit execute-first rule), so run the query before
-    // reading it
-    val kqe = SparkEntry.queries("q_kappa")(spark, d).queryExecution
-    kqe.toRdd.count()
-    val pk = kqe.executedPlan.toString
-    // the executed-plan string carries Final + Initial sections, so a
-    // raw scan count would double-count; the ReusedExchange pin alone
-    // proves both margins fold the one contingency-cell shuffle
-    assert(count(pk, "ReusedExchange") >= 2,
-      s"kappa margins re-shuffle the corpus instead of reusing the " +
-        s"cell exchange:\n${pk.take(1500)}")
+    // every downstream consumer (totals, both margins) must read the
+    // CHECKPOINTED cell frame, never the corpus: the checkpoint exists
+    // so the null-cell filter cannot push an expensive label
+    // expression into the parquet scan's data filters (where it gets
+    // no subexpression elimination — measured 5.3 s vs 0.9 s at sf0.1)
+    val pk = plan("q_kappa")
+    assert(count(pk, "documents.parquet") == 0,
+      s"a kappa consumer re-scans the corpus instead of the " +
+        s"checkpointed cells:\n${pk.take(1500)}")
+    assert(pk.contains("ExistingRDD"),
+      "kappa lost its checkpointed cell frame")
   }
 
   test("blocklist gates are ONE codegen'd corpus scan each: the " +
