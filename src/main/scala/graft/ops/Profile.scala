@@ -315,12 +315,20 @@ object Profile {
     * model-score contract); equal-width bin = min(⌊score·bins⌋,
     * bins−1) so score = 1.0 lands in the top bin.
     *
-    * Per bin, everything stays EXACT: n and n_pos are BIGINTs,
-    * conf_sum is the exact DECIMAL(38,9) sum of the grid scores, and
-    * gap_num = |n_pos − conf_sum| is the bin's |accuracy − confidence|
-    * SCALED BY n — so ECE = Σ gap_num / N needs only one IEEE
-    * division ([[ece]]). acc/conf doubles are single divisions on the
-    * 9-grid, bit-portable.
+    * Per bin, everything stays EXACT AND INTEGER: n and n_pos are
+    * BIGINTs, conf_sum is the BIGINT sum of the scores snapped to
+    * nano-units (`cast(round(score·1e9) as bigint)` — the 9-grid
+    * contract means the snap is lossless), and
+    * gap_num = |n_pos·1e9 − conf_sum| is the bin's
+    * |accuracy − confidence| scaled by n·1e9 — so ECE = Σ gap_num /
+    * (N·1e9) needs only one IEEE division ([[ece]]). No decimal or
+    * divided-double column survives to the output: decimal sums of
+    * double casts proved ENGINE-fragile (Spark converts double→decimal
+    * via the shortest decimal string; DuckDB multiplies in binary —
+    * they can disagree by 1e-9 on grid-boundary values), and the
+    * divided acc/conf forms are redundant given (n, n_pos, conf_sum).
+    * BIGINT headroom: n_pos·1e9 overflows only past 9.2e9 rows per
+    * bin — beyond that, pre-aggregate per partition-of-corpus and sum.
     *
     * Scale shape: one corpus scan into ONE count shuffle keyed by the
     * bin (≤ `bins` groups — map-side partials do all the work; a hot
@@ -333,32 +341,29 @@ object Profile {
     df.select(
         least(floor(score * lit(bins)).cast("int"), lit(bins - 1))
           .as("bin"),
-        score.cast("decimal(28,9)").as("__sd"),
+        // nano-unit snap: score·1e9 is within ~1e-7 of an integer on
+        // the 9-grid, so round() never faces a tie and both engines
+        // land on the same BIGINT
+        round(score * lit(1e9), 0).cast("bigint").as("__si"),
         when(label, 1L).otherwise(0L).as("__p"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"),
-        sum(col("__sd")).cast("decimal(38,9)").as("conf_sum"),
-        // n_pos − conf_sum as ONE exact per-row decimal sum: the
-        // post-agg form bigint − decimal(38,9) exceeds precision 38
-        // and Spark's precision-loss rule silently drops to scale 8
-        // (measured: 4e-9 drift vs the oracle)
-        abs(sum(col("__p").cast("decimal(10,9)") - col("__sd")))
-          .cast("decimal(38,9)").as("gap_num"))
+        sum(col("__si")).as("conf_sum"))
       .select(col("bin"), col("n"), col("n_pos"), col("conf_sum"),
-        col("gap_num"),
-        round(col("n_pos").cast("double") / col("n"), 9).as("acc"),
-        round(col("conf_sum").cast("double") / col("n"), 9).as("conf"))
+        abs(col("n_pos") * lit(1000000000L) - col("conf_sum"))
+          .as("gap_num"))
   }
 
   /** Expected calibration error from [[calibrationBins]]:
-    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| = (Σ_b gap_num_b) / N — the
-    * numerator an exact decimal sum over ≤ `bins` rows, then ONE IEEE
-    * division on the 9-grid. Returns one row (n, ece). */
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| = (Σ_b gap_num_b) / (N·1e9) —
+    * the numerator an exact BIGINT sum over ≤ `bins` rows (gap_num is
+    * in nano-units), then ONE IEEE division on the 9-grid. Returns one
+    * row (n, ece). */
   def ece(
       df: DataFrame, score: org.apache.spark.sql.Column,
       label: org.apache.spark.sql.Column, bins: Int = 10): DataFrame =
     calibrationBins(df, score, label, bins)
       .agg(sum(col("n")).as("n"),
-        round(sum(col("gap_num")).cast("double") / sum(col("n")), 9)
-          .as("ece"))
+        round(sum(col("gap_num")).cast("double") /
+          (sum(col("n")).cast("double") * lit(1e9)), 9).as("ece"))
 }

@@ -291,9 +291,12 @@ object TextQueries {
 
     // ---- calibration audit of the model-score seam (Guo et al. 2017):
     //      reliability bins of the logistic quality score against the
-    //      (lang = 'en') target — n / n_pos BIGINTs, conf_sum the exact
-    //      DECIMAL(38,9) sum of the 9-grid scores, gap_num the bin's
-    //      |acc − conf| scaled by n, acc/conf single divisions ----
+    //      (lang = 'en') target — an ALL-BIGINT hash surface: scores
+    //      snapped to nano-units (round(score*1e9)::BIGINT, lossless on
+    //      the 9-grid), conf_sum/gap_num integer sums; acc/conf are
+    //      n_pos/n and conf_sum/(n*1e9), left to the reader (divided
+    //      doubles and decimal sums of double casts are engine-fragile
+    //      at 1e-9 — the round-13 red row) ----
     sql(
       "q_calibration",
       s"""WITH f AS (
@@ -316,17 +319,15 @@ object TextQueries {
          |  FROM f),
          |b AS (
          |  SELECT least(floor(score * 10)::INT, 9) AS bin,
-         |    score::DECIMAL(28,9) AS sd,
+         |    round(score * 1e9)::BIGINT AS si,
          |    CASE WHEN y THEN 1 ELSE 0 END AS p
          |  FROM s),
          |g AS (
          |  SELECT bin, count(*)::BIGINT AS n, sum(p)::BIGINT AS n_pos,
-         |    sum(sd)::DECIMAL(38,9) AS conf_sum
+         |    sum(si)::BIGINT AS conf_sum
          |  FROM b GROUP BY 1)
          |SELECT bin, n, n_pos, conf_sum,
-         |  abs(n_pos - conf_sum)::DECIMAL(38,9) AS gap_num,
-         |  round(n_pos::DOUBLE / n, 9) AS acc,
-         |  round(conf_sum::DOUBLE / n, 9) AS conf
+         |  abs(n_pos * 1000000000 - conf_sum)::BIGINT AS gap_num
          |FROM g""".stripMargin) { (s, d) =>
       graft.ops.Profile.calibrationBins(
         scoredDocs(s, d), col("score"), col("y"), bins = 10)
@@ -356,16 +357,16 @@ object TextQueries {
          |  FROM f),
          |b AS (
          |  SELECT least(floor(score * 10)::INT, 9) AS bin,
-         |    score::DECIMAL(28,9) AS sd,
+         |    round(score * 1e9)::BIGINT AS si,
          |    CASE WHEN y THEN 1 ELSE 0 END AS p
          |  FROM s),
          |g AS (
          |  SELECT bin, count(*)::BIGINT AS n, sum(p)::BIGINT AS n_pos,
-         |    sum(sd)::DECIMAL(38,9) AS conf_sum
+         |    sum(si)::BIGINT AS conf_sum
          |  FROM b GROUP BY 1)
          |SELECT sum(n)::BIGINT AS n,
-         |  round(sum(abs(n_pos - conf_sum)::DECIMAL(38,9))::DOUBLE
-         |        / sum(n), 9) AS ece
+         |  round(sum(abs(n_pos * 1000000000 - conf_sum))::DOUBLE
+         |        / (sum(n)::DOUBLE * 1e9), 9) AS ece
          |FROM g""".stripMargin) { (s, d) =>
       graft.ops.Profile.ece(
         scoredDocs(s, d), col("score"), col("y"), bins = 10)

@@ -171,23 +171,25 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
   }
 
   test("calibrationBins/ece: hand-computed bins, top-bin edge at " +
-    "score=1.0, exact gap numerators") {
+    "score=1.0, exact nano-unit gap numerators") {
     import spark.implicits._
+    // nano-unit surface: conf_sum = Σ round(score·1e9), gap_num =
+    // |n_pos·1e9 − conf_sum| — all BIGINTs.
     // bin 1 [0.1,0.2): scores 0.1, 0.15 with labels (T, F):
-    //   n=2, n_pos=1, conf_sum=0.25, gap=|1-0.25|=0.75, acc=.5, conf=.125
+    //   n=2, n_pos=1, conf_sum=250e6, gap=|1e9−250e6|=750e6 (=0.75·1e9)
     // bin 9 (top, includes 1.0): scores 0.95, 1.0, labels (T, T):
-    //   n=2, n_pos=2, conf_sum=1.95, gap=0.05
+    //   n=2, n_pos=2, conf_sum=1950e6, gap=50e6 (=0.05·1e9)
     val rows = Seq(
       (0.1, true), (0.15, false), (0.95, true), (1.0, true))
       .toDF("score", "y")
     val bins = Profile.calibrationBins(rows, col("score"), col("y"))
-      .select(col("bin"), col("n"), col("n_pos"),
-        col("gap_num").cast("double"), col("acc"), col("conf"))
-      .as[(Int, Long, Long, Double, Double, Double)]
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_sum"),
+        col("gap_num"))
+      .as[(Int, Long, Long, Long, Long)]
       .collect().sortBy(_._1).toSeq
     assert(bins == Seq(
-      (1, 2L, 1L, 0.75, 0.5, 0.125),
-      (9, 2L, 2L, 0.05, 1.0, 0.975)))
+      (1, 2L, 1L, 250000000L, 750000000L),
+      (9, 2L, 2L, 1950000000L, 50000000L)))
     // ECE = (0.75 + 0.05) / 4 = 0.2
     val e = Profile.ece(rows, col("score"), col("y"))
       .as[(Long, Double)].collect().head
