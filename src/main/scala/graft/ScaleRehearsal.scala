@@ -650,25 +650,26 @@ object ScaleRehearsal {
       // partition, plus the pruned read-back of that study through
       // the virtual zero-fill view. (The frame-level refreshStudyIndex
       // emits the whole corpus per call — the round-12 7.06× was that
-      // output shape, not the refresh compute.) refresh mutates its
-      // store, so min-of-2 runs against two independent scaffolds.
+      // output shape, not the refresh compute.) The refresh reads its
+      // input slice from the ×N study-partitioned CATALOG — the WHOLE
+      // catalog, no caller-side pruning: structural partition pruning
+      // inside the overload is what keeps the plan O(changed) (the
+      // round-13 caller-enforced variant measured 5.56× when handed an
+      // unpruned 12×N-branch union). refresh mutates its store, so
+      // min-of-2 runs against two independent scaffolds.
       def refreshSecs(copies: Int, label: String): Double = {
         val in1 = Indexes.ClinicalInputs.fromDir(spark, fixtures)
         val in = replicate(in1, copies)
+        val cat = graft.core.Scratch.dir(
+          s"rehearsal_inc100_ixcat_$copies")
+        Indexes.writeClinicalCatalog(in, cat)
         (1 to 2).map { rep =>
           val dir = graft.core.Scratch.dir(
             s"rehearsal_inc100_ixstore_${copies}_$rep")
           Indexes.writeStudyIndexStore(Indexes.studyIndex(in, meta), dir)
           timed(s"$label rep$rep") {
-            // the refresh reads the changed study's INPUT slice pruned
-            // (in1 == filterStudies(in, GS001) row-for-row): production
-            // inputs are study-partitioned on storage, so the ×N
-            // replica union above is STATE scaffolding, not an input
-            // model — handing the refresh the unpruned union would
-            // re-measure the scaffolding's 12×N-branch plan, not the
-            // contract
             val n = Indexes.refreshStudyIndexStore(
-              spark, dir, in1, Seq("GS001"), meta)
+              spark, dir, cat, Seq("GS001"), meta)
             n + Indexes.readStudyIndexStore(spark, dir, Seq("GS001"))
               .count()
           }

@@ -692,17 +692,115 @@ object Indexes {
     rebuilt.count()
   }
 
+  /** Study-partitioned clinical input CATALOG — the structural fix for
+    * the refresh footgun: [[refreshStudyIndexStore]] applies
+    * [[filterStudies]] internally, but a filter cannot shrink the PLAN
+    * of a caller-built frame — hand it a 12-table × N-branch union and
+    * all 12×N scans still run (measured: 5.56× at state ×100 vs 1.10×
+    * pruned, round-13 rehearsal). Production inputs are study-
+    * partitioned on storage; this catalog IS that layout (each entity
+    * table Hive-partitioned by a `__study_pt` copy of `study_id`, the
+    * doc-store device, so read-back schema and column order match the
+    * TSV inputs exactly; term tables are study-agnostic and stored
+    * plain). [[readClinicalCatalog]] with a study list prunes at the
+    * FILE LISTING — the plan is always 12 pruned scans + 4 term scans,
+    * independent of corpus size — and the catalog-based refresh
+    * overloads below make the unpruned-plan mistake inexpressible:
+    * there is no frame for the caller to mis-build. */
+  private val EntityNames = Seq("donor", "study", "phenotype", "file",
+    "biospecimen", "samples", "diagnosis", "treatment", "followUp",
+    "exposure", "family", "familyHistory")
+  private val TermNames = Seq("hpoTerms", "mondoTerms", "icdTerms",
+    "duoTerms")
+  private def entityFrames(in: ClinicalInputs): Seq[DataFrame] =
+    Seq(in.donor, in.study, in.phenotype, in.file, in.biospecimen,
+      in.samples, in.diagnosis, in.treatment, in.followUp, in.exposure,
+      in.family, in.familyHistory)
+  private def termFrames(in: ClinicalInputs): Seq[DataFrame] =
+    Seq(in.hpoTerms, in.mondoTerms, in.icdTerms, in.duoTerms)
+
+  def writeClinicalCatalog(in: ClinicalInputs, dir: String): Unit = {
+    EntityNames.zip(entityFrames(in)).foreach { case (name, df) =>
+      df.withColumn("__study_pt", col("study_id"))
+        .repartition(col("__study_pt"))
+        .write.mode("overwrite").partitionBy("__study_pt")
+        .parquet(s"$dir/$name")
+    }
+    TermNames.zip(termFrames(in)).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+  }
+
+  /** Partition-pruned read of a `__study_pt`-partitioned table that
+    * prunes the FILE LISTING itself, not just the scan: a plain
+    * `read.parquet(root).filter(isin)` still drives one
+    * InMemoryFileIndex pass over EVERY partition directory — O(total
+    * studies) driver work per read, which the round-14 rehearsal
+    * measured as the dominant 100× term (2.34× vs 1.4× with direct
+    * paths). Reading the changed studies' directories directly (with
+    * `basePath` so `__study_pt` stays a column) lists O(changed)
+    * directories. Requested studies with no stored partition are
+    * skipped driver-side (an fs.exists each — O(changed)); if none
+    * exist the full-root read with a false filter preserves schema. */
+  private def prunedPartitionRead(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      studies: Seq[String]): DataFrame =
+    if (studies.isEmpty) spark.read.parquet(root)
+    else {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val paths = studies.distinct.map(s => s"$root/__study_pt=$s")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (paths.isEmpty) spark.read.parquet(root).filter(lit(false))
+      else spark.read.option("basePath", root).parquet(paths: _*)
+    }
+
+  /** Read the catalog; a non-empty `studies` list prunes every entity
+    * read's file listing to those studies' directories. */
+  def readClinicalCatalog(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      studies: Seq[String] = Seq.empty): ClinicalInputs = {
+    def entity(name: String): DataFrame =
+      prunedPartitionRead(spark, s"$dir/$name", studies)
+        .drop("__study_pt")
+    def term(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+    ClinicalInputs(
+      donor = entity("donor"), study = entity("study"),
+      phenotype = entity("phenotype"), file = entity("file"),
+      biospecimen = entity("biospecimen"), samples = entity("samples"),
+      diagnosis = entity("diagnosis"), treatment = entity("treatment"),
+      followUp = entity("followUp"), exposure = entity("exposure"),
+      family = entity("family"), familyHistory = entity("familyHistory"),
+      hpoTerms = term("hpoTerms"), mondoTerms = term("mondoTerms"),
+      icdTerms = term("icdTerms"), duoTerms = term("duoTerms"))
+  }
+
+  /** [[refreshStudyIndexStore]] from a [[writeClinicalCatalog]] layout:
+    * the changed studies' input slice is read PARTITION-PRUNED inside —
+    * per-refresh plan cost is O(changed) structurally, whatever the
+    * catalog has accumulated. */
+  def refreshStudyIndexStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      catalogDir: String, changed: Seq[String],
+      meta: Seq[(String, String)]): Long =
+    refreshStudyIndexStore(spark, dir,
+      readClinicalCatalog(spark, catalogDir, changed), changed, meta)
+
+  /** [[refreshDocIndexStore]] from a [[writeClinicalCatalog]] layout —
+    * same structural pruning as the study-index overload. */
+  def refreshDocIndexStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      build: ClinicalInputs => DataFrame,
+      catalogDir: String, changed: Seq[String]): Long =
+    refreshDocIndexStore(dir, build,
+      readClinicalCatalog(spark, catalogDir, changed), changed)
+
   /** The donor/file store's read view; `studies` non-empty
     * partition-prunes to those studies. */
   def readDocIndexStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      studies: Seq[String] = Seq.empty): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/docs")
-    val pruned =
-      if (studies.isEmpty) docs
-      else docs.filter(col("__study_pt").isin(studies: _*))
-    pruned.drop("__study_pt")
-  }
+      studies: Seq[String] = Seq.empty): DataFrame =
+    prunedPartitionRead(spark, s"$dir/docs", studies).drop("__study_pt")
 
   /** The store's read view: stored docs patched up to the current
     * universe — equals a full [[studyIndex]] rebuild. `studies`
@@ -714,11 +812,9 @@ object Indexes {
       studies: Seq[String] = Seq.empty): DataFrame = {
     val uniRow = universeRow(
       graft.sources.Versioned.readCurrent(spark, s"$dir/universe"))
-    val docs = spark.read.parquet(s"$dir/docs")
-    val pruned =
-      if (studies.isEmpty) docs
-      else docs.filter(col("__study_pt").isin(studies: _*))
-    patchSummaryTo(pruned.drop("__study_pt"), uniRow)
+    patchSummaryTo(
+      prunedPartitionRead(spark, s"$dir/docs", studies).drop("__study_pt"),
+      uniRow)
   }
 
   def studyIndex(

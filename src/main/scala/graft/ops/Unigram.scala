@@ -95,36 +95,73 @@ object Unigram {
       .filter(length(col("piece")) === 1 || col("cnt") >= minCount)
   }
 
+  /** Aggregate-side bound on every driver collect of a (piece, cnt)
+    * frame: ALL single chars survive (coverage is non-negotiable and
+    * the charset is bounded by Unicode, not the corpus), multi-char
+    * pieces are pruned to the top `cap` by (cnt DESC, piece ASC)
+    * BEFORE collecting. The sort-limit plans as
+    * TakeOrderedAndProject — per-partition bounded heaps, a
+    * cap-sized driver merge — so driver memory is O(charset + cap)
+    * however many distinct length-≤`maxPieceLen` substrings the
+    * corpus has (a multilingual 100 TB corpus reaches 10⁷–10⁸; the
+    * uncapped collect was a driver-memory funnel). This is
+    * SentencePiece's own seed-vocab cap (`seed_sentencepiece_size`). */
+  private[ops] def collectCapped(
+      df: DataFrame, cap: Int): Map[String, Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = df.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val multi = df.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(cap)
+      .as[(String, Long)].collect()
+    (chars ++ multi).toMap
+  }
+
   /** Learn a `vocabSize` unigram vocabulary from a (w, n) word table:
     * seed → `emIters` rounds of (broadcast scores → map-side Viterbi
     * → piece-count aggregation → re-score) → one count-ranked prune.
     * Returns (piece, cnt) with cnt the final EM count (exact longs;
-    * single chars floor at 1 so coverage survives re-scoring). */
+    * single chars floor at 1 so coverage survives re-scoring).
+    *
+    * Driver state is bounded by `seedCapFactor × vocabSize` multi-char
+    * pieces (+ the corpus charset) at every collect — the
+    * [[collectCapped]] prune. The cap binds only on corpora whose
+    * distinct piece space exceeds it; when it binds, pieces ranked
+    * below the cap never enter EM, exactly SentencePiece's seed cap. */
   def train(words: DataFrame, vocabSize: Int, emIters: Int = 3,
-      maxPieceLen: Int = 4, minSeedCount: Long = 2): Seq[(String, Long)] = {
+      maxPieceLen: Int = 4, minSeedCount: Long = 2,
+      seedCapFactor: Int = 10): Seq[(String, Long)] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
     require(emIters >= 1 && emIters <= 20,
       s"emIters out of range: $emIters")
+    require(seedCapFactor >= 1,
+      s"seedCapFactor must be >= 1: $seedCapFactor")
+    val cap = (vocabSize.toLong * seedCapFactor)
+      .min(Int.MaxValue.toLong).toInt
     val spark = words.sparkSession
     import spark.implicits._
     val wc = words.select(col("w").cast("string"), col("n").cast("long"))
       .as[(String, Long)]
       .cache() // vocabulary-sized; read once per EM iteration
     try {
-      var pieces = seedPieces(words, maxPieceLen, minSeedCount)
-        .as[(String, Long)].collect().toMap
+      var pieces =
+        collectCapped(seedPieces(words, maxPieceLen, minSeedCount), cap)
       (1 to emIters).foreach { _ =>
         val total = math.max(1L, pieces.valuesIterator.sum)
         val logp = pieces.map { case (p, c) =>
           p -> math.log(c.toDouble / total.toDouble)
         }
         val bc = spark.sparkContext.broadcast(logp)
-        val counted = wc.flatMap { case (w, n) =>
+        // Viterbi emits only pieces already in `pieces` (≤ cap multi),
+        // so this cap is a structural bound, never a binding prune
+        val counted = collectCapped(
+          wc.flatMap { case (w, n) =>
             segment(w, bc.value, maxPieceLen).map(p => (p, n))
           }
           .toDF("piece", "n")
-          .groupBy("piece").agg(sum("n").as("cnt"))
-          .as[(String, Long)].collect().toMap
+          .groupBy("piece").agg(sum("n").as("cnt")), cap)
         // Viterbi-unused single chars keep a floor count of 1: a char
         // with log(0) next round would break coverage for good
         pieces = pieces.collect {

@@ -392,8 +392,19 @@ object EventStream {
     * applied merges resolve to identity quotient edges and
     * already-appended nodes are found, not duplicated. Read the folded
     * labeling with [[graft.ops.GraphStore.read]]`(spark, s"$$dir/store")`.
+    *
+    * Compaction rides the sink: after each pointer commit the sink
+    * calls [[graft.ops.GraphStore.maybeCompact]] with
+    * `compactAtRebaseRows` — a long-lived stream is precisely the
+    * caller with no natural manual hook, and without it the rebase
+    * side table grows with accumulated merges forever (every batch
+    * re-reads and re-broadcasts it). Running AFTER the commit keeps
+    * the crash story unchanged: compaction is idempotent and
+    * read-view-invariant, so a crash mid-compact replays the batch as
+    * a no-op fold and simply re-attempts the compact.
     */
-  def componentStoreSink(dir: String, maxIters: Int = 30)(
+  def componentStoreSink(dir: String, maxIters: Int = 30,
+      compactAtRebaseRows: Long = 1000000L)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
@@ -426,6 +437,8 @@ object EventStream {
         throw new java.io.IOException(
           s"componentStoreSink: rename $tmp -> $pointer failed; re-deliver")
     }
+    graft.ops.GraphStore.maybeCompact(
+      spark, s"$dir/store", compactAtRebaseRows): Unit
   }
 
   /** Streaming CUSUM ([[graft.ops.TimeSeries.cusum]] folded across

@@ -411,4 +411,46 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
       canon(Indexes.donorIndex(inputs, stamps)
         .filter(col("study_id") === "GS001")))
   }
+
+  test("clinical CATALOG: round-trip equality, file-listing partition " +
+      "pruning, catalog-based refreshes equal the full rebuilds") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(to_json(struct(df.columns.sorted.map(col): _*)))
+      .as[String].collect().sorted.toSeq
+    val dir = graft.core.Scratch.dir("clinical_catalog")
+    Indexes.writeClinicalCatalog(inputs, dir)
+    // round-trip: entity and term tables read back row-identical
+    val back = Indexes.readClinicalCatalog(spark, dir)
+    assert(canon(back.donor) == canon(inputs.donor))
+    assert(canon(back.file) == canon(inputs.file))
+    assert(canon(back.hpoTerms) == canon(inputs.hpoTerms))
+    // STRUCTURAL pruning: the changed-study read lists ONLY the
+    // requested studies' directories (direct-path reads — the plan
+    // never touches, let alone filters, other partitions)
+    val pruned = Indexes.readClinicalCatalog(spark, dir, Seq("GS001"))
+    val files = pruned.donor.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("__study_pt=GS001")),
+      s"catalog read listed a non-requested study's files: " +
+        files.filterNot(_.contains("__study_pt=GS001")).take(3).mkString(","))
+    assert(canon(pruned.donor) ==
+      canon(inputs.donor.filter(col("study_id") === "GS001")))
+    // catalog-based study-index refresh == the frame path's read view
+    val stale = inputs.copy(file = inputs.file.filter(
+      !(col("study_id") === "GS001" &&
+        col("submitter_donor_id") === "DO002")))
+    val sdir = graft.core.Scratch.dir("study_index_store_cat")
+    Indexes.writeStudyIndexStore(Indexes.studyIndex(stale, stamps), sdir)
+    val n = Indexes.refreshStudyIndexStore(
+      spark, sdir, dir, Seq("GS001"), stamps)
+    assert(n == 1L)
+    assert(canon(Indexes.readStudyIndexStore(spark, sdir)) ==
+      canon(Indexes.studyIndex(inputs, stamps)))
+    // catalog-based donor-doc refresh likewise
+    val ddir = graft.core.Scratch.dir("donor_doc_store_cat")
+    Indexes.writeDocIndexStore(Indexes.donorIndex(stale, stamps), ddir)
+    Indexes.refreshDocIndexStore(
+      spark, ddir, Indexes.donorIndex(_, stamps), dir, Seq("GS001"))
+    assert(canon(Indexes.readDocIndexStore(spark, ddir)) ==
+      canon(Indexes.donorIndex(inputs, stamps)))
+  }
 }

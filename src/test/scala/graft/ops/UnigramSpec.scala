@@ -75,4 +75,27 @@ class UnigramSpec extends AnyFunSuite with WithSpark {
     val chars = base.flatMap(_._1.toSeq).map(_.toString).toSet
     assert(chars.subsetOf(v1.map(_._1).toSet))
   }
+
+  test("driver collects are cap-bounded: collectCapped keeps all " +
+      "chars + top-cap multi pieces, and a non-binding cap leaves the " +
+      "learned vocabulary identical") {
+    // binding cap: 5 multi-char pieces, cap 2 — survivors are the top
+    // 2 by (cnt DESC, piece ASC); every single char stays regardless
+    val pieces = Seq(("ab", 9L), ("ba", 9L), ("abc", 7L), ("bc", 7L),
+      ("cab", 1L), ("a", 2L), ("b", 1L), ("c", 1L))
+      .toDF("piece", "cnt")
+    val capped = Unigram.collectCapped(pieces, cap = 2)
+    assert(capped == Map("ab" -> 9L, "ba" -> 9L,
+      "a" -> 2L, "b" -> 1L, "c" -> 1L),
+      s"cap selection broke (cnt DESC, piece ASC): $capped")
+    // non-binding cap (the fixture regime): vocabulary is unchanged
+    // against an effectively-uncapped run
+    val words = Seq(("spark", 4L), ("sparse", 3L), ("park", 5L),
+      ("parse", 2L), ("spar", 1L)).toDF("w", "n")
+    val tight = Unigram.train(words, vocabSize = 12, seedCapFactor = 10)
+    val loose = Unigram.train(words, vocabSize = 12,
+      seedCapFactor = 100000)
+    assert(tight == loose,
+      "a non-binding seed cap must not change the learned vocabulary")
+  }
 }

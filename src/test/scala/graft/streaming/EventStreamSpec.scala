@@ -891,4 +891,45 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
         s"all prior nodes should land in component 1: $healed")
     } finally query.stop()
   }
+
+  test("componentStoreSink compacts when the rebase table outgrows its " +
+      "threshold: exactly one compaction on a merge-heavy stream, read " +
+      "view invariant across it") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cc_storecompact").toString
+    val input = MemoryStream[(Long, Long)](spark)
+    val query = input.toDF().toDF("a", "b").writeStream
+      .foreachBatch(
+        EventStream.componentStoreSink(out, compactAtRebaseRows = 2L) _)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def rebase() = graft.ops.GraphStore.rebaseSize(spark, s"$out/store")
+      // batch 0 inits four 2-node components; each later batch merges
+      // two PRIOR canonicals, so every batch grows the rebase table
+      input.addData((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      query.processAllAvailable()
+      assert(rebase() == 0L)
+      input.addData((2L, 4L)); query.processAllAvailable() // 3 -> 1
+      assert(rebase() == 1L, "merge should ride the rebase table")
+      input.addData((6L, 8L)); query.processAllAvailable() // 7 -> 5
+      assert(rebase() == 2L, "at-threshold must NOT compact (policy is >)")
+      val before = graft.ops.GraphStore.read(spark, s"$out/store")
+        .as[(Long, Long)].collect().toMap
+      input.addData((4L, 6L)); query.processAllAvailable() // 5 -> 1, n=3 > 2
+      assert(rebase() == 0L,
+        "crossing the threshold inside the sink must trigger compaction")
+      val after = graft.ops.GraphStore.read(spark, s"$out/store")
+        .as[(Long, Long)].collect().toMap
+      assert(after == (1L to 8L).map(_ -> 1L).toMap,
+        s"read view after compaction diverged: $after")
+      assert(after.keySet == before.keySet,
+        "compaction changed store membership")
+      // compacted labels are fully resolved in the raw rows
+      val raw = spark.read.parquet(s"$out/store/labels")
+        .select(col("node"), col("component"))
+        .as[(Long, Long)].collect().toMap
+      assert(raw == after, "compaction left unresolved raw labels")
+    } finally query.stop()
+  }
 }
