@@ -627,6 +627,27 @@ object ScaleRehearsal {
       growth("inc100_dedup (100x/10x)") = d100 / d10
     }
 
+    // ---- sharded export: data-proportional by definition (it writes
+    // the corpus), so the bar is growth ≲ 10 — i.e. the three passes
+    // (sizing, per-shard stats, hash-shuffled write) all stay parallel
+    // and nothing corpus-sized funnels through the driver ----
+    if (on("export_shards")) {
+      def expSecs(docs: DataFrame, label: String, n: Int): Double =
+        (1 to 2).map { rep =>
+          val dir = graft.core.Scratch.dir(s"rehearsal_export_${n}_$rep")
+          timed(s"$label rep$rep") {
+            val r = graft.sources.Export.exportShards(docs, dir,
+              targetBytes = 1L << 18, id = col("doc_id"),
+              sizeOf = octet_length(col("text")),
+              checksumCols = Seq("doc_id", "text"))
+            r.shards.toLong + r.rows
+          }
+        }.min
+      val x1 = expSecs(tdocs1, "export_shards 1x", 1)
+      val x10 = expSecs(tdocs10, "export_shards 10x", 10)
+      growth("export_shards (10x/1x)") = x10 / x1
+    }
+
     // clinical corpus ×N (salted study replicas), changed slice
     // CONSTANT (one study) — the O(changed) refresh contract
     if (on("inc100_index")) {

@@ -349,6 +349,54 @@ object SourceQueries {
       graft.sources.Versioned.readManifest(s, root)
     },
 
+    // ---- size-targeted sharded export + manifest (the training-data
+    //      last mile): shard = portable md5 draw mod ceil(Σbytes /
+    //      target), one parquet file per shard written executor-side,
+    //      Versioned manifest of (shard, rows, bytes, checksum). The
+    //      face joins the PUBLISHED manifest against a recompute from
+    //      the read-back shard files; the oracle replays membership
+    //      and every aggregate relationally from documents — so a
+    //      wrong shard assignment, a torn file, or a manifest that
+    //      disagrees with the data all hash-mismatch ----
+    sql(
+      "q_export_shards",
+      """WITH tot AS (
+        |  SELECT sum(octet_length(encode(text)))::BIGINT AS total
+        |  FROM documents),
+        |ns AS (
+        |  SELECT greatest(1, (total + 65535) // 65536)::BIGINT AS n
+        |  FROM tot),
+        |s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % (SELECT n FROM ns) AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_shards"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShards(docs, dir,
+          targetBytes = 65536L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):
     //      write suppliers as <supplier> elements, read back with a
     //      pinned schema, hash against the parquet-backed oracle —

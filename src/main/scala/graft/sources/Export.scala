@@ -1,0 +1,196 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Size-targeted sharded export with a committed manifest — the last
+  * mile of a training-data pipeline: "write this corpus as N shards of
+  * ~`targetBytes` each, and give the training job a manifest it can
+  * trust" (shard → file, row count, payload bytes, checksum). (No
+  * reference counterpart; SURVEY.md §8 extension surface — the
+  * reference's one export is a coalesce(1) JSON dump,
+  * processes/processes.scala:22-38, which is exactly the driver
+  * funnel this module exists to avoid.)
+  *
+  * Design, 100 TB-first:
+  *
+  *  - '''Deterministic shard assignment''': shard = (uint32 md5 draw
+  *    of the id) mod nShards — the engine's standard portable draw
+  *    (DuckDB replays it byte-for-byte), so shard MEMBERSHIP is a
+  *    pure function of (corpus, targetBytes): re-exports, retries and
+  *    independent auditors all agree row-by-row. nShards =
+  *    ⌈Σ sizeOf / targetBytes⌉ from one column-pruned sizing pass;
+  *    the md5 draw is uniform, so every shard lands near targetBytes
+  *    (no bin-packing pass over 100 TB, no size-sorted shuffle).
+  *  - '''One file per shard, written executor-side''': one hash
+  *    shuffle on the shard id into `partitionBy("shard")` — each
+  *    shard's rows land in exactly one task, every task writes its
+  *    shards in parallel. No coalesce(1), nothing corpus-sized ever
+  *    visits the driver (driver work is O(shards) metadata).
+  *  - '''Content-addressed data directory''' (`c_<checksum>_<rows>`
+  *    from the manifest totals): a re-export of identical content
+  *    overwrites the same directory with identical content (idempotent
+  *    by construction), while changed content gets a FRESH directory —
+  *    so manifest versions pinned to older exports stay readable
+  *    (rollback works) and a half-written export is invisible until
+  *    its manifest publishes.
+  *  - '''Versioned manifest''' ([[Versioned.publish]], atomic pointer
+  *    flip): one row per shard (shard, path, file_bytes, n_rows,
+  *    bytes, checksum) + the export totals on every row. Consumers
+  *    resolve the manifest, then read immutable data. Crash before
+  *    publish → orphaned data dir, swept by the next successful
+  *    export's reference-counting prune; crash mid-publish → healed
+  *    by [[Versioned]]'s pointer discipline.
+  *
+  * The checksum is [[Versioned.manifest]]'s order-independent uint32
+  * md5 sum over `checksumCols` — associative, so per-shard sums and
+  * the export total compose, and partitioning can never move them.
+  */
+object Export {
+
+  final case class ShardedExport(
+      version: Long, shards: Int, rows: Long, dataDir: String)
+
+  private def manifestRoot(dir: String) = s"$dir/manifest"
+  private def shardsRoot(dir: String) = s"$dir/shards"
+
+  /** The engine's portable draw: uint32 from the md5 hex prefix. */
+  private def md5Draw(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  private def rowChecksum(cols: Seq[String]): Column =
+    conv(substring(md5(
+        concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+          .cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Per-shard (n_rows, bytes, checksum) aggregates of a frame
+    * carrying a `shard` column — the manifest's content surface,
+    * shared by the export, [[verifyShards]] and any external auditor
+    * (one column-pruned pass, ≤ nShards output rows). */
+  def shardAggregates(df: DataFrame, sizeOf: Column,
+      checksumCols: Seq[String]): DataFrame =
+    df.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(sizeOf), lit(0L)).cast("long").as("bytes"),
+      coalesce(sum(rowChecksum(checksumCols)), lit(0L)).as("checksum"))
+
+  /** Export `df` under `dir` as ~`targetBytes`-sized parquet shards +
+    * a versioned manifest. `id` must be row-unique (shard assignment
+    * and the checksum draw key on it via `checksumCols`); `sizeOf` is
+    * the per-row payload-byte expression the size target is measured
+    * in (e.g. `octet_length(col("text"))`). Returns the published
+    * manifest version, shard count, row count and data directory. */
+  def exportShards(df: DataFrame, dir: String, targetBytes: Long,
+      id: Column, sizeOf: Column, checksumCols: Seq[String],
+      keep: Int = 3): ShardedExport = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    require(checksumCols.nonEmpty, "checksumCols must be non-empty")
+    val spark = df.sparkSession
+    // pass 1 (column-pruned): total payload bytes -> shard count
+    val total = df.agg(coalesce(sum(sizeOf), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val nShards = math.max(1L, (total + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val staged = df.withColumn("shard",
+      pmod(md5Draw(id), lit(nShards.toLong)).cast("int"))
+    // pass 2 (column-pruned): per-shard manifest aggregates; ≤ nShards
+    // rows — collecting them is O(shards) driver metadata, not data
+    val stats = shardAggregates(staged, sizeOf, checksumCols)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    require(stats.nonEmpty, "exportShards needs a non-empty frame")
+    val rows = stats.valuesIterator.map(_._1).sum
+    val totalChecksum = stats.valuesIterator.map(_._3).sum
+    val dataDir = s"${shardsRoot(dir)}/c_${java.lang.Long.toHexString(
+      totalChecksum)}_$rows"
+    // pass 3: the data itself — one hash shuffle on the shard id, one
+    // file per shard dir, all writers in parallel
+    staged.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dataDir)
+    // manifest rows from the stats + the written files (O(shards)
+    // driver-side listing)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileSeq = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("shard="))
+      .flatMap { d =>
+        val k = d.getPath.getName.stripPrefix("shard=").toInt
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => k -> (f.getPath.toString, f.getLen))
+      }.toSeq
+    val multi = fileSeq.groupBy(_._1).filter(_._2.size > 1)
+    require(multi.isEmpty, "export wrote more than one file per shard: " +
+      multi.keys.take(3).mkString(","))
+    val files = fileSeq.toMap
+    require(files.keySet == stats.keySet,
+      s"export wrote ${files.size} shard files for ${stats.size} shards")
+    import spark.implicits._
+    val manifest = stats.toSeq.sortBy(_._1).map {
+      case (k, (n, b, c)) =>
+        val (path, fb) = files(k)
+        (k, path, fb, n, b, c, dataDir, nShards, targetBytes)
+    }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
+      "data_dir", "n_shards", "target_bytes")
+    val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
+    sweepUnreferenced(spark, dir)
+    ShardedExport(v, nShards, rows, dataDir)
+  }
+
+  /** The promoted manifest (one row per shard). */
+  def readShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Versioned.readCurrent(spark, manifestRoot(dir))
+
+  /** The promoted export's rows, `shard` column included. */
+  def readShards(spark: SparkSession, dir: String): DataFrame = {
+    val dataDir = readShardManifest(spark, dir)
+      .select(col("data_dir")).head().getString(0)
+    spark.read.parquet(dataDir)
+  }
+
+  /** Per-shard audit of the promoted export: recompute (n_rows,
+    * bytes, checksum) from the shard files and join against the
+    * manifest. Returns rows where anything disagrees — empty means
+    * every byte the manifest promises is on disk. One column-pruned
+    * pass over the export. */
+  def verifyShards(spark: SparkSession, dir: String, sizeOf: Column,
+      checksumCols: Seq[String]): DataFrame = {
+    val manifest = readShardManifest(spark, dir)
+      .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+    val got = shardAggregates(readShards(spark, dir), sizeOf, checksumCols)
+      .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+        "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+    manifest.join(got, Seq("shard"), "full_outer")
+      .filter(!(col("n_rows") <=> col("rb_n_rows")) ||
+        !(col("bytes") <=> col("rb_bytes")) ||
+        !(col("checksum") <=> col("rb_checksum")))
+  }
+
+  /** Reference-counting sweep: delete `c_*` data dirs no surviving
+    * manifest version references. Runs after a successful publish;
+    * never touches the current version's data. */
+  private def sweepUnreferenced(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(shardsRoot(dir))
+    if (!fs.exists(root)) return
+    val mroot = new org.apache.hadoop.fs.Path(manifestRoot(dir))
+    val referenced = fs.listStatus(mroot).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v_"))
+      .flatMap { p =>
+        spark.read.parquet(p.toString)
+          .select(col("data_dir")).distinct().collect().map(_.getString(0))
+      }
+      .map(d => new org.apache.hadoop.fs.Path(d).getName)
+      .toSet
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("c_") &&
+        !referenced.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+}

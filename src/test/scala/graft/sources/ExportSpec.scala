@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExportSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def corpus(n: Int, tag: String = "") =
+    (0 until n).map(i => (i.toLong, s"doc$tag-$i-" + ("x" * (50 + i % 7))))
+      .toDF("doc_id", "text")
+
+  private def export(df: org.apache.spark.sql.DataFrame, dir: String,
+      target: Long = 2048L, keep: Int = 3) =
+    Export.exportShards(df, dir, target, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"), keep = keep)
+
+  test("exportShards: size-targeted shard count, one file per shard, " +
+      "manifest matches the data, verify is empty, read round-trips") {
+    val dir = graft.core.Scratch.dir("export_basic")
+    val docs = corpus(200)
+    val res = export(docs, dir)
+    // shard count = ceil(total payload / target)
+    val total = docs.agg(sum(octet_length(col("text"))))
+      .head().getLong(0)
+    assert(res.shards == ((total + 2047) / 2048).toInt)
+    assert(res.shards > 1, "fixture must exercise multiple shards")
+    assert(res.rows == 200L)
+    // one row per shard in the manifest; every path exists with the
+    // listed file size
+    val m = Export.readShardManifest(spark, dir).collect()
+    assert(m.length == res.shards ||
+      m.length < res.shards && m.length > 0) // md5 draw may leave a
+                                             // shard empty (no row)
+    m.foreach { r =>
+      val f = new java.io.File(new java.net.URI(
+        r.getAs[String]("path")).getPath)
+      assert(f.isFile && f.length == r.getAs[Long]("file_bytes"))
+    }
+    // read round-trip: same rows, shard column deterministic
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 200L)
+    assert(back.select("doc_id", "text").except(docs).isEmpty &&
+      docs.except(back.select("doc_id", "text")).isEmpty)
+    // the audit agrees with the manifest on every shard
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // manifest totals equal the frame's own aggregates
+    val mt = Export.readShardManifest(spark, dir)
+      .agg(sum("n_rows"), sum("bytes")).head()
+    assert(mt.getLong(0) == 200L && mt.getLong(1) == total)
+  }
+
+  test("re-export of identical content is idempotent (same " +
+      "content-addressed dir), changed content gets a fresh dir and " +
+      "old manifest versions stay readable; sweep reclaims " +
+      "unreferenced dirs") {
+    val dir = graft.core.Scratch.dir("export_idem")
+    val a1 = export(corpus(120), dir, keep = 2)
+    val a2 = export(corpus(120), dir, keep = 2)
+    assert(a2.dataDir == a1.dataDir, "identical content must re-land " +
+      "in the same content-addressed dir")
+    assert(a2.version > a1.version)
+    // changed content: fresh dir; the superseded manifest (a2) still
+    // resolves to its own data after the new publish
+    val b = export(corpus(120, tag = "B"), dir, keep = 2)
+    assert(b.dataDir != a1.dataDir)
+    assert(spark.read.parquet(a1.dataDir).count() == 120L,
+      "data referenced by a surviving manifest version was swept")
+    // keep=2 prunes a1's manifest version; a third export with fresh
+    // content drops a1/a2's shared data dir once unreferenced
+    val c = export(corpus(120, tag = "C"), dir, keep = 1)
+    assert(!new java.io.File(new java.net.URI(
+        "file://" + a1.dataDir).getPath).exists(),
+      "sweep left an unreferenced content dir behind")
+    assert(spark.read.parquet(c.dataDir).count() == 120L)
+  }
+
+  test("shard assignment is the portable md5 draw: membership " +
+      "replays relationally, and a row moves shards only if the " +
+      "corpus size target moves") {
+    val dir = graft.core.Scratch.dir("export_draw")
+    val docs = corpus(80)
+    val res = export(docs, dir)
+    val got = Export.readShards(spark, dir)
+      .select(col("doc_id"), col("shard")).as[(Long, Int)]
+      .collect().toMap
+    val want = docs.select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(res.shards.toLong)).cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == want, "shard membership diverged from the md5 draw")
+  }
+}
