@@ -563,6 +563,56 @@ object ScaleRehearsal {
       growth("inc100_cc (100x/10x)") = c100 / c10
     }
 
+    // ---- GraphStore bucketing under id-space SKEW (dense pocket +
+    // far outliers): the regime where the fixed-shift bucket fn
+    // overfills — width = target·span/n is sized by the OUTLIER span,
+    // so the dense pocket collapses into one bucket and every batch
+    // that touches it reads O(state), not O(batch). Quantile mode
+    // (equal-COUNT boundaries) is immune. Closed-form scaffold: nodes
+    // in blocks of 4 (component = block), every 100th id flung to
+    // 2^40 + id; labels derived arithmetically so the ×100 scaffold
+    // needs no CC run. Constant batch = 2000 block-joining edges in
+    // the base range. Reports rows-per-bucket overfill at ×100 and
+    // timed applyBatch growth for BOTH modes. ----
+    if (on("inc100_ccskew")) {
+      val base = 200000L
+      def skewId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(pmod(c, lit(100L)) === 0, lit(1L << 40) + c).otherwise(c)
+      def labels(n: Long): DataFrame = {
+        val blk = col("id") - pmod(col("id"), lit(4L))
+        spark.range(n).select(skewId(col("id")).as("node"),
+          when(pmod(blk, lit(100L)) === 0, blk + 1L).otherwise(blk)
+            .as("component"))
+      }
+      val batch = spark.range(2000).select(
+          skewId(col("id") * 8).as("a"), skewId(col("id") * 8 + 4).as("b"))
+        .localCheckpoint()
+      def secs(copies: Long, quantile: Boolean, label: String): Double =
+        (1 to 2).map { rep =>
+          val dir = graft.core.Scratch.dir(
+            s"rehearsal_ccskew_${copies}_${quantile}_$rep")
+          graft.ops.GraphStore.init(labels(base * copies), dir,
+            quantileBuckets = quantile)
+          if (rep == 1 && copies == 100) {
+            val mx = spark.read.parquet(s"$dir/labels")
+              .groupBy(col("__pt")).count()
+              .agg(max(col("count"))).head().getLong(0)
+            println(f"[rehearsal] ccskew max-rows/bucket " +
+              f"quantile=$quantile%-5s $mx%12d (target 262144)")
+          }
+          timed(s"$label rep$rep") {
+            val a = graft.ops.GraphStore.applyBatch(spark, dir, batch)
+            a.merges + a.newNodes
+          }
+        }.min
+      val f10 = secs(10, quantile = false, "ccskew fixed 10x")
+      val f100 = secs(100, quantile = false, "ccskew fixed 100x")
+      growth("ccskew_fixed (100x/10x)") = f100 / f10
+      val q10 = secs(10, quantile = true, "ccskew quantile 10x")
+      val q100 = secs(100, quantile = true, "ccskew quantile 100x")
+      growth("ccskew_quantile (100x/10x)") = q100 / q10
+    }
+
     // band state from an N× corpus (one untimed fold), constant fresh
     // batch with its own disjoint vocabulary
     if (on("inc100_stream")) {

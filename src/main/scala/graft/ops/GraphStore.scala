@@ -95,41 +95,40 @@ object GraphStore {
     }
   }
 
-  /** rank(node) = #boundaries ≤ node, as a BRANCHLESS power-of-two
-    * binary-search Column over the MaxValue-padded sorted boundary
-    * literal — ⌈log₂ B⌉+1 chained conditionals, fully codegen'd, no
-    * UDF and no broadcast table: the boundaries ride the plan the way
-    * the blocklist literal does. Buckets are therefore equal-COUNT
-    * (not equal-width), immune to id-space skew. */
-  private def boundaryRank(node: Column, bounds: Array[Long]): Column = {
-    val b = bounds.length
-    if (b == 0) return lit(0L)
-    var size = Integer.highestOneBit(b)
-    if (size < b) size <<= 1
-    val arr = lit(bounds ++ Array.fill(size - b)(Long.MaxValue))
-    var pos: Column = lit(0)
-    var step = size
-    while (step >= 1) {
-      val cand = pos + lit(step)
-      pos = when(cand <= lit(size) &&
-          element_at(arr, cand.cast("int")) <= node, cand)
-        .otherwise(pos)
-      step >>= 1
-    }
-    least(pos.cast("long"), lit(b.toLong))
-  }
+  /** rank(node) = #boundaries ≤ node — the native
+    * [[graft.plans.BoundaryRank]] expression (O(log B) binary search
+    * per row over one shared long[] reference, O(1) plan size, inside
+    * whole-stage codegen). Buckets are therefore equal-COUNT (not
+    * equal-width), immune to id-space skew. The round-14 rehearsal
+    * retired the previous when-chain Column form: Column composition
+    * cannot share subtrees, so its tree grew 3^⌈log₂ B⌉ — at 76
+    * boundaries every applyBatch paid ~45 s of driver planning. */
+  private def boundaryRank(node: Column, bounds: Array[Long]): Column =
+    if (bounds.isEmpty) lit(0L)
+    else graft.plans.BoundaryRank.rank(node, bounds)
 
   /** Size `bits` so a bucket holds ~`targetRowsPerBucket` rows at the
     * OBSERVED id density: width = target / (n / span). Dense
     * sequential ids get narrow buckets; sparse 64-bit hash ids get
     * wide ones — rows-per-bucket lands near target either way
     * (assuming ids are roughly uniform over their span, which both
-    * regimes are; a heavily SKEWED id space — one dense pocket plus
-    * far outliers — overfills the pocket's bucket, and the skew-proof
-    * variant is approx-quantile boundary arrays instead of a fixed
-    * shift. The shift is kept here because uniform-or-hashed ids are
-    * what ingest pipelines mint, and a closed-form bucket fn needs no
-    * broadcast boundary table in every consumer). */
+    * regimes are).
+    *
+    * DECISION RULE for `quantileBuckets` (measured, round-14 skew
+    * rehearsal — dense pocket + 1% outliers at 2^40): the fixed shift
+    * sizes width by the OUTLIER span, so the pocket collapsed into
+    * one 19.8M-row bucket (76× target) and applyBatch grew 2.23×
+    * from state ×10→×100 (every pocket-touching batch reads O(state));
+    * quantile mode held max-bucket at 261,754 ≈ target and 0.96×
+    * growth. Use `quantileBuckets = true` whenever the id space is
+    * not uniform-or-hashed — concretely, if
+    * `labels.groupBy(bucket).count()`'s max under the shift exceeds
+    * ~4× `targetRowsPerBucket` at init time, re-init with quantiles.
+    * Uniform/hashed ids (what ingest pipelines mint) keep the
+    * closed-form shift: no boundary array in consumers. Quantile
+    * boundaries are frozen at init from the observed distribution;
+    * if the id DISTRIBUTION drifts far from it, later appends can
+    * still pool (re-init or [[compact]]-time re-quantile to heal). */
   def init(labels: DataFrame, dir: String,
       targetRowsPerBucket: Long = 1L << 18,
       quantileBuckets: Boolean = false): Unit = {
