@@ -223,6 +223,63 @@ object Text {
       .reduce(_ + _) / checks.size
   }
 
+  /** The eight Gopher stop words (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1): a document must contain at least two to pass the
+    * stop-word rule. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule gate (Rae et al. 2021 §A1.1) — the
+    * thresholded keep/drop decision production pipelines actually
+    * deploy, as named per-rule booleans plus the conjunction:
+    *
+    *  - `word_count_ok`: word count in [minWords, maxWords]
+    *  - `mean_word_len_ok`: mean word length in [3, 10]
+    *  - `symbol_ratio_ok`: (# of '#' + ellipsis) / words ≤ 0.1
+    *  - `bullet_ok`: ≤ 10% of lines start with a bullet
+    *  - `ellipsis_ok`: ≤ 30% of lines end with an ellipsis
+    *  - `alpha_ok`: ≥ 80% of words contain an alphabetic character
+    *  - `stopword_ok`: ≥ 2 distinct [[GopherStops]] present
+    *  - `gopher_keep`: all of the above
+    *
+    * Everything is codegen'd scalar expressions — ONE corpus scan,
+    * zero joins, zero UDFs — and every rule replays relationally in
+    * DuckDB (the q_gopher_rules oracle). Ratio comparisons divide two
+    * exact integers, so the booleans are engine-portable (a boundary
+    * case would need the ratio to equal the threshold exactly, which
+    * both engines compute identically from the same ints). */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val w = words(text)
+    val nw = size(w).cast(LongType)
+    val nwD = greatest(nw, lit(1L)).cast(DoubleType)
+    val meanLen = length(regexp_replace(text, "\\s", ""))
+      .cast(DoubleType) / nwD
+    val symbols =
+      (size(split(text, "#", -1)) - 1 +
+        (size(split(text, "\\.\\.\\.", -1)) - 1) +
+        (size(split(text, "…", -1)) - 1)).cast(LongType)
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast(DoubleType)
+    val bulletLines = size(filter(lines,
+      l => ltrim(l).rlike("^[-*•]"))).cast(DoubleType)
+    val ellipsisLines = size(filter(lines,
+      l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType)
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]")))
+      .cast(DoubleType)
+    val stops = array(GopherStops.map(lit): _*)
+    val rules = Seq(
+      "word_count_ok" -> (nw >= minWords && nw <= maxWords),
+      "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ratio_ok" -> (symbols.cast(DoubleType) / nwD <= 0.1),
+      "bullet_ok" -> (bulletLines / nLines <= 0.1),
+      "ellipsis_ok" -> (ellipsisLines / nLines <= 0.3),
+      "alpha_ok" -> (alphaWords / nwD >= 0.8),
+      "stopword_ok" ->
+        (size(array_intersect(array_distinct(w), stops)) >= 2))
+    rules :+ ("gopher_keep" -> rules.map(_._2).reduce(_ && _))
+  }
+
   /** Learned-model scoring seam: a logistic scorer over
     * [[qualityFeatures]] with LITERAL coefficients — the deployment
     * shape of a trained quality classifier (fastText / logistic

@@ -372,6 +372,55 @@ object TextQueries {
         scoredDocs(s, d), col("score"), col("y"), bins = 10)
     },
 
+    // ---- the Gopher quality-rule gate (Rae et al. 2021 §A1.1): the
+    //      deployed keep/drop decision as named per-rule booleans —
+    //      ONE codegen'd corpus scan, zero joins; every rule replays
+    //      relationally (integer-exact ratio comparisons) ----
+    sql(
+      "q_gopher_rules",
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS nw,
+        |    greatest(len(w), 1)::DOUBLE AS nwd,
+        |    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+        |      / greatest(len(w), 1) AS mean_len,
+        |    ((len(string_split(text, '#')) - 1)
+        |      + (len(string_split(text, '...')) - 1)
+        |      + (len(string_split(text, '…')) - 1))::BIGINT AS symbols,
+        |    greatest(len(lines), 1)::DOUBLE AS nl,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE AS bl,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE AS el,
+        |    len(list_filter(w,
+        |      x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS aw,
+        |    len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS st
+        |  FROM f)
+        |SELECT doc_id,
+        |  (nw >= 50 AND nw <= 100000) AS word_count_ok,
+        |  (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+        |  (symbols::DOUBLE / nwd <= 0.1) AS symbol_ratio_ok,
+        |  (bl / nl <= 0.1) AS bullet_ok,
+        |  (el / nl <= 0.3) AS ellipsis_ok,
+        |  (aw / nwd >= 0.8) AS alpha_ok,
+        |  (st >= 2) AS stopword_ok,
+        |  ((nw >= 50 AND nw <= 100000)
+        |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND (symbols::DOUBLE / nwd <= 0.1)
+        |    AND (bl / nl <= 0.1) AND (el / nl <= 0.3)
+        |    AND (aw / nwd >= 0.8) AND (st >= 2)) AS gopher_keep
+        |FROM g""".stripMargin) { (s, d) =>
+      val rules = graft.ops.Text.gopherRules(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+    },
+
     // ---- curriculum ordering: model score -> GLOBAL rank (the
     //      range-partitioned operator, no single-partition window) ->
     //      deterministic shard assignment; the composition a training

@@ -448,4 +448,42 @@ class TextSpec extends AnyFunSuite with WithSpark {
     assert(Text.phraseBlocklistFilter(docs, col("text"), bl)
       .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
   }
+
+  test("gopherRules: each rule trips on its own hand-built violator " +
+      "and the clean doc passes all") {
+    val clean = ("the cat and dog that have fun with food " +
+      "while words keep coming along nicely every day ") * 2 +
+      "of course this be enough text to clear fifty words total " +
+      "since the gate needs fifty real words here now done yes"
+    val docs = Seq(
+      (0L, clean),
+      (1L, "too short to pass the word count rule with these words"),
+      // 60 single-char words: mean word length 1 < 3
+      (2L, Seq.fill(60)("a").mkString(" ")),
+      // symbol rule: 50 words + 10 hashes -> ratio 10/60 > 0.1
+      (3L, clean.split("\\s+").take(50).mkString(" ") +
+        " # # # # # # # # # #"),
+      // every line starts with a bullet
+      (4L, Seq.fill(3)("- " + clean).mkString("\n")),
+      // every line ends with an ellipsis
+      (5L, Seq.fill(3)(clean + " ...").mkString("\n")),
+      // numeric words: alpha fraction 0
+      (6L, Seq.fill(60)("123").mkString(" ")),
+      // only one distinct Gopher stop word ("the")
+      (7L, ("the " * 30) + Seq.fill(30)("zzz").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        Text.gopherRules(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ok(id: Long, field: String): Boolean =
+      out(id).getAs[Boolean](field)
+    assert(ok(0L, "gopher_keep"), s"clean doc must pass: ${out(0L)}")
+    assert(!ok(1L, "word_count_ok") && !ok(1L, "gopher_keep"))
+    assert(!ok(2L, "mean_word_len_ok"))
+    assert(!ok(3L, "symbol_ratio_ok"))
+    assert(!ok(4L, "bullet_ok") && ok(0L, "bullet_ok"))
+    assert(!ok(5L, "ellipsis_ok") && ok(0L, "ellipsis_ok"))
+    assert(!ok(6L, "alpha_ok"))
+    assert(!ok(7L, "stopword_ok") && ok(0L, "stopword_ok"))
+  }
 }
