@@ -223,6 +223,49 @@ object Text {
       .reduce(_ + _) / checks.size
   }
 
+  /** The common UTF-8-read-as-Latin-1/Windows-1252 mojibake sequences
+    * and their intended characters (the ftfy repair set's printable
+    * core — sequences whose Windows-1252 rendering is unambiguous).
+    * Ordered longest-first so three-byte punctuation sequences repair
+    * before their two-byte "Ã"/"â" prefixes could mis-fire. */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    // E2 80 xx punctuation read as Windows-1252
+    "â€œ" -> "“", "â€˜" -> "‘", "â€™" -> "’",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    // C3 xx Latin letters read as Windows-1252
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã«" -> "ë",
+    "Ã¡" -> "á", "Ã¢" -> "â", "Ã¤" -> "ä", "Ã§" -> "ç",
+    "Ã­" -> "í", "Ã®" -> "î", "Ã¯" -> "ï", "Ã³" -> "ó",
+    "Ã´" -> "ô", "Ã¶" -> "ö", "Ãº" -> "ú", "Ã»" -> "û",
+    "Ã¼" -> "ü", "Ã±" -> "ñ",
+    // C2 xx: a stray Â before «»°·/NBSP is the tell
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°", "Â·" -> "·")
+
+  /** ftfy-style repair of [[MojibakePairs]] — the standard cleaning
+    * step for crawl text that went through one wrong decode (Speer,
+    * ftfy; every public crawl pipeline ships some form of it). A
+    * literal replace chain: codegen'd scalar work, one pass, no UDF,
+    * and the identical chain replays in any engine
+    * ([[fixMojibakeSql]]). */
+  def fixMojibake(text: Column): Column =
+    MojibakePairs.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Characters recovered by [[fixMojibake]] — an exact integer
+    * mojibake signal (0 = clean): every repair strictly shrinks the
+    * string, so the length delta counts repaired sequences' excess. */
+  def mojibakeChars(text: Column): Column =
+    (length(text) - length(fixMojibake(text))).cast(LongType)
+
+  /** The DuckDB replay of [[fixMojibake]] over a SQL expression —
+    * generated from the SAME pair list, so the two engines can never
+    * drift. */
+  def fixMojibakeSql(colExpr: String): String =
+    MojibakePairs.foldLeft(colExpr) { case (e, (bad, good)) =>
+      s"replace($e, '$bad', '$good')"
+    }
+
   /** The eight Gopher stop words (Rae et al. 2021, arXiv:2112.11446
     * §A1.1): a document must contain at least two to pass the
     * stop-word rule. */

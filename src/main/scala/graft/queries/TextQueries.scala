@@ -421,6 +421,36 @@ object TextQueries {
         col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
     },
 
+    // ---- ftfy-style mojibake repair (UTF-8 read as Latin-1/W1252 —
+    //      the standard crawl-text encoding fix): deterministic plant
+    //      on every 5th doc, exact integer recovered-char signal, md5
+    //      of the repaired text; the oracle replays the IDENTICAL
+    //      replace chain, generated from the same pair list ----
+    sql(
+      "q_mojibake",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' cafÃ© â€” naÃ¯ve Ã¼ber â€œquoteâ€¦'
+         |      ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id, (doc_id % 5 = 0) AS planted,
+         |  (length(t) - length(${graft.ops.Text.fixMojibakeSql("t")}))::BIGINT
+         |    AS mojibake_chars,
+         |  md5(${graft.ops.Text.fixMojibakeSql("t")}) AS fixed_md5
+         |FROM p""".stripMargin) { (s, d) =>
+      import graft.ops.Text
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"),
+              lit(" cafÃ© â€” naÃ¯ve Ã¼ber â€œquoteâ€¦")))
+            .otherwise(col("text")).as("t"))
+        .select(col("doc_id"), (col("doc_id") % 5 === 0).as("planted"),
+          Text.mojibakeChars(col("t")).as("mojibake_chars"),
+          md5(Text.fixMojibake(col("t"))).as("fixed_md5"))
+    },
+
     // ---- curriculum ordering: model score -> GLOBAL rank (the
     //      range-partitioned operator, no single-partition window) ->
     //      deterministic shard assignment; the composition a training

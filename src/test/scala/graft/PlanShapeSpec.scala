@@ -511,4 +511,14 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q: a map-side filter should not shuffle:\n${p.take(1200)}")
     }
   }
+
+  test("the Gopher rule gate is ONE codegen'd corpus scan: all seven " +
+      "rules are scalar expressions — no join, no exchange") {
+    val p = plan("q_gopher_rules")
+    assert(count(p, "documents.parquet") == 1,
+      s"q_gopher_rules: expected exactly one corpus scan:\n${p.take(1200)}")
+    assert(count(p, "Join") == 0 && count(p, "Exchange") == 0,
+      s"q_gopher_rules: a per-row rule gate must not join or " +
+        s"shuffle:\n${p.take(1200)}")
+  }
 }

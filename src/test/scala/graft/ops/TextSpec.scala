@@ -449,6 +449,30 @@ class TextSpec extends AnyFunSuite with WithSpark {
       .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
   }
 
+  test("fixMojibake: repairs the double-decode set longest-first, " +
+      "clean text is a fixed point, mojibakeChars counts recovery") {
+    val rows = Seq(
+      (1L, "cafÃ© crÃ¨me"),              // two 2-char repairs -> -2
+      (2L, "â€œquotedâ€¦ naÃ¯veâ€™s"),   // 3-char + 2-char repairs
+      (3L, "already clean — é ü “x”"),   // fixed point
+      (4L, "Â« guillemets Â»"))
+      .toDF("id", "t")
+    val got = rows.select(col("id"),
+        Text.fixMojibake(col("t")).as("f"),
+        Text.mojibakeChars(col("t")).as("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("café crème", 2L)))
+    assert(got(2L) == (("“quoted… naïve’s", 7L)))
+    assert(got(3L) == (("already clean — é ü “x”", 0L)))
+    assert(got(4L) == (("« guillemets »", 2L)))
+    // idempotent: repairing repaired text changes nothing
+    val twice = rows.select(
+      Text.fixMojibake(Text.fixMojibake(col("t"))) ===
+        Text.fixMojibake(col("t")))
+    assert(twice.collect().forall(_.getBoolean(0)))
+  }
+
   test("gopherRules: each rule trips on its own hand-built violator " +
       "and the clean doc passes all") {
     val clean = ("the cat and dog that have fun with food " +
