@@ -290,9 +290,14 @@ object Text {
     * DuckDB (the q_gopher_rules oracle). Ratio comparisons divide two
     * exact integers, so the booleans are engine-portable (a boundary
     * case would need the ratio to equal the threshold exactly, which
-    * both engines compute identically from the same ints). */
+    * both engines compute identically from the same ints).
+    *
+    * `stops` defaults to the paper's English list; pipelines over
+    * other languages/domains substitute their own (the rule's intent
+    * is "natural-language prose", not those 8 literal words). */
   def gopherRules(text: Column, minWords: Int = 50,
-      maxWords: Int = 100000): Seq[(String, Column)] = {
+      maxWords: Int = 100000,
+      stops: Seq[String] = GopherStops): Seq[(String, Column)] = {
     val w = words(text)
     val nw = size(w).cast(LongType)
     val nwD = greatest(nw, lit(1L)).cast(DoubleType)
@@ -310,7 +315,7 @@ object Text {
       l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType)
     val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]")))
       .cast(DoubleType)
-    val stops = array(GopherStops.map(lit): _*)
+    val stopsArr = array(stops.map(lit): _*)
     val rules = Seq(
       "word_count_ok" -> (nw >= minWords && nw <= maxWords),
       "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
@@ -319,7 +324,7 @@ object Text {
       "ellipsis_ok" -> (ellipsisLines / nLines <= 0.3),
       "alpha_ok" -> (alphaWords / nwD >= 0.8),
       "stopword_ok" ->
-        (size(array_intersect(array_distinct(w), stops)) >= 2))
+        (size(array_intersect(array_distinct(w), stopsArr)) >= 2))
     rules :+ ("gopher_keep" -> rules.map(_._2).reduce(_ && _))
   }
 

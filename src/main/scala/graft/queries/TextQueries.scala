@@ -120,6 +120,33 @@ object TextQueries {
   private def seedsSql(lang: String): String =
     Text.StopwordSeeds(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The [[Text.gopherRules]] keep conjunction over a COLUMN named by
+    * `t` (reference the text through a CTE column, never an inline
+    * expression — the predicate expands `t` ~15 times). Must track
+    * gopherRules rule-for-rule; q_gopher_rules pins the per-rule
+    * surfaces, this composes them for pipeline faces. */
+  private def gopherKeepSql(t: String,
+      stopList: Seq[String] = Text.GopherStops): String = {
+    val w = s"string_split_regex($t, '\\s+')"
+    val nw = s"greatest(len($w), 1)"
+    val nl = s"greatest(len(string_split($t, chr(10))), 1)"
+    val stops = stopList.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""(len($w) >= 50 AND len($w) <= 100000
+       | AND length(regexp_replace($t, '\\s', '', 'g'))::DOUBLE / $nw >= 3.0
+       | AND length(regexp_replace($t, '\\s', '', 'g'))::DOUBLE / $nw <= 10.0
+       | AND ((len(string_split($t, '#')) - 1)
+       |   + (len(string_split($t, '...')) - 1)
+       |   + (len(string_split($t, '…')) - 1))::DOUBLE / $nw <= 0.1
+       | AND len(list_filter(string_split($t, chr(10)),
+       |   l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE / $nl <= 0.1
+       | AND len(list_filter(string_split($t, chr(10)),
+       |   l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / $nl <= 0.3
+       | AND len(list_filter($w,
+       |   x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / $nw >= 0.8
+       | AND len(list_intersect(list_distinct($w), $stops)) >= 2)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Shared input of the calibration faces: the q_model_score logistic
     * score on the 9-grid plus the (lang = 'en') binary target. */
   private def scoredDocs(
@@ -449,6 +476,78 @@ object TextQueries {
         .select(col("doc_id"), (col("doc_id") % 5 === 0).as("planted"),
           Text.mojibakeChars(col("t")).as("mojibake_chars"),
           md5(Text.fixMojibake(col("t"))).as("fixed_md5"))
+    },
+
+    // ---- the LLM-curation pipeline in one face: mojibake repair →
+    //      Gopher rule gate → exact dedup → size-targeted sharded
+    //      export. Every stage is individually oracle-checked
+    //      elsewhere (q_mojibake, q_gopher_rules, q_dedup_drop,
+    //      q_export_shards); this composition proves they chain into
+    //      a runnable curation pipeline whose PUBLISHED MANIFEST (and
+    //      the shard files behind it) DuckDB still replays exactly
+    //      from the raw corpus ----
+    sql(
+      "q_curation_pipeline", {
+        val plant = " cafÃ© â€” naÃ¯ve Ã¼ber â€œquoteâ€¦"
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN text || '$plant'
+           |      ELSE text END AS raw
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, ${graft.ops.Text.fixMojibakeSql("raw")} AS t
+           |  FROM p),
+           |k AS (SELECT doc_id, t FROM f
+           |  WHERE ${gopherKeepSql("t", Text.StopwordSeeds("en"))}),
+           |r AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(t)),
+           |dd AS (SELECT k.doc_id, k.t FROM k JOIN r USING (doc_id)),
+           |tot AS (
+           |  SELECT sum(octet_length(encode(t)))::BIGINT AS total FROM dd),
+           |ns AS (
+           |  SELECT greatest(1, (total + 16383) // 16384)::BIGINT AS n
+           |  FROM tot),
+           |s AS (
+           |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+           |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+           |    octet_length(encode(t))::BIGINT AS b,
+           |    CAST('0x' || substr(md5(doc_id::VARCHAR || chr(1) || t),
+           |      1, 8) AS BIGINT) AS c
+           |  FROM dd)
+           |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+           |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+           |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+           |  sum(c)::BIGINT AS rb_checksum
+           |FROM s GROUP BY 1""".stripMargin
+      }) { (s, d) =>
+      val dir = graft.core.Scratch.dir("curation_pipeline")
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" cafÃ© â€” naÃ¯ve Ã¼ber â€œquoteâ€¦")))
+          .otherwise(col("text")).as("raw"))
+      val fixed = planted.select(col("doc_id"),
+        Text.fixMojibake(col("raw")).as("t"))
+      // corpus-adapted stop list (the synthetic fixture corpus has no
+      // English prose; the gate's other six rules stay at paper values)
+      val kept = fixed.filter(
+        Text.gopherRules(col("t"), stops = Text.StopwordSeeds("en"))
+          .toMap.apply("gopher_keep"))
+      val deduped = Dedup.dropExact(kept, md5(col("t")), col("doc_id"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShards(deduped, dir,
+          targetBytes = 16384L, id = col("doc_id"),
+          sizeOf = octet_length(col("t")),
+          checksumCols = Seq("doc_id", "t")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir),
+          octet_length(col("t")), Seq("doc_id", "t"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
     },
 
     // ---- curriculum ordering: model score -> GLOBAL rank (the
