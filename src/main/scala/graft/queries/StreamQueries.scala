@@ -197,6 +197,60 @@ object StreamQueries {
          |SELECT v AS node, min(m) AS component FROM cc
          |GROUP BY 1""".stripMargin) { (s, d) =>
       graft.ops.GraphStore.read(s, s"${componentsStoreDir(s, d)}/store")
+    },
+
+    // ---- STREAMING sharded export: the documents corpus replayed as
+    //      three micro-batches through exportShardsSink (per-batch
+    //      shard appends + an associatively-folded cumulative
+    //      manifest). Arrival order cannot move a row's shard (the md5
+    //      draw) or any manifest sum, so the folded manifest AND a
+    //      read-back recompute over the committed batch dirs must both
+    //      equal the one-shot relational replay over the whole
+    //      corpus ----
+    sql(
+      "q_stream_export",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) % 4 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text),
+        |      1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.Export
+      val dir = exportStreamDir(s, d)
+      val manifest = EventStream.readStreamShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = Export.shardAggregates(
+          EventStream.readStreamShards(s, dir),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    })
+
+  /** Build-once cache for the streamed-export face: documents replayed
+    * as three deterministic micro-batches (doc_id mod 3) through
+    * [[EventStream.exportShardsSink]]. */
+  private val exportStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def exportStreamDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    exportStreamCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_export")}/${math.abs(d.hashCode)}"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      (0 until 3).foreach { b =>
+        EventStream.exportShardsSink(dir, 4, col("doc_id"),
+          octet_length(col("text")), Seq("doc_id", "text"))(
+          docs.filter(col("doc_id") % 3 === b), b.toLong)
+      }
+      dir
     })
 
   /** Build-once cache for the store-backed streaming-components face:

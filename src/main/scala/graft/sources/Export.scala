@@ -65,6 +65,14 @@ object Export {
           .cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
+  /** The deterministic shard id of a row: uint32 md5 draw of `id`
+    * mod `nShards` — shared by [[exportShards]] and the streaming
+    * [[graft.streaming.EventStream.exportShardsSink]]. */
+  def shardOf(id: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    pmod(md5Draw(id), lit(nShards.toLong)).cast("int")
+  }
+
   /** Per-shard (n_rows, bytes, checksum) aggregates of a frame
     * carrying a `shard` column — the manifest's content surface,
     * shared by the export, [[verifyShards]] and any external auditor
@@ -93,8 +101,7 @@ object Export {
       .head().getLong(0)
     val nShards = math.max(1L, (total + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
-    val staged = df.withColumn("shard",
-      pmod(md5Draw(id), lit(nShards.toLong)).cast("int"))
+    val staged = df.withColumn("shard", shardOf(id, nShards))
     // pass 2 (column-pruned): per-shard manifest aggregates; ≤ nShards
     // rows — collecting them is O(shards) driver metadata, not data
     val stats = shardAggregates(staged, sizeOf, checksumCols)

@@ -441,6 +441,111 @@ object EventStream {
       spark, s"$dir/store", compactAtRebaseRows): Unit
   }
 
+  /** STREAMING sharded training-data export — the micro-batch
+    * complement of [[graft.sources.Export.exportShards]] for a corpus
+    * that arrives continuously. A batch sink cannot size shards from a
+    * total it will never see, so the shard count is FIXED at sink
+    * creation and each batch folds in:
+    *
+    *  - rows route to shards by the same portable md5 draw
+    *    ([[graft.sources.Export.shardOf]]) — a row's shard never
+    *    depends on when it arrived;
+    *  - the batch's rows land in a BATCH-SCOPED dir
+    *    (`data/batch_<id>/shard=k/`, one file per shard per batch,
+    *    overwrite = idempotent under replay); readers see a batch only
+    *    once the manifest lists it, so a crash after the data write
+    *    leaves an invisible orphan that the replay overwrites;
+    *  - the cumulative per-shard manifest (n_rows, bytes, checksum —
+    *    all sums, so batch aggregates FOLD into the prior manifest
+    *    without rereading data) republishes through
+    *    [[graft.sources.Versioned]] with the committed batch-id list
+    *    on board.
+    *
+    * Exactly-once: pointer-gated replays no-op; a crash between the
+    * manifest publish and the pointer commit re-delivers the batch,
+    * which sees its id already in the manifest's batch list, rewrites
+    * only the (idempotent) data dir, and re-commits the pointer — the
+    * manifest is never double-folded. Compaction of many small
+    * per-batch files into per-shard files is the batch
+    * [[graft.sources.Export.exportShards]] run over
+    * [[readStreamShards]] on whatever cadence the pipeline has.
+    */
+  def exportShardsSink(dir: String, nShards: Int,
+      id: org.apache.spark.sql.Column, sizeOf: org.apache.spark.sql.Column,
+      checksumCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{Export, Versioned}
+    val spark = batch.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = recoverPointer(fs, dir)
+    if (committed.exists(_ >= batchId)) return // replayed, already folded
+    val staged = batch.withColumn("shard", Export.shardOf(id, nShards))
+    staged.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/data/batch_$batchId")
+    val prior = committed.map(_ =>
+      Versioned.readCurrent(spark, s"$dir/manifest"))
+    val alreadyFolded = prior.exists(_
+      .select(array_contains(col("batch_ids"), batchId)).head().getBoolean(0))
+    // an EMPTY batch folds nothing and is not listed (readers read
+    // only listed dirs; the pointer still advances so replays no-op)
+    if (!alreadyFolded && !batch.isEmpty) {
+      val agg = Export.shardAggregates(staged, sizeOf, checksumCols)
+      val folded = prior match {
+        case None =>
+          agg.withColumn("batch_ids", array(lit(batchId)))
+        case Some(m) =>
+          m.select(col("shard"), col("n_rows"), col("bytes"),
+              col("checksum"))
+            .unionByName(agg)
+            .groupBy(col("shard"))
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("bytes")).as("bytes"),
+              sum(col("checksum")).as("checksum"))
+            .crossJoin(broadcast(m.select(col("batch_ids")).limit(1)))
+            .withColumn("batch_ids",
+              array_sort(array_union(col("batch_ids"),
+                array(lit(batchId)))))
+      }
+      Versioned.publish(folded, s"$dir/manifest", keep = 2): Unit
+    }
+    val pointer = new Path(dir, PointerFileName)
+    val tmp = new Path(dir, s"._current_$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.writeLong(batchId) finally out.close()
+    if (fs.exists(pointer) && !fs.delete(pointer, false))
+      throw new java.io.IOException(
+        s"exportShardsSink: failed to clear previous pointer $pointer")
+    if (!fs.rename(tmp, pointer)) {
+      val healed = fs.exists(pointer) && {
+        val in = fs.open(pointer)
+        try in.readLong() == batchId finally in.close()
+      }
+      if (!healed)
+        throw new java.io.IOException(
+          s"exportShardsSink: rename $tmp -> $pointer failed; re-deliver")
+    }
+  }
+
+  /** The streamed export's committed rows (`shard` column included):
+    * exactly the batch dirs the current manifest lists — an orphan
+    * dir from a crashed batch is invisible. */
+  def readStreamShards(spark: SparkSession, dir: String): DataFrame = {
+    val ids = graft.sources.Versioned
+      .readCurrent(spark, s"$dir/manifest")
+      .select(col("batch_ids")).head().getSeq[Long](0)
+    // one read per committed batch dir (each discovers its own shard
+    // partition column) — batch count is metadata-sized by contract
+    ids.map(b => spark.read.parquet(s"$dir/data/batch_$b"))
+      .reduce(_.unionByName(_))
+  }
+
+  /** The streamed export's cumulative per-shard manifest. */
+  def readStreamShardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Versioned.readCurrent(spark, s"$dir/manifest")
+
   /** Streaming CUSUM ([[graft.ops.TimeSeries.cusum]] folded across
     * micro-batches): the per-key Page statistic carries ONE long of
     * state (S at the key's last seen row), and each batch resumes the

@@ -932,4 +932,60 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
       assert(raw == after, "compaction left unresolved raw labels")
     } finally query.stop()
   }
+
+  test("exportShardsSink: folded manifest equals the one-shot " +
+      "aggregates over all batches, replay and crash-window " +
+      "re-delivery never double-fold, readers see only committed " +
+      "batches") {
+    import graft.sources.Export
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_sink").toString
+    def sink = EventStream.exportShardsSink(out, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text")) _
+    val a = (1L to 20L).map(i => (i, s"alpha-$i-" + ("x" * (i % 7).toInt)))
+    val b = (21L to 35L).map(i => (i, s"beta-$i"))
+    val input = MemoryStream[(Long, String)](spark)
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(a: _*); query.processAllAvailable()
+      input.addData(b: _*); query.processAllAvailable()
+      def manifest() = EventStream
+        .readStreamShardManifest(spark, out)
+        .select(col("shard"), col("n_rows"), col("bytes"),
+          col("checksum"))
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val all = (a ++ b).toDF("doc_id", "text")
+      val want = Export.shardAggregates(
+          all.withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(manifest() == want,
+        "folded manifest diverged from the one-shot aggregates")
+      // read-back: exactly the union of committed batches
+      val back = EventStream.readStreamShards(spark, out)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(back == (a ++ b).toSet)
+      // pointer-gated replay with a DIFFERENT payload must not refold
+      sink(Seq((99L, "ghost")).toDF("doc_id", "text"), 0L)
+      assert(manifest() == want, "replayed batch refolded the manifest")
+      // crash window: manifest for batch 2 published but the pointer
+      // commit lost — rewind the pointer to 1 and re-deliver batch 2
+      val c = Seq((41L, "gamma-41"), (42L, "gamma-42"))
+      sink(c.toDF("doc_id", "text"), 2L)
+      val withC = manifest()
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ptr = new org.apache.hadoop.fs.Path(out, "_current")
+      val os = fs.create(ptr, true)
+      try os.writeLong(1L) finally os.close()
+      sink(c.toDF("doc_id", "text"), 2L) // re-delivery after the crash
+      assert(manifest() == withC,
+        "crash-window re-delivery double-folded the manifest")
+      assert(EventStream.readStreamShards(spark, out).count() ==
+        (a ++ b ++ c).size.toLong)
+    } finally query.stop()
+  }
 }
