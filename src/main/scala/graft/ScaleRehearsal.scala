@@ -698,6 +698,35 @@ object ScaleRehearsal {
       growth("export_shards (10x/1x)") = x10 / x1
     }
 
+    // ---- streamed sharded export: state ×N folded as scaffold
+    // batches (untimed), then ONE constant fresh batch timed. The
+    // sink's per-batch cost is O(batch) data + O(shards) manifest
+    // metadata — accumulated batch dirs are never reread — so the
+    // growth factor should be ~1. ----
+    if (on("inc100_export")) {
+      def expSecs(copies: Int, label: String): Double =
+        (1 to 2).map { rep =>
+          val dir = graft.core.Scratch.dir(
+            s"rehearsal_inc100_export_${copies}_$rep")
+          val sink = graft.streaming.EventStream.exportShardsSink(
+            dir, 64, col("doc_id"), octet_length(col("text")),
+            Seq("doc_id", "text")) _
+          sink(saltedDocs(copies).select("doc_id", "text"), 0L)
+          val batch = tdocs1.filter(col("doc_id") < 2000)
+            .select((col("doc_id") + lit(5000L * nTd)).as("doc_id"),
+              col("text"))
+            .localCheckpoint()
+          timed(s"$label rep$rep") {
+            sink(batch, 1L)
+            graft.streaming.EventStream
+              .readStreamShardManifest(spark, dir).count()
+          }
+        }.min
+      val e10 = expSecs(10, "inc100 stream_export 10x")
+      val e100 = expSecs(100, "inc100 stream_export 100x")
+      growth("inc100_export (100x/10x)") = e100 / e10
+    }
+
     // clinical corpus ×N (salted study replicas), changed slice
     // CONSTANT (one study) — the O(changed) refresh contract
     if (on("inc100_index")) {
