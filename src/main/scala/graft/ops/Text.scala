@@ -902,6 +902,45 @@ object Text {
   def urlPath(url: Column): Column = regexp_extract(url, UrlRegex, 3)
   def urlQuery(url: Column): Column = regexp_extract(url, UrlRegex, 4)
 
+  /** Query parameters dropped by [[canonicalUrl]] — the standard
+    * tracking/attribution keys that vary per click without changing
+    * the resource (utm_* campaign tags, Google/Facebook click ids,
+    * bare referrer tags). */
+  val TrackingParamRegex = "^(utm_[a-z0-9_]*|gclid|fbclid|ref)="
+
+  /** Canonical URL — the crawl-dedup key: the same resource fetched
+    * through case-variant hosts, default ports, `www.`, tracking
+    * parameters, shuffled query strings, trailing slashes, or
+    * fragments must map to ONE string before URL-level dedup (every
+    * public crawl pipeline normalizes some such set; this is the
+    * common core). Rules, in order: lowercase scheme+host; strip
+    * `www.` and the scheme's default port; strip the fragment (the
+    * parse regex never captures it); drop [[TrackingParamRegex]]
+    * query params, SORT the survivors; collapse trailing slashes
+    * (root stays "/", empty path becomes "/"). Malformed input (no
+    * scheme://) canonicalizes to NULL — filter, don't guess.
+    *
+    * All codegen'd scalar work on one (?i) variant of [[UrlRegex]];
+    * DuckDB's RE2 evaluates the identical pattern and list pipeline,
+    * so the q_canonical_url oracle replays byte-for-byte. */
+  def canonicalUrl(url: Column): Column = {
+    val rx = "(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
+    val scheme = lower(regexp_extract(url, rx, 1))
+    val host0 = regexp_replace(lower(regexp_extract(url, rx, 2)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val stripped = regexp_replace(regexp_extract(url, rx, 3), "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val kept = filter(split(regexp_extract(url, rx, 4), "&"),
+      p => p =!= "" && !lower(p).rlike(TrackingParamRegex))
+    val canonQ = array_join(array_sort(kept), "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+  }
+
   /** Last two host labels, port stripped — the per-domain key for
     * crawl caps and source mixing (pair with the k-per-group sampler
     * to cap docs per domain). A public-suffix list would refine

@@ -1044,6 +1044,75 @@ object TextQueries {
           Text.urlDomain(col("u")).as("domain"))
     },
 
+    // ---- canonical-URL dedup key over deterministically planted
+    //      messy crawl urls (case-variant host, default port, www.,
+    //      tracking params, shuffled query, trailing slashes,
+    //      fragment, one malformed class): the full normalization
+    //      pipeline replays on DuckDB's RE2 + list ops ----
+    sql(
+      "q_canonical_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 7)
+        |        || '.COM:443/a/b//?utm_source=x&b=2&a=1&gclid=9#frag'
+        |      WHEN 1 THEN 'http://Host' || (doc_id % 7)
+        |        || '.org:80?z=1&a=2'
+        |      WHEN 2 THEN 'https://site.net/p/' || doc_id
+        |      ELSE 'not a url ' || doc_id END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+        |      1)) AS sch,
+        |    lower(regexp_extract(url,
+        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+        |      2)) AS hp,
+        |    regexp_extract(url,
+        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+        |      3) AS pa,
+        |    regexp_extract(url,
+        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+        |      4) AS qu
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id, url, sch,
+        |    CASE WHEN sch = 'http'
+        |        THEN regexp_replace(regexp_replace(hp, '^www\.', ''),
+        |          ':80$', '')
+        |      WHEN sch = 'https'
+        |        THEN regexp_replace(regexp_replace(hp, '^www\.', ''),
+        |          ':443$', '')
+        |      ELSE regexp_replace(hp, '^www\.', '') END AS host,
+        |    CASE WHEN regexp_replace(pa, '/+$', '') = '' THEN '/'
+        |      ELSE regexp_replace(pa, '/+$', '') END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(qu, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(lower(x),
+        |        '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS cq
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  CASE WHEN sch = '' THEN NULL
+        |    ELSE sch || '://' || host || path ||
+        |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+        |  END AS canonical
+        |FROM n""".stripMargin) { (s, d) =>
+      val u = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".COM:443/a/b//?utm_source=x&b=2&a=1&gclid=9#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://Host"), (col("doc_id") % 7).cast("string"),
+            lit(".org:80?z=1&a=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site.net/p/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), u.as("url"))
+        .withColumn("canonical", Text.canonicalUrl(col("url")))
+    },
+
     // ---- SimHash near-dups over the planted corpus: DuckDB cannot
     //      recompute the xxhash64 vote chain, so the oracle reads the
     //      committed GenGoldens snapshot (planted-pair semantics are

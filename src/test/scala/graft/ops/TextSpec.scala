@@ -473,6 +473,29 @@ class TextSpec extends AnyFunSuite with WithSpark {
     assert(twice.collect().forall(_.getBoolean(0)))
   }
 
+  test("canonicalUrl: host case/www/default port/tracking params/" +
+      "query order/trailing slash/fragment all collapse; malformed " +
+      "input canonicalizes to null") {
+    val rows = Seq(
+      (1L, "HTTPS://WWW.Shop.COM:443/items//?utm_source=a&b=2&a=1#top"),
+      (2L, "https://shop.com/items?a=1&b=2"), // already canonical twin
+      (3L, "http://Host.org:80"),             // empty path -> "/"
+      (4L, "http://host.org/?fbclid=xyz&ref=z"), // all params tracked
+      (5L, "https://x.io:8443/p/"),           // NON-default port kept
+      (6L, "ftp://Files.net:21/a"),           // unknown scheme: port kept
+      (7L, "no scheme here"))
+      .toDF("id", "u")
+    val got = rows.select(col("id"), Text.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some("https://shop.com/items?a=1&b=2"))
+    assert(got(1L) == got(2L), "the messy and clean twins must collide")
+    assert(got(3L) == Some("http://host.org/"))
+    assert(got(4L) == Some("http://host.org/"))
+    assert(got(5L) == Some("https://x.io:8443/p"))
+    assert(got(6L) == Some("ftp://files.net:21/a"))
+    assert(got(7L).isEmpty, "malformed input must canonicalize to null")
+  }
+
   test("gopherRules: each rule trips on its own hand-built violator " +
       "and the clean doc passes all") {
     val clean = ("the cat and dog that have fun with food " +
