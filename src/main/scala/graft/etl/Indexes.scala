@@ -749,7 +749,16 @@ object Indexes {
     else {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val paths = studies.distinct.map(s => s"$root/__study_pt=$s")
+      // Hive-escape the partition VALUE when building the directory
+      // name: partitionBy writes `__study_pt=CMP%3A1` for study id
+      // "CMP:1" (space, ':', '/', '=', '%', … become %XX), so the raw
+      // id would miss the dir, silently treat the study as absent,
+      // and a catalog-based refresh would drop its rows (round-14
+      // advice). escapePathName is the exact writer-side encoding.
+      val paths = studies.distinct
+        .map(s => s"$root/__study_pt=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(s))
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       if (paths.isEmpty) spark.read.parquet(root).filter(lit(false))
       else spark.read.option("basePath", root).parquet(paths: _*)

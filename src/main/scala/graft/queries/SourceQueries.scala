@@ -370,7 +370,8 @@ object SourceQueries {
         |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
         |        AS BIGINT) % (SELECT n FROM ns) AS shard,
         |    octet_length(encode(text))::BIGINT AS b,
-        |    CAST('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text),
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
         |        1, 8) AS BIGINT) AS c
         |  FROM documents)
         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
@@ -391,6 +392,56 @@ object SourceQueries {
         .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
       val rb = graft.sources.Export.shardAggregates(
           graft.sources.Export.readShards(s, dir),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
+    // ---- TRAINING-CONSUMABLE jsonl export: the same size-targeted
+    //      shard draw / manifest / content-addressing discipline, but
+    //      the shards are gzip JSON-lines files — what mainstream
+    //      training loaders actually read. The face recomputes the
+    //      manifest aggregates FROM THE TEXT SHARDS THEMSELVES (a
+    //      format-dispatched read-back through the manifest), so a
+    //      mis-encoded or torn jsonl file hash-mismatches the
+    //      relational replay ----
+    sql(
+      "q_export_jsonl",
+      """WITH tot AS (
+        |  SELECT sum(octet_length(encode(text)))::BIGINT AS total
+        |  FROM documents),
+        |ns AS (
+        |  SELECT greatest(1, (total + 32767) // 32768)::BIGINT AS n
+        |  FROM tot),
+        |s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % (SELECT n FROM ns) AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_jsonl"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportJsonlShards(docs, dir,
+          targetBytes = 32768L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING"))),
           octet_length(col("text")), Seq("doc_id", "text"))
         .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
           "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))

@@ -213,7 +213,8 @@ object StreamQueries {
         |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
         |      AS BIGINT) % 4 AS shard,
         |    octet_length(encode(text))::BIGINT AS b,
-        |    CAST('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text),
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |      || chr(1) || coalesce(text, chr(2))),
         |      1, 8) AS BIGINT) AS c
         |  FROM documents)
         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,

@@ -510,7 +510,8 @@ object TextQueries {
            |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
            |      AS BIGINT) % (SELECT n FROM ns) AS shard,
            |    octet_length(encode(t))::BIGINT AS b,
-           |    CAST('0x' || substr(md5(doc_id::VARCHAR || chr(1) || t),
+           |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+           |      || chr(1) || coalesce(t, chr(2))),
            |      1, 8) AS BIGINT) AS c
            |  FROM dd)
            |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,

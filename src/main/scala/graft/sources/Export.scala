@@ -59,9 +59,20 @@ object Export {
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
+  /** Per-row uint32 md5 checksum over `cols`. NULLs are normalized to
+    * a \u0002 sentinel BEFORE the \u0001-joined concat: concat_ws
+    * alone silently skips null operands (and their separators), so
+    * rows differing only in null PLACEMENT would collide, and the
+    * DuckDB replay's `||` chain would instead null out and drop the
+    * row from the checksum sum entirely (round-14 advice). The
+    * coalesce makes both engines see the identical canonical string
+    * for every null shape; oracle replays mirror it as
+    * `coalesce(CAST(x AS VARCHAR), chr(2))`.
+    */
   private def rowChecksum(cols: Seq[String]): Column =
     conv(substring(md5(
-        concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+        concat_ws("\u0001",
+          cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
           .cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
@@ -92,7 +103,31 @@ object Export {
     * manifest version, shard count, row count and data directory. */
   def exportShards(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, sizeOf: Column, checksumCols: Seq[String],
-      keep: Int = 3): ShardedExport = {
+      keep: Int = 3): ShardedExport =
+    exportImpl(df, dir, targetBytes, id, sizeOf, checksumCols, keep,
+      format = "parquet", codec = None)
+
+  /** [[exportShards]] in the TRAINING-CONSUMABLE text format: one
+    * JSON-lines file per shard (`.json` / `.json.gz` by `codec`),
+    * behind the identical manifest / content-addressing / idempotency
+    * discipline — mainstream training loaders eat jsonl shards, not
+    * parquet (round-14 verdict item 1). The shard draw, checksum and
+    * Versioned publish are byte-identical to the parquet path, so one
+    * DuckDB replay oracles both. Compression is per-FILE (a Hadoop
+    * codec riding the json writer), so shard files stay independently
+    * fetchable and a loader can stream-decode each shard alone;
+    * `codec = "none"` writes plain `.json`. Read back with
+    * [[readShards]] (format is recorded in the manifest and
+    * dispatched on) or any `read_json`-capable engine. */
+  def exportJsonlShards(df: DataFrame, dir: String, targetBytes: Long,
+      id: Column, sizeOf: Column, checksumCols: Seq[String],
+      codec: String = "gzip", keep: Int = 3): ShardedExport =
+    exportImpl(df, dir, targetBytes, id, sizeOf, checksumCols, keep,
+      format = "json", codec = Some(codec))
+
+  private def exportImpl(df: DataFrame, dir: String, targetBytes: Long,
+      id: Column, sizeOf: Column, checksumCols: Seq[String],
+      keep: Int, format: String, codec: Option[String]): ShardedExport = {
     require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
     require(checksumCols.nonEmpty, "checksumCols must be non-empty")
     val spark = df.sparkSession
@@ -101,7 +136,18 @@ object Export {
       .head().getLong(0)
     val nShards = math.max(1L, (total + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
+    // PIN one materialization: the manifest aggregates (pass below)
+    // and the data write must see the SAME rows, or a source that is
+    // not perfectly deterministic between jobs (files changing under
+    // the scan, rand-derived columns) publishes a manifest computed
+    // from a different materialization than the files on disk — a
+    // silent mismatch only caught later by verifyShards (round-14
+    // advice). localCheckpoint cuts the lineage at executor-local
+    // blocks, so both downstream jobs read the pinned rows. (The
+    // sizing pass above runs pre-pin, but it only picks nShards —
+    // membership and every manifest number derive from `staged`.)
     val staged = df.withColumn("shard", shardOf(id, nShards))
+      .localCheckpoint()
     // pass 2 (column-pruned): per-shard manifest aggregates; ≤ nShards
     // rows — collecting them is O(shards) driver metadata, not data
     val stats = shardAggregates(staged, sizeOf, checksumCols)
@@ -115,8 +161,15 @@ object Export {
       totalChecksum)}_$rows"
     // pass 3: the data itself — one hash shuffle on the shard id, one
     // file per shard dir, all writers in parallel
-    staged.repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(dataDir)
+    val writer = staged.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+    format match {
+      case "parquet" => writer.parquet(dataDir)
+      case "json" =>
+        writer.option("compression", codec.getOrElse("none")).json(dataDir)
+      case other => throw new IllegalArgumentException(
+        s"unsupported export format: $other")
+    }
     // manifest rows from the stats + the written files (O(shards)
     // driver-side listing)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -127,7 +180,8 @@ object Export {
       .flatMap { d =>
         val k = d.getPath.getName.stripPrefix("shard=").toInt
         fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .filter(f => f.isFile && (f.getPath.getName.endsWith(".parquet")
+            || f.getPath.getName.contains(".json")))
           .map(f => k -> (f.getPath.toString, f.getLen))
       }.toSeq
     val multi = fileSeq.groupBy(_._1).filter(_._2.size > 1)
@@ -140,9 +194,9 @@ object Export {
     val manifest = stats.toSeq.sortBy(_._1).map {
       case (k, (n, b, c)) =>
         val (path, fb) = files(k)
-        (k, path, fb, n, b, c, dataDir, nShards, targetBytes)
+        (k, path, fb, n, b, c, dataDir, nShards, targetBytes, format)
     }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
-      "data_dir", "n_shards", "target_bytes")
+      "data_dir", "n_shards", "target_bytes", "format")
     val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
     sweepUnreferenced(spark, dir)
     ShardedExport(v, nShards, rows, dataDir)
@@ -152,11 +206,21 @@ object Export {
   def readShardManifest(spark: SparkSession, dir: String): DataFrame =
     Versioned.readCurrent(spark, manifestRoot(dir))
 
-  /** The promoted export's rows, `shard` column included. */
-  def readShards(spark: SparkSession, dir: String): DataFrame = {
-    val dataDir = readShardManifest(spark, dir)
-      .select(col("data_dir")).head().getString(0)
-    spark.read.parquet(dataDir)
+  /** The promoted export's rows, `shard` column included — the
+    * manifest records the data format (parquet / json), so readers
+    * dispatch without being told. jsonl reads infer the schema; pass
+    * `schema` to pin it (a loader contract would). */
+  def readShards(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val head = readShardManifest(spark, dir)
+      .select(col("data_dir"), col("format")).head()
+    val (dataDir, format) = (head.getString(0), head.getString(1))
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    format match {
+      case "json" => reader.json(dataDir)
+      case _      => reader.parquet(dataDir)
+    }
   }
 
   /** Per-shard audit of the promoted export: recompute (n_rows,

@@ -485,8 +485,14 @@ object EventStream {
     staged.repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$dir/data/batch_$batchId")
-    val prior = committed.map(_ =>
-      Versioned.readCurrent(spark, s"$dir/manifest"))
+    // gate the prior manifest on the MANIFEST's own pointer, not the
+    // sink's batch pointer: an all-empty-batches prefix advances the
+    // batch pointer without ever publishing a manifest, and reading
+    // through the batch pointer would throw FileNotFoundException on
+    // the first non-empty batch — and on every re-delivery after it,
+    // wedging the stream permanently (round-14 advice)
+    val prior = Versioned.currentVersion(spark, s"$dir/manifest")
+      .map(_ => Versioned.readCurrent(spark, s"$dir/manifest"))
     val alreadyFolded = prior.exists(_
       .select(array_contains(col("batch_ids"), batchId)).head().getBoolean(0))
     // an EMPTY batch folds nothing and is not listed (readers read

@@ -412,6 +412,37 @@ class IndexesSpec extends AnyFunSuite with WithSpark {
         .filter(col("study_id") === "GS001")))
   }
 
+  test("clinical CATALOG: study ids needing Hive path-escaping " +
+      "(space, ':', '=', '%') survive the write and the pruned read") {
+    // partitionBy writes `__study_pt=GS%200%3A0%3D1%25`; the pruned
+    // read must build the SAME escaped directory name or it silently
+    // treats the study as absent and a refresh drops its rows
+    // (round-14 advice)
+    val ugly = "GS 0:0=1%"
+    def esc(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+      "study_id", regexp_replace(col("study_id"), "GS001", ugly))
+    val in2 = inputs.copy(donor = esc(inputs.donor),
+      study = esc(inputs.study), phenotype = esc(inputs.phenotype),
+      file = esc(inputs.file), biospecimen = esc(inputs.biospecimen),
+      samples = esc(inputs.samples), diagnosis = esc(inputs.diagnosis),
+      treatment = esc(inputs.treatment), followUp = esc(inputs.followUp),
+      exposure = esc(inputs.exposure), family = esc(inputs.family),
+      familyHistory = esc(inputs.familyHistory))
+    val dir = graft.core.Scratch.dir("clinical_catalog_escaped")
+    Indexes.writeClinicalCatalog(in2, dir)
+    val want = inputs.donor.filter(col("study_id") === "GS001").count()
+    assert(want > 0, "fixture must have GS001 donors")
+    val pruned = Indexes.readClinicalCatalog(spark, dir, Seq(ugly))
+    assert(pruned.donor.count() == want,
+      "pruned read missed the Hive-escaped partition directory")
+    assert(pruned.donor.select("study_id").distinct()
+      .as[String].collect().toSeq == Seq(ugly))
+    // a study with no stored partition is still just absent (schema
+    // preserved, zero rows), not an error
+    val none = Indexes.readClinicalCatalog(spark, dir, Seq("NOPE x"))
+    assert(none.donor.count() == 0)
+  }
+
   test("clinical CATALOG: round-trip equality, file-listing partition " +
       "pruning, catalog-based refreshes equal the full rebuilds") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df

@@ -77,6 +77,66 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(spark.read.parquet(c.dataDir).count() == 120L)
   }
 
+  test("exportJsonlShards: gzip jsonl shards behind the same manifest " +
+      "discipline — one .json.gz file per shard, format-dispatched " +
+      "read round-trip, audit empty, idempotent content addressing") {
+    val dir = graft.core.Scratch.dir("export_jsonl")
+    val docs = corpus(200)
+    val res = Export.exportJsonlShards(docs, dir, 2048L, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(res.shards > 1)
+    val m = Export.readShardManifest(spark, dir).collect()
+    m.foreach { r =>
+      assert(r.getAs[String]("format") == "json")
+      val path = r.getAs[String]("path")
+      assert(path.contains(".json") && path.endsWith(".gz"),
+        s"expected a gzip jsonl shard file, got $path")
+      val f = new java.io.File(new java.net.URI(path).getPath)
+      assert(f.isFile && f.length == r.getAs[Long]("file_bytes"))
+    }
+    // readShards dispatches on the manifest's format column
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 200L)
+    assert(back.select(col("doc_id").cast("long"), col("text"))
+      .except(docs).isEmpty)
+    // audit recomputes from the text shards themselves
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // checksum/shard-draw identical to the parquet path -> identical
+    // content-addressed dir name for identical content
+    val res2 = Export.exportJsonlShards(docs, dir, 2048L, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(res2.dataDir == res.dataDir)
+    // a pinned schema read is exact (the loader contract)
+    val pinned = Export.readShards(spark, dir, Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")))
+    assert(pinned.select("doc_id", "text").except(docs).isEmpty)
+  }
+
+  test("rowChecksum null-normalization: rows differing only in null " +
+      "PLACEMENT get different checksums, and a null column never " +
+      "drops the row from the sum") {
+    def sum1(rows: Seq[(Long, String, String)]): Long =
+      Export.shardAggregates(
+        rows.toDF("doc_id", "c1", "c2").withColumn("shard", lit(0)),
+        lit(1L), Seq("doc_id", "c1", "c2"))
+        .select("checksum").head().getLong(0)
+    val nullFirst = sum1(Seq((1L, null, "a")))
+    val nullSecond = sum1(Seq((1L, "a", null)))
+    // pre-fix concat_ws skipped null operands AND their separators, so
+    // both rows canonicalized to "1\u0001a" and collided
+    assert(nullFirst != nullSecond,
+      "null placement must move the checksum")
+    // and neither row vanished from the sum (the DuckDB || chain would
+    // have nulled the row out entirely without the coalesce mirror)
+    assert(nullFirst != 0L && nullSecond != 0L)
+    // fully-null checksum cols still contribute a deterministic draw
+    val bothNull = sum1(Seq((1L, null, null)))
+    assert(bothNull != 0L && bothNull != nullFirst &&
+      bothNull != nullSecond)
+  }
+
   test("shard assignment is the portable md5 draw: membership " +
       "replays relationally, and a row moves shards only if the " +
       "corpus size target moves") {

@@ -933,6 +933,42 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("exportShardsSink: a leading EMPTY batch advances the pointer " +
+      "without publishing a manifest, and the first non-empty batch " +
+      "publishes instead of wedging on a missing manifest read") {
+    import graft.sources.{Export, Versioned}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_sink_empty").toString
+    def sink = EventStream.exportShardsSink(out, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text")) _
+    // batch 0 is empty: pointer commits, nothing is published
+    sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    assert(Versioned.currentVersion(spark, s"$out/manifest").isEmpty,
+      "an empty batch must not publish a manifest")
+    // batch 1 carries data: before the round-14 fix this threw
+    // FileNotFoundException (prior gated on the BATCH pointer, which
+    // the empty batch had advanced) and every re-delivery rethrew —
+    // the stream was permanently wedged
+    val a = Seq((1L, "alpha-one"), (2L, "beta-two"), (3L, "gamma-three"))
+    sink(a.toDF("doc_id", "text"), 1L)
+    def manifest() = EventStream.readStreamShardManifest(spark, out)
+      .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val want = Export.shardAggregates(
+        a.toDF("doc_id", "text")
+          .withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(manifest() == want,
+      "first non-empty batch after an empty prefix published wrong")
+    // replay of the empty batch and of batch 1 both no-op
+    sink(Seq((99L, "ghost")).toDF("doc_id", "text"), 0L)
+    sink(a.toDF("doc_id", "text"), 1L)
+    assert(manifest() == want, "replay after an empty prefix refolded")
+    assert(EventStream.readStreamShards(spark, out)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("exportShardsSink: folded manifest equals the one-shot " +
       "aggregates over all batches, replay and crash-window " +
       "re-delivery never double-fold, readers see only committed " +
