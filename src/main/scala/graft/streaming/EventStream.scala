@@ -466,13 +466,15 @@ object EventStream {
     * which sees its id already in the manifest's batch list, rewrites
     * only the (idempotent) data dir, and re-commits the pointer — the
     * manifest is never double-folded. Compaction of many small
-    * per-batch files into per-shard files is the batch
-    * [[graft.sources.Export.exportShards]] run over
-    * [[readStreamShards]] on whatever cadence the pipeline has.
+    * per-batch files into per-shard files rides the sink itself
+    * ([[maybeCompactStreamShards]], after each pointer commit): once
+    * the manifest lists more than `compactAtDirs` dirs they fold into
+    * ONE compacted dir, so files-per-shard — and with it the read
+    * path's listing cost — stays bounded for the life of the stream.
     */
   def exportShardsSink(dir: String, nShards: Int,
       id: org.apache.spark.sql.Column, sizeOf: org.apache.spark.sql.Column,
-      checksumCols: Seq[String])(
+      checksumCols: Seq[String], compactAtDirs: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.sources.{Export, Versioned}
@@ -502,6 +504,7 @@ object EventStream {
       val folded = prior match {
         case None =>
           agg.withColumn("batch_ids", array(lit(batchId)))
+            .withColumn("dirs", array(lit(s"batch_$batchId")))
         case Some(m) =>
           m.select(col("shard"), col("n_rows"), col("bytes"),
               col("checksum"))
@@ -510,10 +513,14 @@ object EventStream {
             .agg(sum(col("n_rows")).as("n_rows"),
               sum(col("bytes")).as("bytes"),
               sum(col("checksum")).as("checksum"))
-            .crossJoin(broadcast(m.select(col("batch_ids")).limit(1)))
+            .crossJoin(broadcast(
+              m.select(col("batch_ids"), col("dirs")).limit(1)))
             .withColumn("batch_ids",
               array_sort(array_union(col("batch_ids"),
                 array(lit(batchId)))))
+            .withColumn("dirs",
+              array_sort(array_union(col("dirs"),
+                array(lit(s"batch_$batchId")))))
       }
       Versioned.publish(folded, s"$dir/manifest", keep = 2): Unit
     }
@@ -533,18 +540,86 @@ object EventStream {
         throw new java.io.IOException(
           s"exportShardsSink: rename $tmp -> $pointer failed; re-deliver")
     }
+    // compaction rides the sink AFTER the commit, same recipe as
+    // componentStoreSink: idempotent and read-view-invariant, so a
+    // crash mid-compact replays the batch as a pointer no-op and
+    // simply re-attempts the compact
+    maybeCompactStreamShards(spark, dir, nShards, compactAtDirs): Unit
+  }
+
+  /** Fold the streamed export's per-batch shard dirs into ONE
+    * compacted dir once the manifest lists more than `maxDirs` —
+    * without it every shard accretes one file per micro-batch forever
+    * and the read path degrades on LISTING, the same super-linear
+    * trap the clinical catalog and componentStoreSink already fixed
+    * (round-14 verdict item 2). The rewrite is one hash shuffle on
+    * the shard id (one file per shard, all writers parallel); the
+    * manifest republishes with IDENTICAL aggregates and batch-id list
+    * (so the replay guard is unmoved) and `dirs` collapsed to the
+    * compacted dir. The compacted dir is named by the max folded
+    * batch id, so a crash-retry overwrites the same dir (idempotent)
+    * while a LATER compaction point gets a fresh name. Batch dirs
+    * stay on disk until no surviving manifest version references
+    * them, then the sweep reclaims them — a reader pinned to the
+    * previous manifest version never loses its files mid-read.
+    * Returns true iff a compaction ran. */
+  def maybeCompactStreamShards(spark: SparkSession, dir: String,
+      nShards: Int, maxDirs: Int): Boolean = {
+    import graft.sources.Versioned
+    val mroot = s"$dir/manifest"
+    if (Versioned.currentVersion(spark, mroot).isEmpty) return false
+    val m = Versioned.readCurrent(spark, mroot)
+    val head = m.select(col("dirs"), col("batch_ids")).head()
+    val dirs0 = head.getSeq[String](0)
+    if (dirs0.size <= maxDirs) return false
+    val target = s"compact_b${head.getSeq[Long](1).max}"
+    dirs0.map(n => spark.read.parquet(s"$dir/data/$n"))
+      .reduce(_.unionByName(_))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/data/$target")
+    Versioned.publish(
+      m.withColumn("dirs", array(lit(target))), mroot, keep = 2): Unit
+    sweepStreamDirs(spark, dir)
+    true
+  }
+
+  /** Reference-counting sweep of `data/` subdirs no surviving
+    * manifest version references (superseded batch dirs after a
+    * compaction, orphans recreated by post-compaction re-deliveries).
+    * O(dirs) driver metadata; runs after a successful compaction
+    * publish, so the current read view is never touched. */
+  private def sweepStreamDirs(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataRoot = new Path(s"$dir/data")
+    if (!fs.exists(dataRoot)) return
+    val mroot = new Path(s"$dir/manifest")
+    val referenced = fs.listStatus(mroot).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v_"))
+      .flatMap { p =>
+        spark.read.parquet(p.toString)
+          .select(explode(col("dirs")).as("d")).distinct()
+          .collect().map(_.getString(0))
+      }.toSet
+    fs.listStatus(dataRoot).toSeq.map(_.getPath)
+      .filter(p => !referenced.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
   }
 
   /** The streamed export's committed rows (`shard` column included):
     * exactly the batch dirs the current manifest lists — an orphan
     * dir from a crashed batch is invisible. */
   def readStreamShards(spark: SparkSession, dir: String): DataFrame = {
-    val ids = graft.sources.Versioned
+    val dirs = graft.sources.Versioned
       .readCurrent(spark, s"$dir/manifest")
-      .select(col("batch_ids")).head().getSeq[Long](0)
-    // one read per committed batch dir (each discovers its own shard
-    // partition column) — batch count is metadata-sized by contract
-    ids.map(b => spark.read.parquet(s"$dir/data/batch_$b"))
+      .select(col("dirs")).head().getSeq[String](0)
+    // one read per listed dir (each discovers its own shard partition
+    // column) — dir count is bounded by the sink's compaction
+    // threshold, so the listing stays metadata-sized for the life of
+    // the stream
+    dirs.map(n => spark.read.parquet(s"$dir/data/$n"))
       .reduce(_.unionByName(_))
   }
 

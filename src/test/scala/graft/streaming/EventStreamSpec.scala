@@ -933,6 +933,67 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("exportShardsSink compaction: crossing the dir threshold folds " +
+      "batch dirs into ONE compacted dir with a byte-identical read " +
+      "view and unmoved manifest aggregates; replay after compaction " +
+      "is a no-op; the sweep reclaims unreferenced batch dirs") {
+    import graft.sources.Export
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_sink_compact").toString
+    def sink = EventStream.exportShardsSink(out, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"),
+      compactAtDirs = 3) _
+    def batchRows(b: Long) =
+      (b * 10 to b * 10 + 5).map(i => (i, s"row-$b-$i"))
+    def manifest() = EventStream.readStreamShardManifest(spark, out)
+      .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    def dirsListed() = EventStream.readStreamShardManifest(spark, out)
+      .select(col("dirs")).head().getSeq[String](0)
+    def view() = EventStream.readStreamShards(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // 3 batches: at/below threshold, no compaction
+    (0L to 2L).foreach(b => sink(batchRows(b).toDF("doc_id", "text"), b))
+    assert(dirsListed().toSet == Set("batch_0", "batch_1", "batch_2"))
+    val before = (manifest(), view())
+    // 4th batch crosses the threshold inside the sink
+    sink(batchRows(3L).toDF("doc_id", "text"), 3L)
+    assert(dirsListed() == Seq("compact_b3"),
+      s"expected exactly one compacted dir, got ${dirsListed()}")
+    val wantView = before._2 ++ batchRows(3L).toSet
+    assert(view() == wantView, "compaction changed the read view")
+    val wantAgg = Export.shardAggregates(
+        wantView.toSeq.toDF("doc_id", "text")
+          .withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(manifest() == wantAgg, "compaction moved manifest aggregates")
+    // exactly one file per shard in the compacted dir
+    val cdir = new java.io.File(s"$out/data/compact_b3")
+    cdir.listFiles().filter(_.getName.startsWith("shard=")).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"compacted shard dir ${d.getName} has more than one file")
+    }
+    // replay of a pre-compaction batch: pointer-gated no-op, view and
+    // manifest untouched
+    sink(Seq((999L, "ghost")).toDF("doc_id", "text"), 1L)
+    assert(manifest() == wantAgg && view() == wantView,
+      "replay after compaction moved the store")
+    // a further batch appends alongside the compacted dir
+    sink(batchRows(4L).toDF("doc_id", "text"), 4L)
+    assert(dirsListed().toSet == Set("compact_b3", "batch_4"))
+    assert(view() == wantView ++ batchRows(4L).toSet)
+    // a SECOND compaction point folds again and the sweep reclaims
+    // every dir no surviving manifest version references
+    (5L to 6L).foreach(b => sink(batchRows(b).toDF("doc_id", "text"), b))
+    assert(dirsListed() == Seq("compact_b6"))
+    val left = new java.io.File(s"$out/data").listFiles().map(_.getName)
+    assert(left.contains("compact_b6"))
+    assert(!left.contains("batch_0") && !left.contains("batch_1"),
+      s"sweep left long-unreferenced batch dirs behind: ${left.toSeq}")
+    assert(view() == wantView ++ (4L to 6L).flatMap(batchRows).toSet)
+  }
+
   test("exportShardsSink: a leading EMPTY batch advances the pointer " +
       "without publishing a manifest, and the first non-empty batch " +
       "publishes instead of wedging on a missing manifest read") {
