@@ -28,6 +28,60 @@ object SourceQueries {
     * the JVM cleans up after itself). */
   private lazy val sinkScratch: String = graft.core.Scratch.dir("sinks")
 
+  /** Build-once WARC fixture: the `doc_id % 11 = 0 AND doc_id < 2200`
+    * documents slice written as two crawl containers — `part0.warc`
+    * plain, `part1.warc.gz` with ONE GZIP MEMBER PER RECORD (the
+    * Common-Crawl writer layout; decodes as one stream) — each headed
+    * by a warcinfo record the face must filter out. Fixture planting
+    * is driver-side by design (bounded slice); the READ under test is
+    * the executor-parallel binaryFiles + parse path. */
+  private val warcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def warcFixtureDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    warcCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("warc_fixture")}/${math.abs(d.hashCode)}"
+      new java.io.File(dir).mkdirs()
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 11 === 0 && col("doc_id") < 2200)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def record(tpe: String, uri: String, payload: Array[Byte]) = {
+        val h = new StringBuilder()
+          .append("WARC/1.0\r\n")
+          .append(s"WARC-Type: $tpe\r\n")
+        if (uri != null) h.append(s"WARC-Target-URI: $uri\r\n")
+        h.append(s"WARC-Record-ID: <urn:graft:$tpe:${payload.length}>\r\n")
+          .append("Content-Type: text/plain\r\n")
+          .append(s"Content-Length: ${payload.length}\r\n\r\n")
+        h.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+      }
+      def info = record("warcinfo", null,
+        "software: graft-fixture".getBytes("UTF-8"))
+      def conv(id: Long, text: String) = record("conversion",
+        s"http://example.org/doc/$id", text.getBytes("UTF-8"))
+      val (evens, odds) = docs.partition(_._1 % 2 == 0)
+      val plain = new java.io.FileOutputStream(s"$dir/part0.warc")
+      try {
+        plain.write(info)
+        evens.foreach { case (id, t) => plain.write(conv(id, t)) }
+      } finally plain.close()
+      val gz = new java.io.FileOutputStream(s"$dir/part1.warc.gz")
+      try {
+        def member(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        gz.write(member(info))
+        odds.foreach { case (id, t) => gz.write(member(conv(id, t))) }
+      } finally gz.close()
+      dir
+    })
+
   private val DonorCsvSql =
     s"read_csv('$FixtureDir/donor.tsv', delim='\\t', header=true, all_varchar=true)"
 
@@ -446,6 +500,31 @@ object SourceQueries {
         .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
           "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
       manifest.join(rb, Seq("shard"))
+    },
+
+    // ---- WARC/WET crawl front door: the documents slice is planted
+    //      as TWO container files (one plain .warc, one multi-member
+    //      .warc.gz — the Common-Crawl layout), each headed by a
+    //      warcinfo record; the face re-splits them with the
+    //      Content-Length-honoring reader, keeps the conversion
+    //      records, and reconstructs (doc_id, text, content_length).
+    //      The oracle recomputes the split relationally from
+    //      documents — a torn record, a wrong payload slice, or a
+    //      leaked warcinfo row all hash-mismatch ----
+    sql(
+      "q_warc_ingest",
+      """SELECT doc_id, text,
+        |  octet_length(encode(text))::BIGINT AS content_length
+        |FROM documents
+        |WHERE doc_id % 11 = 0 AND doc_id < 2200""".stripMargin) { (s, d) =>
+      val dir = warcFixtureDir(s, d)
+      graft.sources.Sources.warcRecords(s, dir)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("payload").cast("string").as("text"),
+          col("content_length"))
     },
 
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):

@@ -73,4 +73,13 @@ object Sources {
       .format("binaryFile")
       .option("pathGlobFilter", pathGlob)
       .load(dir)
+
+  /** WARC/WET crawl containers → one row per record ([[Warc.records]]
+    * — Content-Length-honoring split, binary-safe payloads, one task
+    * per container file). The crawl front door of the curation chain. */
+  def warcRecords(
+      spark: SparkSession,
+      dir: String,
+      pathGlob: String = "*.warc*"): DataFrame =
+    Warc.records(spark, dir, pathGlob)
 }
