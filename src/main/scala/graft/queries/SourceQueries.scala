@@ -452,6 +452,50 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- SEEDED EPOCH ORDER over the promoted export: the (seed,
+    //      epoch) pair deterministically permutes document order
+    //      within AND across shards (shard visit order and in-shard
+    //      order are both md5 draws of seed:epoch:key), and the
+    //      oracle replays every global position relationally — the
+    //      reproducible-training story end-to-end ----
+    sql(
+      "q_epoch_order",
+      """WITH tot AS (
+        |  SELECT sum(octet_length(encode(text)))::BIGINT AS total
+        |  FROM documents),
+        |ns AS (
+        |  SELECT greatest(1, (total + 65535) // 65536)::BIGINT AS n
+        |  FROM tot),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) % (SELECT n FROM ns) AS shard
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, shard,
+        |    CAST('0x' || substr(md5('42:3:' || shard::VARCHAR), 1, 8)
+        |      AS BIGINT) AS sdraw,
+        |    CAST('0x' || substr(md5('42:3:' || doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) AS rdraw
+        |  FROM d)
+        |SELECT doc_id, shard::INT AS shard,
+        |  row_number() OVER (ORDER BY sdraw, shard, rdraw, doc_id)
+        |    ::BIGINT AS epoch_pos
+        |FROM k""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_shards"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShards(docs, dir,
+          targetBytes = 65536L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      graft.sources.Export.epochOrder(s, dir, "doc_id",
+        seed = 42L, epoch = 3)
+        .select(col("doc_id"), col("shard"), col("epoch_pos"))
+    },
+
     // ---- TRAINING-CONSUMABLE jsonl export: the same size-targeted
     //      shard draw / manifest / content-addressing discipline, but
     //      the shards are gzip JSON-lines files — what mainstream

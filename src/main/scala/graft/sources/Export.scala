@@ -223,6 +223,50 @@ object Export {
     }
   }
 
+  /** Deterministic (seed, epoch) training order over a promoted
+    * export — the reproducible-training last mile (round-14 verdict
+    * item 5): a loader that replays the same (seed, epoch) pair gets
+    * the IDENTICAL global document order, on any cluster, in any
+    * engine (the order keys are the engine-portable md5 draw, so an
+    * external auditor replays positions relationally).
+    *
+    * Order: shards are visited by the draw of `seed:epoch:shard`,
+    * rows inside a shard by the draw of `seed:epoch:<id>` (ties break
+    * on the id) — both permutations move with (seed, epoch), so
+    * every epoch reshuffles within AND across shards. `epoch_pos` is
+    * the 1-based global position.
+    *
+    * Scale shape: one shuffle on the shard id + a per-shard window
+    * for the local rank (a shard is one partition by construction);
+    * the cross-shard offsets come from the O(shards) count table —
+    * its running-sum window is metadata-sized and the offsets join
+    * back as a broadcast. Nothing global touches row data: no
+    * single-partition window, no driver funnel. Epoch COUNT per
+    * domain comes from [[graft.ops.Sampling.epochPlan]] — iterate
+    * `epoch = 0 until ceil(capped_epochs)` with this order to realize
+    * the plan. */
+  def epochOrder(spark: SparkSession, dir: String, idCol: String,
+      seed: Long, epoch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = readShards(spark, dir)
+    val tag = lit(s"$seed:$epoch:")
+    val rdraw = md5Draw(concat(tag, col(idCol).cast("string")))
+    val localW = Window.partitionBy(col("shard"))
+      .orderBy(rdraw.asc, col(idCol).asc)
+    val ranked = rows.withColumn("__lrank",
+      row_number().over(localW).cast("long"))
+    val sdraw = md5Draw(concat(tag, col("shard").cast("string")))
+    val offsets = rows.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        sum(col("__n")).over(Window.orderBy(
+          sdraw.asc, col("shard").asc)) - col("__n"))
+      .select(col("shard"), col("__offset"))
+    ranked.join(broadcast(offsets), Seq("shard"))
+      .withColumn("epoch_pos", col("__offset") + col("__lrank"))
+      .drop("__lrank", "__offset")
+  }
+
   /** Per-shard audit of the promoted export: recompute (n_rows,
     * bytes, checksum) from the shard files and join against the
     * manifest. Returns rows where anything disagrees — empty means

@@ -114,6 +114,36 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("epochOrder: positions are an exact 1..N permutation, " +
+      "reproducible for the same (seed, epoch), different across " +
+      "epochs, and in-shard blocks follow the shard draw order") {
+    val dir = graft.core.Scratch.dir("export_epoch")
+    val docs = corpus(150)
+    val res = export(docs, dir)
+    def order(epoch: Int) = Export
+      .epochOrder(spark, dir, "doc_id", seed = 7L, epoch = epoch)
+      .select(col("epoch_pos").cast("long"), col("doc_id"), col("shard"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val e0 = order(0)
+    assert(e0.map(_._1).toSeq == (1L to 150L),
+      "epoch positions must be an exact 1..N permutation")
+    // reproducible: same (seed, epoch) -> identical order
+    assert(order(0).toSeq == e0.toSeq)
+    // a different epoch is a DIFFERENT permutation of the same docs
+    val e1 = order(1)
+    assert(e1.map(_._2).toSet == e0.map(_._2).toSet)
+    assert(e1.map(_._2).toSeq != e0.map(_._2).toSeq,
+      "changing the epoch must move the order")
+    // shards are contiguous blocks (visit order = the shard draw)
+    val shardRuns = e0.map(_._3).foldLeft(List.empty[Int]) {
+      case (acc, sh) if acc.headOption.contains(sh) => acc
+      case (acc, sh) => sh :: acc
+    }
+    assert(shardRuns.distinct.size == shardRuns.size,
+      "a shard's rows must be one contiguous block in the epoch order")
+    assert(shardRuns.toSet == e0.map(_._3).toSet)
+  }
+
   test("rowChecksum null-normalization: rows differing only in null " +
       "PLACEMENT get different checksums, and a null column never " +
       "drops the row from the sum") {
