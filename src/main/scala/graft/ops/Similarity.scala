@@ -762,12 +762,30 @@ object Similarity {
       .otherwise(perSub(col("__lut")) / denom)
   }
 
+  /** ADC brute scan: every query against every corpus code — a THETA
+    * join (queries × corpus), by design: the flat scan is the exact-
+    * recall baseline and assumes the QUERY BATCH IS BROADCAST-SIZED
+    * (each query row carries an m×256 double LUT ≈ 2 KB × m/8, so
+    * ~10k queries ≈ tens of MB on every executor; the corpus side
+    * streams). That assumption is load-bearing: past it the broadcast
+    * OOMs the driver or executors, and the right tool is
+    * [[ivfPqQuery]], whose probe-pruned lists scale with corpus AND
+    * query count. `maxQueryRows` makes the bound loud instead of an
+    * OOM — raise it only with executor memory to match. */
   def pqTopK(
       codes: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      codebooks: Array[Array[(Int, Array[Double])]]): DataFrame = {
+      codebooks: Array[Array[(Int, Array[Double])]],
+      maxQueryRows: Long = 10000L): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
+    val nq = queries.count()
+    require(nq <= maxQueryRows,
+      s"pqTopK broadcasts the query batch with its per-query LUTs; " +
+        s"$nq query rows exceed maxQueryRows=$maxQueryRows and would " +
+        s"OOM the broadcast — route batches this large through " +
+        s"ivfPqQuery (probe-pruned, scales with query count), or " +
+        s"raise maxQueryRows alongside executor memory")
     val q = broadcast(queriesWithLut(queries, id, vec, codebooks))
     // reconstruction norms ride a one-row broadcast (data, not a
     // plan literal — see ivfPqQuery's scale note)

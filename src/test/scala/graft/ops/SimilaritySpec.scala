@@ -332,6 +332,24 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(recall >= 0.4, s"PQ recall $recall too low")
   }
 
+  test("pqTopK: a query batch past the broadcast bound fails LOUDLY " +
+      "with a pointer to ivfPqQuery instead of OOMing the broadcast") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(
+      e, "vec_id", "embedding", m = 8, k = 16, refineIters = 1)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    val big = e.filter(col("vec_id") < 10)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(codes, big, "vec_id", "embedding", 5, cb,
+        maxQueryRows = 5L)
+    }
+    assert(ex.getMessage.contains("ivfPqQuery"),
+      s"bound violation must route the caller: ${ex.getMessage}")
+    // at or under the bound the scan runs
+    assert(Similarity.pqTopK(codes, big, "vec_id", "embedding", 5, cb,
+      maxQueryRows = 10L).count() > 0)
+  }
+
   test("persisted IVFADC: probing ALL lists equals the flat PQ scan; " +
       "a partial probe set prunes list partitions at the scan") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
