@@ -55,6 +55,57 @@ object RelationalQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin),
 
+    // ---- raw-SQL analytics surface (round-14 verdict item 7): the
+    //      dialect-intersection device proves PARSER-level compat for
+    //      grouping sets / rollup / window frames / FILTER-clause
+    //      pivots / correlated EXISTS — surfaces where the engine's
+    //      plans are otherwise hand-written ----
+    sharedSql(
+      "q_sql_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin),
+    sharedSql(
+      "q_sql_rollup",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin),
+    sharedSql(
+      "q_sql_window_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS last3,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS n_seen
+        |FROM orders
+        |WHERE o_custkey % 10 = 0""".stripMargin),
+    sharedSql(
+      "q_sql_pivot_filter",
+      """SELECT n_name,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin),
+    sharedSql(
+      "q_sql_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |""".stripMargin),
+
     // ---- A1/A9/A3: grouped aggregation (TPC-H Q1 flavor) ----
     sql(
       "q_agg_pricing",
