@@ -698,6 +698,87 @@ object ScaleRehearsal {
       growth("export_shards (10x/1x)") = x10 / x1
     }
 
+    // ---- jsonl sharded export (round 15): identical discipline to
+    // the parquet path plus per-file gzip — data-proportional, so the
+    // bar is growth ≲ 10 with the encode/compress staying
+    // executor-parallel ----
+    if (on("export_jsonl")) {
+      def expSecs(docs: DataFrame, label: String, n: Int): Double =
+        (1 to 2).map { rep =>
+          val dir = graft.core.Scratch.dir(s"rehearsal_jsonl_${n}_$rep")
+          timed(s"$label rep$rep") {
+            val r = graft.sources.Export.exportJsonlShards(docs, dir,
+              targetBytes = 1L << 18, id = col("doc_id"),
+              sizeOf = octet_length(col("text")),
+              checksumCols = Seq("doc_id", "text"))
+            r.shards.toLong + r.rows
+          }
+        }.min
+      val x1 = expSecs(tdocs1, "export_jsonl 1x", 1)
+      val x10 = expSecs(tdocs10, "export_jsonl 10x", 10)
+      growth("export_jsonl (10x/1x)") = x10 / x1
+    }
+
+    // ---- streamed-export COMPACTION (round 15): files-per-shard
+    // trajectory. 24 batches through the sink with compaction
+    // (threshold 6) vs without; the read path's cost at the end is
+    // the growth that matters — uncompacted, every shard is
+    // one-file-per-batch and the listing term grows with stream
+    // LIFETIME, which is the super-linear shape the clinical catalog
+    // fix measured. Bar: compacted read ≲ uncompacted read and dirs
+    // bounded by the threshold. ----
+    if (on("stream_compact")) {
+      val batches = 24
+      def run(threshold: Int, label: String): (Double, Int) = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_compact_$threshold")
+        val sink = graft.streaming.EventStream.exportShardsSink(
+          dir, 16, col("doc_id"), octet_length(col("text")),
+          Seq("doc_id", "text"), compactAtDirs = threshold) _
+        val slice = tdocs1.filter(col("doc_id") < 2000)
+          .select("doc_id", "text").localCheckpoint()
+        (0 until batches).foreach { b =>
+          sink(slice.select((col("doc_id") + lit(b.toLong * nTd))
+            .as("doc_id"), col("text")), b.toLong)
+        }
+        val dirs = graft.streaming.EventStream
+          .readStreamShardManifest(spark, dir)
+          .select(col("dirs")).head().getSeq[String](0).size
+        val secs = timed(s"$label read") {
+          graft.streaming.EventStream.readStreamShards(spark, dir).count()
+        }
+        println(s"[rehearsal] $label dirs listed: $dirs")
+        (secs, dirs)
+      }
+      val (cSecs, cDirs) = run(6, s"stream_compact on ($batches batches)")
+      val (uSecs, uDirs) =
+        run(batches + 1, s"stream_compact off ($batches batches)")
+      growth(s"stream_compact read (off/on, dirs $uDirs->$cDirs)") =
+        uSecs / cSecs
+    }
+
+    // ---- seeded epoch order (round 15): one shuffle on the shard id
+    // + a per-shard window + an O(shards) offset broadcast — data-
+    // proportional, bar ≲ 10, nothing global over row data ----
+    if (on("epoch_order")) {
+      def orderSecs(docs: DataFrame, label: String, n: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_epoch_$n")
+        graft.sources.Export.exportShards(docs, dir,
+          targetBytes = 1L << 18, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"))
+        (1 to 2).map { rep =>
+          timed(s"$label rep$rep") {
+            graft.sources.Export
+              .epochOrder(spark, dir, "doc_id", seed = 7L, epoch = rep)
+              .agg(max(col("epoch_pos"))).head().getLong(0)
+          }
+        }.min
+      }
+      val x1 = orderSecs(tdocs1, "epoch_order 1x", 1)
+      val x10 = orderSecs(tdocs10, "epoch_order 10x", 10)
+      growth("epoch_order (10x/1x)") = x10 / x1
+    }
+
     // ---- streamed sharded export: state ×N folded as scaffold
     // batches (untimed), then ONE constant fresh batch timed. The
     // sink's per-batch cost is O(batch) data + O(shards) manifest
