@@ -571,6 +571,136 @@ object SourceQueries {
           col("content_length"))
     },
 
+    // ---- WebDataset-style TAR shard export: one deterministic tar
+    //      per shard (key-sorted <id>.txt entries, mtime 0 — a
+    //      re-export of identical content is BYTE-identical), behind
+    //      the same manifest discipline; the face recomputes the
+    //      manifest from entries PARSED BACK OUT of the tars, so a
+    //      malformed header, wrong padding, or torn entry
+    //      hash-mismatches the relational replay ----
+    sql(
+      "q_export_tar",
+      """WITH tot AS (
+        |  SELECT sum(octet_length(encode(text)))::BIGINT AS total
+        |  FROM documents),
+        |ns AS (
+        |  SELECT greatest(1, (total + 49151) // 49152)::BIGINT AS n
+        |  FROM tot),
+        |s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % (SELECT n FROM ns) AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_tar"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportTarShards(docs, dir,
+          targetBytes = 49152L, id = col("doc_id"),
+          payload = col("text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir),
+          octet_length(col("payload")), Seq("key", "payload"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
+    // ---- CRAWL-TO-TRAINING-SHARDS end to end: the WARC containers
+    //      are the INPUT of the curation chain (mojibake repair →
+    //      Gopher gate → exact dedup) and the gzip-jsonl sharded
+    //      export is its OUTPUT — the full path a web-scale corpus
+    //      actually takes, in one face. The oracle replays every
+    //      stage relationally from documents; the Spark side starts
+    //      from the re-split container records and ends at a
+    //      manifest-vs-text-shard-read-back join, so a fault at ANY
+    //      seam (record split, repair, gate, dedup, shard draw,
+    //      jsonl encode, manifest) hash-mismatches ----
+    sql(
+      "q_warc_curation", {
+        val plant = " cafÃ© â€” naÃ¯ve Ã¼ber â€œquoteâ€¦"
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN text || '$plant'
+           |      ELSE text END AS raw
+           |  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 2200),
+           |f AS (
+           |  SELECT doc_id, ${graft.ops.Text.fixMojibakeSql("raw")} AS t
+           |  FROM p),
+           |k AS (SELECT doc_id, t FROM f
+           |  WHERE ${TextQueries.gopherKeepSql("t",
+                  graft.ops.Text.StopwordSeeds("en"))}),
+           |r AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(t)),
+           |dd AS (SELECT k.doc_id, k.t FROM k JOIN r USING (doc_id)),
+           |tot AS (
+           |  SELECT sum(octet_length(encode(t)))::BIGINT AS total FROM dd),
+           |ns AS (
+           |  SELECT greatest(1, (total + 8191) // 8192)::BIGINT AS n
+           |  FROM tot),
+           |s AS (
+           |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+           |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+           |    octet_length(encode(t))::BIGINT AS b,
+           |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+           |      || chr(1) || coalesce(t, chr(2))),
+           |      1, 8) AS BIGINT) AS c
+           |  FROM dd)
+           |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+           |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+           |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+           |  sum(c)::BIGINT AS rb_checksum
+           |FROM s GROUP BY 1""".stripMargin
+      }) { (s, d) =>
+      import graft.ops.Text
+      val dir = graft.core.Scratch.dir("warc_curation")
+      val raw = graft.sources.Sources.warcRecords(s, warcFixtureDir(s, d))
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val planted = raw.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" cafÃ© â€” naÃ¯ve Ã¼ber â€œquoteâ€¦")))
+          .otherwise(col("text")).as("raw"))
+      val fixed = planted.select(col("doc_id"),
+        Text.fixMojibake(col("raw")).as("t"))
+      val kept = fixed.filter(
+        Text.gopherRules(col("t"), stops = Text.StopwordSeeds("en"))
+          .toMap.apply("gopher_keep"))
+      val deduped = graft.ops.Dedup.dropExact(
+        kept, md5(col("t")), col("doc_id"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportJsonlShards(deduped, dir,
+          targetBytes = 8192L, id = col("doc_id"),
+          sizeOf = octet_length(col("t")),
+          checksumCols = Seq("doc_id", "t")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, t STRING"))),
+          octet_length(col("t")), Seq("doc_id", "t"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):
     //      write suppliers as <supplier> elements, read back with a
     //      pinned schema, hash against the parquet-backed oracle —

@@ -125,7 +125,7 @@ object TextQueries {
     * expression — the predicate expands `t` ~15 times). Must track
     * gopherRules rule-for-rule; q_gopher_rules pins the per-rule
     * surfaces, this composes them for pipeline faces. */
-  private def gopherKeepSql(t: String,
+  private[queries] def gopherKeepSql(t: String,
       stopList: Seq[String] = Text.GopherStops): String = {
     val w = s"string_split_regex($t, '\\s+')"
     val nw = s"greatest(len($w), 1)"

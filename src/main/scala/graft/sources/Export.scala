@@ -125,6 +125,31 @@ object Export {
     exportImpl(df, dir, targetBytes, id, sizeOf, checksumCols, keep,
       format = "json", codec = Some(codec))
 
+  /** [[exportShards]] in the WebDataset-style TAR format: one
+    * uncompressed `.tar` per shard, each row an entry `<key>.txt`
+    * (key = the id rendered as string, entries key-sorted) — the
+    * multimodal-loader interchange shape (WebDataset/tarfile readers
+    * stream samples straight out of tar shards). Same draw /
+    * checksum / content-addressing / Versioned-manifest discipline.
+    * The tar bytes are DETERMINISTIC (fixed mtime 0, mode 0644,
+    * key-sorted entries), so a re-export of identical content is
+    * byte-identical and lands in the same content-addressed dir. The
+    * staged surface is normalized to (key STRING, payload BINARY);
+    * manifest checksums are computed over that surface
+    * (checksumCols = key, payload — the payload checksums as its
+    * UTF-8 decode, mirroring the jsonl/parquet text replays), and
+    * [[readShards]] returns (shard, key, payload) rows parsed back
+    * out of the tars. Keys must fit USTAR's 100-byte name field
+    * (minus the ".txt" suffix). */
+  def exportTarShards(df: DataFrame, dir: String, targetBytes: Long,
+      id: Column, payload: Column, keep: Int = 3): ShardedExport = {
+    val staged = df.select(id.cast("string").as("key"),
+      payload.cast("binary").as("payload"))
+    exportImpl(staged, dir, targetBytes, col("key"),
+      octet_length(col("payload")), Seq("key", "payload"), keep,
+      format = "tar", codec = None)
+  }
+
   private def exportImpl(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, sizeOf: Column, checksumCols: Seq[String],
       keep: Int, format: String, codec: Option[String]): ShardedExport = {
@@ -167,6 +192,7 @@ object Export {
       case "parquet" => writer.parquet(dataDir)
       case "json" =>
         writer.option("compression", codec.getOrElse("none")).json(dataDir)
+      case "tar" => writeTarShards(staged, dataDir, nShards)
       case other => throw new IllegalArgumentException(
         s"unsupported export format: $other")
     }
@@ -181,7 +207,8 @@ object Export {
         val k = d.getPath.getName.stripPrefix("shard=").toInt
         fs.listStatus(d.getPath)
           .filter(f => f.isFile && (f.getPath.getName.endsWith(".parquet")
-            || f.getPath.getName.contains(".json")))
+            || f.getPath.getName.contains(".json")
+            || f.getPath.getName.endsWith(".tar")))
           .map(f => k -> (f.getPath.toString, f.getLen))
       }.toSeq
     val multi = fileSeq.groupBy(_._1).filter(_._2.size > 1)
@@ -219,9 +246,122 @@ object Export {
     val reader = schema.fold(spark.read)(spark.read.schema)
     format match {
       case "json" => reader.json(dataDir)
+      case "tar"  => readTarDir(spark, dataDir)
       case _      => reader.parquet(dataDir)
     }
   }
+
+  /** Write one deterministic USTAR tar per shard, executor-side: the
+    * staged (key, payload, shard) frame is hash-shuffled on the shard
+    * id and key-sorted, so each task streams its shards' entries in
+    * order into `shard=k/part.tar` (one create per shard, no driver
+    * involvement). Fixed mtime/mode make the bytes a pure function of
+    * content — the content-addressed idempotency contract holds at
+    * the BYTE level for tars. */
+  private def writeTarShards(
+      staged: DataFrame, dataDir: String, nShards: Int): Unit = {
+    val dataDirB = dataDir
+    staged.select(col("shard"), col("key"), col("payload"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("key"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var out: java.io.OutputStream = null
+        var cur = -1
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end blocks
+          out.close(); out = null
+        }
+        rows.foreach { r =>
+          val (sh, key, payload) =
+            (r.getInt(0), r.getString(1), r.getAs[Array[Byte]](2))
+          if (sh != cur) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(
+              s"$dataDirB/shard=$sh/part.tar")
+            val fs = p.getFileSystem(conf)
+            fs.mkdirs(p.getParent)
+            out = fs.create(p, true)
+            cur = sh
+          }
+          out.write(tarHeader(s"$key.txt", payload.length.toLong))
+          out.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+        }
+        close()
+      }
+  }
+
+  /** One 512-byte USTAR header (deterministic fields only). */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 100,
+      s"tar entry name exceeds USTAR's 100 bytes: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    put(100, "0000644" + "\u0000")        // mode
+    put(108, "0000000" + "\u0000")        // uid
+    put(116, "0000000" + "\u0000")        // gid
+    put(124, f"$size%011o" + "\u0000")    // size
+    put(136, "00000000000" + "\u0000")    // mtime = 0 (deterministic)
+    put(156, "0")                          // typeflag: regular file
+    put(257, "ustar" + "\u0000" + "00")   // magic + version
+    // checksum: computed with the field itself as 8 spaces
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(b => sum += (b & 0xff))
+    put(148, f"$sum%06o" + "\u0000" + " ")
+    h
+  }
+
+  /** Parse the tar shards of `dataDir` back into (shard, key,
+    * payload) rows — one task per tar via the binaryFile source, the
+    * same grain the write used. */
+  private def readTarDir(spark: SparkSession, dataDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", "true")
+      .load(dataDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard=(\\d+)".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"no shard dir in tar path $path"))
+        untar(bytes).map { case (name, payload) =>
+          (shard, name.stripSuffix(".txt"), payload)
+        }
+      }
+      .toDF("shard", "key", "payload")
+  }
+
+  /** Stream (name, bytes) entries out of one in-memory tar. */
+  private[sources] def untar(
+      bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var pos = 0
+      private def headerAt(p: Int): Boolean =
+        p + 512 <= bytes.length && bytes(p) != 0
+      def hasNext: Boolean = headerAt(pos)
+      def next(): (String, Array[Byte]) = {
+        var nameEnd = pos
+        while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        val name = new String(bytes, pos, nameEnd - pos, "UTF-8")
+        val sizeStr = new String(bytes, pos + 124, 12, "UTF-8")
+          .takeWhile(c => c >= '0' && c <= '7')
+        val size = java.lang.Long.parseLong(sizeStr, 8)
+        val start = pos + 512
+        val payload = java.util.Arrays.copyOfRange(
+          bytes, start, start + size.toInt)
+        pos = start + size.toInt + ((512 - size % 512) % 512).toInt
+        (name, payload)
+      }
+    }
 
   /** Deterministic (seed, epoch) training order over a promoted
     * export — the reproducible-training last mile (round-14 verdict
