@@ -116,7 +116,10 @@ object Export {
     * DuckDB replay oracles both. Compression is per-FILE (a Hadoop
     * codec riding the json writer), so shard files stay independently
     * fetchable and a loader can stream-decode each shard alone;
-    * `codec = "none"` writes plain `.json`. Read back with
+    * `codec = "none"` writes plain `.json`. The codec rides Hadoop's
+    * compression registry: gzip/bzip2/deflate/lz4/snappy everywhere,
+    * zstd only where native Hadoop libs are loaded (probed absent in
+    * this environment — the default stays gzip). Read back with
     * [[readShards]] (format is recorded in the manifest and
     * dispatched on) or any `read_json`-capable engine. */
   def exportJsonlShards(df: DataFrame, dir: String, targetBytes: Long,
@@ -386,9 +389,16 @@ object Export {
     * `epoch = 0 until ceil(capped_epochs)` with this order to realize
     * the plan. */
   def epochOrder(spark: SparkSession, dir: String, idCol: String,
+      seed: Long, epoch: Int): DataFrame =
+    epochOrderOf(readShards(spark, dir), idCol, seed, epoch)
+
+  /** [[epochOrder]] over ANY frame carrying a `shard` column — e.g.
+    * the streamed export's committed rows
+    * ([[graft.streaming.EventStream.readStreamShards]]), which share
+    * the same draw-based shard ids. */
+  def epochOrderOf(rows: DataFrame, idCol: String,
       seed: Long, epoch: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = readShards(spark, dir)
     val tag = lit(s"$seed:$epoch:")
     val rdraw = md5Draw(concat(tag, col(idCol).cast("string")))
     val localW = Window.partitionBy(col("shard"))

@@ -933,6 +933,43 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("epochOrderOf over the STREAMED export: same permutation " +
+      "contract as the batch path — exact 1..N, reproducible, " +
+      "compaction-invariant (order depends on content, not layout)") {
+    import graft.sources.Export
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_epoch_stream").toString
+    def sink(threshold: Int) = EventStream.exportShardsSink(out, 4,
+      col("doc_id"), octet_length(col("text")), Seq("doc_id", "text"),
+      compactAtDirs = threshold) _
+    val rows = (1L to 40L).map(i => (i, s"doc-$i"))
+    rows.grouped(10).zipWithIndex.foreach { case (g, b) =>
+      sink(2)(g.toDF("doc_id", "text"), b.toLong)
+    }
+    def order() = Export.epochOrderOf(
+        EventStream.readStreamShards(spark, out), "doc_id", 7L, 2)
+      .select(col("epoch_pos").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val o1 = order()
+    assert(o1.map(_._1).toSeq == (1L to 40L))
+    assert(o1.toSeq == order().toSeq, "epoch order must be reproducible")
+    // compaction happened mid-stream (threshold 2 over 4 batches);
+    // the order is a function of (content, seed, epoch) — layout
+    // (batch dirs vs compacted dir) cannot move it: recompute over a
+    // FRESH single-batch export of the same rows
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_export_epoch_stream2").toString
+    EventStream.exportShardsSink(out2, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))(
+      rows.toDF("doc_id", "text"), 0L)
+    val o2 = Export.epochOrderOf(
+        EventStream.readStreamShards(spark, out2), "doc_id", 7L, 2)
+      .select(col("epoch_pos").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(o1.toSeq == o2.toSeq,
+      "layout (batch dirs vs compacted) moved the epoch order")
+  }
+
   test("exportShardsSink compaction: crossing the dir threshold folds " +
       "batch dirs into ONE compacted dir with a byte-identical read " +
       "view and unmoved manifest aggregates; replay after compaction " +
