@@ -96,8 +96,11 @@ object Export {
       coalesce(sum(rowChecksum(checksumCols)), lit(0L)).as("checksum"))
 
   /** Export `df` under `dir` as ~`targetBytes`-sized parquet shards +
-    * a versioned manifest. `id` must be row-unique (shard assignment
-    * and the checksum draw key on it via `checksumCols`); `sizeOf` is
+    * a versioned manifest. `id` must be row-unique AND non-null (a
+    * null id has no portable draw — the shard column would go null
+    * and the Hive default partition would break the one-file-per-
+    * shard listing contract loudly); shard assignment
+    * and the checksum draw key on it via `checksumCols`. `sizeOf` is
     * the per-row payload-byte expression the size target is measured
     * in (e.g. `octet_length(col("text"))`). Returns the published
     * manifest version, shard count, row count and data directory. */
@@ -146,8 +149,14 @@ object Export {
     * (minus the ".txt" suffix). */
   def exportTarShards(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, payload: Column, keep: Int = 3): ShardedExport = {
+    // a null payload becomes an EMPTY entry (zero-length tar member):
+    // the writer must not NPE on a sparse column, and "document with
+    // no payload" is representable in tar where parquet would carry
+    // the null — the checksum still separates the shapes because key
+    // and payload checksum through the null-normalized draw
     val staged = df.select(id.cast("string").as("key"),
-      payload.cast("binary").as("payload"))
+      coalesce(payload.cast("binary"),
+        lit(Array.empty[Byte])).as("payload"))
     exportImpl(staged, dir, targetBytes, col("key"),
       octet_length(col("payload")), Seq("key", "payload"), keep,
       format = "tar", codec = None)

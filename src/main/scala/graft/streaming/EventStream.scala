@@ -501,7 +501,7 @@ object EventStream {
     // only listed dirs; the pointer still advances so replays no-op)
     if (!alreadyFolded && !batch.isEmpty) {
       val agg = Export.shardAggregates(staged, sizeOf, checksumCols)
-      val folded = prior match {
+      val folded = prior.map(withDirs) match {
         case None =>
           agg.withColumn("batch_ids", array(lit(batchId)))
             .withColumn("dirs", array(lit(s"batch_$batchId")))
@@ -563,12 +563,23 @@ object EventStream {
     * them, then the sweep reclaims them — a reader pinned to the
     * previous manifest version never loses its files mid-read.
     * Returns true iff a compaction ran. */
+  /** Upgrade an older manifest (pre-dirs, batch_ids only) in place:
+    * the dir list was then exactly `batch_<id>` per committed id. A
+    * store written before the dirs column existed must keep folding
+    * and reading after the upgrade — otherwise the first post-upgrade
+    * batch wedges the stream on an unresolved column. */
+  private def withDirs(m: DataFrame): DataFrame =
+    if (m.columns.contains("dirs")) m
+    else m.withColumn("dirs",
+      transform(col("batch_ids"),
+        b => concat(lit("batch_"), b.cast("string"))))
+
   def maybeCompactStreamShards(spark: SparkSession, dir: String,
       nShards: Int, maxDirs: Int): Boolean = {
     import graft.sources.Versioned
     val mroot = s"$dir/manifest"
     if (Versioned.currentVersion(spark, mroot).isEmpty) return false
-    val m = Versioned.readCurrent(spark, mroot)
+    val m = withDirs(Versioned.readCurrent(spark, mroot))
     val head = m.select(col("dirs"), col("batch_ids")).head()
     val dirs0 = head.getSeq[String](0)
     if (dirs0.size <= maxDirs) return false
@@ -612,8 +623,8 @@ object EventStream {
     * exactly the batch dirs the current manifest lists — an orphan
     * dir from a crashed batch is invisible. */
   def readStreamShards(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = graft.sources.Versioned
-      .readCurrent(spark, s"$dir/manifest")
+    val dirs = withDirs(graft.sources.Versioned
+        .readCurrent(spark, s"$dir/manifest"))
       .select(col("dirs")).head().getSeq[String](0)
     // one read per listed dir (each discovers its own shard partition
     // column) — dir count is bounded by the sink's compaction

@@ -163,6 +163,23 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     }
   }
 
+  test("exportTarShards: a null payload becomes an EMPTY tar entry " +
+      "(no NPE), round-trips as zero bytes, and checksums apart from " +
+      "an empty-string payload on another key") {
+    val dir = graft.core.Scratch.dir("export_tar_null")
+    val rows = Seq((1L, "hello"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val res = Export.exportTarShards(rows, dir, 1L << 20,
+      col("doc_id"), col("text"))
+    assert(res.rows == 3L)
+    val back = Export.readShards(spark, dir)
+      .select(col("key"), length(col("payload")).cast("int"))
+      .as[(String, Int)].collect().toMap
+    assert(back == Map("1" -> 5, "2" -> 0, "3" -> 0))
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("payload")), Seq("key", "payload")).isEmpty)
+  }
+
   test("epochOrder: positions are an exact 1..N permutation, " +
       "reproducible for the same (seed, epoch), different across " +
       "epochs, and in-shard blocks follow the shard draw order") {

@@ -933,6 +933,48 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("exportShardsSink: a PRE-dirs-column store (older manifest " +
+      "format) keeps folding, reading and compacting after the " +
+      "upgrade — the dir list is derived from batch_ids") {
+    import graft.sources.{Export, Versioned}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_sink_migrate").toString
+    def sink = EventStream.exportShardsSink(out, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"),
+      compactAtDirs = 2) _
+    val a = (1L to 12L).map(i => (i, s"mig-$i"))
+    sink(a.take(6).toDF("doc_id", "text"), 0L)
+    // rewrite the manifest WITHOUT the dirs column — the on-disk
+    // shape every pre-round-15 store has
+    val legacy = Versioned.readCurrent(spark, s"$out/manifest")
+      .drop("dirs")
+    Versioned.publish(legacy, s"$out/manifest"): Unit
+    // reading the legacy store works
+    assert(EventStream.readStreamShards(spark, out)
+      .select("doc_id").as[Long].collect().toSet == (1L to 6L).toSet)
+    // folding the next batch works (this fold reads the legacy
+    // manifest as `prior`) and keeps the full batch-id list
+    sink(a.drop(6).toDF("doc_id", "text"), 1L)
+    val m = EventStream.readStreamShardManifest(spark, out)
+    assert(m.select(col("batch_ids")).head().getSeq[Long](0) ==
+      Seq(0L, 1L))
+    assert(EventStream.readStreamShards(spark, out)
+      .select("doc_id").as[Long].collect().toSet == (1L to 12L).toSet)
+    // aggregates equal the one-shot replay over everything
+    val want = Export.shardAggregates(
+        a.toDF("doc_id", "text")
+          .withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(m.select(col("shard"), col("n_rows"), col("bytes"),
+        col("checksum"))
+      .as[(Int, Long, Long, Long)].collect().toSet == want)
+    // and the compaction path handles the migrated store too
+    sink(Seq((100L, "mig-100")).toDF("doc_id", "text"), 2L)
+    assert(EventStream.readStreamShardManifest(spark, out)
+      .select(col("dirs")).head().getSeq[String](0).size <= 2)
+  }
+
   test("epochOrderOf over the STREAMED export: same permutation " +
       "contract as the batch path — exact 1..N, reproducible, " +
       "compaction-invariant (order depends on content, not layout)") {
