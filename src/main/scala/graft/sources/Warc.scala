@@ -19,12 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (crawl payloads are not guaranteed UTF-8 — decode at the consumer,
   * e.g. `col("payload").cast("string")` for WET conversion text).
   *
-  * Scale shape: one task per container file via the `binaryFile`
-  * source — exactly how crawl dumps ship (thousands of ~1 GB
+  * Scale shape: one task per container file (thousands of ~1 GB
   * `.warc.gz` segment files; gzip is non-splittable, so per-file
-  * parallelism IS the right grain). The whole-file gunzip handles the
-  * member-per-record gzip layout Common-Crawl-style writers emit
-  * (concatenated members decode as one stream). Nothing corpus-sized
+  * parallelism IS the right grain), but the parse is STREAMING: the
+  * container is read through `sc.binaryFiles`' PortableDataStream and
+  * decoded record by record, so per-task memory is ONE record's
+  * payload — never the decompressed container (a 1 GB segment
+  * decompresses to ~4-5 GB; whole-blob ingest at 32 concurrent tasks
+  * is an OOM, which is why this is NOT built on the `binaryFile` SQL
+  * source and its whole-content column). This is the one deliberate
+  * RDD in the engine: genuinely imperative per-partition IO, exactly
+  * the case the DataFrame API can't express. GZIPInputStream decodes
+  * the member-per-record gzip layout Common-Crawl-style writers emit
+  * (concatenated members read as one stream). Nothing corpus-sized
   * visits the driver; the parse is a single forward scan per blob.
   */
 object Warc {
@@ -36,13 +43,19 @@ object Warc {
 
   /** All records under `dir` (one row per WARC record, file order
     * preserved in `record_idx`). `pathGlob` filters at the listing;
-    * `.gz` files are gunzipped whole (multi-member safe). */
+    * `.gz` containers are stream-gunzipped (multi-member safe). */
   def records(spark: SparkSession, dir: String,
       pathGlob: String = "*.warc*"): DataFrame = {
     import spark.implicits._
-    Sources.binaryFiles(spark, dir, pathGlob)
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (path, content) => parse(path, content) }
+    spark.sparkContext.binaryFiles(s"$dir/$pathGlob")
+      .flatMap { case (path, pds) =>
+        val raw = pds.open()
+        val in = new java.io.BufferedInputStream(
+          if (path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw)
+          else raw, 1 << 16)
+        parseStream(path, in)
+      }
       .toDF()
   }
 
@@ -58,75 +71,93 @@ object Warc {
       .drop("payload")
   }
 
-  /** Parse one container blob into its records. Binary-safe: record
+  /** Stream one container into its records. Binary-safe: record
     * boundaries come from Content-Length, never from scanning for the
     * magic. Loud on malformation (truncated payload, missing
     * Content-Length, garbage between records) — a torn crawl segment
-    * must fail the task, not silently drop records. */
-  private[sources] def parse(
-      file: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val bytes = if (file.endsWith(".gz")) gunzipAll(raw) else raw
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    var idx = 0
-    def readLine(): String = {
-      var end = pos
-      while (end < bytes.length && bytes(end) != '\n') end += 1
-      require(end < bytes.length,
-        s"$file: unterminated header line at byte $pos")
-      val stop = if (end > pos && bytes(end - 1) == '\r') end - 1 else end
-      val line = new String(bytes, pos, stop - pos,
-        java.nio.charset.StandardCharsets.UTF_8)
-      pos = end + 1
-      line
-    }
-    while (pos < bytes.length) {
-      // skip the inter-record CRLF CRLF (and tolerate extra blanks)
-      if (bytes(pos) == '\r' || bytes(pos) == '\n') pos += 1
-      else {
-        val version = readLine()
-        require(version.startsWith("WARC/"),
-          s"$file: expected a WARC version line at record $idx, " +
-            s"got '${version.take(40)}'")
-        val headers = scala.collection.mutable.Map.empty[String, String]
-        var line = readLine()
-        while (line.nonEmpty) {
-          val colon = line.indexOf(':')
-          require(colon > 0, s"$file: malformed header '$line'")
-          headers(line.substring(0, colon).trim.toLowerCase) =
-            line.substring(colon + 1).trim
-          line = readLine()
-        }
-        val len = headers.getOrElse("content-length", sys.error(
-          s"$file: record $idx has no Content-Length")).toLong
-        require(pos + len <= bytes.length,
-          s"$file: record $idx payload truncated " +
-            s"(need $len bytes at $pos of ${bytes.length})")
-        out += WarcRecord(file, idx,
-          headers.getOrElse("warc-type", ""),
-          headers.getOrElse("warc-target-uri", null),
-          headers.getOrElse("warc-record-id", null),
-          headers.getOrElse("content-type", null),
-          len,
-          java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt))
-        pos += len.toInt
-        idx += 1
+    * must fail the task, not silently drop records. Memory: one
+    * record's payload at a time; the input closes on exhaustion or
+    * error. */
+  private[sources] def parseStream(
+      file: String, in: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var idx = 0
+      private var nextByte: Int = -2 // -2 = not yet read
+      private var closed = false
+      private def peek(): Int = {
+        if (nextByte == -2) nextByte = in.read()
+        nextByte
       }
+      private def take(): Int = {
+        val b = peek(); nextByte = -2; b
+      }
+      private def closeIn(): Unit =
+        if (!closed) { closed = true; in.close() }
+      private def readLine(): String = {
+        val buf = new java.io.ByteArrayOutputStream(128)
+        var b = take()
+        while (b != '\n') {
+          if (b < 0) {
+            closeIn()
+            sys.error(s"$file: unterminated header line at record $idx")
+          }
+          buf.write(b)
+          b = take()
+        }
+        val bytes = buf.toByteArray
+        val stop =
+          if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+            bytes.length - 1
+          else bytes.length
+        new String(bytes, 0, stop,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      def hasNext: Boolean = {
+        if (closed) return false
+        // skip the inter-record CRLF CRLF (tolerating extra blanks)
+        var b = peek()
+        while (b == '\r' || b == '\n') { take(); b = peek() }
+        if (b < 0) { closeIn(); false } else true
+      }
+      def next(): WarcRecord =
+        try {
+          val version = readLine()
+          require(version.startsWith("WARC/"),
+            s"$file: expected a WARC version line at record $idx, " +
+              s"got '${version.take(40)}'")
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var line = readLine()
+          while (line.nonEmpty) {
+            val colon = line.indexOf(':')
+            require(colon > 0, s"$file: malformed header '$line'")
+            headers(line.substring(0, colon).trim.toLowerCase) =
+              line.substring(colon + 1).trim
+            line = readLine()
+          }
+          val len = headers.getOrElse("content-length", sys.error(
+            s"$file: record $idx has no Content-Length")).toLong
+          require(len <= Int.MaxValue,
+            s"$file: record $idx payload exceeds 2 GiB ($len)")
+          val payload = new Array[Byte](len.toInt)
+          var off = 0
+          // drain a pending peeked byte, then bulk-read the rest
+          if (len > 0 && nextByte >= 0) {
+            payload(0) = nextByte.toByte; nextByte = -2; off = 1
+          }
+          while (off < len) {
+            val n = in.read(payload, off, (len - off).toInt)
+            if (n < 0) sys.error(s"$file: record $idx payload " +
+              s"truncated (need $len bytes, got $off)")
+            off += n
+          }
+          val r = WarcRecord(file, idx,
+            headers.getOrElse("warc-type", ""),
+            headers.getOrElse("warc-target-uri", null),
+            headers.getOrElse("warc-record-id", null),
+            headers.getOrElse("content-type", null),
+            len, payload)
+          idx += 1
+          r
+        } catch { case e: Throwable => closeIn(); throw e }
     }
-    out.iterator
-  }
-
-  /** Gunzip a whole blob, concatenated-member safe (Common-Crawl
-    * writers emit one gzip member per record; GZIPInputStream decodes
-    * the members as one stream). */
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(raw))
-    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
-  }
 }
