@@ -157,6 +157,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a list scan reads BOTH codes and vector:\n${reads.mkString("\n")}")
   }
 
+  test("epoch order: data path windows BY SHARD; the single-partition " +
+      "window sees only the O(shards) count table (which scans zero " +
+      "data columns)") {
+    val p = plan("q_epoch_order")
+    assert(count(p, "SortMergeJoin") == 0) // offsets join back broadcast
+    assert(count(p, "BroadcastHashJoin") == 1)
+    // exactly ONE single-partition exchange, and it feeds from the
+    // count aggregation — never from row data
+    assert(count(p, "Exchange SinglePartition") == 1)
+    assert(p.contains("functions=[count(1)]"))
+    // the row-data window is partitioned on the shard id
+    assert(count(p, "windowspecdefinition\\(shard") == 1)
+    // the offsets side scans ONLY the shard partition column
+    assert(p.contains("ReadSchema: struct<>"))
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan("q_agg_pricing")
     assert(count(p, "HashAggregate") >= 2) // partial + final
