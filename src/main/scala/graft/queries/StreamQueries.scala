@@ -199,6 +199,42 @@ object StreamQueries {
       graft.ops.GraphStore.read(s, s"${componentsStoreDir(s, d)}/store")
     },
 
+    // ---- STREAMING sharded export in LOADER-CONSUMABLE gzip jsonl
+    //      (format="json"): same 3-batch fold, mid-stream compaction
+    //      forced (threshold 2), and the read-back recompute goes
+    //      through the gzip JSON-lines files themselves — so the
+    //      encode, the format-dispatched read AND the compacted
+    //      layout all replay against the one-shot relational
+    //      oracle ----
+    sql(
+      "q_stream_export_jsonl",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) % 5 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |      || chr(1) || coalesce(text, chr(2))),
+        |      1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.Export
+      val dir = exportStreamJsonlDir(s, d)
+      val manifest = EventStream.readStreamShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = Export.shardAggregates(
+          EventStream.readStreamShards(s, dir)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("text"), col("shard")),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- STREAMING sharded export: the documents corpus replayed as
     //      three micro-batches through exportShardsSink (per-batch
     //      shard appends + an associatively-folded cumulative
@@ -232,6 +268,28 @@ object StreamQueries {
         .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
           "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
       manifest.join(rb, Seq("shard"))
+    })
+
+  /** Build-once cache for the jsonl streamed-export face: the same
+    * three deterministic micro-batches, format="json", with the
+    * compaction threshold low enough (2) that the committed layout
+    * the face reads back is the COMPACTED one. */
+  private val exportStreamJsonlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def exportStreamJsonlDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    exportStreamJsonlCache.computeIfAbsent(d, _ => {
+      val dir = s"${graft.core.Scratch.dir("stream_export_jsonl")}/" +
+        s"${math.abs(d.hashCode)}"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      (0 until 3).foreach { b =>
+        EventStream.exportShardsSink(dir, 5, col("doc_id"),
+          octet_length(col("text")), Seq("doc_id", "text"),
+          compactAtDirs = 2, format = "json")(
+          docs.filter(col("doc_id") % 3 === b), b.toLong)
+      }
+      dir
     })
 
   /** Build-once cache for the streamed-export face: documents replayed

@@ -465,7 +465,13 @@ object EventStream {
     * manifest publish and the pointer commit re-delivers the batch,
     * which sees its id already in the manifest's batch list, rewrites
     * only the (idempotent) data dir, and re-commits the pointer — the
-    * manifest is never double-folded. Compaction of many small
+    * manifest is never double-folded. `format` picks the shard file
+    * layout — parquet (default) or loader-consumable gzip JSON-lines
+    * (`"json"`), the streaming complement of
+    * [[graft.sources.Export.exportJsonlShards]]; the manifest records
+    * it and every read/compact path dispatches on the record, so a
+    * store can never silently mix layouts (continuing a store under a
+    * different format fails loudly). Compaction of many small
     * per-batch files into per-shard files rides the sink itself
     * ([[maybeCompactStreamShards]], after each pointer commit): once
     * the manifest lists more than `compactAtDirs` dirs they fold into
@@ -474,19 +480,26 @@ object EventStream {
     */
   def exportShardsSink(dir: String, nShards: Int,
       id: org.apache.spark.sql.Column, sizeOf: org.apache.spark.sql.Column,
-      checksumCols: Seq[String], compactAtDirs: Int = 64)(
+      checksumCols: Seq[String], compactAtDirs: Int = 64,
+      format: String = "parquet")(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.sources.{Export, Versioned}
+    require(format == "parquet" || format == "json",
+      s"exportShardsSink format must be parquet or json: $format")
     val spark = batch.sparkSession
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = recoverPointer(fs, dir)
     if (committed.exists(_ >= batchId)) return // replayed, already folded
     val staged = batch.withColumn("shard", Export.shardOf(id, nShards))
-    staged.repartition(nShards, col("shard"))
+    val writer = staged.repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/data/batch_$batchId")
+    format match {
+      case "json" => writer.option("compression", "gzip")
+        .json(s"$dir/data/batch_$batchId")
+      case _ => writer.parquet(s"$dir/data/batch_$batchId")
+    }
     // gate the prior manifest on the MANIFEST's own pointer, not the
     // sink's batch pointer: an all-empty-batches prefix advances the
     // batch pointer without ever publishing a manifest, and reading
@@ -500,11 +513,17 @@ object EventStream {
     // an EMPTY batch folds nothing and is not listed (readers read
     // only listed dirs; the pointer still advances so replays no-op)
     if (!alreadyFolded && !batch.isEmpty) {
+      // a store never switches formats mid-stream: the dir list mixes
+      // layouts and every read path would have to re-dispatch per dir
+      prior.map(storedFormat).foreach(f => require(f == format,
+        s"exportShardsSink: store at $dir was written as $f; " +
+          s"cannot continue it as $format"))
       val agg = Export.shardAggregates(staged, sizeOf, checksumCols)
       val folded = prior.map(withDirs) match {
         case None =>
           agg.withColumn("batch_ids", array(lit(batchId)))
             .withColumn("dirs", array(lit(s"batch_$batchId")))
+            .withColumn("format", lit(format))
         case Some(m) =>
           m.select(col("shard"), col("n_rows"), col("bytes"),
               col("checksum"))
@@ -521,6 +540,7 @@ object EventStream {
             .withColumn("dirs",
               array_sort(array_union(col("dirs"),
                 array(lit(s"batch_$batchId")))))
+            .withColumn("format", lit(format))
       }
       Versioned.publish(folded, s"$dir/manifest", keep = 2): Unit
     }
@@ -574,6 +594,20 @@ object EventStream {
       transform(col("batch_ids"),
         b => concat(lit("batch_"), b.cast("string"))))
 
+  /** The store's data format; manifests that predate the column were
+    * all parquet. */
+  private def storedFormat(m: DataFrame): String =
+    if (m.columns.contains("format"))
+      m.select(col("format")).head().getString(0)
+    else "parquet"
+
+  private def readDataDir(
+      spark: SparkSession, path: String, format: String): DataFrame =
+    format match {
+      case "json" => spark.read.json(path)
+      case _      => spark.read.parquet(path)
+    }
+
   def maybeCompactStreamShards(spark: SparkSession, dir: String,
       nShards: Int, maxDirs: Int): Boolean = {
     import graft.sources.Versioned
@@ -583,12 +617,18 @@ object EventStream {
     val head = m.select(col("dirs"), col("batch_ids")).head()
     val dirs0 = head.getSeq[String](0)
     if (dirs0.size <= maxDirs) return false
+    val format = storedFormat(m)
     val target = s"compact_b${head.getSeq[Long](1).max}"
-    dirs0.map(n => spark.read.parquet(s"$dir/data/$n"))
+    val writer = dirs0
+      .map(n => readDataDir(spark, s"$dir/data/$n", format))
       .reduce(_.unionByName(_))
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/data/$target")
+    format match {
+      case "json" => writer.option("compression", "gzip")
+        .json(s"$dir/data/$target")
+      case _ => writer.parquet(s"$dir/data/$target")
+    }
     Versioned.publish(
       m.withColumn("dirs", array(lit(target))), mroot, keep = 2): Unit
     sweepStreamDirs(spark, dir)
@@ -623,14 +663,15 @@ object EventStream {
     * exactly the batch dirs the current manifest lists — an orphan
     * dir from a crashed batch is invisible. */
   def readStreamShards(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = withDirs(graft.sources.Versioned
-        .readCurrent(spark, s"$dir/manifest"))
-      .select(col("dirs")).head().getSeq[String](0)
+    val m = withDirs(graft.sources.Versioned
+      .readCurrent(spark, s"$dir/manifest"))
+    val dirs = m.select(col("dirs")).head().getSeq[String](0)
+    val format = storedFormat(m)
     // one read per listed dir (each discovers its own shard partition
     // column) — dir count is bounded by the sink's compaction
     // threshold, so the listing stays metadata-sized for the life of
     // the stream
-    dirs.map(n => spark.read.parquet(s"$dir/data/$n"))
+    dirs.map(n => readDataDir(spark, s"$dir/data/$n", format))
       .reduce(_.unionByName(_))
   }
 

@@ -933,6 +933,53 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("exportShardsSink format=json: gzip jsonl batch shards, " +
+      "format-dispatched read and compaction, loud on a mid-stream " +
+      "format switch") {
+    import graft.sources.Export
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_sink_jsonl").toString
+    def sink(fmt: String) = EventStream.exportShardsSink(out, 4,
+      col("doc_id"), octet_length(col("text")), Seq("doc_id", "text"),
+      compactAtDirs = 2, format = fmt) _
+    val rows = (1L to 30L).map(i => (i, s"jl-$i"))
+    rows.grouped(10).zipWithIndex.foreach { case (g, b) =>
+      sink("json")(g.toDF("doc_id", "text"), b.toLong)
+    }
+    // batch files are gzip jsonl
+    val files = new java.io.File(s"$out/data").listFiles()
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).map(_.getName)
+      .filterNot(n => n.startsWith(".") || n == "_SUCCESS")
+    assert(files.nonEmpty && files.forall(n =>
+      n.contains(".json") && n.endsWith(".gz")),
+      s"expected gzip jsonl shard files, got ${files.take(5).toSeq}")
+    // compaction fired (threshold 2 over 3 batches) and the read view
+    // is exactly the union of committed batches, through json reads
+    val m = EventStream.readStreamShardManifest(spark, out)
+    assert(m.select(col("format")).head().getString(0) == "json")
+    assert(m.select(col("dirs")).head().getSeq[String](0)
+      .exists(_.startsWith("compact_")))
+    val back = EventStream.readStreamShards(spark, out)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(back == rows.toSet)
+    // folded manifest equals the one-shot aggregates
+    val want = Export.shardAggregates(
+        rows.toDF("doc_id", "text")
+          .withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(m.select(col("shard"), col("n_rows"), col("bytes"),
+        col("checksum"))
+      .as[(Int, Long, Long, Long)].collect().toSet == want)
+    // continuing the store under another format fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      sink("parquet")(Seq((99L, "x")).toDF("doc_id", "text"), 3L)
+    }
+    assert(ex.getMessage.contains("written as json"))
+  }
+
   test("exportShardsSink: a PRE-dirs-column store (older manifest " +
       "format) keeps folding, reading and compacting after the " +
       "upgrade — the dir list is derived from batch_ids") {
