@@ -779,6 +779,44 @@ object ScaleRehearsal {
       growth("epoch_order (10x/1x)") = x10 / x1
     }
 
+    // ---- WARC ingest (round 15): container count ×10, one task per
+    // container — the reader's scale grain. The parse is streaming
+    // (per-task memory = one record), so wall should grow FAR below
+    // 10 while cores are free: the containers decode in parallel. ----
+    if (on("warc_ingest")) {
+      def build(copies: Int): String = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_warc_$copies")
+        new java.io.File(dir).mkdirs()
+        val docs = tdocs1.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        def record(id: Long, text: String): Array[Byte] = {
+          val p = text.getBytes("UTF-8")
+          (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            s"WARC-Target-URI: http://x/doc/$id\r\n" +
+            s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+            p ++ "\r\n\r\n".getBytes("UTF-8")
+        }
+        (0 until copies).foreach { k =>
+          val out = new java.io.FileOutputStream(s"$dir/part$k.warc.gz")
+          val g = new java.util.zip.GZIPOutputStream(
+            new java.io.BufferedOutputStream(out, 1 << 16))
+          try docs.foreach { case (id, t) => g.write(record(id, t)) }
+          finally g.close()
+        }
+        dir
+      }
+      def ingest(dir: String, label: String): Double =
+        (1 to 2).map { _ =>
+          timed(label) {
+            graft.sources.Warc.records(spark, dir).count()
+          }
+        }.min
+      val d1 = build(1); val d10 = build(10)
+      val w1 = ingest(d1, "warc_ingest 1 container")
+      val w10 = ingest(d10, "warc_ingest 10 containers")
+      growth("warc_ingest (10x/1x containers)") = w10 / w1
+    }
+
     // ---- streamed sharded export: state ×N folded as scaffold
     // batches (untimed), then ONE constant fresh batch timed. The
     // sink's per-batch cost is O(batch) data + O(shards) manifest
