@@ -194,8 +194,12 @@ object Export {
     require(stats.nonEmpty, "exportShards needs a non-empty frame")
     val rows = stats.valuesIterator.map(_._1).sum
     val totalChecksum = stats.valuesIterator.map(_._3).sum
+    // the FORMAT joins the content address: identical content exported
+    // under two formats into one root must land in two dirs, or the
+    // second export overwrites files an older (retained) manifest
+    // version still points to and rollback breaks
     val dataDir = s"${shardsRoot(dir)}/c_${java.lang.Long.toHexString(
-      totalChecksum)}_$rows"
+      totalChecksum)}_${rows}_$format"
     // pass 3: the data itself — one hash shuffle on the shard id, one
     // file per shard dir, all writers in parallel
     val writer = staged.repartition(nShards, col("shard"))

@@ -114,6 +114,26 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("content address includes the FORMAT: identical content " +
+      "exported as parquet then jsonl into one root lands in two " +
+      "dirs, and the superseded parquet manifest stays readable") {
+    val dir = graft.core.Scratch.dir("export_format_addr")
+    val docs = corpus(60)
+    val rp = export(docs, dir, keep = 2)
+    val rj = Export.exportJsonlShards(docs, dir, 2048L, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"), keep = 2)
+    assert(rj.dataDir != rp.dataDir,
+      "a different format must get a fresh content-addressed dir — " +
+        "sharing one would overwrite files the retained parquet " +
+        "manifest version still references")
+    // the parquet snapshot behind the superseded manifest version is
+    // intact: roll back and read it
+    graft.sources.Versioned.rollback(spark, s"$dir/manifest")
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 60L)
+    assert(back.select("doc_id", "text").except(docs).isEmpty)
+  }
+
   test("exportTarShards: WebDataset-style tar per shard — key-sorted " +
       "entries round-trip, manifest/audit agree, re-export is " +
       "BYTE-identical (deterministic tar), oversized keys fail loudly") {
