@@ -817,6 +817,78 @@ object ScaleRehearsal {
       growth("warc_ingest (10x/1x containers)") = w10 / w1
     }
 
+    // ---- INCREMENTAL re-export vs full (round 15): corpus ×10
+    // scaffolded as the store, then ONE constant small slice appended
+    // and re-exported both ways. The incremental path's cost must
+    // track the DELTA (changed shards only), not the corpus. ----
+    if (on("inc_export")) {
+      val grown10 = tdocs10.select("doc_id", "text").localCheckpoint()
+      val delta = tdocs1.filter(col("doc_id") < 200)
+        .select((col("doc_id") + lit(9000L * nTd)).as("doc_id"),
+          col("text")).localCheckpoint()
+      val withDelta = grown10.unionByName(delta).localCheckpoint()
+      val nSh = 256
+      def incSecs(rep: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_inc_export_$rep")
+        graft.sources.Export.exportShardsIncremental(grown10, dir, nSh,
+          col("doc_id"), octet_length(col("text")),
+          Seq("doc_id", "text"))
+        timed(s"inc_export incremental rep$rep") {
+          val r = graft.sources.Export.exportShardsIncremental(
+            withDelta, dir, nSh, col("doc_id"),
+            octet_length(col("text")), Seq("doc_id", "text"))
+          r.rows
+        }
+      }
+      def fullSecs(rep: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_full_export_$rep")
+        timed(s"inc_export full rep$rep") {
+          val r = graft.sources.Export.exportShardsIncremental(
+            withDelta, dir, nSh, col("doc_id"),
+            octet_length(col("text")), Seq("doc_id", "text"))
+          r.rows
+        }
+      }
+      val i = (1 to 2).map(incSecs).min
+      val f = (1 to 2).map(fullSecs).min
+      // NEGATIVE-SHAPE row (kept deliberately): a SCATTERED append
+      // hash-distributes across ~min(|delta|, nShards) shards — 200
+      // new ids touch ~140 of 256 shards, so "incremental" rewrites
+      // most of the corpus anyway. Scattered growth belongs to the
+      // streaming sink's generation model; incremental re-export's
+      // contract is the SHARD-SPARSE edit (below).
+      growth("inc_export scattered-append (incremental/full)") = i / f
+      // WIN-SHAPE row: a takedown/correction confined to 8 of 256
+      // shards — the rewrite must track the 8, not the corpus
+      val edited = grown10
+        .withColumn("shard", graft.sources.Export.shardOf(
+          col("doc_id"), nSh))
+        .filter(!(col("shard") < 8 && col("doc_id") % 2 === 0))
+        .drop("shard").localCheckpoint()
+      def incEditSecs(rep: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_inc_edit_$rep")
+        graft.sources.Export.exportShardsIncremental(grown10, dir, nSh,
+          col("doc_id"), octet_length(col("text")),
+          Seq("doc_id", "text"))
+        timed(s"inc_export edit-8-shards rep$rep") {
+          graft.sources.Export.exportShardsIncremental(
+            edited, dir, nSh, col("doc_id"),
+            octet_length(col("text")), Seq("doc_id", "text")).rows
+        }
+      }
+      def fullEditSecs(rep: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_full_edit_$rep")
+        timed(s"inc_export edit full rep$rep") {
+          graft.sources.Export.exportShardsIncremental(
+            edited, dir, nSh, col("doc_id"),
+            octet_length(col("text")), Seq("doc_id", "text")).rows
+        }
+      }
+      val ie = (1 to 2).map(incEditSecs).min
+      val fe = (1 to 2).map(fullEditSecs).min
+      growth("inc_export shard-sparse edit (incremental/full)") = ie / fe
+    }
+
     // ---- streamed sharded export: state ×N folded as scaffold
     // batches (untimed), then ONE constant fresh batch timed. The
     // sink's per-batch cost is O(batch) data + O(shards) manifest

@@ -452,6 +452,53 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- INCREMENTAL re-export (O(changed) maintenance for the
+    //      training-data last mile): the store starts from a 90%
+    //      slice, then the full corpus re-exports INCREMENTALLY —
+    //      only shards containing the new rows rewrite; every other
+    //      shard's file is reused by reference. The manifest (spanning
+    //      two generations) joins a read-back recompute through the
+    //      group reader, and the oracle replays the FINAL corpus
+    //      relationally — so stale reused files, wrong delta routing,
+    //      or a generation the sweep ate all hash-mismatch ----
+    sql(
+      "q_export_inc",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % 8 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_inc"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 10 =!= 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.exportShardsIncremental(
+          docs, dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- SEEDED EPOCH ORDER over the promoted export: the (seed,
     //      epoch) pair deterministically permutes document order
     //      within AND across shards (shard visit order and in-shard

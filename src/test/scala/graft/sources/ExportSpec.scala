@@ -114,6 +114,84 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("exportShardsIncremental: only changed shards rewrite (files " +
+      "reused BY REFERENCE), no-op re-export publishes nothing, " +
+      "vanished shards drop, re-shard attempts fail loudly, rollback " +
+      "still reads, the sweep keeps every referenced generation") {
+    val dir = graft.core.Scratch.dir("export_inc")
+    val n = 8
+    def inc(df: org.apache.spark.sql.DataFrame, keep: Int = 3) =
+      Export.exportShardsIncremental(df, dir, n, col("doc_id"),
+        octet_length(col("text")), Seq("doc_id", "text"), keep = keep)
+    def manifestPaths() = Export.readShardManifest(spark, dir)
+      .select(col("shard"), col("path")).as[(Int, String)]
+      .collect().toMap
+    val base = corpus(160)
+    val v1 = inc(base)
+    assert(v1.shards == n)
+    // read-back through the parquet_inc group reader
+    val back1 = Export.readShards(spark, dir)
+    assert(back1.select("doc_id", "text").except(base).isEmpty &&
+      base.except(back1.select("doc_id", "text")).isEmpty)
+    val paths1 = manifestPaths()
+    // no-op: identical content publishes NO new version, writes nothing
+    val v1b = inc(base)
+    assert(v1b.version == v1.version, "a no-op re-export minted a version")
+    assert(manifestPaths() == paths1)
+    // grow the corpus: only the new rows' shards may move
+    val grown = base.unionByName(
+      Seq((9001L, "new-doc-9001"), (9002L, "new-doc-9002"))
+        .toDF("doc_id", "text"))
+    val v2 = inc(grown)
+    assert(v2.version > v1.version)
+    val paths2 = manifestPaths()
+    val touched = Seq(9001L, 9002L).map(i =>
+      Export.shardAggregates(
+        Seq((i, "")).toDF("doc_id", "x")
+          .withColumn("shard", Export.shardOf(col("doc_id"), n)),
+        lit(0L), Seq("doc_id")).select("shard").head().getInt(0)).toSet
+    paths1.foreach { case (k, p) =>
+      if (touched(k))
+        assert(paths2(k) != p, s"changed shard $k kept its old file")
+      else
+        assert(paths2(k) == p,
+          s"UNCHANGED shard $k was rewritten: ${paths2(k)}")
+    }
+    assert(Export.readShards(spark, dir).count() == 162L)
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // rollback: the previous version's mix of generations still reads
+    graft.sources.Versioned.rollback(spark, s"$dir/manifest")
+    assert(Export.readShards(spark, dir).count() == 160L)
+    graft.sources.Versioned.publish(
+      Export.readShardManifest(spark, dir).sparkSession.read
+        .parquet(s"$dir/manifest/v_${v2.version}"),
+      s"$dir/manifest"): Unit // roll forward again for the next steps
+    // vanish a shard: export only rows of ONE shard's complement
+    val keepShard = paths2.keySet.head
+    val shrunk = grown.withColumn("shard",
+        Export.shardOf(col("doc_id"), n))
+      .filter(col("shard") =!= keepShard).drop("shard")
+    val v3 = inc(shrunk)
+    assert(v3.version > v2.version)
+    assert(!manifestPaths().keySet.contains(keepShard),
+      "a vanished shard stayed in the manifest")
+    // re-shard attempt is loud
+    val ex = intercept[IllegalArgumentException] {
+      Export.exportShardsIncremental(grown, dir, n + 1, col("doc_id"),
+        octet_length(col("text")), Seq("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("re-export fully"))
+    // sweep: generations referenced by surviving versions survive
+    val gens = manifestPaths().values
+      .map(p => new java.io.File(new java.net.URI(p).getPath)
+        .getParentFile.getParentFile.getName).toSet
+    gens.foreach { g =>
+      assert(new java.io.File(s"$dir/shards/$g").exists(),
+        s"sweep deleted a referenced generation $g")
+    }
+  }
+
   test("content address includes the FORMAT: identical content " +
       "exported as parquet then jsonl into one root lands in two " +
       "dirs, and the superseded parquet manifest stays readable") {
