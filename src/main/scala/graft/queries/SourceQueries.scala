@@ -499,6 +499,53 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- TAKEDOWN (right-to-be-forgotten) on the export store: the
+    //      doc_id % 97 = 0 documents are retracted by id — the store
+    //      reads and rewrites ONLY the shards those ids draw to (no
+    //      corpus scan; the id->shard draw replays driver-side) — and
+    //      the republished manifest + a read-back recompute must equal
+    //      the relational replay of the corpus WITHOUT them; a stale
+    //      file, a missed id, or an over-deleted shard all
+    //      hash-mismatch ----
+    sql(
+      "q_retract",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % 8 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_retract"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(docs, dir,
+          nShards = 8, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        val takedown = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").cast("string"))
+          .collect().map(_.getString(0)).toSeq
+        graft.sources.Export.retractShards(s, dir, "doc_id", takedown,
+          octet_length(col("text")), Seq("doc_id", "text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- SEEDED EPOCH ORDER over the promoted export: the (seed,
     //      epoch) pair deterministically permutes document order
     //      within AND across shards (shard visit order and in-shard

@@ -380,6 +380,127 @@ object Export {
       latestDir)
   }
 
+  /** JVM-side replica of [[shardOf]]'s portable draw — byte-identical
+    * to the Spark/DuckDB expression (uint32 from the first 8 md5 hex
+    * chars of the id's string form), so a driver-sized id list can be
+    * routed to shards without a Spark job. */
+  private[sources] def shardOfId(id: String, nShards: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % nShards).toInt
+  }
+
+  /** RETRACT documents from a promoted export store — the
+    * right-to-be-forgotten operation at corpus scale: remove `ids`
+    * and republish a trusted manifest while touching ONLY the shards
+    * that hold them. No corpus scan at all: each id's shard is the
+    * same portable md5 draw computed driver-side ([[shardOfId]]), so
+    * the operation reads |affected shards| files, filters, rewrites
+    * them into a delta generation, and repoints the manifest —
+    * O(|ids|) work on a store of ANY size (a 100-document takedown on
+    * a 100 TB / 200k-shard store reads and rewrites ≤ 100 shard
+    * files, 0.05% of the corpus). Shards left empty drop from the
+    * manifest. Ids with no stored row are a no-op (idempotent —
+    * re-running a takedown list converges). Returns the published
+    * export state (rows = rows remaining).
+    *
+    * Works on `parquet` and `parquet_inc` stores; the result is
+    * always `parquet_inc` (the manifest now spans generations). The
+    * same crash discipline as every publish: the delta generation is
+    * invisible until the manifest pointer flips. */
+  def retractShards(spark: SparkSession, dir: String, idCol: String,
+      ids: Seq[String], sizeOf: Column, checksumCols: Seq[String],
+      keep: Int = 3): ShardedExport = {
+    require(ids.nonEmpty, "retractShards needs at least one id")
+    val m = readShardManifest(spark, dir)
+    val head = m.select(col("n_shards"), col("format")).head()
+    val nShards = head.getInt(0)
+    require(Set("parquet", "parquet_inc")(head.getString(1)),
+      s"retractShards handles parquet stores, found ${head.getString(1)}")
+    val prior = m.select(col("shard"), col("n_rows"), col("bytes"),
+        col("checksum"), col("path"), col("file_bytes"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)), (r.getString(4), r.getLong(5))))
+      .toMap
+    val byShard = ids.distinct.groupBy(shardOfId(_, nShards))
+    val affected = byShard.keySet.filter(prior.contains)
+    if (affected.isEmpty) { // nothing stored holds these ids — no-op
+      val v = Versioned.currentVersion(spark, manifestRoot(dir)).get
+      return ShardedExport(v, nShards,
+        prior.valuesIterator.map(_._1._1).sum,
+        m.select(col("data_dir")).head().getString(0))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // read ONLY the affected shards' files (grouped per generation so
+    // basePath keeps the shard column), drop the ids, pin the result
+    val dropSet = ids.distinct.toSet
+    val kept = affected.toSeq.map(k => prior(k)._2._1)
+      .groupBy(p => new org.apache.hadoop.fs.Path(p)
+        .getParent.getParent.toString)
+      .toSeq.map { case (base, files) =>
+        spark.read.option("basePath", base).parquet(files: _*)
+      }
+      .reduce(_.unionByName(_))
+      .filter(!col(idCol).cast("string")
+        .isin(dropSet.toSeq.map(x => x: Any): _*))
+      .localCheckpoint()
+    val keptStats = shardAggregates(kept, sizeOf, checksumCols)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // only shards whose content actually MOVED rewrite (an id already
+    // absent changes nothing — re-running a takedown list converges
+    // without minting versions); shards emptied entirely vanish
+    val changed = affected.filter(k =>
+      !keptStats.get(k).contains(prior(k)._1))
+    if (changed.isEmpty) {
+      val v = Versioned.currentVersion(spark, manifestRoot(dir)).get
+      return ShardedExport(v, nShards,
+        prior.valuesIterator.map(_._1._1).sum,
+        m.select(col("data_dir")).head().getString(0))
+    }
+    val survivors = changed.filter(keptStats.contains)
+    val deltaFiles: Map[Int, (String, Long)] =
+      if (survivors.isEmpty) Map.empty
+      else {
+        val dSum = survivors.toSeq.map(k => keptStats(k)._3).sum
+        val dRows = survivors.toSeq.map(k => keptStats(k)._1).sum
+        val deltaDir = s"${shardsRoot(dir)}/d_${java.lang.Long
+          .toHexString(dSum)}_${dRows}_parquet"
+        kept.filter(col("shard")
+            .isin(survivors.toSeq.map(Integer.valueOf): _*))
+          .repartition(math.max(1, survivors.size), col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(deltaDir)
+        listShardFiles(fs, deltaDir)
+      }
+    require(deltaFiles.keySet == survivors,
+      s"retract delta wrote ${deltaFiles.size} files for " +
+        s"${survivors.size} surviving shards")
+    val newStats = (prior -- changed)
+      .map { case (k, (t, f)) => k -> ((t, f)) } ++
+      survivors.map(k => k -> ((keptStats(k), deltaFiles(k))))
+    require(newStats.nonEmpty,
+      "retraction emptied the store — delete the store instead")
+    val latestDir = deltaFiles.values.headOption
+      .map(f => new org.apache.hadoop.fs.Path(f._1)
+        .getParent.getParent.toString)
+      .getOrElse(new org.apache.hadoop.fs.Path(
+        newStats.values.head._2._1).getParent.getParent.toString)
+    import spark.implicits._
+    val manifest = newStats.toSeq.sortBy(_._1).map {
+      case (k, ((n, b, c), (path, fb))) =>
+        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc")
+    }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
+      "data_dir", "n_shards", "target_bytes", "format")
+    val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
+    sweepUnreferenced(spark, dir)
+    ShardedExport(v, nShards,
+      newStats.valuesIterator.map(_._1._1).sum, latestDir)
+  }
+
   /** The promoted manifest (one row per shard). */
   def readShardManifest(spark: SparkSession, dir: String): DataFrame =
     Versioned.readCurrent(spark, manifestRoot(dir))

@@ -114,6 +114,63 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("retractShards: takedown touches ONLY the ids' shards, is " +
+      "idempotent, drops emptied shards, and the driver-side shard " +
+      "draw matches the engine draw exactly") {
+    val dir = graft.core.Scratch.dir("export_retract")
+    val docs = corpus(200)
+    Export.exportShardsIncremental(docs, dir, 16, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    def paths() = Export.readShardManifest(spark, dir)
+      .select(col("shard"), col("path")).as[(Int, String)]
+      .collect().toMap
+    val before = paths()
+    // driver-side draw == engine draw for every id
+    val engineDraw = docs.select(col("doc_id"),
+        Export.shardOf(col("doc_id"), 16))
+      .as[(Long, Int)].collect().toMap
+    engineDraw.foreach { case (id, k) =>
+      assert(Export.shardOfId(id.toString, 16) == k,
+        s"driver draw diverged from engine draw for id $id")
+    }
+    val drop = Seq(3L, 77L, 150L)
+    val touched = drop.map(i => Export.shardOfId(i.toString, 16)).toSet
+    val res = Export.retractShards(spark, dir, "doc_id",
+      drop.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(res.rows == 197L)
+    val after = paths()
+    before.foreach { case (k, p) =>
+      if (touched(k)) assert(after(k) != p,
+        s"affected shard $k kept its old file")
+      else assert(after(k) == p, s"UNTOUCHED shard $k was rewritten")
+    }
+    // the documents are gone; everything else survives byte-exact
+    val back = Export.readShards(spark, dir)
+      .select("doc_id", "text")
+    assert(back.count() == 197L)
+    assert(back.filter(col("doc_id").isin(drop: _*)).isEmpty)
+    assert(back.except(docs.filter(!col("doc_id").isin(drop: _*)))
+      .isEmpty)
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // idempotent: re-running the takedown list is a version no-op
+    val v2 = Export.retractShards(spark, dir, "doc_id",
+      drop.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(v2.version == res.version,
+      "re-running a takedown minted a new version")
+    // emptying a whole shard drops it from the manifest
+    val shard0Ids = engineDraw.collect {
+      case (id, k) if k == engineDraw(3L) && !drop.contains(id) => id
+    }.toSeq
+    Export.retractShards(spark, dir, "doc_id",
+      shard0Ids.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(!paths().keySet.contains(engineDraw(3L)),
+      "an emptied shard stayed in the manifest")
+  }
+
   test("exportShardsIncremental: only changed shards rewrite (files " +
       "reused BY REFERENCE), no-op re-export publishes nothing, " +
       "vanished shards drop, re-shard attempts fail loudly, rollback " +
