@@ -199,6 +199,37 @@ object StreamQueries {
       graft.ops.GraphStore.read(s, s"${componentsStoreDir(s, d)}/store")
     },
 
+    // ---- SEEDED EPOCH ORDER over the STREAMED store: the same
+    //      (seed, epoch) permutation contract as the batch export,
+    //      computed over the stream's committed rows — arrival order
+    //      and compaction layout cannot move a position, so the
+    //      oracle replays every global position from the one-shot
+    //      corpus ----
+    sql(
+      "q_epoch_order_stream",
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) % 4 AS shard
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, shard,
+        |    CAST('0x' || substr(md5('11:5:' || shard::VARCHAR), 1, 8)
+        |      AS BIGINT) AS sdraw,
+        |    CAST('0x' || substr(md5('11:5:' || doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) AS rdraw
+        |  FROM k)
+        |SELECT doc_id, shard::INT AS shard,
+        |  row_number() OVER (ORDER BY sdraw, shard, rdraw, doc_id)
+        |    ::BIGINT AS epoch_pos
+        |FROM d""".stripMargin) { (s, d) =>
+      graft.sources.Export.epochOrderOf(
+          EventStream.readStreamShards(s, exportStreamDir(s, d))
+            .select(col("doc_id"), col("shard")),
+          "doc_id", seed = 11L, epoch = 5)
+        .select(col("doc_id"), col("shard"), col("epoch_pos"))
+    },
+
     // ---- STREAMING sharded export in LOADER-CONSUMABLE gzip jsonl
     //      (format="json"): same 3-batch fold, mid-stream compaction
     //      forced (threshold 2), and the read-back recompute goes

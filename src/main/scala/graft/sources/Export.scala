@@ -524,6 +524,10 @@ object Export {
         // generations — group the paths by generation dir so each
         // group reads with its own basePath (keeps the shard column),
         // then union. Generation count is bounded by the sweep.
+        // allowMissingColumns: generations evolve lazily (a column
+        // added to the corpus reaches only the shards that rewrite),
+        // so older generations surface the new column as null — the
+        // standard schema-evolution read semantics.
         val paths = readShardManifest(spark, dir)
           .select(col("path")).collect().map(_.getString(0))
         paths.groupBy(p => new org.apache.hadoop.fs.Path(p)
@@ -532,7 +536,7 @@ object Export {
             schema.fold(spark.read)(spark.read.schema)
               .option("basePath", base).parquet(files.toSeq: _*)
           }
-          .reduce(_.unionByName(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
       case _      => reader.parquet(dataDir)
     }
   }

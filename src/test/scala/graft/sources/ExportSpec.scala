@@ -114,6 +114,32 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("incremental store schema evolution: a column added to the " +
+      "corpus reaches rewritten shards; older generations surface it " +
+      "as null through the group reader") {
+    val dir = graft.core.Scratch.dir("export_inc_evolve")
+    val base = corpus(100)
+    Export.exportShardsIncremental(base, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    // the corpus gains a lang column AND two new rows; only the new
+    // rows' shards rewrite, carrying the new column
+    val evolved = base.withColumn("lang", lit(null).cast("string"))
+      .unionByName(Seq((8001L, "neu", "de"), (8002L, "nuevo", "es"))
+        .toDF("doc_id", "text", "lang"))
+    Export.exportShardsIncremental(evolved, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val back = Export.readShards(spark, dir)
+    assert(back.columns.contains("lang"),
+      "the evolved column must surface through the group reader")
+    assert(back.count() == 102L)
+    val langs = back.select(col("doc_id"), col("lang"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(langs(8001L).contains("de") && langs(8002L).contains("es"))
+    // rows from generations that never rewrote read the column as null
+    assert(langs.count(_._2.isEmpty) >= 90,
+      "old-generation rows must surface the evolved column as null")
+  }
+
   test("retractShards: takedown touches ONLY the ids' shards, is " +
       "idempotent, drops emptied shards, and the driver-side shard " +
       "draw matches the engine draw exactly") {
