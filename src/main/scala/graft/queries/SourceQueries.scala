@@ -711,6 +711,63 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- WebDataset SAMPLE-PAIR tar export (the multimodal loader
+    //      shape): each document becomes <key>.bin (payload bytes) +
+    //      <key>.json (a metadata record built with plain concat so
+    //      BOTH engines produce the identical string); the face
+    //      re-pairs samples out of the tars and recomputes the
+    //      manifest over key+payload+meta — a swapped metadata entry,
+    //      a torn pair, or a stale payload all hash-mismatch ----
+    sql(
+      "q_export_tar_mm",
+      """WITH m AS (
+        |  SELECT doc_id::VARCHAR AS key, text,
+        |    '{"id":' || doc_id || ',"n":' ||
+        |      octet_length(encode(text)) || '}' AS meta
+        |  FROM documents),
+        |tot AS (
+        |  SELECT sum(octet_length(encode(text)) +
+        |             octet_length(encode(meta)))::BIGINT AS total
+        |  FROM m),
+        |ns AS (
+        |  SELECT greatest(1, (total + 40959) // 40960)::BIGINT AS n
+        |  FROM tot),
+        |t AS (
+        |  SELECT CAST('0x' || substr(md5(key), 1, 8)
+        |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+        |    (octet_length(encode(text)) +
+        |     octet_length(encode(meta)))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(key, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))
+        |        || chr(1) || coalesce(meta, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM m)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM t GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_tar_mm"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("meta", concat(lit("{\"id\":"), col("doc_id"),
+          lit(",\"n\":"), octet_length(col("text")), lit("}")))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportTarSamples(docs, dir,
+          targetBytes = 40960L, id = col("doc_id"),
+          payload = col("text"), meta = col("meta")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir),
+          octet_length(col("payload")) + octet_length(col("meta")),
+          Seq("key", "payload", "meta"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- CRAWL-TO-TRAINING-SHARDS end to end: the WARC containers
     //      are the INPUT of the curation chain (mojibake repair →
     //      Gopher gate → exact dedup) and the gzip-jsonl sharded

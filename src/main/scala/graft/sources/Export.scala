@@ -162,6 +162,30 @@ object Export {
       format = "tar", codec = None)
   }
 
+  /** [[exportTarShards]] in the full WebDataset SAMPLE shape: each
+    * row becomes TWO adjacent tar entries — `<key>.bin` (the raw
+    * payload: image bytes, audio, the document body) and `<key>.json`
+    * (the sample's metadata record) — which is exactly what
+    * WebDataset-family loaders group back into one training sample by
+    * basename. Same draw/checksum/manifest discipline; manifest
+    * checksums cover key, payload AND metadata (`checksumCols` =
+    * key, payload, meta on the staged surface), so a swapped or stale
+    * metadata entry hash-mismatches the audit. Read back with
+    * [[readShards]] (format `tar_samples` re-pairs the entries into
+    * (shard, key, payload, meta) rows). */
+  def exportTarSamples(df: DataFrame, dir: String, targetBytes: Long,
+      id: Column, payload: Column, meta: Column,
+      keep: Int = 3): ShardedExport = {
+    val staged = df.select(id.cast("string").as("key"),
+      coalesce(payload.cast("binary"),
+        lit(Array.empty[Byte])).as("payload"),
+      coalesce(meta.cast("string"), lit("")).as("meta"))
+    exportImpl(staged, dir, targetBytes, col("key"),
+      octet_length(col("payload")) + octet_length(col("meta")),
+      Seq("key", "payload", "meta"), keep,
+      format = "tar_samples", codec = None)
+  }
+
   private def exportImpl(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, sizeOf: Column, checksumCols: Seq[String],
       keep: Int, format: String, codec: Option[String]): ShardedExport = {
@@ -209,6 +233,7 @@ object Export {
       case "json" =>
         writer.option("compression", codec.getOrElse("none")).json(dataDir)
       case "tar" => writeTarShards(staged, dataDir, nShards)
+      case "tar_samples" => writeTarSamples(staged, dataDir, nShards)
       case other => throw new IllegalArgumentException(
         s"unsupported export format: $other")
     }
@@ -519,6 +544,7 @@ object Export {
     format match {
       case "json" => reader.json(dataDir)
       case "tar"  => readTarDir(spark, dataDir)
+      case "tar_samples" => readTarSamples(spark, dataDir)
       case "parquet_inc" =>
         // an incremental manifest's shard files span delta
         // generations — group the paths by generation dir so each
@@ -581,6 +607,76 @@ object Export {
         }
         close()
       }
+  }
+
+  /** [[writeTarShards]] for the two-entries-per-sample shape: for
+    * each key-sorted row, `<key>.bin` then `<key>.json` — adjacent by
+    * construction, the pairing WebDataset loaders rely on. */
+  private def writeTarSamples(
+      staged: DataFrame, dataDir: String, nShards: Int): Unit = {
+    val dataDirB = dataDir
+    staged.select(col("shard"), col("key"), col("payload"), col("meta"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("key"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var out: java.io.OutputStream = null
+        var cur = -1
+        def entry(name: String, bytes: Array[Byte]): Unit = {
+          out.write(tarHeader(name, bytes.length.toLong))
+          out.write(bytes)
+          val pad = (512 - bytes.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+        }
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)); out.close(); out = null
+        }
+        rows.foreach { r =>
+          val (sh, key) = (r.getInt(0), r.getString(1))
+          if (sh != cur) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(
+              s"$dataDirB/shard=$sh/part.tar")
+            val fs = p.getFileSystem(conf)
+            fs.mkdirs(p.getParent)
+            out = fs.create(p, true)
+            cur = sh
+          }
+          entry(s"$key.bin", r.getAs[Array[Byte]](2))
+          entry(s"$key.json", r.getString(3).getBytes("UTF-8"))
+        }
+        close()
+      }
+  }
+
+  /** Re-pair `<key>.bin` + `<key>.json` entries into (shard, key,
+    * payload, meta) sample rows — one task per tar. Loud on a
+    * dangling or mis-ordered pair (a torn sample must fail, not read
+    * as a sample with missing metadata). */
+  private def readTarSamples(
+      spark: SparkSession, dataDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", "true")
+      .load(dataDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard=(\\d+)".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"no shard dir in tar path $path"))
+        untar(bytes).grouped(2).map {
+          case Seq((bn, payload), (jn, meta))
+              if bn.endsWith(".bin") && jn.endsWith(".json") &&
+                bn.stripSuffix(".bin") == jn.stripSuffix(".json") =>
+            (shard, bn.stripSuffix(".bin"), payload,
+              new String(meta, "UTF-8"))
+          case other => sys.error(
+            s"$path: torn sample pair: ${other.map(_._1).mkString(",")}")
+        }
+      }
+      .toDF("shard", "key", "payload", "meta")
   }
 
   /** One 512-byte USTAR header (deterministic fields only). */

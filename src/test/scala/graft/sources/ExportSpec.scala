@@ -295,6 +295,66 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(back.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("exportTarSamples: <key>.bin + <key>.json pairs, adjacent and " +
+      "key-sorted per tar, round-trip as (key, payload, meta) rows; " +
+      "a torn pair fails loudly") {
+    val dir = graft.core.Scratch.dir("export_tar_samples")
+    val docs = corpus(80).withColumn("meta",
+      concat(lit("{\"id\":"), col("doc_id"), lit("}")))
+    val res = Export.exportTarSamples(docs, dir, 2048L,
+      col("doc_id"), col("text"), col("meta"))
+    assert(res.rows == 80L)
+    val back = Export.readShards(spark, dir)
+    assert(back.columns.toSeq ==
+      Seq("shard", "key", "payload", "meta"))
+    val pairs = back.select(col("key").cast("long"),
+        col("payload").cast("string"), col("meta"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val want = docs.select(col("doc_id"), col("text"), col("meta"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(pairs == want, "sample pairs did not round-trip")
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("payload")) + octet_length(col("meta")),
+      Seq("key", "payload", "meta")).isEmpty)
+    // entries inside each tar: bin/json interleaved, key-sorted
+    Export.readShardManifest(spark, dir).collect().foreach { r =>
+      val f = new java.io.File(new java.net.URI(
+        r.getAs[String]("path")).getPath)
+      val names = Export.untar(
+        java.nio.file.Files.readAllBytes(f.toPath)).map(_._1).toSeq
+      assert(names.size % 2 == 0)
+      names.grouped(2).foreach { case Seq(a, b) =>
+        assert(a.endsWith(".bin") && b.endsWith(".json") &&
+          a.stripSuffix(".bin") == b.stripSuffix(".json"),
+          s"pair order broke: $a / $b")
+      }
+      val keys = names.grouped(2).map(_.head.stripSuffix(".bin")).toSeq
+      assert(keys == keys.sorted, s"samples not key-sorted: $keys")
+    }
+    // a torn pair (dangling .bin) must fail the read, not yield a
+    // half-sample
+    val victim = Export.readShardManifest(spark, dir)
+      .select(col("path")).head().getString(0)
+    val vf = new java.io.File(new java.net.URI(victim).getPath)
+    val entries = Export.untar(
+      java.nio.file.Files.readAllBytes(vf.toPath)).toSeq
+    val torn = new java.io.ByteArrayOutputStream()
+    // keep the first entry only (a .bin without its .json), then end
+    val first = entries.head
+    val hdr = Export.getClass.getDeclaredMethods
+      .find(_.getName == "tarHeader").get
+    hdr.setAccessible(true)
+    torn.write(hdr.invoke(Export, first._1,
+      java.lang.Long.valueOf(first._2.length.toLong))
+      .asInstanceOf[Array[Byte]])
+    torn.write(first._2)
+    val pad = (512 - first._2.length % 512) % 512
+    if (pad > 0) torn.write(new Array[Byte](pad))
+    torn.write(new Array[Byte](1024))
+    java.nio.file.Files.write(vf.toPath, torn.toByteArray)
+    intercept[Exception] { Export.readShards(spark, dir).count() }
+  }
+
   test("exportTarShards: WebDataset-style tar per shard — key-sorted " +
       "entries round-trip, manifest/audit agree, re-export is " +
       "BYTE-identical (deterministic tar), oversized keys fail loudly") {
