@@ -889,6 +889,33 @@ object ScaleRehearsal {
       growth("inc_export shard-sparse edit (incremental/full)") = ie / fe
     }
 
+    // ---- takedown (round 15): retract a CONSTANT 20-id list from a
+    // 1x store and from a 10x store. The operation's cost is
+    // O(affected shards' files) — the id->shard draw is driver-side,
+    // nothing scans the corpus — so the wall should track the delta,
+    // not the store size. (Affected-shard FILES are 10x bigger at
+    // 10x, so some growth is physical: each touched shard rereads and
+    // rewrites; the claim is no CORPUS term on top of that.) ----
+    if (on("retract")) {
+      def retractSecs(copies: Int, label: String): Double =
+        (1 to 2).map { rep =>
+          val dir = graft.core.Scratch.dir(
+            s"rehearsal_retract_${copies}_$rep")
+          val docs = saltedDocs(copies).select("doc_id", "text")
+          graft.sources.Export.exportShardsIncremental(docs, dir, 256,
+            col("doc_id"), octet_length(col("text")),
+            Seq("doc_id", "text"))
+          val ids = (0L until 20L).map(_.toString)
+          timed(s"$label rep$rep") {
+            graft.sources.Export.retractShards(spark, dir, "doc_id",
+              ids, octet_length(col("text")), Seq("doc_id", "text")).rows
+          }
+        }.min
+      val r1 = retractSecs(1, "retract 20 ids of 1x store")
+      val r10 = retractSecs(10, "retract 20 ids of 10x store")
+      growth("retract (10x/1x store, constant takedown)") = r10 / r1
+    }
+
     // ---- streamed sharded export: state ×N folded as scaffold
     // batches (untimed), then ONE constant fresh batch timed. The
     // sink's per-batch cost is O(batch) data + O(shards) manifest

@@ -114,6 +114,39 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("retract and incremental re-export COMPOSE on one store: " +
+      "takedown, then grow, then takedown again — the manifest always " +
+      "equals the surviving corpus and unchanged files never move") {
+    val dir = graft.core.Scratch.dir("export_retract_inc_compose")
+    val n = 8
+    def inc(df: org.apache.spark.sql.DataFrame) =
+      Export.exportShardsIncremental(df, dir, n, col("doc_id"),
+        octet_length(col("text")), Seq("doc_id", "text"))
+    def retract(ids: Seq[Long]) =
+      Export.retractShards(spark, dir, "doc_id", ids.map(_.toString),
+        octet_length(col("text")), Seq("doc_id", "text"))
+    def view() = Export.readShards(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSet
+    val base = corpus(120)
+    inc(base)
+    retract(Seq(5L, 6L))
+    val afterTakedown = base.as[(Long, String)].collect().toSet
+      .filterNot(r => Set(5L, 6L)(r._1))
+    assert(view() == afterTakedown)
+    // grow the SURVIVING corpus (the caller re-presents it, minus the
+    // retracted rows, plus new ones)
+    val grown = afterTakedown ++ Set((7001L, "late-7001"))
+    inc(grown.toSeq.toDF("doc_id", "text"))
+    assert(view() == grown)
+    // second takedown over the composed store
+    retract(Seq(7001L, 10L))
+    assert(view() == grown.filterNot(r => Set(7001L, 10L)(r._1)))
+    // the audit holds over the whole composition
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+  }
+
   test("incremental store schema evolution: a column added to the " +
       "corpus reaches rewritten shards; older generations surface it " +
       "as null through the group reader") {
