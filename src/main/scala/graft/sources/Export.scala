@@ -405,6 +405,34 @@ object Export {
       latestDir)
   }
 
+  /** PROVENANCE diff between two manifest versions of an export
+    * store: which shards were added / removed / repointed (content
+    * changed) between `fromV` and `toV` — the audit record a takedown
+    * or incremental publish leaves behind ("what exactly did
+    * version 17 touch?"). O(shards) metadata, no data read. Returns
+    * one row per differing shard: (shard, change ∈ added|removed|
+    * changed, old/new rows, old/new checksum, old/new path). */
+  def diffManifestVersions(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    def ver(v: Long) = spark.read
+      .parquet(s"${manifestRoot(dir)}/v_$v")
+      .select(col("shard"), col("n_rows"), col("checksum"), col("path"))
+    val a = ver(fromV).withColumnsRenamed(Map("n_rows" -> "old_rows",
+      "checksum" -> "old_checksum", "path" -> "old_path"))
+    val b = ver(toV).withColumnsRenamed(Map("n_rows" -> "new_rows",
+      "checksum" -> "new_checksum", "path" -> "new_path"))
+    a.join(b, Seq("shard"), "full_outer")
+      .withColumn("change",
+        when(col("old_rows").isNull, lit("added"))
+          .when(col("new_rows").isNull, lit("removed"))
+          .when(!(col("old_checksum") <=> col("new_checksum")) ||
+            !(col("old_rows") <=> col("new_rows")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("shard"), col("change"), col("old_rows"),
+        col("new_rows"), col("old_checksum"), col("new_checksum"),
+        col("old_path"), col("new_path"))
+  }
+
   /** JVM-side replica of [[shardOf]]'s portable draw — byte-identical
     * to the Spark/DuckDB expression (uint32 from the first 8 md5 hex
     * chars of the id's string form), so a driver-sized id list can be

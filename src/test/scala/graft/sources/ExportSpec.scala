@@ -114,6 +114,32 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("diffManifestVersions: a takedown's provenance record — " +
+      "exactly the touched shards as changed/removed, repointed paths " +
+      "visible, untouched shards absent") {
+    val dir = graft.core.Scratch.dir("export_diff")
+    val base = corpus(120)
+    val v1 = Export.exportShardsIncremental(base, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val drop = Seq(9L, 33L)
+    val v2 = Export.retractShards(spark, dir, "doc_id",
+      drop.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    val diff = Export.diffManifestVersions(
+        spark, dir, v1.version, v2.version)
+      .select(col("shard"), col("change"), col("old_path"),
+        col("new_path"))
+      .as[(Int, String, String, String)].collect()
+    val touched = drop.map(i => Export.shardOfId(i.toString, 8)).toSet
+    assert(diff.map(_._1).toSet == touched,
+      s"diff shards ${diff.map(_._1).toSet} != touched $touched")
+    diff.foreach { case (k, change, oldP, newP) =>
+      assert(change == "changed" || change == "removed")
+      if (change == "changed")
+        assert(oldP != newP, s"changed shard $k kept its path in diff")
+    }
+  }
+
   test("retract and incremental re-export COMPOSE on one store: " +
       "takedown, then grow, then takedown again — the manifest always " +
       "equals the surviving corpus and unchanged files never move") {
