@@ -405,6 +405,33 @@ object Export {
       latestDir)
   }
 
+  /** O(1) point lookup against a promoted parquet export store: the
+    * id's shard is the driver-side draw ([[shardOfId]]), so the read
+    * touches ONE shard file whatever the store size — the serving-
+    * side complement of the takedown path ("is document X in the
+    * corpus, and what does it hold?"). Returns the matching rows
+    * (usually 0 or 1 — `id` is row-unique by the export contract). */
+  def lookupById(spark: SparkSession, dir: String, idCol: String,
+      id: String): DataFrame = {
+    val m = readShardManifest(spark, dir)
+    val head = m.select(col("n_shards"), col("format")).head()
+    require(Set("parquet", "parquet_inc")(head.getString(1)),
+      s"lookupById reads parquet stores, found ${head.getString(1)}")
+    val shard = shardOfId(id, head.getInt(0))
+    val hit = m.filter(col("shard") === shard)
+      .select(col("path")).collect().headOption
+    hit match {
+      case None => // no such shard -> provably absent, no IO at all
+        readShards(spark, dir).filter(lit(false))
+      case Some(r) =>
+        val path = r.getString(0)
+        val base = new org.apache.hadoop.fs.Path(path)
+          .getParent.getParent.toString
+        spark.read.option("basePath", base).parquet(path)
+          .filter(col(idCol).cast("string") === id)
+    }
+  }
+
   /** PROVENANCE diff between two manifest versions of an export
     * store: which shards were added / removed / repointed (content
     * changed) between `fromV` and `toV` — the audit record a takedown

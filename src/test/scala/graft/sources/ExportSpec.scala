@@ -114,6 +114,26 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(pinned.select("doc_id", "text").except(docs).isEmpty)
   }
 
+  test("lookupById: a point lookup reads ONE shard file (the draw " +
+      "routes it), finds present ids, and proves absent ids absent — " +
+      "including after a takedown") {
+    val dir = graft.core.Scratch.dir("export_lookup")
+    val base = corpus(100)
+    Export.exportShardsIncremental(base, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val hit = Export.lookupById(spark, dir, "doc_id", "42")
+    assert(hit.inputFiles.length == 1,
+      s"lookup touched ${hit.inputFiles.length} files")
+    assert(hit.select(col("text")).as[String].collect().toSeq ==
+      base.filter(col("doc_id") === 42L)
+        .select(col("text")).as[String].collect().toSeq)
+    assert(Export.lookupById(spark, dir, "doc_id", "424242").isEmpty)
+    // takedown, then the id is provably gone through the same path
+    Export.retractShards(spark, dir, "doc_id", Seq("42"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(Export.lookupById(spark, dir, "doc_id", "42").isEmpty)
+  }
+
   test("diffManifestVersions: a takedown's provenance record — " +
       "exactly the touched shards as changed/removed, repointed paths " +
       "visible, untouched shards absent") {
