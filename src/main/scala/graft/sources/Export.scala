@@ -421,7 +421,8 @@ object Export {
     val hit = m.filter(col("shard") === shard)
       .select(col("path")).collect().headOption
     hit match {
-      case None => // no such shard -> provably absent, no IO at all
+      case None => // no such shard -> provably absent (schema-only
+        // read: the literal-false filter prunes every data file)
         readShards(spark, dir).filter(lit(false))
       case Some(r) =>
         val path = r.getString(0)
