@@ -546,6 +546,34 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- O(1) POINT LOOKUP against the export store: the id routes
+    //      to its single shard file via the driver-side draw — one
+    //      file read whatever the store size; the oracle is the plain
+    //      relational point query ----
+    sql(
+      "q_lookup",
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id IN (7, 42, 137)""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_inc"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 10 =!= 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.exportShardsIncremental(
+          docs, dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      Seq("7", "42", "137")
+        .map(id => graft.sources.Export
+          .lookupById(s, dir, "doc_id", id)
+          .select(col("doc_id").cast("bigint").as("doc_id"), col("text")))
+        .reduce(_.unionByName(_))
+    },
+
     // ---- SEEDED EPOCH ORDER over the promoted export: the (seed,
     //      epoch) pair deterministically permutes document order
     //      within AND across shards (shard visit order and in-shard
