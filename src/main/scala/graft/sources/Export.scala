@@ -51,8 +51,58 @@ object Export {
   final case class ShardedExport(
       version: Long, shards: Int, rows: Long, dataDir: String)
 
+  /** Version of the [[rowChecksum]] formula recorded in every
+    * published manifest. Scheme 2 = the null-sentinel normalization
+    * (nulls coalesce to the U+0002 sentinel before the U+0001 join); scheme 1 =
+    * the pre-normalization concat_ws form, whose checksums differ on
+    * any null-bearing row. The manifest records the scheme so a
+    * checksum disagreement is attributable: a scheme-1 store read by
+    * scheme-2 code is NOT corruption, it is a formula change — and
+    * the checksum-consuming paths ([[verifyShards]],
+    * [[exportShardsIncremental]], [[retractShards]]) refuse scheme-1
+    * stores loudly instead of reporting phantom mismatches or
+    * rewriting every null-bearing shard as "changed". Stores
+    * predating the scheme column are inferred from the same-release
+    * `format` column (both landed together): format present →
+    * scheme 2, absent → scheme 1. Streamed export stores
+    * ([[graft.streaming.EventStream.exportShardsSink]]) postdate the
+    * change entirely, so their manifests are always scheme 2. */
+  val ChecksumScheme = 2
+
   private def manifestRoot(dir: String) = s"$dir/manifest"
   private def shardsRoot(dir: String) = s"$dir/shards"
+
+  /** Upgrade a manifest published before the `format` /
+    * `checksum_scheme` columns existed: such stores were all
+    * full-parquet exports (the only format then), and their checksums
+    * predate the null normalization ([[ChecksumScheme]] = 1). Without
+    * this, every batch read path (readShards, lookupById,
+    * exportShardsIncremental, retractShards) throws AnalysisException
+    * on an existing store the moment it selects the missing column —
+    * the streaming path grew the same back-compat (`storedFormat`) in
+    * round 15 and the batch path must mirror it. */
+  private def upgradeManifest(m: DataFrame): DataFrame = {
+    val hadFormat = m.columns.contains("format")
+    val withFormat =
+      if (hadFormat) m else m.withColumn("format", lit("parquet"))
+    if (withFormat.columns.contains("checksum_scheme")) withFormat
+    else withFormat.withColumn("checksum_scheme",
+      lit(if (hadFormat) ChecksumScheme else 1))
+  }
+
+  /** Refuse checksum-consuming work on a store whose recorded scheme
+    * is not the current one — the loud, actionable alternative to
+    * phantom verify mismatches. */
+  private def requireScheme(m: DataFrame, dir: String, op: String): Unit = {
+    val s = m.select(col("checksum_scheme")).head().getInt(0)
+    require(s == ChecksumScheme,
+      s"$op: store at $dir was published under checksum scheme $s " +
+        s"(current is $ChecksumScheme — the null-sentinel " +
+        "normalization changed the formula); its checksums cannot be " +
+        "compared against recomputes. Re-export the store fully " +
+        "before trusting verify/incremental/retract. Plain reads " +
+        "(readShards, lookupById, epochOrder) remain safe.")
+  }
 
   /** The engine's portable draw: uint32 from the md5 hex prefix. */
   private def md5Draw(id: Column): Column =
@@ -248,9 +298,10 @@ object Export {
     val manifest = stats.toSeq.sortBy(_._1).map {
       case (k, (n, b, c)) =>
         val (path, fb) = files(k)
-        (k, path, fb, n, b, c, dataDir, nShards, targetBytes, format)
+        (k, path, fb, n, b, c, dataDir, nShards, targetBytes, format,
+          ChecksumScheme)
     }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
-      "data_dir", "n_shards", "target_bytes", "format")
+      "data_dir", "n_shards", "target_bytes", "format", "checksum_scheme")
     val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
     sweepUnreferenced(spark, dir)
     ShardedExport(v, nShards, rows, dataDir)
@@ -334,6 +385,7 @@ object Export {
         case None => Map.empty
         case Some(_) =>
           val m = readShardManifest(spark, dir)
+          requireScheme(m, dir, "exportShardsIncremental")
           val head = m.select(col("n_shards"), col("format")).head()
           require(head.getInt(0) == nShards,
             s"store at $dir has n_shards=${head.get(0)}; incremental " +
@@ -396,9 +448,10 @@ object Export {
     val manifest = stats.toSeq.sortBy(_._1).map {
       case (k, (n, b, c)) =>
         val (path, fb) = deltaFiles.getOrElse(k, prior(k)._2)
-        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc")
+        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc",
+          ChecksumScheme)
     }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
-      "data_dir", "n_shards", "target_bytes", "format")
+      "data_dir", "n_shards", "target_bytes", "format", "checksum_scheme")
     val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
     sweepUnreferenced(spark, dir)
     ShardedExport(v, nShards, stats.valuesIterator.map(_._1).sum,
@@ -495,6 +548,7 @@ object Export {
       keep: Int = 3): ShardedExport = {
     require(ids.nonEmpty, "retractShards needs at least one id")
     val m = readShardManifest(spark, dir)
+    requireScheme(m, dir, "retractShards")
     val head = m.select(col("n_shards"), col("format")).head()
     val nShards = head.getInt(0)
     require(Set("parquet", "parquet_inc")(head.getString(1)),
@@ -524,7 +578,14 @@ object Export {
       .toSeq.map { case (base, files) =>
         spark.read.option("basePath", base).parquet(files: _*)
       }
-      .reduce(_.unionByName(_))
+      // allowMissingColumns: the affected shards may span generations
+      // with EVOLVED schemas (readShards documents that contract —
+      // older generations lack lazily-added columns); without it a
+      // takedown spanning such generations throws AnalysisException
+      // instead of retracting. A checksumCol evolved into existence
+      // checksums its nulls via the U+0002 sentinel, consistent with
+      // readShards' null surfacing (round-15 advice).
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(!col(idCol).cast("string")
         .isin(dropSet.toSeq.map(x => x: Any): _*))
       .localCheckpoint()
@@ -573,18 +634,21 @@ object Export {
     import spark.implicits._
     val manifest = newStats.toSeq.sortBy(_._1).map {
       case (k, ((n, b, c), (path, fb))) =>
-        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc")
+        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc",
+          ChecksumScheme)
     }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
-      "data_dir", "n_shards", "target_bytes", "format")
+      "data_dir", "n_shards", "target_bytes", "format", "checksum_scheme")
     val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
     sweepUnreferenced(spark, dir)
     ShardedExport(v, nShards,
       newStats.valuesIterator.map(_._1._1).sum, latestDir)
   }
 
-  /** The promoted manifest (one row per shard). */
+  /** The promoted manifest (one row per shard), upgraded in place
+    * for stores published before the `format` / `checksum_scheme`
+    * columns existed ([[upgradeManifest]]). */
   def readShardManifest(spark: SparkSession, dir: String): DataFrame =
-    Versioned.readCurrent(spark, manifestRoot(dir))
+    upgradeManifest(Versioned.readCurrent(spark, manifestRoot(dir)))
 
   /** The promoted export's rows, `shard` column included — the
     * manifest records the data format (parquet / json), so readers
@@ -863,7 +927,9 @@ object Export {
     * pass over the export. */
   def verifyShards(spark: SparkSession, dir: String, sizeOf: Column,
       checksumCols: Seq[String]): DataFrame = {
-    val manifest = readShardManifest(spark, dir)
+    val m0 = readShardManifest(spark, dir)
+    requireScheme(m0, dir, "verifyShards")
+    val manifest = m0
       .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
     val got = shardAggregates(readShards(spark, dir), sizeOf, checksumCols)
       .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",

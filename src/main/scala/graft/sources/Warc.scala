@@ -36,6 +36,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warc {
 
+  /** Header-line length bound — see the cap in `readLine`. */
+  val MaxHeaderLineBytes: Int = 64 * 1024
+
   final case class WarcRecord(
       file: String, record_idx: Int, warc_type: String,
       target_uri: String, record_id: String, content_type: String,
@@ -100,6 +103,17 @@ object Warc {
           if (b < 0) {
             closeIn()
             sys.error(s"$file: unterminated header line at record $idx")
+          }
+          // cap the header line: a non-WARC container matched by the
+          // glob (or a torn gzip member) has no '\n' discipline, and
+          // an uncapped accumulate would buffer the whole decompressed
+          // stream in this task before erroring — violating the
+          // one-record memory bound (round-15 advice). Real WARC
+          // header lines are tens of bytes; 64 KiB is generous.
+          if (buf.size >= MaxHeaderLineBytes) {
+            closeIn()
+            sys.error(s"$file: header line exceeds $MaxHeaderLineBytes " +
+              s"bytes at record $idx — not a WARC container?")
           }
           buf.write(b)
           b = take()

@@ -650,7 +650,11 @@ object EventStream {
     val referenced = fs.listStatus(mroot).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("v_"))
       .flatMap { p =>
-        spark.read.parquet(p.toString)
+        // upgrade PER VERSION: a surviving pre-dirs manifest (batch_ids
+        // only — the case withDirs exists for) must sweep-resolve too,
+        // or the first post-upgrade compaction throws on the missing
+        // column and wedges the sink (round-15 advice)
+        withDirs(spark.read.parquet(p.toString))
           .select(explode(col("dirs")).as("d")).distinct()
           .collect().map(_.getString(0))
       }.toSet

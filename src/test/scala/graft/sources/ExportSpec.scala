@@ -530,6 +530,78 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     assert(shardRuns.toSet == e0.map(_._3).toSet)
   }
 
+  test("retractShards spans EVOLVED generations: a takedown touching " +
+      "a pre-evolution shard and a post-evolution shard in ONE call " +
+      "unions the schemas and retracts (no AnalysisException)") {
+    val dir = graft.core.Scratch.dir("export_retract_evolve")
+    val base = corpus(100)
+    Export.exportShardsIncremental(base, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    // evolve: +lang column, +2 rows — only the new rows' shards
+    // rewrite, so the store now spans a no-lang generation and a
+    // lang-carrying generation
+    val evolved = base.withColumn("lang", lit(null).cast("string"))
+      .unionByName(Seq((8001L, "neu", "de"), (8002L, "nuevo", "es"))
+        .toDF("doc_id", "text", "lang"))
+    Export.exportShardsIncremental(evolved, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    // one old-generation id + one new-generation id, retracted together:
+    // the affected-shard union spans both schemas
+    val newShards = Set("8001", "8002").map(Export.shardOfId(_, 8))
+    val oldId = base.select(col("doc_id")).as[Long].collect()
+      .find(i => !newShards(Export.shardOfId(i.toString, 8))).get
+    val res = Export.retractShards(spark, dir, "doc_id",
+      Seq(oldId.toString, "8001"), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(res.rows == 100L) // 102 - 2
+    val back = Export.readShards(spark, dir)
+    assert(back.filter(col("doc_id").isin(oldId, 8001L)).isEmpty)
+    assert(back.count() == 100L)
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+  }
+
+  test("legacy manifest (no format / checksum_scheme columns — the " +
+      "pre-round-15 on-disk shape): plain reads work (format defaults " +
+      "to parquet), checksum consumers refuse LOUDLY as scheme 1") {
+    val dir = graft.core.Scratch.dir("export_legacy_manifest")
+    val docs = corpus(90)
+    val res = export(docs, dir)
+    // rewrite the promoted manifest WITHOUT the round-15 columns
+    val legacy = Export.readShardManifest(spark, dir)
+      .drop("format", "checksum_scheme")
+    Versioned.publish(legacy, s"$dir/manifest"): Unit
+    // plain reads: full read and point lookup both dispatch as parquet
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 90L)
+    assert(back.select("doc_id", "text").except(docs).isEmpty)
+    assert(Export.lookupById(spark, dir, "doc_id", "42")
+      .select(col("text")).as[String].collect().nonEmpty)
+    assert(Export.epochOrder(spark, dir, "doc_id", 1L, 0)
+      .count() == 90L)
+    // checksum consumers: loud, actionable, attributable to the
+    // formula change — never phantom mismatches
+    Seq(
+      () => Export.verifyShards(spark, dir,
+        octet_length(col("text")), Seq("doc_id", "text")).count(),
+      () => Export.exportShardsIncremental(docs, dir, res.shards,
+        col("doc_id"), octet_length(col("text")),
+        Seq("doc_id", "text")): Unit,
+      () => Export.retractShards(spark, dir, "doc_id", Seq("42"),
+        octet_length(col("text")), Seq("doc_id", "text")): Unit
+    ).foreach { op =>
+      val e = intercept[IllegalArgumentException] { op() }
+      assert(e.getMessage.contains("checksum scheme 1"),
+        s"expected the scheme refusal, got: ${e.getMessage}")
+    }
+    // published manifests RECORD the scheme going forward
+    val dir2 = graft.core.Scratch.dir("export_scheme_col")
+    export(docs, dir2): Unit
+    assert(Export.readShardManifest(spark, dir2)
+      .select(col("checksum_scheme")).distinct()
+      .as[Int].collect().toSeq == Seq(Export.ChecksumScheme))
+  }
+
   test("rowChecksum null-normalization: rows differing only in null " +
       "PLACEMENT get different checksums, and a null column never " +
       "drops the row from the sum") {

@@ -86,6 +86,21 @@ class WarcSpec extends AnyFunSuite with WithSpark {
     intercept[Exception] { Warc.records(spark, dir2).count() }
   }
 
+  test("a non-WARC container fails at the header-line cap instead of " +
+      "buffering the whole stream (the per-task memory bound holds " +
+      "for garbage matched by the glob)") {
+    val dir = graft.core.Scratch.dir("warc_junk")
+    // 256 KiB with no newline: an uncapped readLine would accumulate
+    // it all; the cap must fire at 64 KiB with a diagnosable message
+    write(dir, "junk.warc", Array.fill[Byte](256 * 1024)('A'))
+    val e = intercept[Exception] { Warc.records(spark, dir).count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("header line exceeds")),
+      s"expected the header-line cap to fire, got: ${msgs(e)}")
+  }
+
   test("wetText: conversion-only view with UTF-8 decoded text " +
       "(multibyte payload lengths are byte counts, not char counts)") {
     val dir = graft.core.Scratch.dir("warc_wet")

@@ -1120,6 +1120,41 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     assert(view() == wantView ++ (4L to 6L).flatMap(batchRows).toSet)
   }
 
+  test("compaction while a PRE-dirs manifest version survives: the " +
+      "sweep upgrades each version (dirs derived from batch_ids) " +
+      "instead of throwing, and never deletes a dir the legacy " +
+      "version references") {
+    import graft.sources.Versioned
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sweep_legacy").toString
+    def sink = EventStream.exportShardsSink(out, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"),
+      compactAtDirs = 64) _ // no in-sink compaction; we drive it below
+    (0L to 2L).foreach(b => sink(
+      (b * 10 to b * 10 + 5).map(i => (i, s"leg-$b-$i"))
+        .toDF("doc_id", "text"), b))
+    // make a LEGACY (pre-dirs) version the promoted one — keep=2 means
+    // it SURVIVES the compaction publish below, which is exactly the
+    // round-15 advice scenario: sweep must read it without the column
+    Versioned.publish(
+      Versioned.readCurrent(spark, s"$out/manifest").drop("dirs"),
+      s"$out/manifest"): Unit
+    val want = EventStream.readStreamShards(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // direct compaction: publishes the compacted version (keep=2 →
+    // survivors = legacy + compacted), then sweeps ALL versions
+    assert(EventStream.maybeCompactStreamShards(spark, out, 4, 1))
+    assert(EventStream.readStreamShards(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+      == want, "compaction over the legacy store changed the view")
+    // the legacy version derives its dirs from batch_ids, so the
+    // batch dirs it references must survive the sweep
+    val left = new java.io.File(s"$out/data").listFiles().map(_.getName)
+    (0 to 2).foreach(b => assert(left.contains(s"batch_$b"),
+      s"sweep deleted batch_$b, still referenced by the surviving " +
+        s"legacy manifest version: ${left.toSeq}"))
+  }
+
   test("exportShardsSink: a leading EMPTY batch advances the pointer " +
       "without publishing a manifest, and the first non-empty batch " +
       "publishes instead of wedging on a missing manifest read") {
