@@ -63,11 +63,25 @@ object SourceQueries {
         "software: graft-fixture".getBytes("UTF-8"))
       def conv(id: Long, text: String) = record("conversion",
         s"http://example.org/doc/$id", text.getBytes("UTF-8"))
+      // a raw-crawl `response` record: the FULL HTTP message (status
+      // line + headers + CRLF CRLF + body) whose body is the
+      // adversarial HTML page around the document text — what a real
+      // (non-WET) crawl container holds; q_warc_html extracts it back
+      def resp(id: Long, text: String) = {
+        val html = TextQueries.HtmlWrapA + id + TextQueries.HtmlWrapB +
+          text + TextQueries.HtmlWrapC
+        val body = html.getBytes("UTF-8")
+        val http = ("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+        record("response", s"http://example.org/doc/$id", http ++ body)
+      }
       val (evens, odds) = docs.partition(_._1 % 2 == 0)
       val plain = new java.io.FileOutputStream(s"$dir/part0.warc")
       try {
         plain.write(info)
-        evens.foreach { case (id, t) => plain.write(conv(id, t)) }
+        evens.foreach { case (id, t) =>
+          plain.write(conv(id, t)); plain.write(resp(id, t)) }
       } finally plain.close()
       val gz = new java.io.FileOutputStream(s"$dir/part1.warc.gz")
       try {
@@ -77,7 +91,8 @@ object SourceQueries {
           g.write(b); g.close(); bos.toByteArray
         }
         gz.write(member(info))
-        odds.foreach { case (id, t) => gz.write(member(conv(id, t))) }
+        odds.foreach { case (id, t) =>
+          gz.write(member(conv(id, t))); gz.write(member(resp(id, t))) }
       } finally gz.close()
       dir
     })
@@ -857,6 +872,103 @@ object SourceQueries {
       val fixed = planted.select(col("doc_id"),
         Text.fixMojibake(col("raw")).as("t"))
       val kept = fixed.filter(
+        Text.gopherRules(col("t"), stops = Text.StopwordSeeds("en"))
+          .toMap.apply("gopher_keep"))
+      val deduped = graft.ops.Dedup.dropExact(
+        kept, md5(col("t")), col("doc_id"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportJsonlShards(deduped, dir,
+          targetBytes = 8192L, id = col("doc_id"),
+          sizeOf = octet_length(col("t")),
+          checksumCols = Seq("doc_id", "t")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, t STRING"))),
+          octet_length(col("t")), Seq("doc_id", "t"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
+    // ---- WARC `response` records → HTML → text: the raw-crawl half
+    //      of the front door. The fixture's response records carry a
+    //      full HTTP message whose body is the adversarial page around
+    //      each document's text; the face strips the HTTP headers
+    //      (Content-Length-split payload → httpBody) and extracts with
+    //      the mirrored chain. The oracle rebuilds the page from
+    //      documents and replays the SAME generated chain — a torn
+    //      record, a leaked HTTP header, or a drifted extraction step
+    //      all hash-mismatch ----
+    sql(
+      "q_warc_html",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '${TextQueries.HtmlWrapA}' || doc_id ||
+         |      '${TextQueries.HtmlWrapB}' || text ||
+         |      '${TextQueries.HtmlWrapC}' AS html
+         |  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 2200)
+         |SELECT doc_id, ${graft.ops.Html.htmlTextSql("html")} AS text
+         |FROM h""".stripMargin) { (s, d) =>
+      graft.sources.Warc.responseHtml(s, warcFixtureDir(s, d))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          graft.ops.Html.htmlText(col("html")).as("text"))
+    },
+
+    // ---- RAW-CRAWL CURATION end to end: response records → HTTP
+    //      strip → HTML extraction → Gopher gate → exact dedup →
+    //      gzip-jsonl sharded export — the path a real (non-WET)
+    //      crawl takes, every stage replayed relationally by the
+    //      oracle through the generated SQL chains ----
+    sql(
+      "q_warc_html_curation",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '${TextQueries.HtmlWrapA}' || doc_id ||
+         |      '${TextQueries.HtmlWrapB}' || text ||
+         |      '${TextQueries.HtmlWrapC}' AS html
+         |  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 2200),
+         |f AS (
+         |  SELECT doc_id, ${graft.ops.Html.htmlTextSql("html")} AS t
+         |  FROM h),
+         |k AS (SELECT doc_id, t FROM f
+         |  WHERE ${TextQueries.gopherKeepSql("t",
+                graft.ops.Text.StopwordSeeds("en"))}),
+         |r AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(t)),
+         |dd AS (SELECT k.doc_id, k.t FROM k JOIN r USING (doc_id)),
+         |tot AS (
+         |  SELECT sum(octet_length(encode(t)))::BIGINT AS total FROM dd),
+         |ns AS (
+         |  SELECT greatest(1, (total + 8191) // 8192)::BIGINT AS n
+         |  FROM tot),
+         |s AS (
+         |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+         |    octet_length(encode(t))::BIGINT AS b,
+         |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+         |      || chr(1) || coalesce(t, chr(2))),
+         |      1, 8) AS BIGINT) AS c
+         |  FROM dd)
+         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+         |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+         |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+         |  sum(c)::BIGINT AS rb_checksum
+         |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.ops.{Html, Text}
+      val dir = graft.core.Scratch.dir("warc_html_curation")
+      val extracted = graft.sources.Warc
+        .responseHtml(s, warcFixtureDir(s, d))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          Html.htmlText(col("html")).as("t"))
+      val kept = extracted.filter(
         Text.gopherRules(col("t"), stops = Text.StopwordSeeds("en"))
           .toMap.apply("gopher_keep"))
       val deduped = graft.ops.Dedup.dropExact(

@@ -75,6 +75,25 @@ object TextQueries {
   }
   import QueryDef.{noOracle, sql}
 
+  /** The q_html_extract / WARC-response fixture page, in three parts
+    * around (doc_id, text) slots — shared verbatim by the Spark
+    * concat and the oracle's `||` chain (no single quotes on purpose:
+    * the parts splice into SQL literals unescaped). Adversarial by
+    * design: a comment hiding a script, a script whose body contains
+    * angle brackets AND quoted markup, a style with a `>` selector,
+    * quoted `>` inside an attribute, entities incl. `&amp;`. */
+  private[queries] val HtmlWrapA = "<html><head><title>Doc "
+  private[queries] val HtmlWrapB =
+    "</title><meta charset=\"utf-8\">" +
+      "<!-- hidden <script>alert(1)</script> --></head><body>" +
+      "<script type=\"text/javascript\">" +
+      "if (a<b && c>d) { emit(\"<p>x</p>\"); }</script>" +
+      "<style>p > .x { color: red; }</style>" +
+      "<h1>Title &amp; more</h1><p>"
+  private[queries] val HtmlWrapC =
+    "</p><div class=\"foot\" data-x=\"a>b\">" +
+      "&copy; 2026 &lt;graft&gt;&nbsp;corp</div></body></html>"
+
   /** BPE merges learned once per JVM per sf dir — train-time artifact
     * by contract (the ANN-index amortization convention): Bench's
     * warm() populates it so `build_s` owns the learning cost and the
@@ -835,6 +854,31 @@ object TextQueries {
             docs.filter(col("doc_id") < 450), "doc_id", col("text"),
             docs.filter(col("doc_id") >= 450), col("text"), n = 5)
           .select("doc_id")
+    },
+
+    // ---- HTML → text extraction (the crawl front door's missing
+    //      half): each document is wrapped in an ADVERSARIAL page —
+    //      comment hiding a script, script with angle brackets and
+    //      quoted markup, style with '>', quoted '>' in attributes,
+    //      entities incl. a double-escape — by the SAME concat on both
+    //      engines, then extracted by the mirrored step chain
+    //      (Html.htmlText / Html.htmlTextSql, one generated step list,
+    //      the fixMojibake device). A drift in ANY step, either
+    //      engine, hash-mismatches ----
+    sql(
+      "q_html_extract",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '${HtmlWrapA}' || doc_id || '${HtmlWrapB}' || text ||
+         |      '${HtmlWrapC}' AS html
+         |  FROM documents WHERE doc_id % 7 = 0)
+         |SELECT doc_id, ${graft.ops.Html.htmlTextSql("html")} AS text
+         |FROM h""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          graft.ops.Html.htmlText(concat(
+            lit(HtmlWrapA), col("doc_id"), lit(HtmlWrapB),
+            col("text"), lit(HtmlWrapC))).as("text"))
     },
 
     // ---- repetition signals (duplicate word / n-gram fractions) ----

@@ -74,6 +74,37 @@ object Warc {
       .drop("payload")
   }
 
+  /** Body of an HTTP response payload: WARC `response` records carry
+    * the FULL HTTP message (status line + headers + CRLF CRLF + body),
+    * so the crawl front door must strip the header block before any
+    * text extraction sees HTML. Codegen'd scalar (locate the first
+    * CRLF CRLF, substring past it), mirrored relationally by
+    * [[httpBodySql]]. A payload with no header separator yields the
+    * same (degenerate) result in both engines — real response records
+    * always carry one. */
+  def httpBody(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    payload.substr(instr(payload, "\r\n\r\n") + 4, lit(Int.MaxValue))
+  }
+
+  /** The DuckDB replay of [[httpBody]]. */
+  def httpBodySql(expr: String): String =
+    s"substring($expr, strpos($expr, chr(13)||chr(10)||chr(13)||chr(10)) + 4)"
+
+  /** Crawl-response view: the `response` records' HTML bodies, HTTP
+    * headers stripped — the input of
+    * [[graft.ops.Html.htmlText]]-based curation. Columns:
+    * (file, record_idx, target_uri, html). */
+  def responseHtml(spark: SparkSession, dir: String,
+      pathGlob: String = "*.warc*"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records(spark, dir, pathGlob)
+      .filter(col("warc_type") === "response")
+      .select(col("file"), col("record_idx"), col("target_uri"),
+        httpBody(col("payload").cast("string")).as("html"))
+  }
+
   /** Stream one container into its records. Binary-safe: record
     * boundaries come from Content-Length, never from scanning for the
     * magic. Loud on malformation (truncated payload, missing

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlText(col("h"))).as[String].head()
+
+  test("a full adversarial page: comments, script with angle " +
+      "brackets, style, quoted '>' in attributes, entities, block " +
+      "breaks — extracts exactly the rendered text") {
+    val html =
+      """<html><head><title>Doc 1</title>
+        |<meta charset="utf-8"><!-- hidden <script>alert(1)</script> -->
+        |<script type="text/javascript">if (a<b && c>d) { emit("<p>x</p>"); }</script>
+        |<style>p > .x { color: red; }</style></head>
+        |<body><h1>Title &amp; more</h1>
+        |<p>first   paragraph</p><p>second<b>bold</b>tail</p>
+        |<div class="foot" data-x="a>b">&copy; 2026 &lt;graft&gt;&nbsp;corp</div>
+        |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "Doc 1\nTitle & more\nfirst paragraph\nsecondboldtail\n© 2026 <graft> corp")
+  }
+
+  test("HTML5 raw-text rule: script/style contents never leak, even " +
+      "quoting tags; a '</script>' inside a JS string terminates the " +
+      "element exactly as a browser would") {
+    assert(extract("""a<script>var s = "<p>not text</p>";</script>b""")
+      == "a\nb")
+    assert(extract("""<style>div { content: "<li>x"; }</style>kept""")
+      == "kept")
+    // the spec-mandated early termination: text after the in-string
+    // </script> is OUTSIDE the element (a browser renders it too);
+    // the orphaned closing tag then strips as a plain tag
+    assert(extract("""<script>var s = "</script>";</script>rest""")
+      == "\";rest")
+  }
+
+  test("comments drop without inserting space; commented-out markup " +
+      "never extracts") {
+    assert(extract("foo<!-- x -->bar") == "foobar")
+    assert(extract("a<!-- <p>ghost</p> <script>x</script> -->b") == "ab")
+    assert(extract("<!--\nmultiline\ncomment\n-->text") == "text")
+  }
+
+  test("stray '<' is text (a < b survives); tags must open with a " +
+      "letter, '/', or '!'") {
+    assert(extract("a < b and c > d") == "a < b and c > d")
+    assert(extract("x <3 y") == "x <3 y")
+    assert(extract("<!DOCTYPE html><p>t</p>") == "t")
+  }
+
+  test("entity decode: one level of double-escape (&amp;lt; stays " +
+      "&lt; as text), decode AFTER tag strip so text-level " +
+      "&lt;script&gt; survives as text") {
+    assert(extract("&amp;lt;never a tag&amp;gt;") == "&lt;never a tag&gt;")
+    assert(extract("see &lt;script&gt;alert&lt;/script&gt; quoted")
+      == "see <script>alert</script> quoted")
+    assert(extract("&ldquo;q&rdquo; &ndash; &hellip; &#39;a&#39;")
+      == "“q” – … 'a'")
+  }
+
+  test("block tags break lines, inline tags vanish, whitespace " +
+      "normalizes (runs collapse, ends trim)") {
+    assert(extract("<ul><li>one</li><li>two</li></ul>") == "one\ntwo")
+    assert(extract("line a<br>line b<br/>line c") ==
+      "line a\nline b\nline c")
+    assert(extract("  <p>  padded   text  </p>  ") == "padded text")
+    assert(extract("<em>in</em>line <span>spans</span> join") ==
+      "inline spans join")
+    assert(extract("<td>r1c1</td><td>r1c2</td>") == "r1c1\nr1c2")
+  }
+
+  test("quote-aware tag interiors: '>' inside a quoted attribute " +
+      "does not end the tag (both quote kinds)") {
+    assert(extract("""<div data-x="a>b">kept</div>""") == "kept")
+    assert(extract("""<a href='x>y' title="p>q">link</a> text""")
+      == "link text")
+  }
+
+  test("htmlTextSql mirrors the step list: one regexp_replace or " +
+      "replace per step, newline replacements rendered as chr(10), " +
+      "single quotes doubled") {
+    val sql = Html.htmlTextSql("t")
+    assert(sql.contains("chr(10)"))
+    assert("regexp_replace".r.findAllIn(sql).size ==
+      Html.Steps.count(_.re))
+    assert("(?<!regexp_)replace\\(".r.findAllIn(sql).size ==
+      Html.Steps.count(!_.re))
+    // the quote-aware tag pattern survives SQL quoting (its single
+    // quotes are doubled, not truncated)
+    assert(sql.contains("''[^'']*''"))
+  }
+}

@@ -86,6 +86,23 @@ class WarcSpec extends AnyFunSuite with WithSpark {
     intercept[Exception] { Warc.records(spark, dir2).count() }
   }
 
+  test("responseHtml: response records yield their HTML body with the " +
+      "HTTP headers stripped — a CRLF CRLF inside the body does not " +
+      "truncate it, and non-response records are excluded") {
+    val dir = graft.core.Scratch.dir("warc_response")
+    val html = "<p>hello</p>\r\n\r\n<p>second block</p>"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${html.getBytes("UTF-8").length}\r\n\r\n" + html
+    write(dir, "a.warc",
+      rec("warcinfo", null, "x") ++
+        rec("response", "http://x/r", http) ++
+        rec("conversion", "http://x/c", "plain text"))
+    val got = Warc.responseHtml(spark, dir)
+      .select("target_uri", "html").as[(String, String)].collect()
+    assert(got.toSeq == Seq(("http://x/r", html)),
+      s"expected the exact HTML body, got $got")
+  }
+
   test("a non-WARC container fails at the header-line cap instead of " +
       "buffering the whole stream (the per-task memory bound holds " +
       "for garbage matched by the glob)") {
