@@ -633,6 +633,58 @@ object SourceQueries {
         .select(col("doc_id"), col("shard"), col("epoch_pos"))
     },
 
+    // ---- MULTI-WORKER EPOCH SHARDING (the WebDataset DDP pattern):
+    //      the epoch's shard visit order cuts into 4 contiguous,
+    //      shard-granular worker slices by integer division on start
+    //      offsets; the oracle replays each worker's EXACT id list —
+    //      the union is provably the full epoch, disjoint, contiguous
+    //      in the q_epoch_order global order ----
+    sql(
+      "q_epoch_workers",
+      """WITH tot AS (
+        |  SELECT sum(octet_length(encode(text)))::BIGINT AS total
+        |  FROM documents),
+        |ns AS (
+        |  SELECT greatest(1, (total + 65535) // 65536)::BIGINT AS n
+        |  FROM tot),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) % (SELECT n FROM ns) AS shard
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, shard,
+        |    CAST('0x' || substr(md5('42:3:' || shard::VARCHAR), 1, 8)
+        |      AS BIGINT) AS sdraw,
+        |    CAST('0x' || substr(md5('42:3:' || doc_id::VARCHAR), 1, 8)
+        |      AS BIGINT) AS rdraw
+        |  FROM d),
+        |off AS (
+        |  SELECT shard,
+        |    sum(count(*)) OVER (ORDER BY any_value(sdraw), shard)
+        |      - count(*) AS o,
+        |    sum(count(*)) OVER () AS t
+        |  FROM k GROUP BY shard)
+        |SELECT k.doc_id, k.shard::INT AS shard,
+        |  row_number() OVER (ORDER BY sdraw, k.shard, rdraw, doc_id)
+        |    ::BIGINT AS epoch_pos,
+        |  ((4 * off.o) // off.t)::INT AS worker
+        |FROM k JOIN off ON k.shard = off.shard""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_shards"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShards(docs, dir,
+          targetBytes = 65536L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      graft.sources.Export.epochWorkerSlices(s, dir, "doc_id",
+        seed = 42L, epoch = 3, nWorkers = 4)
+        .select(col("doc_id"), col("shard"), col("epoch_pos"),
+          col("worker"))
+    },
+
     // ---- TRAINING-CONSUMABLE jsonl export: the same size-targeted
     //      shard draw / manifest / content-addressing discipline, but
     //      the shards are gzip JSON-lines files — what mainstream

@@ -900,7 +900,44 @@ object Export {
     * ([[graft.streaming.EventStream.readStreamShards]]), which share
     * the same draw-based shard ids. */
   def epochOrderOf(rows: DataFrame, idCol: String,
-      seed: Long, epoch: Int): DataFrame = {
+      seed: Long, epoch: Int): DataFrame =
+    withEpochOrder(rows, idCol, seed, epoch, workers = None)
+
+  /** [[epochOrderOf]] plus a `worker` column: the epoch's shard visit
+    * order cut into `nWorkers` CONTIGUOUS, shard-granular slices —
+    * the multi-worker data-loader assignment (the WebDataset DDP
+    * pattern: W loader workers each stream a disjoint run of whole
+    * shard files; no worker ever opens another worker's file).
+    *
+    *   worker(shard) = (nWorkers * shard_start_offset) div total_rows
+    *
+    * — integer division on both engines, so the assignment replays
+    * relationally. Because start offsets are monotone in visit order,
+    * worker ids are non-decreasing along the epoch (slices are
+    * contiguous runs of [[epochOrderOf]]'s global order), every shard
+    * has exactly one worker (the union of slices IS the epoch,
+    * disjoint by construction), and slice sizes balance to within one
+    * shard's rows. Pure draw: any (seed, epoch, worker, nWorkers)
+    * resolves to the same id list on any cluster, so W workers shard
+    * the epoch with zero coordination. */
+  def epochWorkerSlices(spark: SparkSession, dir: String, idCol: String,
+      seed: Long, epoch: Int, nWorkers: Int): DataFrame =
+    epochWorkerSlicesOf(readShards(spark, dir), idCol, seed, epoch,
+      nWorkers)
+
+  /** [[epochWorkerSlices]] over any shard-carrying frame. */
+  def epochWorkerSlicesOf(rows: DataFrame, idCol: String,
+      seed: Long, epoch: Int, nWorkers: Int): DataFrame = {
+    require(nWorkers >= 1, s"nWorkers must be >= 1: $nWorkers")
+    withEpochOrder(rows, idCol, seed, epoch, workers = Some(nWorkers))
+  }
+
+  /** Shared (seed, epoch) permutation plan: per-shard window for the
+    * local rank + O(shards) offsets table broadcast back — nothing
+    * global touches row data (the offsets windows run over the
+    * metadata-sized count frame only). */
+  private def withEpochOrder(rows: DataFrame, idCol: String,
+      seed: Long, epoch: Int, workers: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tag = lit(s"$seed:$epoch:")
     val rdraw = md5Draw(concat(tag, col(idCol).cast("string")))
@@ -909,12 +946,25 @@ object Export {
     val ranked = rows.withColumn("__lrank",
       row_number().over(localW).cast("long"))
     val sdraw = md5Draw(concat(tag, col("shard").cast("string")))
-    val offsets = rows.groupBy(col("shard"))
+    val counts = rows.groupBy(col("shard"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         sum(col("__n")).over(Window.orderBy(
           sdraw.asc, col("shard").asc)) - col("__n"))
-      .select(col("shard"), col("__offset"))
+    val offsets = workers match {
+      case None => counts.select(col("shard"), col("__offset"))
+      case Some(w) =>
+        // the single-partition total window is over the O(shards)
+        // count frame, never row data; `div` keeps the assignment in
+        // exact integer arithmetic (a double floor would wobble at
+        // 100 TB-scale offsets)
+        counts
+          .withColumn("__total",
+            sum(col("__n")).over(Window.partitionBy(lit(1))))
+          .withColumn("worker",
+            expr(s"CAST(($w * __offset) DIV __total AS INT)"))
+          .select(col("shard"), col("__offset"), col("worker"))
+    }
     ranked.join(broadcast(offsets), Seq("shard"))
       .withColumn("epoch_pos", col("__offset") + col("__lrank"))
       .drop("__lrank", "__offset")

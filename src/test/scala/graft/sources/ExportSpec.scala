@@ -602,6 +602,53 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       .as[Int].collect().toSeq == Seq(Export.ChecksumScheme))
   }
 
+  test("epochWorkerSlices: W contiguous shard-granular slices — " +
+      "disjoint union is the full epoch, worker ids non-decreasing " +
+      "along the global order, one worker per shard, balanced to " +
+      "within one shard, reproducible, and moving with the epoch") {
+    val dir = graft.core.Scratch.dir("export_epoch_workers")
+    val docs = corpus(200)
+    export(docs, dir): Unit
+    val w = 4
+    def slices(epoch: Int) = Export
+      .epochWorkerSlices(spark, dir, "doc_id", seed = 11L,
+        epoch = epoch, nWorkers = w)
+      .select(col("epoch_pos").cast("long"), col("doc_id"),
+        col("shard"), col("worker"))
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    val e0 = slices(0)
+    // disjoint union = the full epoch (every doc exactly once, with
+    // the same positions the plain epoch order assigns)
+    assert(e0.map(_._1).toSeq == (1L to 200L))
+    assert(e0.map(_._2).toSet ==
+      docs.select("doc_id").as[Long].collect().toSet)
+    val plain = Export.epochOrder(spark, dir, "doc_id", 11L, 0)
+      .select(col("epoch_pos").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(e0.map(r => (r._1, r._2)).toSeq == plain.toSeq,
+      "the worker view must not move the epoch order itself")
+    // contiguous: worker id is non-decreasing along the global order
+    assert(e0.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+      "worker slices must be contiguous runs of the epoch order")
+    assert(e0.map(_._4).distinct.toSeq == (0 until w),
+      "every worker must get a slice at this scale")
+    // shard-granular: a shard never splits across workers
+    e0.groupBy(_._3).foreach { case (sh, rows) =>
+      assert(rows.map(_._4).distinct.size == 1,
+        s"shard $sh split across workers")
+    }
+    // balanced to within the largest shard's rows
+    val sizes = e0.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    val maxShard = e0.groupBy(_._3).map(_._2.size).max
+    assert(sizes.max - sizes.min <= maxShard,
+      s"slices $sizes unbalanced beyond one shard ($maxShard rows)")
+    // pure draw: reproducible for the same key, moved by the epoch
+    assert(slices(0).toSeq == e0.toSeq)
+    val e1 = slices(1)
+    assert(e1.map(_._2).toSeq != e0.map(_._2).toSeq,
+      "a new epoch must re-deal the slices")
+  }
+
   test("rowChecksum null-normalization: rows differing only in null " +
       "PLACEMENT get different checksums, and a null column never " +
       "drops the row from the sum") {
