@@ -770,23 +770,20 @@ object Export {
   }
 
   /** Re-pair `<key>.bin` + `<key>.json` entries into (shard, key,
-    * payload, meta) sample rows — one task per tar. Loud on a
-    * dangling or mis-ordered pair (a torn sample must fail, not read
-    * as a sample with missing metadata). */
+    * payload, meta) sample rows — one task per tar, STREAMED (one
+    * sample in memory at a time). Loud on a dangling or mis-ordered
+    * pair (a torn sample must fail, not read as a sample with missing
+    * metadata). */
   private def readTarSamples(
       spark: SparkSession, dataDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
-      .option("recursiveFileLookup", "true")
-      .load(dataDir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+    spark.sparkContext.binaryFiles(s"$dataDir/shard=*/*.tar")
+      .flatMap { case (path, pds) =>
         val shard = "shard=(\\d+)".r.findFirstMatchIn(path)
           .map(_.group(1).toInt)
           .getOrElse(sys.error(s"no shard dir in tar path $path"))
-        untar(bytes).grouped(2).map {
+        untarStream(path, new java.io.BufferedInputStream(
+          pds.open(), 1 << 16)).grouped(2).map {
           case Seq((bn, payload), (jn, meta))
               if bn.endsWith(".bin") && jn.endsWith(".json") &&
                 bn.stripSuffix(".bin") == jn.stripSuffix(".json") =>
@@ -825,48 +822,102 @@ object Export {
   }
 
   /** Parse the tar shards of `dataDir` back into (shard, key,
-    * payload) rows — one task per tar via the binaryFile source, the
-    * same grain the write used. */
+    * payload) rows — one task per tar (the write grain), STREAMED off
+    * `sc.binaryFiles`' PortableDataStream like [[Warc.parseStream]]:
+    * per-task memory is ONE entry's payload, never the tar. The
+    * round-15 first cut rode the binaryFile SQL source's whole-content
+    * column — the exact shape the WARC self-audit killed (a 1 GB-shard
+    * config at 32 concurrent tasks is an OOM); shard size is caller-
+    * set (`targetBytes`), so the bound must not depend on the caller
+    * choosing small shards. */
   private def readTarDir(spark: SparkSession, dataDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
-      .option("recursiveFileLookup", "true")
-      .load(dataDir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+    spark.sparkContext.binaryFiles(s"$dataDir/shard=*/*.tar")
+      .flatMap { case (path, pds) =>
         val shard = "shard=(\\d+)".r.findFirstMatchIn(path)
           .map(_.group(1).toInt)
           .getOrElse(sys.error(s"no shard dir in tar path $path"))
-        untar(bytes).map { case (name, payload) =>
+        untarStream(path, new java.io.BufferedInputStream(
+          pds.open(), 1 << 16)).map { case (name, payload) =>
           (shard, name.stripSuffix(".txt"), payload)
         }
       }
       .toDF("shard", "key", "payload")
   }
 
-  /** Stream (name, bytes) entries out of one in-memory tar. */
+  /** Stream (name, bytes) entries out of one in-memory tar (test /
+    * driver-side convenience; executors use [[untarStream]]). */
   private[sources] def untar(
       bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+    untarStream("<memory>", new java.io.ByteArrayInputStream(bytes))
+
+  /** Stream (name, bytes) entries off a tar InputStream: 512-byte
+    * header, `size` payload bytes, padding to the next block — one
+    * entry's payload in memory at a time, stop at the first zero
+    * block (or clean EOF), LOUD on truncation. Closes the input on
+    * exhaustion or error. */
+  private[sources] def untarStream(file: String,
+      in: java.io.InputStream): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
-      private var pos = 0
-      private def headerAt(p: Int): Boolean =
-        p + 512 <= bytes.length && bytes(p) != 0
-      def hasNext: Boolean = headerAt(pos)
-      def next(): (String, Array[Byte]) = {
-        var nameEnd = pos
-        while (nameEnd < pos + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, pos, nameEnd - pos, "UTF-8")
-        val sizeStr = new String(bytes, pos + 124, 12, "UTF-8")
-          .takeWhile(c => c >= '0' && c <= '7')
-        val size = java.lang.Long.parseLong(sizeStr, 8)
-        val start = pos + 512
-        val payload = java.util.Arrays.copyOfRange(
-          bytes, start, start + size.toInt)
-        pos = start + size.toInt + ((512 - size % 512) % 512).toInt
-        (name, payload)
+      private var header: Array[Byte] = null
+      private var done = false
+      private def closeIn(): Unit =
+        if (!done) { done = true; in.close() }
+      private def readFully(buf: Array[Byte], len: Int,
+          what: String): Int = {
+        var off = 0
+        while (off < len) {
+          val n = try in.read(buf, off, len - off)
+            catch { case e: Throwable => closeIn(); throw e }
+          if (n < 0) return off
+          off += n
+        }
+        off
       }
+      def hasNext: Boolean = {
+        if (done) return false
+        if (header == null) {
+          val h = new Array[Byte](512)
+          val got = readFully(h, 512, "header")
+          if (got == 0 || (got == 512 && h(0) == 0)) {
+            closeIn(); return false
+          }
+          if (got < 512) {
+            closeIn()
+            sys.error(s"$file: truncated tar header ($got bytes)")
+          }
+          header = h
+        }
+        true
+      }
+      def next(): (String, Array[Byte]) =
+        try {
+          if (!hasNext) throw new NoSuchElementException(file)
+          val h = header; header = null
+          var nameEnd = 0
+          while (nameEnd < 100 && h(nameEnd) != 0) nameEnd += 1
+          val name = new String(h, 0, nameEnd, "UTF-8")
+          val sizeStr = new String(h, 124, 12, "UTF-8")
+            .takeWhile(c => c >= '0' && c <= '7')
+          require(sizeStr.nonEmpty, s"$file: unparsable tar size field")
+          val size = java.lang.Long.parseLong(sizeStr, 8)
+          require(size <= Int.MaxValue,
+            s"$file: tar entry '$name' exceeds 2 GiB ($size)")
+          val payload = new Array[Byte](size.toInt)
+          if (readFully(payload, size.toInt, name) < size.toInt) {
+            closeIn()
+            sys.error(s"$file: truncated tar payload for '$name'")
+          }
+          val pad = ((512 - size % 512) % 512).toInt
+          if (pad > 0) {
+            val p = new Array[Byte](pad)
+            if (readFully(p, pad, "padding") < pad) {
+              closeIn()
+              sys.error(s"$file: truncated tar padding after '$name'")
+            }
+          }
+          (name, payload)
+        } catch { case e: Throwable => closeIn(); throw e }
     }
 
   /** Deterministic (seed, epoch) training order over a promoted

@@ -500,6 +500,58 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       octet_length(col("payload")), Seq("key", "payload")).isEmpty)
   }
 
+  test("untarStream: entries stream off an InputStream that is never " +
+      "materialized (a generated 64 MiB tar reads entry-by-entry), " +
+      "and truncation anywhere is LOUD") {
+    // a tar GENERATOR stream: no byte array of the whole tar ever
+    // exists, so a pass proves the read path needs only one entry in
+    // memory — the round-15 whole-blob cut could not run this test
+    val entrySize = 64 * 1024
+    val nEntries = 1024 // 64 MiB of payload
+    def hdr(name: String, size: Long) = {
+      val m = Export.getClass.getDeclaredMethods
+        .find(_.getName == "tarHeader").get
+      m.setAccessible(true)
+      m.invoke(Export, name, java.lang.Long.valueOf(size))
+        .asInstanceOf[Array[Byte]]
+    }
+    def gen(truncateAt: Long = Long.MaxValue) = new java.io.InputStream {
+      private var entry = 0
+      private var buf: Array[Byte] = Array.empty
+      private var pos = 0
+      private var emitted = 0L
+      override def read(): Int = {
+        if (pos >= buf.length) {
+          if (entry > nEntries) return -1
+          buf =
+            if (entry == nEntries) new Array[Byte](1024) // end blocks
+            else hdr(f"e$entry%05d.txt", entrySize.toLong) ++
+              Array.fill[Byte](entrySize)((entry % 251).toByte)
+          pos = 0; entry += 1
+        }
+        if (emitted >= truncateAt) return -1
+        emitted += 1
+        pos += 1
+        buf(pos - 1) & 0xff
+      }
+    }
+    var n = 0
+    Export.untarStream("gen", new java.io.BufferedInputStream(
+        gen(), 1 << 16)).foreach { case (name, payload) =>
+      assert(name == f"e$n%05d.txt" && payload.length == entrySize &&
+        payload(0) == (n % 251).toByte)
+      n += 1
+    }
+    assert(n == nEntries)
+    // truncate mid-payload of a later entry: loud, names the entry
+    val cut = 512L * 3 + entrySize + 100 // inside entry 1's payload
+    val e = intercept[RuntimeException] {
+      Export.untarStream("gen", gen(truncateAt = cut)).foreach(_ => ())
+    }
+    assert(e.getMessage.contains("truncated tar"),
+      s"expected a loud truncation, got: ${e.getMessage}")
+  }
+
   test("epochOrder: positions are an exact 1..N permutation, " +
       "reproducible for the same (seed, epoch), different across " +
       "epochs, and in-shard blocks follow the shard draw order") {
