@@ -69,6 +69,10 @@ object Export {
     * change entirely, so their manifests are always scheme 2. */
   val ChecksumScheme = 2
 
+  /** Bound on [[retractShards]]'s Seq takedown path — larger lists
+    * must go through [[retractShardsOf]]. */
+  val MaxRetractIds = 100000
+
   private def manifestRoot(dir: String) = s"$dir/manifest"
   private def shardsRoot(dir: String) = s"$dir/shards"
 
@@ -547,6 +551,50 @@ object Export {
       ids: Seq[String], sizeOf: Column, checksumCols: Seq[String],
       keep: Int = 3): ShardedExport = {
     require(ids.nonEmpty, "retractShards needs at least one id")
+    // the Seq path compiles the list into the plan (isin literal) and
+    // groups it driver-side — right for takedown-list scale (10^2 -
+    // 10^4), wrong for 10^6 (the plan itself inflates). Same seam
+    // class pqTopK bounded in round 15: fail loudly and route to the
+    // DataFrame overload, which anti-joins a broadcast id frame.
+    require(ids.size <= MaxRetractIds,
+      s"retractShards: ${ids.size} ids exceed MaxRetractIds=" +
+        s"$MaxRetractIds — an id list this large inflates the plan " +
+        "(in-plan isin literal); pass the ids as a DataFrame via " +
+        "retractShardsOf (broadcast anti-join per generation)")
+    val dropSet = ids.distinct
+    retractImpl(spark, dir, idCol, sizeOf, checksumCols, keep,
+      affectedOf = n => dropSet.map(shardOfId(_, n)).toSet,
+      dropFilter = df => df.filter(!col(idCol).cast("string")
+        .isin(dropSet.map(x => x: Any): _*)))
+  }
+
+  /** [[retractShards]] for LARGE takedown lists: `ids` is a
+    * one-column frame (any type; cast to string for the draw). The
+    * affected-shard set comes from one O(|ids|) pass emitting at most
+    * nShards rows, and the drop is a broadcast LEFT ANTI join against
+    * the distinct ids — nothing id-list-sized ever enters the plan
+    * text or the driver, so a 10^6-id retraction carries the same
+    * plan shape as a 10^2 one. Same no-op/idempotency/crash contract
+    * as the Seq path. */
+  def retractShardsOf(spark: SparkSession, dir: String, idCol: String,
+      ids: DataFrame, sizeOf: Column, checksumCols: Seq[String],
+      keep: Int = 3): ShardedExport = {
+    val idsS = ids.select(col(ids.columns.head).cast("string")
+        .as("__rid"))
+      .filter(col("__rid").isNotNull)
+      .distinct()
+    retractImpl(spark, dir, idCol, sizeOf, checksumCols, keep,
+      affectedOf = n => idsS
+        .select(shardOf(col("__rid"), n).as("k")).distinct()
+        .collect().map(_.getInt(0)).toSet,
+      dropFilter = df => df.join(broadcast(idsS),
+        df(idCol).cast("string") === col("__rid"), "left_anti"))
+  }
+
+  private def retractImpl(spark: SparkSession, dir: String,
+      idCol: String, sizeOf: Column, checksumCols: Seq[String],
+      keep: Int, affectedOf: Int => Set[Int],
+      dropFilter: DataFrame => DataFrame): ShardedExport = {
     val m = readShardManifest(spark, dir)
     requireScheme(m, dir, "retractShards")
     val head = m.select(col("n_shards"), col("format")).head()
@@ -559,8 +607,7 @@ object Export {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)), (r.getString(4), r.getLong(5))))
       .toMap
-    val byShard = ids.distinct.groupBy(shardOfId(_, nShards))
-    val affected = byShard.keySet.filter(prior.contains)
+    val affected = affectedOf(nShards).filter(prior.contains)
     if (affected.isEmpty) { // nothing stored holds these ids — no-op
       val v = Versioned.currentVersion(spark, manifestRoot(dir)).get
       return ShardedExport(v, nShards,
@@ -571,8 +618,7 @@ object Export {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // read ONLY the affected shards' files (grouped per generation so
     // basePath keeps the shard column), drop the ids, pin the result
-    val dropSet = ids.distinct.toSet
-    val kept = affected.toSeq.map(k => prior(k)._2._1)
+    val kept = dropFilter(affected.toSeq.map(k => prior(k)._2._1)
       .groupBy(p => new org.apache.hadoop.fs.Path(p)
         .getParent.getParent.toString)
       .toSeq.map { case (base, files) =>
@@ -585,9 +631,7 @@ object Export {
       // instead of retracting. A checksumCol evolved into existence
       // checksums its nulls via the U+0002 sentinel, consistent with
       // readShards' null surfacing (round-15 advice).
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .filter(!col(idCol).cast("string")
-        .isin(dropSet.toSeq.map(x => x: Any): _*))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
       .localCheckpoint()
     val keptStats = shardAggregates(kept, sizeOf, checksumCols)
       .collect()

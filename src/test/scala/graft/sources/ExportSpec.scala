@@ -276,6 +276,53 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       "an emptied shard stayed in the manifest")
   }
 
+  test("retractShardsOf: the DataFrame takedown equals the Seq " +
+      "takedown (same view, same manifest aggregates), re-running it " +
+      "is a version no-op, and the Seq path bounds its in-plan id " +
+      "list loudly") {
+    val docs = corpus(300)
+    val drop = docs.select(col("doc_id")).as[Long].collect()
+      .filter(_ % 7 == 0).toSeq
+    def build(tag: String): String = {
+      val dir = graft.core.Scratch.dir(s"export_retract_df_$tag")
+      Export.exportShardsIncremental(docs, dir, 16, col("doc_id"),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      dir
+    }
+    val (seqDir, dfDir) = (build("seq"), build("df"))
+    Export.retractShards(spark, seqDir, "doc_id",
+      drop.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    val resDf = Export.retractShardsOf(spark, dfDir, "doc_id",
+      drop.toDF("doc_id"), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(resDf.rows == 300L - drop.size)
+    def view(d: String) = Export.readShards(spark, d)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(view(dfDir) == view(seqDir),
+      "DataFrame takedown diverged from the Seq takedown")
+    def agg(d: String) = Export.readShardManifest(spark, d)
+      .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(agg(dfDir) == agg(seqDir))
+    assert(Export.verifyShards(spark, dfDir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // idempotent: a re-run (plus ids never stored) mints no version
+    val v2 = Export.retractShardsOf(spark, dfDir, "doc_id",
+      (drop ++ Seq(999999L)).toDF("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(v2.version == resDf.version,
+      "re-running a DataFrame takedown minted a new version")
+    // the Seq path refuses plan-inflating lists and names the route
+    val big = (0 until Export.MaxRetractIds + 1).map(_.toString)
+    val e = intercept[IllegalArgumentException] {
+      Export.retractShards(spark, seqDir, "doc_id", big,
+        octet_length(col("text")), Seq("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("retractShardsOf"))
+  }
+
   test("exportShardsIncremental: only changed shards rewrite (files " +
       "reused BY REFERENCE), no-op re-export publishes nothing, " +
       "vanished shards drop, re-shard attempts fail loudly, rollback " +
