@@ -735,6 +735,72 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- DATASET CARD of an export store: the publication artifact
+    //      (docs, tokens, language mix, dup count) composed with the
+    //      manifest provenance delta (version, shards touched since
+    //      v-1) — read FROM the promoted store, replayed relationally
+    //      from documents plus the v1/v2 diff arithmetic; a stale
+    //      shard file, a wrong diff, or drifted token counting all
+    //      hash-mismatch ----
+    sql(
+      "q_store_card",
+      s"""WITH ad AS (
+         |  SELECT doc_id, text, lang,
+         |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % 8 AS shard,
+         |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+         |      || chr(1) || coalesce(text, chr(2))),
+         |      1, 8) AS BIGINT) AS c
+         |  FROM documents),
+         |v2 AS (SELECT shard, count(*) AS n, sum(c) AS cs
+         |       FROM ad GROUP BY 1),
+         |v1 AS (SELECT shard, count(*) AS n, sum(c) AS cs
+         |       FROM ad WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |diff AS (
+         |  SELECT
+         |    coalesce(sum(CASE WHEN v1.shard IS NULL THEN 1 END), 0)
+         |      ::BIGINT AS shards_added,
+         |    coalesce(sum(CASE WHEN v1.shard IS NOT NULL
+         |      AND v2.shard IS NOT NULL
+         |      AND (v1.n <> v2.n OR v1.cs <> v2.cs) THEN 1 END), 0)
+         |      ::BIGINT AS shards_changed,
+         |    coalesce(sum(CASE WHEN v2.shard IS NULL THEN 1 END), 0)
+         |      ::BIGINT AS shards_removed
+         |  FROM v1 FULL JOIN v2 ON v1.shard = v2.shard),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_docs,
+         |    sum(len(string_split(${TextQueries.NormSql}, ' ')))
+         |      ::BIGINT AS n_tokens,
+         |    count(DISTINCT lang)::BIGINT AS n_langs,
+         |    (count(*) - count(DISTINCT md5(text)))::BIGINT AS dup_docs
+         |  FROM documents),
+         |mo AS (SELECT lang AS top_lang FROM (
+         |  SELECT lang, row_number() OVER (ORDER BY count(*) DESC,
+         |    lang NULLS LAST) AS rn
+         |  FROM documents GROUP BY lang) WHERE rn = 1)
+         |SELECT 2::BIGINT AS version, 8::INT AS n_shards, n_docs,
+         |  n_tokens, n_langs, top_lang, dup_docs, shards_added,
+         |  shards_changed, shards_removed
+         |FROM agg, diff, mo""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_card"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        // two deterministic versions: a 90% slice, then the full
+        // corpus — so the card's provenance delta has real content
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 10 =!= 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.exportShardsIncremental(
+          docs, dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      graft.sources.Export.storeCard(s, dir, "text", Some("lang"))
+    },
+
     // ---- WARC/WET crawl front door: the documents slice is planted
     //      as TWO container files (one plain .warc, one multi-member
     //      .warc.gz — the Common-Crawl layout), each headed by a

@@ -694,6 +694,82 @@ object Export {
   def readShardManifest(spark: SparkSession, dir: String): DataFrame =
     upgradeManifest(Versioned.readCurrent(spark, manifestRoot(dir)))
 
+  /** Manifest versions currently retained on disk, oldest first —
+    * O(versions) driver metadata. */
+  def manifestVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(manifestRoot(dir))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong).sorted
+  }
+
+  /** DATASET CARD of a promoted export store — the publication
+    * artifact a corpus release ships, composed from the store itself
+    * (round-15 verdict item 5): one row of
+    * (version, n_shards, n_docs, n_tokens, n_langs, top_lang,
+    * dup_docs, shards_added, shards_changed, shards_removed), the
+    * last three the provenance delta against the PREVIOUS retained
+    * manifest version (what did this version touch?) — all shards
+    * count as added when no previous version survives.
+    *
+    * Scale shape: two column-pruned corpus passes (the scalar
+    * aggregates; the language mode over the dim-sized (lang, count)
+    * frame — its argmax window is metadata-sized, mirroring
+    * q_data_card) plus O(shards) driver metadata for the version
+    * diff. Token counting is the engine-standard
+    * normalize→whitespace-split, replayed relationally by the card's
+    * oracle. */
+  def storeCard(spark: SparkSession, dir: String, textCol: String,
+      langCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = readShardManifest(spark, dir)
+    val nShards = m.select(col("n_shards")).head().getInt(0)
+    val version = Versioned.currentVersion(spark, manifestRoot(dir))
+      .getOrElse(sys.error(s"storeCard: no promoted manifest at $dir"))
+    val prev = manifestVersions(spark, dir).filter(_ < version)
+      .lastOption
+    val (added, changed, removed) = prev match {
+      case None => (m.count(), 0L, 0L)
+      case Some(p) =>
+        val d = diffManifestVersions(spark, dir, p, version)
+          .groupBy(col("change")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (d.getOrElse("added", 0L), d.getOrElse("changed", 0L),
+          d.getOrElse("removed", 0L))
+    }
+    val rows = readShards(spark, dir)
+    val toks = size(graft.ops.Text.words(
+      graft.ops.Text.normalize(col(textCol)))).cast("long")
+    val agg = rows.agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks).as("n_tokens"),
+      langCol.map(c => countDistinct(col(c)))
+        .getOrElse(lit(0L)).as("n_langs"),
+      (count(lit(1)) -
+        countDistinct(md5(col(textCol).cast("binary")))).as("dup_docs"))
+    val withLang = langCol match {
+      case Some(c) =>
+        // dim-sized (lang, count) argmax — the single-partition window
+        // runs over at most |languages| rows, never the corpus
+        val mode = rows.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+          .withColumn("__rn", row_number().over(
+            Window.orderBy(col("__n").desc, col(c).asc_nulls_last)))
+          .filter(col("__rn") === 1)
+          .select(col(c).cast("string").as("top_lang"))
+        agg.crossJoin(broadcast(mode))
+      case None =>
+        agg.withColumn("top_lang", lit(null).cast("string"))
+    }
+    withLang.select(
+      lit(version).as("version"), lit(nShards).as("n_shards"),
+      col("n_docs"), col("n_tokens"), col("n_langs"), col("top_lang"),
+      col("dup_docs"), lit(added).as("shards_added"),
+      lit(changed).as("shards_changed"),
+      lit(removed).as("shards_removed"))
+  }
+
   /** The promoted export's rows, `shard` column included — the
     * manifest records the data format (parquet / json), so readers
     * dispatch without being told. jsonl reads infer the schema; pass

@@ -701,6 +701,44 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       .as[Int].collect().toSeq == Seq(Export.ChecksumScheme))
   }
 
+  test("storeCard: version/provenance-aware publication card — all " +
+      "shards 'added' on a first version, a takedown shows up as " +
+      "changed+removed against v-1, token/dup stats read from the " +
+      "store, langless stores card with null top_lang") {
+    val dir = graft.core.Scratch.dir("export_store_card")
+    val docs = (0 until 96).map(i =>
+        (i.toLong, s"word$i text text", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    Export.exportShardsIncremental(docs, dir, 8, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val c1 = Export.storeCard(spark, dir, "text", Some("lang"))
+      .as[(Long, Int, Long, Long, Long, String, Long, Long, Long, Long)]
+      .head()
+    assert(c1 == ((1L, 8, 96L, 96L * 3, 2L, "en", 0L, 8L, 0L, 0L)),
+      s"first-version card was $c1")
+    // retract one whole shard's ids plus one id elsewhere: the card
+    // against v-1 must show exactly those shards as removed/changed
+    val byShard = docs.select(col("doc_id")).as[Long].collect()
+      .groupBy(i => Export.shardOfId(i.toString, 8))
+    val emptied = byShard.keys.head
+    val otherId = byShard.collect {
+      case (k, ids) if k != emptied => ids.head }.head
+    Export.retractShards(spark, dir, "doc_id",
+      (byShard(emptied).toSeq :+ otherId).map(_.toString),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val c2 = Export.storeCard(spark, dir, "text", Some("lang"))
+      .as[(Long, Int, Long, Long, Long, String, Long, Long, Long, Long)]
+      .head()
+    assert(c2._1 == 2L && c2._3 == (96L - byShard(emptied).size - 1))
+    assert(c2._8 == 0L && c2._9 == 1L && c2._10 == 1L,
+      s"expected 0 added / 1 changed / 1 removed, got $c2")
+    // langless: n_langs 0, top_lang null, same counting
+    val c3 = Export.storeCard(spark, dir, "text", None)
+      .select(col("n_langs"), col("top_lang"), col("n_docs"))
+      .as[(Long, Option[String], Long)].head()
+    assert(c3 == ((0L, None, c2._3)))
+  }
+
   test("epochWorkerSlices: W contiguous shard-granular slices — " +
       "disjoint union is the full epoch, worker ids non-decreasing " +
       "along the global order, one worker per shard, balanced to " +
