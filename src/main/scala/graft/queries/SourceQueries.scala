@@ -801,6 +801,72 @@ object SourceQueries {
       graft.sources.Export.storeCard(s, dir, "text", Some("lang"))
     },
 
+    // ---- DECONTAMINATE-AT-EXPORT: the benchmark 5-gram screen runs
+    //      where the corpus leaves the pipeline — docs >= 450 are the
+    //      "eval set", the gated jsonl export publishes only training
+    //      docs sharing NO normalized 5-gram with it, and the oracle
+    //      replays screen + shard draw + manifest + text read-back in
+    //      one chain: a leaked contaminated doc, an over-dropped
+    //      clean doc, or a drifted gram all hash-mismatch ----
+    sql(
+      "q_export_decontam",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(${TextQueries.NormSql}, ' ')
+         |    AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, text, list_transform(range(len(w) - 4),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5]) AS g
+         |  FROM t),
+         |ev AS (SELECT flatten(list(g)) AS eg FROM sh WHERE doc_id >= 450),
+         |dd AS (SELECT doc_id, text FROM sh, ev
+         |       WHERE doc_id < 450 AND NOT list_has_any(g, eg)),
+         |tot AS (
+         |  SELECT sum(octet_length(encode(text)))::BIGINT AS total FROM dd),
+         |ns AS (
+         |  SELECT greatest(1, (total + 16383) // 16384)::BIGINT AS n
+         |  FROM tot),
+         |s AS (
+         |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+         |    octet_length(encode(text))::BIGINT AS b,
+         |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+         |      || chr(1) || coalesce(text, chr(2))),
+         |      1, 8) AS BIGINT) AS c
+         |  FROM dd)
+         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+         |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+         |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+         |  sum(c)::BIGINT AS rb_checksum
+         |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_decontam"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        val evalGrams = docs.filter(col("doc_id") >= 450)
+          .select(explode(
+            graft.ops.Text.shingles(col("text"), 5)).as("g"))
+        graft.sources.Export.exportJsonlShards(
+          docs.filter(col("doc_id") < 450), dir,
+          targetBytes = 16384L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"),
+          exclude = Some(graft.sources.Export.ExcludeGrams(
+            col("text"), evalGrams, n = 5))): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING"))),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- WARC/WET crawl front door: the documents slice is planted
     //      as TWO container files (one plain .warc, one multi-member
     //      .warc.gz — the Common-Crawl layout), each headed by a

@@ -149,6 +149,38 @@ object Export {
       coalesce(sum(sizeOf), lit(0L)).cast("long").as("bytes"),
       coalesce(sum(rowChecksum(checksumCols)), lit(0L)).as("checksum"))
 
+  /** DECONTAMINATION GATE for the export path (round-15 verdict
+    * item 6): drop any row whose `text` shares an `n`-gram (over the
+    * engine-standard normalized shingles) with the benchmark gram
+    * frame `grams` (one column, e.g. the exploded shingles of an eval
+    * set) — wired INTO [[exportShards]]/[[exportJsonlShards]] so the
+    * contamination screen runs where the corpus leaves the pipeline,
+    * with no intermediate materialization between screen and publish.
+    * The contaminated-id set is dim-sized by assumption (benchmark
+    * hits are rare), so the gate costs one extra column-pruned shingle
+    * pass + a semi/anti join pair; the export's pin then materializes
+    * only SURVIVING rows, and sizing/membership/manifest all see the
+    * screened corpus. */
+  final case class ExcludeGrams(text: Column, grams: DataFrame, n: Int = 5)
+
+  private def gated(df: DataFrame, id: Column,
+      exclude: Option[ExcludeGrams]): DataFrame =
+    exclude.fold(df)(applyExclude(df, id, _))
+
+  private def applyExclude(df: DataFrame, id: Column,
+      e: ExcludeGrams): DataFrame = {
+    val grams = e.grams
+      .select(col(e.grams.columns.head).cast("string").as("__g"))
+      .distinct()
+    val contaminated = df
+      .select(id.cast("string").as("__xid"),
+        explode(graft.ops.Text.shingles(e.text, e.n)).as("__g"))
+      .join(grams, Seq("__g"), "left_semi")
+      .select(col("__xid")).distinct()
+    df.join(broadcast(contaminated),
+      id.cast("string") === col("__xid"), "left_anti")
+  }
+
   /** Export `df` under `dir` as ~`targetBytes`-sized parquet shards +
     * a versioned manifest. `id` must be row-unique AND non-null (a
     * null id has no portable draw — the shard column would go null
@@ -160,9 +192,9 @@ object Export {
     * manifest version, shard count, row count and data directory. */
   def exportShards(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, sizeOf: Column, checksumCols: Seq[String],
-      keep: Int = 3): ShardedExport =
-    exportImpl(df, dir, targetBytes, id, sizeOf, checksumCols, keep,
-      format = "parquet", codec = None)
+      keep: Int = 3, exclude: Option[ExcludeGrams] = None): ShardedExport =
+    exportImpl(gated(df, id, exclude), dir, targetBytes, id, sizeOf,
+      checksumCols, keep, format = "parquet", codec = None)
 
   /** [[exportShards]] in the TRAINING-CONSUMABLE text format: one
     * JSON-lines file per shard (`.json` / `.json.gz` by `codec`),
@@ -181,9 +213,10 @@ object Export {
     * dispatched on) or any `read_json`-capable engine. */
   def exportJsonlShards(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, sizeOf: Column, checksumCols: Seq[String],
-      codec: String = "gzip", keep: Int = 3): ShardedExport =
-    exportImpl(df, dir, targetBytes, id, sizeOf, checksumCols, keep,
-      format = "json", codec = Some(codec))
+      codec: String = "gzip", keep: Int = 3,
+      exclude: Option[ExcludeGrams] = None): ShardedExport =
+    exportImpl(gated(df, id, exclude), dir, targetBytes, id, sizeOf,
+      checksumCols, keep, format = "json", codec = Some(codec))
 
   /** [[exportShards]] in the WebDataset-style TAR format: one
     * uncompressed `.tar` per shard, each row an entry `<key>.txt`

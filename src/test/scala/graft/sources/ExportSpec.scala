@@ -701,6 +701,49 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       .as[Int].collect().toSeq == Seq(Export.ChecksumScheme))
   }
 
+  test("exportShards exclude gate: the published store equals " +
+      "decontaminate-then-export (exactly the contaminated docs " +
+      "dropped, manifest computed over survivors only)") {
+    import graft.ops.{Dedup, Text}
+    val docs = (0 until 60).map { i =>
+      val base = s"unique document number $i with plain filler words"
+      // docs 50-59 are the eval set; docs 0-9 quote eval doc (i+50)'s
+      // exact phrasing -> contaminated; 10-49 are clean
+      val text =
+        if (i < 10) base + s" quoting unique document number ${i + 50} " +
+          "with plain filler words"
+        else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") < 50)
+    val eval_ = docs.filter(col("doc_id") >= 50)
+    val grams = eval_.select(explode(
+      Text.shingles(col("text"), 5)).as("g"))
+    val gatedDir = graft.core.Scratch.dir("export_gate")
+    val refDir = graft.core.Scratch.dir("export_gate_ref")
+    val resGated = Export.exportShards(train, gatedDir, 1024L,
+      col("doc_id"), octet_length(col("text")), Seq("doc_id", "text"),
+      exclude = Some(Export.ExcludeGrams(col("text"), grams, 5)))
+    val resRef = Export.exportShards(
+      Dedup.decontaminate(train, "doc_id", col("text"), eval_,
+        col("text"), n = 5),
+      refDir, 1024L, col("doc_id"), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(resGated.rows == 40L, s"gate kept ${resGated.rows} rows")
+    assert(resGated.rows == resRef.rows &&
+      resGated.shards == resRef.shards)
+    def view(d: String) = Export.readShards(spark, d)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(view(gatedDir) == view(refDir))
+    assert(view(gatedDir) == (10L until 50L).toSet,
+      "gate must drop exactly the contaminated docs")
+    // identical content -> identical content-addressed dir name
+    assert(new java.io.File(new java.net.URI(
+        "file://" + resGated.dataDir).getPath).getName ==
+      new java.io.File(new java.net.URI(
+        "file://" + resRef.dataDir).getPath).getName)
+  }
+
   test("storeCard: version/provenance-aware publication card — all " +
       "shards 'added' on a first version, a takedown shows up as " +
       "changed+removed against v-1, token/dup stats read from the " +
