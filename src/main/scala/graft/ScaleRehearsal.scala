@@ -998,6 +998,171 @@ object ScaleRehearsal {
       growth("inc100_index (100x/10x)") = i100 / i10
     }
 
+    // ---- HTML -> text extraction (round 16): one codegen'd scalar
+    // chain (regexp_replace/replace), purely map-side — bar ≲ 10
+    // with zero shuffle ----
+    if (on("html_extract")) {
+      def extractSecs(docs: DataFrame, label: String): Double = {
+        val wrapped = docs.select(col("doc_id"), concat(
+            lit("<html><head><title>Doc "), col("doc_id"),
+            lit("</title><script>if (a<b) { x(\"<p>\"); }</script>" +
+              "<style>p > i {}</style><h1>T &amp; t</h1><p>"),
+            col("text"),
+            lit("</p><div data-x=\"a>b\">&copy;&nbsp;x</div></html>"))
+          .as("html")).localCheckpoint()
+        (1 to 2).map { _ =>
+          timed(label) {
+            wrapped.select(graft.ops.Html.htmlText(col("html"))
+              .as("t")).agg(sum(length(col("t")))).head().getLong(0)
+          }
+        }.min
+      }
+      val h1 = extractSecs(tdocs1, "html_extract 1x")
+      val h10 = extractSecs(tdocs10, "html_extract 10x")
+      growth("html_extract (10x/1x)") = h10 / h1
+    }
+
+    // ---- multi-worker epoch slices (round 16): epochOrder's plan
+    // plus one O(shards) metadata window — the delta over epoch_order
+    // must be metadata-sized, so the 10x factor matches
+    // epoch_order's ----
+    if (on("epoch_workers")) {
+      def sliceSecs(docs: DataFrame, label: String, n: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_epochw_$n")
+        graft.sources.Export.exportShards(docs, dir,
+          targetBytes = 1L << 18, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"))
+        (1 to 2).map { rep =>
+          timed(s"$label rep$rep") {
+            graft.sources.Export.epochWorkerSlices(spark, dir,
+                "doc_id", seed = 7L, epoch = rep, nWorkers = 8)
+              .groupBy(col("worker")).count().count()
+          }
+        }.min
+      }
+      val w1 = sliceSecs(tdocs1, "epoch_workers 1x", 1)
+      val w10 = sliceSecs(tdocs10, "epoch_workers 10x", 10)
+      growth("epoch_workers (10x/1x)") = w10 / w1
+    }
+
+    // ---- streamed tar read-back (round 16): shard count ×10 at a
+    // CONSTANT targetBytes — one task per tar, one entry in memory;
+    // wall grows with file count, far below 10 while cores are
+    // free ----
+    if (on("tar_read")) {
+      def tarSecs(docs: DataFrame, label: String, n: Int): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_tar_$n")
+        graft.sources.Export.exportTarShards(
+          docs.select("doc_id", "text"), dir, targetBytes = 1L << 18,
+          id = col("doc_id"), payload = col("text"))
+        (1 to 2).map { _ =>
+          timed(label) {
+            graft.sources.Export.readShards(spark, dir).count()
+          }
+        }.min
+      }
+      val t1 = tarSecs(tdocs1, "tar_read 1x", 1)
+      val t10 = tarSecs(tdocs10, "tar_read 10x", 10)
+      growth("tar_read (10x/1x)") = t10 / t1
+    }
+
+    // ---- DataFrame takedown (round 16): a 10^5-id retraction
+    // through retractShardsOf vs the Seq path's documented scale
+    // (20 ids) on the SAME 10x store. The id list is 5000× bigger;
+    // the plan shape is identical (broadcast anti-join), so the wall
+    // should track affected-shard FILES (saturating at nShards), not
+    // the id count — the ratio is the evidence that the 10^6-id
+    // seam is closed ----
+    if (on("retract_df")) {
+      def store(rep: Int): String = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_retractdf_$rep")
+        graft.sources.Export.exportShardsIncremental(
+          saltedDocs(10).select("doc_id", "text"), dir, 256,
+          col("doc_id"), octet_length(col("text")),
+          Seq("doc_id", "text"))
+        dir
+      }
+      val seqSecs = (1 to 2).map { rep =>
+        val dir = store(rep)
+        timed(s"retract_df seq-20-ids rep$rep") {
+          graft.sources.Export.retractShards(spark, dir, "doc_id",
+            (0L until 20L).map(_.toString), octet_length(col("text")),
+            Seq("doc_id", "text")).rows
+        }
+      }.min
+      val dfSecs = (1 to 2).map { rep =>
+        val dir = store(rep + 2)
+        val ids = tdocs10.select(col("doc_id"))
+          .filter(col("doc_id") % 7 === 0).limit(100000)
+          .localCheckpoint()
+        timed(s"retract_df df-100k-ids rep$rep") {
+          graft.sources.Export.retractShardsOf(spark, dir, "doc_id",
+            ids, octet_length(col("text")), Seq("doc_id", "text")).rows
+        }
+      }.min
+      growth("retract_df (100k-id df / 20-id seq, 10x store)") =
+        dfSecs / seqSecs
+    }
+
+    // ---- store card (round 16): two column-pruned passes + O(shards)
+    // metadata — bar ≲ 10 ----
+    if (on("store_card")) {
+      def cardSecs(copies: Int, label: String): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_card_$copies")
+        graft.sources.Export.exportShardsIncremental(
+          saltedDocs(copies).select("doc_id", "text"), dir, 64,
+          col("doc_id"), octet_length(col("text")),
+          Seq("doc_id", "text"))
+        (1 to 2).map { _ =>
+          timed(label) {
+            graft.sources.Export.storeCard(spark, dir, "text")
+              .select(col("n_docs")).head().getLong(0)
+          }
+        }.min
+      }
+      val c1 = cardSecs(1, "store_card 1x")
+      val c10 = cardSecs(10, "store_card 10x")
+      growth("store_card (10x/1x)") = c10 / c1
+    }
+
+    // ---- decontaminate-at-export (round 16): the gate riding the
+    // export vs screen-then-export as two separate jobs over the SAME
+    // 10x corpus and gram set. The gated path skips the intermediate
+    // materialization; ratio < 1 is the win, ~1 the break-even ----
+    if (on("export_gate")) {
+      val grams = tdocs1.filter(col("doc_id") % 50 === 0)
+        .select(explode(graft.ops.Text.shingles(col("text"), 5))
+          .as("g")).localCheckpoint()
+      val corpus10 = tdocs10.select("doc_id", "text").localCheckpoint()
+      val gSecs = (1 to 2).map { rep =>
+        val dir = graft.core.Scratch.dir(s"rehearsal_gate_$rep")
+        timed(s"export_gate gated rep$rep") {
+          graft.sources.Export.exportShards(corpus10, dir, 1L << 18,
+            col("doc_id"), octet_length(col("text")),
+            Seq("doc_id", "text"),
+            exclude = Some(graft.sources.Export.ExcludeGrams(
+              col("text"), grams, 5))).rows
+        }
+      }.min
+      val sSecs = (1 to 2).map { rep =>
+        val dir = graft.core.Scratch.dir(s"rehearsal_gate_sep_$rep")
+        val mid = graft.core.Scratch.dir(s"rehearsal_gate_mid_$rep")
+        timed(s"export_gate screen-then-export rep$rep") {
+          graft.ops.Dedup.decontaminate(corpus10, "doc_id",
+              col("text"), grams.select(col("g").as("text")),
+              col("text"), n = 5)
+            .write.mode("overwrite").parquet(mid)
+          graft.sources.Export.exportShards(
+            spark.read.parquet(mid), dir, 1L << 18,
+            col("doc_id"), octet_length(col("text")),
+            Seq("doc_id", "text")).rows
+        }
+      }.min
+      growth("export_gate (gated / screen-then-export, 10x)") =
+        gSecs / sSecs
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")

@@ -279,23 +279,30 @@ object Export {
     require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
     require(checksumCols.nonEmpty, "checksumCols must be non-empty")
     val spark = df.sparkSession
-    // pass 1 (column-pruned): total payload bytes -> shard count
-    val total = df.agg(coalesce(sum(sizeOf), lit(0L)).cast("long"))
+    // PIN one materialization FIRST: (a) the manifest aggregates and
+    // the data write must see the SAME rows, or a source that is not
+    // perfectly deterministic between jobs (files changing under the
+    // scan, rand-derived columns) publishes a manifest computed from
+    // a different materialization than the files on disk — a silent
+    // mismatch only caught later by verifyShards (round-14 advice);
+    // (b) the upstream plan runs ONCE. Round 15 pinned AFTER the
+    // sizing pass, which re-evaluated the whole source plan for pass
+    // 1 — cheap for a pruned parquet scan, but the round-16
+    // decontamination gate measured it at 1.53× of screen-then-export
+    // (the gate's semi/anti join chain ran twice). Pinning first
+    // costs nothing the pin wasn't already paying, and every later
+    // pass (sizing included) is a local-block scan. The shard column
+    // is a cheap scalar computed ON the pinned blocks (it needs
+    // nShards, which needs the sizing pass — pinning it too would be
+    // circular).
+    val pinned = df.localCheckpoint()
+    // pass 1 (over pinned blocks, column-pruned): total payload bytes
+    // -> shard count
+    val total = pinned.agg(coalesce(sum(sizeOf), lit(0L)).cast("long"))
       .head().getLong(0)
     val nShards = math.max(1L, (total + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue.toLong).toInt
-    // PIN one materialization: the manifest aggregates (pass below)
-    // and the data write must see the SAME rows, or a source that is
-    // not perfectly deterministic between jobs (files changing under
-    // the scan, rand-derived columns) publishes a manifest computed
-    // from a different materialization than the files on disk — a
-    // silent mismatch only caught later by verifyShards (round-14
-    // advice). localCheckpoint cuts the lineage at executor-local
-    // blocks, so both downstream jobs read the pinned rows. (The
-    // sizing pass above runs pre-pin, but it only picks nShards —
-    // membership and every manifest number derive from `staged`.)
-    val staged = df.withColumn("shard", shardOf(id, nShards))
-      .localCheckpoint()
+    val staged = pinned.withColumn("shard", shardOf(id, nShards))
     // pass 2 (column-pruned): per-shard manifest aggregates; ≤ nShards
     // rows — collecting them is O(shards) driver metadata, not data
     val stats = shardAggregates(staged, sizeOf, checksumCols)
