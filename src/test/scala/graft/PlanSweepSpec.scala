@@ -16,6 +16,8 @@ class PlanSweepSpec extends AnyFunSuite {
   // query -> why a cross/nested-loop shape is intended and bounded
   private val allowedCross: Map[String, String] = Map(
     "q_join_cross" -> "the operator under test: broadcast dimension universe",
+    "q_store_card" -> ("one-row card × one-row modal-language frame, " +
+      "broadcast by construction (storeCard's dim-sized argmax)"),
     "q_summary_lattice" -> "universe = groups x broadcast(categories), both dimension-sized",
     "q_study_summary" -> "same lattice universe construction per matrix",
     "q_study_index" -> "embeds the study summary lattice",
