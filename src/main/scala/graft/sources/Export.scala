@@ -1104,7 +1104,8 @@ object Export {
     * the plan. */
   def epochOrder(spark: SparkSession, dir: String, idCol: String,
       seed: Long, epoch: Int): DataFrame =
-    epochOrderOf(readShards(spark, dir), idCol, seed, epoch)
+    withEpochOrder(readShards(spark, dir), idCol, seed, epoch,
+      workers = None, counts = Some(manifestCounts(spark, dir)))
 
   /** [[epochOrder]] over ANY frame carrying a `shard` column — e.g.
     * the streamed export's committed rows
@@ -1112,7 +1113,8 @@ object Export {
     * the same draw-based shard ids. */
   def epochOrderOf(rows: DataFrame, idCol: String,
       seed: Long, epoch: Int): DataFrame =
-    withEpochOrder(rows, idCol, seed, epoch, workers = None)
+    withEpochOrder(rows, idCol, seed, epoch, workers = None,
+      counts = None)
 
   /** [[epochOrderOf]] plus a `worker` column: the epoch's shard visit
     * order cut into `nWorkers` CONTIGUOUS, shard-granular slices —
@@ -1132,23 +1134,40 @@ object Export {
     * resolves to the same id list on any cluster, so W workers shard
     * the epoch with zero coordination. */
   def epochWorkerSlices(spark: SparkSession, dir: String, idCol: String,
-      seed: Long, epoch: Int, nWorkers: Int): DataFrame =
-    epochWorkerSlicesOf(readShards(spark, dir), idCol, seed, epoch,
-      nWorkers)
+      seed: Long, epoch: Int, nWorkers: Int): DataFrame = {
+    require(nWorkers >= 1, s"nWorkers must be >= 1: $nWorkers")
+    withEpochOrder(readShards(spark, dir), idCol, seed, epoch,
+      workers = Some(nWorkers),
+      counts = Some(manifestCounts(spark, dir)))
+  }
 
   /** [[epochWorkerSlices]] over any shard-carrying frame. */
   def epochWorkerSlicesOf(rows: DataFrame, idCol: String,
       seed: Long, epoch: Int, nWorkers: Int): DataFrame = {
     require(nWorkers >= 1, s"nWorkers must be >= 1: $nWorkers")
-    withEpochOrder(rows, idCol, seed, epoch, workers = Some(nWorkers))
+    withEpochOrder(rows, idCol, seed, epoch, workers = Some(nWorkers),
+      counts = None)
   }
+
+  /** The manifest's per-shard row counts as the epoch offsets
+    * source: the manifest already carries n_rows per shard (and the
+    * verify contract holds it equal to the data), so a store-based
+    * epoch order needs NO second corpus pass for its counts — for
+    * jsonl/tar stores the round-15 shape re-DECODED the whole corpus
+    * just to count rows per shard (round 16). */
+  private def manifestCounts(spark: SparkSession, dir: String): DataFrame =
+    readShardManifest(spark, dir)
+      .select(col("shard"), col("n_rows").as("__n"))
 
   /** Shared (seed, epoch) permutation plan: per-shard window for the
     * local rank + O(shards) offsets table broadcast back — nothing
     * global touches row data (the offsets windows run over the
-    * metadata-sized count frame only). */
+    * metadata-sized count frame only). `counts` (shard, __n)
+    * substitutes for the count aggregation when the caller already
+    * holds it as metadata (the store manifest). */
   private def withEpochOrder(rows: DataFrame, idCol: String,
-      seed: Long, epoch: Int, workers: Option[Int]): DataFrame = {
+      seed: Long, epoch: Int, workers: Option[Int],
+      counts: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tag = lit(s"$seed:$epoch:")
     val rdraw = md5Draw(concat(tag, col(idCol).cast("string")))
@@ -1157,19 +1176,19 @@ object Export {
     val ranked = rows.withColumn("__lrank",
       row_number().over(localW).cast("long"))
     val sdraw = md5Draw(concat(tag, col("shard").cast("string")))
-    val counts = rows.groupBy(col("shard"))
-      .agg(count(lit(1)).as("__n"))
+    val counted = counts.getOrElse(
+      rows.groupBy(col("shard")).agg(count(lit(1)).as("__n")))
       .withColumn("__offset",
         sum(col("__n")).over(Window.orderBy(
           sdraw.asc, col("shard").asc)) - col("__n"))
     val offsets = workers match {
-      case None => counts.select(col("shard"), col("__offset"))
+      case None => counted.select(col("shard"), col("__offset"))
       case Some(w) =>
         // the single-partition total window is over the O(shards)
         // count frame, never row data; `div` keeps the assignment in
         // exact integer arithmetic (a double floor would wobble at
         // 100 TB-scale offsets)
-        counts
+        counted
           .withColumn("__total",
             sum(col("__n")).over(Window.partitionBy(lit(1))))
           .withColumn("worker",

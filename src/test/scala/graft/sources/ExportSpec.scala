@@ -829,6 +829,34 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       "a new epoch must re-deal the slices")
   }
 
+  test("epochOrder's manifest-count shortcut: the store-based order " +
+      "(offsets from manifest n_rows, no second corpus pass) equals " +
+      "the frame-based order exactly — including worker slices, on a " +
+      "jsonl store where the saved pass is a full re-decode") {
+    val dir = graft.core.Scratch.dir("export_epoch_manifest")
+    val docs = corpus(140)
+    Export.exportJsonlShards(docs, dir, 2048L, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val viaManifest = Export
+      .epochOrder(spark, dir, "doc_id", seed = 5L, epoch = 2)
+      .select(col("doc_id").cast("long"), col("epoch_pos").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val viaFrame = Export
+      .epochOrderOf(Export.readShards(spark, dir), "doc_id", 5L, 2)
+      .select(col("doc_id").cast("long"), col("epoch_pos").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaManifest == viaFrame,
+      "manifest-count offsets diverged from recomputed counts")
+    val wm = Export.epochWorkerSlices(spark, dir, "doc_id", 5L, 2, 3)
+      .select(col("doc_id").cast("long"), col("worker"))
+      .as[(Long, Int)].collect().toSet
+    val wf = Export.epochWorkerSlicesOf(
+        Export.readShards(spark, dir), "doc_id", 5L, 2, 3)
+      .select(col("doc_id").cast("long"), col("worker"))
+      .as[(Long, Int)].collect().toSet
+    assert(wm == wf)
+  }
+
   test("rowChecksum null-normalization: rows differing only in null " +
       "PLACEMENT get different checksums, and a null column never " +
       "drops the row from the sum") {
