@@ -82,4 +82,13 @@ object Sources {
       dir: String,
       pathGlob: String = "*.warc*"): DataFrame =
     Warc.records(spark, dir, pathGlob)
+
+  /** Raw-crawl HTML view ([[Warc.responseHtml]]): `response` records'
+    * bodies with the HTTP header block stripped — feed to
+    * [[graft.ops.Html.htmlText]] for the non-WET curation path. */
+  def warcResponseHtml(
+      spark: SparkSession,
+      dir: String,
+      pathGlob: String = "*.warc*"): DataFrame =
+    Warc.responseHtml(spark, dir, pathGlob)
 }
