@@ -561,6 +561,59 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- TAKEDOWN on the TEXT-FORMAT store: right-to-be-forgotten
+    //      for jsonl shards — the affected gzip-json files rewrite
+    //      into a json delta generation, the json_inc group reader
+    //      serves the mixed-generation view, and the manifest + a
+    //      text read-back recompute must equal the relational replay
+    //      of the corpus WITHOUT the retracted ids ----
+    sql(
+      "q_retract_jsonl",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % 6 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 89 <> 0)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_retract_jsonl"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // nShards fixed at 6 so the oracle's draw is static: jsonl
+      // export normally sizes from bytes, but the retract face needs
+      // membership replayable without the sizing CTE — use the
+      // incremental-style fixed count via a targetBytes that yields 6
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        val total = docs.agg(sum(octet_length(col("text"))))
+          .head().getLong(0)
+        graft.sources.Export.exportJsonlShards(docs, dir,
+          targetBytes = (total + 5) / 6, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        val takedown = docs.filter(col("doc_id") % 89 === 0)
+          .select(col("doc_id").cast("string"))
+          .collect().map(_.getString(0)).toSeq
+        graft.sources.Export.retractShards(s, dir, "doc_id", takedown,
+          octet_length(col("text")), Seq("doc_id", "text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING"))),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- O(1) POINT LOOKUP against the export store: the id routes
     //      to its single shard file via the driver-side draw — one
     //      file read whatever the store size; the oracle is the plain

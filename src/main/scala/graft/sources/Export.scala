@@ -235,13 +235,15 @@ object Export {
     * out of the tars. Keys must fit USTAR's 100-byte name field
     * (minus the ".txt" suffix). */
   def exportTarShards(df: DataFrame, dir: String, targetBytes: Long,
-      id: Column, payload: Column, keep: Int = 3): ShardedExport = {
+      id: Column, payload: Column, keep: Int = 3,
+      exclude: Option[ExcludeGrams] = None): ShardedExport = {
+    val src = gated(df, id, exclude)
     // a null payload becomes an EMPTY entry (zero-length tar member):
     // the writer must not NPE on a sparse column, and "document with
     // no payload" is representable in tar where parquet would carry
     // the null — the checksum still separates the shapes because key
     // and payload checksum through the null-normalized draw
-    val staged = df.select(id.cast("string").as("key"),
+    val staged = src.select(id.cast("string").as("key"),
       coalesce(payload.cast("binary"),
         lit(Array.empty[Byte])).as("payload"))
     exportImpl(staged, dir, targetBytes, col("key"),
@@ -262,8 +264,8 @@ object Export {
     * (shard, key, payload, meta) rows). */
   def exportTarSamples(df: DataFrame, dir: String, targetBytes: Long,
       id: Column, payload: Column, meta: Column,
-      keep: Int = 3): ShardedExport = {
-    val staged = df.select(id.cast("string").as("key"),
+      keep: Int = 3, exclude: Option[ExcludeGrams] = None): ShardedExport = {
+    val staged = gated(df, id, exclude).select(id.cast("string").as("key"),
       coalesce(payload.cast("binary"),
         lit(Array.empty[Byte])).as("payload"),
       coalesce(meta.cast("string"), lit("")).as("meta"))
@@ -502,7 +504,8 @@ object Export {
       latestDir)
   }
 
-  /** O(1) point lookup against a promoted parquet export store: the
+  /** O(1) point lookup against a promoted parquet or jsonl export
+    * store: the
     * id's shard is the driver-side draw ([[shardOfId]]), so the read
     * touches ONE shard file whatever the store size — the serving-
     * side complement of the takedown path ("is document X in the
@@ -512,8 +515,9 @@ object Export {
       id: String): DataFrame = {
     val m = readShardManifest(spark, dir)
     val head = m.select(col("n_shards"), col("format")).head()
-    require(Set("parquet", "parquet_inc")(head.getString(1)),
-      s"lookupById reads parquet stores, found ${head.getString(1)}")
+    val fmt = head.getString(1)
+    require(Set("parquet", "parquet_inc", "json", "json_inc")(fmt),
+      s"lookupById reads parquet and jsonl stores, found $fmt")
     val shard = shardOfId(id, head.getInt(0))
     val hit = m.filter(col("shard") === shard)
       .select(col("path")).collect().headOption
@@ -525,7 +529,9 @@ object Export {
         val path = r.getString(0)
         val base = new org.apache.hadoop.fs.Path(path)
           .getParent.getParent.toString
-        spark.read.option("basePath", base).parquet(path)
+        val rdr = spark.read.option("basePath", base)
+        (if (fmt.startsWith("json")) rdr.json(path)
+         else rdr.parquet(path))
           .filter(col(idCol).cast("string") === id)
     }
   }
@@ -583,9 +589,13 @@ object Export {
     * re-running a takedown list converges). Returns the published
     * export state (rows = rows remaining).
     *
-    * Works on `parquet` and `parquet_inc` stores; the result is
-    * always `parquet_inc` (the manifest now spans generations). The
-    * same crash discipline as every publish: the delta generation is
+    * Works on `parquet`/`parquet_inc` AND `json`/`json_inc` stores —
+    * the right-to-be-forgotten pass must cover the TRAINING-CONSUMABLE
+    * text format too (round 16); the result is `parquet_inc` /
+    * `json_inc` respectively (the manifest now spans generations, and
+    * a json delta keeps the store's file codec). Tar stores are
+    * immutable interchange artifacts — re-export those. The same
+    * crash discipline as every publish: the delta generation is
     * invisible until the manifest pointer flips. */
   def retractShards(spark: SparkSession, dir: String, idCol: String,
       ids: Seq[String], sizeOf: Column, checksumCols: Seq[String],
@@ -639,8 +649,14 @@ object Export {
     requireScheme(m, dir, "retractShards")
     val head = m.select(col("n_shards"), col("format")).head()
     val nShards = head.getInt(0)
-    require(Set("parquet", "parquet_inc")(head.getString(1)),
-      s"retractShards handles parquet stores, found ${head.getString(1)}")
+    val fmt = head.getString(1)
+    require(Set("parquet", "parquet_inc", "json", "json_inc")(fmt),
+      s"retractShards handles parquet and jsonl stores, found $fmt")
+    // right-to-be-forgotten must work for the TRAINING-CONSUMABLE
+    // text format too (round 16): the read/rewrite below dispatches
+    // on the store's format family; tar stores are immutable
+    // interchange artifacts — re-export those
+    val family = if (fmt.startsWith("json")) "json" else "parquet"
     val prior = m.select(col("shard"), col("n_rows"), col("bytes"),
         col("checksum"), col("path"), col("file_bytes"))
       .collect()
@@ -658,11 +674,14 @@ object Export {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // read ONLY the affected shards' files (grouped per generation so
     // basePath keeps the shard column), drop the ids, pin the result
-    val kept = dropFilter(affected.toSeq.map(k => prior(k)._2._1)
+    val priorFiles = affected.toSeq.map(k => prior(k)._2._1)
+    val kept = dropFilter(priorFiles
       .groupBy(p => new org.apache.hadoop.fs.Path(p)
         .getParent.getParent.toString)
       .toSeq.map { case (base, files) =>
-        spark.read.option("basePath", base).parquet(files: _*)
+        val rdr = spark.read.option("basePath", base)
+        if (family == "json") rdr.json(files: _*)
+        else rdr.parquet(files: _*)
       }
       // allowMissingColumns: the affected shards may span generations
       // with EVOLVED schemas (readShards documents that contract —
@@ -695,11 +714,18 @@ object Export {
         val dSum = survivors.toSeq.map(k => keptStats(k)._3).sum
         val dRows = survivors.toSeq.map(k => keptStats(k)._1).sum
         val deltaDir = s"${shardsRoot(dir)}/d_${java.lang.Long
-          .toHexString(dSum)}_${dRows}_parquet"
-        kept.filter(col("shard")
+          .toHexString(dSum)}_${dRows}_$family"
+        val w = kept.filter(col("shard")
             .isin(survivors.toSeq.map(Integer.valueOf): _*))
           .repartition(math.max(1, survivors.size), col("shard"))
-          .write.mode("overwrite").partitionBy("shard").parquet(deltaDir)
+          .write.mode("overwrite").partitionBy("shard")
+        if (family == "json")
+          // match the store's file codec so a mixed-generation read
+          // stays uniform (gzip iff the affected files were gzipped)
+          w.option("compression",
+            if (priorFiles.exists(_.endsWith(".gz"))) "gzip" else "none")
+            .json(deltaDir)
+        else w.parquet(deltaDir)
         listShardFiles(fs, deltaDir)
       }
     require(deltaFiles.keySet == survivors,
@@ -718,8 +744,8 @@ object Export {
     import spark.implicits._
     val manifest = newStats.toSeq.sortBy(_._1).map {
       case (k, ((n, b, c), (path, fb))) =>
-        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc",
-          ChecksumScheme)
+        (k, path, fb, n, b, c, latestDir, nShards, 0L,
+          s"${family}_inc", ChecksumScheme)
     }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
       "data_dir", "n_shards", "target_bytes", "format", "checksum_scheme")
     val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
@@ -825,7 +851,7 @@ object Export {
       case "json" => reader.json(dataDir)
       case "tar"  => readTarDir(spark, dataDir)
       case "tar_samples" => readTarSamples(spark, dataDir)
-      case "parquet_inc" =>
+      case inc @ ("parquet_inc" | "json_inc") =>
         // an incremental manifest's shard files span delta
         // generations — group the paths by generation dir so each
         // group reads with its own basePath (keeps the shard column),
@@ -833,14 +859,17 @@ object Export {
         // allowMissingColumns: generations evolve lazily (a column
         // added to the corpus reaches only the shards that rewrite),
         // so older generations surface the new column as null — the
-        // standard schema-evolution read semantics.
+        // standard schema-evolution read semantics. json_inc is the
+        // post-takedown shape of a jsonl store (round 16).
         val paths = readShardManifest(spark, dir)
           .select(col("path")).collect().map(_.getString(0))
         paths.groupBy(p => new org.apache.hadoop.fs.Path(p)
             .getParent.getParent.toString)
           .toSeq.map { case (base, files) =>
-            schema.fold(spark.read)(spark.read.schema)
-              .option("basePath", base).parquet(files.toSeq: _*)
+            val rdr = schema.fold(spark.read)(spark.read.schema)
+              .option("basePath", base)
+            if (inc == "json_inc") rdr.json(files.toSeq: _*)
+            else rdr.parquet(files.toSeq: _*)
           }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       case _      => reader.parquet(dataDir)
@@ -1147,6 +1176,36 @@ object Export {
     require(nWorkers >= 1, s"nWorkers must be >= 1: $nWorkers")
     withEpochOrder(rows, idCol, seed, epoch, workers = Some(nWorkers),
       counts = None)
+  }
+
+  /** The loader-consumable FILES view of [[epochWorkerSlices]]: one
+    * row per shard, (worker, visit_pos, shard, path, file_bytes,
+    * n_rows) in epoch visit order — what a DDP data-loader worker
+    * actually consumes: resolve your worker id to an ORDERED list of
+    * shard files to stream, no Spark job over row data at all
+    * (O(shards) manifest metadata; in-shard row order, if exact
+    * replay matters, is the seed:epoch:<id> draw of
+    * [[epochOrderOf]]). Assignment arithmetic is identical to
+    * [[epochWorkerSlices]] — the two views can never disagree. */
+  def epochWorkerFiles(spark: SparkSession, dir: String,
+      seed: Long, epoch: Int, nWorkers: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nWorkers >= 1, s"nWorkers must be >= 1: $nWorkers")
+    val tag = lit(s"$seed:$epoch:")
+    val sdraw = md5Draw(concat(tag, col("shard").cast("string")))
+    val visitW = Window.orderBy(sdraw.asc, col("shard").asc)
+    readShardManifest(spark, dir)
+      .select(col("shard"), col("path"), col("file_bytes"),
+        col("n_rows"))
+      .withColumn("visit_pos", row_number().over(visitW))
+      .withColumn("__offset",
+        sum(col("n_rows")).over(visitW) - col("n_rows"))
+      .withColumn("__total",
+        sum(col("n_rows")).over(Window.partitionBy(lit(1))))
+      .withColumn("worker",
+        expr(s"CAST(($nWorkers * __offset) DIV __total AS INT)"))
+      .select(col("worker"), col("visit_pos"), col("shard"),
+        col("path"), col("file_bytes"), col("n_rows"))
   }
 
   /** The manifest's per-shard row counts as the epoch offsets

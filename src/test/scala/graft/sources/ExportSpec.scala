@@ -276,6 +276,63 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       "an emptied shard stayed in the manifest")
   }
 
+  test("retractShards on a JSONL store: the text-format takedown " +
+      "rewrites only affected shards as gzip json (codec preserved), " +
+      "readShards dispatches json_inc across generations, lookup " +
+      "proves the id gone, audit holds, tar stores refuse loudly") {
+    val dir = graft.core.Scratch.dir("export_retract_jsonl")
+    val docs = corpus(150)
+    Export.exportJsonlShards(docs, dir, 2048L, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    def paths() = Export.readShardManifest(spark, dir)
+      .select(col("shard"), col("path")).as[(Int, String)]
+      .collect().toMap
+    val before = paths()
+    val drop = Seq(11L, 47L)
+    val res = Export.retractShards(spark, dir, "doc_id",
+      drop.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(res.rows == 148L)
+    val after = paths()
+    val touched = drop.map(i => Export.shardOfId(i.toString,
+      Export.readShardManifest(spark, dir)
+        .select(col("n_shards")).head().getInt(0))).toSet
+    before.foreach { case (k, p) =>
+      if (touched(k)) {
+        assert(after(k) != p, s"affected shard $k kept its old file")
+        assert(after(k).contains(".json") && after(k).endsWith(".gz"),
+          s"json delta lost the store codec: ${after(k)}")
+      } else assert(after(k) == p, s"UNTOUCHED shard $k was rewritten")
+    }
+    assert(Export.readShardManifest(spark, dir)
+      .select(col("format")).head().getString(0) == "json_inc")
+    val back = Export.readShards(spark, dir, Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")))
+    assert(back.count() == 148L)
+    assert(back.select("doc_id", "text")
+      .except(docs.filter(!col("doc_id").isin(drop: _*))).isEmpty)
+    assert(Export.lookupById(spark, dir, "doc_id", "11").isEmpty)
+    assert(Export.lookupById(spark, dir, "doc_id", "12")
+      .count() == 1L)
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // idempotent re-run mints no version
+    val v2 = Export.retractShards(spark, dir, "doc_id",
+      drop.map(_.toString), octet_length(col("text")),
+      Seq("doc_id", "text"))
+    assert(v2.version == res.version)
+    // tar stores are immutable interchange artifacts
+    val tarDir = graft.core.Scratch.dir("export_retract_tar")
+    Export.exportTarShards(docs, tarDir, 2048L, col("doc_id"),
+      col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Export.retractShards(spark, tarDir, "key", Seq("11"),
+        octet_length(col("payload")), Seq("key", "payload"))
+    }
+    assert(e.getMessage.contains("parquet and jsonl"))
+  }
+
   test("retractShardsOf: the DataFrame takedown equals the Seq " +
       "takedown (same view, same manifest aggregates), re-running it " +
       "is a version no-op, and the Seq path bounds its in-plan id " +
@@ -827,6 +884,39 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     val e1 = slices(1)
     assert(e1.map(_._2).toSeq != e0.map(_._2).toSeq,
       "a new epoch must re-deal the slices")
+  }
+
+  test("epochWorkerFiles: the pure-metadata files view agrees with " +
+      "epochWorkerSlices row-for-row (same worker per shard, visit " +
+      "order = the slice order), reads ONLY the manifest, and lists " +
+      "real files covering every row") {
+    val dir = graft.core.Scratch.dir("export_epoch_files")
+    val docs = corpus(160)
+    export(docs, dir): Unit
+    val files = Export.epochWorkerFiles(spark, dir, seed = 9L,
+      epoch = 1, nWorkers = 3)
+    assert(files.inputFiles.forall(_.contains("/manifest/")),
+      "the files view must touch only manifest metadata")
+    val f = files.select(col("worker"), col("visit_pos"),
+        col("shard"), col("path"), col("n_rows"))
+      .as[(Int, Int, Int, String, Long)].collect().sortBy(_._2)
+    // visit order is contiguous 1..S and worker ids non-decreasing
+    assert(f.map(_._2).toSeq == (1 to f.length))
+    assert(f.map(_._1).sliding(2).forall(p => p(0) <= p(1)))
+    // per-shard worker equals the row-level slice assignment
+    val rowView = Export.epochWorkerSlices(spark, dir, "doc_id",
+        9L, 1, 3)
+      .select(col("shard"), col("worker")).distinct()
+      .as[(Int, Int)].collect().toMap
+    f.foreach { case (w, _, sh, _, _) =>
+      assert(rowView(sh) == w, s"files view worker $w != row view " +
+        s"${rowView(sh)} for shard $sh")
+    }
+    // the files exist and the listed row counts cover the corpus
+    f.foreach { case (_, _, _, p, _) =>
+      assert(new java.io.File(new java.net.URI(p).getPath).isFile)
+    }
+    assert(f.map(_._5).sum == 160L)
   }
 
   test("epochOrder's manifest-count shortcut: the store-based order " +
