@@ -1105,6 +1105,31 @@ object ScaleRehearsal {
         dfSecs / seqSecs
     }
 
+    // ---- jsonl takedown (round 16): the text-format
+    // right-to-be-forgotten — constant 20-id retraction on a 1x vs a
+    // 10x jsonl store; same flat-in-store-size bar as the parquet
+    // retract row (affected gzip-json files reread/rewrite; no
+    // corpus term) ----
+    if (on("retract_jsonl")) {
+      def retractSecs(copies: Int, label: String): Double =
+        (1 to 2).map { rep =>
+          val dir = graft.core.Scratch.dir(
+            s"rehearsal_retract_jsonl_${copies}_$rep")
+          val docs = saltedDocs(copies).select("doc_id", "text")
+          graft.sources.Export.exportJsonlShards(docs, dir, 1L << 18,
+            col("doc_id"), octet_length(col("text")),
+            Seq("doc_id", "text"))
+          val ids = (0L until 20L).map(_.toString)
+          timed(s"$label rep$rep") {
+            graft.sources.Export.retractShards(spark, dir, "doc_id",
+              ids, octet_length(col("text")), Seq("doc_id", "text")).rows
+          }
+        }.min
+      val r1 = retractSecs(1, "retract_jsonl 20 ids of 1x")
+      val r10 = retractSecs(10, "retract_jsonl 20 ids of 10x")
+      growth("retract_jsonl (10x/1x store, constant takedown)") = r10 / r1
+    }
+
     // ---- store card (round 16): two column-pruned passes + O(shards)
     // metadata — bar ≲ 10 ----
     if (on("store_card")) {
