@@ -158,19 +158,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("epoch order: data path windows BY SHARD; the single-partition " +
-      "window sees only the O(shards) count table (which scans zero " +
-      "data columns)") {
+      "window sees only the O(shards) MANIFEST counts (the corpus is " +
+      "never re-read for offsets — round 16)") {
     val p = plan("q_epoch_order")
     assert(count(p, "SortMergeJoin") == 0) // offsets join back broadcast
     assert(count(p, "BroadcastHashJoin") == 1)
     // exactly ONE single-partition exchange, and it feeds from the
-    // count aggregation — never from row data
+    // manifest's (shard, n_rows) metadata — never from row data: the
+    // round-15 shape re-aggregated the corpus for counts (a full
+    // re-decode on jsonl/tar stores); the manifest already holds them
     assert(count(p, "Exchange SinglePartition") == 1)
-    assert(p.contains("functions=[count(1)]"))
-    // the row-data window is partitioned on the shard id
+    assert(!p.contains("functions=[count(1)]"),
+      "offsets must come from the manifest, not a corpus count pass")
+    assert(p.contains("manifest/v_"),
+      "the offsets side must scan the manifest")
+    assert(p.contains("ReadSchema: struct<shard:int,n_rows:bigint>"))
+    // the row-data window is partitioned on the shard id, and the
+    // data scan is pruned to the id (+ the shard partition column)
     assert(count(p, "windowspecdefinition\\(shard") == 1)
-    // the offsets side scans ONLY the shard partition column
-    assert(p.contains("ReadSchema: struct<>"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"))
   }
 
   test("aggregations are partial (map-side combine) before the shuffle") {
