@@ -514,6 +514,53 @@ object SourceQueries {
       manifest.join(rb, Seq("shard"))
     },
 
+    // ---- INCREMENTAL re-export of the TEXT-FORMAT store: the jsonl
+    //      shape grows O(changed) too — unchanged gzip-json shard
+    //      files are reused BY REFERENCE across generations while
+    //      only the new rows' shards re-encode; the manifest joins a
+    //      read-back recompute FROM THE TEXT FILES, so a stale reused
+    //      file or a mis-encoded delta hash-mismatches the relational
+    //      replay of the final corpus ----
+    sql(
+      "q_export_inc_jsonl",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % 8 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_inc_jsonl"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 10 =!= 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"), format = "json"): Unit
+        graft.sources.Export.exportShardsIncremental(
+          docs, dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"), format = "json"): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, text STRING"))),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- TAKEDOWN (right-to-be-forgotten) on the export store: the
     //      doc_id % 97 = 0 documents are retracted by id — the store
     //      reads and rewrites ONLY the shards those ids draw to (no

@@ -399,15 +399,20 @@ object Export {
     * version is published (a true no-op re-export).
     *
     * Works against a store whose current manifest came from
-    * [[exportShards]] (same nShards, parquet) or from a previous
-    * incremental export. Read with [[readShards]] (format
-    * `parquet_inc` group-reads the manifest's paths per generation
-    * dir). */
+    * [[exportShards]]/[[exportJsonlShards]] (same nShards) or from a
+    * previous incremental export — `format` picks the shard file
+    * layout for a FRESH store ("parquet" default or "json", the
+    * gzip-jsonl training shape) and must match the family of an
+    * existing one (a store never mixes layouts). Read with
+    * [[readShards]] (formats `parquet_inc`/`json_inc` group-read the
+    * manifest's paths per generation dir). */
   def exportShardsIncremental(df: DataFrame, dir: String, nShards: Int,
       id: Column, sizeOf: Column, checksumCols: Seq[String],
-      keep: Int = 3): ShardedExport = {
+      keep: Int = 3, format: String = "parquet"): ShardedExport = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(checksumCols.nonEmpty, "checksumCols must be non-empty")
+    require(Set("parquet", "json")(format),
+      s"incremental export formats: parquet | json, got $format")
     val spark = df.sparkSession
     // ONE unpinned scan for the change detection — incremental's whole
     // point is that the corpus-sized work is a single column-pruned
@@ -437,9 +442,13 @@ object Export {
             s"store at $dir has n_shards=${head.get(0)}; incremental " +
               s"export with nShards=$nShards would move every row's " +
               "shard — re-export fully to re-shard")
-          require(Set("parquet", "parquet_inc")(head.getString(1)),
-            s"incremental export continues parquet stores only, " +
-              s"found ${head.getString(1)}")
+          val storedFmt = head.getString(1)
+          require(Set("parquet", "parquet_inc", "json", "json_inc")(
+            storedFmt), "incremental export continues parquet and " +
+              s"jsonl stores only, found $storedFmt")
+          require(storedFmt.startsWith(format),
+            s"store at $dir is $storedFmt; cannot continue it " +
+              s"incrementally as $format — a store never mixes layouts")
           m.select(col("shard"), col("n_rows"), col("bytes"),
               col("checksum"), col("path"), col("file_bytes"))
             .collect()
@@ -477,9 +486,12 @@ object Export {
         val deltaSum = changed.toSeq.map(k => deltaStats(k)._3).sum
         val deltaRows = changed.toSeq.map(k => deltaStats(k)._1).sum
         val deltaDir = s"${shardsRoot(dir)}/d_${java.lang.Long
-          .toHexString(deltaSum)}_${deltaRows}_parquet"
-        delta.repartition(math.max(1, changed.size), col("shard"))
-          .write.mode("overwrite").partitionBy("shard").parquet(deltaDir)
+          .toHexString(deltaSum)}_${deltaRows}_$format"
+        val w = delta.repartition(math.max(1, changed.size), col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+        if (format == "json") w.option("compression", "gzip")
+          .json(deltaDir)
+        else w.parquet(deltaDir)
         (listShardFiles(fs, deltaDir), stats0 ++ deltaStats)
       }
     require(deltaFiles.keySet == changed,
@@ -494,8 +506,8 @@ object Export {
     val manifest = stats.toSeq.sortBy(_._1).map {
       case (k, (n, b, c)) =>
         val (path, fb) = deltaFiles.getOrElse(k, prior(k)._2)
-        (k, path, fb, n, b, c, latestDir, nShards, 0L, "parquet_inc",
-          ChecksumScheme)
+        (k, path, fb, n, b, c, latestDir, nShards, 0L,
+          s"${format}_inc", ChecksumScheme)
     }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
       "data_dir", "n_shards", "target_bytes", "format", "checksum_scheme")
     val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)

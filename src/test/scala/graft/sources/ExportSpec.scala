@@ -276,6 +276,66 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       "an emptied shard stayed in the manifest")
   }
 
+  test("exportShardsIncremental format=json: a jsonl store grows " +
+      "O(changed) — unchanged .json.gz files reused by reference, " +
+      "changed shards rewrite as gzip json deltas, no-op publishes " +
+      "nothing, retract composes, family mixing is loud") {
+    val dir = graft.core.Scratch.dir("export_inc_jsonl")
+    def inc(df: org.apache.spark.sql.DataFrame) =
+      Export.exportShardsIncremental(df, dir, 8, col("doc_id"),
+        octet_length(col("text")), Seq("doc_id", "text"),
+        format = "json")
+    def paths() = Export.readShardManifest(spark, dir)
+      .select(col("shard"), col("path")).as[(Int, String)]
+      .collect().toMap
+    val base = corpus(160)
+    val v1 = inc(base)
+    assert(Export.readShardManifest(spark, dir)
+      .select(col("format")).head().getString(0) == "json_inc")
+    paths().values.foreach(p => assert(p.contains(".json") &&
+      p.endsWith(".gz"), s"expected gzip json shard files, got $p"))
+    val back1 = Export.readShards(spark, dir, Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")))
+    assert(back1.select("doc_id", "text").except(base).isEmpty &&
+      base.except(back1.select("doc_id", "text")).isEmpty)
+    val paths1 = paths()
+    // no-op re-export publishes nothing
+    assert(inc(base).version == v1.version)
+    // grow: only the new rows' shards rewrite
+    val grown = base.unionByName(
+      Seq((9001L, "new-doc-9001"), (9002L, "new-doc-9002"))
+        .toDF("doc_id", "text"))
+    val v2 = inc(grown)
+    assert(v2.version > v1.version)
+    val touched = Seq(9001L, 9002L)
+      .map(i => Export.shardOfId(i.toString, 8)).toSet
+    val paths2 = paths()
+    paths1.foreach { case (k, p) =>
+      if (touched(k)) assert(paths2(k) != p)
+      else assert(paths2(k) == p,
+        s"UNCHANGED jsonl shard $k was rewritten")
+    }
+    assert(Export.readShards(spark, dir, Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))).count() == 162L)
+    assert(Export.verifyShards(spark, dir,
+      octet_length(col("text")), Seq("doc_id", "text")).isEmpty)
+    // takedown composes on the incremental jsonl store
+    Export.retractShards(spark, dir, "doc_id", Seq("9001"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(Export.lookupById(spark, dir, "doc_id", "9001").isEmpty)
+    assert(Export.readShards(spark, dir, Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))).count() == 161L)
+    // family mixing is loud
+    val e = intercept[IllegalArgumentException] {
+      Export.exportShardsIncremental(grown, dir, 8, col("doc_id"),
+        octet_length(col("text")), Seq("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("never mixes layouts"))
+  }
+
   test("retractShards on a JSONL store: the text-format takedown " +
       "rewrites only affected shards as gzip json (codec preserved), " +
       "readShards dispatches json_inc across generations, lookup " +
