@@ -80,15 +80,19 @@ object Html {
     rx(s"(?is)<style\\b$TagBody>.*?</style[ \\t\\r\\n]*>", "\n"),
     rx(s"(?is)</?(?:${BlockTags.mkString("|")})\\b$TagBody>", "\n"),
     rx(s"(?s)</?[A-Za-z!]$TagBody>", "")) ++ Seq(
-    "&nbsp;" -> " ",
-    "&lt;" -> "<", "&gt;" -> ">",
+    "&nbsp;" -> " ", "&#160;" -> " ",
+    "&lt;" -> "<", "&#60;" -> "<", "&gt;" -> ">", "&#62;" -> ">",
     "&quot;" -> "\"", "&#34;" -> "\"",
-    "&apos;" -> "'", "&#39;" -> "'",
+    "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
     "&ndash;" -> "–", "&mdash;" -> "—", "&hellip;" -> "…",
     "&lsquo;" -> "‘", "&rsquo;" -> "’",
     "&ldquo;" -> "“", "&rdquo;" -> "”",
     "&middot;" -> "·", "&copy;" -> "©", "&reg;" -> "®",
-    "&amp;" -> "&").map { case (a, b) => litStep(a, b) } ++ Seq(
+    // the ampersand forms decode LAST (decoding "&#38;lt;" early
+    // would mint an "&lt;" the earlier steps have already passed —
+    // a double decode; kept one-level like "&amp;")
+    "&amp;" -> "&", "&#38;" -> "&").map { case (a, b) =>
+      litStep(a, b) } ++ Seq(
     rx("[ \\t\\r\\f]+", " "),
     rx("[ ]*\\n[ \\n]*", "\n"),
     rx("\\A[ \\n]+", ""),

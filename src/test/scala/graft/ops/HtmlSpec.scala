@@ -62,6 +62,11 @@ class HtmlSpec extends AnyFunSuite with WithSpark {
       == "see <script>alert</script> quoted")
     assert(extract("&ldquo;q&rdquo; &ndash; &hellip; &#39;a&#39;")
       == "“q” – … 'a'")
+    // common numeric forms, and the numeric ampersand decodes one
+    // level exactly like &amp; (&#38;lt; is the TEXT "&lt;")
+    assert(extract("a&#60;b&#62;c&#160;d &#x27;e&#x27;")
+      == "a<b>c d 'e'")
+    assert(extract("&#38;lt;kept&#38;gt;") == "&lt;kept&gt;")
   }
 
   test("block tags break lines, inline tags vanish, whitespace " +
