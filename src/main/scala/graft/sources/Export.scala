@@ -177,7 +177,13 @@ object Export {
         explode(graft.ops.Text.shingles(e.text, e.n)).as("__g"))
       .join(grams, Seq("__g"), "left_semi")
       .select(col("__xid")).distinct()
-    df.join(broadcast(contaminated),
+    // no forced broadcast: contamination is dim-sized by ASSUMPTION,
+    // and a pathological gram set matching most of the corpus would
+    // turn a broadcast hint into a driver OOM (the pqTopK seam
+    // class). AQE broadcasts when the set is actually small and
+    // falls back to a shuffle join when it is not — mirroring
+    // Dedup.decontaminate's own join.
+    df.join(contaminated,
       id.cast("string") === col("__xid"), "left_anti")
   }
 
@@ -633,11 +639,12 @@ object Export {
   /** [[retractShards]] for LARGE takedown lists: `ids` is a
     * one-column frame (any type; cast to string for the draw). The
     * affected-shard set comes from one O(|ids|) pass emitting at most
-    * nShards rows, and the drop is a broadcast LEFT ANTI join against
-    * the distinct ids — nothing id-list-sized ever enters the plan
-    * text or the driver, so a 10^6-id retraction carries the same
-    * plan shape as a 10^2 one. Same no-op/idempotency/crash contract
-    * as the Seq path. */
+    * nShards rows, and the drop is a LEFT ANTI join against the
+    * distinct ids (AQE broadcasts it at takedown-list scale, shuffle
+    * beyond) — nothing id-list-sized ever enters the plan text or
+    * the driver, so a 10^6-id retraction carries the same plan shape
+    * as a 10^2 one. Same no-op/idempotency/crash contract as the Seq
+    * path. */
   def retractShardsOf(spark: SparkSession, dir: String, idCol: String,
       ids: DataFrame, sizeOf: Column, checksumCols: Seq[String],
       keep: Int = 3): ShardedExport = {
@@ -649,7 +656,11 @@ object Export {
       affectedOf = n => idsS
         .select(shardOf(col("__rid"), n).as("k")).distinct()
         .collect().map(_.getInt(0)).toSet,
-      dropFilter = df => df.join(broadcast(idsS),
+      // no forced broadcast: AQE broadcasts at takedown-list scale
+      // and shuffle-joins beyond it, so the id frame has NO size
+      // ceiling (a forced hint would re-create the bound this
+      // overload exists to remove)
+      dropFilter = df => df.join(idsS,
         df(idCol).cast("string") === col("__rid"), "left_anti"))
   }
 
