@@ -118,6 +118,31 @@ object Html {
         s"replace($e, ${sqlStr(a)}, ${sqlStr(b)})"
     }
 
+  /** Anchor-href extraction pattern, shared VERBATIM by both engines
+    * (Java-regex ∩ RE2: quote-aware lazy tag interior, no lookaround/
+    * backrefs — the quote kinds need not match, which RE2 could not
+    * express anyway). Quoted values only: HTML5 allows unquoted
+    * hrefs, but crawl reality is overwhelmingly quoted and an
+    * unquoted-value grammar would need boundary lookahead. An href
+    * hiding inside ANOTHER attribute's quoted value is skipped by
+    * both engines (the interior consumes quoted strings atomically
+    * before character-by-character fallback — alternation priority,
+    * identical in Java regex and RE2's leftmost-first mode). */
+  val HrefPattern: String =
+    """(?is)<a\b(?:"[^"]*"|'[^']*'|[^>])*?href[ \t\r\n]*=[ \t\r\n]*["']([^"']+)["']"""
+
+  /** Outlink extraction — the crawl-frontier / web-graph half of the
+    * front door: the href values of a page's anchor tags, in document
+    * order (compose with [[Text.canonicalUrl]] for URL-level dedup
+    * keys and with the graph ops for link analysis). Codegen'd
+    * regexp_extract_all; replay with [[linksSql]]. */
+  def links(html: Column): Column =
+    regexp_extract_all(html, lit(HrefPattern), lit(1))
+
+  /** The DuckDB replay of [[links]] — the same pattern string. */
+  def linksSql(colExpr: String): String =
+    s"regexp_extract_all($colExpr, ${sqlStr(HrefPattern)}, 1)"
+
   /** A SQL string literal: quotes doubled; newlines spliced as
     * chr(10) so the generated SQL stays one logical line. */
   private def sqlStr(s: String): String = {

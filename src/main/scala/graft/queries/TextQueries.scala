@@ -881,6 +881,34 @@ object TextQueries {
             col("text"), lit(HtmlWrapC))).as("text"))
     },
 
+    // ---- OUTLINK extraction (the web-graph half of the crawl front
+    //      door): anchor hrefs in document order via the shared
+    //      Java∩RE2 pattern — pages built by the same concat on both
+    //      engines, one anchor WITHOUT an href planted per page; the
+    //      exploded (doc_id, href) stream is what feeds canonicalUrl
+    //      (q_canonical_url) and the graph ops downstream ----
+    sql(
+      "q_html_links",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<p>see <a class="n" href="http://ex.org/d/' || (doc_id+1)
+         |      || '">next</a> or <a href="https://ex.org/t?q=' || doc_id
+         |      || '">tag</a> <a name="x">plain</a></p>' AS html
+         |  FROM documents WHERE doc_id % 13 = 0)
+         |SELECT doc_id, unnest(${graft.ops.Html.linksSql("html")})
+         |  AS href
+         |FROM h""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), concat(
+          lit("<p>see <a class=\"n\" href=\"http://ex.org/d/"),
+          col("doc_id") + 1,
+          lit("\">next</a> or <a href=\"https://ex.org/t?q="),
+          col("doc_id"),
+          lit("\">tag</a> <a name=\"x\">plain</a></p>")).as("html"))
+        .select(col("doc_id"),
+          explode(graft.ops.Html.links(col("html"))).as("href"))
+    },
+
     // ---- repetition signals (duplicate word / n-gram fractions) ----
     sql(
       "q_repetition",

@@ -87,6 +87,24 @@ class HtmlSpec extends AnyFunSuite with WithSpark {
       == "link text")
   }
 
+  test("links: hrefs extract in document order, both quote kinds, " +
+      "attribute order and case insensitive; an href inside another " +
+      "attribute's value or an anchor without one is skipped") {
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h").select(Html.links(col("h")))
+        .as[Seq[String]].head()
+    assert(links(
+      """<a href="http://a/1">x</a> text <A CLASS="c" HREF='http://a/2'>y</A>""")
+      == Seq("http://a/1", "http://a/2"))
+    assert(links("""<a title="href='http://fake/'" href="http://real/">z</a>""")
+      == Seq("http://real/"))
+    assert(links("""<a name="anchor">no link</a> <p>plain</p>""")
+      == Seq.empty)
+    assert(links("""<a
+      |  href = "http://spread/over/lines">w</a>""".stripMargin)
+      == Seq("http://spread/over/lines"))
+  }
+
   test("htmlTextSql mirrors the step list: one regexp_replace or " +
       "replace per step, newline replacements rendered as chr(10), " +
       "single quotes doubled") {
