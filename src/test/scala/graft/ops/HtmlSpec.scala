@@ -105,6 +105,20 @@ class HtmlSpec extends AnyFunSuite with WithSpark {
       == Seq("http://spread/over/lines"))
   }
 
+  test("property: plain text wrapped in block tags survives " +
+      "extraction exactly (up to whitespace normalization) — 200 " +
+      "random entity-free bodies") {
+    val rnd = new scala.util.Random(16)
+    val alphabet = "abc XYZ 09._,:;!? -"
+    (1 to 200).foreach { _ =>
+      val body = Seq.fill(rnd.nextInt(40) + 1)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val want = body.replaceAll("[ ]+", " ").trim
+      val got = extract(s"<div><p>$body</p></div>")
+      assert(got == want, s"body '$body' extracted as '$got'")
+    }
+  }
+
   test("htmlTextSql mirrors the step list: one regexp_replace or " +
       "replace per step, newline replacements rendered as chr(10), " +
       "single quotes doubled") {

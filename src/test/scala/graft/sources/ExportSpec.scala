@@ -664,6 +664,25 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       octet_length(col("payload")), Seq("key", "payload")).isEmpty)
   }
 
+  test("tar round-trip at the 512-byte block boundaries: payloads of " +
+      "0, 1, 511, 512, 513 and 1024 bytes survive write->stream-read " +
+      "byte-exact (padding arithmetic has no off-by-one)") {
+    val dir = graft.core.Scratch.dir("export_tar_boundary")
+    val sizes = Seq(0, 1, 511, 512, 513, 1024)
+    val rows = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "b" * n)
+    }.toDF("doc_id", "text")
+    Export.exportTarShards(rows, dir, 1L << 20, col("doc_id"),
+      col("text"))
+    val back = Export.readShards(spark, dir)
+      .select(col("key").cast("long"), col("payload").cast("string"))
+      .as[(Long, String)].collect().toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      assert(back(i.toLong) == "b" * n,
+        s"payload of $n bytes did not round-trip")
+    }
+  }
+
   test("untarStream: entries stream off an InputStream that is never " +
       "materialized (a generated 64 MiB tar reads entry-by-entry), " +
       "and truncation anywhere is LOUD") {
