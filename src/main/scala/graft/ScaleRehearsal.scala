@@ -1105,6 +1105,33 @@ object ScaleRehearsal {
         dfSecs / seqSecs
     }
 
+    // ---- tiered stream compaction (round 16): total sink wall for a
+    // 24- vs 48-batch stream at threshold 6 — under the round-15
+    // whole-store refold, doubling the lifetime ~quadrupled the
+    // cumulative compaction writes; tiered folds should hold the
+    // growth near the data ratio (~2x) ----
+    if (on("stream_tiers")) {
+      def streamSecs(batches: Int, label: String): Double = {
+        val dirOut = graft.core.Scratch.dir(s"rehearsal_tiers_$batches")
+        val sink = graft.streaming.EventStream.exportShardsSink(
+          dirOut, 16, col("doc_id"), octet_length(col("text")),
+          Seq("doc_id", "text"), compactAtDirs = 6) _
+        val slice = tdocs1.filter(col("doc_id") < 2000)
+          .select("doc_id", "text").localCheckpoint()
+        timed(label) {
+          (0 until batches).foreach { b =>
+            sink(slice.select((col("doc_id") + lit(b.toLong * nTd))
+              .as("doc_id"), col("text")), b.toLong)
+          }
+          graft.streaming.EventStream
+            .readStreamShards(spark, dirOut).count()
+        }
+      }
+      val s24 = streamSecs(24, "stream_tiers 24 batches")
+      val s48 = streamSecs(48, "stream_tiers 48 batches")
+      growth("stream_tiers sink-loop (48/24 batches)") = s48 / s24
+    }
+
     // ---- jsonl takedown (round 16): the text-format
     // right-to-be-forgotten — constant 20-id retraction on a 1x vs a
     // 10x jsonl store; same flat-in-store-size bar as the parquet

@@ -1109,15 +1109,86 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     sink(batchRows(4L).toDF("doc_id", "text"), 4L)
     assert(dirsListed().toSet == Set("compact_b3", "batch_4"))
     assert(view() == wantView ++ batchRows(4L).toSet)
-    // a SECOND compaction point folds again and the sweep reclaims
-    // every dir no surviving manifest version references
+    // a SECOND compaction point folds the NEW batch dirs into their
+    // own tier-1 dir — the earlier compact_b3 is NOT rewritten
+    // (tiered folds: total compaction writes grow ~n·log n over a
+    // stream's lifetime, not n²; the round-15 whole-store refold was
+    // the quadratic shape) — and the sweep reclaims every dir no
+    // surviving manifest version references
+    def fileStamps(d: String): Map[String, Long] = {
+      val root = new java.io.File(s"$out/data/$d")
+      if (!root.exists()) Map.empty
+      else root.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val b3Before = fileStamps("compact_b3")
     (5L to 6L).foreach(b => sink(batchRows(b).toDF("doc_id", "text"), b))
-    assert(dirsListed() == Seq("compact_b6"))
+    assert(dirsListed().toSet == Set("compact_b3", "compact_b6"),
+      s"expected two tier-1 dirs, got ${dirsListed()}")
+    assert(fileStamps("compact_b3") == b3Before,
+      "a later batch fold rewrote an earlier compacted dir")
     val left = new java.io.File(s"$out/data").listFiles().map(_.getName)
-    assert(left.contains("compact_b6"))
+    assert(left.contains("compact_b6") && left.contains("compact_b3"))
     assert(!left.contains("batch_0") && !left.contains("batch_1"),
       s"sweep left long-unreferenced batch dirs behind: ${left.toSeq}")
     assert(view() == wantView ++ (4L to 6L).flatMap(batchRows).toSet)
+    // aggregates still equal the one-shot replay over everything
+    val wantAll = Export.shardAggregates(
+        (wantView ++ (4L to 6L).flatMap(batchRows).toSet).toSeq
+          .toDF("doc_id", "text")
+          .withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(manifest() == wantAll)
+  }
+
+  test("tiered compaction cascades: once tier-1 dirs outgrow the " +
+      "threshold they fold into ONE tier-2 dir, the read view stays " +
+      "byte-identical, the listing stays bounded, and re-running the " +
+      "compactor on an all-compact store is a version no-op") {
+    import graft.sources.{Export, Versioned}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export_sink_tiers").toString
+    def sink = EventStream.exportShardsSink(out, 4, col("doc_id"),
+      octet_length(col("text")), Seq("doc_id", "text"),
+      compactAtDirs = 2) _
+    def rows(b: Long) = (b * 10 to b * 10 + 3).map(i => (i, s"t-$b-$i"))
+    (0L to 11L).foreach(b => sink(rows(b).toDF("doc_id", "text"), b))
+    val dirs = EventStream.readStreamShardManifest(spark, out)
+      .select(col("dirs")).head().getSeq[String](0)
+    assert(dirs.exists(_.startsWith("compact_t2_b")),
+      s"12 batches at threshold 2 must have cascaded to tier 2: $dirs")
+    assert(dirs.size <= 2 + 3, // ~maxDirs + tiers
+      s"tiered listing must stay bounded, got ${dirs.size}: $dirs")
+    val want = (0L to 11L).flatMap(rows).toSet
+    assert(EventStream.readStreamShards(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+      == want, "tier cascade changed the read view")
+    // aggregates = the one-shot replay
+    val wantAgg = Export.shardAggregates(
+        want.toSeq.toDF("doc_id", "text")
+          .withColumn("shard", Export.shardOf(col("doc_id"), 4)),
+        octet_length(col("text")), Seq("doc_id", "text"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(EventStream.readStreamShardManifest(spark, out)
+      .select(col("shard"), col("n_rows"), col("bytes"), col("checksum"))
+      .as[(Int, Long, Long, Long)].collect().toSet == wantAgg)
+    // drive the compactor to its fixpoint at maxDirs=1 (repeated
+    // driver-issued compaction at an UNMOVED max batch id — the
+    // name-roll path), then a further call must be a version no-op
+    var guard = 0
+    while (EventStream.maybeCompactStreamShards(spark, out, 4, 1)) {
+      guard += 1; assert(guard < 10, "compactor failed to converge")
+    }
+    val vBefore = Versioned.currentVersion(spark, s"$out/manifest").get
+    assert(!EventStream.maybeCompactStreamShards(spark, out, 4, 1))
+    assert(Versioned.currentVersion(spark, s"$out/manifest").get
+      == vBefore, "a no-progress compaction minted a version")
+    // the fully-collapsed store still reads byte-identical
+    assert(EventStream.readStreamShards(spark, out)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+      == want)
   }
 
   test("compaction while a PRE-dirs manifest version survives: the " +
