@@ -17,7 +17,7 @@ object SparkEntry {
       AnalyticsQueries.defs ++ SamplingQueries.defs ++
       PackingQueries.defs ++ RankingQueries.defs ++ CdcQueries.defs ++
       GraphQueries.defs ++ LinalgQueries.defs ++ DensityQueries.defs ++
-      DriftQueries.defs ++ QualityQueries.defs
+      DriftQueries.defs ++ QualityQueries.defs ++ ChatQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.ops.Chat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Post-training conversation-data faces ([[graft.ops.Chat]]).
+  *
+  * The TURNS fixture is derived deterministically from `documents`
+  * inside BOTH engines (no side files): conversation = document,
+  * 2 + doc_id%5 turns of 40-char text slices, roles alternating
+  * user/assistant with a leading system turn every 7th conversation
+  * and a planted assistant-first defect every 17th — so the validator
+  * faces prove pass AND fail paths, and short documents naturally
+  * produce empty trailing turns (another planted invalid class).
+  * Every face's oracle replays the operator relationally (window
+  * lag / ordered string_agg / cumulative sum / rank), not just its
+  * row count.
+  */
+object ChatQueries {
+  import QueryDef.sql
+
+  /** Shared turns derivation — Spark side. Mirrors [[TurnsCte]]. */
+  private def turnsOf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("conv_id"),
+        coalesce(col("text"), lit("")).as("text"))
+    val nt = (lit(2) + (col("conv_id") % 5)).cast("int")
+    docs
+      .select(col("conv_id"), col("text"),
+        explode(sequence(lit(0), nt - 1)).as("ti"))
+      .select(
+        col("conv_id"),
+        col("ti").cast("long").as("turn_idx"),
+        when(col("conv_id") % 17 === 2 && col("ti") === 0, "assistant")
+          .when(col("conv_id") % 7 === 0 && col("ti") === 0, "system")
+          .when(((col("ti") -
+            when(col("conv_id") % 7 === 0, 1).otherwise(0)) % 2) === 0,
+            "user")
+          .otherwise("assistant").as("role"),
+        col("text").substr(col("ti") * 40 + 1, lit(40)).as("content"))
+  }
+
+  /** Shared turns derivation — DuckDB side. Mirrors [[turnsOf]]. */
+  private val TurnsCte: String =
+    """t AS (
+      |  SELECT doc_id AS conv_id, r.turn_idx::BIGINT AS turn_idx,
+      |    CASE WHEN doc_id % 17 = 2 AND r.turn_idx = 0 THEN 'assistant'
+      |         WHEN doc_id % 7 = 0 AND r.turn_idx = 0 THEN 'system'
+      |         WHEN (r.turn_idx - CASE WHEN doc_id % 7 = 0
+      |                 THEN 1 ELSE 0 END) % 2 = 0 THEN 'user'
+      |         ELSE 'assistant' END AS role,
+      |    substr(coalesce(text, ''), (r.turn_idx * 40 + 1)::INT, 40)
+      |      AS content
+      |  FROM documents, LATERAL (SELECT unnest(range(0, 2 + doc_id % 5))
+      |    AS turn_idx) r)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- structural validation: the oracle replays every flag
+    //      relationally (lag for alternation, filtered arg_min for
+    //      the first non-system role) — a wrong sort, a missed
+    //      planted defect, or an off-by-one in the empty-turn count
+    //      all hash-mismatch ----
+    sql(
+      "q_chat_validate",
+      s"""WITH $TurnsCte,
+         |x AS (
+         |  SELECT conv_id, turn_idx, role, content,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |      AS prev_role
+         |  FROM t)
+         |SELECT conv_id,
+         |  count(*)::BIGINT AS n_turns,
+         |  arg_min(role, turn_idx) = 'system' AS has_system,
+         |  coalesce(arg_min(role, turn_idx)
+         |      FILTER (WHERE role <> 'system') = 'user', false)
+         |    AS starts_ok,
+         |  sum(CASE WHEN prev_role IS NOT NULL AND role = prev_role
+         |      THEN 1 ELSE 0 END) = 0 AS alternates,
+         |  arg_max(role, turn_idx) = 'assistant' AS ends_assistant,
+         |  sum(CASE WHEN content = '' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_empty,
+         |  (coalesce(arg_min(role, turn_idx)
+         |      FILTER (WHERE role <> 'system') = 'user', false)
+         |   AND sum(CASE WHEN prev_role IS NOT NULL AND role = prev_role
+         |       THEN 1 ELSE 0 END) = 0
+         |   AND arg_max(role, turn_idx) = 'assistant'
+         |   AND sum(CASE WHEN content = '' THEN 1 ELSE 0 END) = 0)
+         |    AS valid
+         |FROM x GROUP BY conv_id""".stripMargin) { (s, d) =>
+      Chat.conversationStats(turnsOf(s, d))
+    },
+
+    // ---- template render: the FULL rendered string hash-compares
+    //      against DuckDB's ordered string_agg — a turn out of order,
+    //      a template byte off, or a dropped empty turn all fail ----
+    sql(
+      "q_chat_render",
+      s"""WITH $TurnsCte
+         |SELECT conv_id,
+         |  string_agg('<|' || role || '|>' || chr(10) || content ||
+         |    '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
+         |  length(string_agg('<|' || role || '|>' || chr(10) || content
+         |    || '<|end|>' || chr(10), '' ORDER BY turn_idx))::BIGINT
+         |    AS n_chars
+         |FROM t GROUP BY conv_id""".stripMargin) { (s, d) =>
+      Chat.renderChat(turnsOf(s, d))
+    },
+
+    // ---- loss-mask spans: assistant-content [start, end) offsets in
+    //      the rendered string, replayed as a cumulative-sum window;
+    //      ChatSpec additionally proves substring(rendered, span) ==
+    //      content for every turn ----
+    sql(
+      "q_chat_mask",
+      s"""WITH $TurnsCte,
+         |x AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    length(role) + 5 AS prefix,
+         |    length(role) + 5 + length(content) + 8 AS full_len,
+         |    length(content) AS clen
+         |  FROM t),
+         |y AS (
+         |  SELECT conv_id, turn_idx, role, clen,
+         |    coalesce(sum(full_len) OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + prefix AS ms
+         |  FROM x)
+         |SELECT conv_id, turn_idx, ms::BIGINT AS mask_start,
+         |  (ms + clen)::BIGINT AS mask_end
+         |FROM y WHERE role = 'assistant'""".stripMargin) { (s, d) =>
+      Chat.maskSpans(turnsOf(s, d))
+        .filter(col("role") === "assistant")
+        .drop("role")
+    },
+
+    // ---- prompt-level dedup: prompt key = first two words of the
+    //      first user turn; keep the longest conversation per key
+    //      (ties → smallest conv_id), with the collapse count ----
+    sql(
+      "q_chat_dedup",
+      s"""WITH $TurnsCte,
+         |p AS (
+         |  SELECT conv_id,
+         |    arg_min(content, turn_idx) FILTER (WHERE role = 'user')
+         |      AS prompt,
+         |    count(*)::BIGINT AS n_turns
+         |  FROM t GROUP BY conv_id),
+         |k AS (
+         |  SELECT conv_id, n_turns,
+         |    regexp_extract(prompt, '^(\\S+\\s+\\S+)', 1) AS prompt_key
+         |  FROM p WHERE prompt IS NOT NULL),
+         |r AS (
+         |  SELECT prompt_key, conv_id, n_turns,
+         |    count(*) OVER (PARTITION BY prompt_key)::BIGINT AS n_dups,
+         |    row_number() OVER (PARTITION BY prompt_key
+         |      ORDER BY n_turns DESC, conv_id ASC) AS rn
+         |  FROM k)
+         |SELECT prompt_key, conv_id, n_turns, n_dups
+         |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val turns = turnsOf(s, d)
+      val prompts = Chat.firstUserTurn(turns)
+        .select(col("conv_id"),
+          regexp_extract(col("prompt"), "^(\\S+\\s+\\S+)", 1)
+            .as("prompt_key"))
+      val stats = turns.groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"))
+      val convs = prompts.join(stats, Seq("conv_id"))
+      Chat.keepCanonical(convs, "prompt_key", "n_turns", "conv_id")
+        .select("prompt_key", "conv_id", "n_turns", "n_dups")
+    },
+
+    // ---- DPO preference pairs: per synthetic prompt group, chosen =
+    //      arg-max score / rejected = arg-min with pinned tie-breaks,
+    //      margin-filtered; the oracle replays with two ranked
+    //      windows, so a tie-break drift or a kept singleton fails ----
+    sql(
+      "q_pref_pairs",
+      """WITH c AS (
+        |  SELECT doc_id % 97 AS prompt_id, doc_id AS cand_id,
+        |    n_chars % 101 AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT prompt_id, cand_id, score,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, cand_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score ASC, cand_id DESC) AS rr,
+        |    count(*) OVER (PARTITION BY prompt_id)::BIGINT AS n_cands
+        |  FROM c),
+        |ch AS (SELECT prompt_id, cand_id AS chosen_id,
+        |         score AS chosen_score, n_cands FROM r WHERE rc = 1),
+        |rj AS (SELECT prompt_id, cand_id AS rejected_id,
+        |         score AS rejected_score FROM r WHERE rr = 1)
+        |SELECT ch.prompt_id, chosen_id, rejected_id, chosen_score,
+        |  rejected_score,
+        |  (chosen_score - rejected_score)::BIGINT AS margin, n_cands
+        |FROM ch JOIN rj USING (prompt_id)
+        |WHERE chosen_id <> rejected_id
+        |  AND chosen_score - rejected_score >= 5""".stripMargin) {
+      (s, d) =>
+        val cands = Tables.documents(s, d).select(
+          (col("doc_id") % 97).as("prompt_id"),
+          col("doc_id").as("cand_id"),
+          (col("n_chars") % 101).as("score"))
+        Chat.preferencePairs(cands, "prompt_id", "cand_id", "score",
+          minMargin = 5L)
+    },
+
+    // ---- training-quality gate: exact-integer volume metrics +
+    //      keep decision; integer percent ratio (NULL on zero user
+    //      volume) replays through DuckDB's integer division ----
+    sql(
+      "q_chat_gate",
+      s"""WITH $TurnsCte,
+         |g AS (
+         |  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         |    sum(CASE WHEN role = 'user' THEN length(content)
+         |        ELSE 0 END)::BIGINT AS user_chars,
+         |    sum(CASE WHEN role = 'assistant' THEN length(content)
+         |        ELSE 0 END)::BIGINT AS asst_chars,
+         |    arg_max(content, turn_idx) AS last_content
+         |  FROM t GROUP BY conv_id)
+         |SELECT conv_id, n_turns, user_chars, asst_chars,
+         |  ((asst_chars * 100) // nullif(user_chars, 0))::BIGINT
+         |    AS ratio_pct,
+         |  (asst_chars >= 40 AND n_turns >= 3 AND last_content <> '')
+         |    AS keep
+         |FROM g""".stripMargin) { (s, d) =>
+      Chat.chatGate(turnsOf(s, d))
+    })
+}
