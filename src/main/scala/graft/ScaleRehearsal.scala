@@ -1215,6 +1215,32 @@ object ScaleRehearsal {
         gSecs / sSecs
     }
 
+    // ---- chat (round 16): conversation ops are ONE hash shuffle on
+    // conv_id (stats/render/gate) or prompt_id (pairs) over the turns
+    // table — 10 id-salted document replicas (disjoint conversation
+    // and prompt key spaces) should grow ~linearly, bar ≲ 10 ----
+    if (on("chat")) {
+      val t1 = graft.queries.ChatQueries.turnsOf(spark, sfDir)
+        .localCheckpoint()
+      val nC = t1.agg(max(col("conv_id"))).head().getLong(0) + 1
+      val t10 = (0 until 10).map(k =>
+          t1.withColumn("conv_id", col("conv_id") + lit(k * nC)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def chatSecs(t: DataFrame, label: String): Double = timed(label) {
+        graft.ops.Chat.conversationStats(t).count() +
+          graft.ops.Chat.renderChat(t).count() +
+          graft.ops.Chat.preferencePairs(
+            t.select((col("conv_id") % 97).as("prompt_id"),
+              col("conv_id").as("cand_id"),
+              length(col("content")).as("score")),
+            "prompt_id", "cand_id", "score").count()
+      }
+      chatSecs(t1, "chat warmup (discarded)") // JIT/codegen warm
+      val c1 = chatSecs(t1, "chat 1x")
+      val c10 = chatSecs(t10, "chat 10x")
+      growth("chat (stats+render+pairs)") = c10 / c1
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
 object ChatQueries {
   import QueryDef.sql
 
-  /** Shared turns derivation — Spark side. Mirrors [[TurnsCte]]. */
-  private def turnsOf(s: SparkSession, d: String): DataFrame = {
+  /** Shared turns derivation — Spark side. Mirrors [[TurnsCte]].
+    * `private[graft]` so ScaleRehearsal can replay it at 10×. */
+  private[graft] def turnsOf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id").as("conv_id"),
         coalesce(col("text"), lit("")).as("text"))
