@@ -211,6 +211,80 @@ object ChatQueries {
           minMargin = 5L)
     },
 
+    // ---- SFT sequence packing (compose: render → packChunks): each
+    //      conversation's rendered length concat-packs into 2048-char
+    //      training sequences, shard-local chunk ids — the oracle
+    //      recomputes the render length per conversation WITHOUT
+    //      re-rendering (template arithmetic) then replays the
+    //      cumulative-sum + integer-div chunk assignment ----
+    sql(
+      "q_chat_pack",
+      s"""WITH $TurnsCte,
+         |g AS (
+         |  SELECT conv_id, conv_id % 8 AS shard,
+         |    sum(length(role) + 5 + length(content) + 8)::BIGINT
+         |      AS n_chars
+         |  FROM t GROUP BY conv_id),
+         |s AS (
+         |  SELECT conv_id, shard, n_chars,
+         |    coalesce(sum(n_chars) OVER (PARTITION BY shard
+         |      ORDER BY conv_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start_tok
+         |  FROM g)
+         |SELECT conv_id, shard, start_tok::BIGINT AS start_tok,
+         |  start_tok // 2048 AS first_chunk,
+         |  (start_tok + n_chars - 1) // 2048 AS last_chunk
+         |FROM s""".stripMargin) { (s, d) =>
+      val rendered = Chat.renderChat(turnsOf(s, d))
+        .withColumn("shard", col("conv_id") % 8)
+      graft.ops.Packing.packChunks(rendered, col("shard"),
+          col("conv_id"), col("n_chars"), 2048L)
+        .select("conv_id", "shard", "start_tok", "first_chunk",
+          "last_chunk")
+    },
+
+    // ---- SFT prompt decontamination (compose: firstUserTurn →
+    //      decontaminate): train-split prompts screened against the
+    //      eval split's full-text 5-grams — the contamination gate at
+    //      the point where prompts enter the SFT set; the oracle
+    //      replays the normalized shingling and the semi/anti join
+    //      chain relationally ----
+    sql(
+      "q_chat_decontam",
+      s"""WITH $TurnsCte,
+         |p0 AS (
+         |  SELECT conv_id,
+         |    arg_min(content, turn_idx) FILTER (WHERE role = 'user')
+         |      AS prompt
+         |  FROM t WHERE conv_id < 450 GROUP BY conv_id),
+         |pw AS (
+         |  SELECT conv_id, string_split(${TextQueries.normSqlOf("prompt")},
+         |    ' ') AS w
+         |  FROM p0 WHERE prompt IS NOT NULL),
+         |pg AS (
+         |  SELECT conv_id, list_transform(range(len(w) - 4),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5]) AS g
+         |  FROM pw),
+         |ew AS (
+         |  SELECT string_split(${TextQueries.NormSql}, ' ') AS w
+         |  FROM documents WHERE doc_id >= 450),
+         |ev AS (
+         |  SELECT flatten(list(list_transform(range(len(w) - 4),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5]))) AS eg
+         |  FROM ew)
+         |SELECT conv_id FROM pg, ev
+         |WHERE NOT list_has_any(g, eg)""".stripMargin) { (s, d) =>
+      val turns = turnsOf(s, d).filter(col("conv_id") < 450)
+      val prompts = Chat.firstUserTurn(turns)
+      val evalDocs = Tables.documents(s, d).filter(col("doc_id") >= 450)
+      graft.ops.Dedup.decontaminate(prompts, "conv_id", col("prompt"),
+          evalDocs, col("text"), n = 5)
+        .select("conv_id")
+    },
+
     // ---- training-quality gate: exact-integer volume metrics +
     //      keep decision; integer percent ratio (NULL on zero user
     //      volume) replays through DuckDB's integer division ----
