@@ -36,6 +36,95 @@ object Graph {
       .distinct()
   }
 
+  /** Multi-source BFS hop distances on the undirected graph: every
+    * node reachable from `sources` within `maxHops` gets the length
+    * of its shortest path (in hops; sources are distance 0).
+    * Unreached nodes are absent — left-join against a universe if
+    * NULL rows are wanted.
+    *
+    * Pregel-style frontier expansion: round h joins the CURRENT
+    * FRONTIER (not the visited set) against the symmetric edge list
+    * and anti-joins what is already settled — each round is ONE
+    * equi-join + one anti-join, and a node's neighborhood is expanded
+    * exactly once over the whole run, so total work is O(E + V·hops)
+    * regardless of how many rounds run. Frontier and visited frames
+    * are `localCheckpoint`ed per round (flat lineage — no
+    * exponentially nested plan after 10 hops) and the empty-frontier
+    * early exit rides the same action that materializes the round.
+    *
+    * `sources`' FIRST column is the seed node id; seeds need not
+    * appear in the edge list (an isolated seed reports distance 0,
+    * matching the relational replay, which seeds the recursion from
+    * the caller's seed table rather than the graph).
+    */
+  def bfsDistances(
+      edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val sym = symmetric(edges).localCheckpoint()
+    val seedCol = sources.columns.head
+    var visited = sources
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = visited.select("node")
+    var h = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next.select("node")
+        h += 1
+        done = h > maxHops
+      }
+    }
+    visited
+  }
+
+  /** Bounded Bellman-Ford over integer edge weights: after `rounds`
+    * synchronous relaxations, `dist(v)` is the cheapest path from any
+    * seed to `v` using at most `rounds` edges — the EXACT-INTEGER,
+    * fixed-round contract (mirroring [[pageRankInt]]): both engines
+    * unroll the same rounds, so results are bit-identical and a
+    * relational oracle can replay them. For a true SSSP fixpoint run
+    * with `rounds` ≥ the weighted diameter; like the other fixed-round
+    * operators this does NOT claim convergence.
+    *
+    * Input edges are `(a, b, w)` (w a non-negative long), treated
+    * undirected. Per round: ONE equi-join of the distance frame
+    * against the symmetric edge list + one min-aggregation — the
+    * distance frame is 2 longs per node, the natural broadcast/AQE
+    * candidate at dim scale and a plain shuffle join beyond.
+    */
+  def ssspInt(
+      edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col("a"), col("b"), col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+    val sym = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .distinct()
+      .localCheckpoint()
+    val seedCol = sources.columns.head
+    var dist = sources
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Connected components via alternating large-star/small-star.
     *
     * State is an edge frame; each half-round rewires edges toward each

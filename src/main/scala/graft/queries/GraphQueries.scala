@@ -76,6 +76,28 @@ object GraphQueries {
       .filter(col("n") >= sup)
       .select(col("a"), col("b"))
 
+  /** [[edges]] with the basket-support count kept as the edge weight
+    * `w` — the integer-weighted graph for the SSSP face. */
+  private[graft] def weightedEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, sup: Int): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ps")) - 2),
+        i => transform(
+          slice(col("ps"), i + lit(2), size(col("ps"))),
+          p => struct(
+            least(element_at(col("ps"), (i + 1).cast("int")), p).as("a"),
+            greatest(element_at(col("ps"), (i + 1).cast("int")), p).as("b"))))))
+        .as("e"))
+      .select(col("e.a"), col("e.b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= sup)
+
   /** The PageRank oracle: the same integer fixed point, unrolled.
     * `e0Ctes` is any CTE chain whose last member defines
     * `e0 (a, b)` — the directed edge candidates (self-loops are
@@ -171,6 +193,67 @@ object GraphQueries {
       graft.ops.Graph.connectedComponents(
         edges(s, d, 3),
         nodes = Some(Tables.lineitem(s, d).select(col("l_partkey")).distinct()))
+    },
+
+    // ---- multi-source BFS hop distances (4 hops, support-2 graph,
+    //      seeds = partkeys ≡ 0 mod 97 — including isolated seeds
+    //      that never enter the edge list, pinned at distance 0);
+    //      the oracle replays the frontier expansion as a bounded
+    //      recursive CTE with a min-distance fold ----
+    sql(
+      "q_bfs_dist",
+      s"""WITH RECURSIVE e0 AS (
+         |${edgeSql(2)}),
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION SELECT b, a FROM e0),
+         |seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+         |          WHERE l_partkey % 97 = 0),
+         |d AS (
+         |  SELECT node, 0 AS dist FROM seeds
+         |  UNION
+         |  SELECT s.dst, d.dist + 1 FROM d JOIN sym s ON d.node = s.src
+         |  WHERE d.dist < 4)
+         |SELECT node, min(dist)::BIGINT AS dist FROM d
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val seeds = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey")).distinct()
+      graft.ops.Graph.bfsDistances(edges(s, d, 2), seeds, maxHops = 4)
+    },
+
+    // ---- bounded Bellman-Ford (4 synchronous relaxation rounds,
+    //      basket-support counts as integer weights, same mod-97
+    //      seeds): dist = cheapest ≤4-edge path from any seed —
+    //      exact integers, the oracle unrolls the identical rounds ----
+    sql(
+      "q_sssp", {
+        val iterCtes = (1 to 4).map { k =>
+          s"""d$k AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, d.dist + e.w AS dist
+             |    FROM d${k - 1} d JOIN sym e ON d.node = e.src)
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+           |    count(*)::BIGINT AS w
+           |  FROM lineitem l1 JOIN lineitem l2
+           |    ON l1.l_orderkey = l2.l_orderkey
+           |   AND l1.l_partkey < l2.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |sym AS (SELECT a AS src, b AS dst, w FROM e0
+           |        UNION SELECT b, a, w FROM e0),
+           |d0 AS (SELECT DISTINCT l_partkey AS node, 0::BIGINT AS dist
+           |       FROM lineitem WHERE l_partkey % 97 = 0),
+           |$iterCtes
+           |SELECT node, dist::BIGINT AS dist FROM d4""".stripMargin
+      }) { (s, d) =>
+      val seeds = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey")).distinct()
+      graft.ops.Graph.ssspInt(weightedEdges(s, d, 2), seeds, rounds = 4)
     },
 
     // ---- synchronous label propagation (4 rounds, neighbor-mode

@@ -321,4 +321,61 @@ class GraphSpec extends AnyFunSuite with WithSpark {
       .as[(Long, Long)].collect().toMap
     assert(r1 == r2, "layout changed the converged labels")
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, Long] =
+    Graph.bfsDistances(edges.toDF("a", "b"), seeds.toDF("id"), maxHops)
+      .as[(Long, Long)].collect().toMap
+
+  test("bfsDistances: chain distances from one end, early exit past it") {
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    assert(bfs(chain, Seq(0L), maxHops = 10) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("bfsDistances: maxHops truncates; unreached nodes absent") {
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    assert(bfs(chain, Seq(0L), maxHops = 2) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("bfsDistances: multi-source takes the minimum over seeds") {
+    val chain = (0L until 6L).map(i => (i, i + 1))
+    assert(bfs(chain, Seq(0L, 6L), maxHops = 3) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+        6L -> 0L, 5L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsDistances: isolated seed reports 0; edges are undirected") {
+    val got = bfs(Seq((10L, 11L)), Seq(11L, 99L), maxHops = 2)
+    assert(got == Map(11L -> 0L, 99L -> 0L, 10L -> 1L))
+  }
+
+  test("bfsDistances: maxHops 0 returns the seed set only") {
+    assert(bfs(Seq((1L, 2L)), Seq(1L), maxHops = 0) == Map(1L -> 0L))
+  }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] =
+    Graph.ssspInt(edges.toDF("a", "b", "w"), seeds.toDF("id"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("ssspInt: a cheap two-hop path beats the heavy direct edge") {
+    val got = sssp(Seq((0L, 2L, 10L), (0L, 1L, 3L), (1L, 2L, 3L)),
+      Seq(0L), rounds = 4)
+    assert(got == Map(0L -> 0L, 1L -> 3L, 2L -> 6L))
+  }
+
+  test("ssspInt: the round budget bounds path length (documented)") {
+    val chain = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(sssp(chain, Seq(0L), rounds = 2) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(sssp(chain, Seq(0L), rounds = 3)(3L) == 3L)
+  }
+
+  test("ssspInt: undirected relaxation and multi-seed minimum") {
+    val got = sssp(Seq((5L, 4L, 2L), (4L, 3L, 2L)), Seq(3L, 5L),
+      rounds = 4)
+    assert(got == Map(3L -> 0L, 5L -> 0L, 4L -> 2L))
+  }
 }
