@@ -99,6 +99,51 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin),
+    // ---- round-16 second SQL wave: recursive CTE, set operators,
+    //      RANGE frames, LATERAL correlated subquery, ntile/lead/lag
+    //      with defaults — still ONE dialect-intersection string ----
+    sharedSql(
+      "q_sql_recursive",
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 20)
+        |SELECT s.n, count(*) AS n_orders
+        |FROM seq s JOIN orders ON o_orderkey % 20 = s.n - 1
+        |GROUP BY s.n""".stripMargin),
+    sharedSql(
+      "q_sql_setops",
+      """SELECT 'both' AS tag, c_custkey AS k FROM (
+        |  SELECT c_custkey FROM customer WHERE c_nationkey = 1
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, c_custkey AS k FROM (
+        |  SELECT c_custkey FROM customer WHERE c_nationkey = 1
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders) b""".stripMargin),
+    sharedSql(
+      "q_sql_range_frame",
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
+        |FROM orders
+        |WHERE o_custkey % 25 = 0""".stripMargin),
+    sharedSql(
+      "q_sql_lateral",
+      """SELECT n_name, t.top_price FROM nation,
+        |LATERAL (SELECT round(max(o_totalprice), 2) AS top_price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey) t""".stripMargin),
+    sharedSql(
+      "q_sql_ntile",
+      """SELECT o_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  lead(o_orderkey, 1, -1) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS next_key,
+        |  lag(o_orderkey, 2, -1) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS prev2_key
+        |FROM orders
+        |WHERE o_custkey % 20 = 3""".stripMargin),
     sharedSql(
       "q_sql_exists",
       """SELECT c_custkey, c_name FROM customer c
