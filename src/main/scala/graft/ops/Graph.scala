@@ -125,6 +125,42 @@ object Graph {
     dist
   }
 
+  /** Link-prediction candidates: every NON-adjacent pair with at
+    * least `minCommon` shared neighbors, scored by common-neighbor
+    * count, endpoint degrees, and preferential attachment
+    * (deg_a·deg_b) — all exact integers. Output:
+    * (a, b, n_common, deg_a, deg_b, pref_attach) with a < b.
+    *
+    * Shape: the same wedge (2-path) self-join that triangle counting
+    * uses — cost O(Σ deg²) over the symmetric view, which the
+    * caller bounds by the support threshold of the input graph (the
+    * standard trick: a celebrity node's quadratic wedge fan-out is a
+    * property of the GRAPH, so cap degrees upstream if needed) —
+    * then one anti-join against the canonicalized edge set and two
+    * dim-sized degree joins (broadcast candidates under AQE).
+    */
+  def linkCandidates(edges: DataFrame, minCommon: Long): DataFrame = {
+    val sym = symmetric(edges)
+    val deg = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val canon = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val wedges = sym.as("x").join(sym.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .select(col("x.src").as("a"), col("y.src").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    wedges
+      .join(canon, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"),
+        col("deg_b"), (col("deg_a") * col("deg_b")).as("pref_attach"))
+  }
+
   /** Connected components via alternating large-star/small-star.
     *
     * State is an edge frame; each half-round rewires edges toward each

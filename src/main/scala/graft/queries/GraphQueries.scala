@@ -221,6 +221,34 @@ object GraphQueries {
       graft.ops.Graph.bfsDistances(edges(s, d, 2), seeds, maxHops = 4)
     },
 
+    // ---- link prediction: non-adjacent support-2 pairs with ≥2
+    //      common neighbors, scored by common-neighbor count and
+    //      preferential attachment — the oracle replays the wedge
+    //      self-join, the non-edge anti-join, and the degree joins ----
+    sql(
+      "q_link_predict",
+      s"""WITH e0 AS (
+         |${edgeSql(2)}),
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION SELECT b, a FROM e0),
+         |deg AS (SELECT src AS v, count(*)::BIGINT AS deg
+         |        FROM sym GROUP BY 1),
+         |p AS (
+         |  SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS n_common
+         |  FROM sym x JOIN sym y
+         |    ON x.dst = y.dst AND x.src < y.src
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ne AS (
+         |  SELECT p.* FROM p LEFT JOIN e0
+         |    ON p.a = e0.a AND p.b = e0.b
+         |  WHERE e0.a IS NULL)
+         |SELECT ne.a, ne.b, n_common, da.deg AS deg_a,
+         |  db.deg AS deg_b, (da.deg * db.deg)::BIGINT AS pref_attach
+         |FROM ne JOIN deg da ON ne.a = da.v
+         |        JOIN deg db ON ne.b = db.v""".stripMargin) { (s, d) =>
+      graft.ops.Graph.linkCandidates(edges(s, d, 2), minCommon = 2L)
+    },
+
     // ---- bounded Bellman-Ford (4 synchronous relaxation rounds,
     //      basket-support counts as integer weights, same mod-97
     //      seeds): dist = cheapest ≤4-edge path from any seed —

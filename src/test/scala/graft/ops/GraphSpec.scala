@@ -373,6 +373,31 @@ class GraphSpec extends AnyFunSuite with WithSpark {
     assert(sssp(chain, Seq(0L), rounds = 3)(3L) == 3L)
   }
 
+  test("linkCandidates: scores non-edges only, exact integer scores") {
+    // 4-cycle 1-2-3-4-1: both diagonals (1,3) and (2,4) share two
+    // neighbors; all degrees 2, preferential attachment 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graph.linkCandidates(edges, minCommon = 2L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 4L)))
+    got.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getLong(3) == 2L &&
+        r.getLong(4) == 2L && r.getLong(5) == 4L)
+    }
+  }
+
+  test("linkCandidates: existing edges are excluded even with shared " +
+      "neighbors") {
+    // triangle + hub: (1,2) adjacent with common neighbor 3 — must
+    // not appear; only the non-edge (2,4) via {1,3}... construct:
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graph.linkCandidates(edges, minCommon = 2L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 4L)))
+  }
+
   test("ssspInt: undirected relaxation and multi-seed minimum") {
     val got = sssp(Seq((5L, 4L, 2L), (4L, 3L, 2L)), Seq(3L, 5L),
       rounds = 4)
