@@ -285,6 +285,116 @@ object ChatQueries {
         .select("conv_id")
     },
 
+    // ---- the SFT PUBLISH capstone (compose: render → quality gate →
+    //      prompt decontamination → sharded jsonl export): the
+    //      curated conversation corpus leaves the pipeline through
+    //      the manifest/content-addressing discipline, and the oracle
+    //      recomputes the expected manifest FROM FIRST PRINCIPLES —
+    //      re-deriving the kept set (gate + decontam) relationally,
+    //      re-rendering every kept conversation, and replaying the
+    //      shard draw and checksums; the face's read-back aggregates
+    //      must match too, so a wrong gate decision, a leaked
+    //      contaminated prompt, or a torn shard all hash-mismatch ----
+    sql(
+      "q_sft_publish",
+      s"""WITH $TurnsCte,
+         |rend AS (
+         |  SELECT conv_id,
+         |    string_agg('<|' || role || '|>' || chr(10) || content ||
+         |      '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered
+         |  FROM t GROUP BY conv_id),
+         |g AS (
+         |  SELECT conv_id,
+         |    count(*)::BIGINT AS n_turns,
+         |    sum(CASE WHEN role = 'assistant' THEN length(content)
+         |        ELSE 0 END)::BIGINT AS asst_chars,
+         |    arg_max(content, turn_idx) AS last_content
+         |  FROM t GROUP BY conv_id),
+         |kp AS (
+         |  SELECT conv_id FROM g
+         |  WHERE asst_chars >= 40 AND n_turns >= 3
+         |    AND last_content <> ''),
+         |p0 AS (
+         |  SELECT conv_id,
+         |    arg_min(content, turn_idx) FILTER (WHERE role = 'user')
+         |      AS prompt
+         |  FROM t WHERE conv_id < 450 GROUP BY conv_id),
+         |pw AS (
+         |  SELECT conv_id, string_split(${TextQueries.normSqlOf("prompt")},
+         |    ' ') AS w
+         |  FROM p0 WHERE prompt IS NOT NULL),
+         |pg AS (
+         |  SELECT conv_id, list_transform(range(len(w) - 4),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5]) AS g
+         |  FROM pw),
+         |ew AS (
+         |  SELECT string_split(${TextQueries.NormSql}, ' ') AS w
+         |  FROM documents WHERE doc_id >= 450),
+         |ev AS (
+         |  SELECT flatten(list(list_transform(range(len(w) - 4),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |         w[i+4] || ' ' || w[i+5]))) AS eg
+         |  FROM ew),
+         |clean AS (
+         |  SELECT conv_id FROM pg, ev WHERE NOT list_has_any(g, eg)),
+         |dd AS (
+         |  SELECT r.conv_id, r.rendered FROM rend r
+         |  JOIN kp USING (conv_id) JOIN clean USING (conv_id)),
+         |tot AS (
+         |  SELECT sum(octet_length(encode(rendered)))::BIGINT AS total
+         |  FROM dd),
+         |ns AS (
+         |  SELECT greatest(1, (total + 16383) // 16384)::BIGINT AS n
+         |  FROM tot),
+         |sh AS (
+         |  SELECT CAST('0x' || substr(md5(conv_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+         |    octet_length(encode(rendered))::BIGINT AS b,
+         |    CAST('0x' || substr(md5(coalesce(conv_id::VARCHAR, chr(2))
+         |      || chr(1) || coalesce(rendered, chr(2))),
+         |      1, 8) AS BIGINT) AS c
+         |  FROM dd)
+         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+         |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+         |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+         |  sum(c)::BIGINT AS rb_checksum
+         |FROM sh GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"${graft.core.Scratch.dir("sinks")}/graft_sft_store"
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        val turns = turnsOf(s, d)
+        val rendered = Chat.renderChat(turns)
+          .select(col("conv_id"), col("rendered"))
+        val kept = Chat.chatGate(turns)
+          .filter(col("keep")).select("conv_id")
+        val prompts = Chat.firstUserTurn(
+          turns.filter(col("conv_id") < 450))
+        val clean = graft.ops.Dedup.decontaminate(prompts, "conv_id",
+            col("prompt"),
+            Tables.documents(s, d).filter(col("doc_id") >= 450),
+            col("text"), n = 5)
+          .select("conv_id")
+        val docs = rendered.join(kept, Seq("conv_id"))
+          .join(clean, Seq("conv_id"))
+        graft.sources.Export.exportJsonlShards(docs, dir,
+          targetBytes = 16384L, id = col("conv_id"),
+          sizeOf = octet_length(col("rendered")),
+          checksumCols = Seq("conv_id", "rendered")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"),
+          col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "conv_id BIGINT, rendered STRING"))),
+          octet_length(col("rendered")), Seq("conv_id", "rendered"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- training-quality gate: exact-integer volume metrics +
     //      keep decision; integer percent ratio (NULL on zero user
     //      volume) replays through DuckDB's integer division ----
