@@ -57,6 +57,18 @@ object ChatQueries {
       |  FROM documents, LATERAL (SELECT unnest(range(0, 2 + doc_id % 5))
       |    AS turn_idx) r)""".stripMargin
 
+  /** The render oracle — shared with the streaming face
+    * (`q_chat_stream_render`), which must converge to exactly this. */
+  private[queries] val RenderOracle: String =
+    s"""WITH $TurnsCte
+       |SELECT conv_id,
+       |  string_agg('<|' || role || '|>' || chr(10) || content ||
+       |    '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
+       |  length(string_agg('<|' || role || '|>' || chr(10) || content
+       |    || '<|end|>' || chr(10), '' ORDER BY turn_idx))::BIGINT
+       |    AS n_chars
+       |FROM t GROUP BY conv_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- structural validation: the oracle replays every flag
@@ -97,16 +109,7 @@ object ChatQueries {
     // ---- template render: the FULL rendered string hash-compares
     //      against DuckDB's ordered string_agg — a turn out of order,
     //      a template byte off, or a dropped empty turn all fail ----
-    sql(
-      "q_chat_render",
-      s"""WITH $TurnsCte
-         |SELECT conv_id,
-         |  string_agg('<|' || role || '|>' || chr(10) || content ||
-         |    '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
-         |  length(string_agg('<|' || role || '|>' || chr(10) || content
-         |    || '<|end|>' || chr(10), '' ORDER BY turn_idx))::BIGINT
-         |    AS n_chars
-         |FROM t GROUP BY conv_id""".stripMargin) { (s, d) =>
+    sql("q_chat_render", RenderOracle) { (s, d) =>
       Chat.renderChat(turnsOf(s, d))
     },
 

@@ -123,6 +123,18 @@ object StreamQueries {
         EventStream.readAccepted(s, ingestDir(s, d)).select("doc_id")
     },
 
+    // ---- streaming conversation assembly: turns arrive in three
+    //      micro-batches SPLIT BY TURN INDEX (every conversation
+    //      spans all batches); chatRenderSink re-renders only the
+    //      touched buckets per batch, and the converged snapshot must
+    //      equal ONE batch render over all turns — exactly the
+    //      q_chat_render oracle ----
+    sql(
+      "q_chat_stream_render",
+      ChatQueries.RenderOracle) { (s, d) =>
+      EventStream.readChatRendered(s, chatRenderDir(s, d))
+    },
+
     // ---- streaming CUSUM: the events table replayed as three
     //      time-ordered micro-batches with ONE long of carried state
     //      per key — the fold must equal one batch CUSUM over the
@@ -413,6 +425,28 @@ object StreamQueries {
       (0 until 3).foreach { b =>
         EventStream.componentSink(dir)(
           edges.filter((col("a") + col("b")) % 3 === b), b.toLong)
+      }
+      dir
+    })
+
+  /** Build-once cache for the streaming chat-render face: the derived
+    * turns table split into three micro-batches BY TURN INDEX
+    * (turn_idx % 3) — every conversation's messages span all three
+    * batches, the hard cross-batch assembly case — folded through
+    * [[EventStream.chatRenderSink]]. Deterministic (the render is a
+    * pure function of the accumulated turn set), so the converged
+    * snapshot equals the batch render oracle exactly. */
+  private val chatRenderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def chatRenderDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    chatRenderCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_chat")}/${math.abs(d.hashCode)}"
+      val turns = graft.queries.ChatQueries.turnsOf(s, d).localCheckpoint()
+      (0 until 3).foreach { k =>
+        EventStream.chatRenderSink(dir)(
+          turns.filter(col("turn_idx") % 3 === k), k.toLong)
       }
       dir
     })

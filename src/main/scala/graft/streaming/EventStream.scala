@@ -240,13 +240,26 @@ object EventStream {
       case None => batch
     }
     merged.write.mode("overwrite").parquet(s"$dir/snapshot_v$batchId")
+    commitSnapshotPointer(fs, dir, batchId)
+  }
+
+  /** The snapshot-commit tail shared by the versioned-snapshot sinks
+    * ([[upsertSink]], [[chatRenderSink]]): atomic pointer flip via
+    * temp-write + rename (healing the reader-promoted-our-tmp race),
+    * then prune superseded `snapshot_v*` dirs — only AFTER the
+    * commit, so a crash mid-prune just leaves orphans for the next
+    * batch's sweep. */
+  private def commitSnapshotPointer(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val pointer = new Path(dir, PointerFileName)
     val tmp = new Path(dir, s"._current_$batchId.tmp")
     val out = fs.create(tmp, true)
     try out.writeLong(batchId) finally out.close()
     if (fs.exists(pointer) && !fs.delete(pointer, false))
       throw new java.io.IOException(
-        s"upsertSink: failed to clear previous pointer $pointer")
+        s"snapshot commit: failed to clear previous pointer $pointer")
     if (!fs.rename(tmp, pointer)) {
       // a reader's recoverPointer racing inside our delete->rename
       // window may have promoted OUR tmp already — that is the same
@@ -258,10 +271,9 @@ object EventStream {
       }
       if (!healed)
         throw new java.io.IOException(
-          s"upsertSink: rename $tmp -> $pointer failed; re-deliver the batch")
+          s"snapshot commit: rename $tmp -> $pointer failed; " +
+            "re-deliver the batch")
     }
-    // prune superseded versions only AFTER the commit — a crash here
-    // just leaves orphan dirs that the next batch's prune sweeps up
     fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter { p =>
         val v = p.getName.stripPrefix("snapshot_v")
@@ -313,6 +325,102 @@ object EventStream {
         readPtr()
       }
     }
+  }
+
+  /** Streaming conversation-render maintenance — the post-training
+    * ingest shape: TURNS trickle in (a conversation's messages may
+    * span many micro-batches, arrive out of order across batches) and
+    * the sink maintains the [[graft.ops.Chat.renderChat]] snapshot of
+    * every conversation seen so far, incrementally.
+    *
+    * Layout: raw turns accumulate under `turns/batch_<id>/bucket=<b>`
+    * (bucket = conv_id mod `nBuckets`, a PARTITION dir — so per batch
+    * only the touched buckets' history is re-read, partition-pruned,
+    * and only their conversations re-rendered; untouched buckets'
+    * rendered rows carry forward from the prior snapshot by a bucket
+    * filter, never re-deriving them). Batch turn dirs are overwritten
+    * per batch id (re-delivery replaces itself) and the snapshot
+    * commits through the [[upsertSink]] discipline (versioned dir →
+    * atomic pointer flip → post-commit prune), so a crash anywhere
+    * re-folds the batch against exactly the state the failed attempt
+    * saw. An EMPTY batch flows through the same path: no touched
+    * buckets, prior snapshot carried forward whole, pointer still
+    * advances (the round-15 empty-batch wedge lesson).
+    *
+    * Per-batch cost: the touched buckets' turn history + one snapshot
+    * rewrite (the honest no-transaction-log trade-off, as
+    * [[upsertSink]]); the turn-dir listing grows O(batches) like the
+    * pre-compaction export sink — fold old batch dirs with a
+    * compaction sweep if a stream lives for thousands of batches.
+    * Delivery contract: each turn is assigned to exactly ONE batch id
+    * by the source (standard append-only stream); the sink makes
+    * re-delivery of a batch idempotent but does not dedup a turn the
+    * source emits under two different batch ids.
+    */
+  def chatRenderSink(dir: String, nBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = batch.sparkSession
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = recoverPointer(fs, dir)
+    if (committed.exists(_ >= batchId)) return // replayed, already folded
+    val b = batch
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("content"))
+      .withColumn("bucket",
+        pmod(col("conv_id"), lit(nBuckets)).cast("int"))
+      .localCheckpoint()
+    val touched = b.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nBuckets driver rows
+    // an empty batch writes NO turn dir (a zero-file dir would break
+    // schema inference for every later batch's history read)
+    if (touched.nonEmpty)
+      b.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/turns/batch_$batchId")
+    val turnsRoot = new Path(s"$dir/turns")
+    val batchDirs =
+      if (!fs.exists(turnsRoot)) Seq.empty[String]
+      else fs.listStatus(turnsRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_")).map(_.toString)
+    val rendered =
+      if (touched.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0L).as("conv_id"), lit("").as("rendered"),
+            lit(0L).as("n_chars"), lit(0).as("bucket"))
+          .limit(0)
+      else {
+        val hist = batchDirs
+          .map(p => spark.read.option("basePath", p).parquet(p))
+          .reduce(_.unionByName(_))
+          .filter(col("bucket").isin(touched: _*))
+        graft.ops.Chat.renderChat(hist.drop("bucket"))
+          .withColumn("bucket",
+            pmod(col("conv_id"), lit(nBuckets)).cast("int"))
+      }
+    val merged = committed match {
+      case Some(v) =>
+        spark.read.parquet(s"$dir/snapshot_v$v")
+          .filter(if (touched.isEmpty) lit(true)
+            else !col("bucket").isin(touched: _*))
+          .unionByName(rendered)
+      case None => rendered
+    }
+    merged.write.mode("overwrite").parquet(s"$dir/snapshot_v$batchId")
+    commitSnapshotPointer(fs, dir, batchId)
+  }
+
+  /** Current rendered-conversation snapshot of a [[chatRenderSink]]
+    * store: (conv_id, rendered, n_chars). */
+  def readChatRendered(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = recoverPointer(fs, dir).getOrElse(
+      sys.error(s"chatRenderSink store at $dir has no committed snapshot"))
+    spark.read.parquet(s"$dir/snapshot_v$v")
+      .select("conv_id", "rendered", "n_chars")
   }
 
   /** Streaming CONNECTED-COMPONENTS maintenance — a continuously-
