@@ -1241,6 +1241,33 @@ object ScaleRehearsal {
       growth("chat (stats+render+pairs)") = c10 / c1
     }
 
+    // ---- chat stream sink (round 16): fold a CONSTANT single-bucket
+    // batch into a store holding 1x vs 10x turn history — per-batch
+    // cost is the touched bucket's history + the snapshot rewrite, so
+    // the bar is well under 10 (bucket read ~1/16 of history; the
+    // snapshot copy is the known O(corpus) term) ----
+    if (on("chat_stream")) {
+      val t1 = graft.queries.ChatQueries.turnsOf(spark, sfDir)
+        .localCheckpoint()
+      val nC = t1.agg(max(col("conv_id"))).head().getLong(0) + 1
+      def foldSecs(copies: Int, label: String): Double = {
+        val dir = graft.core.Scratch.dir(s"rehearsal_chatstream_$copies")
+        val seed = (0 until copies).map(k =>
+            t1.withColumn("conv_id", col("conv_id") + lit(k * nC)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        graft.streaming.EventStream.chatRenderSink(dir)(seed, 0L)
+        val batch = t1.filter(col("conv_id") % 16 === 3)
+          .limit(200).localCheckpoint() // constant work, one bucket
+        timed(label) {
+          graft.streaming.EventStream.chatRenderSink(dir)(batch, 1L)
+          graft.streaming.EventStream.readChatRendered(spark, dir).count()
+        }
+      }
+      val f1 = foldSecs(1, "chat_stream 1x store")
+      val f10 = foldSecs(10, "chat_stream 10x store")
+      growth("chat_stream (constant batch, 10x store)") = f10 / f1
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
