@@ -57,6 +57,86 @@ object ChatQueries {
       |  FROM documents, LATERAL (SELECT unnest(range(0, 2 + doc_id % 5))
       |    AS turn_idx) r)""".stripMargin
 
+  /** The kept-set CTE chain shared by the publish-family oracles:
+    * defines `dd (conv_id, rendered)` — rendered conversations that
+    * pass the quality gate AND the prompt-decontamination screen.
+    * Callers append their own replay (manifest recompute, epoch
+    * order) on top. */
+  private def sftKeptCte: String =
+    s"""$TurnsCte,
+       |rend AS (
+       |  SELECT conv_id,
+       |    string_agg('<|' || role || '|>' || chr(10) || content ||
+       |      '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered
+       |  FROM t GROUP BY conv_id),
+       |gt AS (
+       |  SELECT conv_id,
+       |    count(*)::BIGINT AS n_turns,
+       |    sum(CASE WHEN role = 'assistant' THEN length(content)
+       |        ELSE 0 END)::BIGINT AS asst_chars,
+       |    arg_max(content, turn_idx) AS last_content
+       |  FROM t GROUP BY conv_id),
+       |kp AS (
+       |  SELECT conv_id FROM gt
+       |  WHERE asst_chars >= 40 AND n_turns >= 3
+       |    AND last_content <> ''),
+       |p0 AS (
+       |  SELECT conv_id,
+       |    arg_min(content, turn_idx) FILTER (WHERE role = 'user')
+       |      AS prompt
+       |  FROM t WHERE conv_id < 450 GROUP BY conv_id),
+       |pw AS (
+       |  SELECT conv_id, string_split(${TextQueries.normSqlOf("prompt")},
+       |    ' ') AS w
+       |  FROM p0 WHERE prompt IS NOT NULL),
+       |pg AS (
+       |  SELECT conv_id, list_transform(range(len(w) - 4),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+       |         w[i+4] || ' ' || w[i+5]) AS g
+       |  FROM pw),
+       |ew AS (
+       |  SELECT string_split(${TextQueries.NormSql}, ' ') AS w
+       |  FROM documents WHERE doc_id >= 450),
+       |ev AS (
+       |  SELECT flatten(list(list_transform(range(len(w) - 4),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+       |         w[i+4] || ' ' || w[i+5]))) AS eg
+       |  FROM ew),
+       |clean AS (
+       |  SELECT conv_id FROM pg, ev WHERE NOT list_has_any(g, eg)),
+       |dd AS (
+       |  SELECT r.conv_id, r.rendered FROM rend r
+       |  JOIN kp USING (conv_id) JOIN clean USING (conv_id))""".stripMargin
+
+  /** Build the curated SFT export store once per JVM; returns its
+    * dir. Shared by `q_sft_publish` and `q_sft_epoch` (faces run in
+    * any order). */
+  private def sftStore(s: SparkSession, d: String): String = {
+    val dir = s"${graft.core.Scratch.dir("sinks")}/graft_sft_store"
+    if (graft.sources.Versioned
+        .currentVersion(s, s"$dir/manifest").isEmpty) {
+      val turns = turnsOf(s, d)
+      val rendered = Chat.renderChat(turns)
+        .select(col("conv_id"), col("rendered"))
+      val kept = Chat.chatGate(turns)
+        .filter(col("keep")).select("conv_id")
+      val prompts = Chat.firstUserTurn(
+        turns.filter(col("conv_id") < 450))
+      val clean = graft.ops.Dedup.decontaminate(prompts, "conv_id",
+          col("prompt"),
+          Tables.documents(s, d).filter(col("doc_id") >= 450),
+          col("text"), n = 5)
+        .select("conv_id")
+      val docs = rendered.join(kept, Seq("conv_id"))
+        .join(clean, Seq("conv_id"))
+      graft.sources.Export.exportJsonlShards(docs, dir,
+        targetBytes = 16384L, id = col("conv_id"),
+        sizeOf = octet_length(col("rendered")),
+        checksumCols = Seq("conv_id", "rendered")): Unit
+    }
+    dir
+  }
+
   /** The render oracle — shared with the streaming face
     * (`q_chat_stream_render`), which must converge to exactly this. */
   private[queries] val RenderOracle: String =
@@ -300,50 +380,7 @@ object ChatQueries {
     //      contaminated prompt, or a torn shard all hash-mismatch ----
     sql(
       "q_sft_publish",
-      s"""WITH $TurnsCte,
-         |rend AS (
-         |  SELECT conv_id,
-         |    string_agg('<|' || role || '|>' || chr(10) || content ||
-         |      '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered
-         |  FROM t GROUP BY conv_id),
-         |g AS (
-         |  SELECT conv_id,
-         |    count(*)::BIGINT AS n_turns,
-         |    sum(CASE WHEN role = 'assistant' THEN length(content)
-         |        ELSE 0 END)::BIGINT AS asst_chars,
-         |    arg_max(content, turn_idx) AS last_content
-         |  FROM t GROUP BY conv_id),
-         |kp AS (
-         |  SELECT conv_id FROM g
-         |  WHERE asst_chars >= 40 AND n_turns >= 3
-         |    AND last_content <> ''),
-         |p0 AS (
-         |  SELECT conv_id,
-         |    arg_min(content, turn_idx) FILTER (WHERE role = 'user')
-         |      AS prompt
-         |  FROM t WHERE conv_id < 450 GROUP BY conv_id),
-         |pw AS (
-         |  SELECT conv_id, string_split(${TextQueries.normSqlOf("prompt")},
-         |    ' ') AS w
-         |  FROM p0 WHERE prompt IS NOT NULL),
-         |pg AS (
-         |  SELECT conv_id, list_transform(range(len(w) - 4),
-         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-         |         w[i+4] || ' ' || w[i+5]) AS g
-         |  FROM pw),
-         |ew AS (
-         |  SELECT string_split(${TextQueries.NormSql}, ' ') AS w
-         |  FROM documents WHERE doc_id >= 450),
-         |ev AS (
-         |  SELECT flatten(list(list_transform(range(len(w) - 4),
-         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-         |         w[i+4] || ' ' || w[i+5]))) AS eg
-         |  FROM ew),
-         |clean AS (
-         |  SELECT conv_id FROM pg, ev WHERE NOT list_has_any(g, eg)),
-         |dd AS (
-         |  SELECT r.conv_id, r.rendered FROM rend r
-         |  JOIN kp USING (conv_id) JOIN clean USING (conv_id)),
+      s"""WITH $sftKeptCte,
          |tot AS (
          |  SELECT sum(octet_length(encode(rendered)))::BIGINT AS total
          |  FROM dd),
@@ -363,28 +400,7 @@ object ChatQueries {
          |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
          |  sum(c)::BIGINT AS rb_checksum
          |FROM sh GROUP BY 1""".stripMargin) { (s, d) =>
-      val dir = s"${graft.core.Scratch.dir("sinks")}/graft_sft_store"
-      if (graft.sources.Versioned
-          .currentVersion(s, s"$dir/manifest").isEmpty) {
-        val turns = turnsOf(s, d)
-        val rendered = Chat.renderChat(turns)
-          .select(col("conv_id"), col("rendered"))
-        val kept = Chat.chatGate(turns)
-          .filter(col("keep")).select("conv_id")
-        val prompts = Chat.firstUserTurn(
-          turns.filter(col("conv_id") < 450))
-        val clean = graft.ops.Dedup.decontaminate(prompts, "conv_id",
-            col("prompt"),
-            Tables.documents(s, d).filter(col("doc_id") >= 450),
-            col("text"), n = 5)
-          .select("conv_id")
-        val docs = rendered.join(kept, Seq("conv_id"))
-          .join(clean, Seq("conv_id"))
-        graft.sources.Export.exportJsonlShards(docs, dir,
-          targetBytes = 16384L, id = col("conv_id"),
-          sizeOf = octet_length(col("rendered")),
-          checksumCols = Seq("conv_id", "rendered")): Unit
-      }
+      val dir = sftStore(s, d)
       val manifest = graft.sources.Export.readShardManifest(s, dir)
         .select(col("shard"), col("n_rows"), col("bytes"),
           col("checksum"))
@@ -396,6 +412,43 @@ object ChatQueries {
         .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
           "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
       manifest.join(rb, Seq("shard"))
+    },
+
+    // ---- seeded epoch order over the SFT store (compose: the
+    //      curated conversation corpus feeds the reproducible-
+    //      training loader machinery): shard visit order and
+    //      within-shard order are pure draws of (seed, epoch); the
+    //      oracle re-derives the kept set, replays the shard draw,
+    //      and recomputes the exact global position of every
+    //      conversation ----
+    sql(
+      "q_sft_epoch",
+      s"""WITH $sftKeptCte,
+         |tot AS (
+         |  SELECT sum(octet_length(encode(rendered)))::BIGINT AS total
+         |  FROM dd),
+         |ns AS (
+         |  SELECT greatest(1, (total + 16383) // 16384)::BIGINT AS n
+         |  FROM tot),
+         |k AS (
+         |  SELECT conv_id,
+         |    CAST('0x' || substr(md5(conv_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % (SELECT n FROM ns) AS shard
+         |  FROM dd),
+         |kk AS (
+         |  SELECT conv_id, shard,
+         |    CAST('0x' || substr(md5('7:2:' || shard::VARCHAR), 1, 8)
+         |      AS BIGINT) AS sdraw,
+         |    CAST('0x' || substr(md5('7:2:' || conv_id::VARCHAR), 1, 8)
+         |      AS BIGINT) AS rdraw
+         |  FROM k)
+         |SELECT conv_id, shard::INT AS shard,
+         |  row_number() OVER (ORDER BY sdraw, shard, rdraw, conv_id)
+         |    ::BIGINT AS epoch_pos
+         |FROM kk""".stripMargin) { (s, d) =>
+      graft.sources.Export.epochOrder(s, sftStore(s, d), "conv_id",
+          seed = 7L, epoch = 2)
+        .select(col("conv_id"), col("shard"), col("epoch_pos"))
     },
 
     // ---- training-quality gate: exact-integer volume metrics +
