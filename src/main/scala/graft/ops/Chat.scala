@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * each operator has an exact relational replay (window lag /
   * conditional aggregation / cumulative sum), which the ChatQueries
   * faces pin against DuckDB.
+  *
+  * Contract: `turn_idx` is unique within a conversation (the sorted
+  * turn list, the mask cumsum, and `min_by`/`max_by` tie on it);
+  * duplicate indices make the order — and thus render/mask output —
+  * undefined. Dedup upstream if a source can re-emit a turn.
   */
 object Chat {
 

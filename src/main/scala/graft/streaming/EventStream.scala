@@ -390,9 +390,13 @@ object EventStream {
             lit(0L).as("n_chars"), lit(0).as("bucket"))
           .limit(0)
       else {
+        // allowMissingColumns: a store whose later batches carry an
+        // extra column (schema evolution) must still read its older
+        // batch dirs — the round-15 retractShards lesson; renderChat
+        // touches only the four turn columns, present in every batch
         val hist = batchDirs
           .map(p => spark.read.option("basePath", p).parquet(p))
-          .reduce(_.unionByName(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
           .filter(col("bucket").isin(touched: _*))
         graft.ops.Chat.renderChat(hist.drop("bucket"))
           .withColumn("bucket",
