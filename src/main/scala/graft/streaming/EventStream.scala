@@ -349,18 +349,29 @@ object EventStream {
     *
     * Per-batch cost: the touched buckets' turn history + one snapshot
     * rewrite (the honest no-transaction-log trade-off, as
-    * [[upsertSink]]); the turn-dir listing grows O(batches) like the
-    * pre-compaction export sink — fold old batch dirs with a
-    * compaction sweep if a stream lives for thousands of batches.
+    * [[upsertSink]]). The turn-dir count is BOUNDED by
+    * `maxTurnDirs`: crossing it folds the whole history into one
+    * bucket-partitioned dir — a full-history fold every
+    * ~maxTurnDirs batches is amortized O(history/maxTurnDirs) per
+    * batch, strictly dominated by the per-batch snapshot rewrite the
+    * sink already pays, so (unlike the export sink) single-level
+    * folding needs no tiers here. The LIVE dir set is tracked in a
+    * `turn_dirs_v<id>` sidecar committed under the same pointer as
+    * the snapshot (history reads NEVER trust a raw listing, so a
+    * crash mid-prune leaves only unreferenced orphans); a store
+    * written before the sidecar existed falls back to listing
+    * `batch_*` dirs once and self-upgrades at its next batch.
     * Delivery contract: each turn is assigned to exactly ONE batch id
     * by the source (standard append-only stream); the sink makes
     * re-delivery of a batch idempotent but does not dedup a turn the
     * source emits under two different batch ids.
     */
-  def chatRenderSink(dir: String, nBuckets: Int = 16)(
+  def chatRenderSink(dir: String, nBuckets: Int = 16,
+      maxTurnDirs: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, "nBuckets must be positive")
+    require(maxTurnDirs >= 2, "maxTurnDirs must be >= 2")
     val spark = batch.sparkSession
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -378,11 +389,36 @@ object EventStream {
     if (touched.nonEmpty)
       b.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/turns/batch_$batchId")
-    val turnsRoot = new Path(s"$dir/turns")
-    val batchDirs =
-      if (!fs.exists(turnsRoot)) Seq.empty[String]
-      else fs.listStatus(turnsRoot).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("batch_")).map(_.toString)
+    // the current batch's dir never counts as PRIOR state: the legacy
+    // raw-listing fallback (and a crashed earlier attempt of this very
+    // batch) would otherwise hand it back and double the batch's turns
+    val priorDirs = (committed match {
+      case Some(v) => readTurnDirs(fs, dir, v)
+      case None => Seq.empty[String]
+    }).filterNot(p =>
+      new org.apache.hadoop.fs.Path(p).getName == s"batch_$batchId")
+    val withBatch =
+      if (touched.isEmpty) priorDirs
+      else priorDirs :+ s"$dir/turns/batch_$batchId"
+    def readDirs(dirs: Seq[String]): DataFrame =
+      // allowMissingColumns: a store whose later batches carry an
+      // extra column (schema evolution) must still read its older
+      // dirs — the round-15 retractShards lesson; renderChat touches
+      // only the four turn columns, present in every generation
+      dirs.map(p => spark.read.option("basePath", p).parquet(p))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    // fold when the live set outgrows the bound: ONE dir holds the
+    // whole history afterwards; deterministic on replay (the fold is
+    // a pure function of the committed dir list + the overwritten
+    // batch dir, and lands at a batch-id-derived name)
+    val liveDirs =
+      if (withBatch.size <= maxTurnDirs) withBatch
+      else {
+        val fold = s"$dir/turns/fold_$batchId"
+        readDirs(withBatch).write.mode("overwrite")
+          .partitionBy("bucket").parquet(fold)
+        Seq(fold)
+      }
     val rendered =
       if (touched.isEmpty)
         spark.emptyDataFrame
@@ -390,13 +426,7 @@ object EventStream {
             lit(0L).as("n_chars"), lit(0).as("bucket"))
           .limit(0)
       else {
-        // allowMissingColumns: a store whose later batches carry an
-        // extra column (schema evolution) must still read its older
-        // batch dirs — the round-15 retractShards lesson; renderChat
-        // touches only the four turn columns, present in every batch
-        val hist = batchDirs
-          .map(p => spark.read.option("basePath", p).parquet(p))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val hist = readDirs(liveDirs)
           .filter(col("bucket").isin(touched: _*))
         graft.ops.Chat.renderChat(hist.drop("bucket"))
           .withColumn("bucket",
@@ -411,7 +441,64 @@ object EventStream {
       case None => rendered
     }
     merged.write.mode("overwrite").parquet(s"$dir/snapshot_v$batchId")
+    writeTurnDirs(fs, dir, batchId, liveDirs)
     commitSnapshotPointer(fs, dir, batchId)
+    pruneTurnState(fs, dir, batchId, liveDirs)
+  }
+
+  /** Live turn-dir list of snapshot version `v`. Falls back to a raw
+    * `batch_*` listing for stores written before the sidecar existed
+    * (they self-upgrade at their next batch). */
+  private def readTurnDirs(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val sidecar = new Path(dir, s"turn_dirs_v$v")
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.split('\n').toSeq.filter(_.nonEmpty)
+    } else {
+      val turnsRoot = new Path(s"$dir/turns")
+      if (!fs.exists(turnsRoot)) Seq.empty
+      else fs.listStatus(turnsRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch_")).map(_.toString).sorted
+    }
+  }
+
+  private def writeTurnDirs(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long,
+      dirs: Seq[String]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, s"turn_dirs_v$batchId"), true)
+    try out.write(dirs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Post-commit sweep: superseded sidecars and any turn dir the
+    * committed list no longer references (folded-away batch dirs,
+    * crash orphans). Reads never trust a listing, so a crash here
+    * only leaves unreferenced garbage for the next batch's sweep. */
+  private def pruneTurnState(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long,
+      live: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val v = p.getName.stripPrefix("turn_dirs_v")
+        p.getName.startsWith("turn_dirs_v") &&
+          v.nonEmpty && v.forall(_.isDigit) && v.toLong != batchId
+      }
+      .foreach(p => fs.delete(p, false))
+    val turnsRoot = new Path(s"$dir/turns")
+    if (fs.exists(turnsRoot)) {
+      val liveNames = live.map(p => new Path(p).getName).toSet
+      fs.listStatus(turnsRoot).toSeq.map(_.getPath)
+        .filterNot(p => liveNames.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Current rendered-conversation snapshot of a [[chatRenderSink]]

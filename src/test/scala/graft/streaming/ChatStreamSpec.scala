@@ -114,6 +114,62 @@ class ChatStreamSpec extends AnyFunSuite with WithSpark {
       "<|user|>\nagain<|end|>\n"))
   }
 
+  test("turn-dir fold: bounded listing, byte-identical converged " +
+      "snapshot, folded dirs swept") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chat_fold").toString
+    // one turn per batch -> 9 batches; maxTurnDirs = 3 forces folds
+    allTurns.zipWithIndex.foreach { case (t, i) =>
+      EventStream.chatRenderSink(dir, nBuckets = 4, maxTurnDirs = 3)(
+        turnsDf(t), i.toLong)
+    }
+    assert(snapshot(dir) == expected)
+    val turnDirs = new java.io.File(s"$dir/turns")
+      .listFiles().map(_.getName).toSeq
+    assert(turnDirs.size <= 3,
+      s"fold must bound the turn-dir listing, got $turnDirs")
+    assert(turnDirs.exists(_.startsWith("fold_")),
+      s"expected a fold dir in $turnDirs")
+  }
+
+  test("legacy store without dir sidecars self-upgrades") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chat_legacy").toString
+    EventStream.chatRenderSink(dir)(
+      turnsDf(allTurns.filter(_._2 == 0L): _*), 0L)
+    EventStream.chatRenderSink(dir)(
+      turnsDf(allTurns.filter(_._2 == 1L): _*), 1L)
+    // simulate a store written before the sidecar existed
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("turn_dirs_v"))
+      .foreach(f => assert(f.delete()))
+    EventStream.chatRenderSink(dir)(
+      turnsDf(allTurns.filter(_._2 >= 2L): _*), 2L)
+    assert(snapshot(dir) == expected)
+    assert(new java.io.File(s"$dir/turn_dirs_v2").exists(),
+      "next batch must re-establish the sidecar")
+  }
+
+  test("unreferenced orphan turn dirs are swept, never read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chat_orphan").toString
+    EventStream.chatRenderSink(dir)(
+      turnsDf(allTurns.filterNot(_._1 == 2L): _*), 0L)
+    // plant an orphan holding POISON rows for conv 2 — a listing-based
+    // reader would fold it in; the sidecar-based reader must not
+    turnsDf((2L, 0L, "user", "poison"))
+      .withColumn("bucket", org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/turns/batch_99x")
+    EventStream.chatRenderSink(dir)(
+      turnsDf(allTurns.filter(_._1 == 2L): _*), 1L)
+    assert(snapshot(dir) == expected,
+      "orphan dir leaked into the history read")
+    assert(!new java.io.File(s"$dir/turns/batch_99x").exists(),
+      "orphan dir must be swept after the commit")
+  }
+
   test("heals an interrupted pointer commit") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chat_crash").toString
