@@ -451,6 +451,50 @@ object ChatQueries {
         .select(col("conv_id"), col("shard"), col("epoch_pos"))
     },
 
+    // ---- multi-worker DDP slices over the SFT store: the epoch's
+    //      shard visit order cuts into 3 contiguous shard-granular
+    //      worker slices; the oracle replays each worker's EXACT
+    //      conversation list, so the union is provably the full
+    //      epoch with no overlap ----
+    sql(
+      "q_sft_workers",
+      s"""WITH $sftKeptCte,
+         |tot AS (
+         |  SELECT sum(octet_length(encode(rendered)))::BIGINT AS total
+         |  FROM dd),
+         |ns AS (
+         |  SELECT greatest(1, (total + 16383) // 16384)::BIGINT AS n
+         |  FROM tot),
+         |k0 AS (
+         |  SELECT conv_id,
+         |    CAST('0x' || substr(md5(conv_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % (SELECT n FROM ns) AS shard
+         |  FROM dd),
+         |k AS (
+         |  SELECT conv_id, shard,
+         |    CAST('0x' || substr(md5('7:2:' || shard::VARCHAR), 1, 8)
+         |      AS BIGINT) AS sdraw,
+         |    CAST('0x' || substr(md5('7:2:' || conv_id::VARCHAR), 1, 8)
+         |      AS BIGINT) AS rdraw
+         |  FROM k0),
+         |off AS (
+         |  SELECT shard,
+         |    sum(count(*)) OVER (ORDER BY any_value(sdraw), shard)
+         |      - count(*) AS o,
+         |    sum(count(*)) OVER () AS t
+         |  FROM k GROUP BY shard)
+         |SELECT k.conv_id, k.shard::INT AS shard,
+         |  row_number() OVER (ORDER BY sdraw, k.shard, rdraw, conv_id)
+         |    ::BIGINT AS epoch_pos,
+         |  ((3 * off.o) // off.t)::INT AS worker
+         |FROM k JOIN off ON k.shard = off.shard""".stripMargin) {
+      (s, d) =>
+        graft.sources.Export.epochWorkerSlices(s, sftStore(s, d),
+            "conv_id", seed = 7L, epoch = 2, nWorkers = 3)
+          .select(col("conv_id"), col("shard"), col("epoch_pos"),
+            col("worker"))
+    },
+
     // ---- training-quality gate: exact-integer volume metrics +
     //      keep decision; integer percent ratio (NULL on zero user
     //      volume) replays through DuckDB's integer division ----
