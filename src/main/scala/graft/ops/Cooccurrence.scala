@@ -56,6 +56,62 @@ object Cooccurrence {
     pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
   }
 
+  /** Association rules over baskets (market-basket / co-curation
+    * mining): for every DIRECTED item pair (a → b) co-present in at
+    * least `minSupport` baskets, the rule's support, confidence, and
+    * lift — as EXACT parts-per-million integers
+    * (`conf_ppm = n_ab·10⁶ div n_a`,
+    * `lift_ppm = n_ab·N·10⁶ div (n_a·n_b)`), so both engines agree
+    * bit-for-bit with no float division.
+    *
+    * Presence counting (an item twice in one basket counts once):
+    * baskets fold to a distinct sorted item set, pairs expand
+    * map-side from that set (the [[pairCounts]] device — no
+    * self-join), item counts ride the same exploded set. Plan: one
+    * basket shuffle + two counting aggregations + one dim-sized join
+    * chain (item counts broadcast under AQE).
+    *
+    * `baskets`: (basket, item) rows. N = distinct baskets. Overflow
+    * bound: `n_ab·N·10⁶` must fit a signed long — past ~3·10⁶ baskets
+    * either shrink the ppm scale or lift the arithmetic to
+    * decimal(38,0) (both engines divide those exactly too); the
+    * integer contract is the point, the scale is a parameter.
+    */
+  def associationRules(
+      baskets: DataFrame, basket: String, item: String,
+      minSupport: Long): DataFrame = {
+    val sets = baskets
+      .groupBy(col(basket))
+      .agg(array_sort(collect_set(col(item))).as("__s"))
+    val n = sets.count()
+    val items = sets
+      .select(explode(col("__s")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("n_item"))
+    val pairs = sets.filter(size(col("__s")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("__s")) - 2),
+        i => transform(
+          slice(col("__s"), i + lit(2), size(col("__s"))),
+          p => struct(
+            element_at(col("__s"), (i + 1).cast("int")).as("x"),
+            p.as("y")))))).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    // directed both ways off the canonical pair counts
+    val directed = pairs
+      .select(col("x").as("a"), col("y").as("b"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("y").as("a"), col("x").as("b"), col("n_ab")))
+    directed
+      .join(items.select(col("__i").as("a"), col("n_item").as("n_a")), "a")
+      .join(items.select(col("__i").as("b"), col("n_item").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000L div n_a").as("conf_ppm"),
+        expr(s"n_ab * ${n}L * 1000000L div (n_a * n_b)").as("lift_ppm"))
+  }
+
   def pmi(
       docs: DataFrame,
       tokens: Column,

@@ -852,5 +852,84 @@ object AnalyticsQueries {
             .orderBy(col("n").desc, col("lang").asc_nulls_last)))
         .filter(col("rn") === 1)
         .select(col("source"), col("lang").as("mode_lang"), col("n"))
+    },
+
+    // ---- ordered conversion funnel (round 16): first-touch stage
+    //      timestamps, each stage strictly after the previous — the
+    //      oracle replays the chained filtered-min joins exactly ----
+    sql(
+      "q_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 'stage1_view' AS stage, count(*)::BIGINT AS n_users
+        |FROM s1
+        |UNION ALL SELECT 'stage2_click', count(*)::BIGINT FROM s2
+        |UNION ALL SELECT 'stage3_purchase', count(*)::BIGINT FROM s3
+        |""".stripMargin) { (s, d) =>
+      graft.ops.Journey.funnel(Tables.events(s, d), "user_id",
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+    },
+
+    // ---- weekly cohort retention (round 16): cohort = ISO week of
+    //      the first event, distinct actives at cohort week + k —
+    //      exact integer week arithmetic on both engines ----
+    sql(
+      "q_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events),
+        |j AS (
+        |  SELECT f.user_id, strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |    (date_diff('day', f.cw::DATE, a.w::DATE) // 7)::BIGINT AS k
+        |  FROM f JOIN a ON f.user_id = a.user_id)
+        |SELECT cohort_week, k, count(DISTINCT user_id)::BIGINT
+        |  AS n_users
+        |FROM j WHERE k >= 0 AND k <= 3 GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        graft.ops.Journey.cohortRetention(Tables.events(s, d),
+          "user_id", col("ts"), maxWeeks = 3)
+    },
+
+    // ---- association rules on baskets (round 16): directed
+    //      confidence/lift as exact parts-per-million integers; the
+    //      oracle replays presence counting with a distinct self-join
+    //      against the engine's map-side pair expansion ----
+    sql(
+      "q_assoc_rules",
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT bk)::BIGINT AS nb FROM bi),
+        |ic AS (SELECT it, count(*)::BIGINT AS n_item FROM bi
+        |       GROUP BY 1),
+        |pc AS (
+        |  SELECT x.it AS xa, y.it AS yb, count(*)::BIGINT AS n_ab
+        |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |dr AS (SELECT xa AS a, yb AS b2, n_ab FROM pc
+        |       UNION ALL SELECT yb, xa, n_ab FROM pc)
+        |SELECT dr.a, dr.b2 AS b, n_ab, ia.n_item AS n_a,
+        |  ib.n_item AS n_b,
+        |  ((n_ab * 1000000) // ia.n_item)::BIGINT AS conf_ppm,
+        |  ((n_ab * (SELECT nb FROM n) * 1000000)
+        |    // (ia.n_item * ib.n_item))::BIGINT AS lift_ppm
+        |FROM dr JOIN ic ia ON dr.a = ia.it
+        |        JOIN ic ib ON dr.b2 = ib.it""".stripMargin) { (s, d) =>
+      graft.ops.Cooccurrence.associationRules(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 3L)
     })
 }
