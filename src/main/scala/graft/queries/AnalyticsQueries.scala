@@ -854,6 +854,60 @@ object AnalyticsQueries {
         .select(col("source"), col("lang").as("mode_lang"), col("n"))
     },
 
+    // ---- KMV distinct sketch (round 16): the md5-draw hash makes
+    //      the sketch ITSELF engine-portable — the oracle replays the
+    //      exact k minimum hashes, the saturation branch, and the
+    //      single exact-integer division of the estimator ----
+    sql(
+      "q_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(l_partkey::VARCHAR),
+        |    1, 15) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+        |kk AS (
+        |  SELECT count(*)::BIGINT AS n_sketch, max(hv)::BIGINT AS kth_hv
+        |  FROM r WHERE rn <= 256)
+        |SELECT n_sketch, kth_hv,
+        |  round(CASE WHEN n_sketch < 256 THEN n_sketch::DOUBLE
+        |    ELSE 255.0 * power(2, 60) / kth_hv END, 6) AS est_distinct
+        |FROM kk""".stripMargin) { (s, d) =>
+      graft.ops.Kmv.distinctEstimate(
+        Tables.lineitem(s, d), col("l_partkey"), k = 256)
+    },
+
+    // ---- KMV Jaccard (round 16): overlap of the part sets bought in
+    //      even vs odd orders — exact integers end to end (membership
+    //      flags on the union's k minimum hashes, ppm division) ----
+    sql(
+      "q_kmv_jaccard",
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(l_partkey::VARCHAR),
+        |    1, 15) AS BIGINT) AS hv, 1 AS in_a, 0 AS in_b
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |hb AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(l_partkey::VARCHAR),
+        |    1, 15) AS BIGINT) AS hv, 0 AS in_a, 1 AS in_b
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |u AS (
+        |  SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)
+        |  GROUP BY hv),
+        |r AS (SELECT *, row_number() OVER (ORDER BY hv) AS rn FROM u),
+        |kk AS (
+        |  SELECT count(*)::BIGINT AS k_used,
+        |    sum(in_a * in_b)::BIGINT AS n_both
+        |  FROM r WHERE rn <= 256)
+        |SELECT k_used, n_both,
+        |  ((n_both * 1000000) // k_used)::BIGINT AS jacc_ppm
+        |FROM kk""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.ops.Kmv.jaccardEstimate(
+        li.filter(col("l_orderkey") % 2 === 0), col("l_partkey"),
+        li.filter(col("l_orderkey") % 2 === 1), col("l_partkey"),
+        k = 256)
+    },
+
     // ---- ordered conversion funnel (round 16): first-touch stage
     //      timestamps, each stage strictly after the previous — the
     //      oracle replays the chained filtered-min joins exactly ----
