@@ -543,4 +543,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_gopher_rules: a per-row rule gate must not join or " +
         s"shuffle:\n${p.take(1200)}")
   }
+
+  test("chat validation is ONE hash exchange with map-side partial " +
+      "collect; the documents scan is column-pruned") {
+    val p = plan("q_chat_validate")
+    assert(count(p, "Exchange") == 1,
+      s"q_chat_validate grew beyond one shuffle:\n${p.take(1200)}")
+    assert(p.contains("partial_collect_list"),
+      "turn collection lost its map-side partial aggregation")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan reads more than (doc_id, text)")
+  }
+
+  test("chat mask spans: one exchange, both running sums share one " +
+      "window") {
+    val p = plan("q_chat_mask")
+    assert(count(p, "Exchange") == 1,
+      s"q_chat_mask grew beyond one shuffle:\n${p.take(1200)}")
+    assert(count(p, "Window") == 1,
+      "the two cumulative sums no longer share a single Window node")
+  }
+
+  test("KMV sketch plans TakeOrderedAndProject, never a global sort " +
+      "exchange") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"KMV lost the bounded top-k plan:\n${p.take(1200)}")
+    assert(!p.contains("rangepartitioning"),
+      s"KMV must not range-shuffle the corpus for k rows:\n${p.take(1200)}")
+  }
+
+  test("preference pairs are one hash aggregation — no window sort, " +
+      "no self-join") {
+    val p = plan("q_pref_pairs")
+    assert(count(p, "Join") == 0 && count(p, "Window") == 0,
+      s"q_pref_pairs must stay a single groupBy:\n${p.take(1200)}")
+    assert(count(p, "Exchange") == 1,
+      s"q_pref_pairs grew beyond one shuffle:\n${p.take(1200)}")
+  }
 }
