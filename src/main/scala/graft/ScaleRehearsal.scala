@@ -1241,6 +1241,75 @@ object ScaleRehearsal {
       growth("chat (stats+render+pairs)") = c10 / c1
     }
 
+    // ---- graph round-16 ops on 10 disjoint salted replicas: BFS
+    // visits each node's neighborhood once (bar ≲ 10 with the same
+    // round count — seeds replicate per copy so depth is unchanged);
+    // SSSP is 4 fixed rounds of join+min-agg (linear); link
+    // prediction is the wedge self-join (structure-identical
+    // replicas → wedge count ×10, bar ≲ 10) ----
+    if (on("graph16")) {
+      val seeds1 = e1.select(col("a").as("id"))
+        .filter(col("id") % 97 === 0).distinct().localCheckpoint()
+      val off = e1.agg(max(greatest(col("a"), col("b")))).head()
+        .getLong(0) + 1
+      val seeds10 = (0 until 10).map(k =>
+          seeds1.select((col("id") + lit(k * off)).as("id")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val we1 = graft.queries.GraphQueries
+        .weightedEdges(spark, sfDir, 2).localCheckpoint()
+      val we10 = (0 until 10).map(k =>
+          we1.select((col("a") + lit(k * off)).as("a"),
+            (col("b") + lit(k * off)).as("b"), col("w")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val g1 = timed("graph16 1x (bfs+sssp+link)") {
+        graft.ops.Graph.bfsDistances(e1, seeds1, maxHops = 4).count() +
+          graft.ops.Graph.ssspInt(we1, seeds1, rounds = 4).count() +
+          graft.ops.Graph.linkCandidates(e1, minCommon = 2L).count()
+      }
+      val g10 = timed("graph16 10x") {
+        graft.ops.Graph.bfsDistances(e10, seeds10, maxHops = 4).count() +
+          graft.ops.Graph.ssspInt(we10, seeds10, rounds = 4).count() +
+          graft.ops.Graph.linkCandidates(e10, minCommon = 2L).count()
+      }
+      growth("graph16 (bfs+sssp+link)") = g10 / g1
+    }
+
+    // ---- journey/sketch round-16 ops: funnel is per-stage filtered
+    // aggregations (linear in events); cohort is two aggregations +
+    // a dim join; assoc rules one basket shuffle + dim joins; KMV is
+    // a TakeOrderedAndProject (k rows leave the executors) ----
+    if (on("journey16")) {
+      val ev1 = graft.core.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .localCheckpoint()
+      val nU = ev1.agg(max(col("user_id"))).head().getLong(0) + 1
+      val ev10 = (0 until 10).map(k =>
+          ev1.withColumn("user_id", col("user_id") + lit(k * nU)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val li1 = graft.core.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).localCheckpoint()
+      val nO = li1.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+      val li10 = (0 until 10).map(k =>
+          li1.select((col("l_orderkey") + lit(k * nO)).as("l_orderkey"),
+            col("l_partkey")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def run(ev: DataFrame, li: DataFrame, label: String): Double =
+        timed(label) {
+          graft.ops.Journey.funnel(ev, "user_id", col("ts"),
+            col("event_type"), Seq("view", "click", "purchase")).count() +
+            graft.ops.Journey.cohortRetention(ev, "user_id", col("ts"),
+              maxWeeks = 3).count() +
+            graft.ops.Cooccurrence.associationRules(li, "l_orderkey",
+              "l_partkey", minSupport = 3L).count() +
+            graft.ops.Kmv.distinctEstimate(li, col("l_partkey"),
+              k = 256).count()
+        }
+      run(ev1, li1, "journey16 warmup (discarded)")
+      val j1 = run(ev1, li1, "journey16 1x")
+      val j10 = run(ev10, li10, "journey16 10x")
+      growth("journey16 (funnel+cohort+assoc+kmv)") = j10 / j1
+    }
+
     // ---- chat stream sink (round 16): fold a CONSTANT single-bucket
     // batch into a store holding 1x vs 10x turn history — per-batch
     // cost is the touched bucket's history + the snapshot rewrite, so
