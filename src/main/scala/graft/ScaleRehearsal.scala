@@ -1276,7 +1276,7 @@ object ScaleRehearsal {
 
     // ---- journey/sketch round-16 ops: funnel is per-stage filtered
     // aggregations (linear in events); cohort is two aggregations +
-    // a dim join; assoc rules one basket shuffle + dim joins; KMV is
+    // assoc rules one basket shuffle + dim joins; KMV is
     // a TakeOrderedAndProject (k rows leave the executors) ----
     if (on("journey16")) {
       val ev1 = graft.core.Tables.events(spark, sfDir)
@@ -1297,8 +1297,6 @@ object ScaleRehearsal {
         timed(label) {
           graft.ops.Journey.funnel(ev, "user_id", col("ts"),
             col("event_type"), Seq("view", "click", "purchase")).count() +
-            graft.ops.Journey.cohortRetention(ev, "user_id", col("ts"),
-              maxWeeks = 3).count() +
             graft.ops.Cooccurrence.associationRules(li, "l_orderkey",
               "l_partkey", minSupport = 3L).count() +
             graft.ops.Kmv.distinctEstimate(li, col("l_partkey"),
@@ -1307,7 +1305,7 @@ object ScaleRehearsal {
       run(ev1, li1, "journey16 warmup (discarded)")
       val j1 = run(ev1, li1, "journey16 1x")
       val j10 = run(ev10, li10, "journey16 10x")
-      growth("journey16 (funnel+cohort+assoc+kmv)") = j10 / j1
+      growth("journey16 (funnel+assoc+kmv)") = j10 / j1
     }
 
     // ---- chat stream sink (round 16): fold a CONSTANT single-bucket

@@ -3,10 +3,11 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** User-journey analytics: ordered conversion funnels and cohort
-  * retention — the product-analytics half of the OLAP surface. Both
-  * are exact (timestamp comparisons and integer week arithmetic, no
-  * float), so any relational engine replays them bit-for-bit.
+/** User-journey analytics: the generic stage-parameterized funnel
+  * (the per-user timestamp detail and weekly cohort retention live as
+  * inline faces in AnalyticsQueries — this op is the reusable
+  * ANY-stage-list summary form). Exact timestamp comparisons, no
+  * float, so any relational engine replays it bit-for-bit.
   */
 object Journey {
 
@@ -47,34 +48,5 @@ object Journey {
           .select(lit(s"stage${i + 1}_$st").as("stage"), col("n_users"))
       }
       .reduce(_.unionByName(_))
-  }
-
-  /** Weekly cohort retention: users cohort by the ISO week
-    * (`date_trunc("week")`, Monday) of their FIRST event of any type;
-    * `n_users` counts the cohort's distinct users active in cohort
-    * week + k, for k in [0, maxWeeks]. Output:
-    * (cohort_week `yyyy-MM-dd`, k, n_users).
-    *
-    * Plan: one first-event aggregation + one distinct (user, week)
-    * projection off the same scan shape, joined on the user dim, then
-    * a count-distinct keyed by (cohort, k) — everything exact-integer
-    * (`datediff div 7`; no float week math).
-    */
-  def cohortRetention(
-      events: DataFrame, user: String, ts: Column,
-      maxWeeks: Int): DataFrame = {
-    require(maxWeeks >= 0, "maxWeeks must be >= 0")
-    val first = events.groupBy(col(user))
-      .agg(date_trunc("week", min(ts)).as("__cw"))
-    val active = events
-      .select(col(user), date_trunc("week", ts).as("__w"))
-      .distinct()
-    first.join(active, user)
-      .select(col(user),
-        date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
-        expr("datediff(__w, __cw) div 7").cast("long").as("k"))
-      .filter(col("k") >= 0 && col("k") <= maxWeeks)
-      .groupBy(col("cohort_week"), col("k"))
-      .agg(countDistinct(col(user)).as("n_users"))
   }
 }

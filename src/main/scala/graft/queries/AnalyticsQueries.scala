@@ -908,11 +908,14 @@ object AnalyticsQueries {
         k = 256)
     },
 
-    // ---- ordered conversion funnel (round 16): first-touch stage
-    //      timestamps, each stage strictly after the previous — the
-    //      oracle replays the chained filtered-min joins exactly ----
+    // ---- stage-count funnel summary (round 16): the generic
+    //      stage-list companion to q_funnel's per-user detail —
+    //      Journey.funnel takes ANY ordered stage sequence and emits
+    //      per-stage reached-user counts; same strictly-ordered
+    //      first-touch semantics, oracle replays the chained
+    //      filtered-min joins ----
     sql(
-      "q_funnel",
+      "q_funnel_stages",
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
@@ -931,29 +934,6 @@ object AnalyticsQueries {
         |""".stripMargin) { (s, d) =>
       graft.ops.Journey.funnel(Tables.events(s, d), "user_id",
         col("ts"), col("event_type"), Seq("view", "click", "purchase"))
-    },
-
-    // ---- weekly cohort retention (round 16): cohort = ISO week of
-    //      the first event, distinct actives at cohort week + k —
-    //      exact integer week arithmetic on both engines ----
-    sql(
-      "q_cohort_retention",
-      """WITH f AS (
-        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
-        |  FROM events GROUP BY 1),
-        |a AS (
-        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
-        |  FROM events),
-        |j AS (
-        |  SELECT f.user_id, strftime(f.cw, '%Y-%m-%d') AS cohort_week,
-        |    (date_diff('day', f.cw::DATE, a.w::DATE) // 7)::BIGINT AS k
-        |  FROM f JOIN a ON f.user_id = a.user_id)
-        |SELECT cohort_week, k, count(DISTINCT user_id)::BIGINT
-        |  AS n_users
-        |FROM j WHERE k >= 0 AND k <= 3 GROUP BY 1, 2""".stripMargin) {
-      (s, d) =>
-        graft.ops.Journey.cohortRetention(Tables.events(s, d),
-          "user_id", col("ts"), maxWeeks = 3)
     },
 
     // ---- association rules on baskets (round 16): directed

@@ -40,23 +40,6 @@ class JourneySpec extends AnyFunSuite with WithSpark {
     assert(got == Map("stage1_view" -> 1L, "stage2_click" -> 0L))
   }
 
-  test("cohortRetention: ISO weeks, k caps, distinct actives") {
-    // 2024-01-01 is a Monday. u1 cohorts week 0, active weeks 0 and 2
-    // (twice in week 2 — counted once); u2 cohorts week 1
-    val ev = Seq(
-      (1L, t(1)), (1L, t(15)), (1L, t(16)),
-      (2L, t(8)), (2L, t(29)))
-      .toDF("user_id", "ts")
-    val got = Journey.cohortRetention(ev, "user_id", col("ts"),
-        maxWeeks = 2)
-      .collect().map(r =>
-        ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    assert(got == Map(
-      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
-      ("2024-01-08", 0L) -> 1L))
-    // u2's week-3 activity (t(29)) is beyond maxWeeks=2 -> absent
-  }
-
   test("associationRules: presence counts once, exact ppm, both " +
       "directions") {
     // baskets: {a,b} x3, {a} x1 -> N=4, n_a=4, n_b=3, n_ab=3
