@@ -49,4 +49,29 @@ object Journey {
       }
       .reduce(_.unionByName(_))
   }
+
+  /** Last-touch attribution: for every conversion event, the most
+    * recent PRECEDING touch event (strictly earlier in the user's
+    * (ts, id) order) and its timestamp — NULL when the conversion had
+    * no prior touch. One key-partitioned window pass with an
+    * ignore-nulls last over the preceding frame; no self-join, no
+    * per-user collection. Output: the conversion rows with
+    * (touch_type, touch_ts) appended.
+    */
+  def lastTouchAttribution(
+      events: DataFrame, user: String, ts: Column, id: Column,
+      eventType: Column, touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(user)).orderBy(ts, id)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val isTouch = eventType.isin(touchTypes: _*)
+    events
+      .withColumn("touch_type",
+        last(when(isTouch, eventType), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when(isTouch, ts), ignoreNulls = true).over(w))
+      .filter(eventType === conversionType)
+  }
 }

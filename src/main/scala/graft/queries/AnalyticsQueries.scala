@@ -936,6 +936,33 @@ object AnalyticsQueries {
         col("ts"), col("event_type"), Seq("view", "click", "purchase"))
     },
 
+    // ---- last-touch attribution (round 16): every purchase gets
+    //      its most recent strictly-preceding view/click — one
+    //      ignore-nulls window pass, replayed identically ----
+    sql(
+      "q_attribution",
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_ts
+        |  FROM events)
+        |SELECT event_id, user_id, touch_type,
+        |  CAST(touch_ts AS TIMESTAMP) AS touch_ts
+        |FROM m WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      graft.ops.Journey.lastTouchAttribution(
+          Tables.events(s, d), "user_id", col("ts"), col("event_id"),
+          col("event_type"), Seq("view", "click"), "purchase")
+        .select("event_id", "user_id", "touch_type", "touch_ts")
+    },
+
     // ---- association rules on baskets (round 16): directed
     //      confidence/lift as exact parts-per-million integers; the
     //      oracle replays presence counting with a distinct self-join

@@ -495,6 +495,58 @@ object ChatQueries {
             col("worker"))
     },
 
+    // ---- PII scrub on the SFT path (compose: planted PII → redact →
+    //      re-render): every 9th conversation gets an email planted
+    //      in turn 1 and every 9th+7 a phone in turn 0 (in BOTH
+    //      engines); the face re-renders from SCRUBBED contents and
+    //      counts the redaction markers exactly — an unscrubbed leak,
+    //      an over-match, or a marker miscount all hash-mismatch ----
+    sql(
+      "q_chat_pii",
+      s"""WITH $TurnsCte,
+         |p AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    content || CASE
+         |      WHEN conv_id % 9 = 4 AND turn_idx = 1
+         |        THEN ' mail bob.smith@example.org now'
+         |      WHEN conv_id % 9 = 7 AND turn_idx = 0
+         |        THEN ' call +1 (555) 123-4567 today'
+         |      ELSE '' END AS content
+         |  FROM t),
+         |r AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    ${graft.ops.Text.redactPiiSql("content")} AS content
+         |  FROM p),
+         |g AS (
+         |  SELECT conv_id,
+         |    string_agg('<|' || role || '|>' || chr(10) || content ||
+         |      '<|end|>' || chr(10), '' ORDER BY turn_idx) AS rendered
+         |  FROM r GROUP BY conv_id)
+         |SELECT conv_id, rendered,
+         |  ((length(rendered) - length(replace(rendered, '<EMAIL>', '')))
+         |    // 7)::BIGINT AS n_email,
+         |  ((length(rendered) - length(replace(rendered, '<PHONE>', '')))
+         |    // 7)::BIGINT AS n_phone
+         |FROM g""".stripMargin) { (s, d) =>
+      val planted = turnsOf(s, d).withColumn("content",
+        concat(col("content"),
+          when(col("conv_id") % 9 === 4 && col("turn_idx") === 1,
+            " mail bob.smith@example.org now")
+            .when(col("conv_id") % 9 === 7 && col("turn_idx") === 0,
+              " call +1 (555) 123-4567 today")
+            .otherwise("")))
+      val scrubbed = planted.withColumn("content",
+        graft.ops.Text.redactPii(col("content")))
+      Chat.renderChat(scrubbed)
+        .select(col("conv_id"), col("rendered"),
+          expr("(length(rendered) - " +
+            "length(replace(rendered, '<EMAIL>', ''))) div 7")
+            .cast("long").as("n_email"),
+          expr("(length(rendered) - " +
+            "length(replace(rendered, '<PHONE>', ''))) div 7")
+            .cast("long").as("n_phone"))
+    },
+
     // ---- training-quality gate: exact-integer volume metrics +
     //      keep decision; integer percent ratio (NULL on zero user
     //      volume) replays through DuckDB's integer division ----
