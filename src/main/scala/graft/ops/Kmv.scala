@@ -44,8 +44,12 @@ object Kmv {
     * float op is one division of exact integers — bit-identical
     * across engines; rounded to 6 decimals for the hash compare. */
   def distinctEstimate(df: DataFrame, c: Column, k: Int): DataFrame =
-    sketch(df, c, k)
-      .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("kth_hv"))
+    estimateFromSketch(sketch(df, c, k), k)
+
+  /** [[distinctEstimate]] from an already-built sketch frame (one
+    * `hv` column, ≤ k rows) — e.g. the streaming KMV state store. */
+  def estimateFromSketch(sk: DataFrame, k: Int): DataFrame =
+    sk.agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("kth_hv"))
       .select(col("n_sketch"), col("kth_hv"),
         round(
           when(col("n_sketch") < k, col("n_sketch").cast("double"))

@@ -135,6 +135,27 @@ object StreamQueries {
       EventStream.readChatRendered(s, chatRenderDir(s, d))
     },
 
+    // ---- streaming KMV: three id micro-batches folded into k·8
+    //      bytes of state; mergeability makes the fold EQUAL one
+    //      sketch over the union, which the oracle recomputes ----
+    sql(
+      "q_kmv_stream",
+      """WITH h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(doc_id::VARCHAR),
+        |    1, 15) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+        |kk AS (
+        |  SELECT count(*)::BIGINT AS n_sketch, max(hv)::BIGINT AS kth_hv
+        |  FROM r WHERE rn <= 128)
+        |SELECT n_sketch, kth_hv,
+        |  round(CASE WHEN n_sketch < 128 THEN n_sketch::DOUBLE
+        |    ELSE 127.0 * power(2, 60) / kth_hv END, 6) AS est_distinct
+        |FROM kk""".stripMargin) { (s, d) =>
+      graft.ops.Kmv.estimateFromSketch(
+        EventStream.readKmvMins(s, kmvDir(s, d)), k = 128)
+    },
+
     // ---- streaming CUSUM: the events table replayed as three
     //      time-ordered micro-batches with ONE long of carried state
     //      per key — the fold must equal one batch CUSUM over the
@@ -447,6 +468,26 @@ object StreamQueries {
       (0 until 3).foreach { k =>
         EventStream.chatRenderSink(dir)(
           turns.filter(col("turn_idx") % 3 === k), k.toLong)
+      }
+      dir
+    })
+
+  /** Build-once cache for the streaming-KMV face: the documents ids
+    * fold through [[EventStream.kmvSink]] in three micro-batches;
+    * min-k mergeability makes the folded state equal one sketch over
+    * the whole corpus, which the oracle recomputes. */
+  private val kmvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def kmvDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    kmvCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_kmv")}/${math.abs(d.hashCode)}"
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .localCheckpoint()
+      (0 until 3).foreach { b =>
+        EventStream.kmvSink(dir, "doc_id", k = 128)(
+          docs.filter(col("doc_id") % 3 === b), b.toLong)
       }
       dir
     })

@@ -1124,6 +1124,69 @@ object EventStream {
     }
   }
 
+  /** Streaming KMV fold — a running distinct-count sketch over an
+    * unbounded key stream in k·8 bytes of persisted state: each
+    * micro-batch's k minimum hashes merge with the stored minima
+    * (min-k of a union = union of min-k's, the mergeability
+    * [[graft.ops.Kmv]] specs pin), so after N batches the state
+    * equals ONE sketch over the concatenated history exactly — the
+    * q_kmv_stream face's oracle recomputes precisely that. Same
+    * crash/replay discipline as [[cmsSink]] (the tmp is the durable
+    * copy; a replayed batch id is a no-op; merging a replayed batch
+    * would anyway be IDEMPOTENT — min-k is — but the guard keeps the
+    * batch-id watermark honest). */
+  def kmvSink(stateDir: String, key: String, k: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val prev = recoverState(fs, stateDir)
+    if (!prev.exists(_._1 >= batchId)) {
+      val batchMins = graft.ops.Kmv
+        .sketch(batch, org.apache.spark.sql.functions.col(key), k)
+        .collect().map(_.getLong(0)) // ≤ k driver rows
+      val prevMins = prev.map(p => bytesToLongs(p._2))
+        .getOrElse(Array.empty[Long])
+      val merged = (prevMins ++ batchMins).distinct.sorted.take(k)
+      fs.mkdirs(new Path(stateDir))
+      val stateFile = new Path(stateDir, StateFileName)
+      val tmp = new Path(stateDir, s".cms_state_$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try { out.writeLong(batchId); out.write(longsToBytes(merged)) }
+      finally out.close()
+      if (fs.exists(stateFile) && !fs.delete(stateFile, false))
+        throw new java.io.IOException(
+          s"kmvSink: failed to clear previous state $stateFile")
+      if (!fs.rename(tmp, stateFile))
+        throw new java.io.IOException(
+          s"kmvSink: rename $tmp -> $stateFile failed; state is in the " +
+            "temp file — re-deliver the batch to retry")
+    }
+  }
+
+  /** The folded KMV minima of a [[kmvSink]] state dir as a one-column
+    * (hv) frame — feed [[graft.ops.Kmv.estimateFromSketch]]. */
+  def readKmvMins(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, bytes) = recoverState(fs, stateDir).getOrElse(
+      sys.error(s"kmvSink state at $stateDir has no committed fold"))
+    import spark.implicits._
+    bytesToLongs(bytes).toSeq.toDF("hv")
+  }
+
+  private def longsToBytes(xs: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    xs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def bytesToLongs(bs: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bs)
+    Array.fill(bs.length / 8)(bb.getLong)
+  }
+
   private val StateFileName = "cms_state.bin"
 
   /** Read (lastFoldedBatchId, sketchBytes) from one file. */

@@ -40,6 +40,23 @@ class JourneySpec extends AnyFunSuite with WithSpark {
     assert(got == Map("stage1_view" -> 1L, "stage2_click" -> 0L))
   }
 
+  test("lastTouchAttribution: most recent strictly-preceding touch, " +
+      "NULL when none") {
+    val ev = Seq(
+      (1L, t(1), 10L, "view"), (1L, t(2), 11L, "click"),
+      (1L, t(3), 12L, "purchase"), (1L, t(4), 13L, "purchase"),
+      (2L, t(5), 20L, "purchase"), // no prior touch
+      (3L, t(6), 30L, "purchase"), (3L, t(7), 31L, "view")) // touch after
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Journey.lastTouchAttribution(ev, "user_id", col("ts"),
+        col("event_id"), col("event_type"), Seq("view", "click"),
+        "purchase")
+      .select("event_id", "touch_type").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got == Map(12L -> Some("click"), 13L -> Some("click"),
+      20L -> None, 30L -> None))
+  }
+
   test("associationRules: presence counts once, exact ppm, both " +
       "directions") {
     // baskets: {a,b} x3, {a} x1 -> N=4, n_a=4, n_b=3, n_ab=3

@@ -48,6 +48,43 @@ class KmvSpec extends AnyFunSuite with WithSpark {
       r.getLong(2) == 333333L)
   }
 
+  test("kmvSink: the folded stream state equals one sketch over the " +
+      "whole history; replay is a no-op") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_sink").toString
+    val ids = (1L to 3000L).toDF("id").localCheckpoint()
+    (0 until 3).foreach { b =>
+      EventStream.kmvSink(dir, "id", k = 64)(
+        ids.filter(col("id") % 3 === b), b.toLong)
+    }
+    val folded = EventStream.readKmvMins(spark, dir)
+      .as[Long].collect().toSeq.sorted
+    val oneShot = Kmv.sketch(ids, col("id"), 64)
+      .as[Long].collect().toSeq
+    assert(folded == oneShot)
+    // replayed batch with poisoned payload: watermark guards it
+    EventStream.kmvSink(dir, "id", k = 64)(
+      Seq(999999L).toDF("id"), 1L)
+    assert(EventStream.readKmvMins(spark, dir)
+      .as[Long].collect().toSeq.sorted == oneShot)
+  }
+
+  test("kmvSink: an interrupted state commit is healed from the tmp") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_crash").toString
+    EventStream.kmvSink(dir, "id", k = 32)(
+      (1L to 500L).toDF("id"), 0L)
+    val d = new java.io.File(dir)
+    val state = new java.io.File(d, "cms_state.bin")
+    assert(state.renameTo(new java.io.File(d, ".cms_state_0.tmp")))
+    val healed = EventStream.readKmvMins(spark, dir)
+      .as[Long].collect().toSeq
+    assert(healed == Kmv.sketch((1L to 500L).toDF("id"), col("id"), 32)
+      .as[Long].collect().toSeq)
+  }
+
   test("saturated jaccard estimate tracks the true overlap") {
     val a = (1L to 10000L).toDF("v")
     val b = (5001L to 15000L).toDF("v") // true J = 5000/15000 = 1/3
