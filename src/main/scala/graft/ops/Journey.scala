@@ -50,6 +50,66 @@ object Journey {
       .reduce(_.unionByName(_))
   }
 
+  /** First-order event-type transition matrix (the Markov-chain
+    * statistics of the user journey): for every observed (from → to)
+    * adjacent pair in each user's (ts, id) order, the pair count, the
+    * from-state total, and the transition probability as an exact
+    * parts-per-million integer. One lead window + two counting
+    * aggregations + a state-dim join. Output:
+    * (from_type, to_type, n, n_from, p_ppm).
+    */
+  def transitions(
+      events: DataFrame, user: String, ts: Column, id: Column,
+      eventType: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(user)).orderBy(ts, id)
+    val pairs = events
+      .select(eventType.as("from_type"),
+        lead(eventType, 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000000L div n_from").as("p_ppm"))
+  }
+
+  /** Session path mining: split each user's events into gap-bounded
+    * sessions (the [[TimeSeries.sessionize]] boundary device — a
+    * session extends while gaps are ≤ `gapSeconds`), render each
+    * session's ordered event-type sequence as a `>`-joined path
+    * string, and count sessions per path. ONE key-partitioned
+    * exchange feeds both windows and the path aggregation; paths are
+    * bounded by session length, not corpus size. Output:
+    * (path, n_sessions).
+    */
+  def sessionPaths(
+      events: DataFrame, user: String, tsCol: String, idCol: String,
+      eventType: Column, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(user)).orderBy(col(tsCol), col(idCol))
+    val run = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val us = unix_micros(col(tsCol))
+    val boundary = when(
+      lag(us, 1).over(order).isNull ||
+        us - lag(us, 1).over(order) > gapSeconds * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    events
+      .withColumn("__sid", sum(boundary).over(run))
+      .groupBy(col(user), col("__sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(
+          col(tsCol).as("t"), col(idCol).as("i"),
+          eventType.as("e")))),
+        x => x.getField("e")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Last-touch attribution: for every conversion event, the most
     * recent PRECEDING touch event (strictly earlier in the user's
     * (ts, id) order) and its timestamp — NULL when the conversion had

@@ -936,6 +936,55 @@ object AnalyticsQueries {
         col("ts"), col("event_type"), Seq("view", "click", "purchase"))
     },
 
+    // ---- first-order journey transition matrix (round 16): adjacent
+    //      event-type pairs per user, probabilities as exact ppm ----
+    sql(
+      "q_transitions",
+      """WITH x AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (
+        |  SELECT from_type, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n_from,
+        |  ((n * 1000000) // n_from)::BIGINT AS p_ppm
+        |FROM c JOIN f USING (from_type)""".stripMargin) { (s, d) =>
+      graft.ops.Journey.transitions(Tables.events(s, d), "user_id",
+        col("ts"), col("event_id"), col("event_type"))
+    },
+
+    // ---- session path mining (round 16): 30-min-gap sessions
+    //      rendered as ordered event-type paths, counted — the
+    //      oracle replays boundary marking, the running-sum session
+    //      id, the ordered string_agg, and the final count ----
+    sql(
+      "q_session_paths",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Journey.sessionPaths(Tables.events(s, d), "user_id",
+        "ts", "event_id", col("event_type"), gapSeconds = 1800L)
+    },
+
     // ---- last-touch attribution (round 16): every purchase gets
     //      its most recent strictly-preceding view/click — one
     //      ignore-nulls window pass, replayed identically ----

@@ -57,6 +57,35 @@ class JourneySpec extends AnyFunSuite with WithSpark {
       20L -> None, 30L -> None))
   }
 
+  test("transitions: adjacent pairs per user, ppm rows sum per state") {
+    val ev = Seq(
+      (1L, t(1), 10L, "view"), (1L, t(2), 11L, "click"),
+      (1L, t(3), 12L, "view"),
+      (2L, t(1), 20L, "view"), (2L, t(2), 21L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Journey.transitions(ev, "user_id", col("ts"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("view", "click") -> (1L, 2L, 500000L),
+      ("view", "view") -> (1L, 2L, 500000L),
+      ("click", "view") -> (1L, 1L, 1000000L)))
+  }
+
+  test("sessionPaths: gap splits sessions, paths are time-ordered") {
+    val ev = Seq(
+      (1L, t(1, 0), 10L, "view"), (1L, t(1, 0), 11L, "click"),
+      (1L, t(2, 0), 12L, "view"), // next day -> new session
+      (2L, t(1, 0), 20L, "view"), (2L, t(1, 0), 21L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Journey.sessionPaths(ev, "user_id", "ts", "event_id",
+        col("event_type"), gapSeconds = 1800L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view>click" -> 2L, "view" -> 1L))
+  }
+
   test("associationRules: presence counts once, exact ppm, both " +
       "directions") {
     // baskets: {a,b} x3, {a} x1 -> N=4, n_a=4, n_b=3, n_ab=3
