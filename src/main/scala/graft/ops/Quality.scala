@@ -139,4 +139,49 @@ object Quality {
       lit(name).as("check"), col("n_rows"), col("n_bad"),
       (col("n_bad") === 0L).as("passed"))
   }
+
+  /** Functional-dependency check A → B: one row
+    * (fd, n_keys, n_violating_keys, holds) — a key VIOLATES when it
+    * maps to more than one distinct B. One map-side-combined
+    * aggregation keyed by A; the profiling primitive behind schema
+    * discovery and dedup-key vetting. */
+  def fdCheck(
+      df: DataFrame, a: String, b: String): DataFrame =
+    df.groupBy(col(a))
+      .agg(countDistinct(col(b)).as("__nb"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__nb") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+      .select(lit(s"$a->$b").as("fd"), col("n_keys"),
+        col("n_violating_keys"),
+        (col("n_violating_keys") === 0L).as("holds"))
+
+  /** Golden-record survivorship over duplicate clusters: for every
+    * cluster, the representative id (min member id), the member
+    * count, and per-field CANONICAL values — the modal value with
+    * ties broken to the smallest value, nulls never winning over a
+    * present value (rows where the field is null simply don't vote).
+    * One (cluster, field) count aggregation + one rank per field;
+    * fields are enumerated, so the plan is a fixed-width join chain
+    * of cluster-dim-sized frames over a single fact pass per field.
+    */
+  def survivorship(
+      df: DataFrame, id: String, cluster: Column,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "survivorship needs at least one field")
+    val base = df.withColumn("__c", cluster)
+    val core = base.groupBy(col("__c"))
+      .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_members"))
+    fields.foldLeft(core) { (acc, f) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__c"))
+        .orderBy(col("__n").desc, col(f).asc)
+      val canon = base.filter(col(f).isNotNull)
+        .groupBy(col("__c"), col(f))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__c"), col(f).as(s"${f}_canon"))
+      acc.join(canon, Seq("__c"), "left")
+    }.drop("__c")
+  }
 }

@@ -62,5 +62,72 @@ object QualityQueries {
         .unionByName(Quality.fkOrphans(
           li, Seq("l_orderkey"), Tables.orders(s, d), Seq("o_orderkey")))
         .orderBy("check")
+    },
+
+    // ---- functional-dependency checks (round 16): one FD that holds
+    //      (nation key determines region) and one that is violated
+    //      (customers of a nation span market segments) — the report
+    //      proves the checker distinguishes the two ----
+    sql(
+      "q_fd_check",
+      """SELECT 'n_nationkey->n_regionkey' AS fd,
+        |  count(*)::BIGINT AS n_keys,
+        |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_violating_keys,
+        |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nb
+        |      FROM nation GROUP BY 1)
+        |UNION ALL
+        |SELECT 'c_nationkey->c_mktsegment',
+        |  count(*)::BIGINT,
+        |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
+        |FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nb
+        |      FROM customer GROUP BY 1)""".stripMargin) { (s, d) =>
+      Quality.fdCheck(Tables.nation(s, d), "n_nationkey", "n_regionkey")
+        .unionByName(Quality.fdCheck(
+          Tables.customer(s, d), "c_nationkey", "c_mktsegment"))
+    },
+
+    // ---- golden-record survivorship (round 16): blocking-key
+    //      clusters (first two normalized words — the q_chat_dedup
+    //      prompt-key device, chosen BECAUSE it yields real
+    //      multi-member clusters at the correctness SF, so the modal
+    //      vote and its tie-break are actually exercised) collapse to
+    //      one canonical record — rep = min member id, per-field
+    //      canonical = modal value with ties to the smallest value,
+    //      nulls never voting ----
+    sql(
+      "q_golden_record",
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, source,
+         |    regexp_extract(${TextQueries.NormSql},
+         |      '^(\\S+\\s+\\S+)', 1) AS c
+         |  FROM documents),
+         |core AS (
+         |  SELECT c, min(doc_id)::BIGINT AS rep_id,
+         |    count(*)::BIGINT AS n_members
+         |  FROM b GROUP BY 1),
+         |lc AS (
+         |  SELECT c, lang AS lang_canon FROM (
+         |    SELECT c, lang, row_number() OVER (PARTITION BY c
+         |      ORDER BY count(*) DESC, lang ASC) AS rn
+         |    FROM b WHERE lang IS NOT NULL GROUP BY c, lang)
+         |  WHERE rn = 1),
+         |sc AS (
+         |  SELECT c, source AS source_canon FROM (
+         |    SELECT c, source, row_number() OVER (PARTITION BY c
+         |      ORDER BY count(*) DESC, source ASC) AS rn
+         |    FROM b WHERE source IS NOT NULL GROUP BY c, source)
+         |  WHERE rn = 1)
+         |SELECT rep_id, n_members, lang_canon, source_canon
+         |FROM core LEFT JOIN lc USING (c)
+         |LEFT JOIN sc USING (c)""".stripMargin) { (s, d) =>
+      Quality.survivorship(
+          Tables.documents(s, d), "doc_id",
+          regexp_extract(graft.ops.Text.normalize(col("text")),
+            "^(\\S+\\s+\\S+)", 1),
+          Seq("lang", "source"))
+        .select("rep_id", "n_members", "lang_canon", "source_canon")
     })
 }

@@ -93,4 +93,33 @@ class QualitySpec extends AnyFunSuite with WithSpark {
     }
     assert(scans.length == 1, s"expected one scan leaf, got:\n$plan")
   }
+
+  test("fdCheck distinguishes a holding FD from a violated one") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (1L, "a", "y"), (2L, "b", "z"))
+      .toDF("k", "held", "broken")
+    val hold = Quality.fdCheck(df, "k", "held").collect().head
+    assert(hold.getString(0) == "k->held" && hold.getLong(1) == 2L &&
+      hold.getLong(2) == 0L && hold.getBoolean(3))
+    val broke = Quality.fdCheck(df, "k", "broken").collect().head
+    assert(broke.getLong(2) == 1L && !broke.getBoolean(3))
+  }
+
+  test("survivorship: modal field wins, ties to smallest, nulls " +
+      "never vote, rep is the min member id") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "c1", Some("en"), "web"), (3L, "c1", Some("en"), "web"),
+      (9L, "c1", Some("fr"), "api"),
+      // c2: lang all null -> canon null; source tie web/api -> api
+      (2L, "c2", None, "web"), (4L, "c2", None, "api"))
+      .toDF("id", "c", "lang", "source")
+    val got = Quality.survivorship(df, "id", org.apache.spark.sql
+        .functions.col("c"), Seq("lang", "source"))
+      .orderBy("rep_id").collect()
+    assert(got(0).getLong(0) == 2L && got(0).getLong(1) == 2L)
+    assert(got(0).isNullAt(2) && got(0).getString(3) == "api")
+    assert(got(1).getLong(0) == 3L && got(1).getLong(1) == 3L)
+    assert(got(1).getString(2) == "en" && got(1).getString(3) == "web")
+  }
 }
