@@ -137,6 +137,44 @@ object ChatQueries {
     dir
   }
 
+  /** A second, independent SFT store for the takedown face — the
+    * retraction MUTATES its store, so it must not share
+    * [[sftStore]]'s dir (publish/epoch/workers read the unretracted
+    * state in arbitrary face order). Build + retract run once per
+    * JVM behind the version check; conversations with
+    * conv_id % 53 == 11 are withdrawn (the id universe is derived
+    * from the corpus max id, so the same rule covers every SF). */
+  private def sftRetractedStore(s: SparkSession, d: String): String = {
+    val dir = s"${graft.core.Scratch.dir("sinks")}/graft_sft_retract"
+    if (graft.sources.Versioned
+        .currentVersion(s, s"$dir/manifest").isEmpty) {
+      val turns = turnsOf(s, d)
+      val rendered = Chat.renderChat(turns)
+        .select(col("conv_id"), col("rendered"))
+      val kept = Chat.chatGate(turns)
+        .filter(col("keep")).select("conv_id")
+      val prompts = Chat.firstUserTurn(
+        turns.filter(col("conv_id") < 450))
+      val clean = graft.ops.Dedup.decontaminate(prompts, "conv_id",
+          col("prompt"),
+          Tables.documents(s, d).filter(col("doc_id") >= 450),
+          col("text"), n = 5)
+        .select("conv_id")
+      val docs = rendered.join(kept, Seq("conv_id"))
+        .join(clean, Seq("conv_id"))
+      graft.sources.Export.exportJsonlShards(docs, dir,
+        targetBytes = 16384L, id = col("conv_id"),
+        sizeOf = octet_length(col("rendered")),
+        checksumCols = Seq("conv_id", "rendered")): Unit
+      val maxId = Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val ids = (0L to maxId).filter(_ % 53 == 11).map(_.toString)
+      graft.sources.Export.retractShards(s, dir, "conv_id", ids,
+        octet_length(col("rendered")), Seq("conv_id", "rendered")): Unit
+    }
+    dir
+  }
+
   /** The render oracle — shared with the streaming face
     * (`q_chat_stream_render`), which must converge to exactly this. */
   private[queries] val RenderOracle: String =
@@ -449,6 +487,50 @@ object ChatQueries {
       graft.sources.Export.epochOrder(s, sftStore(s, d), "conv_id",
           seed = 7L, epoch = 2)
         .select(col("conv_id"), col("shard"), col("epoch_pos"))
+    },
+
+    // ---- right-to-be-forgotten ON the SFT store: conversations of
+    //      withdrawn users (conv_id % 53 == 11) retracted through the
+    //      no-corpus-scan takedown — only affected shards rewrite,
+    //      the shard count stays pinned at the original draw, and the
+    //      oracle recomputes the expected post-takedown manifest from
+    //      the kept set MINUS the withdrawn ids; read-back aggregates
+    //      must match too, so a surviving withdrawn row, a torn
+    //      rewrite, or a re-sharded draw all hash-mismatch ----
+    sql(
+      "q_sft_retract",
+      s"""WITH $sftKeptCte,
+         |tot AS (
+         |  SELECT sum(octet_length(encode(rendered)))::BIGINT AS total
+         |  FROM dd),
+         |ns AS (
+         |  SELECT greatest(1, (total + 16383) // 16384)::BIGINT AS n
+         |  FROM tot),
+         |sh AS (
+         |  SELECT CAST('0x' || substr(md5(conv_id::VARCHAR), 1, 8)
+         |      AS BIGINT) % (SELECT n FROM ns) AS shard,
+         |    octet_length(encode(rendered))::BIGINT AS b,
+         |    CAST('0x' || substr(md5(coalesce(conv_id::VARCHAR, chr(2))
+         |      || chr(1) || coalesce(rendered, chr(2))),
+         |      1, 8) AS BIGINT) AS c
+         |  FROM dd WHERE NOT (conv_id % 53 = 11))
+         |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+         |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+         |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+         |  sum(c)::BIGINT AS rb_checksum
+         |FROM sh GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = sftRetractedStore(s, d)
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"),
+          col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "conv_id BIGINT, rendered STRING"))),
+          octet_length(col("rendered")), Seq("conv_id", "rendered"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
     },
 
     // ---- multi-worker DDP slices over the SFT store: the epoch's
