@@ -81,9 +81,11 @@ object Journey {
     * session extends while gaps are ≤ `gapSeconds`), render each
     * session's ordered event-type sequence as a `>`-joined path
     * string, and count sessions per path. ONE key-partitioned
-    * exchange feeds both windows and the path aggregation; paths are
-    * bounded by session length, not corpus size. Output:
-    * (path, n_sessions).
+    * exchange feeds both windows AND the per-session aggregation —
+    * hash(user) satisfies the (user, sid) clustering, so Catalyst
+    * reuses it (plan-pinned) — and only the final per-PATH count
+    * shuffles again, at distinct-path (dim) size. Paths are bounded
+    * by session length, not corpus size. Output: (path, n_sessions).
     */
   def sessionPaths(
       events: DataFrame, user: String, tsCol: String, idCol: String,

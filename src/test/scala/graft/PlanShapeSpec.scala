@@ -573,6 +573,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"KMV must not range-shuffle the corpus for k rows:\n${p.take(1200)}")
   }
 
+  test("session paths: the per-session aggregation reuses the window " +
+      "exchange; only the dim-sized path count shuffles again") {
+    val p = plan("q_session_paths")
+    assert(count(p, "Exchange") == 2,
+      s"q_session_paths grew beyond two shuffles:\n${p.take(1200)}")
+    assert(count(p, "hashpartitioning\\(user_id") == 1,
+      "the (user, sid) aggregation no longer reuses the user exchange")
+  }
+
   test("preference pairs are one hash aggregation — no window sort, " +
       "no self-join") {
     val p = plan("q_pref_pairs")
