@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{QueryDef, Tables}
-import graft.ops.Quality
+import graft.ops.{Linkage, Quality}
 import graft.ops.Quality.Check._
 import org.apache.spark.sql.functions._
 
@@ -129,5 +129,160 @@ object QualityQueries {
             "^(\\S+\\s+\\S+)", 1),
           Seq("lang", "source"))
         .select("rep_id", "n_members", "lang_canon", "source_canon")
+    },
+
+    // ---- Fellegi-Sunter unsupervised linkage fit (round 16): EM on
+    //      the agreement-pattern table of blocked document pairs
+    //      (block = first two normalized words, the q_golden_record
+    //      device — real multi-member clusters) — fields lang /
+    //      source / length-band. The whole fit is ppm integer
+    //      arithmetic (truncating div after every product) so the
+    //      oracle replays the EXACT fixpoint: one CTE pair per
+    //      iteration, bit-identical parameters out ----
+    sql("q_fs_em", fsEmOracle) { (s, d) =>
+      Linkage.fsFit(fsPairs(s, d), FsCols, iters = FsIters)
+    },
+
+    // ---- the FS decision rule on the fitted model: every observed
+    //      pattern scored by its posterior and triaged match /
+    //      possible / non_match (hi = 0.8 so the fixture exercises
+    //      all three branches). The pattern table IS the pair-level
+    //      classifier (broadcast-join it back on the agreement
+    //      vector); emitting it keeps the face corpus-size-free ----
+    sql("q_fs_score", fsScoreOracle) { (s, d) =>
+      Linkage.fsScore(fsPairs(s, d), FsCols, iters = FsIters,
+        hiPpm = 800000L)
     })
+
+  // ===== Fellegi-Sunter fixture + oracle generation =====
+
+  private def FsIters = 5
+  private lazy val FsCols = Seq("g_lang", "g_src", "g_len")
+
+  /** Blocked candidate pairs over `documents`: block = first two
+    * normalized words (the q_golden_record key — real multi-member
+    * near-dup clusters at the correctness SF), agreement bits on
+    * lang, source (both null-safe) and the 100-char length band.
+    * One shuffle join within blocks, never all-pairs. */
+  private def fsPairs(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val pr = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("band"),
+      regexp_extract(graft.ops.Text.normalize(col("text")),
+        "^(\\S+\\s+\\S+)", 1).as("blk"))
+    val a = pr.columns.foldLeft(pr)((f, c) => f.withColumnRenamed(c, "a_" + c))
+    val b = pr.columns.foldLeft(pr)((f, c) => f.withColumnRenamed(c, "b_" + c))
+    a.join(b,
+        col("a_blk") === col("b_blk") &&
+          col("a_doc_id") < col("b_doc_id"))
+      .select(
+        (col("a_lang") <=> col("b_lang")).cast("int").as("g_lang"),
+        (col("a_source") <=> col("b_source")).cast("int").as("g_src"),
+        (col("a_band") <=> col("b_band")).cast("int").as("g_len"))
+  }
+
+  /** Pair + pattern-count + ppm-share CTEs (the SQL twin of
+    * [[fsPairs]] + `Linkage.patternCounts` + the share grid). */
+  private lazy val fsPatSql =
+    s"""pr AS (
+      |  SELECT doc_id, lang, source, n_chars // 100 AS band,
+      |    regexp_extract(${TextQueries.NormSql},
+      |      '^(\\S+\\s+\\S+)', 1) AS blk
+      |  FROM documents),
+      |pat AS (
+      |  SELECT CASE WHEN a.lang IS NOT DISTINCT FROM b.lang
+      |           THEN 1 ELSE 0 END AS g1,
+      |         CASE WHEN a.source IS NOT DISTINCT FROM b.source
+      |           THEN 1 ELSE 0 END AS g2,
+      |         CASE WHEN a.band IS NOT DISTINCT FROM b.band
+      |           THEN 1 ELSE 0 END AS g3,
+      |         count(*)::BIGINT AS n
+      |  FROM pr a JOIN pr b
+      |    ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3),
+      |nh AS (
+      |  SELECT g1, g2, g3,
+      |    ((n * 1000000) // greatest((SELECT sum(n) FROM pat), 1))::BIGINT
+      |      AS nh
+      |  FROM pat)""".stripMargin
+
+  /** prior·Π factor with per-step renormalization — the exact nesting
+    * `Linkage.classLikelihood` computes. */
+  private def fsNest(base: String, rates: Seq[(String, String)]): String =
+    rates.foldLeft(base) { case (acc, (g, r)) =>
+      s"(($acc * (CASE WHEN $g = 1 THEN $r ELSE 1000000 - $r END))" +
+        " // 1000000)"
+    }
+
+  private def fsPmPu(src: String): (String, String) = (
+    fsNest(s"$src.lam", Seq(("g1", s"$src.m1"), ("g2", s"$src.m2"),
+      ("g3", s"$src.m3"))),
+    fsNest(s"(1000000 - $src.lam)", Seq(("g1", s"$src.u1"),
+      ("g2", s"$src.u2"), ("g3", s"$src.u3"))))
+
+  /** p0 (init) + one (w_k, p_k) CTE pair per EM iteration. */
+  private def fsEmCtes(iters: Int): String = {
+    val init =
+      """p0 AS (SELECT 100000::BIGINT AS lam,
+        |  900000::BIGINT AS m1, 900000::BIGINT AS m2, 900000::BIGINT AS m3,
+        |  100000::BIGINT AS u1, 100000::BIGINT AS u2, 100000::BIGINT AS u3)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      val (pm, pu) = fsPmPu("p")
+      val ms = (1 to 3).map(i =>
+        s"((sum(CASE WHEN g$i = 1 THEN nh * w ELSE 0 END) * 1000000)" +
+          s" // greatest(sum(nh * w), 1))::BIGINT AS m$i")
+      val us = (1 to 3).map(i =>
+        s"((sum(CASE WHEN g$i = 1 THEN nh * (1000000 - w) ELSE 0 END)" +
+          s" * 1000000) // greatest(sum(nh * (1000000 - w)), 1))::BIGINT" +
+          s" AS u$i")
+      s"""w$k AS (
+         |  SELECT g1, g2, g3, nh,
+         |    ((pm * 1000000) // greatest(pm + pu, 1))::BIGINT AS w
+         |  FROM (SELECT g1, g2, g3, nh, $pm AS pm, $pu AS pu
+         |        FROM nh CROSS JOIN p${k - 1} p)),
+         |p$k AS (
+         |  SELECT
+         |    (sum(nh * w)
+         |      // greatest((SELECT sum(nh) FROM nh), 1))::BIGINT AS lam,
+         |    ${(ms ++ us).mkString(",\n    ")}
+         |  FROM w$k)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  private lazy val fsEmOracle = {
+    val p = s"p$FsIters"
+    s"""WITH $fsPatSql,
+       |${fsEmCtes(FsIters)}
+       |SELECT param, ppm FROM (
+       |  SELECT 'lambda' AS param, lam AS ppm FROM $p
+       |  UNION ALL SELECT 'm_g_lang', m1 FROM $p
+       |  UNION ALL SELECT 'u_g_lang', u1 FROM $p
+       |  UNION ALL SELECT 'm_g_src', m2 FROM $p
+       |  UNION ALL SELECT 'u_g_src', u2 FROM $p
+       |  UNION ALL SELECT 'm_g_len', m3 FROM $p
+       |  UNION ALL SELECT 'u_g_len', u3 FROM $p)""".stripMargin
+  }
+
+  private lazy val fsScoreOracle = {
+    val (pm, pu) = fsPmPu("p")
+    s"""WITH $fsPatSql,
+       |${fsEmCtes(FsIters)},
+       |sc AS (
+       |  SELECT g1, g2, g3,
+       |    ((pm * 1000000) // greatest(pm + pu, 1))::BIGINT AS w
+       |  FROM (SELECT g1, g2, g3, $pm AS pm, $pu AS pu
+       |        FROM (SELECT DISTINCT g1, g2, g3 FROM pat)
+       |        CROSS JOIN p$FsIters p))
+       |SELECT CAST(g1 AS VARCHAR) || CAST(g2 AS VARCHAR)
+       |    || CAST(g3 AS VARCHAR) AS pattern,
+       |  n AS n_pairs, w AS posterior_ppm,
+       |  CASE WHEN w >= 800000 THEN 'match'
+       |       WHEN w <= 10000 THEN 'non_match'
+       |       ELSE 'possible' END AS decision
+       |FROM sc JOIN pat USING (g1, g2, g3)""".stripMargin
+  }
 }
