@@ -1041,5 +1041,72 @@ object AnalyticsQueries {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minSupport = 3L)
+    },
+
+    // ---- log-bucketed quantile sketch (round 16, the DDSketch
+    //      shape): p50/p90/p99 of cents(l_extendedprice) per return
+    //      flag off a ≤1024-bucket count table — pure bit arithmetic
+    //      (length(bin(v)), shift, mask), so the oracle replays the
+    //      bucket ids, the cumulative walk, and the floor
+    //      reconstruction exactly ----
+    sql(
+      "q_loghist_quantile",
+      logHistOracleSql(
+        "SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100)" +
+          " AS BIGINT) AS v FROM lineitem")) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      graft.ops.LogHist.quantiles(
+        graft.ops.LogHist.sketch(base, Seq("g"), col("v")),
+        Seq("g"), LogHistQs)
+    },
+
+    // ---- the MERGE path of the same sketch: per-month sketches
+    //      folded down to the flag level must answer identically —
+    //      counts add losslessly, so the oracle is the SAME direct
+    //      replay; this face pins the incremental-profiling contract
+    //      (per-batch sketch + fold, never a corpus re-scan) through
+    //      the driver gate ----
+    sql(
+      "q_loghist_inc",
+      logHistOracleSql(
+        "SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100)" +
+          " AS BIGINT) AS v FROM lineitem")) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("slice"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val monthly = graft.ops.LogHist.sketch(
+        base, Seq("g", "slice"), col("v"))
+      graft.ops.LogHist.quantiles(
+        graft.ops.LogHist.merge(monthly, Seq("g")), Seq("g"), LogHistQs)
     })
+
+  private lazy val LogHistQs = Seq(500000L, 900000L, 990000L)
+
+  /** DuckDB replay of sketch → cumulative walk → floor for the three
+    * standard quantiles, over any `(g, v)` source query. */
+  private def logHistOracleSql(src: String): String = {
+    import graft.ops.LogHist.{bucketSql, floorSql}
+    s"""WITH base AS ($src),
+       |sk AS (
+       |  SELECT g, ${bucketSql("v")} AS bucket, count(*)::BIGINT AS n
+       |  FROM base GROUP BY 1, 2),
+       |c AS (
+       |  SELECT g, bucket, n,
+       |    sum(n) OVER (PARTITION BY g ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(n) OVER (PARTITION BY g) AS total
+       |  FROM sk),
+       |q AS (SELECT unnest([${LogHistQs.mkString(", ")}])::BIGINT
+       |        AS q_ppm),
+       |hit AS (
+       |  SELECT g, q_ppm, min(bucket) AS b
+       |  FROM c CROSS JOIN q
+       |  WHERE cum >= (total * q_ppm + 999999) // 1000000
+       |  GROUP BY 1, 2)
+       |SELECT g, q_ppm, (${floorSql("b")})::BIGINT AS est
+       |FROM hit""".stripMargin
+  }
 }

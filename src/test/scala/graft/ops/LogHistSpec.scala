@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.WithSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[LogHist]] contract: bucket edges bracket their members, the
+  * quantile read has the advertised ≤ 1/16 relative error against the
+  * exact quantile, and sketches MERGE losslessly (the property the
+  * incremental-profiling story rides on). */
+class LogHistSpec extends AnyFunSuite with WithSpark {
+  import spark.implicits._
+
+  // deterministic, scale-spanning values: squares, powers, small ints
+  private val values: Seq[Long] =
+    (0L to 40L) ++ (1 to 62).map(1L << _) ++
+      (1L to 300L).map(i => i * i * 37 % 1000000) ++
+      Seq(Long.MaxValue, Long.MaxValue - 1)
+
+  test("every value sits inside its bucket's [floor, next-floor) range") {
+    val rows = values.toDF("v")
+      .select(col("v"), LogHist.bucketOf(col("v")).as("b"))
+      .select(col("v"), col("b"), LogHist.bucketFloor(col("b")).as("lo"))
+      .collect()
+    rows.foreach { r =>
+      val (v, b, lo) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(lo <= v, s"v=$v bucket=$b floor=$lo above the value")
+      // width = floor/16 for the log region; exact for v < 32
+      val width = if (b < 32) 1L else math.max(lo / 16, 1L)
+      assert(v < lo + width || b >= 1023,
+        s"v=$v bucket=$b floor=$lo width=$width — value past bucket end")
+    }
+  }
+
+  test("bucket ids are bounded and the two regions are disjoint") {
+    val bs = values.toDF("v").select(LogHist.bucketOf(col("v")).as("b"))
+      .as[Long].collect()
+    assert(bs.forall(b => b >= 0 && b <= 63L * 16 + 15))
+    val small = values.filter(_ < 32).toSet
+    values.zip(bs).foreach { case (v, b) =>
+      if (small(v)) assert(b == v) else assert(b >= 96)
+    }
+  }
+
+  test("quantile estimates carry ≤ 1/16 relative error vs exact") {
+    val data = (1L to 5000L).map(i => ("g", i * i % 999983 + 1))
+    val df = data.toDF("g", "v")
+    val sk = LogHist.sketch(df, Seq("g"), col("v"))
+    val qs = Seq(500000L, 900000L, 990000L)
+    val est = LogHist.quantiles(sk, Seq("g"), qs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sorted = data.map(_._2).sorted
+    qs.foreach { q =>
+      val exact = sorted(((sorted.size * q + 999999) / 1000000 - 1).toInt)
+      val e = est(q)
+      // the estimate is a bucket floor: within one bucket width below
+      assert(e <= exact && exact - e <= math.max(exact / 16, 1),
+        s"q=$q exact=$exact est=$e — outside the 1/16 relative bound")
+    }
+  }
+
+  test("merge of per-slice sketches equals the whole-corpus sketch") {
+    val df = (1L to 4000L).map(i => (s"m${i % 7}", "g", i * 31 % 50000))
+      .toDF("slice", "g", "v")
+    val whole = LogHist.sketch(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    val merged = LogHist.merge(
+        LogHist.sketch(df, Seq("g", "slice"), col("v")), Seq("g"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("sketch size never exceeds the 1024-bucket bound") {
+    val df = (1L to 100000L).map(i => ("g", i * 2654435761L % Long.MaxValue))
+      .toDF("g", "v")
+    assert(LogHist.sketch(df, Seq("g"), col("v")).count() <= 1024)
+  }
+}
