@@ -824,6 +824,128 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Integer HITS (Kleinberg, JACM 1999): hub/authority scores on a
+    * directed graph, `iters` synchronous rounds of
+    *   a'(v) = Σ_{u→v} h(u),  then  a(v) = a'(v)·10^6 div max(a')
+    *   h'(v) = Σ_{v→u} a(u),  then  h(v) = h'(v)·10^6 div max(h')
+    * — max-normalization instead of the L2 norm so the whole fixpoint
+    * stays in exact integer arithmetic (the pageRankInt device: no
+    * float summation order, no libm; both engines agree bit-for-bit).
+    * Every vertex keeps a row (no-in-edge ⇒ authority 0, no-out-edge
+    * ⇒ hub 0). Exactness bound: Σ_in h ≤ maxdeg·10^6 must stay under
+    * 2^63 after the ·10^6 rescale ⇒ max degree < ~9.2·10^6; beyond
+    * that pre-shift the scores (same contract as the PageRank grid).
+    *
+    * Per round: two degree-shaped aggregations + two vertex-sized
+    * joins; each round localCheckpoints (plan truncation, O(1)
+    * lineage). Output: (node, hub_u, auth_u) on the ppm grid. */
+  def hitsInt(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var h = verts.select(col("node"), lit(1000000L).as("h"))
+    var a = verts.select(col("node"), lit(1000000L).as("a"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s"))
+      a = verts.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(araw.agg(max(col("s")).as("mx"))))
+        .select(col("node"),
+          coalesce(expr("s * 1000000L div mx"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hraw = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("s"))
+      h = verts.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hraw.agg(max(col("s")).as("mx"))))
+        .select(col("node"),
+          coalesce(expr("s * 1000000L div mx"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    h.join(a, "node")
+      .select(col("node"), col("h").as("hub_u"), col("a").as("auth_u"))
+  }
+
+  /** Resource-allocation link scoring (Zhou, Lü & Zhang, EPJ B 2009 —
+    * the strongest of the classic local link predictors): for each
+    * non-adjacent pair (a, b), RA = Σ_{z ∈ N(a)∩N(b)} 1/deg(z), i.e.
+    * common neighbors weighted DOWN by their own connectivity (a hub
+    * in common says little; a low-degree mutual friend says a lot).
+    * Kept as exact ppm integers — `10^6 div deg(z)` summed — so the
+    * DuckDB oracle reproduces every score bit-for-bit.
+    *
+    * Same wedge-join shape (and cost bound) as [[linkCandidates]];
+    * the center-degree lookup rides the wedge join as one extra
+    * dim-sized equi-join before the pair aggregation.
+    * Output: (a, b, n_common, ra_ppm) with a < b, non-edges only.
+    */
+  def resourceAllocation(edges: DataFrame, minCommon: Long): DataFrame = {
+    val sym = symmetric(edges)
+    val deg = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val canon = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    sym.as("x").join(sym.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .join(deg.select(col("v").as("zv"), col("deg").as("deg_z")),
+        col("x.dst") === col("zv"))
+      .select(col("x.src").as("a"), col("y.src").as("b"),
+        expr("1000000L div deg_z").as("ra_z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("ra_z")).as("ra_ppm"))
+      .filter(col("n_common") >= minCommon)
+      .join(canon, Seq("a", "b"), "left_anti")
+  }
+
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) on the ppm grid, with
+    * tri(v) = triangles through v. Triangles enumerate ONCE via the
+    * degree-oriented wedge join ([[triangleCount]]'s device — each
+    * triangle exactly one (s→t→t2) path, so the wedge fan-out is
+    * bounded by the oriented degree, not the raw degree) and then
+    * fan their three corners out map-side. Isolated-and-leaf nodes
+    * (deg < 2) report 0. Output: (node, deg, n_tri, lcc_ppm). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    val perNode = o.as("x")
+      .join(o.as("y"), col("x.t") === col("y.s"))
+      .join(o.as("z"),
+        col("z.s") === col("x.s") && col("z.t") === col("y.t"), "left_semi")
+      .select(explode(array(col("x.s"), col("x.t"), col("y.t"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          expr("n_tri * 2000000L div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // Materialize the canonical edge list ONCE: it feeds the degree
     // aggregate (both union branches), the orientation join, and —

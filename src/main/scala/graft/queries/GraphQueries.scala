@@ -472,5 +472,102 @@ object GraphQueries {
          |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin) {
       (s, d) =>
       graft.ops.Graph.triangleCount(edges(s, d, 2))
+    },
+
+    // ---- resource-allocation link scoring (round 16): common
+    //      neighbors weighted by 1/deg(center) as exact ppm integers
+    //      — the oracle replays the wedge join with the center-degree
+    //      lookup and the non-edge anti-join ----
+    sql(
+      "q_resource_alloc",
+      s"""WITH e0 AS (
+         |${edgeSql(2)}),
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION SELECT b, a FROM e0),
+         |deg AS (SELECT src AS v, count(*)::BIGINT AS deg
+         |        FROM sym GROUP BY 1),
+         |p AS (
+         |  SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS n_common,
+         |    sum(1000000 // dz.deg)::BIGINT AS ra_ppm
+         |  FROM sym x JOIN sym y
+         |    ON x.dst = y.dst AND x.src < y.src
+         |  JOIN deg dz ON dz.v = x.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.a, p.b, n_common, ra_ppm
+         |FROM p LEFT JOIN e0 ON p.a = e0.a AND p.b = e0.b
+         |WHERE e0.a IS NULL""".stripMargin) { (s, d) =>
+      graft.ops.Graph.resourceAllocation(edges(s, d, 2), minCommon = 2L)
+    },
+
+    // ---- per-node local clustering coefficient (round 16):
+    //      2·tri(v)·10^6 div (deg·(deg−1)) — engine enumerates
+    //      triangles ONCE degree-oriented and fans corners out; the
+    //      oracle replays the plain neighbor-pair wedge + edge lookup.
+    //      Agreement checks the enumeration AND its orientation
+    //      invariance, per corner ----
+    sql(
+      "q_clustering_coeff",
+      s"""WITH e0 AS (
+         |${edgeSql(2)}),
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION SELECT b, a FROM e0),
+         |deg AS (SELECT src AS v, count(*)::BIGINT AS deg
+         |        FROM sym GROUP BY 1),
+         |tri AS (
+         |  SELECT n1.src AS v, count(*)::BIGINT AS t
+         |  FROM sym n1 JOIN sym n2
+         |    ON n1.src = n2.src AND n1.dst < n2.dst
+         |  JOIN e0 e ON e.a = n1.dst AND e.b = n2.dst
+         |  GROUP BY 1)
+         |SELECT deg.v AS node, deg.deg,
+         |  coalesce(t, 0)::BIGINT AS n_tri,
+         |  (CASE WHEN deg.deg >= 2
+         |    THEN (coalesce(t, 0) * 2000000) // (deg.deg * (deg.deg - 1))
+         |    ELSE 0 END)::BIGINT AS lcc_ppm
+         |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin) {
+      (s, d) =>
+      graft.ops.Graph.clusteringCoefficient(edges(s, d, 2))
+    },
+
+    // ---- integer HITS (round 16) on the co-purchase pairs as
+    //      directed low→high edges (the q_pagerank_directed device:
+    //      real no-out-edge and no-in-edge nodes, so both zero
+    //      branches fire). Max-normalized ppm fixpoint, the oracle
+    //      unrolls the identical rounds ----
+    sql(
+      "q_hits",
+      hitsOracle(s"e0 AS (\n${edgeSql(2)})", iters = 4)) { (s, d) =>
+      graft.ops.Graph.hitsInt(edges(s, d, 2), iters = 4)
     })
+
+  /** Chained-CTE replay of [[graft.ops.Graph.hitsInt]]: per round an
+    * authority pass then a hub pass, each raw-sum + max-normalize,
+    * every vertex kept with 0 fill. */
+  private def hitsOracle(e0Cte: String, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.b AS node, sum(h.h) AS s
+         |  FROM e0 e JOIN h${k - 1} h ON h.node = e.a GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT v.x AS node,
+         |    coalesce((s * 1000000) // (SELECT max(s) FROM ar$k),
+         |      0)::BIGINT AS a
+         |  FROM v LEFT JOIN ar$k ON ar$k.node = v.x),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.a AS node, sum(a.a) AS s
+         |  FROM e0 e JOIN a$k a ON a.node = e.b GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT v.x AS node,
+         |    coalesce((s * 1000000) // (SELECT max(s) FROM hr$k),
+         |      0)::BIGINT AS h
+         |  FROM v LEFT JOIN hr$k ON hr$k.node = v.x)""".stripMargin
+    }
+    s"""WITH $e0Cte,
+       |v AS MATERIALIZED (SELECT a AS x FROM e0 UNION SELECT b FROM e0),
+       |h0 AS MATERIALIZED (SELECT x AS node, 1000000::BIGINT AS h FROM v),
+       |${rounds.mkString(",\n")}
+       |SELECT h$iters.node, h$iters.h AS hub_u, a$iters.a AS auth_u
+       |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node"""
+      .stripMargin
+  }
 }

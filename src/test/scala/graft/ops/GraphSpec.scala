@@ -403,4 +403,49 @@ class GraphSpec extends AnyFunSuite with WithSpark {
       rounds = 4)
     assert(got == Map(3L -> 0L, 5L -> 0L, 4L -> 2L))
   }
+
+  test("resourceAllocation: hubs weigh less than exclusive mutuals") {
+    // (1,2) share low-degree 3 (deg 2) AND hub 4 (deg 4):
+    // ra = 10^6/2 + 10^6/4; (5,6) share only the hub: ra = 10^6/4
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (5L, 4L), (6L, 4L)).toDF("a", "b")
+    val got = Graph.resourceAllocation(edges, minCommon = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, 2L)) == ((2L, 750000L)))
+    assert(got((5L, 6L))._2 == 250000L)
+    // adjacent pairs never appear
+    assert(!got.contains((1L, 3L)) && !got.contains((1L, 4L)))
+  }
+
+  test("clusteringCoefficient: triangle=10^6, path middle=0, " +
+      "paw handled exactly") {
+    // paw graph: triangle {1,2,3} + pendant 4 on 1.
+    // lcc(2)=lcc(3)=10^6; lcc(1)=2·1·10^6/(3·2)=333333; lcc(4)=0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((2L, 1L, 1000000L)))
+    assert(got(1L) == ((3L, 1L, 333333L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("hitsInt: pure sources get hub mass, pure sinks authority, " +
+      "max-normalization pins the top at 10^6") {
+    // 1→3, 2→3, 2→4: 3 is the strongest authority, 2 the strongest
+    // hub (points at both sinks); 3,4 have no out-edge → hub 0;
+    // 1,2 have no in-edge → authority 0.
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val got = Graph.hitsInt(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(2L)._1 == 1000000L, s"hub(2)=${got(2L)._1}")
+    assert(got(3L)._2 == 1000000L, s"auth(3)=${got(3L)._2}")
+    assert(got(3L)._1 == 0L && got(4L)._1 == 0L)
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L)
+    assert(got(1L)._1 > 0L && got(1L)._1 < 1000000L)
+    assert(got(4L)._2 > 0L && got(4L)._2 < 1000000L)
+  }
 }
