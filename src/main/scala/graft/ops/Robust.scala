@@ -52,4 +52,43 @@ object Robust {
       .filter(col("__dev") > lit(k) * col("__mad"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Theil-Sen robust trend (Theil 1950, Sen 1968): per-group slope =
+    * the median of all pairwise slopes (y_j − y_i)/(x_j − x_i) over
+    * x_i < x_j — 29.3% breakdown point where the OLS fit
+    * ([[TimeSeries.trendSlopes]], `q_trend_slope`) is dragged by a
+    * single corrupt day. Slopes are exact ppm integers (·10^6,
+    * truncating div — identical toward-zero truncation in Spark `div`
+    * and DuckDB `//`, negative diffs included) and the median is the
+    * LOWER median (rank ⌈n/2⌉), so the whole statistic is
+    * engine-portable with no float ordering anywhere.
+    *
+    * Scale shape: the O(n²) pair fan-out is per GROUP — feed it a
+    * bounded series (the face aggregates events to daily sums first:
+    * 30 points → 435 pairs per group at ANY corpus size; the corpus
+    * scan is the one aggregation producing the series). The pair join
+    * shuffles on the group key once; the median is a window over the
+    * per-group pair rows.
+    *
+    * @param pts (group, x, y) — one row per x per group, integral x/y
+    * @return (group, n_pairs, slope_ppm)
+    */
+  def theilSen(
+      pts: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val p = pts.select(col(group), col(x).as("__x"), col(y).as("__y"))
+    val slopes = p.as("a").join(p.as("b"),
+        col(s"a.$group") === col(s"b.$group") &&
+          col("a.__x") < col("b.__x"))
+      .select(col(s"a.$group"),
+        expr("((b.__y - a.__y) * 1000000L) div (b.__x - a.__x)")
+          .as("__sl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    slopes
+      .withColumn("__rn", row_number().over(w.orderBy(col("__sl"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(group), col("__n").as("n_pairs"),
+        col("__sl").as("slope_ppm"))
+  }
 }

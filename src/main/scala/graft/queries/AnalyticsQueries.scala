@@ -1081,7 +1081,43 @@ object AnalyticsQueries {
         base, Seq("g", "slice"), col("v"))
       graft.ops.LogHist.quantiles(
         graft.ops.LogHist.merge(monthly, Seq("g")), Seq("g"), LogHistQs)
-    })
+    },
+
+    TheilSenDef)
+
+  private lazy val TheilSenDef =
+    // ---- Theil-Sen robust daily trend (round 16): per event type,
+    //      the median of all pairwise slopes over the 30-day daily
+    //      totals — exact ppm integers, lower median, so the oracle
+    //      replays the pair fan-out and the rank pick bit-for-bit.
+    //      The robust companion to q_trend_slope's OLS fit ----
+    sql(
+      "q_theil_sen",
+      """WITH p AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    (((b.y - a.y) * 1000000) // (b.x - a.x))::BIGINT AS sl
+        |  FROM p a JOIN p b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (
+        |  SELECT event_type, sl,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY sl)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s)
+        |SELECT event_type, n::BIGINT AS n_pairs, sl AS slope_ppm
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("x"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      graft.ops.Robust.theilSen(daily, "event_type", "x", "y")
+    }
 
   private lazy val LogHistQs = Seq(500000L, 900000L, 990000L)
 

@@ -42,4 +42,41 @@ class RobustSpec extends AnyFunSuite with WithSpark {
     assert(a == b && a.nonEmpty)
     assert(a.forall(_ % 97 == 0), "only planted corruptions may flag")
   }
+
+  test("theilSen recovers an exact linear slope in ppm") {
+    // y = 7x + 3 → every pairwise slope is exactly 7·10^6
+    val pts = (0L to 29L).map(x => ("g", x, 7 * x + 3)).toDF("g", "x", "y")
+    val got = Robust.theilSen(pts, "g", "x", "y").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 435L) // C(30,2) pairs
+    assert(got(0).getLong(2) == 7000000L)
+  }
+
+  test("theilSen shrugs off a corrupt day that drags the OLS fit") {
+    // clean slope 5; one day's y is 10^6× off
+    val pts = (0L to 29L).map { x =>
+      ("g", x, if (x == 13L) 5000000000L else 5 * x)
+    }.toDF("g", "x", "y")
+    val slope = Robust.theilSen(pts, "g", "x", "y")
+      .collect()(0).getLong(2)
+    // the median slope stays on the clean trend (5·10^6 ± one grid
+    // step from truncation); an OLS fit lands in the millions
+    assert(math.abs(slope - 5000000L) <= 1L, s"slope_ppm=$slope")
+  }
+
+  test("theilSen: lower-median rank and negative-slope truncation " +
+      "match the documented contract") {
+    // two groups; one descending series exercises negative div
+    val pts = (Seq(("up", 0L, 0L), ("up", 1L, 1L), ("up", 2L, 4L)) ++
+      Seq(("down", 0L, 9L), ("down", 1L, 5L), ("down", 2L, 0L)))
+      .toDF("g", "x", "y")
+    val got = Robust.theilSen(pts, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // up slopes: 1, 3, 2 → sorted 1,2,3 → lower median (rank 2) = 2
+    assert(got("up") == ((3L, 2000000L)))
+    // down slopes: -4, -5, -4.5→trunc -4500000 → sorted
+    // -5000000, -4500000, -4000000 → median -4500000
+    assert(got("down") == ((3L, -4500000L)))
+  }
 }
