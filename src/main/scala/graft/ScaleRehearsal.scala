@@ -1335,6 +1335,97 @@ object ScaleRehearsal {
       growth("chat_stream (constant batch, 10x store)") = f10 / f1
     }
 
+    // ---- session-3 round-16 ops: FS linkage (one blocked join + an
+    // O(2^F) pattern collect — block keys are salted per replica so
+    // pair counts scale linearly, not quadratically); log-histogram
+    // sketch (one aggregation to ≤1024 buckets/group); graph trio
+    // (RA/LCC wedge joins + the HITS vertex-sized rounds); Theil-Sen
+    // (corpus scan → fixed 30-day series → constant pair stage) ----
+    if (on("wave16c")) {
+      val docs1 = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")).localCheckpoint()
+      val nD = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val docs10 = (0 until 10).map(k =>
+          docs1.select((col("doc_id") + lit(k * nD)).as("doc_id"),
+            col("lang"), col("source"), col("n_chars"),
+            concat(lit(s"zslt$k "), col("text")).as("text")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def fsPairsOf(docs: DataFrame): DataFrame = {
+        val pr = docs.select(
+          col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("band"),
+          regexp_extract(graft.ops.Text.normalize(col("text")),
+            "^(\\S+\\s+\\S+)", 1).as("blk"))
+        val a = pr.columns.foldLeft(pr)(
+          (f, c) => f.withColumnRenamed(c, "a_" + c))
+        val b = pr.columns.foldLeft(pr)(
+          (f, c) => f.withColumnRenamed(c, "b_" + c))
+        a.join(b, col("a_blk") === col("b_blk") &&
+            col("a_doc_id") < col("b_doc_id"))
+          .select(
+            (col("a_lang") <=> col("b_lang")).cast("int").as("g1"),
+            (col("a_source") <=> col("b_source")).cast("int").as("g2"),
+            (col("a_band") <=> col("b_band")).cast("int").as("g3"))
+      }
+      def m2(label: String)(f: => Long): Double =
+        math.min(timed(label + " r1")(f), timed(label + " r2")(f))
+      val fs1 = m2("fs_em 1x") {
+        graft.ops.Linkage.fsFit(fsPairsOf(docs1),
+          Seq("g1", "g2", "g3"), iters = 5).count()
+      }
+      val fs10 = m2("fs_em 10x") {
+        graft.ops.Linkage.fsFit(fsPairsOf(docs10),
+          Seq("g1", "g2", "g3"), iters = 5).count()
+      }
+      growth("fs_em (blocked pairs x10)") = fs10 / fs1
+
+      val li1 = graft.core.Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .localCheckpoint()
+      val li10 = (0 until 10).map(_ => li1)
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def lhSecs(df: DataFrame, label: String): Double = m2(label) {
+        graft.ops.LogHist.quantiles(
+          graft.ops.LogHist.sketch(df, Seq("g"), col("v")),
+          Seq("g"), Seq(500000L, 900000L, 990000L)).count()
+      }
+      val lh1 = lhSecs(li1, "loghist 1x")
+      val lh10 = lhSecs(li10, "loghist 10x")
+      growth("loghist (rows x10)") = lh10 / lh1
+
+      val g1 = m2("graph16c 1x (ra+lcc+hits)") {
+        graft.ops.Graph.resourceAllocation(e1, minCommon = 2L).count() +
+          graft.ops.Graph.clusteringCoefficient(e1).count() +
+          graft.ops.Graph.hitsInt(e1, iters = 4).count()
+      }
+      val g10 = m2("graph16c 10x") {
+        graft.ops.Graph.resourceAllocation(e10, minCommon = 2L).count() +
+          graft.ops.Graph.clusteringCoefficient(e10).count() +
+          graft.ops.Graph.hitsInt(e10, iters = 4).count()
+      }
+      growth("graph16c (ra+lcc+hits)") = g10 / g1
+
+      val ev1 = graft.core.Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      val ev10 = (0 until 10).map(_ => ev1)
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def tsSecs(df: DataFrame, label: String): Double = m2(label) {
+        graft.ops.Robust.theilSen(
+          df.groupBy(col("event_type"), col("x"))
+            .agg(sum(col("cents")).as("y")),
+          "event_type", "x", "y").count()
+      }
+      val ts1 = tsSecs(ev1, "theil_sen 1x")
+      val ts10 = tsSecs(ev10, "theil_sen 10x")
+      growth("theil_sen (rows x10, fixed days)") = ts10 / ts1
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
