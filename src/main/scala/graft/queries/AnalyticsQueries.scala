@@ -1119,11 +1119,11 @@ object AnalyticsQueries {
       graft.ops.Robust.theilSen(daily, "event_type", "x", "y")
     }
 
-  private lazy val LogHistQs = Seq(500000L, 900000L, 990000L)
+  private[queries] lazy val LogHistQs = Seq(500000L, 900000L, 990000L)
 
   /** DuckDB replay of sketch → cumulative walk → floor for the three
     * standard quantiles, over any `(g, v)` source query. */
-  private def logHistOracleSql(src: String): String = {
+  private[queries] def logHistOracleSql(src: String): String = {
     import graft.ops.LogHist.{bucketSql, floorSql}
     s"""WITH base AS ($src),
        |sk AS (

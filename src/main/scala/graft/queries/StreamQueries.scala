@@ -156,6 +156,21 @@ object StreamQueries {
         EventStream.readKmvMins(s, kmvDir(s, d)), k = 128)
     },
 
+    // ---- streaming log-histogram: three value micro-batches folded
+    //      into a ≤1024-row bucket table (counts ADD — the batch-id
+    //      guard is what makes the fold exactly-once); the converged
+    //      state answers quantiles equal to one sketch over the whole
+    //      history, which the oracle recomputes directly ----
+    sql(
+      "q_loghist_stream",
+      AnalyticsQueries.logHistOracleSql(
+        "SELECT 'all' AS g, n_chars AS v FROM documents")) { (s, d) =>
+      graft.ops.LogHist.quantiles(
+        EventStream.readLogHistState(s, logHistDir(s, d))
+          .select(lit("all").as("g"), col("bucket"), col("n")),
+        Seq("g"), AnalyticsQueries.LogHistQs)
+    },
+
     // ---- streaming CUSUM: the events table replayed as three
     //      time-ordered micro-batches with ONE long of carried state
     //      per key — the fold must equal one batch CUSUM over the
@@ -487,6 +502,27 @@ object StreamQueries {
         .localCheckpoint()
       (0 until 3).foreach { b =>
         EventStream.kmvSink(dir, "doc_id", k = 128)(
+          docs.filter(col("doc_id") % 3 === b), b.toLong)
+      }
+      dir
+    })
+
+  /** Build-once cache for the streaming log-histogram face: document
+    * lengths fold through [[EventStream.logHistSink]] in three
+    * micro-batches; count addition makes the folded bucket table
+    * equal one sketch over the whole corpus, which the oracle
+    * recomputes. */
+  private val logHistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def logHistDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    logHistCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("stream_loghist")}/${math.abs(d.hashCode)}"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")).localCheckpoint()
+      (0 until 3).foreach { b =>
+        EventStream.logHistSink(dir, "n_chars")(
           docs.filter(col("doc_id") % 3 === b), b.toLong)
       }
       dir

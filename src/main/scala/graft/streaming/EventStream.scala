@@ -1164,6 +1164,62 @@ object EventStream {
     }
   }
 
+  /** Streaming log-histogram fold — a running QUANTILE sketch over an
+    * unbounded value stream in ≤ 1024·16 bytes of persisted state:
+    * each micro-batch aggregates to its own (bucket, count) table
+    * ([[graft.ops.LogHist]] — one aggregation, bounded output) and
+    * counts ADD into the stored table, so after N batches the state
+    * equals ONE sketch over the concatenated history exactly — the
+    * q_loghist_stream face's oracle recomputes precisely that.
+    * Same crash/replay discipline as [[cmsSink]]/[[kmvSink]]; here
+    * the batch-id guard is LOAD-BEARING for exactness, not just the
+    * watermark: count addition is NOT idempotent, so a replayed
+    * batch id must be (and is) a no-op. */
+  def logHistSink(stateDir: String, valueCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val prev = recoverState(fs, stateDir)
+    if (!prev.exists(_._1 >= batchId)) {
+      val bs = graft.ops.LogHist
+        .sketch(batch, Seq.empty,
+          org.apache.spark.sql.functions.col(valueCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1))) // ≤ 1024 rows
+      val prevPairs = prev.map(p => bytesToLongs(p._2).grouped(2)
+        .map(a => (a(0), a(1))).toSeq).getOrElse(Seq.empty)
+      val merged = (prevPairs ++ bs).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val flat = merged.flatMap { case (b, n) => Seq(b, n) }.toArray
+      fs.mkdirs(new Path(stateDir))
+      val stateFile = new Path(stateDir, StateFileName)
+      val tmp = new Path(stateDir, s".cms_state_$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try { out.writeLong(batchId); out.write(longsToBytes(flat)) }
+      finally out.close()
+      if (fs.exists(stateFile) && !fs.delete(stateFile, false))
+        throw new java.io.IOException(
+          s"logHistSink: failed to clear previous state $stateFile")
+      if (!fs.rename(tmp, stateFile))
+        throw new java.io.IOException(
+          s"logHistSink: rename $tmp -> $stateFile failed; state is in " +
+            "the temp file — re-deliver the batch to retry")
+    }
+  }
+
+  /** The folded bucket table of a [[logHistSink]] state dir as a
+    * (bucket, n) frame — feed [[graft.ops.LogHist.quantiles]]. */
+  def readLogHistState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, bytes) = recoverState(fs, stateDir).getOrElse(
+      sys.error(s"logHistSink state at $stateDir has no committed fold"))
+    import spark.implicits._
+    bytesToLongs(bytes).grouped(2).map(a => (a(0), a(1))).toSeq
+      .toDF("bucket", "n")
+  }
+
   /** The folded KMV minima of a [[kmvSink]] state dir as a one-column
     * (hv) frame — feed [[graft.ops.Kmv.estimateFromSketch]]. */
   def readKmvMins(spark: SparkSession, stateDir: String): DataFrame = {

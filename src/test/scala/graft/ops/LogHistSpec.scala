@@ -75,4 +75,43 @@ class LogHistSpec extends AnyFunSuite with WithSpark {
       .toDF("g", "v")
     assert(LogHist.sketch(df, Seq("g"), col("v")).count() <= 1024)
   }
+
+  test("logHistSink: the folded stream state equals one sketch over " +
+      "the whole history; replay is a no-op (counts would double)") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_loghist_sink").toString
+    val vs = (1L to 3000L).map(i => i * 17 % 100000).toDF("v")
+      .localCheckpoint()
+    (0 until 3).foreach { b =>
+      EventStream.logHistSink(dir, "v")(
+        vs.filter(col("v") % 3 === b), b.toLong)
+    }
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val folded = table(EventStream.readLogHistState(spark, dir))
+    val oneShot = table(LogHist.sketch(vs, Seq.empty, col("v"))
+      .select("bucket", "n"))
+    assert(folded == oneShot)
+    // replayed batch id: must NOT re-add its counts
+    EventStream.logHistSink(dir, "v")(vs.filter(col("v") % 3 === 1), 1L)
+    assert(table(EventStream.readLogHistState(spark, dir)) == oneShot)
+  }
+
+  test("logHistSink: an interrupted state commit is healed from the tmp") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_loghist_crash").toString
+    val vs = (1L to 500L).toDF("v")
+    EventStream.logHistSink(dir, "v")(vs, 0L)
+    val d = new java.io.File(dir)
+    val state = new java.io.File(d, "cms_state.bin")
+    assert(state.renameTo(new java.io.File(d, ".cms_state_0.tmp")))
+    val healed = EventStream.readLogHistState(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val direct = LogHist.sketch(vs, Seq.empty, col("v"))
+      .select("bucket", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(healed == direct)
+  }
 }
