@@ -114,18 +114,21 @@ object Linkage {
       .map(r => (agreeCols.map(c => r.getAs[Number](c).intValue),
         r.getAs[Long]("n")))
 
-  /** Fit and emit the parameter table: one row per (param, ppm) with
-    * params `lambda`, `m_<col>`, `u_<col>` in the agreement-column
-    * order. */
-  def fsFit(pairs: DataFrame, agreeCols: Seq[String], iters: Int): DataFrame = {
-    val s = pairs.sparkSession
+  /** Fitted params as the canonical (param, ppm) frame: `lambda`,
+    * `m_<col>`, `u_<col>` in the agreement-column order. */
+  def paramsFrame(
+      s: SparkSession, agreeCols: Seq[String], p: FsParams): DataFrame = {
     import s.implicits._
-    val p = emFit(collectPatterns(pairs, agreeCols), iters)
     (("lambda", p.lambda) +:
       agreeCols.zipWithIndex.flatMap { case (c, i) =>
         Seq((s"m_$c", p.m(i)), (s"u_$c", p.u(i)))
       }).toDF("param", "ppm")
   }
+
+  /** Fit and emit the parameter table — see [[paramsFrame]]. */
+  def fsFit(pairs: DataFrame, agreeCols: Seq[String], iters: Int): DataFrame =
+    paramsFrame(pairs.sparkSession, agreeCols,
+      emFit(collectPatterns(pairs, agreeCols), iters))
 
   /** Fit, then classify every observed pattern by its posterior:
     * (pattern, n_pairs, posterior_ppm, decision) — `match` above

@@ -152,6 +152,19 @@ object QualityQueries {
     sql("q_fs_score", fsScoreOracle) { (s, d) =>
       Linkage.fsScore(fsPairs(s, d), FsCols, iters = FsIters,
         hiPpm = 800000L)
+    },
+
+    // ---- incremental FS model maintenance (round 16): pair batches
+    //      fold into ≤2^F·16 bytes of pattern-count state and the EM
+    //      refits from that state at O(iters·2^F) — the fitted model
+    //      must equal the full q_fs_em fit bit-for-bit, so the oracle
+    //      IS q_fs_em's EM chain ----
+    sql("q_fs_em_stream", fsEmOracle) { (s, d) =>
+      Linkage.paramsFrame(s, FsCols,
+        Linkage.emFit(
+          graft.streaming.EventStream.readFsPatterns(
+            s, fsStoreDir(s, d), FsCols.size),
+          iters = FsIters))
     })
 
   // ===== Fellegi-Sunter fixture + oracle generation =====
@@ -180,8 +193,31 @@ object QualityQueries {
       .select(
         (col("a_lang") <=> col("b_lang")).cast("int").as("g_lang"),
         (col("a_source") <=> col("b_source")).cast("int").as("g_src"),
-        (col("a_band") <=> col("b_band")).cast("int").as("g_len"))
+        (col("a_band") <=> col("b_band")).cast("int").as("g_len"),
+        // pair-batch split key for the incremental face; harmless to
+        // the batch faces (patternCounts groups on the g cols only)
+        ((col("a_doc_id") + col("b_doc_id")) % 3).as("sp"))
   }
+
+  /** Build-once cache for the incremental-FS face: the SAME candidate
+    * pairs fold through [[graft.streaming.EventStream.fsPatternSink]]
+    * in three micro-batches; count addition makes the stored pattern
+    * table equal one aggregation over all pairs, so the EM refit from
+    * state must equal q_fs_em exactly (same oracle). */
+  private val fsStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fsStoreDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    fsStoreCache.computeIfAbsent(d, _ => {
+      val dir =
+        s"${graft.core.Scratch.dir("fs_patterns")}/${math.abs(d.hashCode)}"
+      val pairs = fsPairs(s, d).localCheckpoint()
+      (0 until 3).foreach { b =>
+        graft.streaming.EventStream.fsPatternSink(dir, FsCols)(
+          pairs.filter(col("sp") === b), b.toLong)
+      }
+      dir
+    })
 
   /** Pair + pattern-count + ppm-share CTEs (the SQL twin of
     * [[fsPairs]] + `Linkage.patternCounts` + the share grid). */

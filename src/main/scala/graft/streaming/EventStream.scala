@@ -1207,6 +1207,68 @@ object EventStream {
     }
   }
 
+  /** Streaming Fellegi-Sunter pattern fold — incremental maintenance
+    * of the linkage model's sufficient statistics: each micro-batch
+    * of candidate PAIRS aggregates to its ≤ 2^F agreement-pattern
+    * counts ([[graft.ops.Linkage.patternCounts]]) and counts ADD into
+    * ≤ 2^F·16 bytes of persisted state, so the EM refit
+    * ([[graft.ops.Linkage.emFit]] over [[readFsPatterns]]) equals a
+    * fit over the concatenated pair history exactly — the model
+    * retrains at O(batch) + O(iters·2^F) cost, never re-scanning the
+    * pair corpus. Pattern key = Σ g_i·2^i. Same crash/replay
+    * discipline as [[logHistSink]] (count addition is not idempotent
+    * — the batch-id guard is load-bearing). */
+  def fsPatternSink(stateDir: String, agreeCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val prev = recoverState(fs, stateDir)
+    if (!prev.exists(_._1 >= batchId)) {
+      val bs = graft.ops.Linkage.patternCounts(batch, agreeCols)
+        .collect().map { r => // ≤ 2^F driver rows by construction
+          val bits = agreeCols.zipWithIndex.map { case (c, i) =>
+            r.getAs[Number](c).longValue << i
+          }.sum
+          (bits, r.getAs[Long]("n"))
+        }
+      val prevPairs = prev.map(p => bytesToLongs(p._2).grouped(2)
+        .map(a => (a(0), a(1))).toSeq).getOrElse(Seq.empty)
+      val merged = (prevPairs ++ bs).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val flat = merged.flatMap { case (b, n) => Seq(b, n) }.toArray
+      fs.mkdirs(new Path(stateDir))
+      val stateFile = new Path(stateDir, StateFileName)
+      val tmp = new Path(stateDir, s".cms_state_$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try { out.writeLong(batchId); out.write(longsToBytes(flat)) }
+      finally out.close()
+      if (fs.exists(stateFile) && !fs.delete(stateFile, false))
+        throw new java.io.IOException(
+          s"fsPatternSink: failed to clear previous state $stateFile")
+      if (!fs.rename(tmp, stateFile))
+        throw new java.io.IOException(
+          s"fsPatternSink: rename $tmp -> $stateFile failed; state is " +
+            "in the temp file — re-deliver the batch to retry")
+    }
+  }
+
+  /** The folded pattern counts of a [[fsPatternSink]] state dir,
+    * decoded back to agreement vectors — feed
+    * [[graft.ops.Linkage.emFit]]. */
+  def readFsPatterns(
+      spark: SparkSession, stateDir: String,
+      nFields: Int): Seq[(Seq[Int], Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, bytes) = recoverState(fs, stateDir).getOrElse(
+      sys.error(s"fsPatternSink state at $stateDir has no committed fold"))
+    bytesToLongs(bytes).grouped(2).map { a =>
+      ((0 until nFields).map(i => ((a(0) >> i) & 1L).toInt), a(1))
+    }.toSeq
+  }
+
   /** The folded bucket table of a [[logHistSink]] state dir as a
     * (bucket, n) frame — feed [[graft.ops.LogHist.quantiles]]. */
   def readLogHistState(spark: SparkSession, stateDir: String): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.WithSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Fellegi-Sunter EM ([[Linkage]]) on a PLANTED two-class mixture:
@@ -92,5 +93,37 @@ class LinkageSpec extends AnyFunSuite with WithSpark {
     val pc = Linkage.patternCounts(pairs, Seq("a", "b", "c")).collect()
     assert(pc.length <= 8)
     assert(pc.map(_.getAs[Long]("n")).sum == 4L)
+  }
+
+  test("fsPatternSink: folded pattern state equals one aggregation " +
+      "over all pair batches; replay is a no-op; fit matches full fit") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fs_sink").toString
+    val pairs = plant(2000L, 0.2, Seq(0.9, 0.8, 0.7), Seq(0.1, 0.2, 0.3))
+      .flatMap { case (g, n) => Seq.fill(n.toInt)((g(0), g(1), g(2))) }
+      .zipWithIndex.map { case ((a, b, c), i) => (a, b, c, i % 3) }
+      .toDF("g1", "g2", "g3", "sp")
+      .localCheckpoint()
+    val cols = Seq("g1", "g2", "g3")
+    (0 until 3).foreach { b =>
+      EventStream.fsPatternSink(dir, cols)(
+        pairs.filter(col("sp") === b), b.toLong)
+    }
+    val folded = EventStream.readFsPatterns(spark, dir, 3)
+      .sortBy(_._1.mkString)
+    val direct = Linkage.patternCounts(pairs, cols).collect()
+      .map(r => (cols.map(c => r.getAs[Number](c).intValue),
+        r.getAs[Long]("n")))
+      .toSeq.sortBy(_._1.mkString)
+    assert(folded == direct)
+    // replayed batch id must not double-count
+    EventStream.fsPatternSink(dir, cols)(
+      pairs.filter(col("sp") === 2), 2L)
+    assert(EventStream.readFsPatterns(spark, dir, 3)
+      .sortBy(_._1.mkString) == direct)
+    // and the refit from state equals the full fit exactly
+    assert(Linkage.emFit(folded, iters = 10) ==
+      Linkage.emFit(direct, iters = 10))
   }
 }
