@@ -1426,6 +1426,39 @@ object ScaleRehearsal {
       growth("theil_sen (rows x10, fixed days)") = ts10 / ts1
     }
 
+    // ---- layout quality: Hilbert vs z-order file rectangles. Lay
+    // lineitem out into 32 range partitions by each index and sum the
+    // per-partition (a, b) bounding-box areas — the min/max pruning
+    // surface a point/range filter on EITHER column sees. Smaller =
+    // tighter files = more row groups skipped. (Not a growth pair —
+    // prints the ratio as its "growth" so the summary line carries
+    // it.) ----
+    if (on("hilbert_layout")) {
+      val li = graft.core.Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+        .localCheckpoint()
+      def boxArea(laid: DataFrame): Long =
+        laid.select(col("a"), col("b"),
+            org.apache.spark.sql.functions.spark_partition_id().as("p"))
+          .groupBy("p")
+          .agg((max(col("a")) - min(col("a")) + 1).as("wa"),
+            (max(col("b")) - min(col("b")) + 1).as("wb"))
+          .agg(sum(expr("wa * wb"))).head().getLong(0)
+      var (za, ha) = (0L, 0L)
+      timed("hilbert_layout zorder") {
+        za = boxArea(graft.ops.Layout.zOrderBy(li, col("a"), col("b"), 32))
+        za
+      }
+      timed("hilbert_layout hilbert") {
+        ha = boxArea(
+          graft.ops.Layout.hilbertOrderBy(li, col("a"), col("b"), 32))
+        ha
+      }
+      println(s"[rehearsal] hilbert_layout box-area z=$za hilbert=$ha " +
+        f"(hilbert/z = ${ha.toDouble / za}%.3f; <1 = tighter files)")
+      growth("hilbert_layout (area ratio h/z)") = ha.toDouble / za
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")

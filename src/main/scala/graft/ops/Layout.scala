@@ -52,6 +52,100 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
 
+  /** Hilbert-curve index of the low 16 bits of (a, b) — the
+    * better-locality alternative to [[zValue]]: consecutive Hilbert
+    * cells are always GRID-ADJACENT (the z-curve jumps across the
+    * space at every power-of-two boundary), so range-partitioned
+    * files cover tighter rectangles and min/max pruning discards
+    * more. The classic non-recursive xy→d walk (16 levels of
+    * quadrant pick + rotate/flip) unrolled as 16 PROJECTION STAGES —
+    * each level's (x, y, d, rx, ry) materialize as attributes before
+    * the next level references them, so the plan stays linear
+    * (Catalyst's CollapseProject keeps multi-referenced non-trivial
+    * aliases staged; a single nested expression tree would grow
+    * 3^16 nodes). The quadrant term (3·rx)⊕ry is computed as a CASE
+    * over the four (rx, ry) cells — no XOR dialect dependence — so
+    * the DuckDB oracle replays the identical 16-level chain as CTEs.
+    *
+    * Scale shape: map-side only, codegen'd bit ops, no UDF. */
+  def withHilbert(
+      df: DataFrame, a: Column, b: Column, out: String): DataFrame = {
+    val full = 65535L // n-1 for the 2^16 grid
+    var cur = df
+      .withColumn("__hx", a.bitwiseAND(lit(full)))
+      .withColumn("__hy", b.bitwiseAND(lit(full)))
+      .withColumn("__hd", lit(0L))
+    var s = 32768L
+    while (s >= 1L) {
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+      // quadrant term (3·rx) xor ry over the four cells
+      val q = when(col("__rx") === 0 && col("__ry") === 0, lit(0L))
+        .when(col("__rx") === 0, lit(1L))
+        .when(col("__ry") === 0, lit(3L))
+        .otherwise(lit(2L))
+      val nx = when(col("__ry") === 1, col("__hx"))
+        .otherwise(when(col("__rx") === 1, lit(full) - col("__hy"))
+          .otherwise(col("__hy")))
+      val ny = when(col("__ry") === 1, col("__hy"))
+        .otherwise(when(col("__rx") === 1, lit(full) - col("__hx"))
+          .otherwise(col("__hx")))
+      cur = cur
+        .withColumn("__hd2", col("__hd") + lit(s * s) * q)
+        .withColumn("__hx2", nx)
+        .withColumn("__hy2", ny)
+        .drop("__hd", "__hx", "__hy", "__rx", "__ry")
+        .withColumnRenamed("__hd2", "__hd")
+        .withColumnRenamed("__hx2", "__hx")
+        .withColumnRenamed("__hy2", "__hy")
+      s /= 2
+    }
+    cur.drop("__hx", "__hy").withColumnRenamed("__hd", out)
+  }
+
+  /** The DuckDB replay of [[withHilbert]]: one CTE per level, same
+    * CASE arithmetic. `src` must yield (keyCols…, x, y). Returns the
+    * full `WITH h0 … SELECT keyCols…, d AS out FROM h16` text. */
+  def hilbertOracleSql(
+      src: String, keyCols: Seq[String], out: String): String = {
+    val keys = keyCols.mkString(", ")
+    val levels = (0 until 16).map { i =>
+      val s = 32768L >> i
+      val rx = s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END"
+      val ry = s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END"
+      s"""h${i + 1} AS (
+         |  SELECT $keys,
+         |    CASE WHEN $ry = 1 THEN x
+         |         WHEN $rx = 1 THEN 65535 - y ELSE y END AS x,
+         |    CASE WHEN $ry = 1 THEN y
+         |         WHEN $rx = 1 THEN 65535 - x ELSE x END AS y,
+         |    d + ${s * s} * (CASE WHEN $rx = 0 AND $ry = 0 THEN 0
+         |         WHEN $rx = 0 THEN 1
+         |         WHEN $ry = 0 THEN 3 ELSE 2 END) AS d
+         |  FROM h$i)""".stripMargin
+    }
+    s"""WITH h0 AS (
+       |  SELECT $keys, x & 65535 AS x, y & 65535 AS y, 0::BIGINT AS d
+       |  FROM ($src)),
+       |${levels.mkString(",\n")}
+       |SELECT $keys, d AS $out FROM h16""".stripMargin
+  }
+
+  /** [[zOrderBy]]'s Hilbert twin: range-partition + sort by the
+    * Hilbert index so each output file covers a compact, CONNECTED
+    * region of (a, b) space. */
+  def hilbertOrderBy(
+      df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame =
+    withHilbert(df, a, b, "__h")
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+
   /** Global 1-based row number in the total order given by `sortCols`
     * — `row_number() OVER (ORDER BY ...)` semantics WITHOUT the
     * empty-partition window's Exchange SinglePartition, which funnels

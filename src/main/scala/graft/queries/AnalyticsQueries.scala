@@ -282,6 +282,24 @@ object AnalyticsQueries {
           .as("z"))
     },
 
+    // ---- Hilbert index (round 16): the better-locality layout key
+    //      next to q_zorder — consecutive cells are always
+    //      grid-adjacent, so range-partitioned files cover connected
+    //      rectangles. 16 unrolled levels of quadrant+rotate, CASE
+    //      arithmetic only; the oracle replays the identical chain ----
+    sql(
+      "q_hilbert",
+      graft.ops.Layout.hilbertOracleSql(
+        "SELECT l_orderkey, l_linenumber, l_partkey AS x, " +
+          "l_suppkey AS y FROM lineitem",
+        Seq("l_orderkey", "l_linenumber"), "h")) { (s, d) =>
+      graft.ops.Layout.withHilbert(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        col("l_partkey"), col("l_suppkey"), "h")
+        .select("l_orderkey", "l_linenumber", "h")
+    },
+
     // ---- heavy-hitter diagnostic: salted count + bounded-heap top-k ----
     sql(
       "q_hot_keys",

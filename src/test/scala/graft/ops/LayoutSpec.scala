@@ -67,4 +67,62 @@ class LayoutSpec extends AnyFunSuite with WithSpark {
     assert(got.map(_._2).toSeq == (1L to 1000L))
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
   }
+
+  /** Independent reference xy→d walk (the classic quadrant/rotate
+    * loop) — NOT the Column implementation under test. */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0 & 0xFFFFL, y0 & 0xFFFFL, 0L)
+    var s = 32768L
+    while (s >= 1) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("withHilbert matches an independent reference walk") {
+    val pts = (0 until 500).map { i =>
+      (i.toLong, (i * 2654435761L) & 0xFFFFL, (i * 40503L + 17) & 0xFFFFL)
+    }
+    val got = Layout.withHilbert(pts.toDF("id", "x", "y"),
+        col("x"), col("y"), "h")
+      .select("id", "h").as[(Long, Long)].collect().toMap
+    pts.foreach { case (id, x, y) =>
+      assert(got(id) == hilbertRef(x, y), s"($x,$y)")
+    }
+  }
+
+  test("hilbert is a bijection on a dense sub-grid and every " +
+      "consecutive step is grid-adjacent (the locality z-order lacks)") {
+    val grid = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong)
+    val ds = Layout.withHilbert(grid.toDF("x", "y"),
+        col("x"), col("y"), "h")
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+    assert(ds.map(_._3).distinct.length == 1024, "index not injective")
+    // restrict to the curve prefix that stays inside the 32×32 corner:
+    // sort by h; every consecutive pair inside the corner region of
+    // the full curve must differ by exactly one grid step
+    val inCorner = ds.sortBy(_._3)
+    val steps = inCorner.sliding(2).collect {
+      case Array((x1, y1, h1), (x2, y2, h2)) if h2 == h1 + 1 =>
+        math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.toSeq
+    assert(steps.nonEmpty && steps.forall(_ == 1L),
+      "a consecutive Hilbert step was not grid-adjacent")
+    // and the z-curve on the same grid DOES jump (what Hilbert fixes)
+    val zJumps = grid.map { case (x, y) => (mortonRef(x.toInt, y.toInt), x, y) }
+      .sortBy(_._1).sliding(2).count {
+        case Seq((_, x1, y1), (_, x2, y2)) =>
+          math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+        case _ => false
+      }
+    assert(zJumps > 0, "expected the Morton order to jump somewhere")
+  }
 }
