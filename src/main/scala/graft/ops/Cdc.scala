@@ -265,4 +265,48 @@ object Cdc {
     batch.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol)).cast("long").as("total"))
+
+  /** Incremental view maintenance WITH RETRACTION: apply a
+    * [[diffSnapshots]] delta to a grouped (n, total) aggregate state
+    * so that `aggApplyDiff(aggState(v1), diff(v1, v2)) ==
+    * aggState(v2)` exactly (property-tested). Unlike [[aggRefresh]]
+    * (insert-only), deletes retract and updates handle the hard case:
+    * a row whose GROUP ATTRIBUTE changed contributes −1/−old to the
+    * old group AND +1/+new to the new group — the two-sided delta
+    * expansion below, which a naive "new − old per key" misses
+    * whenever the group moves.
+    *
+    * Scale shape: the delta expansion and its aggregation are
+    * DIFF-sized; the merge is one full-outer join against the
+    * group-cardinality state — refreshing a grouped aggregate over a
+    * 100 TB snapshot costs the day's diff, never the corpus. Groups
+    * whose count reaches 0 drop out of the state (the empty-group
+    * case the property test plants).
+    *
+    * @param oldVal value of a retracted row, over the diff's `old_*`
+    *               columns (apply the integer-grid snap here)
+    * @param newVal value of an inserted row, over `new_*` columns
+    */
+  def aggApplyDiff(
+      state: DataFrame, diff: DataFrame, groupAttr: String,
+      oldVal: Column, newVal: Column): DataFrame = {
+    val oldSide = diff.filter(col("op").isin("delete", "update"))
+      .select(col(s"old_$groupAttr").as(groupAttr),
+        lit(-1L).as("__dn"), (-oldVal).cast("long").as("__dt"))
+    val newSide = diff.filter(col("op").isin("insert", "update"))
+      .select(col(s"new_$groupAttr").as(groupAttr),
+        lit(1L).as("__dn"), newVal.cast("long").as("__dt"))
+    val delta = oldSide.unionByName(newSide)
+      .groupBy(col(groupAttr))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dt")).as("__dt"))
+    val s = prefixed(state, Seq(groupAttr, "n", "total"), "__s_")
+    s.join(delta, col(s"__s_$groupAttr") <=> col(groupAttr), "full_outer")
+      .select(
+        coalesce(col(groupAttr), col(s"__s_$groupAttr")).as(groupAttr),
+        (coalesce(col("__s_n"), lit(0L)) +
+          coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("__s_total"), lit(0L)) +
+          coalesce(col("__dt"), lit(0L))).as("total"))
+      .filter(col("n") =!= 0L)
+  }
 }

@@ -51,6 +51,42 @@ object CdcQueries {
           attrs = Seq("o_orderstatus", "o_totalprice"))
     },
 
+    // ---- incremental view maintenance with retraction (round 16):
+    //      the v1 per-status aggregate state plus the v1→v2 diff must
+    //      equal the direct v2 aggregate — the oracle. The fixture's
+    //      status→'X' mutations are GROUP-MOVING updates (−1 old
+    //      group, +1 new group), plus real inserts and deletes, so
+    //      every retraction branch does work ----
+    sql(
+      "q_ivm_agg",
+      """WITH n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total
+        |FROM n GROUP BY 1""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val state = Cdc.aggState(
+        oldSnap.withColumn("cents",
+          round(col("o_totalprice") * 100).cast("long")),
+        Seq("o_orderstatus"), "cents")
+      val diff = Cdc.diffSnapshots(oldSnap, newSnap,
+        keys = Seq("o_orderkey"),
+        attrs = Seq("o_orderstatus", "o_totalprice"))
+      Cdc.aggApplyDiff(state, diff, "o_orderstatus",
+        oldVal = round(col("old_o_totalprice") * 100),
+        newVal = round(col("new_o_totalprice") * 100))
+    },
+
     // ---- the consumer side of the diff: applying the delta to the
     //      old snapshot reconstructs the new one exactly, so the
     //      oracle is simply the new snapshot ----

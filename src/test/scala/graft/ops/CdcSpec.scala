@@ -191,4 +191,36 @@ class CdcSpec extends AnyFunSuite with WithSpark {
       Seq("k"), "v", weightCol = Some("w"))
     assert(gone.count() == 0L)
   }
+
+  test("property: aggApplyDiff(state(v1), diff(v1,v2)) == state(v2) on " +
+      "random snapshots (group-moving updates, emptied groups)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // group 'gX' appears only in v1 for some seeds → must empty out
+      def snap() = (1 to 250).flatMap { i =>
+        if (rnd.nextDouble() < 0.7)
+          Some((i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(100).toLong))
+        else None
+      }.toDF("k", "g", "v")
+      val v1 = snap(); val v2 = snap()
+      val got = Cdc.aggApplyDiff(
+          Cdc.aggState(v1, Seq("g"), "v"),
+          Cdc.diffSnapshots(v1, v2, Seq("k"), Seq("g", "v")),
+          "g", oldVal = col("old_v"), newVal = col("new_v"))
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      val want = Cdc.aggState(v2, Seq("g"), "v")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"IVM refresh diverged at seed $seed")
+    }
+    // the emptied-group case, deterministically: one group fully deleted
+    val a = Seq((1L, "keep", 3L), (2L, "gone", 9L)).toDF("k", "g", "v")
+    val b = Seq((1L, "keep", 3L)).toDF("k", "g", "v")
+    val refreshed = Cdc.aggApplyDiff(
+        Cdc.aggState(a, Seq("g"), "v"),
+        Cdc.diffSnapshots(a, b, Seq("k"), Seq("g", "v")),
+        "g", oldVal = col("old_v"), newVal = col("new_v"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(refreshed == Seq(("keep", 1L, 3L)))
+  }
 }
