@@ -537,5 +537,35 @@ object RankingQueries {
           Seq("query_id"), "__score", "neighbor_id", k = 20)
         .select("query_id", "neighbor_id", "rank")
       Ranking.rrfFuse(Seq(lex, dense), k = 10)
+    },
+
+    // ---- incremental top-k maintenance (round 16): top-k is a merge
+    //      monoid under inserts — topk(topk(state) ∪ batch) ==
+    //      topk(everything) — so a per-group leaderboard refreshes at
+    //      O(batch + k·groups), never re-scanning history. The face
+    //      splits orders 2:1 into state and batch and the oracle is
+    //      the direct window over ALL orders (merge-law also
+    //      property-tested in TopKPerGroupSpec) ----
+    sql(
+      "q_topk_inc",
+      """SELECT o_orderstatus, o_orderkey,
+        |  round(o_totalprice, 2) AS price, rn::INTEGER AS rank
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("score"))
+      val state = graft.plans.TopKPerGroup.topK(
+          base.filter(col("o_orderkey") % 3 =!= 0),
+          Seq("o_orderstatus"), "score", "o_orderkey", k = 3)
+        .drop("rank")
+      graft.plans.TopKPerGroup.topK(
+          state.unionByName(base.filter(col("o_orderkey") % 3 === 0)),
+          Seq("o_orderstatus"), "score", "o_orderkey", k = 3)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("score"), 2).as("price"), col("rank"))
     })
 }

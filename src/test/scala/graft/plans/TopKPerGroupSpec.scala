@@ -112,6 +112,25 @@ class TopKPerGroupSpec extends AnyFunSuite with WithSpark {
     assert(viaTopK == Set((11L, 1), (13L, 2), (10L, 3), (14L, 4)))
   }
 
+  test("merge law: topk(topk(state) ∪ batch) == topk(all) — the " +
+      "incremental-maintenance contract (insert-only)") {
+    val rnd = new scala.util.Random(7)
+    val all = (1L to 2000L).map(i =>
+      (s"g${i % 5}", i, rnd.nextInt(1000).toDouble))
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      TopKPerGroup.topK(df, Seq("g"), "score", "id", k = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+        .toSet
+    for (cut <- Seq(0.3, 0.7)) {
+      val (a, b) = all.partition(t => rnd.nextDouble() < cut)
+      val state = TopKPerGroup.topK(
+          a.toDF("g", "id", "score"), Seq("g"), "score", "id", k = 4)
+        .drop("rank")
+      val merged = topSet(state.unionByName(b.toDF("g", "id", "score")))
+      assert(merged == topSet(all.toDF("g", "id", "score")))
+    }
+  }
+
   test("rejects non-Double score and non-Long tie columns at plan time") {
     val df = Seq((1, 10, 2.5f)).toDF("g", "id", "score")
     assertThrows[IllegalArgumentException] {
