@@ -70,6 +70,34 @@ object Similarity {
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SBERT
+    * practice: the strongest negatives are the nearest vectors of a
+    * DIFFERENT class): per query, top-k cosine neighbors whose
+    * `label` differs. Same shape as [[bruteForceTopK]] — broadcast
+    * queries, map-side fused cosine, bounded-heap top-k — with the
+    * label-mismatch predicate INSIDE the join condition, so excluded
+    * same-class pairs never reach the scorer. Swap the corpus side
+    * for an IVF probe ([[ivfQuery]]) at corpus scale exactly like the
+    * positive retrieval path. Output: (query_id, neighbor_id,
+    * neighbor_label, rank, cosine). */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, label: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(id).as("query_id"), col(label).as("__ql"),
+      col(vec).cast("array<double>").as("__qv")))
+    val c = corpus.select(
+      col(id).as("neighbor_id"), col(label).as("neighbor_label"),
+      col(vec).cast("array<double>").as("__cv"))
+    val scored = c.join(q,
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("__ql") <=> col("neighbor_label")))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    graft.plans.TopKPerGroup.topK(
+      scored, Seq("query_id"), "cosine", "neighbor_id", k)
+  }
+
   /** Approximate top-k retrieval over SYMMETRIC INT8 codes
     * ([[Projection.quantizeInt8]]) — the compressed-scan face: the
     * corpus side reads 1/4 the bytes of the float path, which is what

@@ -133,6 +133,40 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- hard-negative mining (round 16): per query, the nearest
+    //      neighbors of a DIFFERENT label — the contrastive-training
+    //      negatives the positive-retrieval faces don't produce. Same
+    //      broadcast + fused-cosine + bounded-heap shape; the label
+    //      mismatch lives in the join condition ----
+    sql(
+      "q_hard_negatives",
+      """WITH e AS (SELECT vec_id, label,
+        |             embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    e.label AS neighbor_label,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v))
+        |         * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id
+        |   AND e.label IS DISTINCT FROM q.label)
+        |SELECT query_id, neighbor_id, neighbor_label, rank,
+        |  round(cosine, 6) AS cosine
+        |FROM (SELECT query_id, neighbor_id, neighbor_label, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          id = "vec_id", vec = "embedding", label = "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("neighbor_label"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+
     // ---- compressed int8 retrieval: the quantized corpus actually
     //      serving queries — code dot exact BIGINT, scales multiplied
     //      back in identical left-associated IEEE doubles, so scores

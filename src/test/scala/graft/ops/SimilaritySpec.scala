@@ -63,6 +63,26 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(got == Seq((1L, 1), (4L, 2), (2L, 3)))
   }
 
+  test("hardNegatives returns only cross-label neighbors, ranked, and " +
+      "they are the TRUE nearest cross-label vectors") {
+    val labeled = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), 7),
+      (1L, Seq(0.9, 0.1, 0.0), 7),  // nearest overall — SAME label
+      (2L, Seq(0.0, 1.0, 0.0), 8),
+      (3L, Seq(-1.0, 0.0, 0.0), 9),
+      (4L, Seq(0.8, 0.2, 0.1), 8)). // nearest cross-label
+      toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        labeled, labeled.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "neighbor_label", "rank")
+      .as[(Long, Int, Int)].collect().toSeq
+    // 1 (same label) must be absent even though it's the global top-1
+    assert(got.map(_._1) == Seq(4L, 2L, 3L))
+    assert(got.forall(_._2 != 7))
+  }
+
   test("lshTopK co-buckets near vectors and never returns self") {
     val got = Similarity.lshTopK(
         vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
