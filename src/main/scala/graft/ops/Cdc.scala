@@ -290,15 +290,22 @@ object Cdc {
   def aggApplyDiff(
       state: DataFrame, diff: DataFrame, groupAttr: String,
       oldVal: Column, newVal: Column): DataFrame = {
-    val oldSide = diff.filter(col("op").isin("delete", "update"))
-      .select(col(s"old_$groupAttr").as(groupAttr),
-        lit(-1L).as("__dn"), (-oldVal).cast("long").as("__dt"))
-    val newSide = diff.filter(col("op").isin("insert", "update"))
-      .select(col(s"new_$groupAttr").as(groupAttr),
-        lit(1L).as("__dn"), newVal.cast("long").as("__dt"))
-    val delta = oldSide.unionByName(newSide)
-      .groupBy(col(groupAttr))
-      .agg(sum(col("__dn")).as("__dn"), sum(col("__dt")).as("__dt"))
+    // ONE pass over the diff: each row explodes into its retraction
+    // and/or insertion contribution map-side (a two-branch
+    // filter+union would execute the diff's plan — itself a
+    // full-outer join when derived inline — twice)
+    val delta = diff
+      .select(explode(array(
+        when(col("op").isin("delete", "update"),
+          struct(col(s"old_$groupAttr").as("g"),
+            lit(-1L).as("dn"), (-oldVal).cast("long").as("dt"))),
+        when(col("op").isin("insert", "update"),
+          struct(col(s"new_$groupAttr").as("g"),
+            lit(1L).as("dn"), newVal.cast("long").as("dt")))))
+        .as("__c"))
+      .filter(col("__c").isNotNull)
+      .groupBy(col("__c.g").as(groupAttr))
+      .agg(sum(col("__c.dn")).as("__dn"), sum(col("__c.dt")).as("__dt"))
     val s = prefixed(state, Seq(groupAttr, "n", "total"), "__s_")
     s.join(delta, col(s"__s_$groupAttr") <=> col(groupAttr), "full_outer")
       .select(

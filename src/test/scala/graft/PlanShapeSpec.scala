@@ -590,4 +590,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1,
       s"q_pref_pairs grew beyond one shuffle:\n${p.take(1200)}")
   }
+
+  test("hard negatives: corpus scanned once beside the broadcast " +
+      "query batch; map-side partial heap below ONE k-sized exchange") {
+    val p = plan("q_hard_negatives")
+    assert(count(p, "embeddings.parquet") == 2, // corpus + query sides
+      "embedding scan fan-out grew")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      "query-batch filter no longer pushed to the scan")
+    assert(count(p, "TopKPerGroupPartial") == 1 &&
+      count(p, "Exchange hashpartitioning") == 1,
+      "bounded-heap partial/final split lost")
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("log-histogram sketch: one fact scan, bounded-state exchanges, " +
+      "never a single-partition window funnel") {
+    val p = plan("q_loghist_quantile")
+    assert(count(p, "lineitem.parquet") == 1)
+    assert(count(p, "Exchange SinglePartition") == 0)
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      "sketch agg + bucket-table window must stay two exchanges")
+  }
+
+  test("hilbert index is pure map-side: zero exchanges, one scan") {
+    val p = plan("q_hilbert")
+    assert(count(p, "Exchange") == 0, "hilbert must not shuffle")
+    assert(count(p, "lineitem.parquet") == 1)
+  }
+
+  test("IVM refresh consumes the diff ONCE: exactly two full-outer " +
+      "joins (the diff itself + the state merge)") {
+    val p = plan("q_ivm_agg")
+    // a two-branch delta expansion re-plans the diff's full-outer
+    // join per side — the single-pass explode keeps it at two
+    assert(count(p, "FullOuter") == 2,
+      s"diff plan fan-out changed:\n${p.take(1500)}")
+  }
+
+  test("theil-sen: the bounded daily-series self-join broadcasts; " +
+      "no sort-merge pair join") {
+    val p = plan("q_theil_sen")
+    assert(count(p, "BroadcastHashJoin") == 1)
+    assert(count(p, "SortMergeJoin") == 0)
+  }
 }

@@ -24,6 +24,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_embed_neardup" -> "documented exact all-pairs baseline, block-partitioned",
     "q_knn_topk" -> "brute-force baseline: corpus x broadcast(query batch)",
     "q_knn_int8" -> "compressed int8 scan: corpus x broadcast(query batch)",
+    "q_hard_negatives" ->
+      ("cross-label mining is the knn_topk shape — corpus x " +
+        "broadcast(query batch), label-mismatch in the join filter; " +
+        "IVF-probe the corpus side at scale like positive retrieval"),
     "q_maxsim" -> "late-interaction scan: corpus x broadcast(query batch)",
     "q_knn_pq" -> "compressed ADC scan: code table x broadcast(query batch)",
     "q_knn_ivfpq" -> "one-row broadcast tables frame (data, not plan literals)",
