@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
   * JASA 1969; the Splink/dedupe.io model): blocked candidate pairs are
   * compared field-by-field into an agreement vector g ∈ {0,1}^F, and
@@ -129,6 +131,33 @@ object Linkage {
   def fsFit(pairs: DataFrame, agreeCols: Seq[String], iters: Int): DataFrame =
     paramsFrame(pairs.sparkSession, agreeCols,
       emFit(collectPatterns(pairs, agreeCols), iters))
+
+  /** Fit, then keep only the pairs whose agreement pattern clears the
+    * match threshold — the edge list entity resolution clusters on.
+    * The classifier is the O(2^F) accepted-pattern table broadcast
+    * back as a LEFT SEMI join on the agreement vector: pair rows
+    * stream through map-side, nothing pair-sized ever collects. */
+  def fsMatchPairs(
+      pairs: DataFrame, agreeCols: Seq[String], iters: Int,
+      hiPpm: Long): DataFrame = {
+    val s = pairs.sparkSession
+    val counts = collectPatterns(pairs, agreeCols)
+    val p = emFit(counts, iters)
+    val keep = counts.map(_._1).distinct
+      .filter(g => posteriorPpm(g, p) >= hiPpm)
+    if (keep.isEmpty) pairs.filter(lit(false))
+    else {
+      val schema = org.apache.spark.sql.types.StructType(agreeCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val keepDf = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          keep.map(g => org.apache.spark.sql.Row.fromSeq(g))
+            .asJava),
+        schema)
+      pairs.join(broadcast(keepDf), agreeCols, "left_semi")
+    }
+  }
 
   /** Fit, then classify every observed pattern by its posterior:
     * (pattern, n_pairs, posterior_ppm, decision) — `match` above

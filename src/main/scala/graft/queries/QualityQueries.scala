@@ -159,6 +159,24 @@ object QualityQueries {
     //      refits from that state at O(iters·2^F) — the fitted model
     //      must equal the full q_fs_em fit bit-for-bit, so the oracle
     //      IS q_fs_em's EM chain ----
+    // ---- the entity-resolution capstone (round 16): the full
+    //      unsupervised linkage pipeline in one face — blocked pairs
+    //      → EM fit → FS match decisions → connected components →
+    //      entity roll-up. The oracle replays the EM chain, keeps
+    //      the pairs whose pattern posterior clears the threshold,
+    //      and closes them with the recursive min-reachability CTE ----
+    sql("q_linkage_pipeline", fsPipelineOracle) { (s, d) =>
+      val matched = Linkage.fsMatchPairs(
+        fsPairs(s, d), FsCols, iters = FsIters, hiPpm = 500000L)
+      val lab = graft.ops.Graph.connectedComponents(
+        matched.select(col("ida").as("a"), col("idb").as("b")))
+      val sizes = lab.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+      lab.join(sizes, "component")
+        .select(col("node").as("doc_id"),
+          col("component").as("entity_id"), col("n_members"))
+    },
+
     sql("q_fs_em_stream", fsEmOracle) { (s, d) =>
       Linkage.paramsFrame(s, FsCols,
         Linkage.emFit(
@@ -191,6 +209,7 @@ object QualityQueries {
         col("a_blk") === col("b_blk") &&
           col("a_doc_id") < col("b_doc_id"))
       .select(
+        col("a_doc_id").as("ida"), col("b_doc_id").as("idb"),
         (col("a_lang") <=> col("b_lang")).cast("int").as("g_lang"),
         (col("a_source") <=> col("b_source")).cast("int").as("g_src"),
         (col("a_band") <=> col("b_band")).cast("int").as("g_len"),
@@ -227,17 +246,19 @@ object QualityQueries {
       |    regexp_extract(${TextQueries.NormSql},
       |      '^(\\S+\\s+\\S+)', 1) AS blk
       |  FROM documents),
-      |pat AS (
-      |  SELECT CASE WHEN a.lang IS NOT DISTINCT FROM b.lang
+      |pb AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |         CASE WHEN a.lang IS NOT DISTINCT FROM b.lang
       |           THEN 1 ELSE 0 END AS g1,
       |         CASE WHEN a.source IS NOT DISTINCT FROM b.source
       |           THEN 1 ELSE 0 END AS g2,
       |         CASE WHEN a.band IS NOT DISTINCT FROM b.band
-      |           THEN 1 ELSE 0 END AS g3,
-      |         count(*)::BIGINT AS n
+      |           THEN 1 ELSE 0 END AS g3
       |  FROM pr a JOIN pr b
-      |    ON a.blk = b.blk AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3),
+      |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      |pat AS (
+      |  SELECT g1, g2, g3, count(*)::BIGINT AS n
+      |  FROM pb GROUP BY 1, 2, 3),
       |nh AS (
       |  SELECT g1, g2, g3,
       |    ((n * 1000000) // greatest((SELECT sum(n) FROM pat), 1))::BIGINT
@@ -301,6 +322,34 @@ object QualityQueries {
        |  UNION ALL SELECT 'u_g_src', u2 FROM $p
        |  UNION ALL SELECT 'm_g_len', m3 FROM $p
        |  UNION ALL SELECT 'u_g_len', u3 FROM $p)""".stripMargin
+  }
+
+  private lazy val fsPipelineOracle = {
+    val (pm, pu) = fsPmPu("p")
+    s"""WITH RECURSIVE $fsPatSql,
+       |${fsEmCtes(FsIters)},
+       |sc AS (
+       |  SELECT g1, g2, g3,
+       |    ((pm * 1000000) // greatest(pm + pu, 1))::BIGINT AS w
+       |  FROM (SELECT g1, g2, g3, $pm AS pm, $pu AS pu
+       |        FROM (SELECT DISTINCT g1, g2, g3 FROM pat)
+       |        CROSS JOIN p$FsIters p)),
+       |me AS (
+       |  SELECT ida, idb FROM pb JOIN sc USING (g1, g2, g3)
+       |  WHERE w >= 500000),
+       |sym AS (SELECT ida AS a, idb AS b FROM me
+       |        UNION SELECT idb, ida FROM me),
+       |nodes AS (SELECT DISTINCT a AS v FROM sym),
+       |cc AS (
+       |  SELECT v, v AS m FROM nodes
+       |  UNION
+       |  SELECT s.b AS v, cc.m FROM sym s JOIN cc ON s.a = cc.v),
+       |lab AS (SELECT v AS doc_id, min(m) AS entity_id
+       |        FROM cc GROUP BY 1),
+       |sz AS (SELECT entity_id, count(*)::BIGINT AS n_members
+       |       FROM lab GROUP BY 1)
+       |SELECT doc_id, entity_id, n_members
+       |FROM lab JOIN sz USING (entity_id)""".stripMargin
   }
 
   private lazy val fsScoreOracle = {
