@@ -426,6 +426,56 @@ object RankingQueries {
         numPartitions = 32, as = "id")
     },
 
+    // ---- distinctive terms per source (round 16): the c-TF-IDF /
+    //      BERTopic-style cluster descriptor on an exact integer
+    //      grid — lift = (share of token in source) / (share overall)
+    //      as ppm, min corpus frequency 10, top-5 per source. One
+    //      tokenize pass pinned; the three marginals re-aggregate the
+    //      (source, token) counts, never the corpus ----
+    sql(
+      "q_distinct_terms",
+      s"""WITH tf AS (
+         |  SELECT source, unnest(string_split($NormSql, ' ')) AS token
+         |  FROM documents),
+         |sw AS (SELECT source, token, count(*)::BIGINT AS tf_s
+         |       FROM tf GROUP BY 1, 2),
+         |ts AS (SELECT source, sum(tf_s)::BIGINT AS t_s
+         |       FROM sw GROUP BY 1),
+         |tt AS (SELECT token, sum(tf_s)::BIGINT AS tfc
+         |       FROM sw GROUP BY 1),
+         |tot AS (SELECT sum(tf_s)::BIGINT AS t FROM sw),
+         |l AS (
+         |  SELECT sw.source, sw.token, tf_s,
+         |    ((tf_s * (SELECT t FROM tot) * 1000000)
+         |      // (ts.t_s * tt.tfc))::BIGINT AS lift_ppm
+         |  FROM sw JOIN ts USING (source) JOIN tt USING (token)
+         |  WHERE tt.tfc >= 10)
+         |SELECT source, token, tf_s, lift_ppm, rn::INTEGER AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY lift_ppm DESC, token) AS rn FROM l)
+         |WHERE rn <= 5""".stripMargin) { (s, d) =>
+      val sw = Tables.documents(s, d)
+        .select(col("source"),
+          explode(Text.words(Text.normalize(col("text")))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf_s"))
+        .localCheckpoint() // three marginals fold THIS, not the corpus
+      val ts = sw.groupBy(col("source")).agg(sum(col("tf_s")).as("t_s"))
+      val tt = sw.groupBy(col("token")).agg(sum(col("tf_s")).as("tfc"))
+        .filter(col("tfc") >= 10)
+      val tot = sw.agg(sum(col("tf_s")).as("t"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("lift_ppm").desc, col("token").asc)
+      sw.join(broadcast(ts), "source")
+        .join(tt, "token")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("token"), col("tf_s"),
+          expr("tf_s * t * 1000000L div (t_s * tfc)").as("lift_ppm"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    },
+
     // ---- exact phrase search over the POSITIONAL postings index:
     //      adjacency-intersected per-term postings (each join side is
     //      one term's postings — predicate pushdown, never a corpus
