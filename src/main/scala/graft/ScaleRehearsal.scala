@@ -1459,6 +1459,86 @@ object ScaleRehearsal {
       growth("hilbert_layout (area ratio h/z)") = ha.toDouble / za
     }
 
+    // ---- session-3 second wave: IVM refresh (diff-sized, one state
+    // merge), incremental top-k (batch + k·groups), distinctive
+    // terms (one tokenize + count-table marginals) ----
+    if (on("wave16d")) {
+      def m2d(label: String)(f: => Long): Double =
+        math.min(timed(label + " r1")(f), timed(label + " r2")(f))
+      val ord1 = graft.core.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint()
+      val nO = ord1.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      def ordN(c: Int) = (0 until c).map(k =>
+          ord1.select((col("o_orderkey") + lit(k * nO)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def ivmSecs(base: DataFrame, label: String): Double = {
+        val oldSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+        val newSnap = base.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        val state = graft.ops.Cdc.aggState(
+          oldSnap.withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long")),
+          Seq("o_orderstatus"), "cents").localCheckpoint()
+        m2d(label) {
+          graft.ops.Cdc.aggApplyDiff(state,
+            graft.ops.Cdc.diffSnapshots(oldSnap, newSnap,
+              Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice")),
+            "o_orderstatus",
+            oldVal = round(col("old_o_totalprice") * 100),
+            newVal = round(col("new_o_totalprice") * 100)).count()
+        }
+      }
+      growth("ivm_agg (snapshots x10)") =
+        ivmSecs(ordN(10), "ivm_agg 10x") / ivmSecs(ord1, "ivm_agg 1x")
+
+      def topkSecs(base: DataFrame, label: String): Double = {
+        val b = base.select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("score"))
+        val state = graft.plans.TopKPerGroup.topK(
+            b.filter(col("o_orderkey") % 3 =!= 0),
+            Seq("o_orderstatus"), "score", "o_orderkey", 3)
+          .drop("rank").localCheckpoint()
+        m2d(label) {
+          graft.plans.TopKPerGroup.topK(
+            state.unionByName(b.filter(col("o_orderkey") % 3 === 0)),
+            Seq("o_orderstatus"), "score", "o_orderkey", 3).count()
+        }
+      }
+      growth("topk_inc (batch x10)") =
+        topkSecs(ordN(10), "topk_inc 10x") / topkSecs(ord1, "topk_inc 1x")
+
+      val docs1 = graft.core.Tables.documents(spark, sfDir)
+        .select(col("source"), col("text")).localCheckpoint()
+      val docs10 = (0 until 10).map(_ => docs1)
+        .reduce(_.unionByName(_)).localCheckpoint()
+      def dtSecs(docs: DataFrame, label: String): Double = m2d(label) {
+        val sw = docs.select(col("source"),
+            explode(graft.ops.Text.words(
+              graft.ops.Text.normalize(col("text")))).as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("tf_s")).localCheckpoint()
+        val ts = sw.groupBy(col("source")).agg(sum(col("tf_s")).as("t_s"))
+        val tt = sw.groupBy(col("token")).agg(sum(col("tf_s")).as("tfc"))
+          .filter(col("tfc") >= 10)
+        val tot = sw.agg(sum(col("tf_s")).as("t"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("lift_ppm").desc, col("token").asc)
+        sw.join(broadcast(ts), "source").join(tt, "token")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("token"),
+            expr("tf_s * t * 1000000L div (t_s * tfc)").as("lift_ppm"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).count()
+      }
+      growth("distinct_terms (docs x10)") =
+        dtSecs(docs10, "distinct_terms 10x") / dtSecs(docs1, "distinct_terms 1x")
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
