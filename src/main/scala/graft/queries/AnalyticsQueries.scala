@@ -254,6 +254,30 @@ object AnalyticsQueries {
       both.unionByName(noOrders)
     },
 
+    // ---- MULTISET set ops (round 16): INTERSECT ALL / EXCEPT ALL —
+    //      bag semantics with real multiplicities (a part returned
+    //      twice and shipped three times survives twice / once),
+    //      next to q_set_ops' distinct forms. Shared-dialect string,
+    //      both engines ----
+    sql(
+      "q_set_ops_all",
+      """SELECT l_partkey, 'both_ms' AS src FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |UNION ALL
+        |SELECT l_partkey, 'a_only_ms' AS src FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')"""
+        .stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_returnflag") === "A").select("l_partkey")
+      val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+      a.intersectAll(r).withColumn("src", lit("both_ms"))
+        .unionByName(a.exceptAll(r).withColumn("src", lit("a_only_ms")))
+    },
+
     // ---- z-order (Morton) values: magic-mask bit spread replayed in
     //      DuckDB bit ops, stage by stage ----
     sql(

@@ -66,6 +66,34 @@ object StreamQueries {
           round(col("value"), 2).as("click_value"))
     },
 
+    // ---- LEFT-OUTER interval join (round 16): every purchase
+    //      survives, clickless ones with nulls — the watermark-gated
+    //      null-emission shape in streaming (EventStreamSpec drives
+    //      the unmatched-left case); in batch one equi-shuffle plus
+    //      the range filter, null-padded ----
+    sql(
+      "q_interval_join_outer",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  c.event_id AS click_id,
+        |  round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |  AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value"))
+      EventStream.intervalJoinOuter(
+          purchases, clicks, "user_id", "ts", "click_ts", "1 HOUR")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          round(col("value"), 2).as("click_value"))
+    },
+
     // ---- stream-static enrichment: events broadcast-joined with the
     //      customer dimension (streaming face in EventStreamSpec) ----
     sql(

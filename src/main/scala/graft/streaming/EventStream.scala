@@ -159,7 +159,28 @@ object EventStream {
   def intervalJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String, rightTimeCol: String,
-      lookback: String): DataFrame = {
+      lookback: String): DataFrame =
+    intervalJoinImpl(left, right, keyCol, timeCol, rightTimeCol,
+      lookback, "inner")
+
+  /** LEFT-OUTER [[intervalJoin]]: every left event survives; one with
+    * no in-window partner comes back with nulls. In streaming this is
+    * the join shape whose null rows emit only once the WATERMARK
+    * passes the left event's window (the engine must prove no match
+    * can still arrive before it may emit the null) — state stays
+    * bounded exactly as in the inner form; spec'd in EventStreamSpec
+    * with an unmatched-left + watermark-advance drive. */
+  def intervalJoinOuter(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, rightTimeCol: String,
+      lookback: String): DataFrame =
+    intervalJoinImpl(left, right, keyCol, timeCol, rightTimeCol,
+      lookback, "left_outer")
+
+  private def intervalJoinImpl(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, rightTimeCol: String,
+      lookback: String, joinType: String): DataFrame = {
     // Explicit side aliases: both sides often derive from the same scan
     // (batch face), where bare df(col) references share expr-ids and the
     // key equality would need Spark's self-join rescue to disambiguate.
@@ -168,7 +189,8 @@ object EventStream {
       col(s"gl.$keyCol") === col(s"gr.$keyCol") &&
         col(s"gr.$rightTimeCol") >=
           col(s"gl.$timeCol").cast("timestamp") - lookbackExpr &&
-        col(s"gr.$rightTimeCol") <= col(s"gl.$timeCol"))
+        col(s"gr.$rightTimeCol") <= col(s"gl.$timeCol"),
+      joinType)
       .drop(col(s"gr.$keyCol"))
   }
 

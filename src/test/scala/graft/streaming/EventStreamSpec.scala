@@ -136,6 +136,39 @@ class EventStreamSpec extends AnyFunSuite with WithSpark {
     } finally query.stop()
   }
 
+  test("intervalJoinOuter emits the unmatched-left null row once the " +
+      "watermark passes its window") {
+    import org.apache.spark.sql.functions.col
+    val leftIn = MemoryStream[(Long, Timestamp)](spark)
+    val rightIn = MemoryStream[(Long, Timestamp, Double)](spark)
+    val purchases = leftIn.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val clicks = rightIn.toDF().toDF("user_id", "click_ts", "value")
+      .withWatermark("click_ts", "0 seconds")
+    val joined = EventStream.intervalJoinOuter(
+      purchases, clicks, "user_id", "ts", "click_ts", "10 MINUTES")
+    val query = joined.writeStream
+      .format("memory").queryName("interval_join_outer")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      rightIn.addData((1L, ts(0), 5.0))
+      leftIn.addData((1L, ts(5)), (2L, ts(5))) // user 2: no click ever
+      query.processAllAvailable()
+      // advance BOTH watermarks past user 2's window so the engine can
+      // prove no match is still possible and release the null row
+      rightIn.addData((9L, ts(120), 0.0))
+      leftIn.addData((9L, ts(120)))
+      query.processAllAvailable()
+      val got = spark.table("interval_join_outer")
+        .select(col("user_id"), col("value"))
+        .as[(Long, Option[Double])].collect().toSet
+      assert(got.contains((1L, Some(5.0))), "matched pair missing")
+      assert(got.contains((2L, None)),
+        "unmatched left's null row never emitted")
+    } finally query.stop()
+  }
+
   test("enrichWithDim broadcast-joins a static dim into each batch") {
     import org.apache.spark.sql.functions.col
     val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "segment")
