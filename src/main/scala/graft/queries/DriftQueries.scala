@@ -306,6 +306,37 @@ object DriftQueries {
         group = "event_type", value = "iv", k = 5)
     },
 
+    // ---- seasonal-naive outliers (round 16): the MAD gate over
+    //      (event_type, hour-of-day) groups — "unusual FOR 3am" rather
+    //      than unusual overall, the ops-monitoring baseline that
+    //      needs no model fit. Same dyadic-exact integer percentile
+    //      device as q_mad_outliers, composite season key ----
+    sql(
+      "q_seasonal_outliers",
+      """WITH e AS (SELECT event_id, event_type,
+        |        hour(ts)::BIGINT AS hr,
+        |        CAST(round(value * 100) AS BIGINT) AS iv FROM events),
+        |m AS (SELECT event_type, hr, quantile_cont(iv, 0.5) AS med
+        |      FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.event_id, e.event_type, e.hr, e.iv,
+        |        abs(e.iv - m.med) AS dev
+        |      FROM e JOIN m USING (event_type, hr)),
+        |md AS (SELECT event_type, hr, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY 1, 2)
+        |SELECT event_id, d.event_type, d.hr, iv
+        |FROM d JOIN md USING (event_type, hr)
+        |WHERE dev > 6 * mad""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          hour(col("ts")).cast("long").as("hr"),
+          round(col("value") * 100).cast("long").as("iv"))
+        .withColumn("season",
+          concat_ws("#", col("event_type"), col("hr")))
+      graft.ops.Robust.madOutliers(ev, group = "season", value = "iv",
+          k = 6)
+        .select("event_id", "event_type", "hr", "iv")
+    },
+
     // ---- Laplace-mechanism release seam: per-group counts + inverse-
     //      CDF Laplace noise from the deterministic md5 draw (salt is
     //      the privacy lever — see ops/Privacy honesty note) ----
