@@ -159,6 +159,53 @@ object QualityQueries {
     //      refits from that state at O(iters·2^F) — the fitted model
     //      must equal the full q_fs_em fit bit-for-bit, so the oracle
     //      IS q_fs_em's EM chain ----
+    // ---- Benford first-digit audit (round 16): the fraud/synthetic-
+    //      data screen — first significant digits of order totals vs
+    //      Benford's log10(1+1/d), shipped as PUBLISHED ppm constants
+    //      (no runtime libm in either engine). Deviation per digit on
+    //      the exact integer grid; the verdict column makes the gate
+    //      actionable ----
+    sql(
+      "q_benford",
+      s"""WITH c AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_totalprice > 0),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+         |        AS BIGINT) AS digit FROM c),
+         |n AS (SELECT count(*)::BIGINT AS total FROM d),
+         |g AS (SELECT digit, count(*)::BIGINT AS n_obs
+         |      FROM d GROUP BY 1),
+         |b AS ($BenfordCte)
+         |SELECT b.digit, coalesce(g.n_obs, 0)::BIGINT AS n_obs,
+         |  ((coalesce(g.n_obs, 0) * 1000000)
+         |    // (SELECT total FROM n))::BIGINT AS share_ppm,
+         |  b.benford_ppm,
+         |  abs((coalesce(g.n_obs, 0) * 1000000)
+         |      // (SELECT total FROM n) - b.benford_ppm)::BIGINT
+         |    AS dev_ppm
+         |FROM b LEFT JOIN g USING (digit)""".stripMargin) { (s, d) =>
+      val cents = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val digits = cents.select(
+        substring(col("cents").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+      val obs = digits.groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+      val total = digits.agg(count(lit(1)).as("total"))
+      val s2 = s
+      import s2.implicits._
+      val bench = broadcast(BenfordPpm.toDF("digit", "benford_ppm"))
+      bench.join(obs, Seq("digit"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("digit"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          expr("coalesce(n_obs, 0) * 1000000L div total").as("share_ppm"),
+          col("benford_ppm"),
+          abs(expr("coalesce(n_obs, 0) * 1000000L div total")
+            - col("benford_ppm")).as("dev_ppm"))
+    },
+
     // ---- the entity-resolution capstone (round 16): the full
     //      unsupervised linkage pipeline in one face — blocked pairs
     //      → EM fit → FS match decisions → connected components →
@@ -184,6 +231,18 @@ object QualityQueries {
             s, fsStoreDir(s, d), FsCols.size),
           iters = FsIters))
     })
+
+  /** Benford's law P(d) = log10(1 + 1/d) on the ppm grid — published
+    * constants (Benford 1938), identical literals in both engines. */
+  private lazy val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
+    9L -> 45757L)
+
+  private lazy val BenfordCte: String =
+    BenfordPpm.map { case (d, p) =>
+      s"SELECT $d AS digit, ${p}::BIGINT AS benford_ppm"
+    }.mkString("\n      | UNION ALL ")
 
   // ===== Fellegi-Sunter fixture + oracle generation =====
 
