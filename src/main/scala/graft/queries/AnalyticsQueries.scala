@@ -1125,7 +1125,38 @@ object AnalyticsQueries {
         graft.ops.LogHist.merge(monthly, Seq("g")), Seq("g"), LogHistQs)
     },
 
-    TheilSenDef)
+    TheilSenDef,
+
+    // ---- sketch-driven equi-depth binning (round 16): the quartile
+    //      edges come OFF THE SKETCH (≤1024-bucket table), then rows
+    //      bin map-side against the broadcast edge table — the
+    //      at-scale alternative to q_equidepth's exact global rank:
+    //      one aggregation + one map pass, no corpus sort. Bin
+    //      populations are approximately equal (bounded by the
+    //      sketch's 1/16 relative error), and the oracle replays
+    //      edges and binning exactly ----
+    sql(
+      "q_loghist_binning",
+      logHistBinOracle) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val qs = graft.ops.LogHist.quantiles(
+        graft.ops.LogHist.sketch(base, Seq("g"), col("v")),
+        Seq("g"), Seq(250000L, 500000L, 750000L))
+      val edges = qs.groupBy("g")
+        .pivot("q_ppm", Seq(250000L, 500000L, 750000L))
+        .agg(first(col("est")))
+        .select(col("g"), col("250000").as("e1"),
+          col("500000").as("e2"), col("750000").as("e3"))
+      base.join(broadcast(edges), "g")
+        .select(col("g"),
+          ((col("v") > col("e1")).cast("long") +
+            (col("v") > col("e2")).cast("long") +
+            (col("v") > col("e3")).cast("long")).as("bin"))
+        .groupBy(col("g"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+    })
 
   private lazy val TheilSenDef =
     // ---- Theil-Sen robust daily trend (round 16): per event type,
@@ -1162,6 +1193,46 @@ object AnalyticsQueries {
     }
 
   private[queries] lazy val LogHistQs = Seq(500000L, 900000L, 990000L)
+
+  /** Oracle for the sketch-driven binning: replay the sketch, read
+    * the three quartile edges, bin, count. */
+  private lazy val logHistBinOracle = {
+    import graft.ops.LogHist.{bucketSql, floorSql}
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem),
+       |sk AS (
+       |  SELECT g, ${bucketSql("v")} AS bucket, count(*)::BIGINT AS n
+       |  FROM base GROUP BY 1, 2),
+       |c AS (
+       |  SELECT g, bucket, n,
+       |    sum(n) OVER (PARTITION BY g ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(n) OVER (PARTITION BY g) AS total
+       |  FROM sk),
+       |q AS (SELECT unnest([250000, 500000, 750000])::BIGINT AS q_ppm),
+       |hit AS (
+       |  SELECT g, q_ppm, min(bucket) AS b
+       |  FROM c CROSS JOIN q
+       |  WHERE cum >= (total * q_ppm + 999999) // 1000000
+       |  GROUP BY 1, 2),
+       |est AS (SELECT g, q_ppm, (${floorSql("b")})::BIGINT AS est
+       |        FROM hit),
+       |ed AS (
+       |  SELECT g,
+       |    max(CASE WHEN q_ppm = 250000 THEN est END) AS e1,
+       |    max(CASE WHEN q_ppm = 500000 THEN est END) AS e2,
+       |    max(CASE WHEN q_ppm = 750000 THEN est END) AS e3
+       |  FROM est GROUP BY 1)
+       |SELECT base.g,
+       |  ((CASE WHEN v > e1 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+       |   + (CASE WHEN v > e3 THEN 1 ELSE 0 END))::BIGINT AS bin,
+       |  count(*)::BIGINT AS n
+       |FROM base JOIN ed USING (g)
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** DuckDB replay of sketch → cumulative walk → floor for the three
     * standard quantiles, over any `(g, v)` source query. */
