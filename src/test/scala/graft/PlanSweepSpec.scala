@@ -100,7 +100,13 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_index_refresh_stored" ->
       ("the store's read view patches docs against the dim-sized " +
         "universe side table collapsed to a ONE-row broadcast " +
-        "aggregate — the virtual zero-fill carrier"))
+        "aggregate — the virtual zero-fill carrier"),
+    "q_benford" ->
+      ("the digit-share denominator rides a ONE-row broadcast " +
+        "aggregate (total count) crossed into the 9-row digit table"),
+    "q_distinct_terms" ->
+      ("the corpus token total rides a ONE-row broadcast aggregate " +
+        "crossed into the (source, token) lift computation"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
