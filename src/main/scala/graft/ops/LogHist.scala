@@ -32,12 +32,21 @@ object LogHist {
   val SubBits = 4
 
   /** Bucket id of a non-negative long column (SQL twin:
-    * [[bucketSql]]). */
+    * [[bucketSql]]). A NEGATIVE value fails loudly at execution: the
+    * small-value branch would otherwise give every distinct negative
+    * its own bucket — unbounded sketch state, the exact failure mode
+    * the ≤1024 bound exists to prevent (snap to a non-negative grid,
+    * or offset, before sketching). The guard is a codegen'd branch —
+    * zero cost until triggered. */
   def bucketOf(v: Column): Column = {
     val blen = length(bin(v))
-    when(v < 32, v).otherwise(
-      blen.cast("long") * 16 +
-        (call_function("shiftright", v, (blen - 5).cast("int")) % 16))
+    when(v < 0, raise_error(concat(
+        lit("LogHist.bucketOf: negative value "), v.cast("string"),
+        lit(" — sketch a non-negative grid (offset or abs first)"))))
+      .when(v < 32, v)
+      .otherwise(
+        blen.cast("long") * 16 +
+          (call_function("shiftright", v, (blen - 5).cast("int")) % 16))
   }
 
   /** The DuckDB replay of [[bucketOf]] over SQL expression `v`. */

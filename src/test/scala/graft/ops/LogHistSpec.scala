@@ -98,6 +98,17 @@ class LogHistSpec extends AnyFunSuite with WithSpark {
     assert(table(EventStream.readLogHistState(spark, dir)) == oneShot)
   }
 
+  test("a negative value fails LOUDLY instead of silently growing " +
+      "one bucket per distinct negative") {
+    val bad = Seq(5L, -3L).toDF("v")
+    val e = intercept[Exception] {
+      LogHist.sketch(bad, Seq.empty, col("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative value")), e.toString)
+  }
+
   test("logHistSink: an interrupted state commit is healed from the tmp") {
     import graft.streaming.EventStream
     val dir = java.nio.file.Files
