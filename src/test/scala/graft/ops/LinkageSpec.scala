@@ -95,6 +95,20 @@ class LinkageSpec extends AnyFunSuite with WithSpark {
     assert(pc.map(_.getAs[Long]("n")).sum == 4L)
   }
 
+  test("degenerate inputs: a single observed pattern fits without " +
+      "division blowups and stays on the grid") {
+    // all pairs fully agree — no mixture to find; EM must terminate
+    // with in-range parameters (the greatest(...,1) guards)
+    val one = Linkage.emFit(Seq((Seq(1, 1, 1), 1000L)), iters = 10)
+    (one.lambda +: (one.m ++ one.u)).foreach(v =>
+      assert(v >= 0L && v <= Ppm))
+    // zero-count patterns alongside a real one
+    val sparse = Linkage.emFit(
+      Seq((Seq(0, 0, 0), 0L), (Seq(1, 0, 1), 500L)), iters = 10)
+    (sparse.lambda +: (sparse.m ++ sparse.u)).foreach(v =>
+      assert(v >= 0L && v <= Ppm))
+  }
+
   test("fsPatternSink: folded pattern state equals one aggregation " +
       "over all pair batches; replay is a no-op; fit matches full fit") {
     import graft.streaming.EventStream
