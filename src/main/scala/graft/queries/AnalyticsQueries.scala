@@ -950,6 +950,42 @@ object AnalyticsQueries {
         k = 256)
     },
 
+    // ---- KMV union cardinality (round 16): |A ∪ B| estimated FROM
+    //      TWO SKETCHES alone — min-k of the sketch union is the
+    //      union's sketch (the mergeability the incremental stores
+    //      ride), so distinct counts over arbitrary slice unions come
+    //      from k-row states, never a rescan. Oracle replays the
+    //      exact minima and the one-division estimator ----
+    sql(
+      "q_kmv_union",
+      """WITH h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(l_partkey::VARCHAR),
+        |    1, 15) AS BIGINT) AS hv
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION
+        |  SELECT DISTINCT CAST('0x' || substr(md5(l_suppkey::VARCHAR),
+        |    1, 15) AS BIGINT) AS hv
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+        |kk AS (
+        |  SELECT count(*)::BIGINT AS n_sketch, max(hv)::BIGINT AS kth_hv
+        |  FROM r WHERE rn <= 256)
+        |SELECT n_sketch, kth_hv,
+        |  round(CASE WHEN n_sketch < 256 THEN n_sketch::DOUBLE
+        |    ELSE 255.0 * power(2, 60) / kth_hv END, 6) AS est_distinct
+        |FROM kk""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ska = graft.ops.Kmv.sketch(
+        li.filter(col("l_orderkey") % 2 === 0), col("l_partkey"), 256)
+      val skb = graft.ops.Kmv.sketch(
+        li.filter(col("l_orderkey") % 2 === 1), col("l_suppkey"), 256)
+      // union's sketch = min-k of the two sketches' union (k rows in,
+      // k rows out — the whole estimate touches 2k rows)
+      graft.ops.Kmv.estimateFromSketch(
+        ska.unionByName(skb).distinct().orderBy("hv").limit(256),
+        k = 256)
+    },
+
     // ---- stage-count funnel summary (round 16): the generic
     //      stage-list companion to q_funnel's per-user detail —
     //      Journey.funnel takes ANY ordered stage sequence and emits
