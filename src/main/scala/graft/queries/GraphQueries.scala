@@ -474,6 +474,42 @@ object GraphQueries {
       graft.ops.Graph.triangleCount(edges(s, d, 2))
     },
 
+    // ---- global transitivity (round 16): 3·triangles / wedges on
+    //      the ppm grid — the one-number clustering summary next to
+    //      the per-node coefficients; triangle count reuses the
+    //      oriented enumeration, wedges are Σ deg·(deg−1)/2 ----
+    sql(
+      "q_transitivity",
+      s"""WITH ed AS (
+         |${edgeSql(2)}),
+         |tr AS (
+         |  SELECT count(*)::BIGINT AS n_triangles
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.a = e1.b
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION SELECT b, a FROM ed),
+         |wg AS (
+         |  SELECT sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+         |  FROM (SELECT count(*)::BIGINT AS deg FROM sym GROUP BY src))
+         |SELECT n_triangles, n_wedges,
+         |  ((3 * n_triangles * 1000000)
+         |    // greatest(n_wedges, 1))::BIGINT AS transitivity_ppm
+         |FROM tr CROSS JOIN wg""".stripMargin) { (s, d) =>
+      val e = edges(s, d, 2).localCheckpoint()
+      val tri = graft.ops.Graph.triangleCount(e)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val wedges = sym.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      tri.crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("3 * n_triangles * 1000000L div greatest(n_wedges, 1)")
+            .as("transitivity_ppm"))
+    },
+
     // ---- resource-allocation link scoring (round 16): common
     //      neighbors weighted by 1/deg(center) as exact ppm integers
     //      — the oracle replays the wedge join with the center-degree

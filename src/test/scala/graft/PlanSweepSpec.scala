@@ -106,7 +106,10 @@ class PlanSweepSpec extends AnyFunSuite {
         "aggregate (total count) crossed into the 9-row digit table"),
     "q_distinct_terms" ->
       ("the corpus token total rides a ONE-row broadcast aggregate " +
-        "crossed into the (source, token) lift computation"))
+        "crossed into the (source, token) lift computation"),
+    "q_transitivity" ->
+      ("two ONE-row broadcast aggregates (triangle count, wedge sum) " +
+        "crossed into the single summary row"))
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin " +
       "in any registered query") {
