@@ -474,6 +474,28 @@ object GraphQueries {
       graft.ops.Graph.triangleCount(edges(s, d, 2))
     },
 
+    // ---- degree distribution (round 16): (degree, node count) of
+    //      the co-purchase graph — the power-law profile read before
+    //      choosing support thresholds / salting strategies; two
+    //      aggregations, both degree-shaped ----
+    sql(
+      "q_degree_dist",
+      s"""WITH ed AS (
+         |${edgeSql(2)}),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION SELECT b, a FROM ed),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg
+         |        FROM sym GROUP BY 1)
+         |SELECT deg, count(*)::BIGINT AS n_nodes
+         |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = edges(s, d, 2)
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    },
+
     // ---- global transitivity (round 16): 3·triangles / wedges on
     //      the ppm grid — the one-number clustering summary next to
     //      the per-node coefficients; triangle count reuses the
