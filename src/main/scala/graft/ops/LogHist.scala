@@ -99,7 +99,15 @@ object LogHist {
     cum
       .select(groupCols.map(col) :+ col("bucket") :+ col("cum") :+
         col("total") :+ explode(qs).as("q_ppm"): _*)
-      .filter(col("cum") >= expr("(total * q_ppm + 999999L) div 1000000L"))
+      // rank = ceil(total·q/10⁶), split so total·q never materializes:
+      // total = a·10⁶ + b → rank = a·q + ceil(b·q/10⁶). The naive
+      // (total * q_ppm + 999999) div 10⁶ overflows int64 past ~9.3e12
+      // rows per group at q_ppm 990000; the split is exact for any
+      // int64 total (b < 10⁶ so b·q < 10¹², a·q < 9.2e18). Mirrored
+      // verbatim in the DuckDB oracles (AnalyticsQueries).
+      .filter(col("cum") >= expr(
+        "(total div 1000000L) * q_ppm" +
+          " + ((total % 1000000L) * q_ppm + 999999L) div 1000000L"))
       .groupBy((groupCols :+ "q_ppm").map(col): _*)
       .agg(min(col("bucket")).as("b"))
       .select(groupCols.map(col) :+ col("q_ppm") :+

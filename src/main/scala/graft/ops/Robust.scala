@@ -68,14 +68,33 @@ object Robust {
     * 30 points → 435 pairs per group at ANY corpus size; the corpus
     * scan is the one aggregation producing the series). The pair join
     * shuffles on the group key once; the median is a window over the
-    * per-group pair rows.
+    * per-group pair rows. The bounded-series contract is ENFORCED:
+    * any group wider than `maxPoints` raises loudly (raise_error in
+    * the executor, before the pair fan-out) — aggregate the series
+    * down (daily/hourly sums) or raise `maxPoints` deliberately,
+    * knowing pairs grow as n²/2.
     *
     * @param pts (group, x, y) — one row per x per group, integral x/y
+    * @param maxPoints loud per-group series cap (default 10 000 →
+    *                  ≤ ~5·10⁷ pairs per group)
     * @return (group, n_pairs, slope_ppm)
     */
   def theilSen(
-      pts: DataFrame, group: String, x: String, y: String): DataFrame = {
+      pts: DataFrame, group: String, x: String, y: String,
+      maxPoints: Int = 10000): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
     val p = pts.select(col(group), col(x).as("__x"), col(y).as("__y"))
+      .withColumn("__npts", count(lit(1)).over(wg))
+      .withColumn("__x", when(col("__npts") > maxPoints,
+          raise_error(concat(
+            lit("theilSen: group "), col(group).cast("string"),
+            lit(" has "), col("__npts").cast("string"),
+            lit(s" points > maxPoints=$maxPoints; the pair fan-out is " +
+              "O(n²) per group — aggregate the series first or " +
+              "raise maxPoints explicitly"))))
+        .otherwise(col("__x")))
+      .select(col(group), col("__x"), col("__y"))
     val slopes = p.as("a").join(p.as("b"),
         col(s"a.$group") === col(s"b.$group") &&
           col("a.__x") < col("b.__x"))

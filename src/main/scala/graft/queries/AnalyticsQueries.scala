@@ -1251,7 +1251,8 @@ object AnalyticsQueries {
        |hit AS (
        |  SELECT g, q_ppm, min(bucket) AS b
        |  FROM c CROSS JOIN q
-       |  WHERE cum >= (total * q_ppm + 999999) // 1000000
+       |  WHERE cum >= (total // 1000000) * q_ppm
+       |    + ((total % 1000000) * q_ppm + 999999) // 1000000
        |  GROUP BY 1, 2),
        |est AS (SELECT g, q_ppm, (${floorSql("b")})::BIGINT AS est
        |        FROM hit),
@@ -1289,7 +1290,8 @@ object AnalyticsQueries {
        |hit AS (
        |  SELECT g, q_ppm, min(bucket) AS b
        |  FROM c CROSS JOIN q
-       |  WHERE cum >= (total * q_ppm + 999999) // 1000000
+       |  WHERE cum >= (total // 1000000) * q_ppm
+       |    + ((total % 1000000) * q_ppm + 999999) // 1000000
        |  GROUP BY 1, 2)
        |SELECT g, q_ppm, (${floorSql("b")})::BIGINT AS est
        |FROM hit""".stripMargin

@@ -351,7 +351,7 @@ object ChatQueries {
          |    coalesce(sum(n_chars) OVER (PARTITION BY shard
          |      ORDER BY conv_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS start_tok
+         |      ::BIGINT AS start_tok
          |  FROM g)
          |SELECT conv_id, shard, start_tok::BIGINT AS start_tok,
          |  start_tok // 2048 AS first_chunk,

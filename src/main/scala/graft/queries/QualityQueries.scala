@@ -163,8 +163,8 @@ object QualityQueries {
     //      data screen — first significant digits of order totals vs
     //      Benford's log10(1+1/d), shipped as PUBLISHED ppm constants
     //      (no runtime libm in either engine). Deviation per digit on
-    //      the exact integer grid; the verdict column makes the gate
-    //      actionable ----
+    //      the exact integer grid; the `flagged` column (dev_ppm over
+    //      the published gate) makes the audit actionable ----
     sql(
       "q_benford",
       s"""WITH c AS (
@@ -182,7 +182,10 @@ object QualityQueries {
          |  b.benford_ppm,
          |  abs((coalesce(g.n_obs, 0) * 1000000)
          |      // (SELECT total FROM n) - b.benford_ppm)::BIGINT
-         |    AS dev_ppm
+         |    AS dev_ppm,
+         |  abs((coalesce(g.n_obs, 0) * 1000000)
+         |      // (SELECT total FROM n) - b.benford_ppm)
+         |    > $BenfordDevGatePpm AS flagged
          |FROM b LEFT JOIN g USING (digit)""".stripMargin) { (s, d) =>
       val cents = Tables.orders(s, d)
         .filter(col("o_totalprice") > 0)
@@ -203,7 +206,9 @@ object QualityQueries {
           expr("coalesce(n_obs, 0) * 1000000L div total").as("share_ppm"),
           col("benford_ppm"),
           abs(expr("coalesce(n_obs, 0) * 1000000L div total")
-            - col("benford_ppm")).as("dev_ppm"))
+            - col("benford_ppm")).as("dev_ppm"),
+          (abs(expr("coalesce(n_obs, 0) * 1000000L div total")
+            - col("benford_ppm")) > BenfordDevGatePpm).as("flagged"))
     },
 
     // ---- the entity-resolution capstone (round 16): the full
@@ -239,9 +244,16 @@ object QualityQueries {
     5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
     9L -> 45757L)
 
+  /** Actionability gate for the Benford audit: a digit whose observed
+    * share deviates from Benford by more than this many ppm is
+    * `flagged` — 15000 ppm (1.5 points of share) is a coarse screen;
+    * a real audit tunes the gate to corpus size (the sampling noise
+    * on a share is ~sqrt(p/n)). Identical literal in both engines. */
+  private val BenfordDevGatePpm: Long = 15000L
+
   private lazy val BenfordCte: String =
     BenfordPpm.map { case (d, p) =>
-      s"SELECT $d AS digit, ${p}::BIGINT AS benford_ppm"
+      s"SELECT ${d}::BIGINT AS digit, ${p}::BIGINT AS benford_ppm"
     }.mkString("\n      | UNION ALL ")
 
   // ===== Fellegi-Sunter fixture + oracle generation =====

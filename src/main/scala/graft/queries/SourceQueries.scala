@@ -97,6 +97,88 @@ object SourceQueries {
       dir
     })
 
+  /** Build-once fixture for the HTTP payload-decode face: the
+    * `doc_id % 13 = 0 AND doc_id < 2600` slice written as ONE plain
+    * container whose `response` records cycle through five payload
+    * encodings by `(doc_id / 13) % 5` — 0 identity/UTF-8, 1
+    * `Transfer-Encoding: chunked` (157-byte chunks, so multi-chunk
+    * bodies that also split UTF-8 sequences mid-codepoint), 2
+    * `Content-Encoding: gzip`, 3 latin-1 declared in the Content-Type
+    * header, 4 latin-1 declared only in a `<meta charset>` tag (no
+    * header param). Modes 3-4 use a FIXED latin-1 page (é/à bytes
+    * that are malformed UTF-8, so a wrong decode is visible as
+    * U+FFFD), modes 0-2 the document text (lossless UTF-8 round
+    * trip). */
+  private val warcDecodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] val Latin1PageA = "<html><body><p>café #"
+  private[queries] val Latin1PageB = " à côté</p></body></html>"
+  private[queries] val MetaPageA =
+    "<html><head><meta charset=\"iso-8859-1\"></head><body><p>café #"
+  private[queries] def warcDecodeFixtureDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    warcDecodeCache.computeIfAbsent(d, _ => {
+      val dir = s"${graft.core.Scratch.dir("warc_decode_fixture")}/" +
+        s"${math.abs(d.hashCode)}"
+      new java.io.File(dir).mkdirs()
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 13 === 0 && col("doc_id") < 2600)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      def warcRecord(uri: String, payload: Array[Byte]) =
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          s"WARC-Record-ID: <urn:graft:decode:${payload.length}>\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+          payload ++ "\r\n\r\n".getBytes("UTF-8")
+      def http(headers: String, body: Array[Byte]) =
+        s"HTTP/1.1 200 OK\r\n$headers\r\n".getBytes("ISO-8859-1") ++ body
+      def chunked(body: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream(body.length + 64)
+        body.grouped(157).foreach { c =>
+          out.write(s"${c.length.toHexString}\r\n".getBytes("ISO-8859-1"))
+          out.write(c)
+          out.write("\r\n".getBytes("ISO-8859-1"))
+        }
+        out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+        out.toByteArray
+      }
+      def gz(body: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(body); g.close(); bos.toByteArray
+      }
+      val f = new java.io.FileOutputStream(s"$dir/decode.warc")
+      try docs.foreach { case (id, text) =>
+        val uri = s"http://example.org/doc/$id"
+        val page = (TextQueries.HtmlWrapA + id + TextQueries.HtmlWrapB +
+          text + TextQueries.HtmlWrapC).getBytes("UTF-8")
+        val msg = ((id / 13) % 5) match {
+          case 0 => http("Content-Type: text/html; charset=utf-8\r\n" +
+            s"Content-Length: ${page.length}\r\n", page)
+          case 1 => http("Content-Type: text/html; charset=utf-8\r\n" +
+            "Transfer-Encoding: chunked\r\n", chunked(page))
+          case 2 =>
+            val z = gz(page)
+            http("Content-Type: text/html; charset=utf-8\r\n" +
+              "Content-Encoding: gzip\r\n" +
+              s"Content-Length: ${z.length}\r\n", z)
+          case 3 =>
+            val b = (Latin1PageA + id + Latin1PageB).getBytes("ISO-8859-1")
+            http("Content-Type: text/html; charset=iso-8859-1\r\n" +
+              s"Content-Length: ${b.length}\r\n", b)
+          case _ =>
+            val b = (MetaPageA + id + Latin1PageB).getBytes("ISO-8859-1")
+            http("Content-Type: text/html\r\n" +
+              s"Content-Length: ${b.length}\r\n", b)
+        }
+        f.write(warcRecord(uri, msg))
+      } finally f.close()
+      dir
+    })
+
   private val DonorCsvSql =
     s"read_csv('$FixtureDir/donor.tsv', delim='\\t', header=true, all_varchar=true)"
 
@@ -1274,6 +1356,40 @@ object SourceQueries {
         .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
           "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
       manifest.join(rb, Seq("shard"))
+    },
+
+    // ---- HTTP payload decoding (round-17): raw crawl responses
+    //      arrive chunked, gzipped, and in non-UTF-8 charsets — the
+    //      fixture cycles all five encodings and the face must
+    //      recover the ORIGINAL page text from every one (chunk-size
+    //      lines must not leak, gzip must inflate, é/à must decode
+    //      via the header OR meta-declared latin-1, and the chosen
+    //      charset is emitted). The oracle rebuilds each page from
+    //      documents + the fixed latin-1 constants — a leaked chunk
+    //      header, a U+FFFD from a wrong charset, or a silent
+    //      fallback all hash-mismatch ----
+    sql(
+      "q_warc_response_decode",
+      s"""WITH d AS (
+         |  SELECT doc_id, text, (doc_id // 13) % 5 AS m
+         |  FROM documents WHERE doc_id % 13 = 0 AND doc_id < 2600)
+         |SELECT doc_id,
+         |  CASE WHEN m >= 3 THEN 'ISO-8859-1' ELSE 'UTF-8' END
+         |    AS charset,
+         |  CASE WHEN m = 3
+         |      THEN '$Latin1PageA' || doc_id || '$Latin1PageB'
+         |    WHEN m = 4
+         |      THEN '$MetaPageA' || doc_id || '$Latin1PageB'
+         |    ELSE '${TextQueries.HtmlWrapA}' || doc_id ||
+         |      '${TextQueries.HtmlWrapB}' || text ||
+         |      '${TextQueries.HtmlWrapC}' END AS html
+         |FROM d""".stripMargin) { (s, d) =>
+      graft.sources.Warc.responseDecoded(s, warcDecodeFixtureDir(s, d))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("charset"),
+          col("text").as("html"))
     },
 
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):

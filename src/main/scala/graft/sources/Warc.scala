@@ -95,7 +95,11 @@ object Warc {
   /** Crawl-response view: the `response` records' HTML bodies, HTTP
     * headers stripped — the input of
     * [[graft.ops.Html.htmlText]]-based curation. Columns:
-    * (file, record_idx, target_uri, html). */
+    * (file, record_idx, target_uri, html). This is the IDENTITY/UTF-8
+    * fast path (codegen'd substring, no per-row byte work) — correct
+    * for containers whose writer already normalized payloads, e.g.
+    * re-crawled corpora. Raw Common-Crawl-style responses carry
+    * chunked/gzipped/non-UTF-8 payloads: use [[responseDecoded]]. */
   def responseHtml(spark: SparkSession, dir: String,
       pathGlob: String = "*.warc*"): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -104,6 +108,225 @@ object Warc {
       .select(col("file"), col("record_idx"), col("target_uri"),
         httpBody(col("payload").cast("string")).as("html"))
   }
+
+  /** A `response` record decoded through the full HTTP payload chain:
+    * header split → transfer-decode (chunked) → content-decode
+    * (gzip/deflate) → charset selection (header param → meta tag →
+    * UTF-8) → text. `charset` records which charset actually decoded
+    * the body, so a fallback is observable, not silent. */
+  final case class DecodedResponse(
+      file: String, record_idx: Int, target_uri: String,
+      http_status: Int, charset: String, text: String)
+
+  /** Crawl-response view with REAL HTTP payload decoding (round-16
+    * verdict item 2) — what [[responseHtml]]'s identity/UTF-8 fast
+    * path cannot handle: `Transfer-Encoding: chunked` bodies (chunk
+    * size lines must not leak into the text), `Content-Encoding:
+    * gzip`/`deflate` payloads (binary until inflated), and non-UTF-8
+    * charsets declared in the Content-Type header or a `<meta
+    * charset=…>` tag. Runs inside the same per-record streaming
+    * budget as the parse itself (the decode sees one record's
+    * payload, bounded by the 2 GiB record cap; inflation is bounded
+    * by `maxInflateBytes` so a gzip bomb fails the task loudly rather
+    * than OOMing it). Malformed chunk framing or a truncated gzip
+    * member is loud — a torn record must fail, not silently truncate
+    * a document. Unknown charset NAMES fall back to UTF-8 (crawl
+    * headers carry garbage labels; the chosen charset is emitted) and
+    * undecodable byte sequences decode to U+FFFD — the downstream
+    * mojibake gate's job, not an ingest crash. */
+  def responseDecoded(spark: SparkSession, dir: String,
+      pathGlob: String = "*.warc*",
+      maxInflateBytes: Long = 1L << 30): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(s"$dir/$pathGlob")
+      .flatMap { case (path, pds) =>
+        val raw = pds.open()
+        val in = new java.io.BufferedInputStream(
+          if (path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw)
+          else raw, 1 << 16)
+        parseStream(path, in).collect {
+          case r if r.warc_type == "response" =>
+            val (status, headers, rawBody) = splitHttp(r.payload,
+              s"${r.file}#${r.record_idx}")
+            val body = contentDecode(
+              transferDecode(rawBody,
+                headers.getOrElse("transfer-encoding", ""),
+                s"${r.file}#${r.record_idx}"),
+              headers.getOrElse("content-encoding", ""),
+              maxInflateBytes, s"${r.file}#${r.record_idx}")
+            val cs = charsetOf(headers.getOrElse("content-type", ""), body)
+            DecodedResponse(r.file, r.record_idx, r.target_uri, status,
+              cs.name(), decodeLenient(body, cs))
+        }
+      }
+      .toDF()
+  }
+
+  /** Split a response payload into (status, lowercased header map,
+    * body bytes) at the first CRLF CRLF — byte-level, because the
+    * body may be binary (gzip) and must not pass through a string.
+    * Header lines decode as ISO-8859-1 per RFC 9112. Loud when the
+    * payload is not an HTTP message. */
+  private[sources] def splitHttp(payload: Array[Byte], where: String)
+      : (Int, Map[String, String], Array[Byte]) = {
+    var i = 0
+    var sep = -1
+    while (sep < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') sep = i
+      i += 1
+    }
+    require(sep >= 0, s"$where: response payload has no HTTP header " +
+      "separator (CRLF CRLF)")
+    val head = new String(payload, 0, sep,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    require(lines.nonEmpty && lines(0).startsWith("HTTP/"),
+      s"$where: response payload does not start with an HTTP status " +
+        s"line: '${lines.headOption.getOrElse("").take(40)}'")
+    val status = lines(0).split(" ", 3) match {
+      case a if a.length >= 2 && a(1).forall(_.isDigit) => a(1).toInt
+      case _ => sys.error(s"$where: malformed HTTP status line " +
+        s"'${lines(0).take(60)}'")
+    }
+    val headers = lines.drop(1).iterator.filter(_.nonEmpty).map { l =>
+      val c = l.indexOf(':')
+      require(c > 0, s"$where: malformed HTTP header '${l.take(60)}'")
+      l.substring(0, c).trim.toLowerCase ->
+        l.substring(c + 1).trim
+    }.toMap
+    (status, headers, java.util.Arrays.copyOfRange(
+      payload, sep + 4, payload.length))
+  }
+
+  /** Undo `Transfer-Encoding: chunked` (RFC 9112 §7.1): hex size line
+    * (chunk extensions after ';' ignored) → that many bytes → CRLF,
+    * until the 0 chunk; trailer lines are dropped. Anything else
+    * (identity/empty) passes through; a coding this engine cannot
+    * undo is loud. */
+  private[sources] def transferDecode(
+      body: Array[Byte], coding: String, where: String): Array[Byte] = {
+    val c = coding.trim.toLowerCase
+    if (c.isEmpty || c == "identity") return body
+    require(c.split(",").map(_.trim).last == "chunked",
+      s"$where: unsupported Transfer-Encoding '$coding'")
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var p = 0
+    def line(): String = {
+      val start = p
+      while (p + 1 < body.length &&
+        !(body(p) == '\r' && body(p + 1) == '\n')) p += 1
+      require(p + 1 < body.length,
+        s"$where: chunked body: unterminated size line")
+      val s = new String(body, start, p - start,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      p += 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val sz = line().split(";")(0).trim
+      require(sz.nonEmpty && sz.forall(ch =>
+        Character.digit(ch, 16) >= 0),
+        s"$where: chunked body: bad chunk size '${sz.take(20)}'")
+      val n = java.lang.Long.parseLong(sz, 16)
+      require(n <= Int.MaxValue, s"$where: chunk of $n bytes")
+      if (n == 0L) done = true
+      else {
+        require(p + n <= body.length,
+          s"$where: chunked body truncated (chunk needs $n bytes, " +
+            s"${body.length - p} left)")
+        out.write(body, p, n.toInt)
+        p += n.toInt
+        require(p + 2 <= body.length && body(p) == '\r' &&
+          body(p + 1) == '\n',
+          s"$where: chunk data not CRLF-terminated")
+        p += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Undo `Content-Encoding`: gzip/x-gzip and deflate (zlib-wrapped,
+    * the RFC meaning) inflate through a bounded copy loop — more than
+    * `maxBytes` of output is loud (decompression-bomb guard, the
+    * one-record memory bound again). identity/empty pass through;
+    * anything else (br, zstd — not in this environment) is loud. */
+  private[sources] def contentDecode(body: Array[Byte], coding: String,
+      maxBytes: Long, where: String): Array[Byte] =
+    coding.trim.toLowerCase match {
+      case "" | "identity" => body
+      case c @ ("gzip" | "x-gzip" | "deflate") =>
+        val out = new java.io.ByteArrayOutputStream(body.length * 2)
+        val buf = new Array[Byte](1 << 16)
+        var in: java.io.InputStream = null
+        try {
+          val src = new java.io.ByteArrayInputStream(body)
+          in =
+            if (c == "deflate")
+              new java.util.zip.InflaterInputStream(src)
+            else new java.util.zip.GZIPInputStream(src) // throws on magic
+          var n = in.read(buf)
+          while (n >= 0) {
+            out.write(buf, 0, n)
+            require(out.size() <= maxBytes, s"$where: Content-Encoding " +
+              s"$c inflates past $maxBytes bytes — bomb guard")
+            n = in.read(buf)
+          }
+        } catch {
+          case e: java.io.IOException =>
+            sys.error(s"$where: corrupt $c body: ${e.getMessage}")
+        } finally if (in != null) in.close()
+        out.toByteArray
+      case other =>
+        sys.error(s"$where: unsupported Content-Encoding '$other'")
+    }
+
+  private val HeaderCharsetRe =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9._:-]+)")
+  private val MetaCharsetRe =
+    java.util.regex.Pattern.compile(
+      "(?i)<meta[^>]{0,256}?charset\\s*=\\s*['\"]?([A-Za-z0-9._:-]+)")
+
+  /** Charset selection order: `charset=` parameter in the
+    * Content-Type header → `<meta … charset=…>` scanned in the first
+    * 1024 DECODED-AS-LATIN-1 bytes of the body (ASCII-compatible for
+    * every charset a meta tag can credibly declare) → UTF-8. An
+    * unknown/unsupported label falls back to UTF-8 rather than
+    * failing the task — crawl headers lie, and the choice is emitted
+    * in the `charset` column. */
+  private[sources] def charsetOf(contentType: String, body: Array[Byte])
+      : java.nio.charset.Charset = {
+    def resolve(name: String): Option[java.nio.charset.Charset] =
+      try {
+        if (java.nio.charset.Charset.isSupported(name))
+          Some(java.nio.charset.Charset.forName(name))
+        else None
+      } catch { case _: Exception => None }
+    val fromHeader = {
+      val m = HeaderCharsetRe.matcher(contentType)
+      if (m.find()) resolve(m.group(1)) else None
+    }
+    lazy val fromMeta = {
+      val head = new String(body, 0, math.min(1024, body.length),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = MetaCharsetRe.matcher(head)
+      if (m.find()) resolve(m.group(1)) else None
+    }
+    fromHeader.orElse(fromMeta)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Lenient decode: undecodable sequences become U+FFFD (the
+    * mojibake gate screens those downstream); never throws. */
+  private[sources] def decodeLenient(
+      body: Array[Byte], cs: java.nio.charset.Charset): String =
+    cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(body))
+      .toString
 
   /** Stream one container into its records. Binary-safe: record
     * boundaries come from Content-Length, never from scanning for the

@@ -79,4 +79,33 @@ class RobustSpec extends AnyFunSuite with WithSpark {
     // -5000000, -4500000, -4000000 → median -4500000
     assert(got("down") == ((3L, -4500000L)))
   }
+
+  test("theilSen truncates toward zero on non-divisible negative " +
+      "slopes (floor division would differ)") {
+    // single pair, x-gap 3, y-diff -7: -7·10^6/3 = -2333333.33… →
+    // trunc (Spark div, DuckDB //) gives -2333333; floor semantics
+    // would give -2333334 — this pins the truncation contract the
+    // exactly-divisible cases above cannot distinguish
+    val pts = Seq(("g", 0L, 7L), ("g", 3L, 0L)).toDF("g", "x", "y")
+    val got = Robust.theilSen(pts, "g", "x", "y").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 1L)
+    assert(got(0).getLong(2) == -2333333L)
+  }
+
+  test("theilSen fails loudly when a group exceeds maxPoints") {
+    val pts = (0L to 40L).map(x => ("g", x, x)).toDF("g", "x", "y")
+    val ex = intercept[Throwable] {
+      Robust.theilSen(pts, "g", "x", "y", maxPoints = 40).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxPoints")),
+      s"expected the loud maxPoints message, got: ${msgs(ex)}")
+    // at the cap it still runs
+    val ok = Robust.theilSen(pts, "g", "x", "y", maxPoints = 41)
+      .collect()
+    assert(ok(0).getLong(2) == 1000000L)
+  }
 }

@@ -128,4 +128,118 @@ class WarcSpec extends AnyFunSuite with WithSpark {
       .select("text", "content_length").as[(String, Long)].collect()
     assert(got.toSeq == Seq((uni, uni.getBytes("UTF-8").length.toLong)))
   }
+
+  // ===== HTTP payload decoding (round 17) =====
+
+  private def recB(uri: String, payload: Array[Byte]): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+      payload ++ "\r\n\r\n".getBytes("UTF-8")
+
+  private def http(headers: String, body: Array[Byte]): Array[Byte] =
+    s"HTTP/1.1 200 OK\r\n$headers\r\n".getBytes("ISO-8859-1") ++ body
+
+  test("transferDecode: chunked bodies reassemble exactly; chunk-size " +
+      "lines and extensions never leak; bad framing is loud") {
+    val body = ("x" * 400).getBytes("UTF-8")
+    val chunked =
+      (s"${0x9d.toHexString};ext=1\r\n".getBytes("ISO-8859-1") ++
+        body.take(157) ++ "\r\n".getBytes ++
+        "9D\r\n".getBytes ++ body.slice(157, 314) ++ "\r\n".getBytes ++
+        "56\r\n".getBytes ++ body.drop(314) ++ "\r\n".getBytes ++
+        "0\r\n\r\n".getBytes)
+    assert(Warc.transferDecode(chunked, "chunked", "t").toSeq ==
+      body.toSeq)
+    // identity passes through untouched
+    assert(Warc.transferDecode(body, "", "t") eq body)
+    // truncated chunk → loud
+    val torn = chunked.take(100)
+    val e = intercept[Exception] {
+      Warc.transferDecode(torn, "chunked", "t")
+    }
+    assert(e.getMessage.contains("truncated") ||
+      e.getMessage.contains("unterminated"))
+    // an encoding this engine can't undo → loud, named
+    val e2 = intercept[Exception] {
+      Warc.transferDecode(body, "br", "t")
+    }
+    assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
+  }
+
+  test("contentDecode: gzip and deflate inflate; the bomb guard " +
+      "fires before buffering past the cap; corrupt members are loud") {
+    val body = ("payload " * 100).getBytes("UTF-8")
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    assert(Warc.contentDecode(gz(body), "gzip", 1 << 20, "t").toSeq ==
+      body.toSeq)
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(body); d.close()
+    assert(Warc.contentDecode(bos.toByteArray, "deflate", 1 << 20,
+      "t").toSeq == body.toSeq)
+    // bomb guard: 10 MiB of zeros gzips tiny but must not inflate
+    // past a 1 MiB cap
+    val bomb = gz(new Array[Byte](10 << 20))
+    val e = intercept[Exception] {
+      Warc.contentDecode(bomb, "gzip", 1 << 20, "t")
+    }
+    assert(e.getMessage.contains("bomb guard"))
+    val e2 = intercept[Exception] {
+      Warc.contentDecode(body, "gzip", 1 << 20, "t")
+    }
+    assert(e2.getMessage.contains("corrupt gzip"))
+  }
+
+  test("charsetOf: header param beats meta tag beats UTF-8 default; " +
+      "garbage labels fall back instead of failing") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val meta = "<html><head><meta charset='iso-8859-1'></head>"
+      .getBytes("ISO-8859-1")
+    assert(Warc.charsetOf("text/html; charset=ISO-8859-1",
+      Array.emptyByteArray) == ISO_8859_1)
+    assert(Warc.charsetOf("text/html", meta) == ISO_8859_1)
+    // header wins over a conflicting meta
+    assert(Warc.charsetOf("text/html; charset=utf-8", meta) == UTF_8)
+    assert(Warc.charsetOf("text/html", "<p>x</p>".getBytes) == UTF_8)
+    assert(Warc.charsetOf("text/html; charset=x-not-a-charset",
+      "<p>x</p>".getBytes) == UTF_8)
+  }
+
+  test("responseDecoded end to end: chunked+gzip+latin-1 records all " +
+      "recover the original text; a latin-1 é through the identity " +
+      "path would be U+FFFD (proving the decode actually ran)") {
+    val dir = graft.core.Scratch.dir("warc_decode_unit")
+    val page = "<p>résumé наб 中</p>"
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val utf = page.getBytes("UTF-8")
+    val chunkedBody =
+      s"${utf.length.toHexString}\r\n".getBytes("ISO-8859-1") ++ utf ++
+        "\r\n0\r\n\r\n".getBytes
+    val latin = "<p>café</p>".getBytes("ISO-8859-1")
+    write(dir, "d.warc",
+      recB("http://x/1", http("Content-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n", chunkedBody)) ++
+      recB("http://x/2", http("Content-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n", gz(utf))) ++
+      recB("http://x/3", http(
+        "Content-Type: text/html; charset=iso-8859-1\r\n", latin)))
+    val got = Warc.responseDecoded(spark, dir)
+      .select("target_uri", "charset", "text")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("http://x/1", "UTF-8", page),
+      ("http://x/2", "UTF-8", page),
+      ("http://x/3", "ISO-8859-1", "<p>café</p>")), got.mkString("; "))
+    // control: the same latin-1 bytes decoded as UTF-8 mangle the é
+    assert(Warc.decodeLenient(latin,
+      java.nio.charset.StandardCharsets.UTF_8).contains('�'))
+  }
 }

@@ -37,6 +37,45 @@ def rows_canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def described_types(con, sql):
+    """name → duckdb type string, via DESCRIBE (no row fetch)."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+# Families the driver's type-aware hash provably normalizes (evidence:
+# 355 faces green in CORRECTNESS_r16 with exactly these two drifts —
+# INTEGER-vs-BIGINT in 17 faces, JSON-vs-VARCHAR in 22). HUGEINT is
+# deliberately NOT in the int family: HUGEINT-vs-BIGINT is the drift
+# that failed q_chat_pack at the driver while passing the local value
+# compare. Same for DECIMAL, FLOAT-vs-DOUBLE, and anything else: strict.
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+_STR_FAMILY = {"VARCHAR", "JSON"}
+
+
+def _type_class(t):
+    if t in _INT_FAMILY:
+        return "int64"
+    if t in _STR_FAMILY:
+        return "str"
+    return t
+
+
+def type_drift(spark_types, oracle_types):
+    """The driver's hash is type-aware: a DuckDB oracle emitting
+    HUGEINT/DECIMAL where the Spark parquet holds BIGINT/DOUBLE
+    hash-mismatches even on identical values (the q_chat_pack bug).
+    Flag any column whose duckdb-rendered type lands in a different
+    type class between the Spark result parquet and the oracle SQL."""
+    drift = []
+    for c in sorted(set(spark_types) & set(oracle_types)):
+        s, o = spark_types[c], oracle_types[c]
+        if _type_class(s) != _type_class(o):
+            drift.append(f"{c}: spark={s} oracle={o}")
+    return drift
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -57,9 +96,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exec error {e}")
             n_fail += 1
             continue
+        try:
+            drift = type_drift(
+                described_types(
+                    con,
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"),
+                described_types(con, f"({sql})"))
+        except Exception as e:
+            print(f"FAIL {name}: describe error {e}")
+            n_fail += 1
+            continue
         gc, gr = rows_canon(g_cols, g_rows)
         ec, er = rows_canon(e_cols, e_rows)
-        if gc != ec:
+        if drift:
+            print(f"FAIL {name}: oracle type drift [{'; '.join(drift)}]")
+            n_fail += 1
+        elif gc != ec:
             print(f"FAIL {name}: columns {gc} vs {ec}")
             n_fail += 1
         elif len(gr) != len(er):
@@ -76,5 +128,32 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def selftest():
+    """Prove the guard catches the q_chat_pack class: a deliberately
+    HUGEINT-drifted oracle must red-flag against a BIGINT parquet,
+    while the two driver-normalized families stay green."""
+    import tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        con.execute(
+            f"COPY (SELECT 3::BIGINT AS a, 'x' AS b) TO '{d}/r.parquet'")
+        spark_t = described_types(
+            con, f"SELECT * FROM read_parquet('{d}/r.parquet')")
+    assert type_drift(spark_t, described_types(
+        con, "(SELECT 3::HUGEINT AS a, 'x' AS b)")) == \
+        ["a: spark=BIGINT oracle=HUGEINT"], "HUGEINT drift missed"
+    assert type_drift(spark_t, described_types(
+        con, "(SELECT 3::DECIMAL(20,1) AS a, 'x' AS b)")), \
+        "DECIMAL drift missed"
+    assert type_drift(spark_t, described_types(
+        con, "(SELECT 3::INTEGER AS a, to_json('x') AS b)")) == [], \
+        "driver-normalized families must not flag"
+    print("selftest ok: HUGEINT/DECIMAL drift flagged, "
+          "int-width/JSON normalized")
+
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        sys.exit(0)
     sys.exit(main(sys.argv[1], sys.argv[2]))
