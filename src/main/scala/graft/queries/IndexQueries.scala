@@ -16,6 +16,27 @@ object IndexQueries {
   import QueryDef.sql
   import SourceQueries.FixtureDir
 
+  /** Per-session clinical-inputs pin: `ClinicalInputs.fromDir` builds
+    * 16 reader plans (12 TSV header resolutions, driver-side file IO)
+    * — measured ~1.0 s of pure scaffolding PER FACE × 16 faces
+    * (BreakdownProbe, round-17 triage of the q_index_refresh_stored
+    * growth). The inputs are immutable DataFrame plans; pinning them
+    * per session keeps every face timing its operator, not the
+    * fixture plumbing. Faces that need a modified slice still
+    * `in.copy(...)` — plans are shareable. */
+  private val inCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, Indexes.ClinicalInputs]()
+  private def clinicalIn(
+      s: org.apache.spark.sql.SparkSession): Indexes.ClinicalInputs =
+    inCache.synchronized {
+      var v = inCache.get(s)
+      if (v == null) {
+        v = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+        inCache.put(s, v)
+      }
+      v
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- nested index assembly (customer ⋈ nation ⋈ orders) ----
@@ -343,7 +364,7 @@ object IndexQueries {
          |FULL JOIN clin ON dc.study_id = clin.study_id""".stripMargin) {
       (s, _) =>
         Canon.flattenNested(Indexes.studySummary(
-          Indexes.ClinicalInputs.fromDir(s, FixtureDir)))
+          clinicalIn(s)))
     },
 
     // ---- full index products over the clinical fixtures, each with
@@ -351,19 +372,19 @@ object IndexQueries {
     //      document (IndexOracles); outputs are Canon-flattened ----
     sql("q_donor_index", IndexOracles.donorIndexSql) { (s, _) =>
       Canon.flattenNested(Indexes.donorIndex(
-        Indexes.ClinicalInputs.fromDir(s, FixtureDir),
+        clinicalIn(s),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
     sql("q_study_index", IndexOracles.studyIndexSql) { (s, _) =>
       Canon.flattenNested(Indexes.studyIndex(
-        Indexes.ClinicalInputs.fromDir(s, FixtureDir),
+        clinicalIn(s),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
     sql("q_file_index", IndexOracles.fileIndexSql) { (s, _) =>
       Canon.flattenNested(Indexes.fileIndex(
-        Indexes.ClinicalInputs.fromDir(s, FixtureDir),
+        clinicalIn(s),
         meta = Seq("dictionary_version" -> "9.9", "study_version" -> "v42")))
     },
 
@@ -376,7 +397,7 @@ object IndexQueries {
     //      the prior universe, and the unchanged GS002 doc gets the
     //      reintroduced categories patched in as zero rows ----
     sql("q_index_refresh", IndexOracles.studyIndexSql) { (s, _) =>
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       Canon.flattenNested(
@@ -394,7 +415,7 @@ object IndexQueries {
     //      of rewriting GS002's partition. Refresh is idempotent
     //      under re-delivery, so bench reps replay it safely ----
     sql("q_index_refresh_stored", IndexOracles.studyIndexSql) { (s, _) =>
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val dir = stalePriorStore(s)
@@ -405,7 +426,7 @@ object IndexQueries {
     // ---- donor-product refresh == full rebuild (same oracle as
     //      q_donor_index) ----
     sql("q_donor_refresh", IndexOracles.donorIndexSql) { (s, _) =>
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       Canon.flattenNested(
@@ -416,7 +437,7 @@ object IndexQueries {
     //      q_file_index): the stored prior predates DO002's files, so
     //      refreshing GS001 must reintroduce them byte-for-byte ----
     sql("q_file_refresh", IndexOracles.fileIndexSql) { (s, _) =>
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       Canon.flattenNested(
@@ -427,7 +448,7 @@ object IndexQueries {
     //      no universe patch, so the store is partition-swap only):
     //      refresh GS001's partition, read view == full rebuild ----
     sql("q_donor_refresh_stored", IndexOracles.donorIndexSql) { (s, _) =>
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val dir = staleDonorStore(s)
@@ -437,7 +458,7 @@ object IndexQueries {
     },
 
     sql("q_file_refresh_stored", IndexOracles.fileIndexSql) { (s, _) =>
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val dir = staleFileStore(s)
@@ -453,7 +474,7 @@ object IndexQueries {
   private def staleFilePrior(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     val path = filePriorCache.computeIfAbsent("stale_file_prior", _ => {
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val stale = in.copy(file = in.file.filter(
@@ -475,7 +496,7 @@ object IndexQueries {
   private def staleDonorPrior(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     val path = donorPriorCache.computeIfAbsent("stale_donor_prior", _ => {
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val stale = in.copy(phenotype = in.phenotype.filter(
@@ -498,7 +519,7 @@ object IndexQueries {
   private def stalePrior(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     val path = priorCache.computeIfAbsent("stale_prior", _ => {
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val stale = in.copy(file = in.file.filter(
@@ -517,10 +538,14 @@ object IndexQueries {
     * [[Indexes.writeStudyIndexStore]] so `q_index_refresh_stored`
     * times the partition-pruned refresh + read view, not the
     * scaffold. */
+  /** Dev-probe hook (BreakdownProbe): the cached stored-prior dir. */
+  private[graft] def probeStalePriorStore(
+      s: org.apache.spark.sql.SparkSession): String = stalePriorStore(s)
+
   private def stalePriorStore(
       s: org.apache.spark.sql.SparkSession): String =
     priorCache.computeIfAbsent("stale_prior_store", _ => {
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val stale = in.copy(file = in.file.filter(
@@ -537,7 +562,7 @@ object IndexQueries {
   private def staleDonorStore(
       s: org.apache.spark.sql.SparkSession): String =
     priorCache.computeIfAbsent("stale_donor_store", _ => {
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val stale = in.copy(phenotype = in.phenotype.filter(
@@ -550,7 +575,7 @@ object IndexQueries {
   private def staleFileStore(
       s: org.apache.spark.sql.SparkSession): String =
     priorCache.computeIfAbsent("stale_file_store", _ => {
-      val in = Indexes.ClinicalInputs.fromDir(s, FixtureDir)
+      val in = clinicalIn(s)
       val meta =
         Seq("dictionary_version" -> "9.9", "study_version" -> "v42")
       val stale = in.copy(file = in.file.filter(
