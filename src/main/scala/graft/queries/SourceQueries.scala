@@ -179,6 +179,20 @@ object SourceQueries {
       dir
     })
 
+  /** Oracle-side rebuild of the decode fixture's response pages (one
+    * per record, keyed by encoding mode) — shared by
+    * `q_warc_response_decode` and `q_warc_block_curation`. */
+  private[queries] lazy val WarcDecodeOracleSrc: String =
+    s"""SELECT doc_id, CASE WHEN (doc_id // 13) % 5 = 3
+       |    THEN '$Latin1PageA' || doc_id || '$Latin1PageB'
+       |  WHEN (doc_id // 13) % 5 = 4
+       |    THEN '$MetaPageA' || doc_id || '$Latin1PageB'
+       |  ELSE '${TextQueries.HtmlWrapA}' || doc_id ||
+       |    '${TextQueries.HtmlWrapB}' || text ||
+       |    '${TextQueries.HtmlWrapC}' END AS html
+       |FROM documents WHERE doc_id % 13 = 0 AND doc_id < 2600"""
+      .stripMargin
+
   private val DonorCsvSql =
     s"read_csv('$FixtureDir/donor.tsv', delim='\\t', header=true, all_varchar=true)"
 
@@ -1390,6 +1404,44 @@ object SourceQueries {
             .cast("bigint").as("doc_id"),
           col("charset"),
           col("text").as("html"))
+    },
+
+    // ---- crawl front door END TO END with the decode chain AND
+    //      block curation (round-17 capstone): response records →
+    //      chunked/gzip/charset decode → marked HTML extraction →
+    //      jusText-grade block gate → per-page content reassembly.
+    //      The oracle rebuilds every page by encoding mode, replays
+    //      the generated marked-step + block-scoring SQL, and
+    //      reassembles kept blocks in block order — a leaked chunk
+    //      header, one U+FFFD from a wrong charset, or a drifted
+    //      block verdict all hash-mismatch ----
+    sql(
+      "q_warc_block_curation", {
+      val blocks = graft.ops.Html.blockScoresSql(
+        WarcDecodeOracleSrc, "doc_id", "html",
+        graft.ops.Text.StopwordSeeds("en"),
+        minStopPpm = TextQueries.BlockStopPpm)
+      s"""WITH __blk AS ($blocks)
+         |SELECT doc_id, count(*)::BIGINT AS n_blocks,
+         |  string_agg(block, chr(10) ORDER BY block_idx) AS text
+         |FROM __blk WHERE keep GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val pages = graft.sources.Warc
+        .responseDecoded(s, warcDecodeFixtureDir(s, d))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          graft.ops.Html.htmlTextMarked(col("text")).as("__mt"))
+      graft.ops.Html.blockScores(pages, "doc_id", col("__mt"),
+          graft.ops.Text.StopwordSeeds("en"),
+          minStopPpm = TextQueries.BlockStopPpm)
+        .filter(col("keep"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("block_idx"),
+              col("block")))),
+            x => x.getField("block")), "\n").as("text"))
     },
 
     // ---- XML sink/scan round-trip (Spark 4's built-in xml source):

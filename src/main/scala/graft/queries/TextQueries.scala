@@ -94,6 +94,29 @@ object TextQueries {
     "</p><div class=\"foot\" data-x=\"a>b\">" +
       "&copy; 2026 &lt;graft&gt;&nbsp;corp</div></body></html>"
 
+  /** The q_html_blocks boilerplate page, in three parts: nav links +
+    * heading, the document text as the one content paragraph, then a
+    * link-sidebar and a link-footer — each boilerplate block designed
+    * to fail a DIFFERENT gate (nav/sidebar/footer: link density;
+    * heading: length; content: passes both when the document is long
+    * enough). No single quotes, so the parts splice into SQL string
+    * literals verbatim. */
+  private[queries] val BoilerNav =
+    "<html><body><nav><a href=\"/\">Home</a> " +
+      "<a href=\"/products\">Products</a> " +
+      "<a href=\"/contact\">Contact</a></nav><h1>Doc "
+  private[queries] val BoilerMid = "</h1><p>"
+  private[queries] val BoilerTail =
+    "</p><div>Related: <a href=\"/a\">alpha beta</a> and " +
+      "<a href=\"/b\">gamma links</a></div>" +
+      "<footer><a href=\"/tos\">Terms of Service</a> &middot; " +
+      "<a href=\"/privacy\">Privacy Policy</a></footer></body></html>"
+
+  /** q_html_blocks gate: the stopword-density floor, scaled to the
+    * 10-word [[Text.StopwordSeeds]] list (measured ~63k ppm on
+    * documents prose; jusText's 300k assumes a full stopword list). */
+  private[queries] val BlockStopPpm = 20000L
+
   /** BPE merges learned once per JVM per sf dir — train-time artifact
     * by contract (the ANN-index amortization convention): Bench's
     * warm() populates it so `build_s` owns the learning cost and the
@@ -907,6 +930,36 @@ object TextQueries {
           lit("\">tag</a> <a name=\"x\">plain</a></p>")).as("html"))
         .select(col("doc_id"),
           explode(graft.ops.Html.links(col("html"))).as("href"))
+    },
+
+    // ---- jusText-grade BLOCK classification (round-17 verdict item
+    //      5): pages planted with nav/heading/content/sidebar/footer
+    //      blocks; the marked extraction keeps link-text sentinels,
+    //      and every block scores on the exact ppm grid — the nav,
+    //      sidebar and footer must fail the link-density gate, the
+    //      heading the length gate, and the document paragraph must
+    //      pass both (when long and prose-like enough). The oracle
+    //      replays the ENTIRE chain — marked steps, block split,
+    //      link-char counting, stopword density, thresholds — from
+    //      the same generated constants ----
+    sql(
+      "q_html_blocks",
+      graft.ops.Html.blockScoresSql(
+        s"""SELECT doc_id,
+           |  '$BoilerNav' || doc_id || '$BoilerMid' || text ||
+           |    '$BoilerTail' AS html
+           |  FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+        "doc_id", "html", Text.StopwordSeeds("en"),
+        minStopPpm = BlockStopPpm)) { (s, d) =>
+      val pages = Tables.documents(s, d).filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), concat(
+          lit(BoilerNav), col("doc_id"), lit(BoilerMid),
+          col("text"), lit(BoilerTail)).as("html"))
+      graft.ops.Html.blockScores(
+        pages.withColumn("__mt",
+          graft.ops.Html.htmlTextMarked(col("html"))),
+        "doc_id", col("__mt"), Text.StopwordSeeds("en"),
+        minStopPpm = BlockStopPpm)
     },
 
     // ---- repetition signals (duplicate word / n-gram fractions) ----

@@ -132,4 +132,58 @@ class HtmlSpec extends AnyFunSuite with WithSpark {
     // quotes are doubled, not truncated)
     assert(sql.contains("''[^'']*''"))
   }
+
+  // ===== block classification (round 17) =====
+
+  test("htmlTextMarked keeps link-text sentinels; blockScores gates " +
+      "each boilerplate class on its own signal") {
+    val html =
+      "<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav>" +
+        "<h1>Short</h1>" +
+        "<p>" + ("the quick brown fox jumps over a lazy dog and " * 4) +
+        "it is that good for everyone involved here</p>" +
+        "<footer><a href=\"/t\">Terms of Service</a> and " +
+        "<a href=\"/p\">Privacy</a></footer></body></html>"
+    val df = Seq((1L, html)).toDF("id", "h")
+      .withColumn("mt", Html.htmlTextMarked(col("h")))
+    // sentinels present in the marked text, absent from htmlText
+    val mt = df.select("mt").as[String].head()
+    assert(mt.contains(Html.MarkOpen) && mt.contains(Html.MarkClose))
+    assert(!df.select(Html.htmlText(col("h"))).as[String].head()
+      .contains(Html.MarkOpen))
+    val got = Html.blockScores(df, "id", col("mt"),
+        Text.StopwordSeeds("en"), minStopPpm = 20000L)
+      .select("block_idx", "block", "link_ppm", "stop_ppm", "n_chars",
+        "keep")
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == 4, got.mkString("; "))
+    val nav = got(0); val h1 = got(1); val content = got(2)
+    val foot = got(3)
+    assert(nav.getString(1) == "Home About")
+    assert(nav.getLong(2) > 200000L && !nav.getBoolean(5),
+      "nav must fail the link gate")
+    assert(h1.getLong(4) < 70L && !h1.getBoolean(5),
+      "heading must fail the length gate")
+    assert(content.getLong(2) == 0L && content.getBoolean(5),
+      "prose must keep")
+    assert(!foot.getBoolean(5), "footer must fail the link gate")
+    // footer link chars: 'Terms of Service' (16) + 'Privacy' (7) over
+    // the clean 'Terms of Service and Privacy' (28)
+    assert(foot.getLong(2) == 23L * 1000000L / 28L, foot.toString)
+  }
+
+  test("blockScores: an anchor torn across a block boundary counts " +
+      "only closed same-line spans; empty blocks drop") {
+    val html = "<p><a href=\"/x\">left<div>right</a> tail</div></p>"
+    val df = Seq((1L, html)).toDF("id", "h")
+      .withColumn("mt", Html.htmlTextMarked(col("h")))
+    val got = Html.blockScores(df, "id", col("mt"),
+        Text.StopwordSeeds("en"))
+      .select("block", "link_ppm").as[(String, Long)].collect().toMap
+    // 'left' has an unclosed mark → 0 link chars; 'right tail' has a
+    // closing mark with no opener on its line → 0 as well
+    assert(got("left") == 0L, got.toString)
+    assert(got("right tail") == 0L, got.toString)
+  }
 }
