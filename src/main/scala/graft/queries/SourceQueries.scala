@@ -997,6 +997,83 @@ object SourceQueries {
       graft.sources.Export.storeCard(s, dir, "text", Some("lang"))
     },
 
+    // ---- STORE PROFILE from persisted per-shard sketches (round-17
+    //      verdict item 6): KMV (distinct texts) and log-histogram
+    //      (text-length quantiles) sketches are published per shard
+    //      next to the jsonl store's manifest, then the profile is
+    //      read by MERGING the sketches — no payload rescan; the
+    //      merge laws make the merged result EXACTLY the global
+    //      sketch, which is what lets the oracle recompute the
+    //      profile from documents relationally (manifest totals, the
+    //      k-minimum device, the cumulative bucket walk) without ever
+    //      seeing the shard split ----
+    sql(
+      "q_store_profile", {
+      import graft.ops.LogHist.{bucketSql, floorSql}
+      s"""WITH tot AS (
+         |  SELECT sum(octet_length(encode(text)))::BIGINT AS total
+         |  FROM documents),
+         |ns AS (
+         |  SELECT greatest(1, (total + 32767) // 32768)::BIGINT AS n
+         |  FROM tot),
+         |sdraw AS (
+         |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+         |    AS BIGINT) % (SELECT n FROM ns) AS shard
+         |  FROM documents),
+         |mans AS (SELECT count(DISTINCT shard)::BIGINT AS n_shards,
+         |         count(*)::BIGINT AS n_rows FROM sdraw),
+         |h AS (SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15)
+         |        AS BIGINT) AS hv FROM documents),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+         |kk AS (SELECT count(*)::BIGINT AS n_sketch,
+         |       max(hv)::BIGINT AS kth_hv FROM r WHERE rn <= 256),
+         |est AS (SELECT n_sketch, kth_hv,
+         |  round(CASE WHEN n_sketch < 256 THEN n_sketch::DOUBLE
+         |    ELSE 255.0 * power(2, 60) / kth_hv END, 6) AS est_distinct
+         |  FROM kk),
+         |lb AS (SELECT ${bucketSql("length(text)")} AS bucket,
+         |       count(*)::BIGINT AS n FROM documents GROUP BY 1),
+         |c AS (SELECT bucket, n,
+         |  sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         |    AS cum,
+         |  sum(n) OVER () AS total FROM lb),
+         |q AS (SELECT unnest([250000, 500000, 750000])::BIGINT
+         |        AS q_ppm),
+         |hit AS (SELECT q_ppm, min(bucket) AS b FROM c CROSS JOIN q
+         |  WHERE cum >= (total // 1000000) * q_ppm
+         |    + ((total % 1000000) * q_ppm + 999999) // 1000000
+         |  GROUP BY 1),
+         |qq AS (SELECT
+         |  max(CASE WHEN q_ppm = 250000
+         |    THEN (${floorSql("b")})::BIGINT END) AS p25,
+         |  max(CASE WHEN q_ppm = 500000
+         |    THEN (${floorSql("b")})::BIGINT END) AS p50,
+         |  max(CASE WHEN q_ppm = 750000
+         |    THEN (${floorSql("b")})::BIGINT END) AS p75
+         |  FROM hit)
+         |SELECT mans.n_shards, mans.n_rows, est.n_sketch, est.kth_hv,
+         |  est.est_distinct, qq.p25, qq.p50, qq.p75
+         |FROM mans, est, qq""".stripMargin
+    }) { (s, d) =>
+      val dir = s"$sinkScratch/graft_export_jsonl"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportJsonlShards(docs, dir,
+          targetBytes = 32768L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+      }
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/profile_kmv").isEmpty) {
+        graft.sources.Export.publishShardProfile(s, dir,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING"),
+          key = col("text"), v = length(col("text")).cast("long"))
+      }
+      graft.sources.Export.readStoreProfile(s, dir)
+    },
+
     // ---- DECONTAMINATE-AT-EXPORT: the benchmark 5-gram screen runs
     //      where the corpus leaves the pipeline — docs >= 450 are the
     //      "eval set", the gated jsonl export publishes only training

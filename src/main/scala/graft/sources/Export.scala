@@ -1334,4 +1334,72 @@ object Export {
         p.getName.startsWith("d_")) && !referenced.contains(p.getName))
       .foreach(p => fs.delete(p, true))
   }
+
+  // ===== store profile: per-shard mergeable sketches (round 17) ====
+
+  /** Persist per-shard PROFILE SKETCHES next to a store's manifest:
+    * a KMV distinct sketch of `key` (k minimum 60-bit hashes per
+    * shard) and a log-bucketed histogram of `v` (bucket counts per
+    * shard), published atomically under `dir/profile_kmv` /
+    * `dir/profile_loghist` ([[Versioned]], rollback-able like the
+    * manifest itself). Built in ONE pass over the store's shards;
+    * state is O(shards · k) + O(shards · 1024) rows — KB-sized for a
+    * 100 TB store.
+    *
+    * Why per shard and not one global sketch: both sketches obey an
+    * exact merge law (the union of per-shard k-minima contains every
+    * global k-minimum, so re-taking k minima of the union IS the
+    * global KMV sketch; log-bucket counts add), so readers can
+    * profile any SUBSET of shards — one shard after a partial
+    * delivery, the shards an epoch slice touches, or the whole store
+    * ([[readStoreProfile]]) — without ever rescanning payload bytes.
+    * An incremental re-export appends its generation's shard rows and
+    * the merge law absorbs them. */
+  def publishShardProfile(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: Column, v: Column, k: Int = 256): Unit = {
+    require(k >= 2, "k must be >= 2")
+    val rows = readShards(spark, dir, Some(schema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hv"))
+    val kmv = rows
+      .select(col("shard"), graft.ops.Kmv.hash60(key).as("hv"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+    Versioned.publish(kmv, s"$dir/profile_kmv")
+    Versioned.publish(
+      graft.ops.LogHist.sketch(rows, Seq("shard"), v),
+      s"$dir/profile_loghist"): Unit
+  }
+
+  /** The store's profile WITHOUT a shard rescan: merge the persisted
+    * per-shard sketches (exact by the merge laws above) and join the
+    * manifest totals. One row: (n_shards, n_rows, n_sketch, kth_hv,
+    * est_distinct, p25, p50, p75) — the distinct-key estimate and the
+    * `v` quantiles on the log-bucket grid. The one-row frames compose
+    * with broadcast crossJoins (dim-sized carriers, the store-card
+    * device). */
+  def readStoreProfile(spark: SparkSession, dir: String,
+      k: Int = 256,
+      qPpm: Seq[Long] = Seq(250000L, 500000L, 750000L)): DataFrame = {
+    val totals = readShardManifest(spark, dir)
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        sum(col("n_rows")).as("n_rows"))
+    val kmvMerged = Versioned.readCurrent(spark, s"$dir/profile_kmv")
+      .select("hv").distinct().orderBy("hv").limit(k)
+    val est = graft.ops.Kmv.estimateFromSketch(kmvMerged, k)
+    val qs = graft.ops.LogHist.quantiles(
+      graft.ops.LogHist.merge(
+        Versioned.readCurrent(spark, s"$dir/profile_loghist")
+          .drop("shard"),
+        Seq.empty),
+      Seq.empty, qPpm)
+    val pivoted = qs.agg(
+      max(when(col("q_ppm") === qPpm.head, col("est")))
+        .as(s"p${qPpm.head / 10000}"),
+      qPpm.tail.map(q =>
+        max(when(col("q_ppm") === q, col("est"))).as(s"p${q / 10000}")): _*)
+    totals.crossJoin(broadcast(est)).crossJoin(broadcast(pivoted))
+  }
 }

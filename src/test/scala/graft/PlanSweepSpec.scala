@@ -18,6 +18,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_join_cross" -> "the operator under test: broadcast dimension universe",
     "q_store_card" -> ("one-row card × one-row modal-language frame, " +
       "broadcast by construction (storeCard's dim-sized argmax)"),
+    "q_store_profile" -> ("one-row manifest totals × one-row KMV " +
+      "estimate × one-row quantile pivot — merged-sketch carriers, " +
+      "KB-sized whatever the store size"),
     "q_summary_lattice" -> "universe = groups x broadcast(categories), both dimension-sized",
     "q_study_summary" -> "same lattice universe construction per matrix",
     "q_study_index" -> "embeds the study summary lattice",

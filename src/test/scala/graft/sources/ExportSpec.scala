@@ -1065,4 +1065,40 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       .as[(Long, Int)].collect().toMap
     assert(got == want, "shard membership diverged from the md5 draw")
   }
+
+  test("store profile: per-shard sketches merge to EXACTLY the global " +
+      "sketch (KMV k-min union re-min; bucket counts add) and the " +
+      "profile reads without a shard rescan") {
+    val dir = graft.core.Scratch.dir("export_profile")
+    val df = corpus(500)
+    export(df, dir)
+    Export.publishShardProfile(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"),
+      key = col("text"), v = length(col("text")).cast("long"), k = 64)
+    val prof = Export.readStoreProfile(spark, dir, k = 64).head()
+    // manifest totals
+    assert(prof.getAs[Long]("n_rows") == 500L)
+    // merge law: the merged KMV estimate equals the estimate of a
+    // DIRECT global sketch over the same corpus
+    val direct = graft.ops.Kmv
+      .distinctEstimate(df, col("text"), k = 64).head()
+    assert(prof.getAs[Long]("n_sketch") == direct.getAs[Long]("n_sketch"))
+    assert(prof.getAs[Long]("kth_hv") == direct.getAs[Long]("kth_hv"))
+    assert(prof.getAs[Double]("est_distinct") ==
+      direct.getAs[Double]("est_distinct"))
+    // merge law: merged bucket quantiles equal a direct global sketch
+    val lhDirect = graft.ops.LogHist.quantiles(
+      graft.ops.LogHist.sketch(df, Seq.empty,
+        length(col("text")).cast("long")),
+      Seq.empty, Seq(250000L, 500000L, 750000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof.getAs[Long]("p25") == lhDirect(250000L))
+    assert(prof.getAs[Long]("p50") == lhDirect(500000L))
+    assert(prof.getAs[Long]("p75") == lhDirect(750000L))
+    // the profile state is KB-sized: <= shards*k KMV rows
+    val nShards = Export.readShardManifest(spark, dir).count()
+    val kmvRows = Versioned.readCurrent(spark, s"$dir/profile_kmv").count()
+    assert(kmvRows <= nShards * 64)
+  }
 }
