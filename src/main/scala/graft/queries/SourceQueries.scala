@@ -1074,6 +1074,63 @@ object SourceQueries {
       graft.sources.Export.readStoreProfile(s, dir)
     },
 
+    // ---- STORE COMPACTION (round 17): an incremental store that
+    //      grew through three generations (initial incremental
+    //      export, a delta adding the odd docs, a takedown) is
+    //      compacted back to ONE plain generation — shard membership
+    //      and every per-shard (rows, bytes, checksum) triple must
+    //      survive byte-for-byte, and the read-back re-derives them
+    //      from the compacted files. The oracle replays the FINAL
+    //      content relationally; ExportSpec pins the generation-count
+    //      and plain-format invariants ----
+    sql(
+      "q_store_compact",
+      """WITH s AS (
+        |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+        |        AS BIGINT) % 8 AS shard,
+        |    octet_length(encode(text))::BIGINT AS b,
+        |    CAST('0x' || substr(md5(coalesce(doc_id::VARCHAR, chr(2))
+        |        || chr(1) || coalesce(text, chr(2))),
+        |        1, 8) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 41 <> 0)
+        |SELECT shard::INT AS shard, count(*)::BIGINT AS n_rows,
+        |  sum(b)::BIGINT AS bytes, sum(c)::BIGINT AS checksum,
+        |  count(*)::BIGINT AS rb_n_rows, sum(b)::BIGINT AS rb_bytes,
+        |  sum(c)::BIGINT AS rb_checksum
+        |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$sinkScratch/graft_store_compact"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 2 === 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.exportShardsIncremental(docs, dir,
+          nShards = 8, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        val takedown = docs.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id").cast("string"))
+          .collect().map(_.getString(0)).toSeq
+        graft.sources.Export.retractShards(s, dir, "doc_id", takedown,
+          octet_length(col("text")), Seq("doc_id", "text")): Unit
+        graft.sources.Export.compactStore(s, dir, ddl,
+          octet_length(col("text")), Seq("doc_id", "text")): Unit
+      }
+      val manifest = graft.sources.Export.readShardManifest(s, dir)
+        .select(col("shard"), col("n_rows"), col("bytes"),
+          col("checksum"))
+      val rb = graft.sources.Export.shardAggregates(
+          graft.sources.Export.readShards(s, dir, Some(ddl)),
+          octet_length(col("text")), Seq("doc_id", "text"))
+        .withColumnsRenamed(Map("n_rows" -> "rb_n_rows",
+          "bytes" -> "rb_bytes", "checksum" -> "rb_checksum"))
+      manifest.join(rb, Seq("shard"))
+    },
+
     // ---- DECONTAMINATE-AT-EXPORT: the benchmark 5-gram screen runs
     //      where the corpus leaves the pipeline — docs >= 450 are the
     //      "eval set", the gated jsonl export publishes only training

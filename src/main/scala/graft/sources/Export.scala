@@ -1335,6 +1335,90 @@ object Export {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** COMPACT a store back to ONE generation — the generation-sprawl /
+    * small-file reclaim for incremental stores: repeated
+    * [[exportShardsIncremental]] / [[retractShards]] publishes leave
+    * a manifest whose shard files span many delta dirs, and every
+    * read group-reads per generation and unions — at 100 TB with
+    * daily deltas that is hundreds of generations of listing overhead
+    * and schema-evolution unions per scan. Compaction rewrites the
+    * CURRENT content into one fresh content-addressed generation with
+    * the SAME shard membership (nShards unchanged, rows untouched, so
+    * each shard's (n_rows, bytes, checksum) triple must equal the
+    * promoted manifest's — asserted, a read-back disagreement means a
+    * torn store and fails loudly) and publishes a PLAIN-format
+    * manifest: the store exits the `_inc` state, plain readers stream
+    * one directory, and future incremental exports continue from it.
+    * A full rewrite by definition — one pass of cost, every later
+    * read the win; schedule it when the generation count hurts.
+    *
+    * No corpus pin is needed (unlike the full exporters): the inputs
+    * are the store's own content-addressed IMMUTABLE shard files, so
+    * the stats pass and the write pass read identical bytes by
+    * construction. Already-compact store (plain format): no-op,
+    * returns the promoted version, publishes nothing. Crash-safe like
+    * every publish — the new generation is invisible until the
+    * manifest pointer flips; the reference-counting sweep reclaims
+    * the delta dirs once no retained version points into them. */
+  def compactStore(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sizeOf: Column, checksumCols: Seq[String],
+      keep: Int = 3): ShardedExport = {
+    val m = readShardManifest(spark, dir)
+    requireScheme(m, dir, "compactStore")
+    val head = m.select(col("n_shards"), col("format"),
+      col("target_bytes")).head()
+    val nShards = head.getInt(0)
+    val fmt = head.getString(1)
+    require(Set("parquet", "parquet_inc", "json", "json_inc")(fmt),
+      s"compactStore compacts parquet and jsonl stores, found $fmt")
+    val base = if (fmt.startsWith("json")) "json" else "parquet"
+    if (!fmt.endsWith("_inc")) {
+      val v = Versioned.currentVersion(spark, manifestRoot(dir)).get
+      return ShardedExport(v, nShards,
+        m.agg(coalesce(sum(col("n_rows")), lit(0L)).cast("long"))
+          .head().getLong(0),
+        m.select(col("data_dir")).head().getString(0))
+    }
+    val rows = readShards(spark, dir, Some(schema))
+    val stats = shardAggregates(rows, sizeOf, checksumCols)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val prior = m.select(col("shard"), col("n_rows"), col("bytes"),
+        col("checksum")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    require(stats == prior,
+      s"compactStore: read-back disagrees with the promoted manifest " +
+        s"at $dir (${stats.size} vs ${prior.size} shards) — torn store?")
+    val totalRows = stats.valuesIterator.map(_._1).sum
+    val totalChecksum = stats.valuesIterator.map(_._3).sum
+    val dataDir = s"${shardsRoot(dir)}/c_${java.lang.Long.toHexString(
+      totalChecksum)}_${totalRows}_$base"
+    val writer = rows.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+    if (base == "json") writer.option("compression", "gzip").json(dataDir)
+    else writer.parquet(dataDir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listShardFiles(fs, dataDir)
+    require(files.keySet == stats.keySet,
+      s"compaction wrote ${files.size} shard files for " +
+        s"${stats.size} shards")
+    import spark.implicits._
+    val manifest = stats.toSeq.sortBy(_._1).map {
+      case (k, (n, b, c)) =>
+        val (path, fb) = files(k)
+        (k, path, fb, n, b, c, dataDir, nShards, head.getLong(2), base,
+          ChecksumScheme)
+    }.toDF("shard", "path", "file_bytes", "n_rows", "bytes", "checksum",
+      "data_dir", "n_shards", "target_bytes", "format", "checksum_scheme")
+    val v = Versioned.publish(manifest, manifestRoot(dir), keep = keep)
+    sweepUnreferenced(spark, dir)
+    ShardedExport(v, nShards, totalRows, dataDir)
+  }
+
   // ===== store profile: per-shard mergeable sketches (round 17) ====
 
   /** Persist per-shard PROFILE SKETCHES next to a store's manifest:

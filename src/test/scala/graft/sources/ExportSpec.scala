@@ -1101,4 +1101,53 @@ class ExportSpec extends AnyFunSuite with WithSpark {
     val kmvRows = Versioned.readCurrent(spark, s"$dir/profile_kmv").count()
     assert(kmvRows <= nShards * 64)
   }
+
+  test("compactStore: a three-generation incremental store collapses " +
+      "to ONE plain generation with identical per-shard triples; " +
+      "plain stores are a publish-free no-op; future increments " +
+      "continue from the compacted base") {
+    val dir = graft.core.Scratch.dir("export_compact")
+    val a = corpus(300)
+    Export.exportShardsIncremental(
+      a.filter(col("doc_id") % 2 === 0), dir, nShards = 4,
+      id = col("doc_id"), sizeOf = octet_length(col("text")),
+      checksumCols = Seq("doc_id", "text"))
+    Export.exportShardsIncremental(a, dir, nShards = 4,
+      id = col("doc_id"), sizeOf = octet_length(col("text")),
+      checksumCols = Seq("doc_id", "text"))
+    Export.retractShards(spark, dir, "doc_id", Seq("7", "13"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    def manifestTriples() = Export.readShardManifest(spark, dir)
+      .select("shard", "n_rows", "bytes", "checksum")
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def generations() = Export.readShardManifest(spark, dir)
+      .select("path").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+        .getParent.getParent.toString).distinct.length
+    val before = manifestTriples()
+    assert(generations() >= 2, "fixture must actually span generations")
+    assert(Export.readShardManifest(spark, dir)
+      .select("format").head().getString(0) == "parquet_inc")
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val compacted = Export.compactStore(spark, dir, ddl,
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(manifestTriples() == before,
+      "compaction must move files, never rows")
+    assert(generations() == 1)
+    assert(Export.readShardManifest(spark, dir)
+      .select("format").head().getString(0) == "parquet")
+    assert(Export.readShards(spark, dir, Some(ddl)).count() == 298L)
+    // idempotent: a second compaction publishes nothing
+    val again = Export.compactStore(spark, dir, ddl,
+      octet_length(col("text")), Seq("doc_id", "text"))
+    assert(again.version == compacted.version)
+    // increments continue from the compacted base
+    Export.exportShardsIncremental(a.filter(col("doc_id") =!= 7),
+      dir, nShards = 4, id = col("doc_id"),
+      sizeOf = octet_length(col("text")),
+      checksumCols = Seq("doc_id", "text"))
+    assert(Export.readShards(spark, dir, Some(ddl)).count() == 299L)
+  }
 }
