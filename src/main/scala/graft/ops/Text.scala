@@ -185,6 +185,60 @@ object Text {
       .otherwise(best.getField("lang"))
   }
 
+  // ---- writing-system (script) detection ----
+
+  /** Unicode-script character classes as explicit BMP code-point
+    * ranges — the Java-regex ∩ RE2 `\x{…}` form, shared VERBATIM by
+    * both engines (script properties like `\p{Cyrillic}` differ in
+    * coverage across regex engines; fixed ranges cannot drift).
+    * Complements the stopword [[langId]]: stopword seeds cannot
+    * separate languages they have no seeds for, but a script
+    * histogram flags Cyrillic/CJK/Greek/Arabic/Devanagari content in
+    * ANY language of that script — the multilingual-curation routing
+    * signal. Supplementary-plane characters (CJK extension B+,
+    * emoji) are outside every class by design: Spark counts UTF-16
+    * units and DuckDB counts codepoints, so only BMP-range classes
+    * are engine-portable. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]")
+
+  /** Per-script character counts: (name, count) per [[ScriptClasses]]
+    * entry — length minus the length with that class deleted, one
+    * codegen'd scalar per script. */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptClasses.map { case (n, p) =>
+      n -> (length(text) - length(regexp_replace(text, p, "")))
+        .cast(LongType)
+    }
+
+  /** The DuckDB replay of one [[scriptCounts]] entry. */
+  def scriptCountSql(name: String, expr: String): String = {
+    val p = ScriptClasses.toMap.apply(name)
+    s"(length($expr) - length(regexp_replace($expr, '$p', '', 'g')))" +
+      "::BIGINT"
+  }
+
+  /** Dominant-script CASE over count columns named `n_<script>` —
+    * ONE generated SQL expression evaluated by BOTH engines (Spark
+    * via `expr`, DuckDB verbatim), so the argmax and its tie-break
+    * (earliest in [[ScriptClasses]] wins; all-zero → 'und') cannot
+    * drift. */
+  def dominantScriptSql: String = {
+    val names = ScriptClasses.map(_._1)
+    val whens = names.zipWithIndex.map { case (n, i) =>
+      val later = names.drop(i + 1)
+      val conds = (s"n_$n > 0" +: later.map(m => s"n_$n >= n_$m"))
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$n'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
   // ---- quality scoring ----
 
   /** Heuristic quality features (public Gopher/C4-style rule family):

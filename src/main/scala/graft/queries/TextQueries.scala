@@ -117,6 +117,12 @@ object TextQueries {
     * documents prose; jusText's 300k assumes a full stopword list). */
   private[queries] val BlockStopPpm = 20000L
 
+  /** q_script_mix planted snippets — no single quotes, SQL-spliceable
+    * verbatim. */
+  private val CyrillicSnippet = "Привет мир литература"
+  private val CjkSnippet = "中文文本处理与清洗流程"
+  private val GreekSnippet = "αλφάβητο ελληνικά κείμενο"
+
   /** BPE merges learned once per JVM per sf dir — train-time artifact
     * by contract (the ANN-index amortization convention): Bench's
     * warm() populates it so `build_s` owns the learning cost and the
@@ -241,6 +247,53 @@ object TextQueries {
          |FROM h""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+    },
+
+    // ---- writing-system histogram + dominant script (round 17):
+    //      where stopword langId cannot reach — Cyrillic/CJK/Greek
+    //      content in languages with no seed list — the script
+    //      histogram routes it. Planted fixture: mode 0 original
+    //      (latin), mode 1 original + a Cyrillic appendix (mixed,
+    //      latin-dominant but n_cyrillic > 0), mode 2 pure CJK,
+    //      mode 3 pure Greek. Counts AND the argmax CASE are ONE
+    //      generated expression evaluated by both engines ----
+    sql(
+      "q_script_mix", {
+      val countsSql = Text.ScriptClasses.map(_._1).map(n =>
+        s"${Text.scriptCountSql(n, "t")} AS n_$n")
+        .mkString(",\n         |    ")
+      s"""WITH p AS (
+         |  SELECT doc_id, CASE (doc_id // 7) % 4
+         |    WHEN 1 THEN text || ' $CyrillicSnippet'
+         |    WHEN 2 THEN '$CjkSnippet'
+         |    WHEN 3 THEN '$GreekSnippet'
+         |    ELSE text END AS t
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |c AS (
+         |  SELECT doc_id,
+         |    $countsSql
+         |  FROM p)
+         |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+         |  n_devanagari, n_cjk, ${Text.dominantScriptSql} AS script
+         |FROM c""".stripMargin
+    }) { (s, d) =>
+      val mode = expr("(doc_id div 7) % 4")
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          when(mode === 1, concat(col("text"),
+            lit(s" $CyrillicSnippet")))
+            .when(mode === 2, lit(CjkSnippet))
+            .when(mode === 3, lit(GreekSnippet))
+            .otherwise(col("text")).as("t"))
+      val withCounts = Text.scriptCounts(col("t")).foldLeft(planted) {
+        case (df, (n, c)) => df.withColumn(s"n_$n", c)
+      }
+      withCounts
+        .withColumn("script", expr(Text.dominantScriptSql))
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_greek"), col("n_arabic"), col("n_devanagari"),
+          col("n_cjk"), col("script"))
     },
 
     // ---- Cohen's kappa between the gold lang label and the langId
