@@ -1004,6 +1004,43 @@ object Text {
       regexp_extract(urlHost(url), "^([^:]*)", 1),
       "([^.]+\\.[^.]+)$", 1)
 
+  // ---- robots-style URL rule filtering ----
+
+  /** robots.txt-style allow/disallow over URL paths (RFC 9309 path-
+    * matching core): `rules` are (pathPrefix, allow) pairs for one
+    * user-agent group; the LONGEST matching prefix wins and an
+    * equal-length allow/disallow tie resolves to ALLOW (the RFC
+    * rule); no matching rule → allowed (the crawl default). Encoded
+    * as ONE generated SQL expression both engines evaluate (Spark via
+    * `expr`, DuckDB verbatim): each rule contributes the constant
+    * score `2·len(prefix) + allowBit` when its `substr` prefix test
+    * matches, −1 otherwise; `greatest` picks the winner and the
+    * parity decodes the verdict. Wildcards (`*`, `$`) are out of
+    * scope by design — the RFC makes them optional and a
+    * longest-match prefix engine covers the overwhelming majority of
+    * real rule sets; a rule set needing them should be compiled to
+    * regexes upstream. Scale shape: per-row constant-folded scalar
+    * chain, map-side, no state.
+    *
+    * Compose with [[canonicalUrl]]'s path component: robots matching
+    * is on the raw path+query as served, case-sensitive, BEFORE
+    * canonicalization. */
+  def robotsScoreSql(pathExpr: String,
+      rules: Seq[(String, Boolean)]): String = {
+    require(rules.nonEmpty, "robots rule set must be non-empty")
+    val cases = rules.map { case (p, allow) =>
+      val lit = p.replace("'", "''")
+      s"CASE WHEN substr($pathExpr, 1, ${p.length}) = '$lit' " +
+        s"THEN ${2L * p.length + (if (allow) 1 else 0)} ELSE -1 END"
+    }
+    s"greatest(${(cases :+ "-1").mkString(", ")})"
+  }
+
+  /** The allow verdict over [[robotsScoreSql]]'s score column name —
+    * no match (−1) or an odd (allow-bit) winner ⇒ allowed. */
+  def robotsAllowedSql(scoreCol: String): String =
+    s"($scoreCol = -1 OR $scoreCol % 2 = 1)"
+
   /** The hashing trick (Weinberger et al., ICML'09) — fixed-width
     * sparse feature vectors from unbounded vocabularies, the feature
     * prep for any linear/logistic stage ([[graft.queries]]'

@@ -123,6 +123,16 @@ object TextQueries {
   private val CjkSnippet = "中文文本处理与清洗流程"
   private val GreekSnippet = "αλφάβητο ελληνικά κείμενο"
 
+  /** q_robots_filter rule set: a disallow subtree with a deeper allow
+    * carve-out, an equal-length allow/disallow pair ('/tmp/' both
+    * ways — allow must win by the RFC tie rule), and a root allow. */
+  private val RobotsRules: Seq[(String, Boolean)] = Seq(
+    "/private/" -> false,
+    "/private/pub/" -> true,
+    "/tmp/" -> false,
+    "/tmp/" -> true,
+    "/" -> true)
+
   /** BPE merges learned once per JVM per sf dir — train-time artifact
     * by contract (the ANN-index amortization convention): Bench's
     * warm() populates it so `build_s` owns the learning cost and the
@@ -1228,6 +1238,48 @@ object TextQueries {
     //      tracking params, shuffled query, trailing slashes,
     //      fragment, one malformed class): the full normalization
     //      pipeline replays on DuckDB's RE2 + list ops ----
+    // ---- robots.txt-style URL rule filter (round 17): RFC 9309
+    //      longest-prefix matching with the allow-wins tie rule —
+    //      the crawl-frontier gate before fetch. The rule set plants
+    //      every interesting case: a disallow subtree with an allow
+    //      carve-out one level deeper (longer prefix wins), an
+    //      equal-length allow/disallow pair (allow wins by parity),
+    //      and unmatched paths (allowed by default). ONE generated
+    //      score expression evaluated by both engines ----
+    sql(
+      "q_robots_filter", {
+      val score = Text.robotsScoreSql("path", RobotsRules)
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE (doc_id // 3) % 5
+         |      WHEN 0 THEN '/private/doc/' || doc_id
+         |      WHEN 1 THEN '/private/pub/doc/' || doc_id
+         |      WHEN 2 THEN '/tmp/' || doc_id
+         |      WHEN 3 THEN '/docs/' || doc_id
+         |      ELSE '/mixed' END AS path
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sc AS (SELECT doc_id, path, ($score)::BIGINT AS score FROM u)
+         |SELECT doc_id, path, score,
+         |  ${Text.robotsAllowedSql("score")} AS allowed
+         |FROM sc""".stripMargin
+    }) { (s, d) =>
+      val mode = expr("(doc_id div 3) % 5")
+      val path = when(mode === 0,
+          concat(lit("/private/doc/"), col("doc_id").cast("string")))
+        .when(mode === 1,
+          concat(lit("/private/pub/doc/"), col("doc_id").cast("string")))
+        .when(mode === 2,
+          concat(lit("/tmp/"), col("doc_id").cast("string")))
+        .when(mode === 3,
+          concat(lit("/docs/"), col("doc_id").cast("string")))
+        .otherwise(lit("/mixed"))
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), path.as("path"))
+        .withColumn("score",
+          expr(Text.robotsScoreSql("path", RobotsRules)).cast("long"))
+        .withColumn("allowed", expr(Text.robotsAllowedSql("score")))
+    },
+
     sql(
       "q_canonical_url",
       """WITH u AS (
