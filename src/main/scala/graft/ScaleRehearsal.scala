@@ -1539,6 +1539,145 @@ object ScaleRehearsal {
         dtSecs(docs10, "distinct_terms 10x") / dtSecs(docs1, "distinct_terms 1x")
     }
 
+    // ===== wave17: crawl decode, block scoring, store profile,
+    // compaction =====
+
+    // executor-side WARC container writer (scaffolding, untimed):
+    // one .warc file per partition, each doc a gzip Content-Encoding
+    // response record — the expensive decode path
+    def writeWarcContainers(df: DataFrame, dir: String,
+        nFiles: Int): Unit = {
+      new java.io.File(dir).mkdirs()
+      df.select(col("doc_id"), col("text")).repartition(nFiles)
+        .foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(s"$dir/part$pid.warc"), 1 << 16)
+            try it.foreach { r =>
+              val html = "<html><body><p>" + r.getString(1) +
+                "</p></body></html>"
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(html.getBytes("UTF-8")); g.close()
+              val z = bos.toByteArray
+              val http = ("HTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/html; charset=utf-8\r\n" +
+                "Content-Encoding: gzip\r\n" +
+                s"Content-Length: ${z.length}\r\n\r\n")
+                .getBytes("ISO-8859-1") ++ z
+              out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: http://x/doc/${r.getLong(0)}\r\n" +
+                s"Content-Length: ${http.length}\r\n\r\n")
+                .getBytes("UTF-8"))
+              out.write(http)
+              out.write("\r\n\r\n".getBytes("UTF-8"))
+            } finally out.close()
+          }
+        }
+    }
+
+    // ---- q_warc_response_decode: container count x10, per-container
+    // size constant — per-file streaming parallelism is the scale
+    // grain, so wall growth should sit well under 10 on 32 cores ----
+    if (on("warc_decode")) {
+      val base = graft.core.Scratch.dir("rehearsal_warc")
+      writeWarcContainers(tdocs1, s"$base/w1", 4)
+      writeWarcContainers(tdocs10, s"$base/w10", 40)
+      val a = timed("warc_decode 1x") {
+        graft.sources.Warc.responseDecoded(spark, s"$base/w1").count()
+      }
+      val b = timed("warc_decode 10x") {
+        graft.sources.Warc.responseDecoded(spark, s"$base/w10").count()
+      }
+      growth("warc_decode (containers x10)") = b / a
+    }
+
+    // ---- q_html_blocks: map-only scalar chain — growth must be
+    // ~linear or below (no shuffle anywhere) ----
+    if (on("html_blocks")) {
+      def blocksSecs(docs: DataFrame, label: String): Double =
+        timed(label) {
+          val pages = docs.select(col("doc_id"), concat(
+            lit("<nav><a href=\"/\">Home</a></nav><p>"), col("text"),
+            lit("</p><footer><a href=\"/t\">Terms</a></footer>"))
+            .as("html"))
+          graft.ops.Html.blockScores(
+            pages.withColumn("mt",
+              graft.ops.Html.htmlTextMarked(col("html"))),
+            "doc_id", col("mt"), graft.ops.Text.StopwordSeeds("en"),
+            minStopPpm = 20000L).count()
+        }
+      growth("html_blocks (docs x10)") =
+        blocksSecs(tdocs10, "html_blocks 10x") /
+          blocksSecs(tdocs1, "html_blocks 1x")
+    }
+
+    // ---- q_store_profile: the profile read is O(shards·k) state —
+    // growth vs store size should be FLAT-ish, and the merged-sketch
+    // read must beat the full-rescan recompute at 10x ----
+    if (on("store_profile")) {
+      val base = graft.core.Scratch.dir("rehearsal_profile")
+      val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def build(df: DataFrame, dir: String): Unit = {
+        graft.sources.Export.exportJsonlShards(df, dir,
+          targetBytes = 65536L, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"))
+        graft.sources.Export.publishShardProfile(spark, dir, ddl,
+          key = col("text"), v = length(col("text")).cast("long"))
+      }
+      build(tdocs1.select("doc_id", "text"), s"$base/p1")
+      build(tdocs10.select("doc_id", "text"), s"$base/p10")
+      val a = timed("profile_read 1x") {
+        graft.sources.Export.readStoreProfile(spark, s"$base/p1").count()
+      }
+      val b = timed("profile_read 10x") {
+        graft.sources.Export.readStoreProfile(spark, s"$base/p10").count()
+      }
+      val rescan = timed("profile_rescan 10x") {
+        val rows = graft.sources.Export.readShards(spark, s"$base/p10",
+          Some(ddl))
+        val kmv = graft.ops.Kmv.distinctEstimate(rows, col("text"), 256)
+        val qs = graft.ops.LogHist.quantiles(
+          graft.ops.LogHist.sketch(rows, Seq.empty,
+            length(col("text")).cast("long")),
+          Seq.empty, Seq(250000L, 500000L, 750000L))
+        kmv.count() + qs.count()
+      }
+      growth("profile_read (store x10)") = b / a
+      growth("profile_vs_rescan@10x") = b / rescan
+    }
+
+    // ---- compactStore: a 6-generation store's read before vs after
+    // compaction (the win), plus the one-off compaction cost ----
+    if (on("store_compact")) {
+      val dir = graft.core.Scratch.dir("rehearsal_compact")
+      val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      val docs = tdocs10.select("doc_id", "text").localCheckpoint()
+      (1 to 6).foreach { g =>
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 6 < g), dir, nShards = 64,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text"), keep = 8)
+      }
+      val before = timed("inc_read 6gen") {
+        graft.sources.Export.readShards(spark, dir, Some(ddl)).count()
+      }
+      timed("compactStore") {
+        graft.sources.Export.compactStore(spark, dir, ddl,
+          octet_length(col("text")), Seq("doc_id", "text"), keep = 8)
+          .rows
+      }
+      val after = timed("inc_read compacted") {
+        graft.sources.Export.readShards(spark, dir, Some(ddl)).count()
+      }
+      growth("compact_read_win") = after / before
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
