@@ -1074,6 +1074,79 @@ object SourceQueries {
       graft.sources.Export.readStoreProfile(s, dir)
     },
 
+    // ---- O(changed) PROFILE MAINTENANCE (round 17): the profile is
+    //      published against the half-corpus store, the other half
+    //      arrives as an incremental delta, and refreshShardProfile
+    //      re-sketches ONLY the repointed shards (manifest-checksum
+    //      diff — the incremental exporter's own device). The read
+    //      view must equal a from-scratch profile of the FINAL
+    //      corpus, which is exactly what the oracle recomputes; a
+    //      stale sketch row or a missed changed shard
+    //      hash-mismatches ----
+    sql(
+      "q_profile_refresh", {
+      import graft.ops.LogHist.{bucketSql, floorSql}
+      s"""WITH sdraw AS (
+         |  SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+         |    AS BIGINT) % 8 AS shard
+         |  FROM documents),
+         |mans AS (SELECT count(DISTINCT shard)::BIGINT AS n_shards,
+         |         count(*)::BIGINT AS n_rows FROM sdraw),
+         |h AS (SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15)
+         |        AS BIGINT) AS hv FROM documents),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+         |kk AS (SELECT count(*)::BIGINT AS n_sketch,
+         |       max(hv)::BIGINT AS kth_hv FROM r WHERE rn <= 256),
+         |est AS (SELECT n_sketch, kth_hv,
+         |  round(CASE WHEN n_sketch < 256 THEN n_sketch::DOUBLE
+         |    ELSE 255.0 * power(2, 60) / kth_hv END, 6) AS est_distinct
+         |  FROM kk),
+         |lb AS (SELECT ${bucketSql("length(text)")} AS bucket,
+         |       count(*)::BIGINT AS n FROM documents GROUP BY 1),
+         |c AS (SELECT bucket, n,
+         |  sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         |    AS cum,
+         |  sum(n) OVER () AS total FROM lb),
+         |q AS (SELECT unnest([250000, 500000, 750000])::BIGINT
+         |        AS q_ppm),
+         |hit AS (SELECT q_ppm, min(bucket) AS b FROM c CROSS JOIN q
+         |  WHERE cum >= (total // 1000000) * q_ppm
+         |    + ((total % 1000000) * q_ppm + 999999) // 1000000
+         |  GROUP BY 1),
+         |qq AS (SELECT
+         |  max(CASE WHEN q_ppm = 250000
+         |    THEN (${floorSql("b")})::BIGINT END) AS p25,
+         |  max(CASE WHEN q_ppm = 500000
+         |    THEN (${floorSql("b")})::BIGINT END) AS p50,
+         |  max(CASE WHEN q_ppm = 750000
+         |    THEN (${floorSql("b")})::BIGINT END) AS p75
+         |  FROM hit)
+         |SELECT mans.n_shards, mans.n_rows, est.n_sketch, est.kth_hv,
+         |  est.est_distinct, qq.p25, qq.p50, qq.p75
+         |FROM mans, est, qq""".stripMargin
+    }) { (s, d) =>
+      val dir = s"$sinkScratch/graft_profile_refresh"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 2 === 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.publishShardProfile(s, dir, ddl,
+          key = col("text"), v = length(col("text")).cast("long"))
+        graft.sources.Export.exportShardsIncremental(docs, dir,
+          nShards = 8, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.refreshShardProfile(s, dir, ddl,
+          key = col("text"), v = length(col("text")).cast("long")): Unit
+      }
+      graft.sources.Export.readStoreProfile(s, dir)
+    },
+
     // ---- STORE COMPACTION (round 17): an incremental store that
     //      grew through three generations (initial incremental
     //      export, a delta adding the odd docs, a takedown) is

@@ -1444,17 +1444,100 @@ object Export {
       key: Column, v: Column, k: Int = 256): Unit = {
     require(k >= 2, "k must be >= 2")
     val rows = readShards(spark, dir, Some(schema))
+    Versioned.publish(
+      stampShardChecksums(spark, dir, shardKmv(rows, key, k)),
+      s"$dir/profile_kmv")
+    Versioned.publish(
+      stampShardChecksums(spark, dir,
+        graft.ops.LogHist.sketch(rows, Seq("shard"), v)),
+      s"$dir/profile_loghist"): Unit
+  }
+
+  /** Per-shard KMV sketch rows (shard, hv) over `key`. */
+  private def shardKmv(rows: DataFrame, key: Column, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("hv"))
-    val kmv = rows
-      .select(col("shard"), graft.ops.Kmv.hash60(key).as("hv"))
+    rows.select(col("shard"), graft.ops.Kmv.hash60(key).as("hv"))
       .distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
-    Versioned.publish(kmv, s"$dir/profile_kmv")
+  }
+
+  /** Stamp sketch rows with their shard's CURRENT manifest checksum —
+    * the change-detection key [[refreshShardProfile]] diffs against,
+    * exactly the device the incremental exporter uses. Broadcast
+    * join: the manifest is O(shards) metadata. */
+  private def stampShardChecksums(spark: SparkSession, dir: String,
+      sketch: DataFrame): DataFrame =
+    sketch.join(
+      broadcast(readShardManifest(spark, dir)
+        .select(col("shard"), col("checksum").as("shard_checksum"))),
+      Seq("shard"))
+
+  /** O(changed) PROFILE MAINTENANCE: after an incremental export or a
+    * takedown repointed some shards, re-sketch ONLY the shards whose
+    * manifest checksum moved (plus drop sketch rows of vanished
+    * shards) and republish — the payload read is the changed shards'
+    * files, never the store; the sketch tables themselves are
+    * O(shards·k) metadata and rewrite wholesale (they are the small
+    * thing; the corpus is the big thing). Returns the number of
+    * re-sketched shards; 0 = nothing moved, nothing published. */
+  def refreshShardProfile(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: Column, v: Column, k: Int = 256): Int = {
+    require(k >= 2, "k must be >= 2")
+    val current: Map[Int, Long] = readShardManifest(spark, dir)
+      .select(col("shard"), col("checksum")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val priorKmv = Versioned.readCurrent(spark, s"$dir/profile_kmv")
+    val recorded: Map[Int, Long] = priorKmv
+      .select(col("shard"), col("shard_checksum")).distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val changed = current.keySet
+      .filter(sh => !recorded.get(sh).contains(current(sh)))
+    val stale = recorded.keySet.filter(sh =>
+      !current.get(sh).contains(recorded(sh)))
+    if (changed.isEmpty && stale.isEmpty) return 0
+    val rows = readShardSubset(spark, dir, changed, schema)
+    def surviving(prior: DataFrame): DataFrame =
+      if (stale.isEmpty) prior
+      else prior.filter(!col("shard")
+        .isin(stale.toSeq.map(Integer.valueOf): _*))
+    val kmvNew = stampShardChecksums(spark, dir, shardKmv(rows, key, k))
     Versioned.publish(
-      graft.ops.LogHist.sketch(rows, Seq("shard"), v),
-      s"$dir/profile_loghist"): Unit
+      surviving(priorKmv).unionByName(kmvNew), s"$dir/profile_kmv")
+    val priorLh = Versioned.readCurrent(spark, s"$dir/profile_loghist")
+    val lhNew = stampShardChecksums(spark, dir,
+      graft.ops.LogHist.sketch(rows, Seq("shard"), v))
+    Versioned.publish(
+      surviving(priorLh).unionByName(lhNew), s"$dir/profile_loghist")
+    changed.size
+  }
+
+  /** Rows of ONLY the given shards — the manifest's paths for those
+    * shards, group-read per generation dir with basePath so the
+    * `shard` column survives (the prunedPartitionRead device). Empty
+    * selection → empty frame with the store's schema. */
+  def readShardSubset(spark: SparkSession, dir: String,
+      shards: Set[Int],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = readShardManifest(spark, dir)
+    val fmt = m.select(col("format")).head().getString(0)
+    require(Set("parquet", "parquet_inc", "json", "json_inc")(fmt),
+      s"readShardSubset reads parquet and jsonl stores, found $fmt")
+    if (shards.isEmpty)
+      return readShards(spark, dir, Some(schema)).filter(lit(false))
+    val paths = m
+      .filter(col("shard").isin(shards.toSeq.map(Integer.valueOf): _*))
+      .select(col("path")).collect().map(_.getString(0))
+    paths.groupBy(p => new org.apache.hadoop.fs.Path(p)
+        .getParent.getParent.toString)
+      .toSeq.map { case (base, files) =>
+        val rdr = spark.read.schema(schema).option("basePath", base)
+        if (fmt.startsWith("json")) rdr.json(files.toSeq: _*)
+        else rdr.parquet(files.toSeq: _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The store's profile WITHOUT a shard rescan: merge the persisted

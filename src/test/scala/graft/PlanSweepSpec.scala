@@ -21,6 +21,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_store_profile" -> ("one-row manifest totals × one-row KMV " +
       "estimate × one-row quantile pivot — merged-sketch carriers, " +
       "KB-sized whatever the store size"),
+    "q_profile_refresh" -> ("same one-row merged-sketch carriers as " +
+      "q_store_profile (the read view is shared)"),
     "q_summary_lattice" -> "universe = groups x broadcast(categories), both dimension-sized",
     "q_study_summary" -> "same lattice universe construction per matrix",
     "q_study_index" -> "embeds the study summary lattice",

@@ -1150,4 +1150,49 @@ class ExportSpec extends AnyFunSuite with WithSpark {
       checksumCols = Seq("doc_id", "text"))
     assert(Export.readShards(spark, dir, Some(ddl)).count() == 299L)
   }
+
+  test("refreshShardProfile: a takedown re-sketches ONLY its shards, " +
+      "the refreshed profile equals a from-scratch publish, and a " +
+      "no-change refresh publishes nothing") {
+    val dir = graft.core.Scratch.dir("export_profile_refresh")
+    val df = corpus(400)
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    Export.exportShardsIncremental(df, dir, nShards = 8,
+      id = col("doc_id"), sizeOf = octet_length(col("text")),
+      checksumCols = Seq("doc_id", "text"))
+    Export.publishShardProfile(spark, dir, ddl,
+      key = col("text"), v = length(col("text")).cast("long"), k = 32)
+    // takedown touches at most 2 shards
+    Export.retractShards(spark, dir, "doc_id", Seq("11", "23"),
+      octet_length(col("text")), Seq("doc_id", "text"))
+    val n = Export.refreshShardProfile(spark, dir, ddl,
+      key = col("text"), v = length(col("text")).cast("long"), k = 32)
+    assert(n >= 1 && n <= 2, s"takedown of 2 ids re-sketched $n shards")
+    def profile(d: String) = {
+      val kmv = Versioned.readCurrent(spark, s"$d/profile_kmv")
+        .select("shard", "hv").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      val lh = Versioned.readCurrent(spark, s"$d/profile_loghist")
+        .select("shard", "bucket", "n").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      (kmv, lh)
+    }
+    val refreshed = profile(dir)
+    // ground truth: a from-scratch publish over the post-takedown store
+    Export.publishShardProfile(spark, dir, ddl,
+      key = col("text"), v = length(col("text")).cast("long"), k = 32)
+    assert(profile(dir) == refreshed,
+      "incremental refresh must equal the full republish")
+    // read view still one row, and totals reflect the takedown
+    val prof = Export.readStoreProfile(spark, dir, k = 32).head()
+    assert(prof.getAs[Long]("n_rows") == 398L)
+    // no-op refresh: nothing moved, nothing published
+    val v0 = Versioned.currentVersion(spark, s"$dir/profile_kmv").get
+    assert(Export.refreshShardProfile(spark, dir, ddl,
+      key = col("text"), v = length(col("text")).cast("long"),
+      k = 32) == 0)
+    assert(Versioned.currentVersion(spark, s"$dir/profile_kmv")
+      .get == v0)
+  }
 }
