@@ -123,6 +123,89 @@ object TextQueries {
   private val CjkSnippet = "中文文本处理与清洗流程"
   private val GreekSnippet = "αλφάβητο ελληνικά κείμενο"
 
+  /** The q_canonical_url fixture URLs (4 modes incl. a non-URL), as
+    * a SQL relation over documents — shared by the frontier capstone. */
+  private[queries] val UrlFixtureSql: String =
+    """SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 7)
+      |        || '.COM:443/a/b//?utm_source=x&b=2&a=1&gclid=9#frag'
+      |      WHEN 1 THEN 'http://Host' || (doc_id % 7)
+      |        || '.org:80?z=1&a=2'
+      |      WHEN 2 THEN 'https://site.net/p/' || doc_id
+      |      ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents""".stripMargin
+
+  /** The p/n extraction-and-normalization chain of the canonical-URL
+    * oracle, over a CTE named `u` — a PLAIN literal (regex backslashes
+    * and `$` anchors intact). */
+  private val CanonicalChainSql: String = """
+      |p AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url,
+      |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+      |      1)) AS sch,
+      |    lower(regexp_extract(url,
+      |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+      |      2)) AS hp,
+      |    regexp_extract(url,
+      |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+      |      3) AS pa,
+      |    regexp_extract(url,
+      |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
+      |      4) AS qu
+      |  FROM u),
+      |n AS (
+      |  SELECT doc_id, url, sch,
+      |    CASE WHEN sch = 'http'
+      |        THEN regexp_replace(regexp_replace(hp, '^www\.', ''),
+      |          ':80$', '')
+      |      WHEN sch = 'https'
+      |        THEN regexp_replace(regexp_replace(hp, '^www\.', ''),
+      |          ':443$', '')
+      |      ELSE regexp_replace(hp, '^www\.', '') END AS host,
+      |    CASE WHEN regexp_replace(pa, '/+$', '') = '' THEN '/'
+      |      ELSE regexp_replace(pa, '/+$', '') END AS path,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(qu, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(lower(x),
+      |        '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS cq
+      |  FROM p)
+      |SELECT doc_id, url,
+      |  CASE WHEN sch = '' THEN NULL
+      |    ELSE sch || '://' || host || path ||
+      |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+      |  END AS canonical
+      |FROM n""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Text.canonicalUrl]] over any
+    * `(doc_id, url)` source — the q_canonical_url oracle, extracted so
+    * compositions (the crawl-frontier capstone) replay the SAME
+    * chain. Emits (doc_id, url, canonical). */
+  private[queries] def canonicalUrlSql(src: String): String =
+    "WITH u AS (\n" + src + "),"  + CanonicalChainSql
+
+  /** The q_canonical_url fixture, Spark side — the same CASE both
+    * engines build ([[UrlFixtureSql]]). */
+  private def urlFixtureCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://WWW.Example"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/a/b//?utm_source=x&b=2&a=1&gclid=9#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://Host"), (col("doc_id") % 7).cast("string"),
+          lit(".org:80?z=1&a=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site.net/p/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+
+  /** q_crawl_frontier rules: the '/a/' disallow kills the mode-0
+    * URLs (their raw path is '/a/b//'); everything else defaults
+    * through the root allow. */
+  private val FrontierRules: Seq[(String, Boolean)] = Seq(
+    "/a/" -> false,
+    "/" -> true)
+
   /** q_robots_filter rule set: a disallow subtree with a deeper allow
     * carve-out, an equal-length allow/disallow pair ('/tmp/' both
     * ways — allow must win by the RFC tie rule), and a root allow. */
@@ -1282,66 +1365,75 @@ object TextQueries {
 
     sql(
       "q_canonical_url",
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 7)
-        |        || '.COM:443/a/b//?utm_source=x&b=2&a=1&gclid=9#frag'
-        |      WHEN 1 THEN 'http://Host' || (doc_id % 7)
-        |        || '.org:80?z=1&a=2'
-        |      WHEN 2 THEN 'https://site.net/p/' || doc_id
-        |      ELSE 'not a url ' || doc_id END AS url
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url,
-        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
-        |      1)) AS sch,
-        |    lower(regexp_extract(url,
-        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
-        |      2)) AS hp,
-        |    regexp_extract(url,
-        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
-        |      3) AS pa,
-        |    regexp_extract(url,
-        |      '(?i)^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)',
-        |      4) AS qu
-        |  FROM u),
-        |n AS (
-        |  SELECT doc_id, url, sch,
-        |    CASE WHEN sch = 'http'
-        |        THEN regexp_replace(regexp_replace(hp, '^www\.', ''),
-        |          ':80$', '')
-        |      WHEN sch = 'https'
-        |        THEN regexp_replace(regexp_replace(hp, '^www\.', ''),
-        |          ':443$', '')
-        |      ELSE regexp_replace(hp, '^www\.', '') END AS host,
-        |    CASE WHEN regexp_replace(pa, '/+$', '') = '' THEN '/'
-        |      ELSE regexp_replace(pa, '/+$', '') END AS path,
-        |    coalesce(array_to_string(list_sort(list_filter(
-        |      string_split(qu, '&'),
-        |      x -> x <> '' AND NOT regexp_matches(lower(x),
-        |        '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS cq
-        |  FROM p)
-        |SELECT doc_id, url,
-        |  CASE WHEN sch = '' THEN NULL
-        |    ELSE sch || '://' || host || path ||
-        |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END
-        |  END AS canonical
-        |FROM n""".stripMargin) { (s, d) =>
-      val u = when(col("doc_id") % 4 === 0,
-          concat(lit("HTTPS://WWW.Example"),
-            (col("doc_id") % 7).cast("string"),
-            lit(".COM:443/a/b//?utm_source=x&b=2&a=1&gclid=9#frag")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("http://Host"), (col("doc_id") % 7).cast("string"),
-            lit(".org:80?z=1&a=2")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("https://site.net/p/"), col("doc_id").cast("string")))
-        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+      canonicalUrlSql(UrlFixtureSql)) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), u.as("url"))
+        .select(col("doc_id"), urlFixtureCol.as("url"))
         .withColumn("canonical", Text.canonicalUrl(col("url")))
+    },
+
+    // ---- CRAWL-FRONTIER capstone (round 17): url universe → robots
+    //      gate on the raw path (RFC 9309 longest-match) → canonical
+    //      form → URL-level dedup (min doc id per canonical) →
+    //      per-domain politeness cap (3 per host, deterministic md5
+    //      draw order) — the queue a polite crawler actually fetches.
+    //      Every stage replays relationally: the robots score, the
+    //      FULL canonical chain (the extracted q_canonical_url
+    //      oracle), the dedup and the capped window ----
+    sql(
+      "q_crawl_frontier", {
+      val score = Text.robotsScoreSql("pth", FrontierRules)
+      // concatenated, NOT interpolated into a stripMargin block: the
+      // canonical chain contains '||' concats whose leading pipe an
+      // outer stripMargin would eat
+      "WITH cf AS (\n" + canonicalUrlSql(UrlFixtureSql) + "),\n" +
+      s"""g AS (
+         |  SELECT doc_id, url, canonical,
+         |    regexp_extract(url, '(?i)${Text.UrlRegex}', 3) AS pth
+         |  FROM cf),
+         |al AS (
+         |  SELECT doc_id, canonical,
+         |    ($score)::BIGINT AS score
+         |  FROM g WHERE canonical IS NOT NULL),
+         |ok AS (SELECT doc_id, canonical FROM al
+         |  WHERE ${Text.robotsAllowedSql("score")}),
+         |d AS (SELECT canonical, min(doc_id) AS doc_id
+         |      FROM ok GROUP BY 1),
+         |dm AS (
+         |  SELECT doc_id, canonical,
+         |    regexp_extract(canonical, '${Text.UrlRegex}', 2) AS domain,
+         |    CAST('0x' || substr(md5(canonical), 1, 8) AS BIGINT)
+         |      AS drw
+         |  FROM d),
+         |r AS (
+         |  SELECT domain, doc_id, canonical,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY drw, canonical) AS rk
+         |  FROM dm)
+         |SELECT domain, doc_id, canonical, rk::BIGINT AS rk
+         |FROM r WHERE rk <= 3""".stripMargin
+    }) { (s, d) =>
+      val urls = Tables.documents(s, d)
+        .select(col("doc_id"), urlFixtureCol.as("url"))
+        .withColumn("pth",
+          regexp_extract(col("url"), "(?i)" + Text.UrlRegex, 3))
+        .withColumn("canonical", Text.canonicalUrl(col("url")))
+        .filter(col("canonical").isNotNull)
+        .withColumn("score",
+          expr(Text.robotsScoreSql("pth", FrontierRules)).cast("long"))
+        .filter(expr(Text.robotsAllowedSql("score")))
+      val deduped = urls.groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(col("drw"), col("canonical"))
+      deduped
+        .withColumn("domain",
+          regexp_extract(col("canonical"), Text.UrlRegex, 2))
+        .withColumn("drw", expr(
+          "CAST(conv(substr(md5(canonical), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("domain"), col("doc_id"), col("canonical"), col("rk"))
     },
 
     // ---- SimHash near-dups over the planted corpus: DuckDB cannot
