@@ -1004,6 +1004,46 @@ object Text {
       regexp_extract(urlHost(url), "^([^:]*)", 1),
       "([^.]+\\.[^.]+)$", 1)
 
+  // ---- checksum-validated PII (Luhn) ----
+
+  /** Payment-card candidate runs: 13-19 digits with optional single
+    * space/dash separators — the PRE-filter; validation is
+    * [[luhnValid]] (pattern alone false-positives on order ids and
+    * phone numbers; the checksum kills ~90% of random digit runs).
+    * Java∩RE2, no lookaround. */
+  val CardCandidateRegex = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn checksum (ISO/IEC 7812) over a PURE-DIGIT string column:
+    * from the right, double every second digit (folding >9 by −9),
+    * sum ≡ 0 (mod 10). One codegen'd HOF fold; the DuckDB oracle
+    * mirrors it with list_transform/list_sum over the reversed
+    * string. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(
+      sequence(lit(1), length(digits)), lit(0L),
+      (acc, i) => {
+        val d = rev.substr(i, lit(1)).cast(LongType)
+        acc + when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    length(digits) >= 13 && total % 10 === 0
+  }
+
+  /** The candidate runs whose separator-stripped digits pass Luhn —
+    * the real-card detections. */
+  def luhnCards(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardCandidateRegex), lit(0)),
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+
+  /** `text` with every Luhn-VALID card candidate replaced by
+    * `[CARD]` — invalid candidates (order ids, random digit runs)
+    * survive untouched, which is the point of validating before
+    * redacting. Map-side scalar fold. */
+  def redactCards(text: Column): Column =
+    aggregate(luhnCards(text), text,
+      (acc, c) => replace(acc, c, lit("[CARD]")))
+
   // ---- robots-style URL rule filtering ----
 
   /** robots.txt-style allow/disallow over URL paths (RFC 9309 path-

@@ -1257,6 +1257,59 @@ object TextQueries {
           .as("n_bpe_tokens"))
     },
 
+    // ---- CHECKSUM-VALIDATED card PII (round 17): digit-run patterns
+    //      alone false-positive on order ids — the Luhn fold kills
+    //      ~90% of random runs, so only VALID cards redact and the
+    //      planted invalid (checksum-off-by-one) run must survive.
+    //      Candidates, the per-candidate Luhn verdict, and the
+    //      replace fold all mirror relationally ----
+    sql(
+      "q_luhn_pii", {
+      def luhnSql(x: String): String =
+        s"(length($x) >= 13 AND list_sum(list_transform(" +
+          s"range(1, length($x)+1), i -> " +
+          s"CASE WHEN i % 2 = 0 THEN " +
+          s"CASE WHEN 2*substring(reverse($x), i, 1)::INT > 9 " +
+          s"THEN 2*substring(reverse($x), i, 1)::INT - 9 " +
+          s"ELSE 2*substring(reverse($x), i, 1)::INT END " +
+          s"ELSE substring(reverse($x), i, 1)::INT END)) % 10 = 0)"
+      s"""WITH p AS (
+         |  SELECT doc_id, text || CASE doc_id % 4
+         |    WHEN 0 THEN ' card 4539578763621486 on file'
+         |    WHEN 1 THEN ' card 4539 5787 6362 1486 on file'
+         |    WHEN 2 THEN ' ref 4539578763621487 code'
+         |    ELSE '' END AS t
+         |  FROM documents WHERE doc_id % 11 = 3),
+         |c AS (
+         |  SELECT doc_id, t,
+         |    regexp_extract_all(t, '${Text.CardCandidateRegex}') AS cs
+         |  FROM p),
+         |v AS (
+         |  SELECT doc_id, t, len(cs)::BIGINT AS n_cands,
+         |    list_filter(cs, c ->
+         |      ${luhnSql("regexp_replace(c, '[ -]', '', 'g')")}) AS ok
+         |  FROM c)
+         |SELECT doc_id, n_cands, len(ok)::BIGINT AS n_valid,
+         |  list_reduce(list_prepend(t, ok),
+         |    (acc, x) -> replace(acc, x, '[CARD]')) AS redacted
+         |FROM v""".stripMargin
+    }) { (s, d) =>
+      val mode = col("doc_id") % 4
+      val t = concat(col("text"),
+        when(mode === 0, lit(" card 4539578763621486 on file"))
+          .when(mode === 1, lit(" card 4539 5787 6362 1486 on file"))
+          .when(mode === 2, lit(" ref 4539578763621487 code"))
+          .otherwise(lit("")))
+      Tables.documents(s, d).filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("n_cands", size(regexp_extract_all(col("t"),
+          lit(Text.CardCandidateRegex), lit(0))).cast("long"))
+        .withColumn("n_valid",
+          size(Text.luhnCards(col("t"))).cast("long"))
+        .withColumn("redacted", Text.redactCards(col("t")))
+        .select("doc_id", "n_cands", "n_valid", "redacted")
+    },
+
     // ---- PII redaction: email/IPv4/phone/long-digit scrubbing as an
     //      RE2-compatible regexp_replace chain — the DuckDB side is
     //      GENERATED from the same pattern list, so the two faces

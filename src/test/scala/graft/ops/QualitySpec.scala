@@ -122,4 +122,28 @@ class QualitySpec extends AnyFunSuite with WithSpark {
     assert(got(1).getLong(0) == 3L && got(1).getLong(1) == 3L)
     assert(got(1).getString(2) == "en" && got(1).getString(3) == "web")
   }
+
+  test("Luhn card validation: checksum separates real cards from " +
+      "off-by-one digit runs; separators strip; short runs reject; " +
+      "redaction touches only valid candidates") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "pay 4539578763621486 now"),        // valid (Visa test)
+      (2L, "pay 4539 5787 6362 1486 now"),     // valid, spaced
+      (3L, "ref 4539578763621487 code"),       // checksum fails
+      (4L, "code 123456789012 x"),             // 12 digits: too short
+      (5L, "iban-ish 79927398713 no"))         // 11 digits: too short
+      .toDF("id", "t")
+    val got = rows
+      .withColumn("valid", size(Text.luhnCards(col("t"))))
+      .withColumn("red", Text.redactCards(col("t")))
+      .select("id", "valid", "red")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((1, "pay [CARD] now")))
+    assert(got(2L) == ((1, "pay [CARD] now")))
+    assert(got(3L) == ((0, "ref 4539578763621487 code")),
+      "an invalid checksum must NOT redact")
+    assert(got(4L)._1 == 0 && got(5L)._1 == 0)
+  }
 }
