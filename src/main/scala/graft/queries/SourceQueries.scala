@@ -1836,6 +1836,57 @@ object SourceQueries {
             checksumCols = Seq("doc_id", "text"), format = fmt): Unit
         }
       }
+    // round-17 store scaffolds: decode fixture, profile sketches,
+    // the profile-refresh two-step, and the compaction three-step —
+    // all build-if-absent, so the faces time reads/refreshes only
+    warcDecodeFixtureDir(s, d): Unit
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    if (graft.sources.Versioned.currentVersion(
+        s, s"$sinkScratch/graft_export_jsonl/profile_kmv").isEmpty) {
+      graft.sources.Export.publishShardProfile(s,
+        s"$sinkScratch/graft_export_jsonl", ddl,
+        key = col("text"), v = length(col("text")).cast("long"))
+    }
+    locally {
+      val dir = s"$sinkScratch/graft_profile_refresh"
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 2 === 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.publishShardProfile(s, dir, ddl,
+          key = col("text"), v = length(col("text")).cast("long"))
+        graft.sources.Export.exportShardsIncremental(docs, dir,
+          nShards = 8, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.refreshShardProfile(s, dir, ddl,
+          key = col("text"), v = length(col("text")).cast("long")): Unit
+      }
+    }
+    locally {
+      val dir = s"$sinkScratch/graft_store_compact"
+      if (graft.sources.Versioned
+          .currentVersion(s, s"$dir/manifest").isEmpty) {
+        graft.sources.Export.exportShardsIncremental(
+          docs.filter(col("doc_id") % 2 === 0), dir, nShards = 8,
+          id = col("doc_id"), sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        graft.sources.Export.exportShardsIncremental(docs, dir,
+          nShards = 8, id = col("doc_id"),
+          sizeOf = octet_length(col("text")),
+          checksumCols = Seq("doc_id", "text")): Unit
+        val takedown = docs.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id").cast("string"))
+          .collect().map(_.getString(0)).toSeq
+        graft.sources.Export.retractShards(s, dir, "doc_id", takedown,
+          octet_length(col("text")), Seq("doc_id", "text")): Unit
+        graft.sources.Export.compactStore(s, dir, ddl,
+          octet_length(col("text")), Seq("doc_id", "text")): Unit
+      }
+    }
   }
 
   /** Bucketed (orders, customer) tables, written ONCE per JVM per sf
