@@ -248,4 +248,82 @@ object Ranking {
       .select("query_id", "neighbor_id", "rrf_num", "rrf_den",
         "fused_rank")
   }
+
+  /** Bradley-Terry strength fitting (Zermelo 1929; the Hunter 2004
+    * MM update) over pairwise preference outcomes — arena-style
+    * model ranking and reward-model data curation: given match rows
+    * `(a, b, winner)`, estimate each player's strength. Exact ppm
+    * integers, FIXED `iters` MM rounds, truncating division — the
+    * oracle unrolls the identical rounds as materialized CTEs, so
+    * the fit is bit-portable across engines and partitionings:
+    *
+    *   π⁰_i  = 10⁶
+    *   t_ij  = (n_ij · 10¹²) div (π_i + π_j)
+    *   π'_i  = (W_i · 10¹²) div Σ_j t_ij       (unchanged if Σ = 0)
+    *   π_i   = (π'_i · P · 10⁶) div Σ π'       (mean re-pinned at 10⁶)
+    *
+    * Scale shape: ONE corpus aggregation collapses matches to the
+    * (lo, hi, n, wins_lo) pair-count matrix; the MM fold runs over
+    * those ≤ P² rows DRIVER-side (the Linkage.emFit device — the
+    * collect is bounded by the loud `maxPlayers` require, default
+    * 1000 → ≤ 1M cells). Counts are loudly bounded at 10⁶ total
+    * matches so W·10¹² stays in int64 — BT is invariant under
+    * jointly scaling W and n, so larger corpora pre-aggregate or
+    * downscale counts upstream (documented, not silent).
+    *
+    * Self-matches (a = b) are dropped: they carry no information.
+    * @return (player, wins, n_matches, strength_ppm)
+    */
+  def btStrengths(matches: DataFrame, a: String, b: String,
+      winner: String, iters: Int = 10,
+      maxPlayers: Int = 1000): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val spark = matches.sparkSession
+    val cells = matches
+      .select(least(col(a), col(b)).as("lo"),
+        greatest(col(a), col(b)).as("hi"), col(winner).as("w"))
+      .filter(col("lo") =!= col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("w") === col("lo"), 1L).otherwise(0L)).as("w_lo"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val players = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    require(players.length <= maxPlayers,
+      s"btStrengths: ${players.length} players > maxPlayers=" +
+        s"$maxPlayers — the pair-count fold is O(P²); raise the cap " +
+        "deliberately or bucket players upstream")
+    val total = cells.map(_._3).sum
+    require(total <= 1000000L,
+      s"btStrengths: $total matches > 1e6 — W·10¹² would overflow " +
+        "int64; pre-aggregate or downscale counts (BT is invariant " +
+        "under jointly scaling wins and match counts)")
+    val Scale2 = 1000000000000L
+    val wins = scala.collection.mutable.Map(
+      players.map(_ -> 0L).toSeq: _*)
+    val nm = scala.collection.mutable.Map(
+      players.map(_ -> 0L).toSeq: _*)
+    cells.foreach { case (lo, hi, n, wLo) =>
+      wins(lo) += wLo; wins(hi) += n - wLo
+      nm(lo) += n; nm(hi) += n
+    }
+    var s = players.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val denom = scala.collection.mutable.Map(
+        players.map(_ -> 0L).toSeq: _*)
+      cells.foreach { case (lo, hi, n, _) =>
+        val t = n * Scale2 / (s(lo) + s(hi))
+        denom(lo) += t; denom(hi) += t
+      }
+      val raw = players.map(p =>
+        p -> (if (denom(p) > 0) wins(p) * Scale2 / denom(p) else s(p)))
+      val ts = raw.map(_._2).sum
+      val pc = players.length.toLong
+      s = raw.map { case (p, v) => p -> v * pc * 1000000L / ts }.toMap
+    }
+    import spark.implicits._
+    players.map(p => (p, wins(p), nm(p), s(p)))
+      .toSeq.toDF("player", "wins", "n_matches", "strength_ppm")
+  }
 }

@@ -617,5 +617,88 @@ object RankingQueries {
           Seq("o_orderstatus"), "score", "o_orderkey", k = 3)
         .select(col("o_orderstatus"), col("o_orderkey"),
           round(col("score"), 2).as("price"), col("rank"))
+    },
+
+    // ---- Bradley-Terry strength fit (round 17): arena-style player
+    //      ranking from pairwise outcomes — the reward-model data
+    //      primitive. The fixture pairs adjacent docs (longer text
+    //      wins, ties to the later doc) into matches between their
+    //      SOURCES; the fit runs 10 exact-ppm MM rounds which the
+    //      oracle unrolls as MATERIALIZED CTEs (chained-round oracles
+    //      re-inline exponentially otherwise). Every intermediate is
+    //      ::BIGINT-cast — DuckDB window/aggregate sums are HUGEINT,
+    //      the q_chat_pack bug class the type guard now catches ----
+    sql("q_bt_strength", btOracleSql(10)) { (s, d) =>
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val m = doc.as("x").join(doc.as("y"),
+          expr("y.doc_id = x.doc_id + 1 AND x.doc_id % 2 = 0"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"),
+          when(col("x.n_chars") > col("y.n_chars"), col("x.source"))
+            .otherwise(col("y.source")).as("w"))
+      graft.ops.Ranking.btStrengths(m, "sa", "sb", "w", iters = 10)
+        .select(col("player"), col("wins"), col("n_matches"),
+          col("strength_ppm"))
     })
+
+  /** The unrolled-MM DuckDB replay of
+    * [[graft.ops.Ranking.btStrengths]] over the adjacent-doc match
+    * fixture — one materialized CTE pair per round, every aggregate
+    * cast back to BIGINT. */
+  private def btOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"pi${r - 1}"
+      s"""t$r AS MATERIALIZED (
+         |  SELECT p, sum(t)::BIGINT AS denom FROM (
+         |    SELECT c.lo AS p,
+         |      (c.n * 1000000000000) // (pl.s + ph.s) AS t
+         |    FROM cells c JOIN $prev pl ON c.lo = pl.p
+         |      JOIN $prev ph ON c.hi = ph.p
+         |    UNION ALL
+         |    SELECT c.hi AS p,
+         |      (c.n * 1000000000000) // (pl.s + ph.s) AS t
+         |    FROM cells c JOIN $prev pl ON c.lo = pl.p
+         |      JOIN $prev ph ON c.hi = ph.p)
+         |  GROUP BY 1),
+         |r$r AS MATERIALIZED (
+         |  SELECT w.p,
+         |    CASE WHEN coalesce(t.denom, 0) > 0
+         |      THEN ((w.wins * 1000000000000) // t.denom)::BIGINT
+         |      ELSE pv.s END AS s
+         |  FROM wins w LEFT JOIN t$r t ON w.p = t.p
+         |    JOIN $prev pv ON w.p = pv.p),
+         |pi$r AS MATERIALIZED (
+         |  SELECT p, ((s * (SELECT count(*) FROM r$r) * 1000000)
+         |    // (SELECT sum(s) FROM r$r)::BIGINT)::BIGINT AS s
+         |  FROM r$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT least(d1.source, d2.source) AS lo,
+       |    greatest(d1.source, d2.source) AS hi,
+       |    CASE WHEN d1.n_chars > d2.n_chars
+       |      THEN d1.source ELSE d2.source END AS w
+       |  FROM documents d1 JOIN documents d2
+       |    ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.doc_id % 2 = 0 AND d1.source <> d2.source),
+       |cells AS MATERIALIZED (
+       |  SELECT lo, hi, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN w = lo THEN 1 ELSE 0 END)::BIGINT AS w_lo
+       |  FROM m GROUP BY 1, 2),
+       |players AS MATERIALIZED (
+       |  SELECT DISTINCT p FROM (
+       |    SELECT lo AS p FROM cells
+       |    UNION ALL SELECT hi FROM cells)),
+       |wins AS MATERIALIZED (
+       |  SELECT p, sum(w)::BIGINT AS wins,
+       |    sum(n)::BIGINT AS n_matches FROM (
+       |    SELECT lo AS p, w_lo AS w, n FROM cells
+       |    UNION ALL SELECT hi, n - w_lo, n FROM cells)
+       |  GROUP BY 1),
+       |pi0 AS MATERIALIZED (
+       |  SELECT p, 1000000::BIGINT AS s FROM players),
+       |$rounds
+       |SELECT w.p AS player, w.wins, w.n_matches,
+       |  pi.s AS strength_ppm
+       |FROM wins w JOIN pi$iters pi ON w.p = pi.p""".stripMargin
+  }
 }

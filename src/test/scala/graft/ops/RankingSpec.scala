@@ -131,4 +131,35 @@ class RankingSpec extends AnyFunSuite with WithSpark {
     // not an approximation artifact
     assert(math.abs(123.0 / 3782.0 - (1.0 / 61 + 1.0 / 62)) < 1e-15)
   }
+
+  test("btStrengths: transitive evidence separates equal win counts " +
+      "(A beat the stronger B), the MM actually iterates, and " +
+      "self-matches carry nothing") {
+    import org.apache.spark.sql.functions._
+    // A beats B 3x, B beats C 3x, A never meets C: wins(A)=wins(B)=3
+    // but A's wins came against a stronger opponent -> A > B > C
+    val m = (Seq.fill(3)(("A", "B", "A")) ++ Seq.fill(3)(("B", "C", "B"))
+      ++ Seq(("A", "A", "A"))) // self-match must drop
+      .toDF("pa", "pb", "w")
+    val got = Ranking.btStrengths(m, "pa", "pb", "w", iters = 20)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A")._1 == 3L && got("B")._1 == 3L && got("C")._1 == 0L)
+    assert(got("A")._2 == 3L && got("B")._2 == 6L)
+    assert(got("A")._3 > got("B")._3,
+      s"A must outrank B on transitive evidence: $got")
+    assert(got("B")._3 > got("C")._3, got.toString)
+    // mean pinned at 1e6 (trunc): sum within P of P*1e6
+    val tot = got.values.map(_._3).sum
+    assert(tot <= 3000000L && tot > 3000000L - 3, got.toString)
+  }
+
+  test("btStrengths: the loud bounds fire") {
+    import org.apache.spark.sql.functions._
+    val m = Seq(("A", "B", "A")).toDF("pa", "pb", "w")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.btStrengths(m, "pa", "pb", "w", maxPlayers = 1)
+    }
+    assert(e.getMessage.contains("maxPlayers"))
+  }
 }
