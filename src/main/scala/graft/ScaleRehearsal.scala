@@ -1678,6 +1678,26 @@ object ScaleRehearsal {
       growth("compact_read_win") = after / before
     }
 
+    // ---- q_bt_strength: matches x10 (salted docs keep their source,
+    // so the player set is CONSTANT and cell counts just scale) — the
+    // corpus pair-aggregation is the linear term; the MM fold is
+    // O(P^2) driver metadata regardless ----
+    if (on("bt_strength")) {
+      def btSecs(docs: DataFrame, label: String): Double = timed(label) {
+        val doc = docs.select(col("doc_id"), col("source"),
+          col("n_chars"))
+        val m = doc.as("x").join(doc.as("y"),
+            expr("y.doc_id = x.doc_id + 1 AND x.doc_id % 2 = 0"))
+          .select(col("x.source").as("sa"), col("y.source").as("sb"),
+            when(col("x.n_chars") > col("y.n_chars"), col("x.source"))
+              .otherwise(col("y.source")).as("w"))
+        graft.ops.Ranking.btStrengths(m, "sa", "sb", "w",
+          iters = 10).count()
+      }
+      growth("bt_strength (matches x10)") =
+        btSecs(tdocs10, "bt_strength 10x") / btSecs(tdocs1, "bt_strength 1x")
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
