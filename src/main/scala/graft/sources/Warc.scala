@@ -209,8 +209,16 @@ object Warc {
       body: Array[Byte], coding: String, where: String): Array[Byte] = {
     val c = coding.trim.toLowerCase
     if (c.isEmpty || c == "identity") return body
-    require(c.split(",").map(_.trim).last == "chunked",
-      s"$where: unsupported Transfer-Encoding '$coding'")
+    // Transfer-Encoding is a LIST ("gzip, chunked" is legal HTTP):
+    // accepting the chunked tail while silently IGNORING an earlier
+    // coding would hand gzip bytes to the charset decoder as text —
+    // loud is the only honest answer for codings this engine does not
+    // transfer-decode (Content-Encoding gzip is the common case and
+    // IS handled, by contentDecode after this step)
+    require(c.split(",").map(_.trim).filterNot(_ == "identity")
+        .toSeq == Seq("chunked"),
+      s"$where: unsupported Transfer-Encoding '$coding' — only " +
+        "chunked (with optional identity) transfer-decodes here")
     val out = new java.io.ByteArrayOutputStream(body.length)
     var p = 0
     def line(): String = {

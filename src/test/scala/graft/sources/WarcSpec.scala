@@ -164,6 +164,17 @@ class WarcSpec extends AnyFunSuite with WithSpark {
       Warc.transferDecode(body, "br", "t")
     }
     assert(e2.getMessage.contains("unsupported Transfer-Encoding"))
+    // a LIST with a coding we'd silently skip → loud too ("gzip,
+    // chunked" is legal HTTP; ignoring the gzip hop would hand binary
+    // to the charset decoder)
+    val e3 = intercept[Exception] {
+      Warc.transferDecode(body, "gzip, chunked", "t")
+    }
+    assert(e3.getMessage.contains("unsupported Transfer-Encoding"))
+    // identity members are harmless and accepted
+    val chunked1 = ("3\r\nabc\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+    assert(new String(Warc.transferDecode(chunked1,
+      "identity, chunked", "t"), "UTF-8") == "abc")
   }
 
   test("contentDecode: gzip and deflate inflate; the bomb guard " +
