@@ -1004,6 +1004,55 @@ object Text {
       regexp_extract(urlHost(url), "^([^:]*)", 1),
       "([^.]+\\.[^.]+)$", 1)
 
+  // ---- sentence segmentation + readability ----
+
+  /** Regex-grade sentence segmentation: maximal runs of
+    * non-terminator characters with their trailing `.!?` run
+    * attached, trimmed, empties dropped — one shared Java∩RE2
+    * pattern (sentence splitters built on lookbehind, the usual
+    * formulation, cannot run on RE2). Deliberately abbreviation-
+    * naive ("Dr. Smith" is two sentences) — the trade every
+    * regex-grade splitter makes; a model-based splitter is a
+    * different tool. */
+  val SentenceRegex = "[^.!?]+[.!?]*"
+
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit(SentenceRegex), lit(0)),
+        x => trim(x)),
+      x => length(x) > 0)
+
+  /** Heuristic syllable count: vowel GROUPS (aeiouy runs) of the
+    * lowercased text — the standard Flesch-family approximation;
+    * exact syllabification needs a dictionary. */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast(LongType)
+
+  /** Flesch Reading Ease (Flesch 1948) on the exact milli grid:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * every division truncating BIGINT over counts — engine-portable
+    * bit-for-bit (mirror the same arithmetic in SQL). Degenerate
+    * inputs clamp the denominators at 1. Returns milli-points
+    * (206835 = 206.835); negative is valid (dense technical text). */
+  def fleschMilli(text: Column): Column = {
+    val ns = greatest(size(sentences(text)).cast(LongType), lit(1L))
+    val nw = greatest(tokenCount(text), lit(1L))
+    val sy = syllableCount(text)
+    lit(206835L) - mulDiv(nw, 1015L, ns) - mulDiv(sy, 84600L, nw)
+  }
+
+  /** Truncating a·k div b for non-negative longs without an expr()
+    * name dependency: subtract the remainder, then one IEEE division
+    * of an EXACT multiple — exact while the quotient·b stays ≤ 2^53
+    * (per-document word/syllable counts are nowhere near it; the
+    * corpus-scale ops use `div` on named columns instead). */
+  private def mulDiv(a: Column, k: Long, b: Column): Column = {
+    val t = a * k
+    ((t - t % b).cast(DoubleType) / b.cast(DoubleType)).cast(LongType)
+  }
+
   // ---- checksum-validated PII (Luhn) ----
 
   /** Payment-card candidate runs: 13-19 digits with optional single

@@ -117,6 +117,14 @@ object TextQueries {
     * documents prose; jusText's 300k assumes a full stopword list). */
   private[queries] val BlockStopPpm = 20000L
 
+  /** Flesch band thresholds (milli grid), ONE generated CASE both
+    * engines evaluate. */
+  private val FreBandSql: String =
+    "CASE WHEN fre_milli >= 70000 THEN 'easy' " +
+      "WHEN fre_milli >= 50000 THEN 'standard' " +
+      "WHEN fre_milli >= 30000 THEN 'difficult' " +
+      "ELSE 'very_difficult' END"
+
   /** q_script_mix planted snippets — no single quotes, SQL-spliceable
     * verbatim. */
   private val CyrillicSnippet = "Привет мир литература"
@@ -585,6 +593,44 @@ object TextQueries {
          |FROM g""".stripMargin) { (s, d) =>
       graft.ops.Profile.ece(
         scoredDocs(s, d), col("score"), col("y"), bins = 10)
+    },
+
+    // ---- Flesch readability on the milli grid (round 17): sentence
+    //      segmentation (regex-grade, abbreviation-naive — shared
+    //      Java∩RE2 pattern, no lookbehind), vowel-group syllable
+    //      heuristic, and the 1948 formula in truncating integer
+    //      arithmetic; the band CASE is one generated expression both
+    //      engines evaluate ----
+    sql(
+      "q_readability",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    len(list_filter(list_transform(
+         |      regexp_extract_all(text, '${Text.SentenceRegex}'),
+         |      x -> trim(x)), x -> length(x) > 0))::BIGINT
+         |      AS n_sentences,
+         |    len(string_split_regex(text, '\\s+'))::BIGINT AS n_words,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+         |      AS n_syllables
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_sentences, n_words, n_syllables,
+         |    (206835
+         |      - (n_words * 1015) // greatest(n_sentences, 1)
+         |      - (n_syllables * 84600) // greatest(n_words, 1))::BIGINT
+         |      AS fre_milli
+         |  FROM c)
+         |SELECT doc_id, n_sentences, n_words, n_syllables, fre_milli,
+         |  $FreBandSql AS band
+         |FROM f""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Text.sentences(col("text"))).cast("long")
+            .as("n_sentences"),
+          Text.tokenCount(col("text")).as("n_words"),
+          Text.syllableCount(col("text")).as("n_syllables"),
+          Text.fleschMilli(col("text")).as("fre_milli"))
+        .withColumn("band", expr(FreBandSql))
     },
 
     // ---- the Gopher quality-rule gate (Rae et al. 2021 §A1.1): the
