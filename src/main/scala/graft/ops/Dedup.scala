@@ -846,4 +846,50 @@ object Dedup {
       .distinct()
     train.join(contaminated, Seq(id), "left_anti")
   }
+
+  /** NEAR-duplicate eval-set decontamination: drop every training
+    * document whose exact n-shingle Jaccard against ANY eval document
+    * reaches `threshold` — the paraphrase-grade leakage guard the
+    * exact-n-gram screen ([[decontaminate]]) misses (GPT-3 App. C /
+    * Brown et al. 2020 run exactly this pair: substring overlap AND
+    * near-dup overlap against benchmarks before training).
+    *
+    * Shape: CROSS-CORPUS LSH — both sides band with the SAME seeded
+    * minhash ([[bandedBuckets]]), candidates come from the
+    * (band, bucket) equi-join restricted to train×eval (never
+    * train×train — this is what keeps the screen linear in the
+    * corpus even when the corpus self-similar), and only candidates
+    * pay the exact-Jaccard rescore. The eval side is dimension-sized
+    * by definition, so its banded rows and shingle sets broadcast;
+    * the verdict anti-joins back on `id`. Recall follows the LSH
+    * S-curve (64/16 at t=0.8: ≥ 0.9998 per pair at the threshold,
+    * →1 above it — same contract as [[nearDupPairs]], and a missed
+    * borderline pair fails SAFE-ish for dedup but leaks here, so
+    * raise numHashes before lowering the threshold if the eval set
+    * is adversarial).
+    */
+  def decontaminateNear(
+      train: DataFrame, id: String, text: Column,
+      eval: DataFrame, evalId: String, evalText: Column,
+      threshold: Double = 0.8, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val tSets = graft.core.LazyCheckpoint(train.select(
+      col(id), array_distinct(Text.shingles(text, n)).as("__tsh")))
+    val eSets = graft.core.LazyCheckpoint(eval.select(
+      col(evalId).as("__eid"),
+      array_distinct(Text.shingles(evalText, n)).as("__esh")))
+    val tBanded = bandedBuckets(tSets, id, col("__tsh"), numHashes, bands)
+    val eBanded = bandedBuckets(
+      eSets.select(col("__eid"), col("__esh")), "__eid", col("__esh"),
+      numHashes, bands)
+    val cand = tBanded
+      .join(broadcast(eBanded), Seq("band", "bucket"))
+      .select(col(id), col("__eid")).distinct()
+    val contaminated = cand
+      .join(tSets, Seq(id))
+      .join(broadcast(eSets), Seq("__eid"))
+      .filter(jaccard(col("__tsh"), col("__esh")) >= threshold)
+      .select(id).distinct()
+    train.join(contaminated, Seq(id), "left_anti")
+  }
 }

@@ -366,4 +366,118 @@ object Profile {
       .agg(sum(col("n")).as("n"),
         round(sum(col("gap_num")).cast("double") /
           (sum(col("n")).cast("double") * lit(1e9)), 9).as("ece"))
+
+  /** Tokenizer fertility profile per language — the tokenizer-
+    * efficiency audit every multilingual pretraining mix runs
+    * (bytes-per-token varies 2-5× across scripts for a fixed
+    * tokenizer; a corpus whose non-Latin slices tokenize poorly
+    * trains on fewer effective tokens than its byte count suggests).
+    * Tokens come from the caller's token expression (pair with
+    * [[Text.regexTokens]] for the BPE-ish pre-tokenizer); bytes are
+    * UTF-8 octets, chars are codepoints.
+    *
+    * Everything stays EXACT: per-language BIGINT sums of per-doc
+    * token/byte/char counts, then the two ratios are each ONE IEEE
+    * division rounded on the 6-grid (NULL for an empty token mass).
+    *
+    * Scale shape: one corpus scan into one count shuffle keyed by the
+    * language (≤ |langs| groups — map-side partials do all the work).
+    */
+  def tokenFertility(
+      df: DataFrame, lang: org.apache.spark.sql.Column,
+      tokens: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): DataFrame =
+    df.select(lang.as("lang"),
+        size(tokens).cast("long").as("__t"),
+        octet_length(text).cast("long").as("__b"),
+        length(text).cast("long").as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__b")).as("n_bytes"), sum(col("__c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_bytes"), col("n_chars"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_bytes").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("bytes_per_token"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("chars_per_token"))
+
+  /** Krippendorff's alpha (nominal data) over a FIXED rater panel —
+    * the inter-annotator agreement measure that, unlike
+    * [[cohenKappa]], handles ANY number of raters and MISSING ratings
+    * (Krippendorff 2004, "Content Analysis" §11; the standard
+    * reliability gate for LLM labeling panels where every annotator
+    * sees only a slice).
+    *
+    * Math (coincidence-matrix form): for unit u let n_uc = #ratings
+    * of value c and m_u = Σ_c n_uc; units with m_u < 2 drop (nothing
+    * to pair). o_ck = Σ_u n_uc·(n_uk − δ_ck)/(m_u − 1), n_c = Σ_k
+    * o_ck, n = Σ_c n_c, and α = 1 − (n−1)·Σ_{c≠k} o_ck / Σ_{c≠k}
+    * n_c·n_k. To keep every intermediate an exact BIGINT the
+    * coincidences are scaled by F = lcm(1..R−1) (R = panel size, so
+    * (m_u−1) | F and the per-unit division is exact integer `div`);
+    * the scale cancels into α = 1 − F·(n−1)·do / de where do, de are
+    * the SCALED off-diagonal mass and marginal product. One IEEE
+    * division at the end (9-grid); de = 0 (every pairable unit
+    * unanimous on one global value) is α = 1 by convention.
+    *
+    * Output: one row (n, do_num, de_num, alpha_num, alpha) with
+    * alpha_num = de − F·(n−1)·do, so the division is auditable.
+    * BIGINT headroom: F·(n−1)·do needs n·do < 2^63/F — with F ≤ 12
+    * (R ≤ 5) that is ~10^8 pairable values; past that, compute α on
+    * the per-label marginals (≤ labels² rows) in decimal.
+    *
+    * Scale shape: melt is a generate over R columns (map-side), unit
+    * counts shuffle on (unit, value), the coincidence join is
+    * unit-local (≤ R² rows per unit), and everything after is
+    * label²-sized.
+    */
+  def krippendorffAlpha(
+      df: DataFrame, unit: org.apache.spark.sql.Column,
+      ratings: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(ratings.size >= 2, "krippendorffAlpha needs >= 2 raters")
+    require(ratings.size <= 5,
+      "krippendorffAlpha: panel > 5 exceeds the documented BIGINT " +
+        "headroom of the lcm scaling — aggregate per slice first")
+    val scale = (1 until ratings.size)
+      .foldLeft(1L)((l, k) => l * k / gcd(l, k))
+    val melted = df
+      .select(unit.as("__u"),
+        array(ratings.map(_.cast("string")): _*).as("__r"))
+      .select(col("__u"), explode(col("__r")).as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = melted.groupBy(col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__nuc"))
+    val mu = counts.groupBy(col("__u")).agg(sum(col("__nuc")).as("__mu"))
+      .filter(col("__mu") >= 2)
+    val withMu = counts.join(mu, Seq("__u"))
+    // unit-local value-pair grid: ≤ R² rows per unit
+    val coin = withMu.as("x")
+      .join(withMu.as("y"), Seq("__u"))
+      .select(col("x.__v").as("__c"), col("y.__v").as("__k"),
+        expr(s"($scale * x.__nuc * (y.__nuc - CASE WHEN x.__v = y.__v " +
+          "THEN 1 ELSE 0 END)) div (x.__mu - 1)").as("__o"))
+      .groupBy(col("__c"), col("__k")).agg(sum(col("__o")).as("__o"))
+    val marg = coin.groupBy(col("__c")).agg(sum(col("__o")).as("__nc"))
+    val tot = marg.agg(
+      coalesce(sum(col("__nc")), lit(0L)).as("__ntot"),
+      coalesce(sum(col("__nc") * col("__nc")), lit(0L)).as("__nsq"))
+    val doNum = coin.filter(col("__c") =!= col("__k"))
+      .agg(coalesce(sum(col("__o")), lit(0L)).as("do_num"))
+    tot.crossJoin(broadcast(doNum)) // two ONE-row aggregates meet here
+      .select(
+        expr(s"__ntot div $scale").as("n"), // exact: __ntot = F·n
+        col("do_num"),
+        (col("__ntot") * col("__ntot") - col("__nsq")).as("de_num"))
+      .select(col("n"), col("do_num"), col("de_num"),
+        (col("de_num") - lit(scale) * (col("n") - 1) * col("do_num"))
+          .as("alpha_num"))
+      .select(col("n"), col("do_num"), col("de_num"), col("alpha_num"),
+        when(col("de_num") === 0, lit(1.0))
+          .otherwise(round(col("alpha_num").cast("double") /
+            col("de_num").cast("double"), 9)).as("alpha"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

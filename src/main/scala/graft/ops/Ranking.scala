@@ -326,4 +326,49 @@ object Ranking {
     players.map(p => (p, wins(p), nm(p), s(p)))
       .toSeq.toDF("player", "wins", "n_matches", "strength_ppm")
   }
+
+  /** Zipf-law fit per group: OLS slope of ln(freq) on ln(rank) over
+    * the top `maxRank` terms — the corpus-health diagnostic next to
+    * the per-source distinctive-terms table (natural prose sits near
+    * slope −1; template/boilerplate slices flatten, spam steepens —
+    * Zipf 1949; Piantadosi 2014 review). Output per group: (group, n,
+    * num, den, slope) straight from [[TimeSeries.trendSlopes]]'s
+    * exact cross-multiplied form.
+    *
+    * Float parity: ln is the ONLY libm term; both engines snap it to
+    * the integer MICRO grid (`round(ln(x)·1e6)` as BIGINT — the
+    * RankingQueries ulp note: StrictMath vs glibc disagree by ≤1 ulp
+    * ~1e-16, so a micro-grid boundary flip needs an argument within
+    * ~1e-10 of a half — negligible over ≤ maxRank·|groups| distinct
+    * arguments). Every sum after the snap is exact (trendSlopes
+    * aggregates in DECIMAL(38,0)); ONE IEEE division at the end.
+    *
+    * Rank ties break by term ascending (deterministic in both
+    * engines); terms below `minFreq` drop before ranking so the fit
+    * never chases the hapax tail the law does not cover.
+    *
+    * Scale shape: one tokenize scan → (group, term) count shuffle →
+    * per-group top-maxRank window on the vocabulary-sized count table
+    * → a ≤ maxRank·|groups| row OLS aggregate. Nothing all-pairs.
+    */
+  def zipfFit(
+      docs: DataFrame, group: String,
+      tokens: org.apache.spark.sql.Column,
+      maxRank: Int = 200, minFreq: Long = 2L): DataFrame = {
+    require(maxRank >= 2, s"zipfFit needs maxRank >= 2, got $maxRank")
+    val freq = docs
+      .select(col(group), explode(tokens).as("__w"))
+      .groupBy(col(group), col("__w")).agg(count(lit(1)).as("__f"))
+      .filter(col("__f") >= minFreq)
+    val ranked = freq
+      .withColumn("__rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(group))
+          .orderBy(col("__f").desc, col("__w").asc)))
+      .filter(col("__rank") <= maxRank)
+    TimeSeries.trendSlopes(
+      ranked, group,
+      round(log(col("__rank").cast("double")) * lit(1e6), 0).cast("long"),
+      round(log(col("__f").cast("double")) * lit(1e6), 0).cast("long"))
+  }
 }

@@ -1296,4 +1296,59 @@ object Similarity {
     graft.plans.TopKPerGroup.topK(
       scored, Seq("query_id"), "cosine", "neighbor_id", k)
   }
+
+  /** Margin-based bitext/pair mining (Artetxe & Schwenk ACL'19;
+    * the CCMatrix/LASER criterion, Schwenk et al. ACL'21): raw
+    * cosine over-accepts pairs in dense "hubness" regions, so each
+    * candidate (x, y) is scored RELATIVE to both sides' neighborhoods
+    * — ratio margin = cos(x,y) / ((avgK(x→tgt) + avgK(y→src)) / 2) —
+    * and each src mines its best-margin tgt. The standard way to
+    * mine aligned pairs (translations, near-caption images, QA
+    * pairs) between two embedding corpora.
+    *
+    * Float parity: cosines snap to the integer MICRO grid
+    * (`round(cos·1e6)` BIGINT — the int8 face's device), the k-NN
+    * sums are exact BIGINT, and the margin is ONE IEEE division
+    * `2k·c6 / (sumk_x + sumk_y)` on identical operands (9-grid), so
+    * margins AND the per-src argmax replay exactly. Non-positive
+    * denominators (pathological all-negative neighborhoods) drop
+    * before ranking in both engines.
+    *
+    * Shape: two [[bruteForceTopK]] passes — forward from the src
+    * sample (queries broadcast, corpus scanned once), backward ONLY
+    * for the ≤ k·|src| candidate tgt ids (semi-join, then queries
+    * broadcast over the src corpus). At corpus scale swap each pass's
+    * corpus side for an IVF probe ([[ivfQuery]]) exactly like the
+    * retrieval faces. Output: (src_id, tgt_id, c6, margin), one row
+    * per src with at least one valid candidate.
+    */
+  def marginMine(
+      src: DataFrame, tgt: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val fwd = graft.core.LazyCheckpoint(
+      bruteForceTopK(corpus = tgt, queries = src, id, vec, k)
+        .select(col("query_id").as("src_id"),
+          col("neighbor_id").as("tgt_id"),
+          round(col("cosine") * lit(1e6), 0).cast("long").as("c6")))
+    val sx = fwd.groupBy(col("src_id")).agg(sum(col("c6")).as("__sx"))
+    val ys = fwd.select(col("tgt_id")).distinct()
+    val bwd = bruteForceTopK(
+      corpus = src,
+      queries = tgt.join(ys, tgt(id) === ys("tgt_id"), "left_semi"),
+      id, vec, k)
+    val sy = bwd
+      .select(col("query_id").as("tgt_id"),
+        round(col("cosine") * lit(1e6), 0).cast("long").as("__bc6"))
+      .groupBy(col("tgt_id")).agg(sum(col("__bc6")).as("__sy"))
+    val scored = fwd
+      .join(sx, Seq("src_id"))
+      .join(sy, Seq("tgt_id"))
+      .filter(col("__sx") + col("__sy") > 0)
+      .select(col("src_id"), col("tgt_id"), col("c6"),
+        round((lit(2L * k) * col("c6")).cast("double") /
+          (col("__sx") + col("__sy")).cast("double"), 9).as("margin"))
+    graft.plans.TopKPerGroup.topK(
+        scored, Seq("src_id"), "margin", "tgt_id", 1)
+      .select(col("src_id"), col("tgt_id"), col("c6"), col("margin"))
+  }
 }

@@ -476,6 +476,45 @@ object RankingQueries {
         .filter(col("rn") <= 5)
     },
 
+    // ---- Zipf-law fit per source (corpus-health diagnostic: prose
+    //      sits near slope −1, boilerplate flattens, spam steepens):
+    //      top-200 term frequencies per source, ln(rank)/ln(freq)
+    //      snapped to the integer MICRO grid (the only libm terms —
+    //      see Ranking.zipfFit's ulp note), then q_trend_slope's
+    //      exact cross-multiplied OLS with ONE final division ----
+    sql(
+      "q_zipf_slope",
+      s"""WITH w AS (
+         |  SELECT source, unnest(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |f AS (SELECT source, w, count(*) AS f FROM w
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |r AS (
+         |  SELECT source, f,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY f DESC, w) AS rnk
+         |  FROM f),
+         |p AS (
+         |  SELECT source,
+         |    CAST(round(ln(rnk) * 1000000) AS BIGINT)::HUGEINT AS x,
+         |    CAST(round(ln(f) * 1000000) AS BIGINT)::HUGEINT AS y
+         |  FROM r WHERE rnk <= 200),
+         |a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * y) AS sxy, sum(x * x) AS sxx
+         |      FROM p GROUP BY 1)
+         |SELECT source, n::BIGINT AS n,
+         |  (n * sxy - sx * sy)::VARCHAR AS num,
+         |  (n * sxx - sx * sx)::VARCHAR AS den,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope
+         |FROM a
+         |WHERE n * sxx - sx * sx <> 0""".stripMargin) { (s, d) =>
+      Ranking.zipfFit(
+        Tables.documents(s, d).select(col("source"),
+          Text.words(Text.normalize(col("text"))).as("w")),
+        "source", col("w"), maxRank = 200, minFreq = 2L)
+    },
+
     // ---- exact phrase search over the POSITIONAL postings index:
     //      adjacency-intersected per-term postings (each join side is
     //      one term's postings — predicate pushdown, never a corpus

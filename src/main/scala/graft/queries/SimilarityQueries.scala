@@ -167,6 +167,67 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- margin-based bitext/pair mining (Artetxe & Schwenk ACL'19,
+    //      the CCMatrix criterion): even vec_ids are the "source"
+    //      corpus (mining sample < 120), odd the "target"; each src
+    //      mines its best tgt by the ratio margin — cosine normalized
+    //      by both sides' k-NN neighborhoods, which is what kills the
+    //      hubness false-positives raw cosine accepts. Micro-grid c6,
+    //      exact BIGINT k-NN sums, ONE shared division per pair; the
+    //      oracle replays both k-NN passes and the argmax ----
+    sql(
+      "q_bitext_mine",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |src AS (SELECT vec_id, v FROM e
+        |        WHERE vec_id % 2 = 0 AND vec_id < 120),
+        |tgt AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |fc AS (
+        |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |    CAST(round(list_dot_product(s.v, t.v)
+        |      / (sqrt(list_dot_product(s.v, s.v))
+        |         * sqrt(list_dot_product(t.v, t.v))) * 1000000)
+        |      AS BIGINT) AS c6,
+        |    row_number() OVER (PARTITION BY s.vec_id
+        |      ORDER BY list_dot_product(s.v, t.v)
+        |        / (sqrt(list_dot_product(s.v, s.v))
+        |           * sqrt(list_dot_product(t.v, t.v))) DESC,
+        |        t.vec_id) AS rnk
+        |  FROM src s, tgt t),
+        |fwd AS (SELECT src_id, tgt_id, c6 FROM fc WHERE rnk <= 4),
+        |sx AS (SELECT src_id, sum(c6) AS sx FROM fwd GROUP BY 1),
+        |ys AS (SELECT DISTINCT tgt_id FROM fwd),
+        |bc AS (
+        |  SELECT t.vec_id AS tgt_id,
+        |    CAST(round(list_dot_product(t.v, s.v)
+        |      / (sqrt(list_dot_product(t.v, t.v))
+        |         * sqrt(list_dot_product(s.v, s.v))) * 1000000)
+        |      AS BIGINT) AS c6,
+        |    row_number() OVER (PARTITION BY t.vec_id
+        |      ORDER BY list_dot_product(t.v, s.v)
+        |        / (sqrt(list_dot_product(t.v, t.v))
+        |           * sqrt(list_dot_product(s.v, s.v))) DESC,
+        |        s.vec_id) AS rnk
+        |  FROM (SELECT tg.vec_id, tg.v FROM tgt tg
+        |        JOIN ys ON tg.vec_id = ys.tgt_id) t, src s),
+        |sy AS (SELECT tgt_id, sum(c6) AS sy FROM bc
+        |       WHERE rnk <= 4 GROUP BY 1),
+        |sc AS (
+        |  SELECT f.src_id, f.tgt_id, f.c6,
+        |    round((8 * f.c6)::DOUBLE / (sx.sx + sy.sy)::DOUBLE, 9)
+        |      AS margin
+        |  FROM fwd f JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+        |  WHERE sx.sx + sy.sy > 0)
+        |SELECT src_id, tgt_id, c6, margin
+        |FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+        |        ORDER BY margin DESC, tgt_id) AS rnk FROM sc)
+        |WHERE rnk = 1""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.marginMine(
+        src = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 120),
+        tgt = e.filter(col("vec_id") % 2 === 1),
+        id = "vec_id", vec = "embedding", k = 4)
+    },
+
     // ---- compressed int8 retrieval: the quantized corpus actually
     //      serving queries — code dot exact BIGINT, scales multiplied
     //      back in identical left-associated IEEE doubles, so scores

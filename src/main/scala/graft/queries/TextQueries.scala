@@ -269,6 +269,32 @@ object TextQueries {
   private def seedsSql(lang: String): String =
     Text.StopwordSeeds(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared oracle CTE chain ending in `pred(doc_id, lang, pred)` —
+    * the [[Text.langId]] replay consumed by BOTH agreement faces
+    * (q_kappa, q_krippendorff); one generator, never two copies. */
+  private def langPredCtes: String =
+    s"""dw AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(string_split($NormSql, ' ')) AS w
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    len(list_intersect(w, ${seedsSql("de")})) AS h_de,
+       |    len(list_intersect(w, ${seedsSql("en")})) AS h_en,
+       |    len(list_intersect(w, ${seedsSql("es")})) AS h_es,
+       |    len(list_intersect(w, ${seedsSql("fr")})) AS h_fr,
+       |    len(list_intersect(w, ${seedsSql("zh")})) AS h_zh
+       |  FROM dw),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+       |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       |         ELSE 'zh' END AS pred
+       |  FROM h)""".stripMargin
+
   /** The [[Text.gopherRules]] keep conjunction over a COLUMN named by
     * `t` (reference the text through a CTE column, never an inline
     * expression — the predicate expands `t` ~15 times). Must track
@@ -405,27 +431,10 @@ object TextQueries {
     //      convention in both engines ----
     sql(
       "q_kappa",
-      s"""WITH dw AS (
-         |  SELECT doc_id, lang,
-         |    list_distinct(string_split($NormSql, ' ')) AS w
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id, lang,
-         |    len(list_intersect(w, ${seedsSql("de")})) AS h_de,
-         |    len(list_intersect(w, ${seedsSql("en")})) AS h_en,
-         |    len(list_intersect(w, ${seedsSql("es")})) AS h_es,
-         |    len(list_intersect(w, ${seedsSql("fr")})) AS h_fr,
-         |    len(list_intersect(w, ${seedsSql("zh")})) AS h_zh
-         |  FROM dw),
+      s"""WITH $langPredCtes,
          |p AS (
-         |  SELECT lang AS a,
-         |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
-         |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
-         |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
-         |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
-         |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
-         |         ELSE 'zh' END AS b
-         |  FROM h
+         |  SELECT lang AS a, pred AS b
+         |  FROM pred
          |  WHERE lang IS NOT NULL),
          |cells AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2),
          |na AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
@@ -448,6 +457,88 @@ object TextQueries {
         Tables.documents(s, d).select(col("lang"),
           Text.langId(col("text")).as("pred")),
         col("lang"), col("pred"))
+    },
+
+    // ---- Krippendorff's alpha over a THREE-rater panel with MISSING
+    //      ratings (the agreement measure q_kappa cannot be: kappa is
+    //      two complete raters only). Panel: gold lang (missing where
+    //      lang IS NULL), the langId heuristic, and a planted flaky
+    //      rater (absent on doc_id%5, wrong on doc_id%11) — so the
+    //      variable-m_u path (m_u ∈ {2,3}) is really exercised. The
+    //      lcm-scaled coincidence fold keeps every intermediate an
+    //      exact BIGINT (F = 2 for a 3-panel); ONE IEEE division,
+    //      both engines (see Profile.krippendorffAlpha) ----
+    sql(
+      "q_krippendorff",
+      s"""WITH $langPredCtes,
+         |r AS (
+         |  SELECT doc_id AS u,
+         |    unnest([lang, pred,
+         |      CASE WHEN doc_id % 5 = 0 THEN NULL
+         |           WHEN doc_id % 11 = 0 THEN 'und'
+         |           ELSE lang END]) AS v
+         |  FROM pred),
+         |m AS (SELECT u, v, count(*) AS nuc FROM r
+         |      WHERE v IS NOT NULL GROUP BY 1, 2),
+         |mm AS (SELECT u, sum(nuc) AS mu FROM m
+         |       GROUP BY 1 HAVING sum(nuc) >= 2),
+         |o AS (
+         |  SELECT x.v AS c, y.v AS k,
+         |    sum((2 * x.nuc * (y.nuc -
+         |          CASE WHEN x.v = y.v THEN 1 ELSE 0 END))
+         |        // (mm.mu - 1)) AS o
+         |  FROM m x JOIN m y USING (u) JOIN mm USING (u)
+         |  GROUP BY 1, 2),
+         |marg AS (SELECT c, sum(o) AS nc FROM o GROUP BY 1),
+         |tot AS (SELECT coalesce(sum(nc), 0) AS ntot,
+         |               coalesce(sum(nc * nc), 0) AS nsq FROM marg),
+         |dd AS (SELECT coalesce(sum(o), 0) AS do_num
+         |       FROM o WHERE c <> k)
+         |SELECT (ntot // 2)::BIGINT AS n, do_num::BIGINT AS do_num,
+         |  (ntot * ntot - nsq)::BIGINT AS de_num,
+         |  (ntot * ntot - nsq
+         |    - 2 * ((ntot // 2) - 1) * do_num)::BIGINT AS alpha_num,
+         |  CASE WHEN ntot * ntot - nsq = 0 THEN 1.0
+         |       ELSE round((ntot * ntot - nsq
+         |                   - 2 * ((ntot // 2) - 1) * do_num)::DOUBLE
+         |                  / (ntot * ntot - nsq)::DOUBLE, 9) END AS alpha
+         |FROM tot, dd""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.ops.Profile.krippendorffAlpha(
+        docs.select(col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("pred")),
+        col("doc_id"),
+        Seq(col("lang"), col("pred"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 11 === 0, lit("und"))
+            .otherwise(col("lang"))))
+    },
+
+    // ---- tokenizer fertility by language: bytes/chars per BPE-ish
+    //      regex token — the multilingual tokenizer-efficiency audit
+    //      (non-Latin scripts cost more bytes per token). Exact
+    //      BIGINT sums per language; the two ratios are each ONE
+    //      IEEE division on the 6-grid ----
+    sql(
+      "q_token_fertility",
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+        |      AS t,
+        |    strlen(text) AS b, length(text) AS c
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+        |  sum(b)::BIGINT AS n_bytes, sum(c)::BIGINT AS n_chars,
+        |  CASE WHEN sum(t) = 0 THEN NULL
+        |       ELSE round(sum(b)::DOUBLE / sum(t)::DOUBLE, 6)
+        |  END AS bytes_per_token,
+        |  CASE WHEN sum(t) = 0 THEN NULL
+        |       ELSE round(sum(c)::DOUBLE / sum(t)::DOUBLE, 6)
+        |  END AS chars_per_token
+        |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Profile.tokenFertility(
+        Tables.documents(s, d), col("lang"),
+        Text.regexTokens(col("text")), col("text"))
     },
 
     // ---- quality scoring: Gopher/C4-style rule features ----
@@ -1068,6 +1159,57 @@ object TextQueries {
         Dedup.decontaminate(
             docs.filter(col("doc_id") < 450), "doc_id", col("text"),
             docs.filter(col("doc_id") >= 450), col("text"), n = 5)
+          .select("doc_id")
+    },
+
+    // ---- NEAR-dup decontamination (the paraphrase-grade leak the
+    //      exact n-gram screen misses): eval = docs >= 450 PLUS
+    //      planted one-word-appended variants of corpus docs (J =
+    //      S/(S+1) >> 0.8 — guaranteed contamination); training docs
+    //      with exact 3-shingle Jaccard >= 0.8 against ANY eval doc
+    //      drop. Spark side is cross-corpus LSH (band join, rescore
+    //      only candidates — q_dedup_near's recall contract); the
+    //      oracle is the all-pairs exact-Jaccard replay ----
+    sql(
+      "q_decontam_neardup",
+      s"""WITH ev AS (
+         |  SELECT doc_id + 100000 AS eval_id, text || ' zzeval' AS text
+         |  FROM documents WHERE doc_id < 450 AND doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS eval_id, text FROM documents
+         |  WHERE doc_id >= 450),
+         |cs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents WHERE doc_id < 450)
+         |  WHERE len(ws) >= 3),
+         |es AS (
+         |  SELECT eval_id, list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT eval_id, string_split(${normSqlOf("text")}, ' ')
+         |          AS ws FROM ev)
+         |  WHERE len(ws) >= 3),
+         |bad AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM cs c, es e
+         |  WHERE len(list_intersect(c.s, e.s))::DOUBLE
+         |    / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s)))
+         |    >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id < 450
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") < 450)
+        val evalSet = docs.filter(col("doc_id") >= 450)
+          .select(col("doc_id").as("eval_id"), col("text"))
+          .unionByName(
+            docs.filter(col("doc_id") < 450 && col("doc_id") % 37 === 0)
+              .select((col("doc_id") + 100000L).as("eval_id"),
+                concat(col("text"), lit(" zzeval")).as("text")))
+        Dedup.decontaminateNear(corpus, "doc_id", col("text"),
+            evalSet, "eval_id", col("text"), threshold = 0.8, n = 3)
           .select("doc_id")
     },
 

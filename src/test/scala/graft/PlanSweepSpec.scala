@@ -43,6 +43,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_perplexity" -> "vocab size V rides a ONE-row broadcast carrier into the score",
     "q_kappa" ->
       "two ONE-row aggregates (totals, pe_num) meet on a broadcast carrier",
+    "q_krippendorff" ->
+      "two ONE-row aggregates (totals, do_num) meet on a broadcast carrier",
+    "q_bitext_mine" ->
+      ("both mining passes are the knn_topk shape — corpus x " +
+        "broadcast(query batch); IVF-probe each corpus side at scale"),
     "q_kn_perplexity" ->
       "bigram-type total T and vocab V ride a ONE-row broadcast carrier into the score",
     "q_dsir_select" ->

@@ -377,4 +377,28 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       "the reversed-key pass must make suffix twins adjacent")
     assert((prefix ++ suffix).contains((100L, 101L)))
   }
+
+  test("decontaminateNear drops near-dups of the eval set, keeps the rest") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "completely different words nothing shared here at all today"))
+      .toDF("doc_id", "text")
+    // eval doc 10 = train doc 1 plus one word: 8 of 9 distinct
+    // 3-shingles shared -> J = 8/9 >= 0.8
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog end extra"))
+      .toDF("eval_id", "text")
+    val kept = Dedup.decontaminateNear(
+        train, "doc_id", col("text"), eval, "eval_id", col("text"),
+        threshold = 0.8, n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+    // below-threshold overlap survives: raise the bar and doc 1 stays
+    val keptAll = Dedup.decontaminateNear(
+        train, "doc_id", col("text"), eval, "eval_id", col("text"),
+        threshold = 0.95, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L))
+  }
 }

@@ -199,4 +199,62 @@ class ProfileSpec extends AnyFunSuite with WithSpark {
     assert(Profile.ece(cal, col("score"), col("y"))
       .as[(Long, Double)].collect().head == ((2L, 0.0)))
   }
+
+  test("krippendorffAlpha: hand-computed 3-panel with missing ratings") {
+    // u1 (a,a,a), u2 (a,a,b), u3 (b,b,-), u4 (a,-,-): u4 drops (m<2);
+    // unscaled coincidences o_aa=4 o_ab=o_ba=1 o_bb=2, n=8, Do=2,
+    // De=2*5*3=30, alpha = 1 - 7*2/30 = 16/30. Scaled by F=2:
+    // do_num=4, de_num=16^2-(10^2+6^2)=120, alpha_num=64.
+    val df = Seq(
+      (1L, Some("a"), Some("a"), Some("a")),
+      (2L, Some("a"), Some("a"), Some("b")),
+      (3L, Some("b"), Some("b"), None),
+      (4L, Some("a"), None, None)).toDF("u", "r1", "r2", "r3")
+    val got = Profile.krippendorffAlpha(
+        df, col("u"), Seq(col("r1"), col("r2"), col("r3")))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((8L, 4L, 120L, 64L, 0.533333333)))
+  }
+
+  test("krippendorffAlpha: perfect agreement and the De=0 convention") {
+    val perfect = Seq((1L, "x", "x"), (2L, "y", "y"))
+      .toDF("u", "r1", "r2")
+    val p = Profile.krippendorffAlpha(
+        perfect, col("u"), Seq(col("r1"), col("r2")))
+      .select("alpha").as[Double].collect().head
+    assert(p == 1.0)
+    // one global value: De = 0 -> alpha = 1 by convention
+    val unanimous = Seq((1L, "x", "x"), (2L, "x", "x"))
+      .toDF("u", "r1", "r2")
+    val u = Profile.krippendorffAlpha(
+        unanimous, col("u"), Seq(col("r1"), col("r2")))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(u._3 == 0L && u._5 == 1.0)
+  }
+
+  test("krippendorffAlpha: panel bounds fail loudly") {
+    val df = Seq((1L, "a")).toDF("u", "r1")
+    val e = intercept[IllegalArgumentException] {
+      Profile.krippendorffAlpha(df, col("u"), Seq(col("r1")))
+    }
+    assert(e.getMessage.contains(">= 2"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.krippendorffAlpha(
+        df, col("u"), Seq.fill(6)(col("r1")))
+    }
+    assert(e2.getMessage.contains("headroom"))
+  }
+
+  test("tokenFertility: exact sums and ratios, multibyte split") {
+    val docs = Seq(("en", "aa bb"), ("en", "ccc"), ("fr", "é"))
+      .toDF("lang", "text")
+    val got = Profile.tokenFertility(
+        docs, col("lang"), Text.regexTokens(col("text")), col("text"))
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // en: 3 tokens, 8 bytes, 8 chars
+    assert(got("en") == (("en", 2L, 3L, 8L, 8L, 2.666667, 2.666667)))
+    // fr: é = 1 token, 2 bytes, 1 char
+    assert(got("fr") == (("fr", 1L, 1L, 2L, 1L, 2.0, 1.0)))
+  }
 }

@@ -162,4 +162,34 @@ class RankingSpec extends AnyFunSuite with WithSpark {
     }
     assert(e.getMessage.contains("maxPlayers"))
   }
+
+  test("zipfFit recovers slope -1 on an exact 1/rank law") {
+    import org.apache.spark.sql.functions.col
+    // freq_r = 60/r for r = 1..6 (all integral): ln f = ln 60 - ln r,
+    // so the OLS slope of ln f on ln rank is exactly -1 up to the
+    // micro-grid snap of each ln
+    val tokens = (1 to 6).flatMap(r => Seq.fill(60 / r)(s"w$r"))
+    val docs = Seq(("g", tokens)).toDF("source", "w")
+    val got = Ranking.zipfFit(docs, "source", col("w"),
+        maxRank = 200, minFreq = 2L)
+      .select("source", "n", "slope")
+      .as[(String, Long, Double)].collect().head
+    assert(got._1 == "g" && got._2 == 6L)
+    assert(math.abs(got._3 + 1.0) < 1e-4, s"slope ${got._3}")
+  }
+
+  test("zipfFit: minFreq trims the hapax tail, maxRank caps the fit") {
+    import org.apache.spark.sql.functions.col
+    val tokens = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("hapax")
+    val docs = Seq(("g", tokens)).toDF("source", "w")
+    val n = Ranking.zipfFit(docs, "source", col("w"),
+        maxRank = 2, minFreq = 2L)
+      .select("n").as[Long].collect().head
+    assert(n == 2L) // hapax dropped by minFreq, c by maxRank
+    val e = intercept[IllegalArgumentException] {
+      Ranking.zipfFit(docs, "source", col("w"), maxRank = 1)
+    }
+    assert(e.getMessage.contains("maxRank"))
+  }
 }

@@ -617,4 +617,24 @@ class SimilaritySpec extends AnyFunSuite with WithSpark {
     assert(exhaustive == full,
       "exhaustive-shortlist rescore diverged from brute-force maxsim")
   }
+
+  test("marginMine pairs each src with its aligned tgt") {
+    import org.apache.spark.sql.functions.col
+    // two aligned axes: src {0, 2} on e1/e2, tgt {1, 3} tilted copies
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), (3L, Array(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (2L, 3L)))
+    // margins are finite, positive, and above 1 for the aligned pair
+    // (the tilted twin is much closer than the neighborhood average)
+    val margins = Similarity
+      .marginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .select("margin").as[Double].collect()
+    assert(margins.forall(m => m > 1.0 && m < 3.0), margins.toSeq)
+  }
 }
