@@ -442,13 +442,28 @@ object Profile {
         "headroom of the lcm scaling — aggregate per slice first")
     val scale = (1 until ratings.size)
       .foldLeft(1L)((l, k) => l * k / gcd(l, k))
-    val melted = df
-      .select(unit.as("__u"),
-        array(ratings.map(_.cast("string")): _*).as("__r"))
-      .select(col("__u"), explode(col("__r")).as("__v"))
+    // evaluate the rater expressions in a PINNED projection before
+    // the melt: folded into the explode's Generate they lose codegen
+    // subexpression elimination and an expensive label CASE (langId)
+    // re-evaluates its shared subtrees per reference — measured 5.9 s
+    // vs 1.0 s at sf0.1 (the cohenKappa scan-pushdown note's sibling).
+    // The pin is O(corpus) but thin (unit + R strings), the same class
+    // as the counts pin below.
+    val rated = graft.core.LazyCheckpoint(df.select(
+      unit.as("__u") +: ratings.zipWithIndex.map { case (r, i) =>
+        r.cast("string").as(s"__r$i") }: _*))
+    val melted = rated
+      .select(col("__u"),
+        explode(array(ratings.indices.map(i => col(s"__r$i")): _*))
+          .as("__v"))
       .filter(col("__v").isNotNull)
-    val counts = melted.groupBy(col("__u"), col("__v"))
-      .agg(count(lit(1)).as("__nuc"))
+    // pin the (unit, value) counts: they feed m_u AND both sides of
+    // the coincidence self-join — without the checkpoint the rater
+    // expressions (arbitrarily expensive label CASEs, see cohenKappa's
+    // measured note) re-evaluate on every consumer's corpus scan
+    val counts = graft.core.LazyCheckpoint(
+      melted.groupBy(col("__u"), col("__v"))
+        .agg(count(lit(1)).as("__nuc")))
     val mu = counts.groupBy(col("__u")).agg(sum(col("__nuc")).as("__mu"))
       .filter(col("__mu") >= 2)
     val withMu = counts.join(mu, Seq("__u"))
