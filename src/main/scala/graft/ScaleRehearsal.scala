@@ -1698,6 +1698,82 @@ object ScaleRehearsal {
         btSecs(tdocs10, "bt_strength 10x") / btSecs(tdocs1, "bt_strength 1x")
     }
 
+    // ===== wave17b: near-dup decontam, margin mining, agreement,
+    // Zipf fit =====
+
+    // ---- q_decontam_neardup: corpus x10 (token-salted, so replicas
+    // are shingle-disjoint), eval side CONSTANT — the screen is a
+    // band join against a broadcast eval, so growth must track the
+    // corpus scan, never |corpus|x|eval| ----
+    if (on("decontam_near")) {
+      val eval = tdocs1.filter(col("doc_id") >= nTd - 50)
+        .select(col("doc_id").as("eval_id"), col("text"))
+        .localCheckpoint()
+      def dSecs(docs: DataFrame, label: String): Double = timed(label) {
+        graft.ops.Dedup.decontaminateNear(
+          docs, "doc_id", col("text"), eval, "eval_id", col("text"),
+          threshold = 0.8, n = 3).count()
+      }
+      growth("decontam_near (corpus x10)") =
+        dSecs(tdocs10, "decontam_near 10x") /
+          dSecs(tdocs1, "decontam_near 1x")
+    }
+
+    // ---- q_bitext_mine: tgt corpus x10 (replicas translated apart),
+    // src mining sample constant — both passes are broadcast-queries
+    // corpus scans, so growth is the two scans' linear term ----
+    if (on("bitext_margin")) {
+      val emb1 = graft.core.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+        .localCheckpoint()
+      val nE = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val emb10 = (0 until 10).map(k =>
+          emb1.select((col("vec_id") + lit(k * nE)).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(k * 10.0)).otherwise(x))
+              .as("embedding")))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val src = emb1.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") < 120).localCheckpoint()
+      def mSecs(tgt: DataFrame, label: String): Double = timed(label) {
+        graft.ops.Similarity.marginMine(
+          src, tgt.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4).count()
+      }
+      growth("bitext_margin (tgt x10)") =
+        mSecs(emb10, "bitext_margin 10x") / mSecs(emb1, "bitext_margin 1x")
+    }
+
+    // ---- q_krippendorff: units x10 with a cheap rater panel (times
+    // the agreement machinery — melt, unit counts, unit-local
+    // coincidence join — not the label expression, which the pinned
+    // projection already bounds to one corpus pass) ----
+    if (on("krippendorff")) {
+      def kSecs(docs: DataFrame, label: String): Double = timed(label) {
+        graft.ops.Profile.krippendorffAlpha(
+          docs, col("doc_id"),
+          Seq(col("source"), substring(col("text"), 1, 1),
+            when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+              .otherwise(col("source")))).count()
+      }
+      growth("krippendorff (units x10)") =
+        kSecs(tdocs10, "krippendorff 10x") / kSecs(tdocs1, "krippendorff 1x")
+    }
+
+    // ---- q_zipf_slope: docs x10 — the tokenize scan is the linear
+    // term; ranking works on the vocabulary-sized count table ----
+    if (on("zipf")) {
+      def zSecs(docs: DataFrame, label: String): Double = timed(label) {
+        graft.ops.Ranking.zipfFit(
+          docs.select(col("source"), graft.ops.Text.words(
+            graft.ops.Text.normalize(col("text"))).as("w")),
+          "source", col("w"), maxRank = 200, minFreq = 2L).count()
+      }
+      growth("zipf (docs x10)") =
+        zSecs(tdocs10, "zipf 10x") / zSecs(tdocs1, "zipf 1x")
+    }
+
     println("[rehearsal] growth: " + growth.map { case (k, v) =>
       f"$k $v%.2fx" }.mkString(", ") +
       " (inputs x10; pass = ~linear or below)")
