@@ -868,6 +868,47 @@ object Dedup {
     * raise numHashes before lowering the threshold if the eval set
     * is adversarial).
     */
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization/novelty audit (Carlini et al. 2021 extraction;
+    * McCoy et al. 2021 RAVEN run the same statistic on generations):
+    * for each probe document, how many of its distinct n-grams
+    * already occur anywhere in the corpus. Near-zero novelty means
+    * the document is assembled from corpus text (a memorized or
+    * templated generation); the inverse direction of
+    * [[decontaminate]] (which asks what the CORPUS leaks of an eval
+    * set).
+    *
+    * Output per probe doc: (id, n_grams, n_known, n_novel,
+    * novel_ppm) — exact integer counts, novelty share on the ppm
+    * grid by integer division. Docs with fewer than n words have no
+    * n-grams and are omitted (nothing to audit).
+    *
+    * Shape: the corpus's distinct grams are vocabulary-like (big but
+    * sublinear in corpus bytes); the membership join shuffles on the
+    * gram. At 100 TB swap the exact gram table for
+    * [[graft.ops.Bloom]]'s broadcast bitset — novelty becomes a
+    * LOWER bound (false positives deflate it) at zero shuffle.
+    */
+  def gramNovelty(
+      probe: DataFrame, id: String, text: Column,
+      corpus: DataFrame, corpusText: Column, n: Int = 5): DataFrame = {
+    val corpusGrams = corpus
+      .select(explode(Text.shingles(corpusText, n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    probe
+      .select(col(id),
+        explode(array_distinct(Text.shingles(text, n))).as("__g"))
+      .join(corpusGrams, Seq("__g"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_known"))
+      .select(col(id), col("n_grams"), col("n_known"),
+        (col("n_grams") - col("n_known")).as("n_novel"),
+        expr("(n_grams - n_known) * 1000000 div n_grams")
+          .as("novel_ppm"))
+  }
+
   def decontaminateNear(
       train: DataFrame, id: String, text: Column,
       eval: DataFrame, evalId: String, evalText: Column,

@@ -184,4 +184,43 @@ object Quality {
       acc.join(canon, Seq("__c"), "left")
     }.drop("__c")
   }
+
+  /** Split-conformal screening threshold for a score-based keep/drop
+    * gate (Vovk et al. 2005; Angelopoulos & Bates 2021 survey,
+    * arXiv:2107.07511): given a CALIBRATION sample of scores from
+    * the population the gate must not lose (e.g. known-good docs),
+    * the k-th smallest calibration score with k = ⌊(n+1)·α⌋ is the
+    * keep threshold — under exchangeability, `score ≥ q̂` drops a
+    * new good document with probability ≤ α, a finite-sample
+    * guarantee no eyeballed threshold gives. This is the principled
+    * way to SET the cutoff the model-score gate (q_model_score)
+    * then applies.
+    *
+    * Scores arrive on the nano grid (BIGINT — the calibrationBins
+    * snap convention) so the order statistic is exact; α = num/den
+    * in integers, k by integer division. k = 0 (calibration too
+    * small for the requested α) yields q̂ = Long.MinValue — keep
+    * everything, the honest answer. Output: ONE row
+    * (n_cal, k, qhat_nano).
+    *
+    * Shape: calibration sets are dimension-sized by definition — the
+    * rank runs as one ordered window over the calibration slice
+    * only; the result is a one-row broadcast carrier for the
+    * corpus-side keep filter.
+    */
+  def conformalThreshold(
+      cal: DataFrame, scoreNano: Column,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    val s = cal.select(scoreNano.cast("long").as("__s"))
+    val n = s.agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"),
+        expr(s"(n_cal + 1) * $alphaNum div $alphaDen").as("k"))
+    val ranked = s.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("__s"))))
+    broadcast(n).join(ranked, col("__rn") === col("k"), "left")
+      .select(col("n_cal"), col("k"),
+        coalesce(col("__s"), lit(Long.MinValue)).as("qhat_nano"))
+  }
 }

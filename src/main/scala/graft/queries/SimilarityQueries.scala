@@ -23,6 +23,70 @@ object SimilarityQueries {
     * fill tmp). */
   private lazy val indexScratch: String = graft.core.Scratch.dir("ivf")
 
+  /** ONE shared oracle replay of [[Similarity.marginMine]]'s fixture
+    * (src = even vec_ids < 120, tgt = odd, k = 4) ending in CTE
+    * `sc(src_id, tgt_id, c6, margin)` — consumed by q_bitext_mine
+    * and q_bitext_eval; change the generator, never one face. */
+  private val bitextCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |src AS (SELECT vec_id, v FROM e
+      |        WHERE vec_id % 2 = 0 AND vec_id < 120),
+      |tgt AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+      |fc AS (
+      |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+      |    CAST(round(list_dot_product(s.v, t.v)
+      |      / (sqrt(list_dot_product(s.v, s.v))
+      |         * sqrt(list_dot_product(t.v, t.v))) * 1000000)
+      |      AS BIGINT) AS c6,
+      |    row_number() OVER (PARTITION BY s.vec_id
+      |      ORDER BY list_dot_product(s.v, t.v)
+      |        / (sqrt(list_dot_product(s.v, s.v))
+      |           * sqrt(list_dot_product(t.v, t.v))) DESC,
+      |        t.vec_id) AS rnk
+      |  FROM src s, tgt t),
+      |fwd AS (SELECT src_id, tgt_id, c6 FROM fc WHERE rnk <= 4),
+      |sx AS (SELECT src_id, sum(c6) AS sx FROM fwd GROUP BY 1),
+      |ys AS (SELECT DISTINCT tgt_id FROM fwd),
+      |bc AS (
+      |  SELECT t.vec_id AS tgt_id,
+      |    CAST(round(list_dot_product(t.v, s.v)
+      |      / (sqrt(list_dot_product(t.v, t.v))
+      |         * sqrt(list_dot_product(s.v, s.v))) * 1000000)
+      |      AS BIGINT) AS c6,
+      |    row_number() OVER (PARTITION BY t.vec_id
+      |      ORDER BY list_dot_product(t.v, s.v)
+      |        / (sqrt(list_dot_product(t.v, t.v))
+      |           * sqrt(list_dot_product(s.v, s.v))) DESC,
+      |        s.vec_id) AS rnk
+      |  FROM (SELECT tg.vec_id, tg.v FROM tgt tg
+      |        JOIN ys ON tg.vec_id = ys.tgt_id) t, src s),
+      |sy AS (SELECT tgt_id, sum(c6) AS sy FROM bc
+      |       WHERE rnk <= 4 GROUP BY 1),
+      |sc AS (
+      |  SELECT f.src_id, f.tgt_id, f.c6,
+      |    round((8 * f.c6)::DOUBLE / (sx.sx + sy.sy)::DOUBLE, 9)
+      |      AS margin
+      |  FROM fwd f JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+      |  WHERE sx.sx + sy.sy > 0)""".stripMargin
+
+  /** The per-src argmax over `sc` (margin desc, tgt asc). */
+  private val BitextBestSql: String =
+    """SELECT src_id, tgt_id, c6, margin
+      |FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+      |        ORDER BY margin DESC, tgt_id) AS rnk FROM sc)
+      |WHERE rnk = 1""".stripMargin
+
+  /** The Spark side of the shared bitext fixture. */
+  private def minedPairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.marginMine(
+      src = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 120),
+      tgt = e.filter(col("vec_id") % 2 === 1),
+      id = "vec_id", vec = "embedding", k = 4)
+  }
+
   /** Train/build-ONCE state for the PQ faces — the operators' real
     * contract (codebooks and the IVFADC index are index-time
     * artifacts, amortized over query batches; q_knn_ivf_index already
@@ -177,55 +241,53 @@ object SimilarityQueries {
     //      oracle replays both k-NN passes and the argmax ----
     sql(
       "q_bitext_mine",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |src AS (SELECT vec_id, v FROM e
-        |        WHERE vec_id % 2 = 0 AND vec_id < 120),
-        |tgt AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
-        |fc AS (
-        |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-        |    CAST(round(list_dot_product(s.v, t.v)
-        |      / (sqrt(list_dot_product(s.v, s.v))
-        |         * sqrt(list_dot_product(t.v, t.v))) * 1000000)
-        |      AS BIGINT) AS c6,
-        |    row_number() OVER (PARTITION BY s.vec_id
-        |      ORDER BY list_dot_product(s.v, t.v)
-        |        / (sqrt(list_dot_product(s.v, s.v))
-        |           * sqrt(list_dot_product(t.v, t.v))) DESC,
-        |        t.vec_id) AS rnk
-        |  FROM src s, tgt t),
-        |fwd AS (SELECT src_id, tgt_id, c6 FROM fc WHERE rnk <= 4),
-        |sx AS (SELECT src_id, sum(c6) AS sx FROM fwd GROUP BY 1),
-        |ys AS (SELECT DISTINCT tgt_id FROM fwd),
-        |bc AS (
-        |  SELECT t.vec_id AS tgt_id,
-        |    CAST(round(list_dot_product(t.v, s.v)
-        |      / (sqrt(list_dot_product(t.v, t.v))
-        |         * sqrt(list_dot_product(s.v, s.v))) * 1000000)
-        |      AS BIGINT) AS c6,
-        |    row_number() OVER (PARTITION BY t.vec_id
-        |      ORDER BY list_dot_product(t.v, s.v)
-        |        / (sqrt(list_dot_product(t.v, t.v))
-        |           * sqrt(list_dot_product(s.v, s.v))) DESC,
-        |        s.vec_id) AS rnk
-        |  FROM (SELECT tg.vec_id, tg.v FROM tgt tg
-        |        JOIN ys ON tg.vec_id = ys.tgt_id) t, src s),
-        |sy AS (SELECT tgt_id, sum(c6) AS sy FROM bc
-        |       WHERE rnk <= 4 GROUP BY 1),
-        |sc AS (
-        |  SELECT f.src_id, f.tgt_id, f.c6,
-        |    round((8 * f.c6)::DOUBLE / (sx.sx + sy.sy)::DOUBLE, 9)
-        |      AS margin
-        |  FROM fwd f JOIN sx USING (src_id) JOIN sy USING (tgt_id)
-        |  WHERE sx.sx + sy.sy > 0)
-        |SELECT src_id, tgt_id, c6, margin
-        |FROM (SELECT *, row_number() OVER (PARTITION BY src_id
-        |        ORDER BY margin DESC, tgt_id) AS rnk FROM sc)
-        |WHERE rnk = 1""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      Similarity.marginMine(
-        src = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 120),
-        tgt = e.filter(col("vec_id") % 2 === 1),
-        id = "vec_id", vec = "embedding", k = 4)
+      s"""WITH $bitextCtes,
+         |best AS ($BitextBestSql)
+         |SELECT src_id, tgt_id, c6, margin FROM best""".stripMargin) {
+      (s, d) => minedPairs(s, d)
+    },
+
+    // ---- margin-band precision of the mined pairs: label agreement
+    //      (same planted cluster = a correct alignment) per margin
+    //      band — the threshold-calibration curve the margin papers
+    //      report (Artetxe-Schwenk §4: precision rises with margin).
+    //      Exact integer counts, ppm by integer division; the band
+    //      CASE compares the shared-division margin on identical
+    //      operands in both engines ----
+    sql(
+      "q_bitext_eval",
+      s"""WITH $bitextCtes,
+         |best AS ($BitextBestSql),
+         |j AS (
+         |  SELECT CASE WHEN b.margin >= 1.2 THEN 'high'
+         |              WHEN b.margin >= 1.0 THEN 'mid'
+         |              ELSE 'low' END AS band,
+         |    CASE WHEN ls.label IS NOT DISTINCT FROM lt.label
+         |         THEN 1 ELSE 0 END AS agree
+         |  FROM best b
+         |  JOIN embeddings ls ON b.src_id = ls.vec_id
+         |  JOIN embeddings lt ON b.tgt_id = lt.vec_id)
+         |SELECT band, count(*)::BIGINT AS n_pairs,
+         |  sum(agree)::BIGINT AS n_agree,
+         |  (sum(agree) * 1000000 // count(*))::BIGINT AS agree_ppm
+         |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      minedPairs(s, d)
+        .join(lab.select(col("vec_id").as("src_id"),
+          col("label").as("__ls")), "src_id")
+        .join(lab.select(col("vec_id").as("tgt_id"),
+          col("label").as("__lt")), "tgt_id")
+        .select(
+          when(col("margin") >= 1.2, "high")
+            .when(col("margin") >= 1.0, "mid")
+            .otherwise("low").as("band"),
+          when(col("__ls") <=> col("__lt"), 1L).otherwise(0L)
+            .as("__agree"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("__agree")).as("n_agree"))
+        .select(col("band"), col("n_pairs"), col("n_agree"),
+          expr("n_agree * 1000000 div n_pairs").as("agree_ppm"))
     },
 
     // ---- compressed int8 retrieval: the quantized corpus actually

@@ -686,6 +686,72 @@ object TextQueries {
         scoredDocs(s, d), col("score"), col("y"), bins = 10)
     },
 
+    // ---- split-conformal keep threshold over the model-score gate
+    //      (Vovk; Angelopoulos-Bates 2021): calibration = the labeled
+    //      good docs of the doc_id%5 slice; q̂ = the ⌊(n+1)α⌋-th
+    //      smallest calibration score (α = 0.1) so `score ≥ q̂` drops
+    //      a new good doc with probability ≤ α. Nano-grid order
+    //      statistic, integer k, one-row broadcast threshold into the
+    //      test-slice keep count ----
+    sql(
+      "q_conformal_gate",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, (lang = 'en') AS y,
+         |    round(round(1.0 / (1.0 + exp(-(-2.0 + 0.2 * mean_word_len
+         |      + 0.01 * n_tokens - 3.0 * punct_ratio
+         |      + 2.5 * stopword_ratio))), 9) * 1e9)::BIGINT AS si
+         |  FROM f),
+         |c AS (SELECT si FROM sc WHERE doc_id % 5 = 0 AND y),
+         |t AS (SELECT count(*) AS n_cal,
+         |        ((count(*) + 1) * 10) // 100 AS k FROM c),
+         |q AS (SELECT si, row_number() OVER (ORDER BY si) AS rn FROM c),
+         |th AS (
+         |  SELECT n_cal, k,
+         |    coalesce(min(CASE WHEN q.rn = t.k THEN q.si END),
+         |      -9223372036854775808) AS qhat_nano
+         |  FROM t LEFT JOIN q ON q.rn = t.k
+         |  GROUP BY 1, 2)
+         |SELECT th.n_cal::BIGINT AS n_cal, th.k::BIGINT AS k,
+         |  th.qhat_nano::BIGINT AS qhat_nano,
+         |  count(*)::BIGINT AS n_test,
+         |  sum(CASE WHEN sc.si >= th.qhat_nano THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_kept,
+         |  (sum(CASE WHEN sc.si >= th.qhat_nano THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*))::BIGINT AS kept_ppm
+         |FROM sc, th WHERE sc.doc_id % 5 <> 0
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val scD = Tables.documents(s, d).select(
+        col("doc_id"), (col("lang") === "en").as("y"),
+        round(round(Text.linearModelScore(col("text"),
+          Map("n_tokens" -> 0.01, "mean_word_len" -> 0.2,
+            "punct_ratio" -> -3.0, "stopword_ratio" -> 2.5),
+          bias = -2.0), 9) * lit(1e9), 0).cast("long").as("si"))
+      val th = graft.ops.Quality.conformalThreshold(
+        scD.filter(col("doc_id") % 5 === 0 && col("y")), col("si"),
+        alphaNum = 10, alphaDen = 100)
+      scD.filter(col("doc_id") % 5 =!= 0)
+        .crossJoin(broadcast(th))
+        .groupBy(col("n_cal"), col("k"), col("qhat_nano"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("si") >= col("qhat_nano"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("n_cal"), col("k"), col("qhat_nano"), col("n_test"),
+          col("n_kept"),
+          expr("n_kept * 1000000 div n_test").as("kept_ppm"))
+    },
+
     // ---- Flesch readability on the milli grid (round 17): sentence
     //      segmentation (regex-grade, abbreviation-naive — shared
     //      Java∩RE2 pattern, no lookbehind), vowel-group syllable
@@ -1213,6 +1279,63 @@ object TextQueries {
           .select("doc_id")
     },
 
+    // ---- n-gram NOVELTY audit (memorization direction): for each
+    //      probe doc (>= 450), the share of its distinct 5-grams
+    //      already present in the training corpus (< 450) — plus a
+    //      planted corpus-spliced probe (two adjacent corpus docs
+    //      concatenated) that must score near-ZERO novelty: only the
+    //      ≤ 4 grams spanning the splice boundary can be new. Exact
+    //      integer counts, ppm by integer division ----
+    sql(
+      "q_gram_novelty",
+      s"""WITH cg AS (
+         |  SELECT DISTINCT unnest(list_transform(range(len(ws) - 4),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+         |        || ws[i+4] || ' ' || ws[i+5])) AS g
+         |  FROM (SELECT string_split($NormSql, ' ') AS ws
+         |        FROM documents WHERE doc_id < 450)
+         |  WHERE len(ws) >= 5),
+         |probe AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 450
+         |  UNION ALL
+         |  SELECT a.doc_id + 200000 AS doc_id,
+         |    a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 41 = 0 AND a.doc_id < 449),
+         |pg AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(len(ws) - 4),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+         |        || ws[i+4] || ' ' || ws[i+5]))) AS g
+         |  FROM (SELECT doc_id, string_split(${normSqlOf("text")}, ' ')
+         |          AS ws FROM probe)
+         |  WHERE len(ws) >= 5),
+         |j AS (
+         |  SELECT pg.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+         |  FROM pg LEFT JOIN cg ON pg.g = cg.g
+         |  GROUP BY 1)
+         |SELECT doc_id, n_grams::BIGINT AS n_grams,
+         |  n_known::BIGINT AS n_known,
+         |  (n_grams - n_known)::BIGINT AS n_novel,
+         |  ((n_grams - n_known) * 1000000 // n_grams)::BIGINT
+         |    AS novel_ppm
+         |FROM j""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 450)
+      val spliced = docs.as("a")
+        .join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") % 41 === 0 && col("a.doc_id") < 449)
+        .select((col("a.doc_id") + 200000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      val probe = docs.filter(col("doc_id") >= 450)
+        .select(col("doc_id"), col("text"))
+        .unionByName(spliced)
+      Dedup.gramNovelty(probe, "doc_id", col("text"), corpus,
+        col("text"), n = 5)
+    },
+
     // ---- HTML → text extraction (the crawl front door's missing
     //      half): each document is wrapped in an ADVERSARIAL page —
     //      comment hiding a script, script with angle brackets and
@@ -1385,6 +1508,60 @@ object TextQueries {
       val pairs = Dedup.nearDupPairs(
         docs, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
       Dedup.clusterLabels(docs.select("doc_id"), pairs)
+    },
+
+    // ---- near-dup-cluster-aware train/val/test split: hash the
+    //      CLUSTER label, not the doc id, so every near-duplicate of
+    //      a doc lands in the SAME split — the leakage doc-level
+    //      hashing causes (train/test twins — the C4/Pile cross-split
+    //      dup finding, Dodge et al. 2021 §4.2; Lee et al. 2022 §6).
+    //      Same pair graph + two-round label propagation as
+    //      q_dedup_near, then the md5 split draw on the cluster ----
+    sql(
+      "q_cluster_safe_split",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |l1 AS (
+         |  SELECT d.doc_id AS node,
+         |    least(d.doc_id, coalesce(min(e.dst), d.doc_id)) AS l
+         |  FROM documents d LEFT JOIN e ON d.doc_id = e.src
+         |  GROUP BY d.doc_id),
+         |l2 AS (
+         |  SELECT l1.node, least(l1.l, coalesce(min(nl.l), l1.l)) AS cluster
+         |  FROM l1
+         |  LEFT JOIN e ON l1.node = e.src
+         |  LEFT JOIN l1 nl ON e.dst = nl.node
+         |  GROUP BY l1.node, l1.l)
+         |SELECT node, cluster,
+         |  CASE WHEN substr(md5('cl' || CAST(cluster AS VARCHAR)), 1,
+         |         ${Sampling.PrefixHexLen})
+         |         < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |       WHEN substr(md5('cl' || CAST(cluster AS VARCHAR)), 1,
+         |         ${Sampling.PrefixHexLen})
+         |         < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM l2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", Text.shingles(col("text"), 3))
+      val pairs = Dedup.nearDupPairs(
+        docs, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
+      Dedup.clusterLabels(docs.select("doc_id"), pairs)
+        .select(col("node"), col("cluster"),
+          Sampling.splitAssign(col("cluster"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "cl").as("split"))
     },
 
     // ---- near-dup collapse keeping the BEST representative (longest

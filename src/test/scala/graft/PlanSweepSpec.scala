@@ -48,6 +48,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_bitext_mine" ->
       ("both mining passes are the knn_topk shape — corpus x " +
         "broadcast(query batch); IVF-probe each corpus side at scale"),
+    "q_bitext_eval" -> "embeds q_bitext_mine's two mining passes",
+    "q_conformal_gate" ->
+      ("the ONE-row conformal threshold rides a broadcast carrier " +
+        "into the test-slice keep count"),
     "q_kn_perplexity" ->
       "bigram-type total T and vocab V ride a ONE-row broadcast carrier into the score",
     "q_dsir_select" ->

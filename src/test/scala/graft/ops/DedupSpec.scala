@@ -401,4 +401,41 @@ class DedupSpec extends AnyFunSuite with WithSpark {
       .select("doc_id").as[Long].collect().toSet
     assert(keptAll == Set(1L, 2L))
   }
+
+  test("gramNovelty: known, novel, and mixed probes count exactly") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a b c d e f g"),     // every 5-gram known
+      (2L, "z y x w v u t"),     // every 5-gram novel
+      (3L, "a b c d e z z z z")) // abcde known, 4 others novel
+      .toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(
+        probe, "doc_id", col("text"), corpus, col("text"), n = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 0L, 0L)))
+    assert(got(2L) == ((2L, 3L, 0L, 3L, 1000000L)))
+    assert(got(3L) == ((3L, 5L, 1L, 4L, 800000L)))
+  }
+
+  test("cluster-keyed split keeps near-dup twins in one split") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "the quick brown fox jumps over the lazy dog end extra"),
+      (3L, "completely different words nothing shared here at all today"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", graft.ops.Text.shingles(col("text"), 3))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", col("sh"), 0.8, 64, 16)
+      .select("a", "b")
+    val split = Dedup.clusterLabels(docs.select("doc_id"), pairs)
+      .select(col("node"), graft.ops.Sampling.splitAssign(col("cluster"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cl")
+        .as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(split(1L) == split(2L),
+      "near-dup twins must land in the same split")
+    assert(split.size == 3)
+  }
 }

@@ -146,4 +146,26 @@ class QualitySpec extends AnyFunSuite with WithSpark {
       "an invalid checksum must NOT redact")
     assert(got(4L)._1 == 0 && got(5L)._1 == 0)
   }
+
+  test("conformalThreshold: exact order statistic, k=0 fallback, loud alpha") {
+    import org.apache.spark.sql.functions.col
+    val cal = (1 to 10).map(i => i * 10L).toDF("s")
+    // n=10, alpha=0.1: k = (11*10)//100 = 1 -> smallest score
+    val t1 = Quality.conformalThreshold(cal, col("s"), 10, 100)
+      .as[(Long, Long, Long)].collect().head
+    assert(t1 == ((10L, 1L, 10L)))
+    // alpha=0.25: k = (11*25)//100 = 2 -> second smallest
+    val t2 = Quality.conformalThreshold(cal, col("s"), 25, 100)
+      .as[(Long, Long, Long)].collect().head
+    assert(t2 == ((10L, 2L, 20L)))
+    // calibration too small for alpha: k=0 -> keep everything
+    val t0 = Quality.conformalThreshold(
+        Seq(5L, 7L, 9L).toDF("s"), col("s"), 10, 100)
+      .as[(Long, Long, Long)].collect().head
+    assert(t0 == ((3L, 0L, Long.MinValue)))
+    val e = intercept[IllegalArgumentException] {
+      Quality.conformalThreshold(cal, col("s"), 0, 100)
+    }
+    assert(e.getMessage.contains("alpha"))
+  }
 }
