@@ -1761,6 +1761,21 @@ object ScaleRehearsal {
         kSecs(tdocs10, "krippendorff 10x") / kSecs(tdocs1, "krippendorff 1x")
     }
 
+    // ---- q_gram_novelty: corpus x10 (token-salted, gram-disjoint
+    // replicas), probe set constant — the membership join shuffles on
+    // the gram, so growth must track the corpus gram table ----
+    if (on("gram_novelty")) {
+      val probes = tdocs1.filter(col("doc_id") >= nTd - 50)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      def gSecs(corpus: DataFrame, label: String): Double = timed(label) {
+        graft.ops.Dedup.gramNovelty(
+          probes, "doc_id", col("text"), corpus, col("text"), n = 5)
+          .count()
+      }
+      growth("gram_novelty (corpus x10)") =
+        gSecs(tdocs10, "gram_novelty 10x") / gSecs(tdocs1, "gram_novelty 1x")
+    }
+
     // ---- q_zipf_slope: docs x10 — the tokenize scan is the linear
     // term; ranking works on the vocabulary-sized count table ----
     if (on("zipf")) {
