@@ -1093,6 +1093,46 @@ object Text {
     aggregate(luhnCards(text), text,
       (acc, c) => replace(acc, c, lit("[CARD]")))
 
+  /** IBAN candidate runs (ISO 13616 shape: country code, two check
+    * digits, 10-30 alphanumerics) — the PRE-filter; validation is
+    * [[ibanValid]]. No lookaround (Java∩RE2); a candidate that
+    * over-extends into adjacent capitals simply fails the checksum
+    * and survives unredacted — validation-first, like the card
+    * path. */
+  val IbanCandidateRegex = "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}"
+
+  /** ISO/IEC 7064 mod-97-10 check over an IBAN candidate: move the
+    * first four chars to the end, read letters as two digits
+    * (A=10..Z=35), and the resulting number must be ≡ 1 (mod 97).
+    * ONE codegen'd fold — a letter steps the remainder by
+    * `(acc·100 + v) % 97`, which equals the two digit steps by
+    * modular arithmetic, so no intermediate expanded-digit string is
+    * ever built. The DuckDB mirror encodes each char as
+    * `mult·100 + value` and folds with list_reduce — a different
+    * path to the SAME remainder (both compute N mod 97 exactly). */
+  def ibanValid(c: Column): Column = {
+    val r = concat(c.substr(lit(5), length(c) - 4), c.substr(lit(1), lit(4)))
+    val rem = aggregate(
+      sequence(lit(1), length(r)), lit(0L),
+      (acc, i) => {
+        val ch = r.substr(i, lit(1))
+        when(ch >= "A", (acc * 100 + ascii(ch) - 55) % 97)
+          .otherwise((acc * 10 + ascii(ch) - 48) % 97)
+      })
+    length(c) >= 15 && length(c) <= 34 && rem === 1
+  }
+
+  /** The IBAN candidates that pass the mod-97 check. */
+  def ibans(text: Column): Column =
+    filter(regexp_extract_all(text, lit(IbanCandidateRegex), lit(0)),
+      c => ibanValid(c))
+
+  /** `text` with every mod-97-VALID IBAN replaced by `[IBAN]` —
+    * invalid candidates (reference codes, shouty product ids)
+    * survive untouched. Map-side scalar fold. */
+  def redactIbans(text: Column): Column =
+    aggregate(ibans(text), text, (acc, c) => replace(acc, c, lit("[IBAN]")))
+
   // ---- robots-style URL rule filtering ----
 
   /** robots.txt-style allow/disallow over URL paths (RFC 9309 path-

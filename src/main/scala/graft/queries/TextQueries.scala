@@ -1675,6 +1675,61 @@ object TextQueries {
         .select("doc_id", "n_cands", "n_valid", "redacted")
     },
 
+    // ---- CHECKSUM-VALIDATED IBAN PII (the card path's international
+    //      sibling): mod-97-10 over the rearranged candidate — only
+    //      valid IBANs redact; the planted checksum-off-by-one run
+    //      and the shouty product code must survive. The Spark fold
+    //      steps letters by (acc·100+v)%97; the oracle encodes chars
+    //      as mult·100+value and list_reduces — different paths to
+    //      the same exact remainder ----
+    sql(
+      "q_iban_pii", {
+      def ibanSql(x: String): String = {
+        val r = s"(substring($x, 5) || substring($x, 1, 4))"
+        val elems = s"list_transform(range(1, length($r)+1), i -> " +
+          s"CASE WHEN substring($r, i, 1) >= 'A' " +
+          s"THEN 10000 + ascii(substring($r, i, 1)) - 55 " +
+          s"ELSE 1000 + ascii(substring($r, i, 1)) - 48 END)"
+        val rem = s"list_reduce(list_prepend(0, $elems), " +
+          "(a, e) -> (a * (e // 100) + e % 100) % 97)"
+        s"(length($x) >= 15 AND length($x) <= 34 AND $rem = 1)"
+      }
+      s"""WITH p AS (
+         |  SELECT doc_id, text || CASE doc_id % 4
+         |    WHEN 0 THEN ' pay DE89370400440532013000 today'
+         |    WHEN 1 THEN ' acct GB82WEST12345698765432 ok'
+         |    WHEN 2 THEN ' ref DE89370400440532013001 code'
+         |    WHEN 3 THEN ' sku AB12CDEF34567890 list'
+         |    END AS t
+         |  FROM documents WHERE doc_id % 11 = 7),
+         |c AS (
+         |  SELECT doc_id, t,
+         |    regexp_extract_all(t, '${Text.IbanCandidateRegex}') AS cs
+         |  FROM p),
+         |v AS (
+         |  SELECT doc_id, t, len(cs)::BIGINT AS n_cands,
+         |    list_filter(cs, c -> ${ibanSql("c")}) AS ok
+         |  FROM c)
+         |SELECT doc_id, n_cands, len(ok)::BIGINT AS n_valid,
+         |  list_reduce(list_prepend(t, ok),
+         |    (acc, x) -> replace(acc, x, '[IBAN]')) AS redacted
+         |FROM v""".stripMargin
+    }) { (s, d) =>
+      val mode = col("doc_id") % 4
+      val t = concat(col("text"),
+        when(mode === 0, lit(" pay DE89370400440532013000 today"))
+          .when(mode === 1, lit(" acct GB82WEST12345698765432 ok"))
+          .when(mode === 2, lit(" ref DE89370400440532013001 code"))
+          .otherwise(lit(" sku AB12CDEF34567890 list")))
+      Tables.documents(s, d).filter(col("doc_id") % 11 === 7)
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("n_cands", size(regexp_extract_all(col("t"),
+          lit(Text.IbanCandidateRegex), lit(0))).cast("long"))
+        .withColumn("n_valid", size(Text.ibans(col("t"))).cast("long"))
+        .withColumn("redacted", Text.redactIbans(col("t")))
+        .select("doc_id", "n_cands", "n_valid", "redacted")
+    },
+
     // ---- PII redaction: email/IPv4/phone/long-digit scrubbing as an
     //      RE2-compatible regexp_replace chain — the DuckDB side is
     //      GENERATED from the same pattern list, so the two faces

@@ -147,6 +147,27 @@ class QualitySpec extends AnyFunSuite with WithSpark {
     assert(got(4L)._1 == 0 && got(5L)._1 == 0)
   }
 
+  test("IBAN mod-97: real IBANs validate, off-by-one and shouty " +
+      "product codes reject, redaction touches only valid candidates") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "pay DE89370400440532013000 now"),  // valid (DE example)
+      (2L, "to GB82WEST12345698765432 ok"),    // valid, with letters
+      (3L, "ref DE89370400440532013001 x"),    // checksum off by one
+      (4L, "sku AB12CDEF34567890 list"),       // candidate, invalid
+      (5L, "code ab12cdef34567890 lower"))     // not a candidate
+    val got = rows.toDF("id", "t")
+      .select(col("id"), graft.ops.Text.redactIbans(col("t")).as("r"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.Text.ibans(col("t"))).as("n"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "pay [IBAN] now", 1)))
+    assert(got(2L) == ((2L, "to [IBAN] ok", 1)))
+    assert(got(3L)._2.contains("DE89370400440532013001"),
+      "an invalid mod-97 checksum must NOT redact")
+    assert(got(4L)._3 == 0 && got(5L)._3 == 0)
+  }
+
   test("conformalThreshold: exact order statistic, k=0 fallback, loud alpha") {
     import org.apache.spark.sql.functions.col
     val cal = (1 to 10).map(i => i * 10L).toDF("s")
