@@ -269,23 +269,24 @@ object TextQueries {
   private def seedsSql(lang: String): String =
     Text.StopwordSeeds(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Shared oracle CTE chain ending in `pred(doc_id, lang, pred)` —
-    * the [[Text.langId]] replay consumed by BOTH agreement faces
-    * (q_kappa, q_krippendorff); one generator, never two copies. */
-  private def langPredCtes: String =
-    s"""dw AS (
+  /** Shared oracle CTE chain ending in `pred$sfx(doc_id, lang, pred)`
+    * — the [[Text.langId]] replay over any text expression, consumed
+    * by the agreement faces (q_kappa, q_krippendorff) and the
+    * label-model faces; one generator, never per-face copies. */
+  private def langPredCtesOver(textSql: String, sfx: String): String =
+    s"""dw$sfx AS (
        |  SELECT doc_id, lang,
-       |    list_distinct(string_split($NormSql, ' ')) AS w
+       |    list_distinct(string_split(${normSqlOf(textSql)}, ' ')) AS w
        |  FROM documents),
-       |h AS (
+       |h$sfx AS (
        |  SELECT doc_id, lang,
        |    len(list_intersect(w, ${seedsSql("de")})) AS h_de,
        |    len(list_intersect(w, ${seedsSql("en")})) AS h_en,
        |    len(list_intersect(w, ${seedsSql("es")})) AS h_es,
        |    len(list_intersect(w, ${seedsSql("fr")})) AS h_fr,
        |    len(list_intersect(w, ${seedsSql("zh")})) AS h_zh
-       |  FROM dw),
-       |pred AS (
+       |  FROM dw$sfx),
+       |pred$sfx AS (
        |  SELECT doc_id, lang,
        |    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
        |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
@@ -293,7 +294,90 @@ object TextQueries {
        |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
        |         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
        |         ELSE 'zh' END AS pred
-       |  FROM h)""".stripMargin
+       |  FROM h$sfx)""".stripMargin
+
+  private def langPredCtes: String = langPredCtesOver("text", "")
+
+  // ---- Dawid-Skene label-model oracle machinery (shared by
+  //      q_label_model and q_label_posterior — engine arithmetic in
+  //      ops/LabelModel.scala and this generator must change
+  //      TOGETHER, the fsEmCtes discipline) ----
+  private val DsClasses = Seq("de", "en", "es", "fr", "zh", "und")
+  private val DsIters = 4
+
+  /** The Spark-side labeling-function panel: full-text langId, a
+    * weaker prefix langId, and a planted flaky gold rater (absent on
+    * doc_id%5, wrong on doc_id%11). */
+  private def dsVoteCols: Seq[org.apache.spark.sql.Column] = Seq(
+    Text.langId(col("text")),
+    Text.langId(substring(col("text"), 1, 40)),
+    when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+      .when(col("doc_id") % 11 === 0, lit("und"))
+      .otherwise(col("lang")))
+
+  private def dsFactor(l: Int, c: String): String =
+    s"CASE WHEN v$l IS NULL THEN 1000000 WHEN v$l = '$c' THEN a$l " +
+      s"ELSE (1000000 - a$l) // ${DsClasses.size - 1} END"
+
+  /** prior·Π factors with a truncating div after every product — the
+    * exact nesting LabelModel's fold computes. */
+  private def dsScore(c: String): String =
+    (1 to 3).foldLeft(s"pi_$c") { (acc, l) =>
+      s"(($acc * ${dsFactor(l, c)}) // 1000000)"
+    }
+
+  private def dsVoteCase(l: Int): String =
+    "CASE" + DsClasses.map(c => s" WHEN v$l = '$c' THEN post_$c")
+      .mkString + " END"
+
+  private def dsPostCols: String = {
+    val tot = DsClasses.map(c => s"pc_$c").mkString(" + ")
+    DsClasses.map(c =>
+      s"((pc_$c * 1000000) // greatest($tot, 1))::BIGINT AS post_$c")
+      .mkString(",\n    ")
+  }
+
+  private def dsPcCols: String =
+    DsClasses.map(c => s"${dsScore(c)} AS pc_$c").mkString(",\n    ")
+
+  private def dsEmCtes(iters: Int): String = {
+    val init = "d0 AS (SELECT " +
+      ((1 to 3).map(l => s"800000::BIGINT AS a$l") ++
+        DsClasses.map(c =>
+          s"${1000000L / DsClasses.size}::BIGINT AS pi_$c"))
+        .mkString(", ") + ")"
+    val steps = (1 to iters).map { k =>
+      val accs = (1 to 3).map(l =>
+        s"(sum(CASE WHEN v$l IS NOT NULL THEN n * (${dsVoteCase(l)}) " +
+          s"ELSE 0 END) // greatest(sum(CASE WHEN v$l IS NOT NULL " +
+          s"THEN n ELSE 0 END), 1))::BIGINT AS a$l")
+      val pis = DsClasses.map(c =>
+        s"(sum(n * post_$c) // greatest(sum(n), 1))::BIGINT AS pi_$c")
+      s"""e$k AS MATERIALIZED (
+         |  SELECT v1, v2, v3, n, $dsPostCols
+         |  FROM (SELECT v1, v2, v3, n, $dsPcCols
+         |        FROM pat CROSS JOIN d${k - 1})),
+         |d$k AS (
+         |  SELECT ${(accs ++ pis).mkString(",\n    ")}
+         |  FROM e$k)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** The votes + bounded pattern-count CTEs (MATERIALIZED — `pat` is
+    * re-read every EM round, the q_hits DuckDB lesson). */
+  private def dsVotesCtes: String =
+    s"""${langPredCtesOver("text", "")},
+       |${langPredCtesOver("substring(text, 1, 40)", "2")},
+       |votes AS MATERIALIZED (
+       |  SELECT a.doc_id, a.pred AS v1, b.pred AS v2,
+       |    CASE WHEN a.doc_id % 5 = 0 THEN NULL
+       |         WHEN a.doc_id % 11 = 0 THEN 'und'
+       |         ELSE a.lang END AS v3
+       |  FROM pred a JOIN pred2 b USING (doc_id)),
+       |pat AS MATERIALIZED (
+       |  SELECT v1, v2, v3, count(*)::BIGINT AS n
+       |  FROM votes GROUP BY 1, 2, 3)""".stripMargin
 
   /** The [[Text.gopherRules]] keep conjunction over a COLUMN named by
     * `t` (reference the text through a CTE column, never an inline
@@ -539,6 +623,71 @@ object TextQueries {
       graft.ops.Profile.tokenFertility(
         Tables.documents(s, d), col("lang"),
         Text.regexTokens(col("text")), col("text"))
+    },
+
+    // ---- one-coin Dawid-Skene label model (Dawid & Skene 1979;
+    //      Snorkel's weak-supervision fit, Ratner VLDB'18): three
+    //      labeling functions — full-text langId, a weaker prefix
+    //      langId, a flaky gold rater with real abstains — and EM
+    //      learns, with NO labels, each LF's accuracy and the class
+    //      priors. The fitted numbers also EXHIBIT the model's
+    //      textbook caveat: the two langId LFs violate conditional
+    //      independence (correlated errors), so their coalition
+    //      outvotes the lone gold rater and EM rates it low — the
+    //      Snorkel-documented failure mode, reproduced exactly in
+    //      both engines. Corpus-sized work = ONE aggregation to
+    //      ≤ (L+1)^K vote patterns; EM replays in ppm integers
+    //      (truncating div after every product) so DuckDB matches
+    //      the fixpoint bit-for-bit over unrolled MATERIALIZED
+    //      rounds ----
+    sql(
+      "q_label_model",
+      s"""WITH $dsVotesCtes,
+         |${dsEmCtes(DsIters)}
+         |SELECT param, ppm FROM (
+         |  SELECT 'acc_lf1' AS param, a1 AS ppm FROM d$DsIters
+         |  UNION ALL SELECT 'acc_lf2', a2 FROM d$DsIters
+         |  UNION ALL SELECT 'acc_lf3', a3 FROM d$DsIters
+         |  ${DsClasses.map(c =>
+              s"UNION ALL SELECT 'pi_$c', pi_$c FROM d$DsIters")
+              .mkString("\n  ")})""".stripMargin) { (s, d) =>
+      val p = graft.ops.LabelModel.fit(
+        Tables.documents(s, d), dsVoteCols, DsClasses, DsIters)
+      graft.ops.LabelModel.paramsDf(
+        s, p, Seq("lf1", "lf2", "lf3"), DsClasses)
+    },
+
+    // ---- per-doc labels under the fitted model: each vote PATTERN's
+    //      argmax-posterior class (ties to the earliest class, both
+    //      engines) joined back to the corpus null-safely — the
+    //      training label + confidence a weak-supervision pipeline
+    //      feeds downstream ----
+    sql(
+      "q_label_posterior", {
+      val m = s"greatest(${DsClasses.map(c => s"post_$c").mkString(", ")})"
+      val yCase = "CASE" + DsClasses.init.map(c =>
+        s" WHEN post_$c = m THEN '$c'").mkString +
+        s" ELSE '${DsClasses.last}' END"
+      s"""WITH $dsVotesCtes,
+         |${dsEmCtes(DsIters)},
+         |pp AS MATERIALIZED (
+         |  SELECT v1, v2, v3, $dsPostCols
+         |  FROM (SELECT v1, v2, v3, n, $dsPcCols
+         |        FROM pat CROSS JOIN d$DsIters)),
+         |lab AS (
+         |  SELECT v1, v2, v3, m AS post_ppm, $yCase AS y_hat
+         |  FROM (SELECT *, $m AS m FROM pp))
+         |SELECT vt.doc_id, l.y_hat, l.post_ppm
+         |FROM votes vt JOIN lab l
+         |  ON vt.v1 IS NOT DISTINCT FROM l.v1
+         | AND vt.v2 IS NOT DISTINCT FROM l.v2
+         | AND vt.v3 IS NOT DISTINCT FROM l.v3""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val p = graft.ops.LabelModel.fit(docs, dsVoteCols, DsClasses,
+        DsIters)
+      graft.ops.LabelModel.labelDocs(docs, dsVoteCols, DsClasses, p)
+        .select(col("doc_id"), col("y_hat"), col("post_ppm"))
     },
 
     // ---- quality scoring: Gopher/C4-style rule features ----
