@@ -1776,6 +1776,26 @@ object ScaleRehearsal {
         gSecs(tdocs10, "gram_novelty 10x") / gSecs(tdocs1, "gram_novelty 1x")
     }
 
+    // ---- q_label_posterior: docs x10 with a cheap LF panel — the
+    // pattern table is CONSTANT-sized, so growth is the vote scan +
+    // broadcast labeling join, never the EM ----
+    if (on("label_model")) {
+      def lSecs(docs: DataFrame, label: String): Double = timed(label) {
+        graft.ops.LabelModel.fitAndLabel(
+          docs,
+          Seq(col("source"),
+            when(col("doc_id") % 3 === 0, lit("zz"))
+              .otherwise(col("source")),
+            when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("source"))),
+          classes = docs.select(col("source")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq :+ "zz",
+          iters = 4).count()
+      }
+      growth("label_model (docs x10)") =
+        lSecs(tdocs10, "label_model 10x") / lSecs(tdocs1, "label_model 1x")
+    }
+
     // ---- q_zipf_slope: docs x10 — the tokenize scan is the linear
     // term; ranking works on the vocabulary-sized count table ----
     if (on("zipf")) {

@@ -164,14 +164,41 @@ object LabelModel {
     * Output: input columns + (y_hat, post_ppm). */
   def labelDocs(
       df: DataFrame, votes: Seq[Column], classes: Seq[String],
-      p: DsParams): DataFrame = {
+      p: DsParams): DataFrame =
+    labelImpl(df, votes, classes, counts => p)
+
+  /** Fit + label in ONE corpus vote evaluation: the vote columns are
+    * evaluated into a pinned projection (expensive label expressions
+    * — a langId CASE — must not re-evaluate per consumer; the
+    * krippendorff lesson), the pattern aggregation folds THAT frame,
+    * EM fits on the collected patterns, and the labeling join reads
+    * the same pinned frame. Two passes over the thin pinned votes,
+    * one over the raw corpus. */
+  def fitAndLabel(
+      df: DataFrame, votes: Seq[Column], classes: Seq[String],
+      iters: Int, initAcc: Long = 800000L): DataFrame =
+    labelImpl(df, votes, classes,
+      counts => dsFit(counts, classes, iters, initAcc))
+
+  private def labelImpl(
+      df: DataFrame, votes: Seq[Column], classes: Seq[String],
+      mkParams: Seq[(Seq[Option[String]], Long)] => DsParams)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(votes.size >= 2 && votes.size <= 5,
+      s"2..5 labeling functions (got ${votes.size})")
     val named = votes.zipWithIndex.map { case (v, i) =>
       v.cast("string").as(s"__v${i + 1}") }
-    val withVotes = df.select(col("*") +: named: _*)
-    val counts = votePatternCounts(df, votes)
-    val table = collectPatterns(counts).map { case (v, _) =>
+    val withVotes = graft.core.LazyCheckpoint(
+      df.select(col("*") +: named: _*))
+    val counts = withVotes
+      .groupBy(votes.indices.map(i =>
+        col(s"__v${i + 1}").as(s"v${i + 1}")): _*)
+      .agg(count(lit(1)).as("n"))
+    val patterns = collectPatterns(counts)
+    val p = mkParams(patterns)
+    val table = patterns.map { case (v, _) =>
       val post = posteriorsPpm(v, classes, p)
       val best = post.indices.maxBy(i => (post(i), -i)) // first wins ties
       (v.lift(0).flatten, v.lift(1).flatten, v.lift(2).flatten,
@@ -181,6 +208,6 @@ object LabelModel {
     val cond = votes.indices.map(i =>
       col(s"__v${i + 1}") <=> col(s"__p${i + 1}")).reduce(_ && _)
     withVotes.join(broadcast(table), cond)
-      .drop((1 to 5).flatMap(i => Seq(s"__v$i", s"__p$i")): _*)
+      .drop((1 to 5).flatMap(i => Seq(s"__p$i", s"__v$i")): _*)
   }
 }

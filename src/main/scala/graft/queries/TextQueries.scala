@@ -683,10 +683,8 @@ object TextQueries {
          | AND vt.v2 IS NOT DISTINCT FROM l.v2
          | AND vt.v3 IS NOT DISTINCT FROM l.v3""".stripMargin
     }) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val p = graft.ops.LabelModel.fit(docs, dsVoteCols, DsClasses,
-        DsIters)
-      graft.ops.LabelModel.labelDocs(docs, dsVoteCols, DsClasses, p)
+      graft.ops.LabelModel.fitAndLabel(
+          Tables.documents(s, d), dsVoteCols, DsClasses, DsIters)
         .select(col("doc_id"), col("y_hat"), col("post_ppm"))
     },
 
