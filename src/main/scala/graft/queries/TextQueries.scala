@@ -688,6 +688,39 @@ object TextQueries {
         .select(col("doc_id"), col("y_hat"), col("post_ppm"))
     },
 
+    // ---- incremental label-model maintenance: vote-pattern counts
+    //      from two disjoint batches FOLD (counts add — the
+    //      q_fs_em_stream law), and the EM refit over the folded
+    //      state must equal the full-corpus fit. The ORACLE is the
+    //      full-corpus replay, so a broken fold hash-mismatches
+    //      across engines, not just within a spec ----
+    sql(
+      "q_label_fold",
+      s"""WITH $dsVotesCtes,
+         |${dsEmCtes(DsIters)}
+         |SELECT param, ppm FROM (
+         |  SELECT 'acc_lf1' AS param, a1 AS ppm FROM d$DsIters
+         |  UNION ALL SELECT 'acc_lf2', a2 FROM d$DsIters
+         |  UNION ALL SELECT 'acc_lf3', a3 FROM d$DsIters
+         |  ${DsClasses.map(c =>
+              s"UNION ALL SELECT 'pi_$c', pi_$c FROM d$DsIters")
+              .mkString("\n  ")})""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val folded = graft.ops.LabelModel
+        .votePatternCounts(docs.filter(col("doc_id") < 250), dsVoteCols)
+        .unionByName(graft.ops.LabelModel.votePatternCounts(
+          docs.filter(col("doc_id") >= 250), dsVoteCols))
+        .groupBy(col("v1"), col("v2"), col("v3"))
+        .agg(sum(col("n")).as("n"))
+      val p = graft.ops.LabelModel.dsFit(
+        folded.collect().toSeq.map(r => (
+          (1 to 3).map(i => Option(r.getAs[String](s"v$i"))),
+          r.getAs[Long]("n"))),
+        DsClasses, DsIters)
+      graft.ops.LabelModel.paramsDf(
+        s, p, Seq("lf1", "lf2", "lf3"), DsClasses)
+    },
+
     // ---- quality scoring: Gopher/C4-style rule features ----
     sql(
       "q_quality_score",
@@ -1709,6 +1742,149 @@ object TextQueries {
           Sampling.splitAssign(col("cluster"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
             salt = "cl").as("split"))
+    },
+
+    // ---- RELEASE-GATE capstone (round 17): the wave's operators
+    //      composed the way a corpus release runs them — conformal
+    //      keep on the model score (finite-sample FNR control) →
+    //      near-dup decontamination against the eval set → cluster-
+    //      safe split assignment → the per-split doc/token summary a
+    //      release manifest records. Every stage DuckDB-replayed in
+    //      one chain ----
+    sql(
+      "q_release_gate",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         |      / len(string_split_regex(text, '\\s+')) AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_intersect(list_distinct(string_split_regex(text, '\\s+')),
+         |          $AllStopsSql))::DOUBLE
+         |      / greatest(len(list_distinct(string_split_regex(text, '\\s+'))), 1)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, (lang = 'en') AS y,
+         |    round(round(1.0 / (1.0 + exp(-(-2.0 + 0.2 * mean_word_len
+         |      + 0.01 * n_tokens - 3.0 * punct_ratio
+         |      + 2.5 * stopword_ratio))), 9) * 1e9)::BIGINT AS si
+         |  FROM f),
+         |c AS (SELECT si FROM sc WHERE doc_id % 5 = 0 AND y),
+         |t AS (SELECT count(*) AS n_cal,
+         |        ((count(*) + 1) * 10) // 100 AS k FROM c),
+         |q AS (SELECT si, row_number() OVER (ORDER BY si) AS rn FROM c),
+         |th AS (
+         |  SELECT coalesce(min(CASE WHEN q.rn = t.k THEN q.si END),
+         |      -9223372036854775808) AS qhat_nano
+         |  FROM t LEFT JOIN q ON q.rn = t.k),
+         |k1 AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN sc USING (doc_id), th
+         |  WHERE d.doc_id < 450 AND sc.si >= th.qhat_nano),
+         |ev AS (
+         |  SELECT doc_id + 100000 AS eval_id, text || ' zzeval' AS text
+         |  FROM documents WHERE doc_id < 450 AND doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS eval_id, text FROM documents
+         |  WHERE doc_id >= 450),
+         |cs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM k1)
+         |  WHERE len(ws) >= 3),
+         |es AS (
+         |  SELECT eval_id, list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT eval_id, string_split(${normSqlOf("text")}, ' ')
+         |          AS ws FROM ev)
+         |  WHERE len(ws) >= 3),
+         |bad AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM cs c, es e
+         |  WHERE len(list_intersect(c.s, e.s))::DOUBLE
+         |    / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s)))
+         |    >= 0.8),
+         |k2 AS MATERIALIZED (
+         |  SELECT doc_id, text FROM k1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |sh2 AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM k2)
+         |  WHERE len(ws) >= 3),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh2 x JOIN sh2 y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE
+         |    / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |l1 AS (
+         |  SELECT d.doc_id AS node,
+         |    least(d.doc_id, coalesce(min(e.dst), d.doc_id)) AS l
+         |  FROM k2 d LEFT JOIN e ON d.doc_id = e.src
+         |  GROUP BY d.doc_id),
+         |l2 AS (
+         |  SELECT l1.node, least(l1.l, coalesce(min(nl.l), l1.l)) AS cluster
+         |  FROM l1
+         |  LEFT JOIN e ON l1.node = e.src
+         |  LEFT JOIN l1 nl ON e.dst = nl.node
+         |  GROUP BY l1.node, l1.l),
+         |sp AS (
+         |  SELECT node,
+         |    CASE WHEN substr(md5('cl' || CAST(cluster AS VARCHAR)), 1,
+         |           ${Sampling.PrefixHexLen})
+         |           < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |         WHEN substr(md5('cl' || CAST(cluster AS VARCHAR)), 1,
+         |           ${Sampling.PrefixHexLen})
+         |           < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM l2),
+         |tok AS (SELECT doc_id,
+         |          len(string_split($NormSql, ' ')) AS t FROM k2)
+         |SELECT split, count(*)::BIGINT AS n_docs,
+         |  sum(t)::BIGINT AS n_tokens
+         |FROM sp JOIN tok ON sp.node = tok.doc_id
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        round(round(Text.linearModelScore(col("text"),
+          Map("n_tokens" -> 0.01, "mean_word_len" -> 0.2,
+            "punct_ratio" -> -3.0, "stopword_ratio" -> 2.5),
+          bias = -2.0), 9) * lit(1e9), 0).cast("long").as("si"))
+      val th = graft.ops.Quality.conformalThreshold(
+        scored.filter(col("doc_id") % 5 === 0 && col("lang") === "en"),
+        col("si"), alphaNum = 10, alphaDen = 100)
+      val kept1 = scored.filter(col("doc_id") < 450)
+        .crossJoin(broadcast(th))
+        .filter(col("si") >= col("qhat_nano"))
+        .select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") >= 450)
+        .select(col("doc_id").as("eval_id"), col("text"))
+        .unionByName(
+          docs.filter(col("doc_id") < 450 && col("doc_id") % 37 === 0)
+            .select((col("doc_id") + 100000L).as("eval_id"),
+              concat(col("text"), lit(" zzeval")).as("text")))
+      val kept2 = graft.core.LazyCheckpoint(
+        Dedup.decontaminateNear(kept1, "doc_id", col("text"),
+          evalSet, "eval_id", col("text"), threshold = 0.8, n = 3))
+      val withSh = kept2.withColumn("sh", Text.shingles(col("text"), 3))
+      val pairs = Dedup.nearDupPairs(
+        withSh, "doc_id", col("sh"), 0.8, 64, 16).select("a", "b")
+      val splits = Dedup.clusterLabels(withSh.select("doc_id"), pairs)
+        .select(col("node").as("doc_id"),
+          Sampling.splitAssign(col("cluster"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "cl").as("split"))
+      kept2.join(splits, "doc_id")
+        .select(col("split"),
+          Text.tokenCount(Text.normalize(col("text"))).as("t"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
     },
 
     // ---- near-dup collapse keeping the BEST representative (longest

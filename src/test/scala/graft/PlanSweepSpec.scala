@@ -52,6 +52,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q_conformal_gate" ->
       ("the ONE-row conformal threshold rides a broadcast carrier " +
         "into the test-slice keep count"),
+    "q_release_gate" ->
+      "embeds q_conformal_gate's one-row threshold carrier",
     "q_kn_perplexity" ->
       "bigram-type total T and vocab V ride a ONE-row broadcast carrier into the score",
     "q_dsir_select" ->

@@ -72,6 +72,26 @@ class LabelModelSpec extends AnyFunSuite with WithSpark {
     assert(e.getMessage.contains("not in the declared class list"))
   }
 
+  test("batch pattern counts fold to the full-corpus fit") {
+    val docs = (0 until 40).map { i =>
+      val t = if (i % 2 == 0) "x" else "y"
+      (i.toLong, t, if (i % 5 == 0) (if (t == "x") "y" else "x") else t)
+    }.toDF("id", "lf1", "lf2")
+    val votes = Seq(col("lf1"), col("lf2"))
+    val full = LabelModel.fit(docs, votes, classes, iters = 4)
+    val folded = LabelModel
+      .votePatternCounts(docs.filter(col("id") < 17), votes)
+      .unionByName(
+        LabelModel.votePatternCounts(docs.filter(col("id") >= 17), votes))
+      .groupBy(col("v1"), col("v2"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n"))
+      .collect().toSeq
+      .map(r => ((1 to 2).map(i => Option(r.getAs[String](s"v$i"))),
+        r.getAs[Long]("n")))
+    val p = LabelModel.dsFit(folded, classes, iters = 4)
+    assert(p == full, "folded-count refit must equal the full fit")
+  }
+
   test("three-voter majority wins under a symmetric fit") {
     val docs = (0 until 30).map { i =>
       val t = if (i % 2 == 0) "x" else "y"
