@@ -278,4 +278,60 @@ object Drift {
                 / ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("b")))),
           9).as("psi_term"))
   }
+
+  /** Pearson chi-square test of independence between a categorical
+    * column and a slice label — the SIGNIFICANCE companion to the
+    * PSI magnitude gates: PSI says how far two slices drifted, χ²
+    * says whether the dependence is larger than sampling noise for
+    * THIS sample size (Pearson 1900; the standard pre-test before
+    * acting on a small categorical shift). Returns one row
+    * (n, df, chi2); compare chi2 against the χ²_{df} critical value
+    * upstream (no libm CDF lives in the engine by design).
+    *
+    * Float parity (the PSI-total device): each cell term
+    * (o·N − r·c)² / (r·c·N) is ONE IEEE division of exact
+    * DECIMAL(38,0) cross-products rounded on the 9-grid, and the
+    * statistic sums those grid points as DECIMAL(38,9) —
+    * associative, so no engine's partitioning can move it. NULL
+    * category or slice rows drop (both engines). Zero cells of the
+    * completed margin grid contribute their full e = r·c/N term.
+    *
+    * Scale shape: one count shuffle to |cats|·|slices| cells, then
+    * everything is margin-sized (the grid completion is a
+    * margins × margins cross of two label-sized frames).
+    */
+  def chi2Test(
+      df: DataFrame, category: org.apache.spark.sql.Column,
+      slice: org.apache.spark.sql.Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = graft.core.LazyCheckpoint(df
+      .select(category.cast("string").as("__cat"),
+        slice.cast("string").as("__sl"))
+      .filter(col("__cat").isNotNull && col("__sl").isNotNull)
+      .groupBy(col("__cat"), col("__sl")).agg(count(lit(1)).as("__o")))
+    val rows = cells.groupBy(col("__cat")).agg(sum(col("__o")).as("__r"))
+    val colsM = cells.groupBy(col("__sl")).agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(coalesce(sum(col("__o")), lit(0L)).as("__n"),
+      countDistinct(col("__cat")).as("__nr"),
+      countDistinct(col("__sl")).as("__nc"))
+    val terms = rows.crossJoin(colsM)
+      .join(cells, Seq("__cat", "__sl"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        round(
+          ((coalesce(col("__o"), lit(0L)).cast(dec) * col("__n")
+            - col("__r").cast(dec) * col("__c"))
+            * (coalesce(col("__o"), lit(0L)).cast(dec) * col("__n")
+              - col("__r").cast(dec) * col("__c"))).cast("double")
+            / (col("__r").cast(dec) * col("__c") * col("__n"))
+              .cast("double"),
+          9).as("__t9"),
+        col("__n"), col("__nr"), col("__nc"))
+    terms
+      .groupBy(col("__n"), col("__nr"), col("__nc"))
+      .agg(sum(col("__t9").cast("decimal(38,9)")).cast("double")
+        .as("chi2"))
+      .select(col("__n").as("n"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("df"), col("chi2"))
+  }
 }

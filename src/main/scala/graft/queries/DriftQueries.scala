@@ -111,6 +111,42 @@ object DriftQueries {
         "bin")
     },
 
+    // ---- Pearson chi-square independence test on the SAME split as
+    //      q_drift_lang — the significance companion to the PSI
+    //      magnitude (is the lang×half dependence bigger than
+    //      sampling noise at this n?). Exact DECIMAL(38,0)
+    //      cross-products, one division per cell on the 9-grid,
+    //      DECIMAL(38,9) order-free sum ----
+    sql(
+      "q_chi2_drift",
+      """WITH base AS (
+        |  SELECT lang AS cat, CAST(doc_id % 2 AS VARCHAR) AS sl
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT cat, sl, count(*)::BIGINT AS o
+        |          FROM base GROUP BY 1, 2),
+        |r AS (SELECT cat, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+        |c AS (SELECT sl, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+        |t AS (SELECT sum(o)::BIGINT AS n,
+        |        count(DISTINCT cat)::BIGINT AS nr,
+        |        count(DISTINCT sl)::BIGINT AS nc FROM cells),
+        |g AS (
+        |  SELECT r.cat, c.sl, coalesce(cells.o, 0)::BIGINT AS o,
+        |    r.r, c.c
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.cat = r.cat AND cells.sl = c.sl),
+        |terms AS (
+        |  SELECT round(CAST((o::HUGEINT * n - r::HUGEINT * c)
+        |               * (o::HUGEINT * n - r::HUGEINT * c) AS DOUBLE)
+        |          / CAST(r::HUGEINT * c * n AS DOUBLE), 9) AS t9,
+        |    n, nr, nc
+        |  FROM g, t)
+        |SELECT n, ((nr - 1) * (nc - 1))::BIGINT AS df,
+        |  CAST(sum(CAST(t9 AS DECIMAL(38,9))) AS DOUBLE) AS chi2
+        |FROM terms GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Drift.chi2Test(Tables.documents(s, d),
+        col("lang"), col("doc_id") % 2)
+    },
+
     // ---- global equi-depth discretization: 8 near-equal buckets of
     //      orders by total price, exact global rank arithmetic — the
     //      oracle's row_number window replays the same total order ----

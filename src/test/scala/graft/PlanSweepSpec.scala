@@ -54,6 +54,9 @@ class PlanSweepSpec extends AnyFunSuite {
         "into the test-slice keep count"),
     "q_release_gate" ->
       "embeds q_conformal_gate's one-row threshold carrier",
+    "q_chi2_drift" ->
+      ("the completed margin grid is cats x slices — two label-sized " +
+        "frames — plus the one-row totals carrier"),
     "q_kn_perplexity" ->
       "bigram-type total T and vocab V ride a ONE-row broadcast carrier into the score",
     "q_dsir_select" ->

@@ -174,4 +174,28 @@ class DriftSpec extends AnyFunSuite with WithSpark {
       .as[Long].collect().toSeq
     assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L, 2L))
   }
+
+  test("chi2Test: hand-computed 2x2, independence gives ~0, zero cells count") {
+    // cells a/0=10 a/1=20 b/0=30 b/1=40: e = 12,18,28,42 ->
+    // chi2 = 4/12+4/18+4/28+4/42 = 200/252, summed on the 9-grid
+    val df22 = (Seq.fill(10)(("a", 0)) ++ Seq.fill(20)(("a", 1)) ++
+      Seq.fill(30)(("b", 0)) ++ Seq.fill(40)(("b", 1)))
+      .toDF("cat", "sl")
+    val got = Drift.chi2Test(df22, col("cat"), col("sl"))
+      .as[(Long, Long, Double)].collect().head
+    assert(got._1 == 100L && got._2 == 1L)
+    assert(got._3 == 0.793650793, s"chi2 ${got._3}")
+    // perfect independence: every cell at its expectation -> chi2 = 0
+    val ind = (Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(20)(("b", 0)) ++ Seq.fill(20)(("b", 1)))
+      .toDF("cat", "sl")
+    assert(Drift.chi2Test(ind, col("cat"), col("sl"))
+      .select("chi2").as[Double].collect().head == 0.0)
+    // a structurally-zero cell contributes its full expected term
+    val z = (Seq.fill(10)(("a", 0)) ++ Seq.fill(10)(("b", 1)))
+      .toDF("cat", "sl")
+    val gz = Drift.chi2Test(z, col("cat"), col("sl"))
+      .as[(Long, Long, Double)].collect().head
+    assert(gz == ((20L, 1L, 20.0)), s"saturated 2x2 must give chi2=n: $gz")
+  }
 }
