@@ -124,7 +124,11 @@ object LabelModel {
     pc.map(x => x * Ppm / tot)
   }
 
-  private def collectPatterns(
+  /** Collect a [[votePatternCounts]]-shaped frame to the driver with
+    * the loud (L+1)^K bound — the ONLY sanctioned driver funnel of
+    * this module (incremental folds should aggregate to this shape
+    * before collecting through here too). */
+  def collectPatterns(
       counts: DataFrame): Seq[(Seq[Option[String]], Long)] = {
     val k = counts.columns.count(_.startsWith("v"))
     val rows = counts.collect() // bounded: ≤ (L+1)^K rows

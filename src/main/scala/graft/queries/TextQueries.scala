@@ -713,10 +713,7 @@ object TextQueries {
         .groupBy(col("v1"), col("v2"), col("v3"))
         .agg(sum(col("n")).as("n"))
       val p = graft.ops.LabelModel.dsFit(
-        folded.collect().toSeq.map(r => (
-          (1 to 3).map(i => Option(r.getAs[String](s"v$i"))),
-          r.getAs[Long]("n"))),
-        DsClasses, DsIters)
+        graft.ops.LabelModel.collectPatterns(folded), DsClasses, DsIters)
       graft.ops.LabelModel.paramsDf(
         s, p, Seq("lf1", "lf2", "lf3"), DsClasses)
     },
