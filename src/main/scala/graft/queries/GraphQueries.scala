@@ -58,6 +58,17 @@ object GraphQueries {
   private[graft] def edges(s: org.apache.spark.sql.SparkSession, d: String,
       sup: Int): org.apache.spark.sql.DataFrame =
     Tables.lineitem(s, d)
+      // Project to the two needed columns, then establish the groupBy's
+      // own hash partitioning right after the scan (guide §2.4/§2.5):
+      // the single-row-group input plans a ONE-task scan, and without
+      // this the basket collect_list's partial aggregation (and the
+      // per-basket pair fan-out feeding it) runs on one core. The
+      // explicit repartition shares the exchange with the groupBy (same
+      // key, same partition count — one shuffle total), moving the
+      // aggregation work to the full cluster while the starved scan
+      // task only decodes two columns and writes shuffle blocks.
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_list(col("l_partkey")).as("ps"))
       .filter(size(col("ps")) >= 2)
@@ -81,6 +92,9 @@ object GraphQueries {
   private[graft] def weightedEdges(s: org.apache.spark.sql.SparkSession,
       d: String, sup: Int): org.apache.spark.sql.DataFrame =
     Tables.lineitem(s, d)
+      // same deficient-scan relief as [[edges]] — one shared exchange
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_list(col("l_partkey")).as("ps"))
       .filter(size(col("ps")) >= 2)

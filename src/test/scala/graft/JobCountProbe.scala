@@ -9,7 +9,7 @@ package graft
 object JobCountProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val face = args(1)
+    val faces = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = WithSpark.session
     graft.queries.SimilarityQueries.warm(spark, sfDir)
@@ -29,15 +29,17 @@ object JobCountProbe {
           tasks.incrementAndGet(): Unit
         }
       })
-    (1 to reps).foreach { r =>
-      jobs.set(0); tasks.set(0)
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(face)(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      // listener events are async; let the bus drain before reading
-      Thread.sleep(300)
-      println(f"[probe] $face rep $r: $dt%.2f s, ${jobs.get()} jobs, " +
-        s"${tasks.get()} tasks, $n rows")
+    faces.foreach { face =>
+      (1 to reps).foreach { r =>
+        jobs.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(face)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are async; let the bus drain before reading
+        Thread.sleep(300)
+        println(f"[probe] $face rep $r: $dt%.2f s, ${jobs.get()} jobs, " +
+          s"${tasks.get()} tasks, $n rows")
+      }
     }
     spark.stop()
   }

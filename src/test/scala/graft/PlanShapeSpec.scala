@@ -10,11 +10,56 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = WithSpark.session
   private val d = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
-    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+  private def plan(q: String): String = scrubSpread(
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString)
+
+  /** Drop the deliberate input-spread exchanges (Tables.spread — a
+    * round-robin repartition whose child is the parquet scan, guide
+    * §2.5 input-skew relief for single-row-group files) before the
+    * shape assertions: the pins below guard against ACCIDENTAL
+    * shuffles in the operator bodies, and the spread is scan-adjacent
+    * by construction, never fires on well-split inputs, and is pinned
+    * by its own test. Any repartition NOT directly over a FileScan
+    * still counts.
+    */
+  private def scrubSpread(p: String): String = {
+    val lines = p.linesIterator.toVector
+    // scan-adjacent = only Filter/Project/ColumnarToRow between the
+    // exchange and the FileScan (Catalyst rightly pushes the face's
+    // own filters below the spread so the shuffle carries survivors)
+    def scanAdjacent(i: Int): Boolean = {
+      var j = i + 1
+      while (j < lines.length && j <= i + 4 &&
+        !lines(j).contains("FileScan") &&
+        (lines(j).contains("Filter") || lines(j).contains("Project") ||
+          lines(j).contains("ColumnarToRow")))
+        j += 1
+      j < lines.length && lines(j).contains("FileScan parquet")
+    }
+    lines.zipWithIndex.filterNot { case (l, i) =>
+      l.contains("Exchange RoundRobinPartitioning") &&
+        l.contains("REPARTITION_BY_NUM") && scanAdjacent(i)
+    }.map(_._1).mkString("\n")
+  }
 
   private def count(p: String, pat: String): Int =
     pat.r.findAllIn(p).length
+
+  test("input spread: deficient single-row-group scans are round-robin " +
+    "spread scan-adjacently (and only there)") {
+    val raw = SparkEntry.queries("q_gopher_rules")(spark, d)
+      .queryExecution.executedPlan.toString
+    val lines = raw.linesIterator.toVector
+    val idx = lines.indexWhere(l =>
+      l.contains("Exchange RoundRobinPartitioning") &&
+        l.contains("REPARTITION_BY_NUM"))
+    assert(idx >= 0, "documents scan lost its input-spread exchange")
+    assert(lines(idx + 1).contains("FileScan parquet"),
+      "spread exchange must sit directly over the scan")
+    assert(scrubSpread(raw).linesIterator
+      .count(_.contains("Exchange")) == 0,
+      "q_gopher_rules must stay shuffle-free beyond the input spread")
+  }
 
   test("filters and projection reach the parquet scan") {
     val p = plan("q_filter_project")
