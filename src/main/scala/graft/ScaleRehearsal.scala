@@ -86,11 +86,11 @@ object ScaleRehearsal {
     // co-order graph — vertex/edge count ×10, identical structure ----
     pair("pagerank_directed") {
       timed("pagerank_directed 1x") {
-        graft.ops.Graph.pageRankIntDirected(e1, iters = 5).count()
+        graft.ops.Graph.pageRankIntDirected(e1, iters = 5, smallGraphEdges = 0L).count()
       }
     } {
       timed("pagerank_directed 10x") {
-        graft.ops.Graph.pageRankIntDirected(e10, iters = 5).count()
+        graft.ops.Graph.pageRankIntDirected(e10, iters = 5, smallGraphEdges = 0L).count()
       }
     }
 
@@ -344,20 +344,20 @@ object ScaleRehearsal {
     // count + degree-bounded argmax window should stay ~linear ----
     pair("label_prop") {
       timed("label_prop 1x") {
-        graft.ops.Graph.labelPropagation(e1, iters = 4).count()
+        graft.ops.Graph.labelPropagation(e1, iters = 4, smallGraphEdges = 0L).count()
       }
     } {
       timed("label_prop 10x") {
-        graft.ops.Graph.labelPropagation(e10, iters = 4).count()
+        graft.ops.Graph.labelPropagation(e10, iters = 4, smallGraphEdges = 0L).count()
       }
     }
 
     // ---- q_kcore: 10 disjoint replicas — per-round degree count +
     // two semi-joins, peeling is structure-local so ~linear ----
     pair("kcore") {
-      timed("kcore 1x") { graft.ops.Graph.kCore(e1, 3, rounds = 8).count() }
+      timed("kcore 1x") { graft.ops.Graph.kCore(e1, 3, rounds = 8, smallGraphEdges = 0L).count() }
     } {
-      timed("kcore 10x") { graft.ops.Graph.kCore(e10, 3, rounds = 8).count() }
+      timed("kcore 10x") { graft.ops.Graph.kCore(e10, 3, rounds = 8, smallGraphEdges = 0L).count() }
     }
 
     // ---- q_cc_incremental: PRIOR labeling ×10 (disjoint replicas),
@@ -1262,13 +1262,13 @@ object ScaleRehearsal {
             (col("b") + lit(k * off)).as("b"), col("w")))
         .reduce(_.unionByName(_)).localCheckpoint()
       val g1 = timed("graph16 1x (bfs+sssp+link)") {
-        graft.ops.Graph.bfsDistances(e1, seeds1, maxHops = 4).count() +
-          graft.ops.Graph.ssspInt(we1, seeds1, rounds = 4).count() +
+        graft.ops.Graph.bfsDistances(e1, seeds1, maxHops = 4, smallGraphEdges = 0L).count() +
+          graft.ops.Graph.ssspInt(we1, seeds1, rounds = 4, smallGraphEdges = 0L).count() +
           graft.ops.Graph.linkCandidates(e1, minCommon = 2L).count()
       }
       val g10 = timed("graph16 10x") {
-        graft.ops.Graph.bfsDistances(e10, seeds10, maxHops = 4).count() +
-          graft.ops.Graph.ssspInt(we10, seeds10, rounds = 4).count() +
+        graft.ops.Graph.bfsDistances(e10, seeds10, maxHops = 4, smallGraphEdges = 0L).count() +
+          graft.ops.Graph.ssspInt(we10, seeds10, rounds = 4, smallGraphEdges = 0L).count() +
           graft.ops.Graph.linkCandidates(e10, minCommon = 2L).count()
       }
       growth("graph16 (bfs+sssp+link)") = g10 / g1
@@ -1398,12 +1398,12 @@ object ScaleRehearsal {
       val g1 = m2("graph16c 1x (ra+lcc+hits)") {
         graft.ops.Graph.resourceAllocation(e1, minCommon = 2L).count() +
           graft.ops.Graph.clusteringCoefficient(e1).count() +
-          graft.ops.Graph.hitsInt(e1, iters = 4).count()
+          graft.ops.Graph.hitsInt(e1, iters = 4, smallGraphEdges = 0L).count()
       }
       val g10 = m2("graph16c 10x") {
         graft.ops.Graph.resourceAllocation(e10, minCommon = 2L).count() +
           graft.ops.Graph.clusteringCoefficient(e10).count() +
-          graft.ops.Graph.hitsInt(e10, iters = 4).count()
+          graft.ops.Graph.hitsInt(e10, iters = 4, smallGraphEdges = 0L).count()
       }
       growth("graph16c (ra+lcc+hits)") = g10 / g1
 

@@ -36,6 +36,67 @@ object Graph {
       .distinct()
   }
 
+  /** Open-addressing long→dense-int index (linear probing, power-of-two
+    * capacity) — the [[smallGraphLabels]] primitive-footprint device,
+    * shared by every driver kernel below: node ids dense-index with no
+    * boxed tuples or HashMap entry objects (≤ ~36 B/node). */
+  private final class LongIndex(maxNodes0: Int) {
+    private val maxNodes = math.max(2, maxNodes0)
+    private var cap0 = java.lang.Integer.highestOneBit(maxNodes * 2 - 1) << 1
+    if (cap0 < 16) cap0 = 16
+    private val cap = cap0
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    java.util.Arrays.fill(keys, Long.MinValue) // empty sentinel
+    val ids = new Array[Long](maxNodes)
+    var n = 0
+    def indexOf(k: Long): Int = {
+      var h = java.lang.Long.hashCode(k * -7046029254386353131L) & (cap - 1)
+      while (keys(h) != Long.MinValue && keys(h) != k) h = (h + 1) & (cap - 1)
+      if (keys(h) == k) vals(h)
+      else {
+        keys(h) = k; vals(h) = n; ids(n) = k; n += 1; vals(h)
+      }
+    }
+    def lookup(k: Long): Int = { // -1 when absent (no insert)
+      var h = java.lang.Long.hashCode(k * -7046029254386353131L) & (cap - 1)
+      while (keys(h) != Long.MinValue && keys(h) != k) h = (h + 1) & (cap - 1)
+      if (keys(h) == k) vals(h) else -1
+    }
+  }
+
+  /** Collect a checkpointed 2-long-column edge frame into primitive
+    * arrays (16 B/edge — 8 MB at the 500k default gate). */
+  private def collectEdges(df: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = df.collect()
+    val m = rows.length
+    val a = new Array[Long](m); val b = new Array[Long](m)
+    var i = 0
+    while (i < m) { a(i) = rows(i).getLong(0); b(i) = rows(i).getLong(1); i += 1 }
+    (a, b)
+  }
+
+
+  /** The long-keyed kernels only fire on LongType node columns (every
+    * engine face qualifies); any other key type takes the distributed
+    * loop, whose arithmetic is type-generic. */
+  private def allLong(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+
+  /** `(85 · s) div 100` on non-negative s without ever forming 85·s
+    * (which overflows a long once s > ~1.08e17, inside the kernels'
+    * admissible range): for s = 100q + r, 85s = 8500q + 85r, so
+    * (85s) div 100 = 85q + (85r) div 100 — exact for s ≥ 0. The
+    * distributed loops form `85 * s` directly and would raise ANSI
+    * overflow first; the kernels therefore checked-multiply on the
+    * same boundary before taking the split path is NOT needed —
+    * the identity is total on the domain both engines accept. */
+  private def damp85(s: Long): Long = {
+    val q = s / 100L; val r = s - q * 100L
+    85L * q + (85L * r) / 100L
+  }
+
   /** Multi-source BFS hop distances on the undirected graph: every
     * node reachable from `sources` within `maxHops` gets the length
     * of its shortest path (in hops; sources are distance 0).
@@ -58,12 +119,52 @@ object Graph {
     * the caller's seed table rather than the graph).
     */
   def bfsDistances(
-      edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+      edges: DataFrame, sources: DataFrame, maxHops: Int,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val sym = symmetric(edges).localCheckpoint()
     val seedCol = sources.columns.head
-    var visited = sources
+    val seedsDf = sources
       .select(col(seedCol).cast("long").as("node")).distinct()
+    if (sym.count() <= smallGraphEdges && allLong(sym, "src", "dst")) {
+      // driver kernel (the [[pageRankKernel]] license): hop distances
+      // are a pure function of (edges, seeds, maxHops) — plain BFS
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = sym.select(col("src").cast("long"),
+        col("dst").cast("long")).collect()
+      val seedArr = seedsDf.collect().map(_.getLong(0))
+      val m = rows.length
+      val idx = new LongIndex(math.max(2, 2 * m + seedArr.length))
+      val si = new Array[Int](m); val di = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        si(i) = idx.indexOf(rows(i).getLong(0))
+        di(i) = idx.indexOf(rows(i).getLong(1))
+        i += 1
+      }
+      seedArr.foreach(s => idx.indexOf(s): Unit)
+      val nNodes = idx.n
+      val dist = Array.fill(nNodes)(-1L)
+      seedArr.foreach { s => dist(idx.lookup(s)) = 0L }
+      var h = 1L
+      var frontierNonEmpty = true
+      while (frontierNonEmpty && h <= maxHops) {
+        var advanced = false
+        var k = 0
+        while (k < m) {
+          if (dist(si(k)) == h - 1 && dist(di(k)) < 0) {
+            dist(di(k)) = h; advanced = true
+          }
+          k += 1
+        }
+        frontierNonEmpty = advanced
+        h += 1
+      }
+      return (0 until nNodes).filter(dist(_) >= 0)
+        .map(v => (idx.ids(v), dist(v))).toDF("node", "dist")
+    }
+    var visited = seedsDf
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     var frontier = visited.select("node")
@@ -102,7 +203,8 @@ object Graph {
     * candidate at dim scale and a plain shuffle join beyond.
     */
   def ssspInt(
-      edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+      edges: DataFrame, sources: DataFrame, rounds: Int,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val e = edges.select(col("a"), col("b"), col("w").cast("long").as("w"))
       .filter(col("a") =!= col("b"))
@@ -111,8 +213,53 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val seedCol = sources.columns.head
-    var dist = sources
+    val seedsDf = sources
       .select(col(seedCol).cast("long").as("node")).distinct()
+    if (sym.count() <= smallGraphEdges && allLong(sym, "src", "dst")) {
+      // driver kernel (the [[pageRankKernel]] license): exact
+      // synchronous Bellman-Ford over primitive arrays; seed sets are
+      // request-sized, the edge frame is under the gate
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = sym.select(col("src").cast("long"),
+        col("dst").cast("long"), col("w")).collect()
+      val seedArr = seedsDf.collect().map(_.getLong(0))
+      val m = rows.length
+      val idx = new LongIndex(math.max(2, 2 * m + seedArr.length))
+      val si = new Array[Int](m); val di = new Array[Int](m)
+      val wA = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        si(i) = idx.indexOf(rows(i).getLong(0))
+        di(i) = idx.indexOf(rows(i).getLong(1))
+        wA(i) = rows(i).getLong(2)
+        i += 1
+      }
+      // dist keyed over seed ∪ graph nodes; ABSENT = unreached (the
+      // distributed frame simply has no row) — presence tracked apart.
+      // Seeds outside the graph still hold their distance-0 row.
+      seedArr.foreach(s => idx.indexOf(s): Unit)
+      val nNodes = idx.n
+      var dist = new Array[Long](nNodes)
+      var present = new Array[Boolean](nNodes)
+      seedArr.foreach { s => val j = idx.lookup(s); dist(j) = 0L; present(j) = true }
+      (1 to rounds).foreach { _ =>
+        val nd = dist.clone(); val np = present.clone()
+        var k = 0
+        while (k < m) {
+          if (present(si(k))) {
+            val cand = Math.addExact(dist(si(k)), wA(k))
+            val t = di(k)
+            if (!np(t) || cand < nd(t)) { nd(t) = cand; np(t) = true }
+          }
+          k += 1
+        }
+        dist = nd; present = np
+      }
+      return (0 until nNodes).filter(present)
+        .map(v => (idx.ids(v), dist(v))).toDF("node", "dist")
+    }
+    var dist = seedsDf
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -415,18 +562,117 @@ object Graph {
     */
   val Scale: Long = 1000000000000L
 
+  /** Driver kernel for [[pageRankInt]] / [[personalizedPageRankInt]]
+    * on dim-sized graphs (≤ `smallGraphEdges` oriented-symmetric
+    * edges): the EXACT same integer fixed point — truncating `div`,
+    * 85/100 damping, Σ over long contributions (associative, so
+    * partition order never mattered) — in primitive arrays. Same
+    * license as [[smallGraphLabels]]: codebook-class state, ≤ ~16 MB
+    * at the default gate; labels/ranks IDENTICAL by construction
+    * (GraphKernelSpec pins both-paths equality, and the DuckDB oracle
+    * faces run through this path at the correctness SFs). The
+    * distributed loop remains the ≥ gate path and keeps its rehearsal
+    * coverage.
+    */
+  private def pageRankKernel(
+      spark: org.apache.spark.sql.SparkSession,
+      nodeType: org.apache.spark.sql.types.DataType,
+      srcA: Array[Any], dstA: Array[Any], iters: Int,
+      seeds: Option[Array[Any]]): DataFrame = {
+    val m = srcA.length
+    // boxed index: node ids here may be ANY key type (the TextRank
+    // face runs PageRank over word nodes); graphs under the gate are
+    // dim-sized so the boxing is immaterial
+    val idx = new java.util.HashMap[Any, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def indexOf(k: Any): Int = {
+      val got = idx.get(k)
+      if (got != null) got.intValue()
+      else {
+        val v = ids.length
+        idx.put(k, Integer.valueOf(v)); ids += k; v
+      }
+    }
+    val si = new Array[Int](m); val di = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      si(i) = indexOf(srcA(i)); di(i) = indexOf(dstA(i)); i += 1
+    }
+    val nNodes = ids.length
+    val deg = new Array[Long](nNodes)
+    i = 0; while (i < m) { deg(si(i)) += 1L; i += 1 }
+    val seedIdx: Option[Array[Boolean]] = seeds.map { arr =>
+      val f = new Array[Boolean](nNodes)
+      arr.foreach { s =>
+        val j = idx.get(s); if (j != null) f(j.intValue()) = true
+      }
+      f
+    }
+    val nBase = seedIdx match {
+      case None => nNodes.toLong
+      case Some(f) => f.count(identity).toLong
+    }
+    require(nBase > 0,
+      if (seeds.isEmpty) "pageRankInt needs a non-empty edge set"
+      else "no seed is a vertex of the graph")
+    val init = Scale / nBase
+    val base = (15L * init) / 100L
+    var ranks = new Array[Long](nNodes)
+    i = 0
+    while (i < nNodes) {
+      ranks(i) = seedIdx match {
+        case None => init
+        case Some(f) => if (f(i)) init else 0L
+      }
+      i += 1
+    }
+    (1 to iters).foreach { _ =>
+      val s = new Array[Long](nNodes)
+      var e = 0
+      while (e < m) { s(di(e)) += ranks(si(e)) / deg(si(e)); e += 1 }
+      val next = new Array[Long](nNodes)
+      var v = 0
+      while (v < nNodes) {
+        val b = seedIdx match {
+          case None => base
+          case Some(f) => if (f(v)) base else 0L
+        }
+        next(v) = b + damp85(s(v))
+        v += 1
+      }
+      ranks = next
+    }
+    val out = (0 until nNodes).map(v =>
+      org.apache.spark.sql.Row(ids(v), ranks(v)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank_u",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   def pageRankInt(
       edges: DataFrame,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    val sym = symmetric(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // pin the (possibly expensive) upstream edge derivation ONCE; the
+    // count both gates the kernel and is the materializing action
+    val symC = graft.core.LazyCheckpoint(symmetric(edges))
+    if (symC.count() <= smallGraphEdges) {
+      val rows = symC.collect()
+      return pageRankKernel(edges.sparkSession, symC.schema("src").dataType,
+        rows.map(_.get(0)), rows.map(_.get(1)), iters, None)
+    }
+    // ≥-gate path: symC is already checkpoint-materialized, so both
+    // consumers below read its blocks (no persist/unpersist dance)
+    val deg = symC.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degree-annotated edges: built once, reused every round
-    val ed = sym.join(deg, "src")
+    val ed = symC.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
-    sym.unpersist(false)
     // N and the uniform/teleport bases are scalars derived from the
     // vertex set; computed once driver-side (vertex-count-sized agg)
     val n = ed.select(countDistinct(col("src"))).first().getLong(0)
@@ -490,14 +736,61 @@ object Graph {
     *              as chained CTEs including the dangling term)
     * @return (node, rank_u) in 1e-12 micro-units
     */
+  /** Driver kernel for [[pageRankIntDirected]] — the exact directed
+    * fixed point including the dangling-mass term, in primitive
+    * arrays (same license and both-paths spec as [[pageRankKernel]]).
+    */
+  private def pageRankDirectedKernel(
+      spark: org.apache.spark.sql.SparkSession,
+      srcA: Array[Long], dstA: Array[Long], iters: Int): DataFrame = {
+    import spark.implicits._
+    val m = srcA.length
+    val idx = new LongIndex(math.max(2, 2 * m))
+    val si = new Array[Int](m); val di = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      si(i) = idx.indexOf(srcA(i)); di(i) = idx.indexOf(dstA(i)); i += 1
+    }
+    val nNodes = idx.n
+    val outdeg = new Array[Long](nNodes)
+    i = 0; while (i < m) { outdeg(si(i)) += 1L; i += 1 }
+    val n = nNodes.toLong
+    require(n > 0, "pageRankIntDirected needs a non-empty edge set")
+    val init = Scale / n
+    val base = (15L * init) / 100L
+    var ranks = Array.fill(nNodes)(init)
+    (1 to iters).foreach { _ =>
+      val s = new Array[Long](nNodes)
+      var e = 0
+      while (e < m) { s(di(e)) += ranks(si(e)) / outdeg(si(e)); e += 1 }
+      var d = 0L
+      var v = 0
+      while (v < nNodes) { if (outdeg(v) == 0L) d += ranks(v); v += 1 }
+      val share = d / n
+      val next = new Array[Long](nNodes)
+      v = 0
+      while (v < nNodes) { next(v) = base + damp85(s(v) + share); v += 1 }
+      ranks = next
+    }
+    (0 until nNodes).map(v => (idx.ids(v), ranks(v)))
+      .toDF("node", "rank_u")
+  }
+
   def pageRankIntDirected(
       edges: DataFrame,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eC = graft.core.LazyCheckpoint(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    if (eC.count() <= smallGraphEdges && allLong(eC, "src", "dst")) {
+      val (a, b) = collectEdges(
+        eC.select(col("src").cast("long"), col("dst").cast("long")))
+      return pageRankDirectedKernel(edges.sparkSession, a, b, iters)
+    }
+    val e = eC
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg"))
@@ -506,7 +799,6 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
-    e.unpersist(false)
     val n = verts.count()
     require(n > 0, "pageRankIntDirected needs a non-empty edge set")
     val init = Scale / n
@@ -611,10 +903,42 @@ object Graph {
     * @return (node, core_deg) — survivors with their degree inside
     *         the peeled subgraph
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
     var e = symmetric(edges).localCheckpoint()
+    if (e.count() <= smallGraphEdges && allLong(e, "src", "dst")) {
+      // driver kernel (the [[pageRankKernel]] license): exactly
+      // `rounds` synchronous peels over primitive arrays
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val (sa, da) = collectEdges(
+        e.select(col("src").cast("long"), col("dst").cast("long")))
+      val m = sa.length
+      val idx = new LongIndex(math.max(2, 2 * m))
+      val si = new Array[Int](m); val di = new Array[Int](m)
+      var i = 0
+      while (i < m) { si(i) = idx.indexOf(sa(i)); di(i) = idx.indexOf(da(i)); i += 1 }
+      val nNodes = idx.n
+      val alive = new Array[Boolean](m) // oriented-edge liveness
+      java.util.Arrays.fill(alive, true)
+      (1 to rounds).foreach { _ =>
+        val deg = new Array[Long](nNodes)
+        var j = 0
+        while (j < m) { if (alive(j)) deg(si(j)) += 1L; j += 1 }
+        j = 0
+        while (j < m) {
+          if (alive(j) && (deg(si(j)) < k || deg(di(j)) < k)) alive(j) = false
+          j += 1
+        }
+      }
+      val core = new Array[Long](nNodes)
+      var j = 0
+      while (j < m) { if (alive(j)) core(si(j)) += 1L; j += 1 }
+      return (0 until nNodes).filter(core(_) > 0L)
+        .map(v => (idx.ids(v), core(v))).toDF("node", "core_deg")
+    }
     (1 to rounds).foreach { r =>
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
@@ -655,15 +979,23 @@ object Graph {
     * graph can circulate.
     */
   def personalizedPageRankInt(
-      edges: DataFrame, seeds: DataFrame, iters: Int = 5): DataFrame = {
+      edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    val sym = symmetric(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = sym.join(deg, "src")
+    val symC = graft.core.LazyCheckpoint(symmetric(edges))
+    if (symC.count() <= smallGraphEdges) {
+      val rows = symC.collect()
+      // seed sets are request-sized by nature (scaladoc above) — the
+      // collect is bounded by the same contract the broadcast was
+      val seedArr: Array[Any] = seeds.select(col("node")).distinct()
+        .collect().map(_.get(0))
+      return pageRankKernel(edges.sparkSession, symC.schema("src").dataType,
+        rows.map(_.get(0)), rows.map(_.get(1)), iters, Some(seedArr))
+    }
+    val deg = symC.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = symC.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
-    sym.unpersist(false)
     val verts = ed.select(col("src").as("node")).distinct()
     val seedFlag = broadcast(
       verts.join(seeds.select(col("node")).distinct(), Seq("node"))
@@ -782,9 +1114,64 @@ object Graph {
     *
     * @return (node, community) — community = converged-or-iters label
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 4,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val sym = symmetric(edges).localCheckpoint() // reused every round
+    if (sym.count() <= smallGraphEdges && allLong(sym, "src", "dst")) {
+      // driver kernel (the [[pageRankKernel]] license): synchronous
+      // LPA with the self-vote and the (most-frequent, then smallest)
+      // tie rule — vote counting per vertex over its neighbor labels
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val (sa, da) = collectEdges(
+        sym.select(col("src").cast("long"), col("dst").cast("long")))
+      val m = sa.length
+      val idx = new LongIndex(math.max(2, 2 * m))
+      val si = new Array[Int](m); val di = new Array[Int](m)
+      var i = 0
+      while (i < m) { si(i) = idx.indexOf(sa(i)); di(i) = idx.indexOf(da(i)); i += 1 }
+      val nNodes = idx.n
+      // CSR over incoming votes: for vertex v, the labels of its
+      // neighbors u (edges u→v) plus its own
+      val off = new Array[Int](nNodes + 1)
+      i = 0; while (i < m) { off(di(i) + 1) += 1; i += 1 }
+      i = 1; while (i <= nNodes) { off(i) += off(i - 1); i += 1 }
+      val adj = new Array[Int](m)
+      val cur = off.clone()
+      i = 0
+      while (i < m) { adj(cur(di(i))) = si(i); cur(di(i)) += 1; i += 1 }
+      var labels = Array.tabulate(nNodes)(v => idx.ids(v))
+      (1 to iters).foreach { _ =>
+        val next = new Array[Long](nNodes)
+        var v = 0
+        while (v < nNodes) {
+          // degree-bounded vote array per vertex (neighbors + self),
+          // sorted ascending: run-lengths are the counts, and scanning
+          // runs in label order makes ties resolve to the smaller
+          // label for free
+          val lo = off(v); val hi = off(v + 1)
+          val vl = new Array[Long](hi - lo + 1)
+          var j = lo
+          while (j < hi) { vl(j - lo) = labels(adj(j)); j += 1 }
+          vl(hi - lo) = labels(v)
+          java.util.Arrays.sort(vl)
+          var bestLabel = vl(0); var bestN = 0L
+          var p = 0
+          while (p < vl.length) {
+            var q = p
+            while (q < vl.length && vl(q) == vl(p)) q += 1
+            if ((q - p).toLong > bestN) { bestN = (q - p).toLong; bestLabel = vl(p) }
+            p = q
+          }
+          next(v) = bestLabel
+          v += 1
+        }
+        labels = next
+      }
+      return (0 until nNodes).map(v => (idx.ids(v), labels(v)))
+        .toDF("node", "community")
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     (1 to iters).foreach { i =>
@@ -839,12 +1226,75 @@ object Graph {
     * Per round: two degree-shaped aggregations + two vertex-sized
     * joins; each round localCheckpoints (plan truncation, O(1)
     * lineage). Output: (node, hub_u, auth_u) on the ppm grid. */
-  def hitsInt(edges: DataFrame, iters: Int = 4): DataFrame = {
+  /** Driver kernel for [[hitsInt]] — the exact max-normalized integer
+    * hub/authority fixpoint in primitive arrays (same license and
+    * both-paths spec as [[pageRankKernel]]). The `s · 10^6` rescale is
+    * formed directly (as the distributed expression does): at the
+    * 500k-edge gate s ≤ 5·10^11, so the product stays ≤ 5·10^17. */
+  private def hitsKernel(
+      spark: org.apache.spark.sql.SparkSession,
+      srcA: Array[Long], dstA: Array[Long], iters: Int): DataFrame = {
+    import spark.implicits._
+    val m = srcA.length
+    val idx = new LongIndex(math.max(2, 2 * m))
+    val si = new Array[Int](m); val di = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      si(i) = idx.indexOf(srcA(i)); di(i) = idx.indexOf(dstA(i)); i += 1
+    }
+    val nNodes = idx.n
+    val hasIn = new Array[Boolean](nNodes)
+    val hasOut = new Array[Boolean](nNodes)
+    i = 0
+    while (i < m) { hasOut(si(i)) = true; hasIn(di(i)) = true; i += 1 }
+    var h = Array.fill(nNodes)(1000000L)
+    var a = Array.fill(nNodes)(1000000L)
+    (1 to iters).foreach { _ =>
+      val araw = new Array[Long](nNodes)
+      var e = 0
+      while (e < m) { araw(di(e)) += h(si(e)); e += 1 }
+      var mx = Long.MinValue
+      var v = 0
+      while (v < nNodes) { if (hasIn(v) && araw(v) > mx) mx = araw(v); v += 1 }
+      val aNext = new Array[Long](nNodes)
+      v = 0
+      while (v < nNodes) {
+        aNext(v) = if (hasIn(v)) Math.multiplyExact(araw(v), 1000000L) / mx
+        else 0L
+        v += 1
+      }
+      a = aNext
+      val hraw = new Array[Long](nNodes)
+      e = 0
+      while (e < m) { hraw(si(e)) += a(di(e)); e += 1 }
+      var mh = Long.MinValue
+      v = 0
+      while (v < nNodes) { if (hasOut(v) && hraw(v) > mh) mh = hraw(v); v += 1 }
+      val hNext = new Array[Long](nNodes)
+      v = 0
+      while (v < nNodes) {
+        hNext(v) = if (hasOut(v)) Math.multiplyExact(hraw(v), 1000000L) / mh
+        else 0L
+        v += 1
+      }
+      h = hNext
+    }
+    (0 until nNodes).map(v => (idx.ids(v), h(v), a(v)))
+      .toDF("node", "hub_u", "auth_u")
+  }
+
+  def hitsInt(edges: DataFrame, iters: Int = 4,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    if (e.count() <= smallGraphEdges && allLong(e, "src", "dst")) {
+      val (sa, da) = collectEdges(
+        e.select(col("src").cast("long"), col("dst").cast("long")))
+      return hitsKernel(edges.sparkSession, sa, da, iters)
+    }
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
